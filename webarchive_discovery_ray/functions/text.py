@@ -1,0 +1,98 @@
+"""Text kernels: whitespace collapse, truncation, fuzzy canonicalisation,
+tokenisation, GPS DMS conversion.
+
+References:
+* SpaceTrimWriter — ``TikaPayloadAnalyser.java:626-666`` (state machine:
+  runs of space/newline/tab collapse to one separator; a newline anywhere in
+  the run wins over space; leading whitespace dropped);
+* text cap — ``TikaPayloadAnalyser.java:317-319`` (512 KB default);
+* ssdeep canonicalisation — ``FuzzyHashAnalyser.java:64-67``;
+* DMS->decimal GPS — ``TikaPayloadAnalyser.java:688-707``.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "space_trim",
+    "truncate_text",
+    "fuzzy_canonicalise",
+    "tokenize",
+    "token_count",
+    "dms_to_decimal",
+    "MAX_TEXT_LENGTH",
+]
+
+MAX_TEXT_LENGTH = 512 * 1024
+
+_WS = {" ", "\n", "\t"}
+
+
+def space_trim(text: str) -> str:
+    """Collapse whitespace runs exactly like the reference's SpaceTrimWriter:
+    leading whitespace is dropped; a run containing ``\\n`` collapses to one
+    newline, otherwise to one space; trailing run is dropped (never flushed)."""
+    out: list[str] = []
+    is_start = True
+    last_was_space = False
+    included_newline = False
+    for ch in text:
+        if ch in _WS:
+            last_was_space = True
+            if ch == "\n":
+                included_newline = True
+        else:
+            if last_was_space:
+                if not is_start:
+                    out.append("\n" if included_newline else " ")
+                last_was_space = False
+                included_newline = False
+            is_start = False
+            out.append(ch)
+    return "".join(out)
+
+
+def truncate_text(text: str, max_length: int = MAX_TEXT_LENGTH) -> str:
+    """WriteOutContentHandler-style hard cap on extracted text."""
+    return text if len(text) <= max_length else text[:max_length]
+
+
+_MULTI_WS = re.compile(r"\s+")
+
+
+def fuzzy_canonicalise(text: str) -> str:
+    """Whitespace-collapse + lowercase, the ssdeep input canonicalisation."""
+    return _MULTI_WS.sub(" ", text).strip().lower()
+
+
+_TOKEN = re.compile(r"\w+(?:'\w+)?|[^\w\s]", re.UNICODE)
+
+
+def tokenize(text: str) -> list[str]:
+    """BPE-ish regex tokenisation: word runs (with apostrophes) + single
+    punctuation marks. Deterministic, locale-independent."""
+    return _TOKEN.findall(text)
+
+
+def token_count(text: str) -> int:
+    """Whitespace token count (matches SQL ``regexp_split_to_array`` oracle)."""
+    stripped = text.strip()
+    if not stripped:
+        return 0
+    return len(_MULTI_WS.split(stripped))
+
+
+def dms_to_decimal(dms: str) -> float:
+    """``55° 37' 38.61"`` -> 55.62739166666667 (TikaPayloadAnalyser DMS2DG)."""
+    sign = 1
+    if dms.startswith("-"):
+        sign = -1
+        dms = dms[1:]
+    degree_part, minutes_part = dms.split("°")
+    degrees = int(degree_part.strip())
+    minute_str, seconds_part = minutes_part.split("'")
+    minutes = int(minute_str.strip())
+    seconds_part = seconds_part.replace('"', "").replace(",", ".")
+    seconds = float(seconds_part)
+    return sign * (degrees + minutes / 60.0 + seconds / 3600.0)
