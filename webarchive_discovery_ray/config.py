@@ -1,0 +1,75 @@
+"""Typed configuration tree for the engine.
+
+Mirrors the reference's HOCON config surface
+(``warc-indexer/src/main/resources/reference.conf``) as plain dataclasses:
+every extraction toggle the tests exercise (record_type_include,
+protocol_include, url_exclude, response_include, SURT exclusions, text caps)
+plus the crawl-plane knobs that are new construction (BASELINE.json
+north_rule: politeness budget, hop limit, seen-set sharding, waves).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+__all__ = ["IndexConfig", "CrawlConfig", "SyntheticConfig"]
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Extraction-plane configuration (reference.conf `warc.index.extract`)."""
+
+    record_type_include: tuple[str, ...] = ("response", "resource", "revisit")
+    protocol_include: tuple[str, ...] = ("http", "https")
+    url_exclude: tuple[str, ...] = ()  # regex fragments, matched `.*X.*`
+    response_include: tuple[str, ...] = ("2",)  # status-prefix allowlist
+    surt_exclusions: tuple[str, ...] = ()  # SURT-prefix reject list (M5)
+    max_url_length: int = 2000  # WARCIndexer.java:330-331
+    max_text_length: int = 512 * 1024  # tika.max_text_length
+    extract_image_links: bool = True
+    normalise_links: bool = True
+    add_normalised_url: bool = True
+    first_bytes_length: int = 32  # FirstBytesAnalyser default
+    extract_content_first_bytes: bool = True
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Crawl-plane configuration (new construction, BASELINE.json north_rule).
+
+    The sequential oracle and the Ray frontier share these rules exactly:
+    * BFS by wave; seeds in list order are wave 0;
+    * per-host FIFO queues keyed by SURT; at most ``politeness_budget``
+      fetches per host per wave (the per-host token bucket);
+    * global fetch order within a wave pinned to (host_surt, enqueue slot);
+    * per-page outlinks deduped (first occurrence) then sorted
+      lexicographically by canonical URL before enqueue (pinned ordering,
+      SURVEY.md §7.0);
+    * hop limit on link depth; robots.txt disallow prefixes apply to hosts
+      from the wave after the robots fetch.
+    """
+
+    politeness_budget: int = 4  # fetch tokens per host per wave
+    max_waves: int = 4
+    hop_limit: int = 8
+    seen_shards: int = 8
+    respect_robots: bool = True
+    max_urls: int | None = None  # overall stop condition (None = unbounded)
+
+
+@dataclass(frozen=True)
+class SyntheticConfig:
+    """Deterministic pseudo-web generator parameters (FIXTURES.md §2-3).
+
+    ``seed`` drives every choice through sha1-based hashing — no RNG state,
+    so any worker can regenerate any page independently (the fetch
+    simulator's contract)."""
+
+    seed: int = 42
+    n_hosts: int = 20
+    hot_host_share: float = 0.30  # hot host owns ~30% of link targets
+    max_fanout: int = 8
+    media_ratio: float = 0.25  # fraction of URLs that are media objects
+    robots_disallow_ratio: float = 0.5  # hosts with a /private/ disallow
+    pages_per_host: int = 400  # URL id space per host
+    uk_host_ratio: float = 0.3

@@ -1,0 +1,303 @@
+"""Deterministic synthetic pseudo-web: page generator + fixture tables.
+
+Replaces the reference's binary WARC fixture corpus
+(``warc-indexer/src/test/resources/`` — IAH blackbook, wikipedia-mona-lisa,
+gov.uk-revisit-warcs) with a seeded generator per FIXTURES.md §2-3. Every
+page is a pure function of ``(url, SyntheticConfig)`` via sha1-based hashing
+(:func:`stable_hash64`), so the distributed fetch simulator and the
+sequential oracle regenerate identical bytes with no shared state.
+
+The link graph is implicit: ``page(url)`` links to ``outlink(url, i)`` for
+``i < fanout(url)``. It includes a hot host (~30% of targets), https/www
+variants that canonicalise onto already-seen URLs, relative links, malformed
+links, per-host robots.txt, and media objects with magic-byte payloads.
+"""
+
+from __future__ import annotations
+
+from ..config import SyntheticConfig
+from ..functions.hashing import sha1_b32, stable_hash64
+
+__all__ = [
+    "hosts",
+    "make_url",
+    "outlinks",
+    "page_for_url",
+    "fixture_pages",
+    "seed_urls",
+]
+
+_MAGIC = {
+    "png": b"\x89PNG\r\n\x1a\n",
+    "jpg": b"\xff\xd8\xff\xe0",
+    "gif": b"GIF89a",
+    "mp3": b"ID3\x03\x00",
+    "mp4": b"\x00\x00\x00\x18ftypisom",
+    "pdf": b"%PDF-1.4\n",
+}
+
+
+def hosts(cfg: SyntheticConfig) -> list[str]:
+    """Deterministic host universe. Host 0 is the hot host."""
+    out = ["hot.example.com"]
+    n_uk = int((cfg.n_hosts - 1) * cfg.uk_host_ratio)
+    for i in range(1, cfg.n_hosts):
+        if i <= n_uk:
+            out.append(f"news{i}.example.co.uk")
+        else:
+            out.append(f"site{i}.example.com")
+    return out
+
+
+def _path_for(host: str, pid: int, cfg: SyntheticConfig) -> str:
+    if pid == 0:
+        return "/"
+    if pid == 1:
+        return "/robots.txt"
+    h = stable_hash64(f"path:{host}:{pid}", cfg.seed)
+    if (h % 1000) / 1000.0 < cfg.media_ratio:
+        ext = ("png", "jpg", "gif", "mp3", "mp4", "pdf")[h % 6]
+        return f"/media/{pid}.{ext}"
+    style = h % 4
+    if style == 0:
+        return f"/page/{pid}.html"
+    if style == 1:
+        return f"/articles/{pid}"
+    if style == 2:
+        return f"/section{h % 7}/item{pid}.html"
+    return f"/page/{pid}.html?cat={h % 5}"
+
+
+def make_url(host: str, pid: int, cfg: SyntheticConfig) -> str:
+    return f"http://{host}{_path_for(host, pid, cfg)}"
+
+
+def _is_media(url: str) -> bool:
+    path = url.split("?", 1)[0]
+    return path.rsplit("/", 1)[-1].rpartition(".")[2] in _MAGIC
+
+
+def outlinks(url: str, cfg: SyntheticConfig) -> list[str]:
+    """The raw (pre-resolution) hrefs page(url) embeds, in emission order."""
+    if _is_media(url) or url.endswith("/robots.txt"):
+        return []
+    all_hosts = hosts(cfg)
+    h = stable_hash64(f"fanout:{url}", cfg.seed)
+    fanout = h % (cfg.max_fanout + 1)
+    links: list[str] = []
+    for i in range(fanout):
+        hi = stable_hash64(f"out:{url}:{i}", cfg.seed)
+        if (hi % 100) / 100.0 < cfg.hot_host_share:
+            host = all_hosts[0]
+        else:
+            host = all_hosts[(hi >> 8) % len(all_hosts)]
+        pid = (hi >> 24) % cfg.pages_per_host
+        target = make_url(host, pid, cfg)
+        form = hi % 6
+        if form == 0:
+            links.append(target)
+        elif form == 1:  # https + www variant -> canonicalises to target
+            links.append("https://www." + target[len("http://") :])
+        elif form == 2:  # absolute-path relative link (same doc host resolves it)
+            links.append(_path_for(host, pid, cfg) if host == _host_of(url) else target)
+        elif form == 3:  # query-string variant (a distinct URL)
+            sep = "&" if "?" in target else "?"
+            links.append(f"{target}{sep}ref={i}")
+        elif form == 4:  # uppercase/trailing-slash noise -> canonicalises back
+            base = target.split("?", 1)[0]
+            links.append((base + "/").replace("http://", "HTTP://", 1) if "?" not in target else target)
+        else:  # malformed
+            links.append(f"http://-bad-host-{i}/x")
+    return links
+
+
+def _host_of(url: str) -> str:
+    return url.split("://", 1)[1].split("/", 1)[0]
+
+
+def _image_links(url: str, cfg: SyntheticConfig) -> tuple[list[str], list[str]]:
+    """(img src list, srcset candidates) for page(url)."""
+    if _is_media(url) or url.endswith("/robots.txt"):
+        return [], []
+    h = stable_hash64(f"imgs:{url}", cfg.seed)
+    n_imgs = h % 3
+    srcs = []
+    for i in range(n_imgs):
+        hi = stable_hash64(f"img:{url}:{i}", cfg.seed)
+        host = hosts(cfg)[(hi >> 4) % cfg.n_hosts]
+        srcs.append(f"http://{host}/media/{(hi >> 16) % cfg.pages_per_host}.png")
+    srcset = []
+    if h % 5 == 0:
+        hi = stable_hash64(f"srcset:{url}", cfg.seed)
+        srcset = [f"/media/{(hi >> 3) % cfg.pages_per_host}.jpg",
+                  f"/media/{(hi >> 13) % cfg.pages_per_host}.jpg"]
+    return srcs, srcset
+
+
+def robots_disallows(host: str, cfg: SyntheticConfig) -> list[str]:
+    """Disallow prefixes served by http://host/robots.txt (possibly empty)."""
+    h = stable_hash64(f"robots:{host}", cfg.seed)
+    if (h % 100) / 100.0 < cfg.robots_disallow_ratio:
+        section = h % 7
+        return [f"/section{section}/", "/private/"]
+    return []
+
+
+def _html_payload(url: str, cfg: SyntheticConfig) -> bytes:
+    h = stable_hash64(f"page:{url}", cfg.seed)
+    host = _host_of(url)
+    title = f"Title {h % 10000} of {host}"
+    parts = [
+        "<!DOCTYPE html>\n<html>\n<head>",
+        f"<title>{title}</title>",
+        f'<meta name="keywords" content="k{h % 50} k{(h >> 6) % 50}">',
+    ]
+    if h % 11 == 0:
+        parts.append('<meta name="OriginalPublicationDate" content="2005-03-02">')
+    parts.append('<link rel="stylesheet" href="/css/main.css">')
+    parts.append("</head>\n<body>")
+    if h % 13 == 0:
+        parts.append("<p>   </p>")  # empty first paragraph (whitespace only)
+    parts.append(
+        f"<p>Paragraph one about topic {h % 97} with   extra\n spaces and "
+        f"words number {(h >> 8) % 1000}.</p>"
+    )
+    for i, link in enumerate(outlinks(url, cfg)):
+        parts.append(f'<a href="{link}">anchor text {i}</a>')
+    srcs, srcset = _image_links(url, cfg)
+    for src in srcs:
+        parts.append(f'<img src="{src}">')
+    if srcset:
+        parts.append(f'<img srcset="{srcset[0]} 1x, {srcset[1]} 2x">')
+    if h % 17 == 0:
+        parts.append('<a rel="license" href="http://creativecommons.org/licenses/by/4.0/">CC</a>')
+    parts.append(f"<p>Closing paragraph with serial {(h >> 16) % 100000}.</p>")
+    if h % 7 == 0:
+        parts.append('<script> if (3<a) console.log("x");</script>')
+    parts.append("</body></html>")
+    return "\n".join(parts).encode("utf-8")
+
+
+def _media_payload(url: str, cfg: SyntheticConfig) -> tuple[bytes, str]:
+    path = url.split("?", 1)[0]
+    ext = path.rsplit(".", 1)[1]
+    magic = _MAGIC[ext]
+    h = stable_hash64(f"media:{url}", cfg.seed)
+    size = 64 + h % 512
+    filler = (h.to_bytes(8, "big") * ((size // 8) + 1))[:size]
+    mime = {
+        "png": "image/png", "jpg": "image/jpeg", "gif": "image/gif",
+        "mp3": "audio/mpeg", "mp4": "video/mp4", "pdf": "application/pdf",
+    }[ext]
+    return magic + filler, mime
+
+
+def _timestamp14(url: str, cfg: SyntheticConfig) -> str:
+    h = stable_hash64(f"ts:{url}", cfg.seed)
+    return (
+        f"{1996 + h % 25:04d}{1 + (h >> 5) % 12:02d}{1 + (h >> 9) % 28:02d}"
+        f"{(h >> 14) % 24:02d}{(h >> 19) % 60:02d}{(h >> 25) % 60:02d}"
+    )
+
+
+def page_for_url(url: str, cfg: SyntheticConfig) -> dict:
+    """The fetch simulator: url -> full capture record (deterministic).
+
+    Stands in for an HTTP fetch + WARC write; keys mirror the ``pages``
+    fixture schema in FIXTURES.md §2.
+    """
+    h = stable_hash64(f"rec:{url}", cfg.seed)
+    path = url.split("://", 1)[1].partition("/")[2]
+    is_robots = url.endswith("/robots.txt")
+    if is_robots:
+        lines = ["User-agent: *"] + [f"Disallow: {p}" for p in robots_disallows(_host_of(url), cfg)]
+        payload, mime = ("\n".join(lines) + "\n").encode("ascii"), "text/plain"
+        status = 200
+    elif _is_media(url):
+        payload, mime = _media_payload(url, cfg)
+        status = 200 if h % 20 else 404
+    else:
+        payload = _html_payload(url, cfg)
+        mime = "text/html; charset=utf-8"
+        r = h % 100
+        status = 200 if r < 90 else (301 if r < 95 else (404 if r < 98 else 503))
+    # Serve wrong/empty/octet-stream content types sometimes (M17/M20 paths):
+    if status == 200 and not is_robots:
+        if h % 31 == 0:
+            mime = "application/octet-stream"
+        elif h % 37 == 0:
+            mime = ""
+    location = ""
+    if status == 301:
+        hi = stable_hash64(f"redir:{url}", cfg.seed)
+        location = make_url(_host_of(url), (hi >> 3) % cfg.pages_per_host, cfg)
+        payload = b""
+    if status in (404, 503):
+        payload = f"<html><body><p>Error {status}.</p></body></html>".encode()
+        mime = "text/html"
+    shard = stable_hash64(f"shard:{_host_of(url)}", cfg.seed) % 100
+    ts = _timestamp14(url, cfg)
+    return {
+        "url": url,
+        "timestamp14": ts,
+        "record_type": "response",
+        "status": status,
+        "mime_served": mime,
+        "location": location,
+        "content_encoding": "",
+        "transfer_encoding": "",
+        "payload": payload,
+        "payload_sha1": sha1_b32(payload),
+        "source_file": f"synth-{shard:05d}-{ts}-{shard:05d}.warc.gz",
+        "source_offset": h % 1_000_000_000,
+    }
+
+
+def seed_urls(cfg: SyntheticConfig, n_seeds: int = 8) -> list[tuple[str, int]]:
+    """Ordered seed list [(url, priority)]: the front page of the first
+    ``n_seeds`` hosts (hot host first). Ordering matters — the frontier
+    oracle consumes seeds in order."""
+    hs = hosts(cfg)
+    return [(make_url(hs[i % len(hs)], 0, cfg), i % 3) for i in range(n_seeds)]
+
+
+def fixture_pages(n: int, cfg: SyntheticConfig) -> list[dict]:
+    """Static ``pages`` fixture with edge-case mutations layered on the
+    generator output (FIXTURES.md §2): wrapped URLs, over-long URLs, ftp
+    protocol, request/metadata record types, digest mismatches, revisit
+    pairs, 12/16/17-digit timestamps."""
+    all_hosts = hosts(cfg)
+    rows: list[dict] = []
+    for i in range(n):
+        h = stable_hash64(f"fixture:{i}", cfg.seed)
+        host = all_hosts[h % len(all_hosts)]
+        pid = (h >> 8) % cfg.pages_per_host
+        url = make_url(host, pid, cfg)
+        rec = page_for_url(url, cfg)
+        if i % 37 == 0:
+            rec["record_type"] = "request"
+            rec["payload"] = b"GET / HTTP/1.1"
+            rec["payload_sha1"] = sha1_b32(rec["payload"])
+        elif i % 41 == 0:
+            rec["record_type"] = "metadata"
+        if i % 43 == 0:
+            rec["url"] = "<" + rec["url"] + ">"  # sanitise path (M7)
+        if i % 53 == 0:
+            sep = "&" if "?" in rec["url"] else "?"
+            rec["url"] = rec["url"] + sep + "pad=" + "x" * 2100  # truncation (M6)
+        if i % 31 == 0:
+            rec["url"] = "ftp://" + rec["url"].split("://", 1)[1]  # protocol filter (M2)
+        if i % 29 == 0:
+            rec["payload_sha1"] = "sha1:" + "A" * 32  # digest mismatch (M16)
+        if i % 19 == 0:
+            ts = rec["timestamp14"]
+            rec["timestamp14"] = (ts[:12], ts + "43", ts + "439")[i % 3]
+        rows.append(rec)
+        if i % 23 == 0 and rec["record_type"] == "response" and rec["status"] == 200:
+            revisit = dict(rec)
+            revisit["record_type"] = "revisit"
+            revisit["payload"] = b""
+            # revisit keeps the original payload digest (gov.uk-revisit-warcs)
+            revisit["timestamp14"] = str(int(rec["timestamp14"][:8]) + 1).zfill(8) + rec["timestamp14"][8:]
+            rows.append(revisit)
+    return rows
