@@ -1,0 +1,111 @@
+"""Crawl-plane parity: Ray frontier vs sequential oracle.
+
+North-rule gates: crawl ordering (the fetch log) and the final URL-seen
+set must be byte-identical under the same seed list + politeness budget;
+checkpoint/resume must reproduce the uninterrupted run exactly.
+"""
+
+import pytest
+
+from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+from webarchive_discovery_ray.oracle.crawl_oracle import oracle_crawl
+from webarchive_discovery_ray.pipelines.crawl import run_crawl
+from webarchive_discovery_ray.sources.synthetic import seed_urls
+
+SYN = SyntheticConfig(n_hosts=10, pages_per_host=60, max_fanout=6)
+CRAWL = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4)
+
+
+@pytest.fixture(scope="module")
+def seeds():
+    return seed_urls(SYN, n_seeds=6)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(seeds):
+    return oracle_crawl(seeds, CRAWL, SYN)
+
+
+def _log_key(entry):
+    return (entry["order"], entry["wave"], entry["host"], entry["slot"], entry["url"], entry["surt"], entry["status"])
+
+
+def test_oracle_sanity(oracle_result):
+    r = oracle_result
+    assert len(r.fetch_log) > 20
+    assert len(r.seen_sorted) > len(r.fetch_log)  # discovered more than fetched
+    assert r.wave_stats[0]["fetched"] > 0
+    # politeness: no host exceeds budget within a wave
+    per = {}
+    for e in r.fetch_log:
+        per[(e["wave"], e["host"])] = per.get((e["wave"], e["host"]), 0) + 1
+    assert max(per.values()) <= CRAWL.politeness_budget
+    # robots fetched for hosts that appear
+    assert any(e["url"].endswith("/robots.txt") for e in r.fetch_log)
+    # fetch order pinned: sorted by (wave, host, slot)
+    keys = [(e["wave"], e["host"], e["slot"]) for e in r.fetch_log]
+    assert keys == sorted(keys)
+
+
+def test_ray_crawl_matches_oracle(ray_session, seeds, oracle_result):
+    got = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2, fetch_batch_size=16)
+    exp = oracle_result
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted  # byte-identical seen set
+    assert got.wave_stats == [
+        {k: s[k] for k in ("wave", "frontier", "fetched", "carryover", "new_urls")}
+        for s in exp.wave_stats
+    ]
+
+
+def test_robots_disallow_takes_effect(seeds):
+    """With robots on, disallowed sections are dropped in later waves."""
+    r_on = oracle_crawl(seeds, CRAWL, SYN)
+    r_off = oracle_crawl(
+        seeds,
+        CrawlConfig(
+            politeness_budget=CRAWL.politeness_budget,
+            max_waves=CRAWL.max_waves,
+            seen_shards=CRAWL.seen_shards,
+            respect_robots=False,
+        ),
+        SYN,
+    )
+    assert not any(e["url"].endswith("/robots.txt") for e in r_off.fetch_log)
+    assert any(s.get("dropped_robots", 0) > 0 for s in r_on.wave_stats), (
+        "fixture must exercise the robots drop path"
+    )
+
+
+def test_checkpoint_resume_identical(ray_session, seeds, oracle_result, tmp_path_factory):
+    """Kill-and-resume: run 2 waves with checkpoints, then resume to 4;
+    result must equal the uninterrupted 4-wave run (and the oracle)."""
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt"))
+    partial_cfg = CrawlConfig(
+        politeness_budget=CRAWL.politeness_budget, max_waves=2, seen_shards=CRAWL.seen_shards
+    )
+    run_crawl(seeds, partial_cfg, SYN, checkpoint_dir=ckpt, fetch_concurrency=2)
+    resumed = run_crawl(
+        seeds, CRAWL, SYN, checkpoint_dir=ckpt, resume=True, fetch_concurrency=2
+    )
+    exp = oracle_result
+    assert [_log_key(e) for e in resumed.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert resumed.seen_sorted == exp.seen_sorted
+
+
+def test_hot_host_budget_bound(ray_session):
+    """Hot-host skew: the budget bounds any host's per-wave fetches, and the
+    hot host accumulates carryover instead of starving other hosts."""
+    syn = SyntheticConfig(n_hosts=6, pages_per_host=80, max_fanout=8, hot_host_share=0.6)
+    seeds = seed_urls(syn, n_seeds=4)
+    ccfg = CrawlConfig(politeness_budget=2, max_waves=3, seen_shards=2)
+    exp = oracle_crawl(seeds, ccfg, syn)
+    got = run_crawl(seeds, ccfg, syn, fetch_concurrency=2)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    per = {}
+    for e in got.fetch_log:
+        per.setdefault((e["wave"], e["host"]), 0)
+        per[(e["wave"], e["host"])] += 1
+    assert max(per.values()) <= 2
+    assert any(s["carryover"] > 0 for s in got.wave_stats)

@@ -1,0 +1,207 @@
+"""Sequential single-thread crawl oracle: the pinned frontier semantics.
+
+The reference delegates crawling to Heritrix; BASELINE.json's north rule
+requires a new frontier whose crawl ordering and URL-seen set are
+byte-identical between the distributed Ray implementation and this
+sequential definition, given the same seed list + politeness budget.
+
+Pinned rules (shared with ``pipelines/crawl.py``; Heritrix-convention BFS):
+
+1. Seeds are consumed in list order; each is canonicalised; first
+   occurrence of a SURT key enters wave-0 frontier with hop 0 and an
+   increasing global ``seq``.
+2. Per wave: every frontier host that has no robots decision yet gets an
+   implicit ``/robots.txt`` fetch injected at priority -1 / seq -1 (if its
+   SURT is unseen); rules take effect for drains in LATER waves.
+3. Per-host drain: order queue by (priority, seq); drop entries disallowed
+   by the host's (previous-wave) robots rules; fetch the first
+   ``politeness_budget`` entries (slots 0..K-1); the rest carry over.
+4. Global fetch order within a wave = (host, slot) ascending — the
+   politeness interleave is pinned for reproducibility.
+5. Outlink candidates per fetched page = extraction's ``links`` (kind=link
+   only) + ``redirect_to_norm``, deduped, sorted lexicographically; kept if
+   http(s), parseable host, <= 2000 chars, hop+1 <= hop_limit.
+6. Discovery order = (parent host, parent slot, candidate rank); first
+   unseen SURT wins, gets the next global ``seq``, parent's priority,
+   hop+1, and is queued for the next wave under the CANDIDATE's host.
+7. Stop at max_waves, empty frontier, or >= max_urls total fetches
+   (checked at wave end).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import CrawlConfig, IndexConfig, SyntheticConfig
+from ..functions.normalisation import canonicalise_url
+from ..functions.suffix import MALFORMED_HOST, extract_host
+from ..functions.surt import surt_key
+from ..functions.urls import url_path
+from ..sources.synthetic import page_for_url
+from ..state.robots import is_disallowed, parse_robots, robots_url_for_host
+from .extract_oracle import oracle_extract_record
+
+__all__ = ["oracle_crawl", "crawl_index_config", "OracleCrawlResult"]
+
+
+def crawl_index_config(base: IndexConfig | None = None) -> IndexConfig:
+    """Extraction config used inside the crawl: accept every status (the
+    crawler records all fetches), responses only."""
+    base = base or IndexConfig()
+    return IndexConfig(
+        record_type_include=("response",),
+        protocol_include=base.protocol_include,
+        url_exclude=base.url_exclude,
+        response_include=(),
+        surt_exclusions=base.surt_exclusions,
+        max_url_length=base.max_url_length,
+        max_text_length=base.max_text_length,
+        extract_image_links=base.extract_image_links,
+        normalise_links=base.normalise_links,
+    )
+
+
+@dataclass
+class _Entry:
+    url: str
+    surt: str
+    host: str
+    priority: int
+    hop: int
+    seq: int
+
+
+@dataclass
+class OracleCrawlResult:
+    fetch_log: list[dict] = field(default_factory=list)
+    seen_sorted: list[str] = field(default_factory=list)
+    wave_stats: list[dict] = field(default_factory=list)
+    docs: list[dict] = field(default_factory=list)
+
+
+def candidate_ok(url: str, hop: int, ccfg: CrawlConfig, max_url_length: int = 2000) -> bool:
+    if hop + 1 > ccfg.hop_limit:
+        return False
+    if not url.startswith("http"):
+        return False
+    if len(url) > max_url_length:
+        return False
+    return extract_host(url) != MALFORMED_HOST
+
+
+def oracle_crawl(
+    seeds: list[tuple[str, int]],
+    ccfg: CrawlConfig,
+    scfg: SyntheticConfig,
+    icfg: IndexConfig | None = None,
+) -> OracleCrawlResult:
+    icfg = crawl_index_config(icfg)
+    res = OracleCrawlResult()
+    seen: set[str] = set()
+    robots_scheduled: set[str] = set()
+    robots_rules: dict[str, list[str]] = {}
+    seq = 0
+    frontier: list[_Entry] = []
+    for url, pri in seeds:
+        u = canonicalise_url(url)
+        k = surt_key(u)
+        if k in seen:
+            continue
+        host = extract_host(u)
+        if host == MALFORMED_HOST:
+            continue
+        seen.add(k)
+        frontier.append(_Entry(u, k, host, pri, 0, seq))
+        seq += 1
+
+    for wave in range(ccfg.max_waves):
+        if not frontier:
+            break
+        # rule 2: robots injection
+        if ccfg.respect_robots:
+            for host in sorted({e.host for e in frontier}):
+                if host in robots_scheduled:
+                    continue
+                robots_scheduled.add(host)
+                rurl = robots_url_for_host(host)
+                rk = surt_key(rurl)
+                if rk not in seen:
+                    seen.add(rk)
+                    frontier.append(_Entry(rurl, rk, host, -1, 0, -1))
+        # rule 3: per-host drain
+        by_host: dict[str, list[_Entry]] = {}
+        for e in frontier:
+            by_host.setdefault(e.host, []).append(e)
+        selected: list[tuple[str, int, _Entry]] = []
+        carryover: list[_Entry] = []
+        dropped = 0
+        for host in sorted(by_host):
+            queue = sorted(by_host[host], key=lambda e: (e.priority, e.seq))
+            rules = robots_rules.get(host, [])
+            slot = 0
+            for e in queue:
+                if e.priority != -1 and rules and is_disallowed(url_path(e.url), rules):
+                    dropped += 1
+                    continue
+                if slot < ccfg.politeness_budget:
+                    selected.append((host, slot, e))
+                    slot += 1
+                else:
+                    carryover.append(e)
+        # rule 4: fetch in (host, slot) order
+        new_robots: dict[str, list[str]] = {}
+        page_candidates: list[tuple[str, int, list[str], int, int]] = []
+        for host, slot, e in selected:  # already (host, slot) sorted
+            rec = page_for_url(e.url, scfg)
+            doc = oracle_extract_record(rec, icfg)
+            res.fetch_log.append(
+                {
+                    "order": len(res.fetch_log),
+                    "wave": wave,
+                    "host": host,
+                    "slot": slot,
+                    "url": e.url,
+                    "surt": e.surt,
+                    "status": rec["status"],
+                }
+            )
+            if doc is not None:
+                res.docs.append(doc)
+            if e.url.endswith("/robots.txt") and rec["status"] == 200:
+                new_robots[host] = parse_robots(rec["payload"].decode("utf-8", "replace"))
+            cands: set[str] = set(doc["links"]) if doc else set()
+            if doc and doc["redirect_to_norm"]:
+                cands.add(doc["redirect_to_norm"])
+            page_candidates.append((host, slot, sorted(cands), e.hop, e.priority))
+        # rule 6: discovery
+        next_frontier = carryover
+        new_count = 0
+        for host, slot, cands, hop, pri in page_candidates:
+            for u in cands:
+                if not candidate_ok(u, hop, ccfg, icfg.max_url_length):
+                    continue
+                k = surt_key(u)
+                if k in seen:
+                    continue
+                seen.add(k)
+                chost = extract_host(u)
+                next_frontier.append(_Entry(u, k, chost, pri, hop + 1, seq))
+                seq += 1
+                new_count += 1
+        robots_rules.update(new_robots)
+        res.wave_stats.append(
+            {
+                "wave": wave,
+                "frontier": len(frontier),
+                "fetched": len(selected),
+                "carryover": len(carryover),
+                "dropped_robots": dropped,
+                "new_urls": new_count,
+            }
+        )
+        frontier = next_frontier
+        if ccfg.max_urls is not None and len(res.fetch_log) >= ccfg.max_urls:
+            break
+
+    res.seen_sorted = sorted(seen)
+    return res

@@ -1,0 +1,142 @@
+"""Wave-level checkpoint/resume with per-partition lineage + metrics.
+
+North-rule requirement: the frontier and seen-set state are resumable; a
+wave's checkpoint is complete only when its ``manifest.json`` exists (the
+directory is written to a temp path and atomically renamed), so replays
+skip completed waves and an interrupted run resumes exactly where the last
+complete wave ended — the resumed run's fetch log and seen set must be
+byte-identical to an uninterrupted run (tested in test_crawl_parity.py).
+
+Layout (one directory per wave)::
+
+    {dir}/wave_0003/
+        manifest.json        # wave, seq counter, row counts, lineage
+        frontier_next.parquet  # frontier entering wave 4
+        fetchlog.parquet       # fetches performed in wave 3
+        seen_shard_{i}.parquet # per-shard sorted SURT keys
+        robots.json            # scheduled hosts + effective rules
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["write_wave_checkpoint", "latest_complete_wave", "load_wave_checkpoint"]
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("surt", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.int32()),
+        ("hop", pa.int32()),
+        ("seq", pa.int64()),
+    ]
+)
+
+FETCHLOG_SCHEMA = pa.schema(
+    [
+        ("order", pa.int64()),
+        ("wave", pa.int32()),
+        ("host", pa.string()),
+        ("slot", pa.int32()),
+        ("url", pa.string()),
+        ("surt", pa.string()),
+        ("status", pa.int32()),
+    ]
+)
+
+
+def _wave_dir(base: str, wave: int) -> str:
+    return os.path.join(base, f"wave_{wave:04d}")
+
+
+def write_wave_checkpoint(
+    base: str,
+    wave: int,
+    next_frontier: list[dict],
+    wave_fetch_log: list[dict],
+    seen_snapshots: list[list[str]],
+    robots_scheduled: set[str],
+    robots_rules: dict[str, list[str]],
+    seq: int,
+    stats: dict,
+) -> None:
+    os.makedirs(base, exist_ok=True)
+    final = _wave_dir(base, wave)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.Table.from_pylist(next_frontier, schema=FRONTIER_SCHEMA),
+        os.path.join(tmp, "frontier_next.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(wave_fetch_log, schema=FETCHLOG_SCHEMA),
+        os.path.join(tmp, "fetchlog.parquet"),
+    )
+    for i, snap in enumerate(seen_snapshots):
+        pq.write_table(
+            pa.table({"surt": pa.array(snap, type=pa.string())}),
+            os.path.join(tmp, f"seen_shard_{i}.parquet"),
+        )
+    with open(os.path.join(tmp, "robots.json"), "w") as f:
+        json.dump({"scheduled": sorted(robots_scheduled), "rules": robots_rules}, f)
+    # manifest LAST: its presence marks the wave complete
+    manifest = {
+        "wave": wave,
+        "seq": seq,
+        "n_shards": len(seen_snapshots),
+        "n_frontier_next": len(next_frontier),
+        "n_fetched": len(wave_fetch_log),
+        "stats": stats,
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+
+
+def latest_complete_wave(base: str) -> int | None:
+    if not os.path.isdir(base):
+        return None
+    waves = []
+    for name in os.listdir(base):
+        if name.startswith("wave_") and not name.endswith(".tmp"):
+            if os.path.exists(os.path.join(base, name, "manifest.json")):
+                waves.append(int(name.split("_")[1]))
+    return max(waves) if waves else None
+
+
+def load_wave_checkpoint(base: str, wave: int) -> dict:
+    d = _wave_dir(base, wave)
+    with open(os.path.join(d, "manifest.json")) as f:
+        manifest = json.load(f)
+    with open(os.path.join(d, "robots.json")) as f:
+        robots = json.load(f)
+    frontier = pq.read_table(os.path.join(d, "frontier_next.parquet")).to_pylist()
+    snapshots = [
+        pq.read_table(os.path.join(d, f"seen_shard_{i}.parquet"))["surt"].to_pylist()
+        for i in range(manifest["n_shards"])
+    ]
+    fetch_log: list[dict] = []
+    for w in range(wave + 1):
+        p = os.path.join(_wave_dir(base, w), "fetchlog.parquet")
+        if os.path.exists(p):
+            fetch_log.extend(pq.read_table(p).to_pylist())
+    return {
+        "manifest": manifest,
+        "frontier": frontier,
+        "snapshots": snapshots,
+        "robots_scheduled": set(robots["scheduled"]),
+        "robots_rules": robots["rules"],
+        "fetch_log": fetch_log,
+        "seq": manifest["seq"],
+    }

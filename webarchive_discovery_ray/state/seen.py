@@ -1,0 +1,144 @@
+"""Sharded URL-seen set: Bloom-accelerated exact membership actors.
+
+New construction per BASELINE.json north_rule (the reference leaves URL
+dedup to post-hoc MDX hash grouping and notes the non-scalable Solr
+dup-check at ``WARCIndexer.java:184-187``). Design per SURVEY.md §2.7/§7.4:
+
+* keys are SURT URL keys, routed to ``hash(surt) % n_shards`` actor shards;
+* each shard holds a Bloom filter (numpy bit array, k=4 sha-derived probes)
+  as the fast *definitely-new* path, plus the exact Python set as the
+  authoritative membership store — probabilistic structures are
+  accelerators only, because the north rule demands byte-identical final
+  seen sets vs the oracle;
+* snapshots serialise the sorted key list (the byte-comparable
+  representation) for checkpoint/resume; at 10^10-URL scale each shard
+  would persist to a Lance/Parquet side table and keep only the Bloom +
+  hot set in RAM — the actor API is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..functions.hashing import stable_hash64
+
+__all__ = ["BloomFilter", "SeenSet", "shard_of", "SeenShardPool"]
+
+_SHARD_SEED = 7
+
+
+def shard_of(key: str, n_shards: int) -> int:
+    return stable_hash64(key, _SHARD_SEED) % n_shards
+
+
+class BloomFilter:
+    """Minimal deterministic Bloom filter over strings."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 4):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+
+    def _positions(self, key: str) -> list[int]:
+        d = hashlib.sha1(key.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:16], "big") | 1
+        return [((h1 + i * h2) % self.n_bits) for i in range(self.k)]
+
+    def add(self, key: str) -> None:
+        for p in self._positions(key):
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+    def might_contain(self, key: str) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(key))
+
+
+class SeenSet:
+    """One shard's state: Bloom accelerator + exact authoritative set."""
+
+    def __init__(self, n_bits: int = 1 << 20):
+        self._bloom = BloomFilter(n_bits)
+        self._exact: set[str] = set()
+
+    def add_if_new(self, keys: list[str]) -> list[bool]:
+        """For each key: True when newly added. Bloom 'no' short-circuits
+        the exact probe; Bloom 'maybe' is verified against the exact set."""
+        out = []
+        for key in keys:
+            if self._bloom.might_contain(key) and key in self._exact:
+                out.append(False)
+            else:
+                self._exact.add(key)
+                self._bloom.add(key)
+                out.append(True)
+        return out
+
+    def contains(self, keys: list[str]) -> list[bool]:
+        return [self._bloom.might_contain(k) and k in self._exact for k in keys]
+
+    def snapshot(self) -> list[str]:
+        return sorted(self._exact)
+
+    def restore(self, keys: list[str]) -> None:
+        self._exact = set(keys)
+        self._bloom = BloomFilter(self._bloom.n_bits)
+        for k in keys:
+            self._bloom.add(k)
+
+    def __len__(self) -> int:
+        return len(self._exact)
+
+
+class SeenShardPool:
+    """Driver-side facade over ``n_shards`` Ray actors holding SeenSets.
+
+    Batch calls are partitioned by shard and issued concurrently; results
+    are re-assembled in input order. Construction is lazy so the module
+    imports without Ray initialised (driver contract)."""
+
+    def __init__(self, n_shards: int, n_bits: int = 1 << 20):
+        import ray
+
+        self.n_shards = n_shards
+        shard_cls = ray.remote(num_cpus=0)(SeenSet)
+        self._shards = [shard_cls.remote(n_bits) for _ in range(n_shards)]
+
+    def add_if_new(self, keys: list[str]) -> list[bool]:
+        import ray
+
+        by_shard: dict[int, list[int]] = {}
+        for i, key in enumerate(keys):
+            by_shard.setdefault(shard_of(key, self.n_shards), []).append(i)
+        refs = {
+            s: self._shards[s].add_if_new.remote([keys[i] for i in idxs])
+            for s, idxs in by_shard.items()
+        }
+        out = [False] * len(keys)
+        for s, idxs in by_shard.items():
+            for i, res in zip(idxs, ray.get(refs[s])):
+                out[i] = res
+        return out
+
+    def snapshot(self) -> list[list[str]]:
+        import ray
+
+        return ray.get([s.snapshot.remote() for s in self._shards])
+
+    def restore(self, snapshots: list[list[str]]) -> None:
+        import ray
+
+        ray.get(
+            [s.restore.remote(snap) for s, snap in zip(self._shards, snapshots)]
+        )
+
+    def all_keys_sorted(self) -> list[str]:
+        """The byte-comparable global representation: sorted union."""
+        out: list[str] = []
+        for snap in self.snapshot():
+            out.extend(snap)
+        return sorted(out)
+
+    def total(self) -> int:
+        return len(self.all_keys_sorted())
