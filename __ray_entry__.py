@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,271 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents table -> deterministic HTML
+    pages -> full extraction chain -> interleaved span documents
+    (BASELINE.json input_hint shape: doc_id + spans list<struct>)."""
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.sources.io import read_table
+    from webarchive_discovery_ray.sources.synthetic import pages_from_documents
+    from webarchive_discovery_ray.stages.extract import ExtractStage
+
+    ds = read_table(_SF0001, "documents")
+    pages = ds.map_batches(pages_from_documents, batch_format="pyarrow")
+    return pages.map_batches(
+        ExtractStage(IndexConfig()), batch_format="pyarrow", batch_size=128
+    )
+
+
+def _crawl_frontier(sf_dir: str):
+    """Crawl-plane drain over the synthetic pseudo-web (non-SQL; the
+    sequential oracle in oracle/crawl_oracle.py is its conformance check,
+    exercised under pytest)."""
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.crawl import run_crawl
+    from webarchive_discovery_ray.sources.synthetic import seed_urls
+
+    syn = SyntheticConfig(n_hosts=12, pages_per_host=80)
+    res = run_crawl(
+        seed_urls(syn, 8),
+        CrawlConfig(politeness_budget=4, max_waves=3),
+        syn,
+        fetch_concurrency=2,
+    )
+    return pa.Table.from_pylist(res.fetch_log)
+
+
+def _extract_documents(sf_dir: str):
+    """Extraction-plane conformance surface: synthetic fixture -> flat
+    per-document summary (nested spans verified separately in pytest)."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.schema import PAGES_SCHEMA
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.extract import ExtractStage
+
+    rows = fixture_pages(600, SyntheticConfig())
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    docs = ds.map_batches(ExtractStage(IndexConfig()), batch_format="pyarrow", batch_size=128)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": batch["url"],
+                "url_norm": batch["url_norm"],
+                "surt": batch["surt"],
+                "host": batch["host"],
+                "domain": batch["domain"],
+                "content_type": batch["content_type"],
+                "content_type_norm": batch["content_type_norm"],
+                "status": batch["status"],
+                "n_spans": pc.list_value_length(batch["spans"]),
+                "n_links": pc.list_value_length(batch["links"]),
+                "content_text_length": batch["content_text_length"],
+                "hash": batch["hash"],
+            }
+        )
+
+    return docs.map_batches(flatten, batch_format="pyarrow")
+
+
+def _cdx(sf_dir: str):
+    from webarchive_discovery_ray.pipelines.cdx import cdx_sorted
+
+    return cdx_sorted(500)
+
+
+def _reduplicate(sf_dir: str):
+    from webarchive_discovery_ray.pipelines.cdx import revisit_captures
+    from webarchive_discovery_ray.pipelines.dedup import reduplicate
+
+    return reduplicate(revisit_captures(500))
+
+
+def _media_features(sf_dir: str):
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import SyntheticConfig
+    from webarchive_discovery_ray.schema import PAGES_SCHEMA
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.multimodal import MediaFeatureStage
+
+    rows = [
+        r
+        for r in fixture_pages(600, SyntheticConfig())
+        if r["mime_served"].split("/")[0] in ("image", "audio", "video")
+        or r["mime_served"] == "application/pdf"
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    return ds.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from webarchive_discovery_ray.pipelines.aggregates import (
+        distinct_event_types,
+        events_hourly,
+        freq_count_docs,
+        lineitem_agg,
+        reservoir_sample_events,
+        revenue_by_nation,
+        semi_join_lineitem,
+        topk_orders,
+    )
+    from webarchive_discovery_ray.pipelines.dedup import (
+        embedding_neardup_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_signatures,
+    )
+    from webarchive_discovery_ray.pipelines.similarity import (
+        ann_cosine_topk,
+        ivf_cosine_topk,
+    )
+    from webarchive_discovery_ray.pipelines.textops import (
+        doc_fingerprint,
+        language_id,
+        quality_score,
+        token_stats,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- SQL-oracle-checked -----------------------------------------
+        "lineitem_agg": lineitem_agg,
+        "revenue_by_nation": revenue_by_nation,
+        "events_hourly": events_hourly,
+        "freq_count_docs": freq_count_docs,
+        "topk_orders": topk_orders,
+        "distinct_event_types": distinct_event_types,
+        "reservoir_sample_events": reservoir_sample_events,
+        "semi_join_lineitem": semi_join_lineitem,
+        "exact_dedup": exact_dedup,
+        "token_stats": token_stats,
+        "quality_score": quality_score,
+        "ann_cosine_topk": ann_cosine_topk,
+        # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_signatures": simhash_signatures,
+        "embedding_neardup_pairs": embedding_neardup_pairs,
+        "ivf_cosine_topk": ivf_cosine_topk,
+        "language_id": language_id,
+        "doc_fingerprint": doc_fingerprint,
+        "crawl_frontier": _crawl_frontier,
+        "extract_documents": _extract_documents,
+        "cdx_sorted": _cdx,
+        "reduplicate_revisits": _reduplicate,
+        "media_features": _media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ws = r"\s+"
+    tokens = f"regexp_split_to_array(trim(text), '{ws}')"
+    return {
+        # money/value sums use the same floor(x*scale + 0.5) integer-cents
+        # quantisation as the Ray pipelines -> bit-exact across engines
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+                   (sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0) / count(*) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name AS n_name,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "freq_count_docs": """
+            SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "reservoir_sample_events": """
+            SELECT event_type, event_id FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(event_type || ':' || CAST(event_id AS VARCHAR))
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 5
+        """,
+        "semi_join_lineitem": """
+            WITH top_orders AS (
+                SELECT o_orderkey FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+            )
+            SELECT l_returnflag, count(*) AS n_items,
+                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM top_orders)
+            GROUP BY l_returnflag
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({tokens}) END AS n_tokens,
+                   length(text) AS doc_len
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   length(text) AS doc_len,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({tokens}) END AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct({tokens})) END AS n_distinct,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE len(list_distinct({tokens})) * 1.0 / len({tokens})
+                        END AS distinct_ratio
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT qid AS query_vec_id, vec_id, rank FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                           ), 6) DESC, e.vec_id
+                       ) AS rank
+                FROM (SELECT vec_id AS qid, embedding AS qe
+                      FROM embeddings WHERE vec_id < 8) q
+                CROSS JOIN embeddings e
+            ) WHERE rank <= 5
+        """,
+    }

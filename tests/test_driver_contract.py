@@ -1,0 +1,89 @@
+"""Mimic the driver: run every queries() entry at sf0.001 and compare the
+SQL-oracled ones against DuckDB (row count, column names, values), matching
+the driver's order-insensitive comparison. Rows-only queries are smoke-run
+for non-emptiness and determinism."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _normalise(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: column names differ"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    g, e = _normalise(got), _normalise(exp)
+    for col in g.columns:
+        gv, ev = g[col].tolist(), e[col].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == pytest.approx(b, abs=1e-9), f"{name}.{col}[{i}]: {a} != {b}"
+            else:
+                assert a == b, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    q = entrymod.queries()[name]
+    got = _to_pandas(q(SF_DIR))
+    exp = con.sql(entrymod.oracle_sql()[name]).df()
+    _compare(got, exp, name)
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(ray_session, name):
+    q = entrymod.queries()[name]
+    got = _to_pandas(q(SF_DIR))
+    assert len(got.columns) > 0
+    if name not in ("minhash_lsh_pairs", "embedding_neardup_pairs"):
+        assert len(got) > 0, f"{name} returned no rows"
+
+
+def test_entry_smoke(ray_session):
+    ds = entrymod.entry()
+    rows = ds.take(5)
+    assert rows and "doc_id" in rows[0] and "spans" in rows[0]
+    assert any(r["spans"] for r in rows)
+    # the input_hint invariant: spans are (kind, text, media_ref, offset)
+    s = [r for r in rows if r["spans"]][0]["spans"][0]
+    assert set(s) == {"kind", "text", "media_ref", "offset"}

@@ -1,0 +1,306 @@
+"""Aggregation / join / sort / sampling operators over the TPC-H-ish tables.
+
+These realise the reference's wide-operation inventory on generic tables:
+frequency counting (A1, ``FrequencyCountingReducer.java:71-110``), dataset
+summaries (A2), deterministic reservoir sampling (O2,
+``ReservoirSamplingReducer.java:67-112`` — the fixed-seed reservoir is
+replaced by a deterministic bottom-k-by-md5 sampler, which is order-free
+and mergeable, per SURVEY.md §4.2's determinism rule), global sort + top-k
+(O1/O4), broadcast joins (J1/J2) and semi-joins (J5 precedent).
+
+Float determinism: money/value sums are computed as integer "cents"
+(``floor(x * scale + 0.5)`` per item, summed exactly, divided back once) in
+BOTH the Ray pipeline and the SQL oracle — identical IEEE operations, so
+the results are bit-exact regardless of partial-sum ordering. Plain
+``round(sum(...))`` is NOT safe: a sum landing near a rounding boundary
+flips between engines (observed on sf0.001).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.io import read_table
+
+__all__ = [
+    "lineitem_agg",
+    "revenue_by_nation",
+    "events_hourly",
+    "freq_count_docs",
+    "topk_orders",
+    "distinct_event_types",
+    "reservoir_sample_events",
+    "semi_join_lineitem",
+]
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+def cents(x: np.ndarray, scale: float = 100.0) -> np.ndarray:
+    """``floor(x*scale + 0.5)`` as int64 — the bit-exact half-away-from-zero
+    cent quantisation mirrored by the SQL oracles (positive values)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype(np.int64)
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-flavoured pricing summary.
+
+    Columns: l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, avg_qty, count_order (sums rounded to 2, avg to 6)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64(_Q1_CUTOFF, "us")))
+        )
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_cents": cents(qty),
+                "base_cents": cents(price),
+                "disc_cents": cents(price * (1.0 - disc)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="qty_c"),
+            Sum("base_cents", alias_name="base_c"),
+            Sum("disc_cents", alias_name="disc_c"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["qty_c"] / 100.0,
+                "sum_base_price": df["base_c"] / 100.0,
+                "sum_disc_price": df["disc_c"] / 100.0,
+                "avg_qty": (df["qty_c"] / 100.0) / df["count_order"],
+                "count_order": df["count_order"],
+            }
+        )
+
+    return agg.map_batches(finalise, batch_format="pandas")
+
+
+def revenue_by_nation(sf_dir: str):
+    """Broadcast join: orders -> customer -> nation, revenue per nation.
+
+    The dimension tables (customer, nation) are broadcast once via
+    ``ray.put`` and applied inside ``map_batches`` — no shuffle join (J1
+    pattern). Columns: n_name, revenue (round 2), n_orders."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"],
+            cust["c_nationkey"].map(
+                dict(zip(nation["n_nationkey"], nation["n_name"]))
+            ),
+        )
+    )
+    lookup_ref = ray.put(cust_to_nation)
+
+    class AttachNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "n_name": df["o_custkey"].map(self.lookup),
+                    "price_cents": cents(df["o_totalprice"].to_numpy()),
+                }
+            )
+
+    agg = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(AttachNation, batch_format="pandas", concurrency=2)
+        .groupby("n_name")
+        .aggregate(
+            Sum("price_cents", alias_name="revenue_c"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": df["n_name"],
+                "revenue": df["revenue_c"] / 100.0,
+                "n_orders": df["n_orders"],
+            }
+        )
+
+    return agg.map_batches(finalise, batch_format="pandas")
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (event_type, hour) sum+count.
+
+    The window is computed batch-local (timestamp floor), then one grouped
+    aggregation — the streaming-shaped workload pattern from the Ray guide.
+    Columns: event_type, hour, total_value (round 4), n_events."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["ts"].dt.floor("h"),
+                "value_q": cents(df["value"].to_numpy(), scale=10000.0),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("value_q", alias_name="total_q"), Count(alias_name="n_events"))
+    )
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["hour"],
+                "total_value": df["total_q"] / 10000.0,
+                "n_events": df["n_events"],
+            }
+        )
+
+    return agg.map_batches(finalise, batch_format="pandas")
+
+
+def freq_count_docs(sf_dir: str):
+    """A1 frequency counting: distinct (lang, source) value counts.
+
+    Columns: lang, source, n."""
+    from ray.data.aggregate import Count
+
+    return (
+        read_table(sf_dir, "documents", columns=["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def topk_orders(sf_dir: str, k: int = 10):
+    """O4 top-k: k most expensive orders, (price desc, orderkey asc) pinned.
+
+    Columns: o_orderkey, o_totalprice."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def distinct_event_types(sf_dir: str):
+    """Set op: distinct event_type values. Columns: event_type."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").count().select_columns(["event_type"])
+
+
+def reservoir_sample_events(sf_dir: str, k: int = 5):
+    """O2 deterministic reservoir: per event_type, the k events with the
+    smallest md5(event_type:event_id) — a bottom-k sketch, reproducible and
+    mergeable where the reference used a fixed-seed RNG reservoir.
+
+    Columns: event_type, event_id."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "event_id"])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["mk"] = [
+            hashlib.md5(f"{t}:{i}".encode()).hexdigest()
+            for t, i in zip(df["event_type"], df["event_id"])
+        ]
+        # batch-local partial bottom-k (combiner): only k rows per group leave
+        return (
+            df.sort_values("mk", kind="mergesort").groupby("event_type").head(k)
+        )
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("mk", kind="mergesort").head(k)
+        return df[["event_type", "event_id"]]
+
+    return (
+        ds.map_batches(add_key, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(bottom_k, batch_format="pandas")
+    )
+
+
+def semi_join_lineitem(sf_dir: str, top_n: int = 100):
+    """Semi-join via broadcast key set: lineitems of the top-N orders by
+    totalprice, aggregated per returnflag (J5 pattern: broadcast the key
+    set, filter inside map_batches — no shuffle join).
+
+    Columns: l_returnflag, n_items, sum_qty (round 2)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    top = topk_orders(sf_dir, top_n).take_all()
+    keys = frozenset(r["o_orderkey"] for r in top)
+    keys_ref = ray.put(keys)
+
+    class FilterKeys:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sel = df[df["l_orderkey"].isin(self.keys)]
+            return pd.DataFrame(
+                {
+                    "l_returnflag": sel["l_returnflag"],
+                    "qty_cents": cents(sel["l_quantity"].to_numpy()),
+                }
+            )
+
+    agg = (
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
+        .map_batches(FilterKeys, batch_format="pandas", concurrency=2)
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_items"), Sum("qty_cents", alias_name="qty_c"))
+    )
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n_items": df["n_items"],
+                "sum_qty": df["qty_c"] / 100.0,
+            }
+        )
+
+    return agg.map_batches(finalise, batch_format="pandas")

@@ -1,0 +1,70 @@
+"""CDX captures: per-record capture lines + global SURT-ordered sort.
+
+Reference: CDX line generation
+(``warc-hadoop-recordreaders/.../lib/DereferencingArchiveToCDXRecordReader.java:155-240``
+— key = canonicalised URL key, value = the capture fields) and the
+globally-sorted CDX job (``ArchiveCDXGenerator.java:185-243``, TotalOrder
+partitioner + sampler). Ray Data's ``sort`` does its own range sampling, so
+the explicit split file disappears (SURVEY.md O1).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import IndexConfig, SyntheticConfig
+from ..schema import CAPTURES_SCHEMA, PAGES_SCHEMA
+from ..sources.synthetic import fixture_pages
+from ..stages.extract import extract_batch
+
+__all__ = ["captures_from_pages_batch", "cdx_sorted", "revisit_captures"]
+
+
+def captures_from_pages_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
+    """pages batch -> captures batch (M38): one CDX-style row per record
+    surviving the extraction filters."""
+    docs = extract_batch(batch, cfg)
+    if docs.num_rows == 0:
+        return CAPTURES_SCHEMA.empty_table()
+    rows = []
+    for d in docs.to_pylist():
+        rows.append(
+            {
+                "surt_key": d["surt"],
+                "timestamp14": d["wayback_date"] or "",
+                "url": d["url"],
+                "mime": d["content_type"] or "-",
+                "status": d["status"],
+                "digest": d["hash"] or "-",
+                "length": d["content_length"],
+                "offset": d["source_offset"],
+                "filename": d["source_file"],
+                "record_type": d["record_type"],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=CAPTURES_SCHEMA)
+
+
+def cdx_sorted(n_pages: int = 400, scfg: SyntheticConfig | None = None, icfg: IndexConfig | None = None):
+    """Globally (surt_key, timestamp14)-sorted captures over the synthetic
+    fixture — the CDX generation pipeline end to end."""
+    import ray.data as rd
+
+    scfg = scfg or SyntheticConfig()
+    icfg = icfg or IndexConfig(response_include=())  # CDX keeps all statuses
+    rows = fixture_pages(n_pages, scfg)
+    table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    return (
+        rd.from_arrow(table)
+        .map_batches(
+            lambda b: captures_from_pages_batch(b, icfg),
+            batch_format="pyarrow",
+            batch_size=128,
+        )
+        .sort(["surt_key", "timestamp14"])
+    )
+
+
+def revisit_captures(n_pages: int = 400, scfg: SyntheticConfig | None = None):
+    """Captures table (digest-keyed) for the reduplication pipeline (J3)."""
+    return cdx_sorted(n_pages, scfg)

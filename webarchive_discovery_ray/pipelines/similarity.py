@@ -1,0 +1,176 @@
+"""Similarity search over the embedding column.
+
+Brute-force cosine top-k (baseline: numpy matmul per batch against a
+broadcast query matrix, per-batch partial top-k, tiny global reduce) and
+an IVF-bucketed approximate variant (the scale path: probe only the
+closest coarse buckets).
+
+Determinism: similarities are computed in float64 and rounded to 6 decimals
+before ranking with a vec_id tie-break, so ranks match the DuckDB oracle's
+``round(list_cosine_similarity(...), 6)`` ordering bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..sources.io import read_table
+
+__all__ = ["ann_cosine_topk", "ivf_cosine_topk"]
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    rows = [
+        r
+        for r in read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).take_all()
+        if r["vec_id"] < n_queries
+    ]
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def ann_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Exact brute-force cosine top-k for the first ``n_queries`` vectors.
+
+    Columns: query_vec_id, vec_id, rank (1-based). Each batch emits only its
+    local top-k per query (n_queries x k rows), so the global reduce is tiny
+    regardless of table size."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((qids, qmat))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(q_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy()
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((mat / norms[:, None]) @ self.qmat.T, 6)  # (n, q)
+            out = []
+            for qi, qid in enumerate(self.qids):
+                col = sims[:, qi]
+                take = min(len(ids), k)
+                # partial top-k with (-cos, vec_id) order
+                order = np.lexsort((ids, -col))[:take]
+                for i in order:
+                    out.append(
+                        {"query_vec_id": int(qid), "vec_id": int(ids[i]), "cos_r": float(col[i])}
+                    )
+            return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
+
+    partials = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        PartialTopK, batch_format="pandas", concurrency=2
+    )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos_r", "vec_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_vec_id": df["query_vec_id"],
+                "vec_id": df["vec_id"],
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")
+
+
+def ivf_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_probe: int = 3):
+    """IVF-style approximate top-k: coarse buckets = the ``label`` column
+    (stand-in for k-means cells); each query probes only its ``n_probe``
+    nearest bucket centroids. Columns: query_vec_id, vec_id, rank.
+    Approximate by construction -> rows-only check."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    # centroids: tiny grouped mean, computed driver-side from per-batch sums
+    def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, grp in df.groupby("label"):
+            mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+            rows.append(
+                {
+                    "label": int(label),
+                    "vec_sum": mat.sum(axis=0).tolist(),
+                    "n": len(grp),
+                }
+            )
+        return pd.DataFrame(rows, columns=["label", "vec_sum", "n"])
+
+    sums: dict[int, tuple[np.ndarray, int]] = {}
+    for r in ds.map_batches(partial_sums, batch_format="pandas").take_all():
+        v = np.asarray(r["vec_sum"])
+        if r["label"] in sums:
+            pv, pn = sums[r["label"]]
+            sums[r["label"]] = (pv + v, pn + r["n"])
+        else:
+            sums[r["label"]] = (v, r["n"])
+    labels = sorted(sums)
+    centroids = np.stack([sums[l][0] / sums[l][1] for l in labels])
+    cnorm = np.linalg.norm(centroids, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    centroids = centroids / cnorm[:, None]
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    probe = {}
+    for qi, qid in enumerate(qids):
+        sims = centroids @ qmat[qi]
+        order = np.lexsort((np.array(labels), -np.round(sims, 6)))[:n_probe]
+        probe[int(qid)] = {labels[i] for i in order}
+    probe_ref = ray.put((qids, qmat, probe))
+
+    class BucketTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.probe = ray.get(probe_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            ids = df["vec_id"].to_numpy()
+            lab = df["label"].to_numpy()
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(lab, list(self.probe[int(qid)]))
+                if not mask.any():
+                    continue
+                col = np.round(mat[mask] @ self.qmat[qi], 6)
+                sel_ids = ids[mask]
+                order = np.lexsort((sel_ids, -col))[: min(k, len(sel_ids))]
+                for i in order:
+                    out.append(
+                        {
+                            "query_vec_id": int(qid),
+                            "vec_id": int(sel_ids[i]),
+                            "cos_r": float(col[i]),
+                        }
+                    )
+            return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
+
+    partials = ds.map_batches(BucketTopK, batch_format="pandas", concurrency=2)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos_r", "vec_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_vec_id": df["query_vec_id"],
+                "vec_id": df["vec_id"],
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")

@@ -301,3 +301,55 @@ def fixture_pages(n: int, cfg: SyntheticConfig) -> list[dict]:
             revisit["timestamp14"] = str(int(rec["timestamp14"][:8]) + 1).zfill(8) + rec["timestamp14"][8:]
             rows.append(revisit)
     return rows
+
+
+def pages_from_documents(batch, cfg: SyntheticConfig | None = None):
+    """documents-table batch (doc_id:int64, text, lang, source) -> pages
+    batch: deterministic HTML wrapping each text with title/paragraphs and
+    hash-derived cross-links, so the testdata corpus can drive the full
+    extraction chain (the flagship ``entry()`` pipeline).
+
+    Accepts and returns ``pyarrow.Table`` (PAGES_SCHEMA)."""
+    import pyarrow as pa
+
+    from ..schema import PAGES_SCHEMA
+
+    cfg = cfg or SyntheticConfig()
+    rows = []
+    for r in batch.to_pylist():
+        doc_id = r["doc_id"]
+        host = f"{r['source']}.example.com"
+        url = f"http://{host}/doc/{doc_id}.html"
+        h = stable_hash64(f"docpage:{doc_id}", cfg.seed)
+        text = r["text"]
+        words = text.split()
+        mid = len(words) // 2
+        links = [
+            f'<a href="/doc/{(h >> (4 * i)) % 100000}.html">ref {i}</a>'
+            for i in range(h % 4)
+        ]
+        html = (
+            "<!DOCTYPE html>\n<html><head>"
+            f"<title>Doc {doc_id} [{r['lang']}]</title></head>\n<body>"
+            f"<p>{' '.join(words[:mid])}</p>\n"
+            + "\n".join(links)
+            + f"\n<p>{' '.join(words[mid:])}</p>"
+            "</body></html>"
+        ).encode("utf-8")
+        rows.append(
+            {
+                "url": url,
+                "timestamp14": _timestamp14(url, cfg),
+                "record_type": "response",
+                "status": 200,
+                "mime_served": "text/html; charset=utf-8",
+                "location": "",
+                "content_encoding": "",
+                "transfer_encoding": "",
+                "payload": html,
+                "payload_sha1": sha1_b32(html),
+                "source_file": f"docs-{r['source']}.warc.gz",
+                "source_offset": h % 1_000_000_000,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)

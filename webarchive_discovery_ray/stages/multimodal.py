@@ -1,0 +1,111 @@
+"""Multimodal (image/audio/video) stages: opaque binary columns + typed
+metadata, decoded/feature-extracted in actor-pool map_batches stages.
+
+The real decode libraries (PIL/ffmpeg/librosa) are NOT in this container,
+so the decode kernels are deterministic fakes behind ``FAKE_DECODE`` (the
+Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+is real and tested). Swap ``_fake_decode_*`` for real decoders by setting
+``MediaFeatureStage(real=True)``, which raises NotImplementedError until
+the libraries exist.
+
+Batch sizing note: media payloads are large binaries — callers should pass
+``batch_size`` small (32-128) so batch x concurrency stays under the worker
+heap (SURVEY.md memory rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["MediaFeatureStage", "MEDIA_FEATURES_SCHEMA"]
+
+MEDIA_FEATURES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("mime", pa.string()),
+        ("media_kind", pa.string()),  # image | audio | video | pdf | other
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("duration_s", pa.float64()),
+        ("feature", pa.list_(pa.float32(), 8)),
+    ]
+)
+
+_KIND_BY_PREFIX = (
+    (b"\x89PNG", "image"),
+    (b"\xff\xd8\xff", "image"),
+    (b"GIF8", "image"),
+    (b"BM", "image"),
+    (b"ID3", "audio"),
+    (b"\xff\xfb", "audio"),
+    (b"OggS", "audio"),
+    (b"fLaC", "audio"),
+    (b"\x00\x00\x00\x18ftyp", "video"),
+    (b"\x00\x00\x00\x20ftyp", "video"),
+    (b"\x1aE\xdf\xa3", "video"),
+    (b"%PDF", "pdf"),
+)
+
+
+def _kind(payload: bytes) -> str:
+    for prefix, kind in _KIND_BY_PREFIX:
+        if payload.startswith(prefix):
+            return kind
+    return "other"
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for pixel/sample decode: dimensions and an
+    8-dim feature vector derived from the content hash. Replace with
+    PIL.Image.open / av / librosa in production."""
+    d = hashlib.sha1(payload).digest()
+    h = int.from_bytes(d[:8], "big")
+    width = 16 + h % 2048 if kind in ("image", "video") else 0
+    height = 16 + (h >> 16) % 2048 if kind in ("image", "video") else 0
+    n_frames = 1 if kind == "image" else (h % 500 if kind == "video" else 0)
+    duration = round((h % 36000) / 100.0, 2) if kind in ("audio", "video") else 0.0
+    feat = np.frombuffer(d[:16], dtype=np.uint8)[:8].astype(np.float32) / 255.0
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_s": duration,
+        "feature": feat.tolist(),
+    }
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: (url, mime, payload) batches -> media features.
+
+    Reference precedent: ImageAnalyser (dimensions without full decode,
+    ``warc-indexer/.../payload/ImageAnalyser.java:92-143``) and the
+    out-of-tree face-detection analyser plugin (warc-openimaj)."""
+
+    def __init__(self, real: bool = False):
+        if real:  # pragma: no cover - decode libs absent in this sandbox
+            raise NotImplementedError(
+                "real media decode requires PIL/av/librosa; this container "
+                "ships none — use the deterministic fake (real=False)"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            payload = r.get("payload") or b""
+            kind = _kind(payload)
+            decoded = _fake_decode(payload, kind)
+            rows.append(
+                {
+                    "url": r["url"],
+                    "mime": r.get("mime_served") or "",
+                    "media_kind": kind,
+                    **decoded,
+                }
+            )
+        if not rows:
+            return MEDIA_FEATURES_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=MEDIA_FEATURES_SCHEMA)
