@@ -64,9 +64,13 @@ _CRAWL_FIELDS = [
     ("slot", pa.int32()),
     ("hop", pa.int32()),
     ("priority", pa.int32()),
+    ("seq", pa.int64()),
+    ("selected", pa.bool_()),
     ("fetch_status", pa.int32()),
     ("is_robots", pa.bool_()),
-    ("outlinks", pa.list_(pa.string())),
+    ("cand_urls", pa.list_(pa.string())),
+    ("cand_surts", pa.list_(pa.string())),
+    ("cand_hosts", pa.list_(pa.string())),
     ("robots_rules", pa.list_(pa.string())),
 ]
 
@@ -74,7 +78,8 @@ FETCH_SCHEMA = pa.schema(list(DOCUMENTS_SCHEMA) + [pa.field(n, t) for n, t in _C
 
 _DRIVER_COLUMNS = [
     "fetch_host", "slot", "url", "surt", "fetch_status",
-    "is_robots", "outlinks", "robots_rules", "hop", "priority",
+    "is_robots", "cand_urls", "cand_surts", "cand_hosts",
+    "robots_rules", "hop", "priority",
 ]
 
 
@@ -83,16 +88,37 @@ class FetchExtractStage:
 
     The page generator stands in for the HTTP fetch (FIXTURES.md §2); the
     extraction chain is the real one (``stages/extract.py``). State (config,
-    detector tables) is built once per actor."""
+    detector tables) is built once per actor. Candidate outlinks are
+    filtered + SURT/host-keyed HERE (in the parallel stage, per SURVEY.md
+    §7.1 step 5's scale note) so the driver's discovery step only runs the
+    sharded seen-probe and seq assignment."""
 
-    def __init__(self, scfg: SyntheticConfig, icfg: IndexConfig | None = None, wave: int = 0):
+    def __init__(
+        self,
+        scfg: SyntheticConfig,
+        icfg: IndexConfig | None = None,
+        wave: int = 0,
+        ccfg: CrawlConfig | None = None,
+    ):
         self.scfg = scfg
         self.icfg = crawl_index_config(icfg)
         self.wave = wave
+        self.ccfg = ccfg or CrawlConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for r in batch.to_pylist():
+            if not r.get("selected", True):
+                # politeness carryover: pass through untouched (null doc
+                # columns) so drain+fetch run as ONE dataset execution
+                out.append(
+                    {
+                        k: r[k]
+                        for k in ("url", "surt", "host", "priority", "hop", "seq")
+                    }
+                    | {"wave": self.wave, "selected": False, "slot": -1}
+                )
+                continue
             rec = page_for_url(r["url"], self.scfg)
             doc = extract_record(rec, self.icfg)
             assert doc is not None, f"crawl extraction must not filter {r['url']}"
@@ -100,15 +126,24 @@ class FetchExtractStage:
             cands = set(doc["links"])
             if doc["redirect_to_norm"]:
                 cands.add(doc["redirect_to_norm"])
+            cand_urls = [
+                u
+                for u in sorted(cands)
+                if candidate_ok(u, r["hop"], self.ccfg, self.icfg.max_url_length)
+            ]
             doc.update(
                 wave=self.wave,
                 fetch_host=r["host"],
                 slot=r["slot"],
                 hop=r["hop"],
                 priority=r["priority"],
+                seq=r["seq"],
+                selected=True,
                 fetch_status=rec["status"],
                 is_robots=is_robots,
-                outlinks=sorted(cands),
+                cand_urls=cand_urls,
+                cand_surts=[surt_key(u) for u in cand_urls],
+                cand_hosts=[extract_host(u) for u in cand_urls],
                 robots_rules=(
                     parse_robots(rec["payload"].decode("utf-8", "replace"))
                     if is_robots and rec["status"] == 200
@@ -121,37 +156,70 @@ class FetchExtractStage:
         return pa.Table.from_pylist(out, schema=FETCH_SCHEMA)
 
 
-def _make_drain_fn(budget: int, robots_rules_ref):
-    """Per-host politeness drain for groupby(host).map_groups.
+def _make_drain_fn(budget: int, robots_rules: dict[str, list[str]]):
+    """Vectorized politeness drain over a host-hash-partitioned block.
 
-    Queue order (priority, seq); robots Disallow entries dropped (injected
-    robots fetches at priority -1 are exempt); first ``budget`` rows get
-    slots 0..K-1, the rest are carryover (selected=False)."""
-    import ray
+    The block holds every row of each host it contains (guaranteed by
+    ``repartition(keys=["host"])``), so per-host queues are complete:
+    order by (priority, seq), drop robots-Disallowed rows (injected robots
+    fetches at priority -1 are exempt; only hosts WITH rules pay the
+    per-row Python check), then ``cumcount`` assigns slots — first
+    ``budget`` per host are selected, the rest carry over."""
+    import numpy as np
 
-    def drain(group: pd.DataFrame) -> pd.DataFrame:
-        rules_by_host = ray.get(robots_rules_ref)
-        host = group["host"].iloc[0]
-        rules = rules_by_host.get(host, [])
-        group = group.sort_values(["priority", "seq"], kind="mergesort")
-        keep_rows = []
-        slot = 0
-        for _, row in group.iterrows():
-            if row["priority"] != -1 and rules and is_disallowed(url_path(row["url"]), rules):
-                continue  # robots drop
-            selected = slot < budget
-            keep_rows.append(
-                {**row.to_dict(), "slot": slot if selected else -1, "selected": selected}
-            )
-            if selected:
-                slot += 1
-        if not keep_rows:
-            return pd.DataFrame(
-                columns=list(group.columns) + ["slot", "selected"]
-            ).astype({"selected": bool})
-        return pd.DataFrame(keep_rows)
+    def drain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
+        if robots_rules:
+            ruled = df["host"].map(lambda h: h in robots_rules)
+            if ruled.any():
+                sub = df.loc[ruled]
+                keep = np.fromiter(
+                    (
+                        p == -1
+                        or not is_disallowed(url_path(u), robots_rules[h])
+                        for p, u, h in zip(
+                            sub["priority"].to_numpy(), sub["url"], sub["host"]
+                        )
+                    ),
+                    dtype=bool,
+                    count=len(sub),
+                )
+                drop_idx = sub.index[~keep]
+                if len(drop_idx):
+                    df = df.drop(index=drop_idx)
+        slots = df.groupby("host", sort=False).cumcount().to_numpy()
+        return df.assign(
+            slot=np.where(slots < budget, slots, -1).astype("int32"),
+            selected=slots < budget,
+        )
 
     return drain
+
+
+def _split_by_host(frontier_table: pa.Table, n_parts: int) -> list[pa.Table]:
+    """Hash-partition the frontier by host into one Arrow table per part
+    (all rows of a host land in exactly one part — the politeness
+    co-location invariant). Hashing touches only the UNIQUE hosts via
+    dictionary encoding, not every row."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+
+    if n_parts <= 1 or frontier_table.num_rows == 0:
+        return [frontier_table]
+    dict_arr = pc.dictionary_encode(frontier_table["host"].combine_chunks())
+    uniq = dict_arr.dictionary.to_pylist()
+    part_of_uniq = np.fromiter(
+        (stable_hash64(h, 11) % n_parts for h in uniq), dtype=np.int64, count=len(uniq)
+    )
+    parts = part_of_uniq[dict_arr.indices.to_numpy()]
+    out = []
+    for p in range(n_parts):
+        mask = parts == p
+        if mask.any():
+            out.append(frontier_table.filter(pa.array(mask)))
+    return out
 
 
 @dataclass
@@ -198,7 +266,7 @@ def run_crawl(
     fetch_batch_size: int = 64,
 ) -> CrawlResult:
     """Run the crawl (optionally resuming from the last complete wave)."""
-    import ray
+    import ray  # noqa: F401  (ray.data execution context)
     import ray.data as rd
 
     res = CrawlResult(docs_dir=docs_dir)
@@ -255,38 +323,43 @@ def run_crawl(
                 ]
             ),
         )
-        robots_ref = ray.put(robots_rules)
+        # ONE execution per wave: hash-partition by host (politeness
+        # co-location, SURVEY.md §7.3) -> vectorized drain per block ->
+        # fetch+extract (carryover passes through) -> materialize.
+        # The frontier lives on the driver between waves (documented scale
+        # path: at 10^10 URLs it stays a Dataset and this becomes
+        # repartition(keys=["host"]) under the hash-shuffle strategy), so
+        # the host partitioning is a zero-shuffle driver-side split into
+        # one Arrow table per partition = one block each.
+        drain_parts = max(1, min(fetch_concurrency * 2, len(frontier) // 64 + 1))
         drained = (
-            rd.from_arrow(frontier_table)
-            .groupby("host")
-            .map_groups(
-                _make_drain_fn(ccfg.politeness_budget, robots_ref),
-                batch_format="pandas",
-            )
-            .materialize()
-        )
-        carryover = [
-            {k: r[k] for k in ("url", "surt", "host", "priority", "hop", "seq")}
-            for r in drained.filter(lambda row: not row["selected"]).take_all()
-        ]
-        # --- fetch + extract (actor pool) -------------------------------
-        fetched = (
-            drained.filter(lambda row: bool(row["selected"]))
+            rd.from_arrow(_split_by_host(frontier_table, drain_parts))
             .map_batches(
-                FetchExtractStage(scfg, icfg, wave),
+                _make_drain_fn(ccfg.politeness_budget, robots_rules),
+                batch_format="pandas",
+                batch_size=None,  # whole block: keeps host groups intact
+            )
+            .map_batches(
+                FetchExtractStage(scfg, icfg, wave, ccfg),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 concurrency=fetch_concurrency,
             )
             .materialize()
         )
+        carryover = (
+            drained.filter(expr="selected == False")
+            .select_columns(["url", "surt", "host", "priority", "hop", "seq"])
+            .take_all()
+        )
+        fetched = drained.filter(expr="selected == True")
         if docs_dir is not None:
             fetched.write_parquet(os.path.join(docs_dir, f"wave_{wave:04d}"))
-            res.total_docs += fetched.count()
         link_rows = sorted(
             fetched.select_columns(_DRIVER_COLUMNS).take_all(),
             key=lambda r: (r["fetch_host"], r["slot"]),
         )
+        res.total_docs += len(link_rows)
         # --- fetch log + robots results ---------------------------------
         wave_log = []
         for r in link_rows:
@@ -307,23 +380,25 @@ def run_crawl(
             if r["is_robots"] and r["fetch_status"] == 200
         }
         # --- discovery (deterministic order + sharded seen probe) -------
-        cand_entries: list[tuple[str, int, int]] = []  # (url, hop, priority)
+        # candidates were filtered + SURT/host-keyed in the parallel fetch
+        # stage; the driver only routes them through the seen shards.
+        cand_entries: list[tuple[str, str, str, int, int]] = []
         for r in link_rows:
-            for u in r["outlinks"]:
-                if candidate_ok(u, r["hop"], ccfg):
-                    cand_entries.append((u, r["hop"], r["priority"]))
-        keys = [surt_key(u) for u, _, _ in cand_entries]
+            hop, pri = r["hop"], r["priority"]
+            for u, k, h in zip(r["cand_urls"], r["cand_surts"], r["cand_hosts"]):
+                cand_entries.append((u, k, h, hop, pri))
+        keys = [k for _, k, _, _, _ in cand_entries]
         new_mask = pool.add_if_new(keys) if keys else []
         next_frontier = carryover
         new_count = 0
-        for (u, hop, pri), k, new in zip(cand_entries, keys, new_mask):
+        for (u, k, h, hop, pri), new in zip(cand_entries, new_mask):
             if not new:
                 continue
             next_frontier.append(
                 {
                     "url": u,
                     "surt": k,
-                    "host": extract_host(u),
+                    "host": h,
                     "priority": pri,
                     "hop": hop + 1,
                     "seq": seq,
