@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "throughput": {...}}
+
+Headline metric (BASELINE.json): frontier-drain URLs/sec + extracted
+docs/sec. ``--scaling`` runs the headline pipelines at two parallelism
+levels (8 and 32 CPUs by default) in FRESH processes and reports both
+throughputs plus scaling efficiency = (T_4N / T_N) / 4.
+
+Owns its Ray session (ray.init/shutdown) — the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pages per extract bench = EXTRACT_SCALE x documents-table rows
+EXTRACT_SCALE = 80
+
+
+def _make_page_extract(texts_ref):
+    """Task-pool stage: id batch -> deterministic synthetic HTML pages
+    built from the sf documents corpus -> full extraction chain. The
+    corpus is broadcast via ray.put + a per-worker cache (get_broadcast),
+    so tasks run on Ray's prestarted workers with zero actor-pool startup
+    and the corpus deserialises once per worker process."""
+
+    def page_extract(batch):
+        import pyarrow as pa
+
+        from webarchive_discovery_ray.config import IndexConfig
+        from webarchive_discovery_ray.functions.broadcast import get_broadcast
+        from webarchive_discovery_ray.sources.synthetic import pages_from_documents
+        from webarchive_discovery_ray.stages.extract import extract_batch
+
+        t = get_broadcast(texts_ref)
+        ids = batch["id"].to_pylist()
+        n = len(t["text"])
+        doc_tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([t["text"][i % n] for i in ids]),
+                "lang": pa.array([t["lang"][i % n] for i in ids]),
+                "source": pa.array([t["source"][i % n] for i in ids]),
+            }
+        )
+        return extract_batch(pages_from_documents(doc_tbl), IndexConfig())
+
+    return page_extract
+
+
+def bench_extract(sf_dir: str, num_cpus: int) -> dict:
+    """Extracted docs/sec: documents corpus -> synthetic pages -> full
+    extraction chain -> interleaved span documents (consumed by sum).
+    A small warmup execution first absorbs per-worker import cost so the
+    timed run measures steady-state throughput."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang", "source"]
+    )
+    n_pages = docs.num_rows * EXTRACT_SCALE
+    texts_ref = ray.put(
+        {
+            "text": docs["text"].to_pylist(),
+            "lang": docs["lang"].to_pylist(),
+            "source": docs["source"].to_pylist(),
+        }
+    )
+    fn = _make_page_extract(texts_ref)
+
+    def run(n, blocks):
+        return (
+            rd.range(n, override_num_blocks=blocks)
+            .map_batches(fn, batch_format="pyarrow", batch_size=None)
+            .sum("content_text_length")
+        )
+
+    run(num_cpus * 64, num_cpus)  # warmup: imports + broadcast per worker
+    t0 = time.time()
+    out = run(n_pages, num_cpus * 6)
+    dt = time.time() - t0
+    assert out > 0
+    return {"sec": dt, "rows": n_pages, "docs_per_s": n_pages / dt}
+
+
+def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
+    """Frontier-drain URLs/sec on the synthetic pseudo-web (size keyed to
+    the sf documents table so the workload scales with sf)."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.crawl import run_crawl
+    from webarchive_discovery_ray.sources.synthetic import seed_urls
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = max(400, n_docs)  # sf0.1 -> 5000 hosts
+    syn = SyntheticConfig(n_hosts=n_hosts, pages_per_host=50)
+    ccfg = CrawlConfig(politeness_budget=24, max_waves=4)
+    # warmup: a tiny crawl absorbs per-worker import cost
+    warm = SyntheticConfig(n_hosts=20, pages_per_host=10)
+    run_crawl(
+        seed_urls(warm, 20),
+        CrawlConfig(politeness_budget=2, max_waves=1),
+        warm,
+        fetch_concurrency=max(2, num_cpus - 4),
+    )
+    t0 = time.time()
+    res = run_crawl(
+        seed_urls(syn, n_hosts),
+        ccfg,
+        syn,
+        fetch_concurrency=max(2, num_cpus - 4),
+        fetch_batch_size=256,
+    )
+    dt = time.time() - t0
+    assert res.total_fetched > 0
+    return {"sec": dt, "rows": res.total_fetched, "urls_per_s": res.total_fetched / dt}
+
+
+def bench_cdx_sort(sf_dir: str, num_cpus: int) -> dict:
+    """Global CDX order: captures -> ds.sort(surt_key, timestamp)."""
+    from webarchive_discovery_ray.pipelines.cdx import cdx_sorted
+
+    t0 = time.time()
+    ds = cdx_sorted(20000)
+    n = ds.count()
+    dt = time.time() - t0
+    assert n > 0
+    return {"sec": dt, "rows": n}
+
+
+def bench_dedup_minhash(sf_dir: str, num_cpus: int) -> dict:
+    """MinHash+LSH near-dup candidate pairs over the documents table."""
+    from webarchive_discovery_ray.pipelines.dedup import minhash_lsh_pairs
+
+    t0 = time.time()
+    n = minhash_lsh_pairs(sf_dir).count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n}
+
+
+def bench_ann(sf_dir: str, num_cpus: int) -> dict:
+    """Brute-force cosine top-k over the embeddings table."""
+    from webarchive_discovery_ray.pipelines.similarity import ann_cosine_topk
+
+    t0 = time.time()
+    n = ann_cosine_topk(sf_dir).count()
+    dt = time.time() - t0
+    assert n > 0
+    return {"sec": dt, "rows": n}
+
+
+BENCHES = {
+    "extract": bench_extract,
+    "crawl": bench_crawl,
+    "cdx_sort": bench_cdx_sort,
+    "dedup_minhash": bench_dedup_minhash,
+    "ann_cosine": bench_ann,
+}
+
+HEADLINE = ("extract", "crawl")
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def _cpu_ceiling(lo: int, hi: int) -> dict:
+    """Hardware reference: pure-Python busywork throughput at lo vs hi
+    processes (no Ray, no IPC). On turbo-scaling CPUs the all-cores clock
+    is lower than the few-cores clock, so even perfectly parallel code
+    cannot reach efficiency 1.0 from lo -> hi; this measures that ceiling
+    so pipeline scaling numbers can be read against it."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    n = 2_000_000
+    rates = {}
+    for procs in (lo, hi):
+        with ProcessPoolExecutor(procs) as ex:
+            list(ex.map(_burn, [1000] * procs))  # warm pool
+            t0 = time.time()
+            list(ex.map(_burn, [n] * procs * 4))
+            rates[procs] = procs * 4 * n / (time.time() - t0)
+    return {
+        "ops_per_s": {str(k): round(v) for k, v in rates.items()},
+        "efficiency": round(rates[hi] / rates[lo] / (hi / lo), 4),
+    }
+
+
+def run_benches(names, sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        results = {}
+        for name in names:
+            results[name] = BENCHES[name](sf_dir, num_cpus)
+        return results
+    finally:
+        ray.shutdown()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--only", help="comma-separated bench names")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    num_cpus = args.cpus or NUM_CPUS
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.scaling:
+        levels = (max(2, num_cpus // 4), num_cpus)
+        runs = {}
+        for cpus in levels:  # fresh process per level = fresh Ray session
+            cmd = [
+                sys.executable, __file__, "--_worker",
+                "--cpus", str(cpus), "--only", ",".join(HEADLINE),
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])["results"]
+        lo, hi = levels
+        eff = {
+            name: (runs[hi][name]["rows"] / runs[hi][name]["sec"])
+            / (runs[lo][name]["rows"] / runs[lo][name]["sec"])
+            / (hi / lo)
+            for name in HEADLINE
+        }
+        ceiling = _cpu_ceiling(lo, hi)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (N vs 4N CPUs, fresh sessions)",
+                    "value": round(sum(eff.values()) / len(eff), 4),
+                    "unit": "efficiency",
+                    "levels": {str(c): runs[c] for c in levels},
+                    "efficiency": {k: round(v, 4) for k, v in eff.items()},
+                    "cpu_ceiling": ceiling,
+                    "efficiency_vs_ceiling": {
+                        k: round(min(v / ceiling["efficiency"], 1.0), 4)
+                        for k, v in eff.items()
+                    },
+                    "sf": sf,
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        return
+
+    names = args.only.split(",") if args.only else list(BENCHES)
+    results = run_benches(names, SF_DIR, num_cpus)
+    total = sum(r["sec"] for r in results.values())
+    payload = {
+        "metric": "frontier-drain URLs/sec + extracted docs/sec (synthetic seed-list crawl)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v["sec"], 3) for k, v in results.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "throughput": {
+            "crawl_urls_per_s": round(results["crawl"]["urls_per_s"], 1)
+            if "crawl" in results
+            else None,
+            "extract_docs_per_s": round(results["extract"]["docs_per_s"], 1)
+            if "extract" in results
+            else None,
+        },
+        "results": {k: {kk: round(vv, 3) for kk, vv in v.items()} for k, v in results.items()},
+    }
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

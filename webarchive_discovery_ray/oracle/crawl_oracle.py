@@ -173,8 +173,8 @@ def oracle_crawl(
             if doc and doc["redirect_to_norm"]:
                 cands.add(doc["redirect_to_norm"])
             page_candidates.append((host, slot, sorted(cands), e.hop, e.priority))
-        # rule 6: discovery
-        next_frontier = carryover
+        # rule 6: discovery (copy: carryover count must stay the drain's)
+        next_frontier = list(carryover)
         new_count = 0
         for host, slot, cands, hop, pri in page_candidates:
             for u in cands:

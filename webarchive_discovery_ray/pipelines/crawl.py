@@ -77,10 +77,16 @@ _CRAWL_FIELDS = [
 FETCH_SCHEMA = pa.schema(list(DOCUMENTS_SCHEMA) + [pa.field(n, t) for n, t in _CRAWL_FIELDS])
 
 _DRIVER_COLUMNS = [
-    "fetch_host", "slot", "url", "surt", "fetch_status",
+    "fetch_host", "slot", "url", "surt", "host", "fetch_status",
     "is_robots", "cand_urls", "cand_surts", "cand_hosts",
-    "robots_rules", "hop", "priority",
+    "robots_rules", "hop", "priority", "seq", "selected",
 ]
+
+# scheduler-facing projection of FETCH_SCHEMA: what the driver loop needs
+# for ordering, discovery and robots — no spans/payload-derived columns
+DRIVER_SCHEMA = pa.schema(
+    [pa.field(n, FETCH_SCHEMA.field(n).type) for n in _DRIVER_COLUMNS]
+)
 
 
 class FetchExtractStage:
@@ -99,11 +105,16 @@ class FetchExtractStage:
         icfg: IndexConfig | None = None,
         wave: int = 0,
         ccfg: CrawlConfig | None = None,
+        driver_only: bool = False,
     ):
         self.scfg = scfg
         self.icfg = crawl_index_config(icfg)
         self.wave = wave
         self.ccfg = ccfg or CrawlConfig()
+        # driver_only: no document sink this run — emit just the scheduler
+        # columns (extraction still runs; link discovery needs it)
+        self.driver_only = driver_only
+        self.schema = DRIVER_SCHEMA if driver_only else FETCH_SCHEMA
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -131,7 +142,7 @@ class FetchExtractStage:
                 for u in sorted(cands)
                 if candidate_ok(u, r["hop"], self.ccfg, self.icfg.max_url_length)
             ]
-            doc.update(
+            crawl_cols = dict(
                 wave=self.wave,
                 fetch_host=r["host"],
                 slot=r["slot"],
@@ -150,10 +161,17 @@ class FetchExtractStage:
                     else []
                 ),
             )
-            out.append(doc)
+            if self.driver_only:
+                crawl_cols["url"] = doc["url"]
+                crawl_cols["surt"] = doc["surt"]
+                crawl_cols["host"] = doc["host"]
+                out.append(crawl_cols)
+            else:
+                doc.update(crawl_cols)
+                out.append(doc)
         if not out:
-            return FETCH_SCHEMA.empty_table()
-        return pa.Table.from_pylist(out, schema=FETCH_SCHEMA)
+            return self.schema.empty_table()
+        return pa.Table.from_pylist(out, schema=self.schema)
 
 
 def _make_drain_fn(budget: int, robots_rules: dict[str, list[str]]):
@@ -232,7 +250,26 @@ class CrawlResult:
     total_docs: int = 0
 
 
-def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[list[dict], int]:
+def _frontier_table(
+    urls: list[str], surts: list[str], hosts: list[str],
+    pris: list[int], hops: list[int], seqs: list[int],
+) -> pa.Table:
+    from ..state.checkpoint import FRONTIER_SCHEMA
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "surt": pa.array(surts, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "priority": pa.array(pris, pa.int32()),
+            "hop": pa.array(hops, pa.int32()),
+            "seq": pa.array(seqs, pa.int64()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[pa.Table, int]:
     urls, keys, hosts, pris = [], [], [], []
     for url, pri in seeds:
         u = canonicalise_url(url)
@@ -243,15 +280,15 @@ def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[list[dict], int]:
         keys.append(surt_key(u))
         hosts.append(host)
         pris.append(pri)
-    frontier = []
-    seq = 0
+    fu, fk, fh, fp = [], [], [], []
     for u, k, h, p, new in zip(urls, keys, hosts, pris, pool.add_if_new(keys)):
         if new:
-            frontier.append(
-                {"url": u, "surt": k, "host": h, "priority": p, "hop": 0, "seq": seq}
-            )
-            seq += 1
-    return frontier, seq
+            fu.append(u)
+            fk.append(k)
+            fh.append(h)
+            fp.append(p)
+    n = len(fu)
+    return _frontier_table(fu, fk, fh, fp, [0] * n, list(range(n))), n
 
 
 def run_crawl(
@@ -273,6 +310,7 @@ def run_crawl(
     pool = SeenShardPool(ccfg.seen_shards)
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
+    log_tables: list[pa.Table] = []
     start_wave = 0
 
     if resume and checkpoint_dir is not None:
@@ -283,7 +321,8 @@ def run_crawl(
             pool.restore(ck["snapshots"])
             robots_scheduled = ck["robots_scheduled"]
             robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
-            res.fetch_log = ck["fetch_log"]
+            if ck["fetch_log"].num_rows:
+                log_tables.append(ck["fetch_log"])
             seq = ck["seq"]
             start_wave = last + 1
         else:
@@ -291,138 +330,158 @@ def run_crawl(
     else:
         frontier, seq = _seed_frontier(seeds, pool)
 
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..state.checkpoint import FETCHLOG_SCHEMA, FRONTIER_SCHEMA
+
+    order_base = sum(t.num_rows for t in log_tables)
     for wave in range(start_wave, ccfg.max_waves):
-        if not frontier:
+        if frontier.num_rows == 0:
             break
         # --- robots injection -------------------------------------------
         if ccfg.respect_robots:
             new_hosts = sorted(
-                {e["host"] for e in frontier} - robots_scheduled
+                set(pc.unique(frontier["host"]).to_pylist()) - robots_scheduled
             )
             robots_scheduled.update(new_hosts)
             rurls = [robots_url_for_host(h) for h in new_hosts]
             rkeys = [surt_key(u) for u in rurls]
+            ru, rk, rh = [], [], []
             for h, u, k, new in zip(
                 new_hosts, rurls, rkeys, pool.add_if_new(rkeys) if rkeys else []
             ):
                 if new:
-                    frontier.append(
-                        {"url": u, "surt": k, "host": h, "priority": -1, "hop": 0, "seq": -1}
-                    )
-        # --- politeness drain (groupby host) ----------------------------
-        frontier_table = pa.Table.from_pylist(
-            frontier,
-            schema=pa.schema(
-                [
-                    ("url", pa.string()),
-                    ("surt", pa.string()),
-                    ("host", pa.string()),
-                    ("priority", pa.int32()),
-                    ("hop", pa.int32()),
-                    ("seq", pa.int64()),
-                ]
-            ),
-        )
-        # ONE execution per wave: hash-partition by host (politeness
+                    ru.append(u)
+                    rk.append(k)
+                    rh.append(h)
+            if ru:
+                robots_tbl = _frontier_table(
+                    ru, rk, rh, [-1] * len(ru), [0] * len(ru), [-1] * len(ru)
+                )
+                frontier = pa.concat_tables([frontier, robots_tbl])
+        # --- ONE execution per wave: hash-partition by host (politeness
         # co-location, SURVEY.md §7.3) -> vectorized drain per block ->
         # fetch+extract (carryover passes through) -> materialize.
-        # The frontier lives on the driver between waves (documented scale
-        # path: at 10^10 URLs it stays a Dataset and this becomes
-        # repartition(keys=["host"]) under the hash-shuffle strategy), so
-        # the host partitioning is a zero-shuffle driver-side split into
-        # one Arrow table per partition = one block each.
-        drain_parts = max(1, min(fetch_concurrency * 2, len(frontier) // 64 + 1))
+        # The frontier lives on the driver between waves as an Arrow table
+        # (documented scale path: at 10^10 URLs it stays a Dataset and this
+        # becomes repartition(keys=["host"]) under the hash-shuffle
+        # strategy); host partitioning is a zero-shuffle driver-side split
+        # into one Arrow table per partition = one block each.
+        frontier_rows = frontier.num_rows
+        drain_parts = max(1, min(fetch_concurrency * 2, frontier_rows // 64 + 1))
         drained = (
-            rd.from_arrow(_split_by_host(frontier_table, drain_parts))
+            rd.from_arrow(_split_by_host(frontier, drain_parts))
             .map_batches(
                 _make_drain_fn(ccfg.politeness_budget, robots_rules),
                 batch_format="pandas",
                 batch_size=None,  # whole block: keeps host groups intact
             )
             .map_batches(
-                FetchExtractStage(scfg, icfg, wave, ccfg),
+                FetchExtractStage(
+                    scfg, icfg, wave, ccfg, driver_only=docs_dir is None
+                ),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 concurrency=fetch_concurrency,
             )
-            .materialize()
         )
-        carryover = (
-            drained.filter(expr="selected == False")
-            .select_columns(["url", "surt", "host", "priority", "hop", "seq"])
-            .take_all()
-        )
-        fetched = drained.filter(expr="selected == True")
         if docs_dir is not None:
-            fetched.write_parquet(os.path.join(docs_dir, f"wave_{wave:04d}"))
-        link_rows = sorted(
-            fetched.select_columns(_DRIVER_COLUMNS).take_all(),
-            key=lambda r: (r["fetch_host"], r["slot"]),
+            # two consumers (doc sink + scheduler pull): materialize once
+            drained = drained.materialize()
+            drained.filter(expr="selected == True").write_parquet(
+                os.path.join(docs_dir, f"wave_{wave:04d}")
+            )
+            pull = drained.select_columns(_DRIVER_COLUMNS)
+        else:
+            pull = drained  # single consumer: execute straight to refs
+        drv = pa.concat_tables(ray.get(pull.to_arrow_refs())).combine_chunks()
+        sel = drv["selected"]
+        carry_tbl = (
+            drv.filter(pc.invert(sel))
+            .select(["url", "surt", "host", "priority", "hop", "seq"])
+            .cast(FRONTIER_SCHEMA)
         )
-        res.total_docs += len(link_rows)
-        # --- fetch log + robots results ---------------------------------
-        wave_log = []
-        for r in link_rows:
-            entry = {
-                "order": len(res.fetch_log),
-                "wave": wave,
-                "host": r["fetch_host"],
-                "slot": r["slot"],
-                "url": r["url"],
-                "surt": r["surt"],
-                "status": r["fetch_status"],
-            }
-            res.fetch_log.append(entry)
-            wave_log.append(entry)
-        new_robots = {
-            r["fetch_host"]: list(r["robots_rules"])
-            for r in link_rows
-            if r["is_robots"] and r["fetch_status"] == 200
-        }
+        fetched_tbl = drv.filter(sel)
+        # rule 4: global fetch order within a wave = (host, slot) ascending
+        fetched_tbl = fetched_tbl.take(
+            pc.sort_indices(
+                fetched_tbl,
+                sort_keys=[("fetch_host", "ascending"), ("slot", "ascending")],
+            )
+        )
+        n_fetched = fetched_tbl.num_rows
+        res.total_docs += n_fetched
+        # --- fetch log (arrow, no row iteration) ------------------------
+        wave_log_tbl = pa.table(
+            {
+                "order": pa.array(
+                    np.arange(order_base, order_base + n_fetched), pa.int64()
+                ),
+                "wave": pa.array(np.full(n_fetched, wave, dtype=np.int32)),
+                "host": fetched_tbl["fetch_host"],
+                "slot": fetched_tbl["slot"],
+                "url": fetched_tbl["url"],
+                "surt": fetched_tbl["surt"],
+                "status": fetched_tbl["fetch_status"],
+            },
+            schema=FETCHLOG_SCHEMA,
+        )
+        log_tables.append(wave_log_tbl)
+        order_base += n_fetched
+        # --- robots results (tiny subset) -------------------------------
+        new_robots = {}
+        robots_hits = fetched_tbl.filter(
+            pc.and_(fetched_tbl["is_robots"], pc.equal(fetched_tbl["fetch_status"], 200))
+        )
+        for h, rules in zip(
+            robots_hits["fetch_host"].to_pylist(), robots_hits["robots_rules"].to_pylist()
+        ):
+            new_robots[h] = list(rules)
         # --- discovery (deterministic order + sharded seen probe) -------
         # candidates were filtered + SURT/host-keyed in the parallel fetch
-        # stage; the driver only routes them through the seen shards.
-        cand_entries: list[tuple[str, str, str, int, int]] = []
-        for r in link_rows:
-            hop, pri = r["hop"], r["priority"]
-            for u, k, h in zip(r["cand_urls"], r["cand_surts"], r["cand_hosts"]):
-                cand_entries.append((u, k, h, hop, pri))
-        keys = [k for _, k, _, _, _ in cand_entries]
-        new_mask = pool.add_if_new(keys) if keys else []
-        next_frontier = carryover
-        new_count = 0
-        for (u, k, h, hop, pri), new in zip(cand_entries, new_mask):
-            if not new:
-                continue
-            next_frontier.append(
-                {
-                    "url": u,
-                    "surt": k,
-                    "host": h,
-                    "priority": pri,
-                    "hop": hop + 1,
-                    "seq": seq,
-                }
-            )
-            seq += 1
-            new_count += 1
+        # stage; flatten vectorized, probe the seen shards, and assign seq
+        # numbers to first-unseen candidates in (host, slot, rank) order.
+        cand_col = fetched_tbl["cand_urls"].combine_chunks()
+        parents = pc.list_parent_indices(cand_col)
+        cand_urls = pc.list_flatten(cand_col)
+        cand_surts = pc.list_flatten(fetched_tbl["cand_surts"].combine_chunks())
+        cand_hosts = pc.list_flatten(fetched_tbl["cand_hosts"].combine_chunks())
+        cand_hops = pc.take(fetched_tbl["hop"], parents)
+        cand_pris = pc.take(fetched_tbl["priority"], parents)
+        keys = cand_surts.to_pylist()
+        new_mask = np.array(pool.add_if_new(keys), dtype=bool) if keys else np.zeros(0, bool)
+        new_idx = pa.array(np.nonzero(new_mask)[0])
+        n_new = len(new_idx)
+        new_tbl = pa.table(
+            {
+                "url": pc.take(cand_urls, new_idx),
+                "surt": pc.take(cand_surts, new_idx),
+                "host": pc.take(cand_hosts, new_idx),
+                "priority": pc.take(cand_pris, new_idx),
+                "hop": pc.add(pc.take(cand_hops, new_idx), 1),
+                "seq": pa.array(np.arange(seq, seq + n_new), pa.int64()),
+            }
+        ).cast(FRONTIER_SCHEMA)
+        seq += n_new
+        next_frontier = pa.concat_tables([carry_tbl, new_tbl])
         robots_rules.update(new_robots)
         stats = {
             "wave": wave,
-            "frontier": len(frontier),
-            "fetched": len(link_rows),
-            "carryover": len(carryover),
-            "new_urls": new_count,
+            "frontier": frontier_rows,
+            "fetched": n_fetched,
+            "carryover": carry_tbl.num_rows,
+            "new_urls": n_new,
         }
         res.wave_stats.append(stats)
-        res.total_fetched += len(link_rows)
+        res.total_fetched += n_fetched
         # --- checkpoint --------------------------------------------------
         if checkpoint_dir is not None:
             write_wave_checkpoint(
                 checkpoint_dir,
                 wave,
                 next_frontier,
-                wave_log,
+                wave_log_tbl,
                 pool.snapshot(),
                 robots_scheduled,
                 robots_rules,
@@ -430,8 +489,11 @@ def run_crawl(
                 stats,
             )
         frontier = next_frontier
-        if ccfg.max_urls is not None and len(res.fetch_log) >= ccfg.max_urls:
+        if ccfg.max_urls is not None and order_base >= ccfg.max_urls:
             break
 
+    res.fetch_log = (
+        pa.concat_tables(log_tables).to_pylist() if log_tables else []
+    )
     res.seen_sorted = pool.all_keys_sorted()
     return res

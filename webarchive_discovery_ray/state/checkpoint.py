@@ -59,8 +59,8 @@ def _wave_dir(base: str, wave: int) -> str:
 def write_wave_checkpoint(
     base: str,
     wave: int,
-    next_frontier: list[dict],
-    wave_fetch_log: list[dict],
+    next_frontier: pa.Table,
+    wave_fetch_log: pa.Table,
     seen_snapshots: list[list[str]],
     robots_scheduled: set[str],
     robots_rules: dict[str, list[str]],
@@ -74,11 +74,11 @@ def write_wave_checkpoint(
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     pq.write_table(
-        pa.Table.from_pylist(next_frontier, schema=FRONTIER_SCHEMA),
+        next_frontier.cast(FRONTIER_SCHEMA),
         os.path.join(tmp, "frontier_next.parquet"),
     )
     pq.write_table(
-        pa.Table.from_pylist(wave_fetch_log, schema=FETCHLOG_SCHEMA),
+        wave_fetch_log.cast(FETCHLOG_SCHEMA),
         os.path.join(tmp, "fetchlog.parquet"),
     )
     for i, snap in enumerate(seen_snapshots):
@@ -93,8 +93,8 @@ def write_wave_checkpoint(
         "wave": wave,
         "seq": seq,
         "n_shards": len(seen_snapshots),
-        "n_frontier_next": len(next_frontier),
-        "n_fetched": len(wave_fetch_log),
+        "n_frontier_next": next_frontier.num_rows,
+        "n_fetched": wave_fetch_log.num_rows,
         "stats": stats,
     }
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -121,16 +121,19 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         manifest = json.load(f)
     with open(os.path.join(d, "robots.json")) as f:
         robots = json.load(f)
-    frontier = pq.read_table(os.path.join(d, "frontier_next.parquet")).to_pylist()
+    frontier = pq.read_table(os.path.join(d, "frontier_next.parquet"))
     snapshots = [
         pq.read_table(os.path.join(d, f"seen_shard_{i}.parquet"))["surt"].to_pylist()
         for i in range(manifest["n_shards"])
     ]
-    fetch_log: list[dict] = []
+    log_parts = []
     for w in range(wave + 1):
         p = os.path.join(_wave_dir(base, w), "fetchlog.parquet")
         if os.path.exists(p):
-            fetch_log.extend(pq.read_table(p).to_pylist())
+            log_parts.append(pq.read_table(p))
+    fetch_log = (
+        pa.concat_tables(log_parts) if log_parts else FETCHLOG_SCHEMA.empty_table()
+    )
     return {
         "manifest": manifest,
         "frontier": frontier,
