@@ -123,6 +123,112 @@ def _media_features(sf_dir: str):
     )
 
 
+def _annotations(sf_dir: str):
+    """J1: broadcast annotations join over extracted fixture docs."""
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.enrich import annotate_batch
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages_ds, hosts
+    from webarchive_discovery_ray.stages.extract import extract_batch
+
+    scfg = SyntheticConfig()
+    hs = hosts(scfg)
+    anns = {
+        "resource": {},
+        "root": {f"http://{hs[0]}/": [("collection-zero", "19900101000000", "20991231235959")]},
+        "subdomains": {hs[1]: [("collection-one", "19900101000000", "20991231235959")]},
+        "open_access_surts": [f"({','.join(reversed(hs[2].split('.')))})"],
+    }
+    icfg = IndexConfig(response_include=())
+    docs = fixture_pages_ds(500, scfg, 8).map_batches(
+        lambda b: extract_batch(b, icfg), batch_format="pyarrow", batch_size=None
+    )
+    out = docs.map_batches(
+        lambda b: annotate_batch(b, anns), batch_format="pyarrow", batch_size=None
+    )
+    return out.select_columns(["doc_id", "url_norm", "collections", "access_terms"])
+
+
+def _ark_lookup(sf_dir: str):
+    """J2: filename -> ARK broadcast join over the captures table."""
+    from webarchive_discovery_ray.pipelines.cdx import cdx_sorted
+    from webarchive_discovery_ray.pipelines.enrich import ark_lookup_batch
+
+    caps = cdx_sorted(500)
+    ark_map = {f"crawl-{i:04d}.warc.gz": f"ark:/81055/{i:08d}" for i in range(64)}
+    return caps.map_batches(
+        lambda b: ark_lookup_batch(b, ark_map), batch_format="pyarrow", batch_size=None
+    ).select_columns(["surt_key", "filename", "ark"])
+
+
+def _arcname(sf_dir: str):
+    """M30: ARC-name regex rules over fixture pages."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import SyntheticConfig
+    from webarchive_discovery_ray.pipelines.enrich import arcname_fields_batch
+    from webarchive_discovery_ray.schema import PAGES_SCHEMA
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+
+    rows = fixture_pages(400, SyntheticConfig())
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    return ds.map_batches(
+        arcname_fields_batch, batch_format="pyarrow", batch_size=None
+    ).select_columns(["url", "source_file", "arc_job", "arc_harvest", "arc_institution"])
+
+
+def _postcodes(sf_dir: str):
+    """M33: UK postcode extract + geo over a corpus with injected postcodes."""
+    from webarchive_discovery_ray.pipelines.enrich import POSTCODE_GEO, postcode_extract
+    from webarchive_discovery_ray.sources.io import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    districts = sorted(POSTCODE_GEO)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        # deterministically inject a postcode into every 3rd document
+        texts = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if d % 3 == 0:
+                texts.append(f"{t} {districts[d % len(districts)]} 1AA")
+            else:
+                texts.append(t)
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts)})
+
+    return postcode_extract(ds.map_batches(inject, batch_format="pyarrow")).drop_columns(
+        ["text"]
+    )
+
+
+def _file_digest(sf_dir: str):
+    """A3: whole-file SHA-1 over the sf parquet files."""
+    import os
+
+    from webarchive_discovery_ray.pipelines.stats import file_digest
+
+    paths = sorted(
+        os.path.join(sf_dir, f) for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    return file_digest(paths)
+
+
+def _mdx_stats(sf_dir: str):
+    from webarchive_discovery_ray.pipelines.stats import mdx_stats
+
+    return mdx_stats(500)
+
+
+def _persist_log(sf_dir: str):
+    from webarchive_discovery_ray.pipelines.stats import persist_log
+
+    return persist_log(500)
+
+
+def _dataset_summaries(sf_dir: str):
+    from webarchive_discovery_ray.pipelines.stats import dataset_summaries
+
+    return dataset_summaries(500)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.aggregates import (
         distinct_event_types,
@@ -143,6 +249,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.similarity import (
         ann_cosine_topk,
         ivf_cosine_topk,
+    )
+    from webarchive_discovery_ray.pipelines.enrich import (
+        fuzzy_hashes,
+        regex_scan,
+        sentiment_score,
+    )
+    from webarchive_discovery_ray.pipelines.relational import (
+        asof_join_events,
+        range_join_events,
+        window_running_sum,
     )
     from webarchive_discovery_ray.pipelines.textops import (
         doc_fingerprint,
@@ -165,6 +281,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": token_stats,
         "quality_score": quality_score,
         "ann_cosine_topk": ann_cosine_topk,
+        "asof_join_events": asof_join_events,
+        "range_join_events": range_join_events,
+        "window_running_sum": window_running_sum,
+        "regex_scan": regex_scan,
+        "sentiment_score": sentiment_score,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
@@ -172,6 +293,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_cosine_topk": ivf_cosine_topk,
         "language_id": language_id,
         "doc_fingerprint": doc_fingerprint,
+        "fuzzy_hashes": fuzzy_hashes,
+        "postcode_geo": _postcodes,
+        "annotations": _annotations,
+        "ark_lookup": _ark_lookup,
+        "arcname_fields": _arcname,
+        "mdx_stats": _mdx_stats,
+        "persist_log": _persist_log,
+        "dataset_summaries": _dataset_summaries,
+        "file_digest": _file_digest,
         "crawl_frontier": _crawl_frontier,
         "extract_documents": _extract_documents,
         "cdx_sorted": _cdx,
@@ -265,6 +395,55 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(list_distinct({tokens})) * 1.0 / len({tokens})
                         END AS distinct_ratio
             FROM documents
+        """,
+        "asof_join_events": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   coalesce(s.event_id, -1) AS signup_event_id,
+                   coalesce(s.ts, TIMESTAMP '1970-01-01 00:00:00') AS signup_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        "range_join_events": """
+            WITH buckets(lo, hi) AS (
+                VALUES (0.0, 50.0), (50.0, 100.0), (100.0, 150.0), (150.0, 1e9)
+            )
+            SELECT e.event_type, b.lo AS bucket_lo, count(*) AS n_events,
+                   sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+            FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1, 2
+        """,
+        "window_running_sum": """
+            SELECT event_id, event_type,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                       / 100.0 AS running_value
+            FROM events
+        """,
+        "regex_scan": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '(merge|join|sort)')) AS n_hits,
+                   regexp_extract(text, '(merge|join|sort)') AS first_hit
+            FROM documents
+        """,
+        "sentiment_score": r"""
+            SELECT doc_id, score,
+                   CASE WHEN score < -1 THEN 'negative'
+                        WHEN score > 1 THEN 'positive'
+                        ELSE 'neutral' END AS sentiment
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN trim(substr(text, 1, 10000)) = '' THEN 0
+                            ELSE list_sum(list_transform(
+                                regexp_split_to_array(trim(substr(text, 1, 10000)), '\s+'),
+                                w -> CASE w WHEN 'fast' THEN 2 WHEN 'small' THEN 1
+                                            WHEN 'big' THEN 1 WHEN 'slow' THEN -2
+                                            WHEN 'error' THEN -3 WHEN 'dup' THEN -1
+                                            ELSE 0 END)) END AS score
+                FROM documents
+            )
         """,
         "ann_cosine_topk": """
             SELECT qid AS query_vec_id, vec_id, rank FROM (

@@ -1,0 +1,169 @@
+"""Unit oracles for the operator long tail: fuzzy hash, persist-log
+pairing, annotations, ARK/ARC-name lookups, file digest, relational ops."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from webarchive_discovery_ray.functions.fuzzy import canonical_text, fuzzy_fields, spamsum
+
+
+# --- fuzzy hash (M32) --------------------------------------------------------
+
+def test_canonical_text_matches_reference_rule():
+    # FuzzyHashAnalyser.java:64-67 — whitespace collapse + lowercase
+    assert canonical_text("  Hello\t\nWORLD  x ") == "hello world x"
+
+
+def test_spamsum_deterministic_and_shaped():
+    text = "the quick brown fox jumps over the lazy dog " * 40
+    bs, s1, s2 = spamsum(text)
+    assert (bs, s1, s2) == spamsum(text)  # deterministic
+    assert bs >= 3 and bs % 3 == 0  # blocksize ladder 3*2^k
+    assert 0 < len(s1) <= 64
+    assert 0 < len(s2) <= 32
+    f = fuzzy_fields(text)
+    assert set(f) == {f"ssdeep_hash_bs_{bs}", f"ssdeep_hash_bs_{bs*2}"}
+
+
+def test_spamsum_similar_texts_share_pieces():
+    a = "word%d " * 200 % tuple(range(200))
+    b = a.replace("word100", "word999")  # single-token edit
+    _, s1a, _ = spamsum(a)
+    _, s1b, _ = spamsum(b)
+    # context-triggered pieces: a local edit preserves most pieces (ssdeep
+    # compares signatures by edit similarity, not position)
+    import difflib
+
+    assert difflib.SequenceMatcher(None, s1a, s1b).ratio() > 0.5
+    # while an unrelated text shares almost nothing
+    _, s1c, _ = spamsum("completely different content " * 80)
+    assert difflib.SequenceMatcher(None, s1a, s1c).ratio() < 0.4
+
+
+def test_spamsum_empty():
+    bs, s1, s2 = spamsum("")
+    assert bs == 3 and s1 == "" and s2 == ""
+
+
+# --- persist-log pairing (M40/J4) -------------------------------------------
+
+def test_persist_log_pairing(ray_session):
+    from webarchive_discovery_ray.pipelines.stats import persist_log
+
+    rows = persist_log(400).take_all()
+    assert rows
+    # every row is a response/revisit; metadata got folded in, not emitted
+    assert all(r["surt"] for r in rows)
+    assert any(r["has_metadata"] for r in rows)
+
+
+# --- annotations (J1) --------------------------------------------------------
+
+def test_annotate_batch_scopes_and_date_gate():
+    from webarchive_discovery_ray.pipelines.enrich import annotate_batch
+
+    batch = pa.table(
+        {
+            "url_norm": ["http://a.example.com/x", "http://sub.b.example.com/y",
+                         "http://c.example.com/z"],
+            "host": ["a.example.com", "sub.b.example.com", "c.example.com"],
+            "surt": ["(com,example,a,)/x", "(com,example,b,sub,)/y", "(com,example,c,)/z"],
+            "wayback_date": ["20200101000000", "20200101000000", "19800101000000"],
+        }
+    )
+    anns = {
+        "resource": {"http://a.example.com/x": [("exact", "20190101000000", "20210101000000")]},
+        "root": {"http://a.example.com/": [("rooted", "20190101000000", "20210101000000")]},
+        "subdomains": {"b.example.com": [("sub", "20190101000000", "20210101000000")],
+                       "c.example.com": [("gated", "20190101000000", "20210101000000")]},
+        "open_access_surts": ["(com,example,a,"],
+    }
+    out = annotate_batch(batch, anns).to_pylist()
+    assert out[0]["collections"] == ["exact", "rooted"]
+    assert out[0]["access_terms"] == "OA"
+    assert out[1]["collections"] == ["sub"]  # host-suffix scope
+    assert out[1]["access_terms"] == "RRO"
+    assert out[2]["collections"] == []  # date gate rejects 1980 capture
+
+
+# --- ARK + ARC-name ----------------------------------------------------------
+
+def test_ark_lookup_passthrough():
+    from webarchive_discovery_ray.pipelines.enrich import ark_lookup_batch
+
+    batch = pa.table({"filename": ["f1.warc.gz", "unknown.warc.gz"]})
+    out = ark_lookup_batch(batch, {"f1.warc.gz": "ark:/1/2"}).to_pylist()
+    assert out[0]["ark"] == "ark:/1/2"
+    assert out[1]["ark"] == "unknown.warc.gz"  # reference passes through
+
+
+def test_arcname_first_match_wins():
+    from webarchive_discovery_ray.pipelines.enrich import arcname_fields_batch
+
+    batch = pa.table({"source_file": ["job-0042-x.warc.gz", "crawlfile.warc.gz", "zzz"]})
+    out = arcname_fields_batch(batch).to_pylist()
+    assert out[0]["arc_job"] == "job" and out[0]["arc_harvest"] == "0042"
+    assert out[1]["arc_job"] == "crawl" and out[1]["arc_institution"] == "fallback"
+    assert out[2]["arc_job"] is None
+
+
+# --- file digest (A3) --------------------------------------------------------
+
+def test_file_digest_matches_hashlib(ray_session, tmp_path):
+    from webarchive_discovery_ray.pipelines.stats import file_digest
+
+    p = tmp_path / "blob.bin"
+    data = b"\x00\x01payload" * 1000
+    p.write_bytes(data)
+    rows = file_digest([str(p)]).take_all()
+    assert rows[0]["sha1"] == hashlib.sha1(data).hexdigest()
+    assert rows[0]["bytes"] == len(data)
+
+
+# --- relational ops vs pandas oracles ---------------------------------------
+
+def test_window_running_sum_matches_pandas(ray_session):
+    from webarchive_discovery_ray.pipelines.relational import window_running_sum
+    from webarchive_discovery_ray.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        window_running_sum(sf)
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    ev = read_table(sf, "events").to_pandas()
+    import numpy as np
+
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    ev["running_value"] = ev.groupby("event_type")["cents"].cumsum() / 100.0
+    exp = ev[["event_id", "event_type", "running_value"]].sort_values(
+        ["event_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_range_join_buckets_cover_all_events(ray_session):
+    from webarchive_discovery_ray.pipelines.relational import range_join_events
+    from webarchive_discovery_ray.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = range_join_events(sf).to_pandas()
+    total = read_table(sf, "events").count()
+    assert got["n_events"].sum() == total
+
+
+def test_dataset_summaries_counts(ray_session):
+    from webarchive_discovery_ray.pipelines.stats import dataset_summaries
+
+    df = dataset_summaries(300).to_pandas()
+    assert set(df["facet"]) == {"host", "format"}
+    # both facets count the same underlying records
+    host_n = df[df["facet"] == "host"]["count"].sum()
+    fmt_n = df[df["facet"] == "format"]["count"].sum()
+    assert host_n == fmt_n > 0

@@ -13,8 +13,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import IndexConfig, SyntheticConfig
-from ..schema import CAPTURES_SCHEMA, PAGES_SCHEMA
-from ..sources.synthetic import fixture_pages
+from ..schema import CAPTURES_SCHEMA
 from ..stages.extract import extract_batch
 
 __all__ = ["captures_from_pages_batch", "cdx_sorted", "revisit_captures"]
@@ -45,21 +44,25 @@ def captures_from_pages_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=CAPTURES_SCHEMA)
 
 
-def cdx_sorted(n_pages: int = 400, scfg: SyntheticConfig | None = None, icfg: IndexConfig | None = None):
+def cdx_sorted(
+    n_pages: int = 400,
+    scfg: SyntheticConfig | None = None,
+    icfg: IndexConfig | None = None,
+    num_blocks: int = 32,
+):
     """Globally (surt_key, timestamp14)-sorted captures over the synthetic
-    fixture — the CDX generation pipeline end to end."""
-    import ray.data as rd
+    fixture — the CDX generation pipeline end to end (generation, capture
+    projection and the range-partitioned sort all distributed)."""
+    from ..sources.synthetic import fixture_pages_ds
 
     scfg = scfg or SyntheticConfig()
     icfg = icfg or IndexConfig(response_include=())  # CDX keeps all statuses
-    rows = fixture_pages(n_pages, scfg)
-    table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
     return (
-        rd.from_arrow(table)
+        fixture_pages_ds(n_pages, scfg, num_blocks)
         .map_batches(
             lambda b: captures_from_pages_batch(b, icfg),
             batch_format="pyarrow",
-            batch_size=128,
+            batch_size=None,
         )
         .sort(["surt_key", "timestamp14"])
     )

@@ -60,18 +60,17 @@ def exact_dedup(sf_dir: str):
 _N_PERM = 32
 _BANDS = 8  # 8 bands x 4 rows
 _ROWS_PER_BAND = _N_PERM // _BANDS
-_MERSENNE = (1 << 61) - 1
 
 
-def _perm_params(n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) per permutation (sha-derived, no RNG state)."""
-    a = np.empty(n_perm, dtype=np.uint64)
-    b = np.empty(n_perm, dtype=np.uint64)
-    for i in range(n_perm):
-        d = hashlib.sha1(f"minhash-perm-{i}".encode()).digest()
-        a[i] = (int.from_bytes(d[:8], "big") % (_MERSENNE - 1)) + 1
-        b[i] = int.from_bytes(d[8:16], "big") % _MERSENNE
-    return a, b
+def _perm_seeds(n_perm: int = _N_PERM) -> np.ndarray:
+    """Deterministic per-permutation xor seeds (sha-derived, no RNG)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.sha1(f"minhash-perm-{i}".encode()).digest()[:8], "big")
+            for i in range(n_perm)
+        ],
+        dtype=np.uint64,
+    )
 
 
 def _shingles(text: str, k: int = 3) -> set[int]:
@@ -82,14 +81,19 @@ def _shingles(text: str, k: int = 3) -> set[int]:
     }
 
 
-def _minhash_signature(shingle_hashes: Iterable[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    # finalizer of the splitmix64 generator; uint64 wraparound intended
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _minhash_signature(shingle_hashes: Iterable[int], seeds: np.ndarray) -> np.ndarray:
+    """min over shingles of splitmix64(x ^ seed_i), vectorised uint64 —
+    one independent uniform hash per permutation, no modular bigints."""
     h = np.fromiter(shingle_hashes, dtype=np.uint64)
-    # (a*x + b) mod p, vectorised over (perm, shingle)
-    vals = (
-        (a[:, None].astype(object) * h[None, :].astype(object) + b[:, None].astype(object))
-        % _MERSENNE
-    )
-    return np.min(np.asarray(vals, dtype=np.uint64), axis=1)
+    return _splitmix64(h[None, :] ^ seeds[:, None]).min(axis=1)
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
@@ -99,31 +103,52 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     band_hash) candidate pairs -> exact 3-gram Jaccard verify against the
     broadcast text store. Columns: doc_a, doc_b, jaccard (rounded 6).
     Deterministic; rows-only driver check (non-SQL)."""
+    import pyarrow.compute as pc
     import ray
-    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.broadcast import get_broadcast
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    a, b = _perm_params()
+    seeds = _perm_seeds()
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids, bands, band_hashes = [], [], []
+        doc_ids, buckets = [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            sig = _minhash_signature(_shingles(text), a, b)
+            sig = _minhash_signature(_shingles(text), seeds)
             for band in range(_BANDS):
                 chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
                 bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
                 doc_ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(bh)
+                buckets.append(f"{band}:{bh}")
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
+                "bucket": pa.array(buckets, pa.string()),
             }
         )
+
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow").materialize()
+    # singleton pruning: the overwhelming majority of LSH buckets hold one
+    # doc — drop them BEFORE the per-group pair stage so map_groups only
+    # touches true collisions (the bucket-count groupby is a vectorized
+    # hash aggregate; the surviving-bucket set is tiny and broadcasts)
+    counts = bands_ds.groupby("bucket").aggregate(Count(alias_name="n"))
+    hot = {r["bucket"] for r in counts.filter(expr="n >= 2").take_all()}
+    if not hot:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    hot_arr = pa.array(sorted(hot), pa.string())
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["bucket"], value_set=hot_arr))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(df["doc_id"].unique())
@@ -135,44 +160,34 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
         return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
 
     candidates = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        bands_ds.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # distinct candidate pairs (bands produce duplicates)
-    from ray.data.aggregate import Count
-
     distinct_pairs = candidates.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands")
     )
 
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in read_table(sf_dir, "documents", columns=["doc_id", "text"]).take_all()
-    }
-    texts_ref = ray.put(texts)
+    texts_ref = ray.put(
+        {
+            r["doc_id"]: r["text"]
+            for r in read_table(sf_dir, "documents", columns=["doc_id", "text"]).take_all()
+        }
+    )
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        texts = get_broadcast(texts_ref)
+        out = []
+        for da, db in zip(df["doc_a"], df["doc_b"]):
+            sa = _shingles(texts[da])
+            sb = _shingles(texts[db])
+            j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+            if j >= threshold:
+                out.append({"doc_a": int(da), "doc_b": int(db), "jaccard": round(j, 6)})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for _, row in df.iterrows():
-                sa = _shingles(self.texts[row["doc_a"]])
-                sb = _shingles(self.texts[row["doc_b"]])
-                j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
-                if j >= threshold:
-                    out.append(
-                        {
-                            "doc_a": int(row["doc_a"]),
-                            "doc_b": int(row["doc_b"]),
-                            "jaccard": round(j, 6),
-                        }
-                    )
-            return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
-
-    return distinct_pairs.map_batches(Verify, batch_format="pandas", concurrency=2)
+    return distinct_pairs.map_batches(verify, batch_format="pandas")
 
 
 def simhash_signatures(sf_dir: str):

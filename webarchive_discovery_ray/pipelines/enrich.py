@@ -1,0 +1,246 @@
+"""Enrichment operators: regex scan, sentiment, fuzzy hash, postcode/geo,
+annotations join, ARK lookup, ARC-name rules.
+
+Reference parity targets:
+
+* M37 regex grep over payload — ``warc-hadoop-recordreaders/src/main/java/
+  uk/bl/wa/hadoop/regex/WARCRegexMapper.java:60-127``
+* M34 sentiment — ``warc-indexer/.../text/SentimentJTextAnalyser.java:63-87``
+  (AFINN word-list sum over a text prefix, bucketed)
+* M32 ssdeep — ``warc-indexer/.../text/FuzzyHashAnalyser.java:61-88``
+* M33 postcode + geo — ``warc-indexer/.../text/PostcodeAnalyser.java:66-84``,
+  ``warc-indexer/src/main/java/uk/bl/wa/extract/PostcodeGeomapper.java``
+* J1 annotations — ``warc-indexer/src/main/java/uk/bl/wa/annotation/
+  Annotator.java:127-232`` (broadcast small-side lookup, 4 scopes + date gate)
+* J2 ARK lookup — ``DereferencingArchiveToCDXRecordReader.java:109-131``
+* M30 ARC-name rules — ``warc-indexer/.../payload/ARCNameAnalyser.java:113-168``
+
+All lookup sides broadcast (ray.put + per-worker cache); no shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.io import read_table
+
+__all__ = [
+    "regex_scan",
+    "sentiment_score",
+    "fuzzy_hashes",
+    "postcode_extract",
+    "annotate_batch",
+    "ark_lookup_batch",
+    "arcname_fields_batch",
+]
+
+# --- M37: regex grep over text ---------------------------------------------
+
+REGEX_SCAN_PATTERN = r"(merge|join|sort)"
+
+
+def regex_scan(sf_dir: str, pattern: str = REGEX_SCAN_PATTERN):
+    """Per document: match count and first match of ``pattern`` over the
+    first 1MB of text (WARCRegexMapper caps at 1MB). Columns: doc_id,
+    n_hits, first_hit ('' when none)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    rx = re.compile(pattern)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        n_hits, first = [], []
+        for t in df["text"]:
+            hits = rx.findall(t[: 1 << 20])
+            n_hits.append(len(hits))
+            first.append(hits[0] if hits else "")
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_hits": n_hits, "first_hit": first})
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
+# --- M34: sentiment ----------------------------------------------------------
+
+# tiny AFINN-style lexicon over the synthetic corpus vocabulary
+SENTIMENT_LEXICON = {"fast": 2, "small": 1, "big": 1, "slow": -2, "error": -3, "dup": -1}
+SENTIMENT_PREFIX = 10_000  # reference scores the first 10K chars
+
+
+def sentiment_score(sf_dir: str):
+    """AFINN-style word-list sum over the first 10K chars, 3-bucket label
+    (the reference uses SentimentalJ's buckets; the lexicon here is the
+    corpus-matched stand-in). Columns: doc_id, score, sentiment."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        scores = []
+        for t in df["text"]:
+            toks = t[:SENTIMENT_PREFIX].split()
+            scores.append(sum(SENTIMENT_LEXICON.get(w, 0) for w in toks))
+        lab = [
+            "negative" if s < -1 else ("positive" if s > 1 else "neutral")
+            for s in scores
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"], "score": scores, "sentiment": lab})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# --- M32: ssdeep-style fuzzy hash -------------------------------------------
+
+
+def fuzzy_hashes(sf_dir: str):
+    """Deterministic spamsum per document (functions/fuzzy.py). Columns:
+    doc_id, blocksize, ssdeep_bs, ssdeep_bs2. Rows-only (not SQL)."""
+    from ..functions.fuzzy import spamsum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fh(df: pd.DataFrame) -> pd.DataFrame:
+        out = [spamsum(t) for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "blocksize": [o[0] for o in out],
+                "ssdeep_bs": [o[1] for o in out],
+                "ssdeep_bs2": [o[2] for o in out],
+            }
+        )
+
+    return ds.map_batches(fh, batch_format="pandas")
+
+
+# --- M33: postcode extract + geo --------------------------------------------
+
+POSTCODE_RX = re.compile(r"\b([A-Z]{1,2}[0-9][A-Z0-9]?) ?([0-9][A-Z]{2})\b")
+
+# district -> (lat, lon): broadcast lookup (PostcodeGeomapper's table)
+POSTCODE_GEO = {
+    "SW1A": (51.501, -0.1416),
+    "EC1A": (51.5204, -0.0979),
+    "M1": (53.4794, -2.2453),
+    "LS1": (53.7965, -1.5478),
+    "EH1": (55.9505, -3.1875),
+}
+
+
+def postcode_extract(ds):
+    """Dataset op: extract UK postcodes from a ``text`` column; emit
+    postcode, postcode_district, lat, lon (first match per row; None when
+    absent) alongside the input columns."""
+
+    def ex(df: pd.DataFrame) -> pd.DataFrame:
+        pcs, districts, lats, lons = [], [], [], []
+        for t in df["text"]:
+            m = POSTCODE_RX.search(t or "")
+            if not m:
+                pcs.append(None), districts.append(None)
+                lats.append(None), lons.append(None)
+                continue
+            district = m.group(1)
+            pcs.append(f"{m.group(1)} {m.group(2)}")
+            districts.append(district)
+            geo = POSTCODE_GEO.get(district)
+            lats.append(geo[0] if geo else None)
+            lons.append(geo[1] if geo else None)
+        return df.assign(postcode=pcs, postcode_district=districts, lat=lats, lon=lons)
+
+    return ds.map_batches(ex, batch_format="pandas")
+
+
+# --- J1: annotations broadcast join -----------------------------------------
+
+
+def annotate_batch(batch: pa.Table, annotations: dict) -> pa.Table:
+    """Apply collection annotations to a docs batch (J1 semantics):
+
+    scopes checked per URL in the reference's order — exact ``resource``
+    match, ``root`` URL-prefix match, ``subdomains`` host-suffix match —
+    gated on crawl_date within the collection's [from, to] date range
+    (lexicographic compare of wayback dates, matching DateRange). Emits
+    ``collections`` (sorted list) and ``access_terms``.
+
+    annotations = {
+        "resource": {url_norm: [(name, from14, to14)]},
+        "root": {url_prefix: [(name, from14, to14)]},
+        "subdomains": {host_suffix: [(name, from14, to14)]},
+        "open_access_surts": [surt_prefix, ...],
+    }
+    """
+    res = annotations.get("resource", {})
+    roots = annotations.get("root", {})
+    subs = annotations.get("subdomains", {})
+    oa = annotations.get("open_access_surts", [])
+
+    def in_range(d14: str, frm: str, to: str) -> bool:
+        return bool(d14) and frm <= d14 <= to
+
+    collections, access = [], []
+    for url, host, surt, d14 in zip(
+        batch["url_norm"].to_pylist(),
+        batch["host"].to_pylist(),
+        batch["surt"].to_pylist(),
+        batch["wayback_date"].to_pylist(),
+    ):
+        found: set[str] = set()
+        for name, frm, to in res.get(url, []):
+            if in_range(d14, frm, to):
+                found.add(name)
+        for prefix, entries in roots.items():
+            if url.startswith(prefix):
+                for name, frm, to in entries:
+                    if in_range(d14, frm, to):
+                        found.add(name)
+        for suffix, entries in subs.items():
+            if host == suffix or host.endswith("." + suffix):
+                for name, frm, to in entries:
+                    if in_range(d14, frm, to):
+                        found.add(name)
+        collections.append(sorted(found))
+        access.append("OA" if any(surt.startswith(p) for p in oa) else "RRO")
+    return batch.append_column(
+        "collections", pa.array(collections, pa.list_(pa.string()))
+    ).append_column("access_terms", pa.array(access, pa.string()))
+
+
+# --- J2: ARK lookup ----------------------------------------------------------
+
+
+def ark_lookup_batch(batch: pa.Table, ark_map: dict[str, str]) -> pa.Table:
+    """filename -> ARK identifier broadcast join over a captures batch;
+    unmatched filenames keep the filename (reference passes through)."""
+    arks = [ark_map.get(f, f) for f in batch["filename"].to_pylist()]
+    return batch.append_column("ark", pa.array(arks, pa.string()))
+
+
+# --- M30: ARC-name rules -----------------------------------------------------
+
+ARCNAME_RULES: list[tuple[str, dict[str, str]]] = [
+    # first match wins (ARCNameAnalyser.java:123-127)
+    (r"^(?P<job>[a-z]+)-(?P<harvest>\d+)-", {"institution": "synthetic"}),
+    (r"^crawl", {"institution": "fallback", "job": "crawl"}),
+]
+
+
+def arcname_fields_batch(batch: pa.Table, rules=None) -> pa.Table:
+    """Regex-with-template rules over source_file -> field bag (JSON-ish
+    string columns job/harvest/institution; first matching rule wins)."""
+    rules = [(re.compile(p), tmpl) for p, tmpl in (rules or ARCNAME_RULES)]
+    jobs, harvests, insts = [], [], []
+    for name in batch["source_file"].to_pylist():
+        job = harvest = inst = None
+        for rx, tmpl in rules:
+            m = rx.search(name or "")
+            if m:
+                gd = m.groupdict()
+                job = gd.get("job", tmpl.get("job"))
+                harvest = gd.get("harvest", tmpl.get("harvest"))
+                inst = tmpl.get("institution")
+                break  # first match wins
+        jobs.append(job), harvests.append(harvest), insts.append(inst)
+    return (
+        batch.append_column("arc_job", pa.array(jobs, pa.string()))
+        .append_column("arc_harvest", pa.array(harvests, pa.string()))
+        .append_column("arc_institution", pa.array(insts, pa.string()))
+    )

@@ -1,0 +1,148 @@
+"""Relational operators Ray Data lacks natively: as-of join, range join,
+windowed running aggregate.
+
+The reference's closest precedent is the ordered response<->metadata pairing
+(``warc-hadoop-crawler-utils/.../recrawl/PersistLogMapper.java:86-97``, an
+as-of-style merge within a WARC file) and the digest self-join
+(``MDXReduplicatingReducer.java:72-153``). These generalise that machinery
+for training-data pipelines, each expressed per SURVEY.md §2 guidance as a
+composition of map_batches + groupby().map_groups + sort:
+
+* **as-of join** — hash-partition both sides by the equality key
+  (``groupby(key).map_groups``), per-group time-sorted backward merge
+  (``pandas.merge_asof``). Partitioning assumption: the equality key
+  co-locates both sides; no global sort needed.
+* **range join** — the bucket side is small: broadcast it and bin the big
+  side vectorised inside ``map_batches`` (``numpy.searchsorted``), then a
+  partial-aggregate + small groupby. No shuffle of the big side.
+* **windowed running aggregate** — hash-partition by the PARTITION BY key,
+  per-group sort + cumulative sum. Money stays integer cents for bit-exact
+  cross-engine equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.io import read_table
+
+__all__ = ["asof_join_events", "range_join_events", "window_running_sum"]
+
+
+def asof_join_events(sf_dir: str):
+    """For each ``purchase`` event: the user's most recent ``signup`` at or
+    before it (backward as-of). Columns: event_id, user_id, ts,
+    signup_event_id (-1 when none), signup_ts (epoch when none — matching
+    the oracle's COALESCE for a null-free comparison surface).
+
+    Oracle: DuckDB ``ASOF LEFT JOIN`` (on user_id, ts >= signup ts)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    epoch = pd.Timestamp("1970-01-01")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        left = (
+            df[df["event_type"] == "purchase"]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        right = (
+            df[df["event_type"] == "signup"]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        cols = ["event_id", "user_id", "ts", "signup_event_id", "signup_ts"]
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "signup_event_id": pd.Series([], dtype="int64"),
+                    "signup_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        if right.empty:
+            out = left[["event_id", "user_id", "ts"]].copy()
+            out["signup_event_id"] = -1
+            out["signup_ts"] = epoch
+            return out[cols]
+        merged = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["event_id", "ts"]].rename(
+                columns={"event_id": "signup_event_id", "ts": "signup_ts"}
+            ),
+            left_on="ts",
+            right_on="signup_ts",
+            direction="backward",
+        )
+        merged["signup_event_id"] = merged["signup_event_id"].fillna(-1).astype("int64")
+        merged["signup_ts"] = merged["signup_ts"].fillna(epoch)
+        return merged[cols]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# static bucket table (the small side of the range join)
+RANGE_BUCKETS = [(0.0, 50.0), (50.0, 100.0), (100.0, 150.0), (150.0, 1e9)]
+
+
+def range_join_events(sf_dir: str):
+    """Range join events.value into static buckets, then count + sum per
+    (event_type, bucket). The bucket side broadcasts; binning is a
+    vectorised searchsorted inside map_batches; the groupby touches only
+    pre-aggregated partials. Columns: event_type, bucket_lo, n_events,
+    sum_value (integer-cents quantised)."""
+    import pyarrow.compute as pc  # noqa: F401  (vectorised kernels in prep)
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    lows = np.array([b[0] for b in RANGE_BUCKETS])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        idx = np.searchsorted(lows, df["value"].to_numpy(), side="right") - 1
+        idx = np.clip(idx, 0, len(lows) - 1)
+        df["bucket_lo"] = lows[idx]
+        df["cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (
+            df.groupby(["event_type", "bucket_lo"], sort=False)
+            .agg(n_events=("value", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_value"] = df.pop("cents") / 100.0
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket_lo"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("cents", alias_name="cents"))
+        .map_batches(finalise, batch_format="pandas")
+    )
+
+
+def window_running_sum(sf_dir: str):
+    """Running (cumulative) sum of value per event_type ordered by
+    (ts, event_id) — the windowed-aggregate operator. Hash-partitioned by
+    the PARTITION BY key, per-group sort + cumsum in integer cents.
+    Columns: event_id, event_type, running_value."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "running_value": np.cumsum(cents) / 100.0,
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")

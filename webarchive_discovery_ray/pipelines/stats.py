@@ -1,0 +1,200 @@
+"""Stats / dataset-generation operators: MDX projection, persist-log
+pairing, multi-facet dataset summaries, whole-file digests.
+
+Reference parity targets:
+
+* M39 MDX stats projection — ``warc-hadoop-recordreaders/.../warcstats/
+  WARCRawStatsMapper.java:62-198`` (per record -> compact JSON keyed
+  ``record_type:hash`` with headers, host, year)
+* M40/J4 persist-log build — ``warc-hadoop-crawler-utils/.../recrawl/
+  PersistLogMapper.java:65-151`` (response->metadata ordered pairing within
+  a WARC file -> SURT-keyed fetch history)
+* A2 dataset summaries — ``warc-hadoop-indexer/.../datasets/
+  WARCDatasetMapper.java:183-225`` (hosts-per-year, format-per-year facets
+  through FrequencyCountingReducer)
+* A3 whole-file digest — ``warc-hadoop-recordreaders/.../hash/
+  MessageDigestMapper.java:40-135`` (streaming digest per file)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import IndexConfig, SyntheticConfig
+from ..sources.synthetic import fixture_pages_ds
+from ..stages.extract import extract_batch
+
+__all__ = ["mdx_stats", "persist_log", "dataset_summaries", "file_digest"]
+
+
+def _docs_ds(n_pages: int, scfg: SyntheticConfig | None = None, num_blocks: int = 32):
+    scfg = scfg or SyntheticConfig()
+    icfg = IndexConfig(response_include=())  # stats keep all statuses
+    return fixture_pages_ds(n_pages, scfg, num_blocks).map_batches(
+        lambda b: extract_batch(b, icfg), batch_format="pyarrow", batch_size=None
+    )
+
+
+def mdx_stats(n_pages: int = 600, scfg: SyntheticConfig | None = None):
+    """M39: per-record MDX-style stats projection. Columns: mdx_key
+    (record_type:hash), surt, timestamp14, host, crawl_year, content_type,
+    status, length, source_file, offset."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mdx_key": pa.array(
+                    [
+                        f"{rt}:{h or '-'}"
+                        for rt, h in zip(
+                            batch["record_type"].to_pylist(), batch["hash"].to_pylist()
+                        )
+                    ],
+                    pa.string(),
+                ),
+                "surt": batch["surt"],
+                "timestamp14": batch["wayback_date"],
+                "host": batch["host"],
+                "crawl_year": batch["crawl_year"],
+                "content_type": batch["content_type"],
+                "status": batch["status"],
+                "length": batch["content_length"],
+                "source_file": batch["source_file"],
+                "offset": batch["source_offset"],
+            }
+        )
+
+    return _docs_ds(n_pages, scfg).map_batches(project, batch_format="pyarrow")
+
+
+def persist_log(n_pages: int = 600, scfg: SyntheticConfig | None = None):
+    """M40/J4: SURT-keyed fetch history — within each source file, records
+    sorted by offset; each ``metadata`` record merges onto the immediately
+    preceding ``response`` record for the same URL (Heritrix sequence
+    convention). Columns: surt, status, digest, timestamp14, length,
+    source_file, has_metadata."""
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("source_offset", kind="mergesort")
+        out = []
+        last_response_idx: int | None = None
+        for _, row in df.iterrows():
+            if row["record_type"] in ("response", "revisit"):
+                out.append(
+                    {
+                        "surt": row["surt"],
+                        "status": row["status"],
+                        "digest": row["hash"],
+                        "timestamp14": row["wayback_date"],
+                        "length": row["content_length"],
+                        "source_file": row["source_file"],
+                        "has_metadata": False,
+                    }
+                )
+                last_response_idx = len(out) - 1
+            elif row["record_type"] == "metadata" and last_response_idx is not None:
+                out[last_response_idx]["has_metadata"] = True
+        cols = [
+            "surt", "status", "digest", "timestamp14",
+            "length", "source_file", "has_metadata",
+        ]
+        return pd.DataFrame(out, columns=cols)
+
+    # pairing is ordered WITHIN a source file: group by file (J4's
+    # within-partition ordered merge), stats config keeps metadata records.
+    # Input models the Heritrix WARC convention the reference relies on
+    # (PersistLogMapper.java:86-97): a metadata record directly FOLLOWS its
+    # response record in the same file — every 5th response gets one.
+    import ray.data as rd
+
+    from ..functions.hashing import stable_hash64
+    from ..schema import PAGES_SCHEMA
+    from ..sources.synthetic import fixture_pages_for_ids
+
+    scfg = scfg or SyntheticConfig()
+    icfg = IndexConfig(
+        response_include=(), record_type_include=("response", "revisit", "metadata")
+    )
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in fixture_pages_for_ids(batch["id"].to_pylist(), scfg):
+            if r["record_type"] == "metadata":
+                continue  # standalone metadata never occurs in a WARC
+            rows.append(r)
+            if (
+                r["record_type"] == "response"
+                and stable_hash64(r["url"], 5) % 5 == 0
+            ):
+                meta = dict(r)
+                meta["record_type"] = "metadata"
+                meta["source_offset"] = r["source_offset"] + 1
+                meta["payload"] = b"outlinks: ..."
+                rows.append(meta)
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    docs = (
+        rd.range(n_pages, override_num_blocks=16)
+        .map_batches(gen, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            lambda b: extract_batch(b, icfg), batch_format="pyarrow", batch_size=None
+        )
+    )
+    return docs.groupby("source_file").map_groups(pair, batch_format="pandas")
+
+
+def dataset_summaries(n_pages: int = 600, scfg: SyntheticConfig | None = None):
+    """A2: multi-facet frequency counts in one pass — (facet, year, value,
+    count) rows for facets host / content_type_norm. Partial-aggregated
+    inside map_batches (combiner), then one small groupby."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.select(["host", "crawl_year", "content_type_norm"]).to_pandas()
+        frames = []
+        for facet, col in (("host", "host"), ("format", "content_type_norm")):
+            g = (
+                df.groupby(["crawl_year", col], sort=False, dropna=False)
+                .size()
+                .reset_index(name="n")
+            )
+            g.columns = ["year", "value", "n"]
+            g.insert(0, "facet", facet)
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        out["value"] = out["value"].fillna("")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        _docs_ds(n_pages, scfg)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["facet", "year", "value"])
+        .aggregate(Sum("n", alias_name="count"))
+    )
+
+
+def file_digest(paths: list[str]):
+    """A3: whole-file SHA-1 + byte count per input file (streaming read;
+    one task per file). Columns: path, sha1, bytes."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        paths_, shas, sizes = [], [], []
+        for p, b in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            paths_.append(p.rsplit("/", 1)[-1])
+            shas.append(hashlib.sha1(b).hexdigest())
+            sizes.append(len(b))
+        return pa.table(
+            {
+                "path": pa.array(paths_, pa.string()),
+                "sha1": pa.array(shas, pa.string()),
+                "bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")

@@ -266,9 +266,16 @@ def fixture_pages(n: int, cfg: SyntheticConfig) -> list[dict]:
     generator output (FIXTURES.md §2): wrapped URLs, over-long URLs, ftp
     protocol, request/metadata record types, digest mismatches, revisit
     pairs, 12/16/17-digit timestamps."""
+    return fixture_pages_for_ids(range(n), cfg)
+
+
+def fixture_pages_for_ids(ids, cfg: SyntheticConfig) -> list[dict]:
+    """Rows of the pages fixture for arbitrary indices — each index is
+    independent (pure function of (i, seed)), so generation distributes:
+    see :func:`fixture_pages_ds`."""
     all_hosts = hosts(cfg)
     rows: list[dict] = []
-    for i in range(n):
+    for i in ids:
         h = stable_hash64(f"fixture:{i}", cfg.seed)
         host = all_hosts[h % len(all_hosts)]
         pid = (h >> 8) % cfg.pages_per_host
@@ -301,6 +308,24 @@ def fixture_pages(n: int, cfg: SyntheticConfig) -> list[dict]:
             revisit["timestamp14"] = str(int(rec["timestamp14"][:8]) + 1).zfill(8) + rec["timestamp14"][8:]
             rows.append(revisit)
     return rows
+
+
+def fixture_pages_ds(n: int, cfg: SyntheticConfig, num_blocks: int = 32):
+    """Distributed pages fixture: ``ray.data.range(n)`` -> per-block
+    deterministic generation (no driver-side row loop, one block per read
+    task — the Ray Data shape of S1/S2's one-task-per-WARC-file model)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..schema import PAGES_SCHEMA
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = fixture_pages_for_ids(batch["id"].to_pylist(), cfg)
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    return rd.range(n, override_num_blocks=num_blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    )
 
 
 def pages_from_documents(batch, cfg: SyntheticConfig | None = None):
