@@ -93,6 +93,25 @@ def test_checkpoint_resume_identical(ray_session, seeds, oracle_result, tmp_path
     assert resumed.seen_sorted == exp.seen_sorted
 
 
+def test_docs_sink_fragments(ray_session, seeds, tmp_path_factory):
+    """Document sink: per-(wave, partition) parquet fragments, one doc per
+    fetch, span schema intact (resumable output layout)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs_dir = str(tmp_path_factory.mktemp("crawl_docs"))
+    r = run_crawl(seeds, CRAWL, SYN, docs_dir=docs_dir, fetch_concurrency=2)
+    frags = sorted(glob.glob(f"{docs_dir}/wave_*/part_*.parquet"))
+    assert frags
+    total = 0
+    for f in frags:
+        t = pq.read_table(f)
+        total += t.num_rows
+        assert {"doc_id", "spans", "wave", "slot", "fetch_host"} <= set(t.schema.names)
+    assert total == len(r.fetch_log)
+
+
 def test_hot_host_budget_bound(ray_session):
     """Hot-host skew: the budget bounds any host's per-wave fetches, and the
     hot host accumulates carryover instead of starving other hosts."""

@@ -1,34 +1,39 @@
 """Ray-Data-native crawl frontier + fetch scheduler (the north-rule core).
 
-Iterative wave loop (SURVEY.md §7.0 crawl plane): per wave,
+Iterative wave loop (SURVEY.md §7.0 crawl plane). The frontier lives in
+the OBJECT STORE between waves as host-hash-partitioned Arrow blocks; the
+driver handles only refs, counts, winner merging and robots bookkeeping —
+no candidate URL ever crosses the driver unless it wins discovery.
 
-1. robots injection (driver, batched seen-probe via the shard pool);
-2. **politeness drain** — ``groupby("host").map_groups``: per-host queues
-   ordered by (priority, seq), robots Disallow drop, take-K token budget,
-   carryover beyond budget (the groupby is the per-host co-location
-   shuffle; politeness is serialised per host by construction);
-3. **fetch + extract** — ``map_batches(FetchExtractStage)`` actor pool over
-   Arrow batches: deterministic page generation (stands in for HTTP fetch)
-   + the full extraction chain; documents written per-wave to partitioned
-   parquet (resumable output layout);
-4. **discovery** — outlink candidates ordered by (parent host, parent
-   slot, rank), batch-probed against the sharded seen set, assigned global
-   ``seq`` numbers, queued under the candidate's host.
+Per wave:
+
+1. **assemble** — per partition, a remote task concatenates the previous
+   wave's carryover block (still in the object store) with the new rows
+   (previous winners + freshly injected robots fetches, host-hash-routed);
+2. **politeness drain** — vectorized per-block drain (blocks are complete
+   host groups by construction): order (priority, seq), robots-Disallow
+   drop, cumcount slot assignment under the per-host budget;
+3. **fetch + extract** — ``map_batches`` over Arrow: deterministic page
+   generation (stands in for HTTP fetch) + the full extraction chain;
+   candidate outlinks are filtered, SURT-keyed and STREAMED DIRECTLY to
+   the seen-shard actors (``shard.accept``) from inside the task; when a
+   document sink is attached, docs are written straight to per-(wave,
+   partition) parquet fragments (resumable layout);
+4. **discovery barrier** — each seen shard sorts its candidates by the
+   pinned global order key (parent host, parent slot, link rank), keeps
+   first-unseen SURTs, and returns only the winners; the driver merges
+   per-shard winners, assigns global ``seq`` in order, and routes them to
+   next-wave host partitions.
 
 Crawl ordering and the final seen set are byte-identical to
 ``oracle/crawl_oracle.py`` under the same seed list + politeness budget
-(pinned rules documented there). Scale notes:
+(pinned rules documented there). Checkpoint/resume at wave granularity
+with per-wave lineage + metrics (``state/checkpoint.py``).
 
-* the frontier is partitioned by host via the Dataset groupby; hot-host
-  skew is bounded by the politeness budget itself (a host fetches at most
-  K URLs per wave no matter how many are queued), and the drain's carryover
-  keeps the queue in the object store, not the driver;
-* at a 10^10-URL design point, steps 1/4's driver lists become Dataset
-  ops (sort + per-partition offsets for seq assignment; groupby(surt) for
-  within-wave dedup) and the seen shards page cold partitions to parquet —
-  the wave-boundary contract is unchanged;
-* checkpoint/resume at wave granularity with per-wave lineage + metrics
-  (``state/checkpoint.py``).
+Scale notes: hot-host skew is bounded by the politeness budget itself (a
+host fetches at most K URLs per wave no matter how many are queued) and
+carryover stays in the object store; the driver's per-wave work is
+O(winners + fetched), independent of frontier size.
 """
 
 from __future__ import annotations
@@ -36,154 +41,238 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..config import CrawlConfig, IndexConfig, SyntheticConfig
+from ..functions.hashing import stable_hash64
 from ..functions.normalisation import canonicalise_url
 from ..functions.suffix import MALFORMED_HOST, extract_host
 from ..functions.surt import surt_key
 from ..functions.urls import url_path
 from ..oracle.crawl_oracle import candidate_ok, crawl_index_config
 from ..schema import DOCUMENTS_SCHEMA
-from ..sources.synthetic import page_for_url
 from ..state.checkpoint import (
+    FETCHLOG_SCHEMA,
+    FRONTIER_SCHEMA,
     latest_complete_wave,
     load_wave_checkpoint,
     write_wave_checkpoint,
 )
 from ..state.robots import is_disallowed, parse_robots, robots_url_for_host
-from ..state.seen import SeenShardPool
+from ..state.seen import SeenShardPool, shard_of
 from ..stages.extract import extract_record
 
-__all__ = ["FetchExtractStage", "run_crawl", "CrawlResult", "FETCH_SCHEMA"]
+__all__ = ["FetchExtractStage", "run_crawl", "CrawlResult", "DOCS_OUT_SCHEMA"]
 
-_CRAWL_FIELDS = [
-    ("wave", pa.int32()),
-    ("fetch_host", pa.string()),
-    ("slot", pa.int32()),
-    ("hop", pa.int32()),
-    ("priority", pa.int32()),
-    ("seq", pa.int64()),
-    ("selected", pa.bool_()),
-    ("fetch_status", pa.int32()),
-    ("is_robots", pa.bool_()),
-    ("cand_urls", pa.list_(pa.string())),
-    ("cand_surts", pa.list_(pa.string())),
-    ("cand_hosts", pa.list_(pa.string())),
-    ("robots_rules", pa.list_(pa.string())),
-]
+# frontier blocks carry a stable partition id so carryover can be routed
+# back to its host partition without inspecting rows
+PART_SCHEMA = pa.schema(list(FRONTIER_SCHEMA) + [pa.field("part", pa.int32())])
 
-FETCH_SCHEMA = pa.schema(list(DOCUMENTS_SCHEMA) + [pa.field(n, t) for n, t in _CRAWL_FIELDS])
+# scheduler-facing output of the fetch stage (carry rows pass through with
+# null fetch columns)
+OUT_SCHEMA = pa.schema(
+    list(PART_SCHEMA)
+    + [
+        pa.field("slot", pa.int32()),
+        pa.field("selected", pa.bool_()),
+        pa.field("fetch_host", pa.string()),
+        pa.field("fetch_status", pa.int32()),
+        pa.field("is_robots", pa.bool_()),
+        pa.field("robots_rules", pa.list_(pa.string())),
+    ]
+)
 
-_DRIVER_COLUMNS = [
-    "fetch_host", "slot", "url", "surt", "host", "fetch_status",
-    "is_robots", "cand_urls", "cand_surts", "cand_hosts",
-    "robots_rules", "hop", "priority", "seq", "selected",
-]
+# candidate rows streamed to the seen shards
+CAND_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("surt", pa.string()),
+        ("host", pa.string()),
+        ("priority", pa.int32()),
+        ("hop", pa.int32()),
+        ("order_host", pa.string()),
+        ("order_slot", pa.int32()),
+        ("order_rank", pa.int32()),
+    ]
+)
 
-# scheduler-facing projection of FETCH_SCHEMA: what the driver loop needs
-# for ordering, discovery and robots — no spans/payload-derived columns
-DRIVER_SCHEMA = pa.schema(
-    [pa.field(n, FETCH_SCHEMA.field(n).type) for n in _DRIVER_COLUMNS]
+# document-sink rows (per-wave, per-partition parquet fragments)
+DOCS_OUT_SCHEMA = pa.schema(
+    list(DOCUMENTS_SCHEMA)
+    + [
+        pa.field("wave", pa.int32()),
+        pa.field("fetch_host", pa.string()),
+        pa.field("slot", pa.int32()),
+        pa.field("hop", pa.int32()),
+        pa.field("priority", pa.int32()),
+        pa.field("seq", pa.int64()),
+        pa.field("fetch_status", pa.int32()),
+        pa.field("is_robots", pa.bool_()),
+    ]
 )
 
 
 class FetchExtractStage:
-    """Actor-pool stage: frontier entry -> fetched capture -> document.
+    """Fetch + extract + candidate routing, one task per frontier block.
 
     The page generator stands in for the HTTP fetch (FIXTURES.md §2); the
-    extraction chain is the real one (``stages/extract.py``). State (config,
-    detector tables) is built once per actor. Candidate outlinks are
-    filtered + SURT/host-keyed HERE (in the parallel stage, per SURVEY.md
-    §7.1 step 5's scale note) so the driver's discovery step only runs the
-    sharded seen-probe and seq assignment."""
+    extraction chain is the real one (``stages/extract.py``). Candidate
+    outlinks are filtered + SURT/host-keyed here and streamed to the seen
+    shard actors (`accept`) before the task returns, so the wave barrier
+    only has to finalize. Docs (when a sink is attached) are written as
+    one parquet fragment per (wave, partition) — the resumable layout."""
 
     def __init__(
         self,
         scfg: SyntheticConfig,
-        icfg: IndexConfig | None = None,
-        wave: int = 0,
-        ccfg: CrawlConfig | None = None,
-        driver_only: bool = False,
+        icfg: IndexConfig | None,
+        wave: int,
+        ccfg: CrawlConfig,
+        shard_handles: list,
+        docs_dir: str | None = None,
     ):
         self.scfg = scfg
         self.icfg = crawl_index_config(icfg)
         self.wave = wave
-        self.ccfg = ccfg or CrawlConfig()
-        # driver_only: no document sink this run — emit just the scheduler
-        # columns (extraction still runs; link discovery needs it)
-        self.driver_only = driver_only
-        self.schema = DRIVER_SCHEMA if driver_only else FETCH_SCHEMA
+        self.ccfg = ccfg
+        self.shards = shard_handles
+        self.docs_dir = docs_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
+        import ray
+
+        out: list[dict] = []
+        cands: list[dict] = []
+        docs: list[dict] | None = [] if self.docs_dir is not None else None
+        part = int(batch["part"][0].as_py()) if batch.num_rows else -1
         for r in batch.to_pylist():
             if not r.get("selected", True):
-                # politeness carryover: pass through untouched (null doc
-                # columns) so drain+fetch run as ONE dataset execution
                 out.append(
                     {
                         k: r[k]
-                        for k in ("url", "surt", "host", "priority", "hop", "seq")
+                        for k in ("url", "surt", "host", "priority", "hop", "seq", "part")
                     }
-                    | {"wave": self.wave, "selected": False, "slot": -1}
+                    | {"selected": False, "slot": -1}
                 )
                 continue
-            rec = page_for_url(r["url"], self.scfg)
+            rec = page_for_url_cached(r["url"], self.scfg)
             doc = extract_record(rec, self.icfg)
             assert doc is not None, f"crawl extraction must not filter {r['url']}"
             is_robots = r["url"].endswith("/robots.txt")
-            cands = set(doc["links"])
+            cset = set(doc["links"])
             if doc["redirect_to_norm"]:
-                cands.add(doc["redirect_to_norm"])
-            cand_urls = [
+                cset.add(doc["redirect_to_norm"])
+            for rank, u in enumerate(
                 u
-                for u in sorted(cands)
+                for u in sorted(cset)
                 if candidate_ok(u, r["hop"], self.ccfg, self.icfg.max_url_length)
-            ]
-            crawl_cols = dict(
-                wave=self.wave,
-                fetch_host=r["host"],
-                slot=r["slot"],
-                hop=r["hop"],
-                priority=r["priority"],
-                seq=r["seq"],
-                selected=True,
-                fetch_status=rec["status"],
-                is_robots=is_robots,
-                cand_urls=cand_urls,
-                cand_surts=[surt_key(u) for u in cand_urls],
-                cand_hosts=[extract_host(u) for u in cand_urls],
-                robots_rules=(
+            ):
+                cands.append(
+                    {
+                        "url": u,
+                        "surt": surt_key(u),
+                        "host": extract_host(u),
+                        "priority": r["priority"],
+                        "hop": r["hop"],
+                        "order_host": r["host"],
+                        "order_slot": r["slot"],
+                        "order_rank": rank,
+                    }
+                )
+            crawl_cols = {
+                "url": doc["url"],
+                "surt": doc["surt"],
+                "host": r["host"],
+                "priority": r["priority"],
+                "hop": r["hop"],
+                "seq": r["seq"],
+                "part": r["part"],
+                "slot": r["slot"],
+                "selected": True,
+                "fetch_host": r["host"],
+                "fetch_status": rec["status"],
+                "is_robots": is_robots,
+                "robots_rules": (
                     parse_robots(rec["payload"].decode("utf-8", "replace"))
                     if is_robots and rec["status"] == 200
                     else []
                 ),
+            }
+            out.append(crawl_cols)
+            if docs is not None:
+                doc.update(
+                    wave=self.wave,
+                    fetch_host=r["host"],
+                    slot=r["slot"],
+                    hop=r["hop"],
+                    priority=r["priority"],
+                    seq=r["seq"],
+                    fetch_status=rec["status"],
+                    is_robots=is_robots,
+                )
+                docs.append(doc)
+        # --- stream candidates to their seen shards (pre-barrier) -------
+        if cands:
+            import time
+
+            ctbl = pa.Table.from_pylist(cands, schema=CAND_SCHEMA)
+            shard_ids = np.fromiter(
+                (shard_of(k, len(self.shards)) for k in ctbl["surt"].to_pylist()),
+                dtype=np.int64,
+                count=ctbl.num_rows,
             )
-            if self.driver_only:
-                crawl_cols["url"] = doc["url"]
-                crawl_cols["surt"] = doc["surt"]
-                crawl_cols["host"] = doc["host"]
-                out.append(crawl_cols)
-            else:
-                doc.update(crawl_cols)
-                out.append(doc)
+            by_shard = {
+                int(s): ctbl.filter(pa.array(shard_ids == s))
+                for s in np.unique(shard_ids)
+            }
+            # duplicate delivery is harmless (finalize dedups by first
+            # occurrence), so shard RPCs can simply be re-sent on actor
+            # back-pressure timeouts
+            for attempt in range(4):
+                acks = [
+                    self.shards[s].accept.remote(self.wave, t)
+                    for s, t in by_shard.items()
+                ]
+                try:
+                    ray.get(acks)
+                    break
+                except (ray.exceptions.ActorUnavailableError, ray.exceptions.RayActorError):
+                    if attempt == 3:
+                        raise
+                    time.sleep(1.0 * (attempt + 1))
+        # --- document sink: one fragment per (wave, partition) ----------
+        if docs:
+            import pyarrow.parquet as pq
+
+            d = os.path.join(self.docs_dir, f"wave_{self.wave:04d}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(docs, schema=DOCS_OUT_SCHEMA),
+                os.path.join(d, f"part_{part:05d}.parquet"),
+            )
         if not out:
-            return self.schema.empty_table()
-        return pa.Table.from_pylist(out, schema=self.schema)
+            return OUT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
+
+
+def page_for_url_cached(url: str, scfg: SyntheticConfig) -> dict:
+    """Synthetic fetch (module-level indirection keeps the stage picklable
+    while letting tests monkeypatch the fetch)."""
+    from ..sources.synthetic import page_for_url
+
+    return page_for_url(url, scfg)
 
 
 def _make_drain_fn(budget: int, robots_rules: dict[str, list[str]]):
     """Vectorized politeness drain over a host-hash-partitioned block.
 
-    The block holds every row of each host it contains (guaranteed by
-    ``repartition(keys=["host"])``), so per-host queues are complete:
-    order by (priority, seq), drop robots-Disallowed rows (injected robots
-    fetches at priority -1 are exempt; only hosts WITH rules pay the
-    per-row Python check), then ``cumcount`` assigns slots — first
-    ``budget`` per host are selected, the rest carry over."""
-    import numpy as np
+    The block holds every row of each host it contains, so per-host queues
+    are complete: order by (priority, seq), drop robots-Disallowed rows
+    (injected robots fetches at priority -1 are exempt; only hosts WITH
+    rules pay the per-row Python check), then ``cumcount`` assigns slots —
+    first ``budget`` per host are selected, the rest carry over."""
 
     def drain(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
@@ -214,19 +303,18 @@ def _make_drain_fn(budget: int, robots_rules: dict[str, list[str]]):
     return drain
 
 
-def _split_by_host(frontier_table: pa.Table, n_parts: int) -> list[pa.Table]:
-    """Hash-partition the frontier by host into one Arrow table per part
-    (all rows of a host land in exactly one part — the politeness
-    co-location invariant). Hashing touches only the UNIQUE hosts via
-    dictionary encoding, not every row."""
-    import numpy as np
+def _partition_by_host(tbl: pa.Table, n_parts: int) -> list[pa.Table]:
+    """Hash-partition rows by host into EXACTLY ``n_parts`` tables (all
+    rows of a host land in one part — the politeness co-location
+    invariant). Hashing touches only the UNIQUE hosts via dictionary
+    encoding. The ``part`` column is (re)attached."""
     import pyarrow.compute as pc
 
-    from ..functions.hashing import stable_hash64
-
-    if n_parts <= 1 or frontier_table.num_rows == 0:
-        return [frontier_table]
-    dict_arr = pc.dictionary_encode(frontier_table["host"].combine_chunks())
+    base = tbl.drop_columns(["part"]) if "part" in tbl.column_names else tbl
+    if tbl.num_rows == 0:
+        empty = base.append_column("part", pa.array([], pa.int32()))
+        return [empty] * n_parts
+    dict_arr = pc.dictionary_encode(base["host"].combine_chunks())
     uniq = dict_arr.dictionary.to_pylist()
     part_of_uniq = np.fromiter(
         (stable_hash64(h, 11) % n_parts for h in uniq), dtype=np.int64, count=len(uniq)
@@ -234,9 +322,12 @@ def _split_by_host(frontier_table: pa.Table, n_parts: int) -> list[pa.Table]:
     parts = part_of_uniq[dict_arr.indices.to_numpy()]
     out = []
     for p in range(n_parts):
-        mask = parts == p
-        if mask.any():
-            out.append(frontier_table.filter(pa.array(mask)))
+        sub = base.filter(pa.array(parts == p))
+        out.append(
+            sub.append_column(
+                "part", pa.array(np.full(sub.num_rows, p, dtype=np.int32))
+            )
+        )
     return out
 
 
@@ -254,8 +345,6 @@ def _frontier_table(
     urls: list[str], surts: list[str], hosts: list[str],
     pris: list[int], hops: list[int], seqs: list[int],
 ) -> pa.Table:
-    from ..state.checkpoint import FRONTIER_SCHEMA
-
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -270,6 +359,9 @@ def _frontier_table(
 
 
 def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[pa.Table, int]:
+    """Seeds in list order; first occurrence of a SURT wins (at a 10^10
+    design point the seed list is itself a Dataset read — the dedupe is
+    the same shard probe)."""
     urls, keys, hosts, pris = [], [], [], []
     for url, pri in seeds:
         u = canonicalise_url(url)
@@ -300,11 +392,51 @@ def run_crawl(
     docs_dir: str | None = None,
     resume: bool = False,
     fetch_concurrency: int = 4,
-    fetch_batch_size: int = 64,
+    fetch_batch_size: int = 64,  # kept for API compat; blocks are batches
 ) -> CrawlResult:
     """Run the crawl (optionally resuming from the last complete wave)."""
-    import ray  # noqa: F401  (ray.data execution context)
+    import pyarrow.compute as pc
+    import ray
     import ray.data as rd
+
+    # partitions ≫ workers: fine-grained blocks balance skewed hosts and
+    # keep stragglers short; parts are cheap (empty ones short-circuit)
+    n_parts = max(16, fetch_concurrency * 4)
+
+    @ray.remote
+    def _assemble(carry: pa.Table | None, extras: pa.Table) -> pa.Table:
+        if carry is None or carry.num_rows == 0:
+            return extras
+        if extras.num_rows == 0:
+            return carry
+        return pa.concat_tables([carry, extras])
+
+    @ray.remote
+    def _count_rows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    @ray.remote(num_returns=3)
+    def _split_block(tbl: pa.Table):
+        """(part_id, carry_table, fetched_table) — carry stays remote."""
+        if tbl.num_rows == 0 or "selected" not in tbl.column_names:
+            # empty input parts pass through the map stages untouched
+            return -1, FRONTIER_SCHEMA.empty_table(), OUT_SCHEMA.empty_table()
+        part = int(tbl["part"][0].as_py())
+        sel = tbl["selected"]
+        carry = tbl.filter(pc.invert(sel)).select(
+            ["url", "surt", "host", "priority", "hop", "seq", "part"]
+        )
+        fetched = tbl.filter(sel)
+        return part, carry, fetched
+
+    import time as _time
+
+    _debug = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(label: str) -> None:
+        if _debug:
+            _marks.append((label, _time.monotonic()))
 
     res = CrawlResult(docs_dir=docs_dir)
     pool = SeenShardPool(ccfg.seen_shards)
@@ -312,38 +444,31 @@ def run_crawl(
     robots_rules: dict[str, list[str]] = {}
     log_tables: list[pa.Table] = []
     start_wave = 0
+    carry_refs: dict[int, "ray.ObjectRef"] = {}
+    carry_counts: dict[int, int] = {}
 
-    if resume and checkpoint_dir is not None:
-        last = latest_complete_wave(checkpoint_dir)
-        if last is not None:
-            ck = load_wave_checkpoint(checkpoint_dir, last)
-            frontier = ck["frontier"]
-            pool.restore(ck["snapshots"])
-            robots_scheduled = ck["robots_scheduled"]
-            robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
-            if ck["fetch_log"].num_rows:
-                log_tables.append(ck["fetch_log"])
-            seq = ck["seq"]
-            start_wave = last + 1
-        else:
-            frontier, seq = _seed_frontier(seeds, pool)
+    if resume and checkpoint_dir is not None and (last := latest_complete_wave(checkpoint_dir)) is not None:
+        ck = load_wave_checkpoint(checkpoint_dir, last)
+        extras = ck["frontier"]  # carry + winners of the checkpointed wave
+        pool.restore(ck["snapshots"])
+        robots_scheduled = ck["robots_scheduled"]
+        robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
+        if ck["fetch_log"].num_rows:
+            log_tables.append(ck["fetch_log"])
+        seq = ck["seq"]
+        start_wave = last + 1
+        robots_check_hosts = set(pc.unique(extras["host"]).to_pylist())
     else:
-        frontier, seq = _seed_frontier(seeds, pool)
-
-    import numpy as np
-    import pyarrow.compute as pc
-
-    from ..state.checkpoint import FETCHLOG_SCHEMA, FRONTIER_SCHEMA
+        extras, seq = _seed_frontier(seeds, pool)
+        robots_check_hosts = set(pc.unique(extras["host"]).to_pylist())
 
     order_base = sum(t.num_rows for t in log_tables)
     for wave in range(start_wave, ccfg.max_waves):
-        if frontier.num_rows == 0:
-            break
-        # --- robots injection -------------------------------------------
+        _mark(f"w{wave}:start")
+        # --- robots injection (new hosts only: a host already in the
+        # frontier was scheduled at its first appearance) ----------------
         if ccfg.respect_robots:
-            new_hosts = sorted(
-                set(pc.unique(frontier["host"]).to_pylist()) - robots_scheduled
-            )
+            new_hosts = sorted(robots_check_hosts - robots_scheduled)
             robots_scheduled.update(new_hosts)
             rurls = [robots_url_for_host(h) for h in new_hosts]
             rkeys = [surt_key(u) for u in rurls]
@@ -356,53 +481,67 @@ def run_crawl(
                     rk.append(k)
                     rh.append(h)
             if ru:
-                robots_tbl = _frontier_table(
-                    ru, rk, rh, [-1] * len(ru), [0] * len(ru), [-1] * len(ru)
+                extras = pa.concat_tables(
+                    [
+                        extras,
+                        _frontier_table(
+                            ru, rk, rh, [-1] * len(ru), [0] * len(ru), [-1] * len(ru)
+                        ),
+                    ]
                 )
-                frontier = pa.concat_tables([frontier, robots_tbl])
-        # --- ONE execution per wave: hash-partition by host (politeness
-        # co-location, SURVEY.md §7.3) -> vectorized drain per block ->
-        # fetch+extract (carryover passes through) -> materialize.
-        # The frontier lives on the driver between waves as an Arrow table
-        # (documented scale path: at 10^10 URLs it stays a Dataset and this
-        # becomes repartition(keys=["host"]) under the hash-shuffle
-        # strategy); host partitioning is a zero-shuffle driver-side split
-        # into one Arrow table per partition = one block each.
-        frontier_rows = frontier.num_rows
-        drain_parts = max(1, min(fetch_concurrency * 2, frontier_rows // 64 + 1))
-        drained = (
-            rd.from_arrow(_split_by_host(frontier, drain_parts))
+        frontier_rows = extras.num_rows + sum(carry_counts.values())
+        if frontier_rows == 0:
+            break
+        _mark(f"w{wave}:robots")
+        # --- assemble wave input blocks (object-store resident) ---------
+        extra_parts = _partition_by_host(extras, n_parts)
+        input_refs = [
+            _assemble.remote(carry_refs.get(p), extra_parts[p])
+            for p in range(n_parts)
+        ]
+        _mark(f"w{wave}:assemble")
+        # --- ONE execution per wave: drain -> fetch/extract/route -------
+        stage = FetchExtractStage(
+            scfg, icfg, wave, ccfg, pool.shards, docs_dir=docs_dir
+        )
+        block_refs = (
+            rd.from_arrow_refs(input_refs)
             .map_batches(
                 _make_drain_fn(ccfg.politeness_budget, robots_rules),
                 batch_format="pandas",
                 batch_size=None,  # whole block: keeps host groups intact
             )
             .map_batches(
-                FetchExtractStage(
-                    scfg, icfg, wave, ccfg, driver_only=docs_dir is None
-                ),
+                stage,
                 batch_format="pyarrow",
-                batch_size=fetch_batch_size,
+                batch_size=None,
                 concurrency=fetch_concurrency,
             )
+            .to_arrow_refs()
         )
-        if docs_dir is not None:
-            # two consumers (doc sink + scheduler pull): materialize once
-            drained = drained.materialize()
-            drained.filter(expr="selected == True").write_parquet(
-                os.path.join(docs_dir, f"wave_{wave:04d}")
-            )
-            pull = drained.select_columns(_DRIVER_COLUMNS)
-        else:
-            pull = drained  # single consumer: execute straight to refs
-        drv = pa.concat_tables(ray.get(pull.to_arrow_refs())).combine_chunks()
-        sel = drv["selected"]
-        carry_tbl = (
-            drv.filter(pc.invert(sel))
-            .select(["url", "surt", "host", "priority", "hop", "seq"])
-            .cast(FRONTIER_SCHEMA)
+        _mark(f"w{wave}:exec")
+        carry_refs, carry_counts = {}, {}
+        fetched_parts = []
+        splits = [_split_block.remote(ref) for ref in block_refs]
+        for part_ref, carry_ref, fetched_ref in splits:
+            part = ray.get(part_ref)
+            fetched_parts.append(ray.get(fetched_ref))
+            if part >= 0:
+                carry_refs[part] = carry_ref
+        # carry counts via tiny remote probes (rows only, tables stay put)
+        count_refs = {
+            p: _count_rows.remote(r) for p, r in carry_refs.items()
+        }
+        carry_counts = {p: ray.get(r) for p, r in count_refs.items()}
+        carry_refs = {p: r for p, r in carry_refs.items() if carry_counts.get(p, 0) > 0}
+        carry_counts = {p: c for p, c in carry_counts.items() if c > 0}
+
+        _mark(f"w{wave}:split")
+        fetched_tbl = (
+            pa.concat_tables(fetched_parts).combine_chunks()
+            if fetched_parts
+            else OUT_SCHEMA.empty_table()
         )
-        fetched_tbl = drv.filter(sel)
         # rule 4: global fetch order within a wave = (host, slot) ascending
         fetched_tbl = fetched_tbl.take(
             pc.sort_indices(
@@ -413,85 +552,100 @@ def run_crawl(
         n_fetched = fetched_tbl.num_rows
         res.total_docs += n_fetched
         # --- fetch log (arrow, no row iteration) ------------------------
-        wave_log_tbl = pa.table(
-            {
-                "order": pa.array(
-                    np.arange(order_base, order_base + n_fetched), pa.int64()
-                ),
-                "wave": pa.array(np.full(n_fetched, wave, dtype=np.int32)),
-                "host": fetched_tbl["fetch_host"],
-                "slot": fetched_tbl["slot"],
-                "url": fetched_tbl["url"],
-                "surt": fetched_tbl["surt"],
-                "status": fetched_tbl["fetch_status"],
-            },
-            schema=FETCHLOG_SCHEMA,
+        log_tables.append(
+            pa.table(
+                {
+                    "order": pa.array(
+                        np.arange(order_base, order_base + n_fetched), pa.int64()
+                    ),
+                    "wave": pa.array(np.full(n_fetched, wave, dtype=np.int32)),
+                    "host": fetched_tbl["fetch_host"],
+                    "slot": fetched_tbl["slot"],
+                    "url": fetched_tbl["url"],
+                    "surt": fetched_tbl["surt"],
+                    "status": fetched_tbl["fetch_status"],
+                },
+                schema=FETCHLOG_SCHEMA,
+            )
         )
-        log_tables.append(wave_log_tbl)
         order_base += n_fetched
         # --- robots results (tiny subset) -------------------------------
-        new_robots = {}
         robots_hits = fetched_tbl.filter(
             pc.and_(fetched_tbl["is_robots"], pc.equal(fetched_tbl["fetch_status"], 200))
         )
-        for h, rules in zip(
-            robots_hits["fetch_host"].to_pylist(), robots_hits["robots_rules"].to_pylist()
-        ):
-            new_robots[h] = list(rules)
-        # --- discovery (deterministic order + sharded seen probe) -------
-        # candidates were filtered + SURT/host-keyed in the parallel fetch
-        # stage; flatten vectorized, probe the seen shards, and assign seq
-        # numbers to first-unseen candidates in (host, slot, rank) order.
-        cand_col = fetched_tbl["cand_urls"].combine_chunks()
-        parents = pc.list_parent_indices(cand_col)
-        cand_urls = pc.list_flatten(cand_col)
-        cand_surts = pc.list_flatten(fetched_tbl["cand_surts"].combine_chunks())
-        cand_hosts = pc.list_flatten(fetched_tbl["cand_hosts"].combine_chunks())
-        cand_hops = pc.take(fetched_tbl["hop"], parents)
-        cand_pris = pc.take(fetched_tbl["priority"], parents)
-        keys = cand_surts.to_pylist()
-        new_mask = np.array(pool.add_if_new(keys), dtype=bool) if keys else np.zeros(0, bool)
-        new_idx = pa.array(np.nonzero(new_mask)[0])
-        n_new = len(new_idx)
-        new_tbl = pa.table(
-            {
-                "url": pc.take(cand_urls, new_idx),
-                "surt": pc.take(cand_surts, new_idx),
-                "host": pc.take(cand_hosts, new_idx),
-                "priority": pc.take(cand_pris, new_idx),
-                "hop": pc.add(pc.take(cand_hops, new_idx), 1),
-                "seq": pa.array(np.arange(seq, seq + n_new), pa.int64()),
-            }
-        ).cast(FRONTIER_SCHEMA)
-        seq += n_new
-        next_frontier = pa.concat_tables([carry_tbl, new_tbl])
+        new_robots = {
+            h: list(rules)
+            for h, rules in zip(
+                robots_hits["fetch_host"].to_pylist(),
+                robots_hits["robots_rules"].to_pylist(),
+            )
+        }
+        _mark(f"w{wave}:log")
+        # --- discovery barrier: shards resolve, driver merges winners ---
+        winner_parts = pool.finalize_wave(wave)
+        if winner_parts:
+            winners = pa.concat_tables(winner_parts).combine_chunks()
+            winners = winners.take(
+                pc.sort_indices(
+                    winners,
+                    sort_keys=[
+                        ("order_host", "ascending"),
+                        ("order_slot", "ascending"),
+                        ("order_rank", "ascending"),
+                    ],
+                )
+            )
+            n_new = winners.num_rows
+            extras = pa.table(
+                {
+                    "url": winners["url"],
+                    "surt": winners["surt"],
+                    "host": winners["host"],
+                    "priority": winners["priority"],
+                    "hop": pc.add(winners["hop"], 1),
+                    "seq": pa.array(np.arange(seq, seq + n_new), pa.int64()),
+                }
+            ).cast(FRONTIER_SCHEMA)
+            seq += n_new
+            robots_check_hosts = set(pc.unique(winners["host"]).to_pylist())
+        else:
+            n_new = 0
+            extras = FRONTIER_SCHEMA.empty_table()
+            robots_check_hosts = set()
         robots_rules.update(new_robots)
         stats = {
             "wave": wave,
             "frontier": frontier_rows,
             "fetched": n_fetched,
-            "carryover": carry_tbl.num_rows,
+            "carryover": sum(carry_counts.values()),
             "new_urls": n_new,
         }
         res.wave_stats.append(stats)
         res.total_fetched += n_fetched
-        # --- checkpoint --------------------------------------------------
+        _mark(f"w{wave}:discovery")
+        # --- checkpoint (sync point: frontier pulled once to persist) ---
         if checkpoint_dir is not None:
+            carry_tbls = ray.get(list(carry_refs.values()))
+            next_frontier = pa.concat_tables(
+                [t.select(FRONTIER_SCHEMA.names) for t in carry_tbls] + [extras]
+            ) if (carry_tbls or extras.num_rows) else FRONTIER_SCHEMA.empty_table()
             write_wave_checkpoint(
                 checkpoint_dir,
                 wave,
                 next_frontier,
-                wave_log_tbl,
+                log_tables[-1],
                 pool.snapshot(),
                 robots_scheduled,
                 robots_rules,
                 seq,
                 stats,
             )
-        frontier = next_frontier
         if ccfg.max_urls is not None and order_base >= ccfg.max_urls:
             break
 
+    if _debug:
+        for (l1, t1), (l2, t2) in zip(_marks, _marks[1:]):
+            print(f"[crawl-timing] {l1} -> {l2}: {t2 - t1:.2f}s")
     res.fetch_log = (
         pa.concat_tables(log_tables).to_pylist() if log_tables else []
     )

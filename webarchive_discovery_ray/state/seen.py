@@ -56,11 +56,22 @@ class BloomFilter:
 
 
 class SeenSet:
-    """One shard's state: Bloom accelerator + exact authoritative set."""
+    """One shard's state: Bloom accelerator + exact authoritative set.
+
+    Besides point membership (``add_if_new``), a shard resolves WAVE
+    CANDIDATES: fetch tasks stream candidate tables in via ``accept``
+    (keys pre-routed by ``shard_of``), and at the wave barrier
+    ``finalize_wave`` sorts the shard's candidates by the pinned global
+    order key (parent host, parent slot, link rank), takes the first
+    occurrence of each unseen SURT, and returns the winner rows. The
+    driver then only merges per-shard winner order keys to assign global
+    ``seq`` numbers — candidate URL strings never cross the driver except
+    as winners."""
 
     def __init__(self, n_bits: int = 1 << 20):
         self._bloom = BloomFilter(n_bits)
         self._exact: set[str] = set()
+        self._pending: dict[int, list] = {}
 
     def add_if_new(self, keys: list[str]) -> list[bool]:
         """For each key: True when newly added. Bloom 'no' short-circuits
@@ -77,6 +88,47 @@ class SeenSet:
 
     def contains(self, keys: list[str]) -> list[bool]:
         return [self._bloom.might_contain(k) and k in self._exact for k in keys]
+
+    def accept(self, wave: int, tbl) -> int:
+        """Buffer a candidate table chunk for ``wave`` (streamed from
+        fetch tasks). Columns: url, surt, host, priority, hop,
+        order_host, order_slot, order_rank."""
+        self._pending.setdefault(wave, []).append(tbl)
+        return tbl.num_rows
+
+    def finalize_wave(self, wave: int):
+        """Wave barrier: sort this shard's candidates by the global order
+        key, keep the first occurrence of each unseen SURT (adding it to
+        the seen set), and return the winner table (order columns kept so
+        the driver can merge shards for seq assignment)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        chunks = self._pending.pop(wave, [])
+        if not chunks:
+            return None
+        t = pa.concat_tables(chunks)
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("order_host", "ascending"),
+                    ("order_slot", "ascending"),
+                    ("order_rank", "ascending"),
+                ],
+            )
+        )
+        exact = self._exact
+        mask = []
+        for k in t["surt"].to_pylist():
+            if k in exact:
+                mask.append(False)
+            else:
+                exact.add(k)
+                self._bloom.add(k)
+                mask.append(True)
+        w = t.filter(pa.array(mask))
+        return w if w.num_rows else None
 
     def snapshot(self) -> list[str]:
         return sorted(self._exact)
@@ -104,6 +156,23 @@ class SeenShardPool:
         self.n_shards = n_shards
         shard_cls = ray.remote(num_cpus=0)(SeenSet)
         self._shards = [shard_cls.remote(n_bits) for _ in range(n_shards)]
+
+    @property
+    def shards(self):
+        """Actor handles (picklable) — fetch tasks route candidate tables
+        directly to shards via ``accept``."""
+        return self._shards
+
+    def finalize_wave(self, wave: int):
+        """Barrier: resolve every shard's wave candidates; returns the
+        list of non-empty winner tables (driver merges their order keys)."""
+        import ray
+
+        return [
+            t
+            for t in ray.get([s.finalize_wave.remote(wave) for s in self._shards])
+            if t is not None
+        ]
 
     def add_if_new(self, keys: list[str]) -> list[bool]:
         import ray
