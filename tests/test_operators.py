@@ -167,3 +167,35 @@ def test_dataset_summaries_counts(ray_session):
     host_n = df[df["facet"] == "host"]["count"].sum()
     fmt_n = df[df["facet"] == "format"]["count"].sum()
     assert host_n == fmt_n > 0
+
+
+# --- M25 through both extraction paths --------------------------------------
+
+def test_xml_root_ns_extraction_parity():
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.oracle.extract_oracle import oracle_extract_record
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.extract import extract_record
+
+    base = dict(
+        fixture_pages(1, SyntheticConfig())[0],
+        record_type="response",
+        status=200,
+        url="http://x.example.com/feed.xml",
+        payload=b'<?xml version="1.0"?><rss xmlns="http://purl.org/rss/1.0/"><channel/></rss>',
+        mime_served="application/xml",
+    )
+    base["payload_sha1"] = sha1_b32(base["payload"])
+    d1 = extract_record(base, IndexConfig())
+    d2 = oracle_extract_record(base, IndexConfig())
+    assert d1["xml_root_ns"] == d2["xml_root_ns"] == "http://purl.org/rss/1.0/#rss"
+    # non-XML content leaves the field null
+    base2 = dict(
+        base,
+        url="http://x.example.com/a.html",
+        mime_served="text/html",
+        payload=b"<html><body><p>hi</p></body></html>",
+    )
+    base2["payload_sha1"] = sha1_b32(base2["payload"])
+    assert extract_record(base2, IndexConfig())["xml_root_ns"] is None

@@ -1,0 +1,179 @@
+"""Sinks (S4/S6/S7), XML namespace (M25), date sniffing (M36), seeded
+sampling (O2/O3), instrumentation (A5), multimodal resize/frame-sample."""
+
+import glob
+import json
+
+import pyarrow as pa
+import pytest
+
+# --- M25 ---------------------------------------------------------------------
+
+from webarchive_discovery_ray.functions.xmlns import xml_root_namespace
+
+
+@pytest.mark.parametrize(
+    "payload,expected",
+    [
+        (b'<?xml version="1.0"?><rss xmlns="http://ex/rss">', "http://ex/rss#rss"),
+        (
+            b'<!-- c --><svg:svg xmlns:svg="http://www.w3.org/2000/svg">',
+            "http://www.w3.org/2000/svg#svg",
+        ),
+        (b"<plain><x/></plain>", None),  # no namespace
+        (b"not xml at all", None),
+        (b'<?xml version="1.0"?><!DOCTYPE html><a xmlns="u">', "u#a"),
+    ],
+)
+def test_xml_root_namespace(payload, expected):
+    assert xml_root_namespace(payload) == expected
+
+
+# --- M36 ---------------------------------------------------------------------
+
+from webarchive_discovery_ray.functions.times import parse_date_text
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ("2020-05-01T12:30:00Z", "2020-05-01T12:30:00Z"),
+        ("2020-05-01 12:30:00", "2020-05-01T12:30:00Z"),
+        ("2013:06:01 09:00:00", "2013-06-01T09:00:00Z"),  # EXIF
+        ("2020-05-01", "2020-05-01T00:00:00Z"),
+        ("20200501123000", "2020-05-01T12:30:00Z"),
+        ("1999", "1999-01-01T00:00:00Z"),
+        ("garbage", None),
+        ("", None),
+        (None, None),
+    ],
+)
+def test_parse_date_text(value, expected):
+    assert parse_date_text(value) == expected
+
+
+# --- O2/O3 -------------------------------------------------------------------
+
+from webarchive_discovery_ray.functions.sampling import seeded_gate, seeded_reservoir
+
+
+def test_seeded_gate_rate_and_determinism():
+    keys = [f"http://h/{i}" for i in range(5000)]
+    picks = [k for k in keys if seeded_gate(k, 50)]
+    assert picks == [k for k in keys if seeded_gate(k, 50)]  # reproducible
+    assert 40 <= len(picks) <= 220  # ~1-in-50
+    assert all(seeded_gate(k, 1) for k in keys[:10])
+
+
+def test_seeded_reservoir_fixed_and_partition_independent():
+    keys = [f"k{i}" for i in range(100)]
+    r1 = seeded_reservoir(keys, 10)
+    assert len(r1) == 10 and r1 == seeded_reservoir(keys, 10)
+    # order independence: shuffled input selects the same key set
+    import random
+
+    shuffled = keys[:]
+    random.Random(7).shuffle(shuffled)
+    picked1 = {keys[i] for i in r1}
+    picked2 = {shuffled[i] for i in seeded_reservoir(shuffled, 10)}
+    assert picked1 == picked2
+    assert seeded_reservoir(keys[:5], 10) == [0, 1, 2, 3, 4]
+
+
+# --- A5 ----------------------------------------------------------------------
+
+from webarchive_discovery_ray.functions.instrument import Instrument
+
+
+def test_instrument_timer_merge_topk():
+    a, b = Instrument(), Instrument()
+    with a.timer("extract.tika"):
+        pass
+    a.add("extract.html", 5_000_000, 2)
+    b.add("extract.tika", 1_000_000)
+    merged = a.merge(b)
+    assert merged.count["extract.tika"] == 2
+    top = merged.top_k(1)
+    assert top[0]["path"] == "extract.html"
+    assert "extract.html" in merged.report()
+
+
+# --- S4/S6/S7 ----------------------------------------------------------------
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from webarchive_discovery_ray.sources.sinks import write_jsonl
+
+    ds = rd.from_items([{"a": i, "b": f"x{i}"} for i in range(50)])
+    n = write_jsonl(ds, str(tmp_path / "out"))
+    assert n == 50
+    rows = []
+    for f in glob.glob(str(tmp_path / "out" / "*.jsonl")):
+        rows += [json.loads(line) for line in open(f)]
+    assert sorted(r["a"] for r in rows) == list(range(50))
+
+
+def test_buffered_sink_flush_thresholds():
+    from webarchive_discovery_ray.sources.sinks import BufferedSinkStage
+
+    sent = []
+    stage = BufferedSinkStage(send=lambda rows: sent.append(len(rows)), batch_docs=10)
+    t = pa.table({"v": list(range(25))})
+    stage(t)
+    assert sent == [10, 10]  # two threshold flushes, 5 buffered
+    stage._flush()
+    assert sent == [10, 10, 5]
+
+
+def test_retry_sender_drops_after_attempts():
+    from webarchive_discovery_ray.sources.sinks import RetrySender
+
+    calls = {"n": 0}
+
+    def flaky(rows):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("down")
+
+    s = RetrySender(flaky, max_attempts=3)
+    s([{"x": 1}] * 4)
+    assert s.sent == 4 and s.dropped == 0  # third attempt succeeded
+
+    def dead(rows):
+        raise IOError("down")
+
+    d = RetrySender(dead, max_attempts=2)
+    d([{"x": 1}] * 3)
+    assert d.sent == 0 and d.dropped == 3
+
+
+# --- multimodal resize / frame-sample ---------------------------------------
+
+
+def test_image_resize_and_frame_sample_stages():
+    from webarchive_discovery_ray.stages.multimodal import (
+        FrameSampleStage,
+        ImageResizeStage,
+    )
+
+    batch = pa.table(
+        {
+            "url": ["http://a/i.png", "http://a/v.mp4"],
+            "payload": [b"\x89PNG....pixels", b"\x00\x00\x00\x18ftypmp42data"],
+        }
+    )
+    resized = ImageResizeStage(target=32)(batch)
+    assert resized.num_rows == 2
+    assert all(len(t) == 32 * 32 // 8 for t in resized["thumb"].to_pylist())
+    assert resized["thumb"].to_pylist() == ImageResizeStage(target=32)(batch)["thumb"].to_pylist()
+
+    frames = FrameSampleStage(every_n=25, max_frames=4)(batch)
+    assert frames.num_rows >= 2  # fan-out
+    assert set(frames.schema.names) == {"url", "frame_idx", "ts_s", "frame"}
+
+    with pytest.raises(NotImplementedError):
+        ImageResizeStage(real=True)
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(real=True)

@@ -35,6 +35,7 @@ from ..functions.suffix import (
 )
 from ..functions.surt import host_to_surt, surt_key
 from ..functions.text import space_trim, truncate_text
+from ..functions.xmlns import is_xml_type as _is_xml_type, xml_root_namespace
 from ..functions.timestamps import (
     extract_year,
     format_iso,
@@ -240,6 +241,7 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         "content_type_norm": None,
         "solr_type": None,
         "content_type_version": None,
+        "xml_root_ns": None,
         "content_ffb": None,
         "content_first_bytes": None,
         "hash": None,
@@ -342,6 +344,8 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         doc["content_text_length"] = len(txt)
     elif ct.content_type_norm in ("image", "audio", "video", "pdf") and payload:
         spans.append({"kind": "media", "text": "", "media_ref": doc["hash"], "offset": 0})
+    if _is_xml_type(ct.content_type) and payload:
+        doc["xml_root_ns"] = xml_root_namespace(payload)  # M25
     if ct.strip_text:
         spans = [s for s in spans if s["kind"] not in ("text", "title")]
         doc["content"] = None

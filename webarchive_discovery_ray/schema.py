@@ -70,6 +70,7 @@ DOCUMENTS_SCHEMA = pa.schema(
         ("content_type_norm", pa.string()),
         ("solr_type", pa.string()),
         ("content_type_version", pa.string()),
+        ("xml_root_ns", pa.string()),
         ("content_ffb", pa.string()),
         ("content_first_bytes", pa.string()),
         ("hash", pa.string()),

@@ -1,0 +1,134 @@
+"""Sinks: JSONL writer, buffered document consumer, bounded-retry sender.
+
+Reference parity targets:
+
+* S4 SingleFileDocumentConsumer (JSONL per input, optional gzip) —
+  ``warc-indexer/src/main/java/uk/bl/wa/indexer/delivery/
+  SingleFileDocumentConsumer.java:96-131``
+* S6 Solr/Opensearch consumer with count+byte-threshold buffering —
+  ``warc-indexer/.../delivery/BufferedDocumentConsumer.java:98-133``
+  (defaults 500 docs / 20 MB, ``reference.conf``)
+* S7 TinyCDXSender: batched POST with sleep-retry, drop-after-repeated-
+  failure — ``warc-hadoop-recordreaders/.../cdx/TinyCDXSender.java:71-135``
+
+The network targets (Solr, OutbackCDX) do not exist in this sandbox, so
+the transport is injectable: pass any ``send(list[dict]) -> None``
+callable (tests use recording/failing fakes; production wires an HTTP
+POST). The Ray-side shape — an actor-pool ``map_batches`` stage whose
+per-actor buffer flushes on thresholds and on ``__del__`` — is real.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import time
+from typing import Callable
+
+import pyarrow as pa
+
+__all__ = ["write_jsonl", "BufferedSinkStage", "RetrySender"]
+
+
+def write_jsonl(ds, path: str, compress: bool = False) -> int:
+    """S4: one JSONL file per input block under ``path`` (gzip optional).
+    Returns the row count. Block-parallel: one file per block task, like
+    the reference's one-output-per-input-WARC layout."""
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        rows = batch.to_pylist()
+        name = os.path.join(path, f"part-{uuid.uuid4().hex}.jsonl")
+        if compress:
+            with gzip.open(name + ".gz", "wt", encoding="utf-8") as f:
+                for r in rows:
+                    f.write(json.dumps(r, default=str) + "\n")
+        else:
+            with open(name, "w", encoding="utf-8") as f:
+                for r in rows:
+                    f.write(json.dumps(r, default=str) + "\n")
+        return pa.table({"n": pa.array([len(rows)], pa.int64())})
+
+    counts = ds.map_batches(dump, batch_format="pyarrow", batch_size=None)
+    return int(counts.sum("n") or 0)
+
+
+class BufferedSinkStage:
+    """S6: actor-pool sink with count + byte flush thresholds.
+
+    Use as ``ds.map_batches(BufferedSinkStage, fn_constructor_kwargs=
+    {"send": fn}, concurrency=N, batch_size=B)`` — each actor buffers rows
+    and flushes when ``batch_docs`` or ``batch_bytes`` is reached (the
+    reference's 500-doc / 20 MB defaults) and once more on actor teardown.
+    Emits one (flushed, bytes) row per input batch for accounting."""
+
+    def __init__(
+        self,
+        send: Callable[[list[dict]], None],
+        batch_docs: int = 500,
+        batch_bytes: int = 20 * 1024 * 1024,
+    ):
+        self.send = send
+        self.batch_docs = batch_docs
+        self.batch_bytes = batch_bytes
+        self.buf: list[dict] = []
+        self.buf_bytes = 0
+        self.flushed = 0
+
+    def _flush(self) -> None:
+        if self.buf:
+            self.send(self.buf)
+            self.flushed += len(self.buf)
+            self.buf, self.buf_bytes = [], 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flushed_before = self.flushed
+        for r in batch.to_pylist():
+            self.buf.append(r)
+            self.buf_bytes += sum(len(str(v)) for v in r.values())
+            if len(self.buf) >= self.batch_docs or self.buf_bytes >= self.batch_bytes:
+                self._flush()
+        return pa.table(
+            {
+                "accepted": pa.array([batch.num_rows], pa.int64()),
+                "flushed": pa.array([self.flushed - flushed_before], pa.int64()),
+            }
+        )
+
+    def __del__(self):  # final flush (reference: close() -> commit)
+        try:
+            self._flush()
+        except Exception:
+            pass
+
+
+class RetrySender:
+    """S7: bounded-retry transport wrapper — sleep between attempts, drop
+    the batch (counted, not raised) after ``max_attempts`` sequential
+    failures, exactly the TinyCDXSender contract."""
+
+    def __init__(
+        self,
+        send: Callable[[list[dict]], None],
+        max_attempts: int = 3,
+        sleep_s: float = 0.0,
+    ):
+        self.send = send
+        self.max_attempts = max_attempts
+        self.sleep_s = sleep_s
+        self.sent = 0
+        self.dropped = 0
+
+    def __call__(self, rows: list[dict]) -> None:
+        for attempt in range(self.max_attempts):
+            try:
+                self.send(rows)
+                self.sent += len(rows)
+                return
+            except Exception:
+                if attempt + 1 < self.max_attempts and self.sleep_s:
+                    time.sleep(self.sleep_s)
+        self.dropped += len(rows)

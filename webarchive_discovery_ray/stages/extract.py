@@ -61,6 +61,7 @@ from ..functions.urls import (
     url_path,
     url_type,
 )
+from ..functions.xmlns import is_xml_type as _is_xml_type, xml_root_namespace
 from ..schema import DOCUMENTS_SCHEMA
 
 __all__ = ["ExtractStage", "extract_batch"]
@@ -329,6 +330,7 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         "content_type_norm": None,
         "solr_type": None,
         "content_type_version": None,
+        "xml_root_ns": None,
         "content_ffb": None,
         "content_first_bytes": None,
         "hash": None,
@@ -428,6 +430,9 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         out["content_text_length"] = len(txt)
     elif norm in _MEDIA_NORMS and payload:
         spans.append({"kind": "media", "text": "", "media_ref": digest, "offset": 0})
+    if _is_xml_type(ct.content_type) and payload:
+        # M25: root-element namespace (XMLAnalyser.java:77-93)
+        out["xml_root_ns"] = xml_root_namespace(payload)
     if ct.strip_text:
         spans = [s for s in spans if s["kind"] not in ("text", "title")]
         out["content"] = None

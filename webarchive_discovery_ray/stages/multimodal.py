@@ -20,7 +20,14 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MediaFeatureStage", "MEDIA_FEATURES_SCHEMA"]
+__all__ = [
+    "MediaFeatureStage",
+    "MEDIA_FEATURES_SCHEMA",
+    "ImageResizeStage",
+    "FrameSampleStage",
+    "RESIZED_SCHEMA",
+    "FRAMES_SCHEMA",
+]
 
 MEDIA_FEATURES_SCHEMA = pa.schema(
     [
@@ -109,3 +116,89 @@ class MediaFeatureStage:
         if not rows:
             return MEDIA_FEATURES_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=MEDIA_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("thumb", pa.large_binary()),  # resized pixels (opaque bytes)
+    ]
+)
+
+
+class ImageResizeStage:
+    """Actor-pool stage: image payload -> fixed-size thumbnail bytes.
+
+    The pixel decode+resample is a deterministic fake (the container has
+    no PIL); the plumbing — large_binary output column, small-batch
+    contract, per-actor init — is the production shape. ``real=True``
+    raises until an image library exists."""
+
+    def __init__(self, target: int = 64, real: bool = False):
+        if real:  # pragma: no cover
+            raise NotImplementedError("image resize requires PIL/opencv")
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            payload = r.get("payload") or b""
+            # fake resample: content-keyed bytes of target*target/8 size
+            seed = hashlib.sha1(payload).digest()
+            reps = (self.target * self.target) // (8 * len(seed)) + 1
+            rows.append(
+                {
+                    "url": r["url"],
+                    "width": self.target,
+                    "height": self.target,
+                    "thumb": (seed * reps)[: self.target * self.target // 8],
+                }
+            )
+        if not rows:
+            return RESIZED_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("ts_s", pa.float64()),
+        ("frame", pa.large_binary()),
+    ]
+)
+
+
+class FrameSampleStage:
+    """Actor-pool flat-map stage: video payload -> every Nth frame row
+    (one input row fans out to k output rows — list the frames, don't
+    materialise the video). Deterministic fake decode; real=True raises
+    until ffmpeg/av exists."""
+
+    def __init__(self, every_n: int = 25, max_frames: int = 8, real: bool = False):
+        if real:  # pragma: no cover
+            raise NotImplementedError("frame sampling requires av/ffmpeg")
+        self.every_n = every_n
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            payload = r.get("payload") or b""
+            meta = _fake_decode(payload, "video")
+            n = min(self.max_frames, max(1, meta["n_frames"] // self.every_n))
+            for i in range(n):
+                d = hashlib.sha1(payload + i.to_bytes(4, "big")).digest()
+                rows.append(
+                    {
+                        "url": r["url"],
+                        "frame_idx": i * self.every_n,
+                        "ts_s": round(i * self.every_n / 25.0, 3),
+                        "frame": d * 4,
+                    }
+                )
+        if not rows:
+            return FRAMES_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=FRAMES_SCHEMA)
