@@ -199,3 +199,59 @@ def test_xml_root_ns_extraction_parity():
     )
     base2["payload_sha1"] = sha1_b32(base2["payload"])
     assert extract_record(base2, IndexConfig())["xml_root_ns"] is None
+
+
+# --- M14/M15 payload decode --------------------------------------------------
+
+def test_dechunk_roundtrip_and_heuristics():
+    from webarchive_discovery_ray.functions.payload import chunk_encode, maybe_dechunk
+
+    data = b"<html><body>" + b"x" * 2000 + b"</body></html>"
+    enc = chunk_encode(data, 256)
+    dec, was = maybe_dechunk(enc)
+    assert was and dec == data
+    # lenient bare-LF chunk terminators
+    lf = enc.replace(b"\r\n", b"\n")
+    dec2, was2 = maybe_dechunk(lf)
+    assert was2 and dec2 == data
+    # non-chunked content passes through untouched
+    assert maybe_dechunk(data) == (data, False)
+    # truncated framing -> original bytes
+    assert maybe_dechunk(enc[:-10] + b"zz") in ((enc[:-10] + b"zz", False),)
+
+
+def test_decompress_gzip_and_passthrough():
+    import gzip
+
+    from webarchive_discovery_ray.functions.payload import maybe_decompress
+
+    raw = b"<html><p>content</p></html>"
+    gz = gzip.compress(raw, mtime=0)
+    assert maybe_decompress(gz, "") == (raw, "gzip")  # magic sniffed
+    assert maybe_decompress(gz, "gzip") == (raw, "gzip")
+    assert maybe_decompress(raw, "") == (raw, "")
+    assert maybe_decompress(b"\x1f\x8bcorrupt", "") == (b"\x1f\x8bcorrupt", "")
+
+
+def test_chunked_and_gzip_extraction_parity():
+    """Chunked/gzipped fixture rows: digest validation passes and spans
+    match the oracle (M14/M15 end-to-end through both paths)."""
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import oracle_extract_record
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.extract import extract_record
+
+    rows = fixture_pages(600, SyntheticConfig())
+    chunked = [r for r in rows if r["transfer_encoding"] == "chunked"]
+    gzipped = [r for r in rows if r["content_encoding"] == "gzip"]
+    assert chunked and gzipped  # fixture exercises both
+    cfg = IndexConfig(response_include=())
+    for r in chunked + gzipped:
+        d1 = extract_record(r, cfg)
+        d2 = oracle_extract_record(r, cfg)
+        assert (d1 is None) == (d2 is None)
+        if d1 is None:
+            continue
+        assert not d1["hash_mismatch"], r["url"]  # digest stage correct
+        assert d1["spans"] == d2["spans"]
+        assert d1["hash"] == d2["hash"]

@@ -35,6 +35,7 @@ from ..functions.suffix import (
 )
 from ..functions.surt import host_to_surt, surt_key
 from ..functions.text import space_trim, truncate_text
+from ..functions.payload import maybe_dechunk, maybe_decompress
 from ..functions.xmlns import is_xml_type as _is_xml_type, xml_root_namespace
 from ..functions.timestamps import (
     extract_year,
@@ -273,13 +274,15 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         doc["hash"] = rec["payload_sha1"] or None
         return doc
 
-    payload: bytes = rec["payload"] or b""
-    doc["content_length"] = len(payload)
+    raw: bytes = rec["payload"] or b""
+    doc["content_length"] = len(raw)
+    payload, _ = maybe_dechunk(raw)  # M14 (hash after dechunk)
     doc["hash"] = sha1_b32(payload)
     if rec.get("payload_sha1") and rec["payload_sha1"] != doc["hash"]:
         doc["hash_mismatch"] = True
         errors.append("Digest validation failed")
         doc["parse_error"] = "; ".join(errors)
+    payload, _ = maybe_decompress(payload, rec.get("content_encoding"))  # M15
     if len(payload) >= 4:
         hx = payload[: cfg.first_bytes_length].hex()
         doc["content_ffb"] = hx[:8]

@@ -296,6 +296,21 @@ def fixture_pages_for_ids(ids, cfg: SyntheticConfig) -> list[dict]:
             rec["url"] = "ftp://" + rec["url"].split("://", 1)[1]  # protocol filter (M2)
         if i % 29 == 0:
             rec["payload_sha1"] = "sha1:" + "A" * 32  # digest mismatch (M16)
+        elif i % 47 == 0 and rec["payload"]:
+            # M14: chunked transfer framing; the header digest covers the
+            # DECHUNKED payload (hash stage after_dechunk)
+            from ..functions.payload import chunk_encode
+
+            rec["transfer_encoding"] = "chunked"
+            rec["payload"] = chunk_encode(rec["payload"], 256)
+        elif i % 59 == 0 and rec["payload"]:
+            # M15: gzip content encoding; header digest covers the
+            # COMPRESSED payload (hash before decompression)
+            import gzip as _gz
+
+            rec["content_encoding"] = "gzip"
+            rec["payload"] = _gz.compress(rec["payload"], mtime=0)
+            rec["payload_sha1"] = sha1_b32(rec["payload"])
         if i % 19 == 0:
             ts = rec["timestamp14"]
             rec["timestamp14"] = (ts[:12], ts + "43", ts + "439")[i % 3]

@@ -33,6 +33,7 @@ from ..config import IndexConfig
 from ..functions.hashing import md5_b64, sha1_b32
 from ..functions.htmlscan import parse_srcset, tokenize_html
 from ..functions.mime import detect_mime, reconcile_content_type
+from ..functions.payload import maybe_dechunk, maybe_decompress
 from ..functions.normalisation import (
     canonicalise_host,
     canonicalise_url,
@@ -365,14 +366,19 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         out["parse_error"] = "; ".join(parse_errors) if parse_errors else None
         return out
 
-    payload: bytes = rec["payload"] or b""
-    out["content_length"] = len(payload)
+    raw: bytes = rec["payload"] or b""
+    out["content_length"] = len(raw)
+    # M14: dechunk before hashing (default hash stage is
+    # after_dechunk_before_decompression, InputStreamUtils.java:54-76)
+    payload, _ = maybe_dechunk(raw)
     digest = sha1_b32(payload)
     out["hash"] = digest
     header_digest = rec.get("payload_sha1") or ""
     if header_digest and header_digest != digest:
         out["hash_mismatch"] = True
         parse_errors.append("Digest validation failed")
+    # M15: decompress for analysis (gzip magic/hint; brotli hint-only)
+    payload, _ = maybe_decompress(payload, rec.get("content_encoding"))
     if len(payload) >= 4:
         hexbytes = payload[: cfg.first_bytes_length].hex()
         out["content_ffb"] = hexbytes[:8]
