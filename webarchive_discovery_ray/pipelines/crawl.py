@@ -443,6 +443,7 @@ def run_crawl(
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
     log_tables: list[pa.Table] = []
+    pending_delta: list[str] = []  # SURTs first seen since last checkpoint
     start_wave = 0
     carry_refs: dict[int, "ray.ObjectRef"] = {}
     carry_counts: dict[int, int] = {}
@@ -450,7 +451,7 @@ def run_crawl(
     if resume and checkpoint_dir is not None and (last := latest_complete_wave(checkpoint_dir)) is not None:
         ck = load_wave_checkpoint(checkpoint_dir, last)
         extras = ck["frontier"]  # carry + winners of the checkpointed wave
-        pool.restore(ck["snapshots"])
+        pool.restore_keys(ck["seen_keys"])
         robots_scheduled = ck["robots_scheduled"]
         robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
         if ck["fetch_log"].num_rows:
@@ -461,6 +462,7 @@ def run_crawl(
     else:
         extras, seq = _seed_frontier(seeds, pool)
         robots_check_hosts = set(pc.unique(extras["host"]).to_pylist())
+        pending_delta.extend(extras["surt"].to_pylist())
 
     order_base = sum(t.num_rows for t in log_tables)
     for wave in range(start_wave, ccfg.max_waves):
@@ -480,6 +482,7 @@ def run_crawl(
                     ru.append(u)
                     rk.append(k)
                     rh.append(h)
+                    pending_delta.append(k)
             if ru:
                 extras = pa.concat_tables(
                     [
@@ -607,6 +610,7 @@ def run_crawl(
                 }
             ).cast(FRONTIER_SCHEMA)
             seq += n_new
+            pending_delta.extend(extras["surt"].to_pylist())
             robots_check_hosts = set(pc.unique(winners["host"]).to_pylist())
         else:
             n_new = 0
@@ -634,12 +638,15 @@ def run_crawl(
                 wave,
                 next_frontier,
                 log_tables[-1],
-                pool.snapshot(),
+                pending_delta,
                 robots_scheduled,
                 robots_rules,
                 seq,
                 stats,
             )
+            pending_delta = []
+        else:
+            pending_delta.clear()  # no checkpointing: don't accumulate
         if ccfg.max_urls is not None and order_base >= ccfg.max_urls:
             break
 

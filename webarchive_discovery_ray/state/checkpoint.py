@@ -7,13 +7,20 @@ skip completed waves and an interrupted run resumes exactly where the last
 complete wave ended — the resumed run's fetch log and seen set must be
 byte-identical to an uninterrupted run (tested in test_crawl_parity.py).
 
+The seen set is checkpointed as PER-WAVE DELTAS (the SURT keys first seen
+in that wave: seeds, injected robots URLs, discovery winners) — the
+driver already holds exactly these, so a checkpoint costs O(wave growth),
+not O(total seen): at the 10^10-URL design point a full-set snapshot per
+wave would rewrite the entire corpus-scale set every wave. Restore =
+union of deltas for waves 0..last.
+
 Layout (one directory per wave)::
 
     {dir}/wave_0003/
-        manifest.json        # wave, seq counter, row counts, lineage
+        manifest.json          # wave, seq counter, row counts, lineage
         frontier_next.parquet  # frontier entering wave 4
         fetchlog.parquet       # fetches performed in wave 3
-        seen_shard_{i}.parquet # per-shard sorted SURT keys
+        seen_delta.parquet     # SURT keys first seen during wave 3
         robots.json            # scheduled hosts + effective rules
 """
 
@@ -61,7 +68,7 @@ def write_wave_checkpoint(
     wave: int,
     next_frontier: pa.Table,
     wave_fetch_log: pa.Table,
-    seen_snapshots: list[list[str]],
+    seen_delta: list[str],
     robots_scheduled: set[str],
     robots_rules: dict[str, list[str]],
     seq: int,
@@ -81,18 +88,17 @@ def write_wave_checkpoint(
         wave_fetch_log.cast(FETCHLOG_SCHEMA),
         os.path.join(tmp, "fetchlog.parquet"),
     )
-    for i, snap in enumerate(seen_snapshots):
-        pq.write_table(
-            pa.table({"surt": pa.array(snap, type=pa.string())}),
-            os.path.join(tmp, f"seen_shard_{i}.parquet"),
-        )
+    pq.write_table(
+        pa.table({"surt": pa.array(sorted(seen_delta), type=pa.string())}),
+        os.path.join(tmp, "seen_delta.parquet"),
+    )
     with open(os.path.join(tmp, "robots.json"), "w") as f:
         json.dump({"scheduled": sorted(robots_scheduled), "rules": robots_rules}, f)
     # manifest LAST: its presence marks the wave complete
     manifest = {
         "wave": wave,
         "seq": seq,
-        "n_shards": len(seen_snapshots),
+        "n_seen_delta": len(seen_delta),
         "n_frontier_next": next_frontier.num_rows,
         "n_fetched": wave_fetch_log.num_rows,
         "stats": stats,
@@ -122,22 +128,23 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
     with open(os.path.join(d, "robots.json")) as f:
         robots = json.load(f)
     frontier = pq.read_table(os.path.join(d, "frontier_next.parquet"))
-    snapshots = [
-        pq.read_table(os.path.join(d, f"seen_shard_{i}.parquet"))["surt"].to_pylist()
-        for i in range(manifest["n_shards"])
-    ]
+    seen_keys: list[str] = []
     log_parts = []
     for w in range(wave + 1):
-        p = os.path.join(_wave_dir(base, w), "fetchlog.parquet")
+        wd = _wave_dir(base, w)
+        p = os.path.join(wd, "fetchlog.parquet")
         if os.path.exists(p):
             log_parts.append(pq.read_table(p))
+        sd = os.path.join(wd, "seen_delta.parquet")
+        if os.path.exists(sd):
+            seen_keys.extend(pq.read_table(sd)["surt"].to_pylist())
     fetch_log = (
         pa.concat_tables(log_parts) if log_parts else FETCHLOG_SCHEMA.empty_table()
     )
     return {
         "manifest": manifest,
         "frontier": frontier,
-        "snapshots": snapshots,
+        "seen_keys": seen_keys,  # union of per-wave deltas
         "robots_scheduled": set(robots["scheduled"]),
         "robots_rules": robots["rules"],
         "fetch_log": fetch_log,

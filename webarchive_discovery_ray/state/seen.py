@@ -202,6 +202,14 @@ class SeenShardPool:
             [s.restore.remote(snap) for s, snap in zip(self._shards, snapshots)]
         )
 
+    def restore_keys(self, keys: list[str]) -> None:
+        """Restore from a flat key list (checkpoint delta union): keys are
+        re-routed to their shards by the same hash."""
+        by_shard: dict[int, list[str]] = {i: [] for i in range(self.n_shards)}
+        for k in keys:
+            by_shard[shard_of(k, self.n_shards)].append(k)
+        self.restore([by_shard[i] for i in range(self.n_shards)])
+
     def all_keys_sorted(self) -> list[str]:
         """The byte-comparable global representation: sorted union."""
         out: list[str] = []
