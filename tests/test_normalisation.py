@@ -201,3 +201,34 @@ def test_sha1_base16_to_base32():
     # non-sha1 inputs pass through unchanged
     assert sha1_hash_as_base32("md5:abc") == "md5:abc"
     assert sha1_hash_as_base32(None) is None
+
+
+def test_fast_path_matches_escape_state_machine():
+    """canonicalise_url's ASCII fast path must agree byte-for-byte with the
+    full escape state machine (the ported source of truth) on random URLs
+    mixing safe chars, escapes, spaces, backslashes and non-ASCII."""
+    import random
+    import string
+
+    import webarchive_discovery_ray.functions.normalisation as N
+
+    def slow(url):
+        u = N._wayback_canonicalize(url)
+        if u.startswith("https://"):
+            u = "http://" + u[8:]
+        m = N._WWW_PREFIX.fullmatch(u)
+        if m:
+            u = m.group(1) + m.group(2)
+        raw = N._fix_escape_errors_and_unescape_high_order(u)
+        u = N._escape_utf8(raw, escape_high_order=False, normalise_low_order=True)
+        while u.endswith("/"):
+            u = u[:-1]
+        if N._DOMAIN_ONLY.fullmatch(u):
+            u += "/"
+        return u
+
+    rng = random.Random(42)
+    chars = string.ascii_letters + string.digits + "/:.?&=#%\\ -_~" + "é漢"
+    for _ in range(3000):
+        u = "http://" + "".join(rng.choice(chars) for _ in range(rng.randint(5, 60)))
+        assert N.canonicalise_url(u) == slow(u), u

@@ -232,8 +232,12 @@ def canonicalise_url(url: str, allow_high_order: bool = True, create_unambiguous
         m = _WWW_PREFIX.fullmatch(url)
         if m:
             url = m.group(1) + m.group(2)
-    raw = _fix_escape_errors_and_unescape_high_order(url)
-    url = _escape_utf8(raw, escape_high_order=not allow_high_order, normalise_low_order=create_unambiguous)
+    # fast path: pure-ASCII URLs with no '%'/' '/'\\' pass the escape
+    # state machine unchanged (the common case; the slow path below is the
+    # byte-exact port and remains the source of truth)
+    if not (url.isascii() and "%" not in url and " " not in url and "\\" not in url):
+        raw = _fix_escape_errors_and_unescape_high_order(url)
+        url = _escape_utf8(raw, escape_high_order=not allow_high_order, normalise_low_order=create_unambiguous)
     while url.endswith("/"):
         url = url[:-1]
     if _DOMAIN_ONLY.fullmatch(url):

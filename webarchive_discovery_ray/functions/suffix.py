@@ -59,6 +59,9 @@ _SUFFIXES = frozenset(
 )
 
 
+_LABEL_RX = re.compile(r"[\w-]+", re.UNICODE)
+
+
 def _valid_domain_parts(host: str) -> list[str] | None:
     """Guava ``InternetDomainName.from`` validation: syntactically valid
     domain, not an IP address (final label all-digits => invalid)."""
@@ -73,7 +76,7 @@ def _valid_domain_parts(host: str) -> list[str] | None:
     for p in parts:
         if len(p) > 63:
             return None
-        if not re.fullmatch(r"[\w-]+", p, re.UNICODE):
+        if not _LABEL_RX.fullmatch(p):
             return None
         if p.startswith("-") or p.endswith("-"):
             return None
