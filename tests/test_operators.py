@@ -255,3 +255,29 @@ def test_chunked_and_gzip_extraction_parity():
         assert not d1["hash_mismatch"], r["url"]  # digest stage correct
         assert d1["spans"] == d2["spans"]
         assert d1["hash"] == d2["hash"]
+
+
+# --- M35 store/index split ---------------------------------------------------
+
+def test_store_content_split():
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import oracle_extract_record
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.extract import extract_record
+
+    rows = [
+        r
+        for r in fixture_pages(200, SyntheticConfig())
+        if r["record_type"] == "response" and r["status"] == 200
+    ]
+    cfg = IndexConfig(store_content=False)
+    hit = False
+    for r in rows:
+        d = extract_record(r, cfg)
+        o = oracle_extract_record(r, cfg)
+        if d is None:
+            continue
+        assert d["content"] is None and o["content"] is None
+        if d["content_text_length"]:
+            hit = True  # length retained even though text is unstored
+    assert hit

@@ -31,6 +31,9 @@ class IndexConfig:
     add_normalised_url: bool = True
     first_bytes_length: int = 32  # FirstBytesAnalyser default
     extract_content_first_bytes: bool = True
+    # M35 (WARCIndexer.java:471-490): when False the extracted text is not
+    # stored in the output `content` column (length is still recorded)
+    store_content: bool = True
 
 
 @dataclass(frozen=True)

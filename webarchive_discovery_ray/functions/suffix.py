@@ -15,6 +15,8 @@ lookup logic is identical.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import re
 
 __all__ = [
@@ -119,6 +121,7 @@ def _longest_suffix(parts: list[str]) -> str | None:
     return None
 
 
+@lru_cache(maxsize=65536)  # hosts repeat heavily per batch
 def extract_public_suffix_from_host(host: str | None) -> str | None:
     """Public suffix with the reference's ``.uk`` 2-level override.
 
@@ -136,6 +139,7 @@ def extract_public_suffix_from_host(host: str | None) -> str | None:
     return _longest_suffix(parts)
 
 
+@lru_cache(maxsize=65536)  # hosts repeat heavily per batch
 def extract_private_suffix_from_host(host: str | None) -> str | None:
     """Private (registrable) domain; ``.uk`` treated as three levels;
     falls back to the host itself on parse trouble.
@@ -162,6 +166,7 @@ def extract_private_suffix_from_host(host: str | None) -> str | None:
     return lower  # the host IS a public suffix -> fall back on host
 
 
+@lru_cache(maxsize=65536)  # hosts repeat heavily per batch
 def all_levels(host: str | None) -> list[str]:
     """Every ancestor level of the host, root-first.
 

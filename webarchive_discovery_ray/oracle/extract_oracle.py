@@ -353,6 +353,8 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         spans = [s for s in spans if s["kind"] not in ("text", "title")]
         doc["content"] = None
         doc["content_text_length"] = None
+    if not cfg.store_content:
+        doc["content"] = None  # M35: index-only text (length retained)
     doc["spans"] = spans
     return doc
 

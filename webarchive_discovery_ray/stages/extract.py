@@ -443,6 +443,8 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         spans = [s for s in spans if s["kind"] not in ("text", "title")]
         out["content"] = None
         out["content_text_length"] = None
+    if not cfg.store_content:
+        out["content"] = None  # M35: index-only text (length retained)
     out["spans"] = spans
     out["parse_error"] = "; ".join(parse_errors) if parse_errors else None
     return out
