@@ -177,3 +177,21 @@ def test_image_resize_and_frame_sample_stages():
         ImageResizeStage(real=True)
     with pytest.raises(NotImplementedError):
         FrameSampleStage(real=True)
+
+
+def test_media_stage_seeded_sampling():
+    from webarchive_discovery_ray.stages.multimodal import MediaFeatureStage
+
+    batch = pa.table(
+        {
+            "url": [f"http://m/{i}.png" for i in range(200)],
+            "mime_served": ["image/png"] * 200,
+            "payload": [b"\x89PNG" + bytes([i]) for i in range(200)],
+        }
+    )
+    full = MediaFeatureStage()(batch)
+    assert full.num_rows == 200
+    sampled = MediaFeatureStage(sample_one_in=10)(batch)
+    assert 0 < sampled.num_rows < 60  # ~1-in-10, deterministic
+    again = MediaFeatureStage(sample_one_in=10)(batch)
+    assert sampled["url"].to_pylist() == again["url"].to_pylist()

@@ -92,16 +92,24 @@ class MediaFeatureStage:
     ``warc-indexer/.../payload/ImageAnalyser.java:92-143``) and the
     out-of-tree face-detection analyser plugin (warc-openimaj)."""
 
-    def __init__(self, real: bool = False):
+    def __init__(self, real: bool = False, sample_one_in: int = 1):
         if real:  # pragma: no cover - decode libs absent in this sandbox
             raise NotImplementedError(
                 "real media decode requires PIL/av/librosa; this container "
                 "ships none — use the deterministic fake (real=False)"
             )
+        # O3: the reference gates image analysis 1-in-N via Math.random()
+        # (ImageAnalyser.java:105-110) — here a seeded URL-keyed gate so
+        # distributed runs replay identically (SURVEY.md §4.2(7))
+        self.sample_one_in = sample_one_in
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.sampling import seeded_gate
+
         rows = []
         for r in batch.to_pylist():
+            if not seeded_gate(r["url"], self.sample_one_in):
+                continue
             payload = r.get("payload") or b""
             kind = _kind(payload)
             decoded = _fake_decode(payload, kind)
