@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         revenue_by_nation,
         semi_join_lineitem,
         topk_orders,
+        union_orders_split,
     )
     from webarchive_discovery_ray.pipelines.dedup import (
         embedding_neardup_pairs,
@@ -277,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": distinct_event_types,
         "reservoir_sample_events": reservoir_sample_events,
         "semi_join_lineitem": semi_join_lineitem,
+        "union_orders_split": union_orders_split,
         "exact_dedup": exact_dedup,
         "token_stats": token_stats,
         "quality_score": quality_score,
@@ -372,6 +374,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM top_orders)
             GROUP BY l_returnflag
+        """,
+        "union_orders_split": """
+            SELECT o_orderstatus, count(*) AS n,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+            FROM (
+                SELECT * FROM orders WHERE o_totalprice < 150000.0
+                UNION ALL
+                SELECT * FROM orders WHERE o_totalprice >= 150000.0
+            ) GROUP BY 1
         """,
         "exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS doc_id

@@ -52,10 +52,13 @@ def test_ray_crawl_matches_oracle(ray_session, seeds, oracle_result):
     exp = oracle_result
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert got.seen_sorted == exp.seen_sorted  # byte-identical seen set
-    assert got.wave_stats == [
-        {k: s[k] for k in ("wave", "frontier", "fetched", "carryover", "new_urls")}
-        for s in exp.wave_stats
+    keys = ("wave", "frontier", "fetched", "carryover", "new_urls")
+    assert [{k: s[k] for k in keys} for s in got.wave_stats] == [
+        {k: s[k] for k in keys} for s in exp.wave_stats
     ]
+    # per-partition lineage sums to the wave totals
+    for s in got.wave_stats:
+        assert sum(p["fetched"] for p in s["partitions"].values()) == s["fetched"]
 
 
 def test_robots_disallow_takes_effect(seeds):

@@ -304,3 +304,47 @@ def semi_join_lineitem(sf_dir: str, top_n: int = 100):
         )
 
     return agg.map_batches(finalise, batch_format="pandas")
+
+
+def union_orders_split(sf_dir: str, split: float = 150000.0):
+    """§2.7 union: two disjoint filtered reads of orders re-unioned
+    (``ds.union``), aggregated by status — Hadoop multi-input-path union
+    (``WARCIndexerRunner.java:137-140``) in Dataset form. Columns:
+    o_orderstatus, n, sum_price (integer-cents quantised)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import read_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    lo = read_table(sf_dir, "orders", columns=cols).filter(
+        expr=f"o_totalprice < {split}"
+    )
+    hi = read_table(sf_dir, "orders", columns=cols).filter(
+        expr=f"o_totalprice >= {split}"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        g = (
+            df.groupby("o_orderstatus", sort=False)
+            .agg(n=("o_orderkey", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return g
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_price"] = df.pop("cents") / 100.0
+        return df
+
+    return (
+        lo.union(hi)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .map_batches(finalise, batch_format="pandas")
+    )

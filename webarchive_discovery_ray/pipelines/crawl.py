@@ -525,12 +525,15 @@ def run_crawl(
         _mark(f"w{wave}:exec")
         carry_refs, carry_counts = {}, {}
         fetched_parts = []
+        fetched_per_part: dict[int, int] = {}
         splits = [_split_block.remote(ref) for ref in block_refs]
         for part_ref, carry_ref, fetched_ref in splits:
             part = ray.get(part_ref)
-            fetched_parts.append(ray.get(fetched_ref))
+            ftbl = ray.get(fetched_ref)
+            fetched_parts.append(ftbl)
             if part >= 0:
                 carry_refs[part] = carry_ref
+                fetched_per_part[part] = ftbl.num_rows
         # carry counts via tiny remote probes (rows only, tables stay put)
         count_refs = {
             p: _count_rows.remote(r) for p, r in carry_refs.items()
@@ -623,6 +626,16 @@ def run_crawl(
             "fetched": n_fetched,
             "carryover": sum(carry_counts.values()),
             "new_urls": n_new,
+            # per-partition lineage (north_rule): what each host partition
+            # contributed this wave — replays/audits read this per (wave,
+            # partition) alongside the docs fragment of the same name
+            "partitions": {
+                str(p): {
+                    "fetched": fetched_per_part.get(p, 0),
+                    "carryover": carry_counts.get(p, 0),
+                }
+                for p in sorted(set(fetched_per_part) | set(carry_counts))
+            },
         }
         res.wave_stats.append(stats)
         res.total_fetched += n_fetched
