@@ -126,14 +126,14 @@ def bench_crawl(sf_dir: str, num_cpus: int, wide: bool = False) -> dict:
         seed_urls(warm, 20),
         CrawlConfig(politeness_budget=2, max_waves=1),
         warm,
-        fetch_concurrency=max(2, num_cpus - 2),
+        fetch_concurrency=max(2, num_cpus * 3 // 4),
     )
     t0 = time.time()
     res = run_crawl(
         seed_urls(syn, n_hosts),
         ccfg,
         syn,
-        fetch_concurrency=max(2, num_cpus - 2),
+        fetch_concurrency=max(2, num_cpus * 3 // 4),
     )
     dt = time.time() - t0
     assert res.total_fetched > 0

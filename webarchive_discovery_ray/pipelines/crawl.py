@@ -214,7 +214,7 @@ class FetchExtractStage:
                 )
                 docs.append(doc)
         # --- stream candidates to their seen shards (pre-barrier) -------
-        if cands:
+        if cands and self.shards:
             import time
 
             ctbl = pa.Table.from_pylist(cands, schema=CAND_SCHEMA)
@@ -227,21 +227,40 @@ class FetchExtractStage:
                 int(s): ctbl.filter(pa.array(shard_ids == s))
                 for s in np.unique(shard_ids)
             }
-            # duplicate delivery is harmless (finalize dedups by first
-            # occurrence), so shard RPCs can simply be re-sent on actor
-            # back-pressure timeouts
-            for attempt in range(4):
-                acks = [
-                    self.shards[s].accept.remote(self.wave, t)
-                    for s, t in by_shard.items()
-                ]
+            # Duplicate delivery is harmless (finalize dedups by first
+            # occurrence), so delivery is at-LEAST-once with a short
+            # deadline: wait 5s for acks, re-send whatever is still
+            # pending. This sidesteps Ray's 30s actor-channel seq_no
+            # timeout, which would otherwise stall the whole wave on one
+            # delayed message.
+            pending = {
+                s: self.shards[s].accept.remote(self.wave, t)
+                for s, t in by_shard.items()
+            }
+            for attempt in range(8):
+                refs = list(pending.values())
                 try:
-                    ray.get(acks)
-                    break
+                    ready, not_ready = ray.wait(
+                        refs, num_returns=len(refs), timeout=5.0
+                    )
                 except (ray.exceptions.ActorUnavailableError, ray.exceptions.RayActorError):
-                    if attempt == 3:
-                        raise
-                    time.sleep(1.0 * (attempt + 1))
+                    ready, not_ready = [], refs
+                if not not_ready:
+                    try:
+                        ray.get(ready)
+                        break
+                    except (
+                        ray.exceptions.ActorUnavailableError,
+                        ray.exceptions.RayActorError,
+                    ):
+                        not_ready = ready  # resolve errors by re-sending
+                if attempt == 7:
+                    ray.get(list(pending.values()))  # surface the real error
+                    break
+                stalled = {s for s, r in pending.items() if r in set(not_ready)}
+                time.sleep(0.2)
+                for s in stalled:
+                    pending[s] = self.shards[s].accept.remote(self.wave, by_shard[s])
         # --- document sink: one fragment per (wave, partition) ----------
         if docs:
             import pyarrow.parquet as pq
@@ -394,7 +413,13 @@ def run_crawl(
     fetch_concurrency: int = 4,
     fetch_batch_size: int = 64,  # kept for API compat; blocks are batches
 ) -> CrawlResult:
-    """Run the crawl (optionally resuming from the last complete wave)."""
+    """Run the crawl (optionally resuming from the last complete wave).
+
+    Sizing: keep ``fetch_concurrency`` at ~3/4 of the CPUs — fetch tasks
+    block on seen-shard ``accept`` acks, and a pool that saturates every
+    core starves the (num_cpus=0) shard actors, stalling the whole wave
+    on actor back-pressure. The politeness partitions already provide
+    more blocks than workers, so the headroom costs no utilisation."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd

@@ -21,11 +21,12 @@ __all__ = ["ann_cosine_topk", "ivf_cosine_topk"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    rows = [
-        r
-        for r in read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).take_all()
-        if r["vec_id"] < n_queries
-    ]
+    # filter pushed into the read: only the query vectors leave storage
+    rows = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .take_all()
+    )
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])

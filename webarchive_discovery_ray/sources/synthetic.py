@@ -38,10 +38,20 @@ _MAGIC = {
 
 
 def hosts(cfg: SyntheticConfig) -> list[str]:
-    """Deterministic host universe. Host 0 is the hot host."""
+    """Deterministic host universe. Host 0 is the hot host. Cached per
+    config — callers hit this once per generated page, and rebuilding a
+    100k-entry list per page dominates wide-crawl profiles."""
+    return _hosts_cached(cfg.n_hosts, cfg.uk_host_ratio)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=16)
+def _hosts_cached(n_hosts: int, uk_host_ratio: float) -> list[str]:
     out = ["hot.example.com"]
-    n_uk = int((cfg.n_hosts - 1) * cfg.uk_host_ratio)
-    for i in range(1, cfg.n_hosts):
+    n_uk = int((n_hosts - 1) * uk_host_ratio)
+    for i in range(1, n_hosts):
         if i <= n_uk:
             out.append(f"news{i}.example.co.uk")
         else:
