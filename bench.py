@@ -114,8 +114,8 @@ def bench_crawl(sf_dir: str, num_cpus: int, wide: bool = False) -> dict:
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     if wide:
-        n_hosts = max(1600, n_docs * 4)  # sf0.1 -> 20000 hosts
-        ccfg = CrawlConfig(politeness_budget=24, max_waves=2)
+        n_hosts = max(4000, n_docs * 10)  # sf0.1 -> 50000 hosts
+        ccfg = CrawlConfig(politeness_budget=12, max_waves=2)
     else:
         n_hosts = max(400, n_docs)  # sf0.1 -> 5000 hosts
         ccfg = CrawlConfig(politeness_budget=24, max_waves=4)
