@@ -71,7 +71,8 @@ __all__ = ["FetchExtractStage", "run_crawl", "CrawlResult", "DOCS_OUT_SCHEMA"]
 PART_SCHEMA = pa.schema(list(FRONTIER_SCHEMA) + [pa.field("part", pa.int32())])
 
 # scheduler-facing output of the fetch stage (carry rows pass through with
-# null fetch columns)
+# null fetch columns); candidate outlinks ride as list columns until the
+# split task flattens + shard-keys them
 OUT_SCHEMA = pa.schema(
     list(PART_SCHEMA)
     + [
@@ -81,10 +82,14 @@ OUT_SCHEMA = pa.schema(
         pa.field("fetch_status", pa.int32()),
         pa.field("is_robots", pa.bool_()),
         pa.field("robots_rules", pa.list_(pa.string())),
+        pa.field("cand_urls", pa.list_(pa.string())),
+        pa.field("cand_surts", pa.list_(pa.string())),
+        pa.field("cand_hosts", pa.list_(pa.string())),
     ]
 )
 
-# candidate rows streamed to the seen shards
+# flattened candidate rows (built by the split task, routed by ref to the
+# seen shards; ``shard`` pre-computed so each actor self-filters its rows)
 CAND_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -95,6 +100,7 @@ CAND_SCHEMA = pa.schema(
         ("order_host", pa.string()),
         ("order_slot", pa.int32()),
         ("order_rank", pa.int32()),
+        ("shard", pa.int32()),
     ]
 )
 
@@ -115,14 +121,17 @@ DOCS_OUT_SCHEMA = pa.schema(
 
 
 class FetchExtractStage:
-    """Fetch + extract + candidate routing, one task per frontier block.
+    """Fetch + extract, one task per frontier block.
 
     The page generator stands in for the HTTP fetch (FIXTURES.md §2); the
     extraction chain is the real one (``stages/extract.py``). Candidate
-    outlinks are filtered + SURT/host-keyed here and streamed to the seen
-    shard actors (`accept`) before the task returns, so the wave barrier
-    only has to finalize. Docs (when a sink is attached) are written as
-    one parquet fragment per (wave, partition) — the resumable layout."""
+    outlinks are filtered + SURT/host-keyed here and emitted as LIST
+    columns on the fetched rows — routing to the seen shards happens via
+    driver-submitted by-reference actor calls (tasks never call actors:
+    a task-side RPC couples every fetch slot to actor-channel health,
+    and one delayed message stalls the wave on Ray's 30s seq_no timeout).
+    Docs (when a sink is attached) are written as one parquet fragment
+    per (wave, partition) — the resumable layout."""
 
     def __init__(
         self,
@@ -130,21 +139,16 @@ class FetchExtractStage:
         icfg: IndexConfig | None,
         wave: int,
         ccfg: CrawlConfig,
-        shard_handles: list,
         docs_dir: str | None = None,
     ):
         self.scfg = scfg
         self.icfg = crawl_index_config(icfg)
         self.wave = wave
         self.ccfg = ccfg
-        self.shards = shard_handles
         self.docs_dir = docs_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
         out: list[dict] = []
-        cands: list[dict] = []
         docs: list[dict] | None = [] if self.docs_dir is not None else None
         part = int(batch["part"][0].as_py()) if batch.num_rows else -1
         for r in batch.to_pylist():
@@ -164,23 +168,11 @@ class FetchExtractStage:
             cset = set(doc["links"])
             if doc["redirect_to_norm"]:
                 cset.add(doc["redirect_to_norm"])
-            for rank, u in enumerate(
+            cand_urls = [
                 u
                 for u in sorted(cset)
                 if candidate_ok(u, r["hop"], self.ccfg, self.icfg.max_url_length)
-            ):
-                cands.append(
-                    {
-                        "url": u,
-                        "surt": surt_key(u),
-                        "host": extract_host(u),
-                        "priority": r["priority"],
-                        "hop": r["hop"],
-                        "order_host": r["host"],
-                        "order_slot": r["slot"],
-                        "order_rank": rank,
-                    }
-                )
+            ]
             crawl_cols = {
                 "url": doc["url"],
                 "surt": doc["surt"],
@@ -199,6 +191,9 @@ class FetchExtractStage:
                     if is_robots and rec["status"] == 200
                     else []
                 ),
+                "cand_urls": cand_urls,
+                "cand_surts": [surt_key(u) for u in cand_urls],
+                "cand_hosts": [extract_host(u) for u in cand_urls],
             }
             out.append(crawl_cols)
             if docs is not None:
@@ -213,54 +208,6 @@ class FetchExtractStage:
                     is_robots=is_robots,
                 )
                 docs.append(doc)
-        # --- stream candidates to their seen shards (pre-barrier) -------
-        if cands and self.shards:
-            import time
-
-            ctbl = pa.Table.from_pylist(cands, schema=CAND_SCHEMA)
-            shard_ids = np.fromiter(
-                (shard_of(k, len(self.shards)) for k in ctbl["surt"].to_pylist()),
-                dtype=np.int64,
-                count=ctbl.num_rows,
-            )
-            by_shard = {
-                int(s): ctbl.filter(pa.array(shard_ids == s))
-                for s in np.unique(shard_ids)
-            }
-            # Duplicate delivery is harmless (finalize dedups by first
-            # occurrence), so delivery is at-LEAST-once with a short
-            # deadline: wait 5s for acks, re-send whatever is still
-            # pending. This sidesteps Ray's 30s actor-channel seq_no
-            # timeout, which would otherwise stall the whole wave on one
-            # delayed message.
-            pending = {
-                s: self.shards[s].accept.remote(self.wave, t)
-                for s, t in by_shard.items()
-            }
-            for attempt in range(8):
-                refs = list(pending.values())
-                try:
-                    ready, not_ready = ray.wait(
-                        refs, num_returns=len(refs), timeout=5.0
-                    )
-                except (ray.exceptions.ActorUnavailableError, ray.exceptions.RayActorError):
-                    ready, not_ready = [], refs
-                if not not_ready:
-                    try:
-                        ray.get(ready)
-                        break
-                    except (
-                        ray.exceptions.ActorUnavailableError,
-                        ray.exceptions.RayActorError,
-                    ):
-                        not_ready = ready  # resolve errors by re-sending
-                if attempt == 7:
-                    ray.get(list(pending.values()))  # surface the real error
-                    break
-                stalled = {s for s, r in pending.items() if r in set(not_ready)}
-                time.sleep(0.2)
-                for s in stalled:
-                    pending[s] = self.shards[s].accept.remote(self.wave, by_shard[s])
         # --- document sink: one fragment per (wave, partition) ----------
         if docs:
             import pyarrow.parquet as pq
@@ -440,19 +387,73 @@ def run_crawl(
     def _count_rows(tbl: pa.Table) -> int:
         return tbl.num_rows
 
-    @ray.remote(num_returns=3)
+    n_shards = ccfg.seen_shards
+    _pull_cols = [
+        "url", "surt", "host", "priority", "hop", "seq", "part", "slot",
+        "selected", "fetch_host", "fetch_status", "is_robots", "robots_rules",
+    ]
+
+    @ray.remote(num_returns=4)
     def _split_block(tbl: pa.Table):
-        """(part_id, carry_table, fetched_table) — carry stays remote."""
+        """(meta, carry_table, fetched_table, candidate_table).
+
+        Carry and candidates stay remote; candidates are flattened from
+        the fetch stage's list columns (vectorized) and shard-keyed so
+        each seen shard can self-filter its rows from the shared block."""
+        empty = (
+            {"part": -1, "cand_rows": 0},
+            FRONTIER_SCHEMA.empty_table(),
+            OUT_SCHEMA.empty_table().select(_pull_cols),
+            CAND_SCHEMA.empty_table(),
+        )
         if tbl.num_rows == 0 or "selected" not in tbl.column_names:
-            # empty input parts pass through the map stages untouched
-            return -1, FRONTIER_SCHEMA.empty_table(), OUT_SCHEMA.empty_table()
+            return empty  # empty input parts pass through the maps untouched
         part = int(tbl["part"][0].as_py())
         sel = tbl["selected"]
         carry = tbl.filter(pc.invert(sel)).select(
             ["url", "surt", "host", "priority", "hop", "seq", "part"]
         )
         fetched = tbl.filter(sel)
-        return part, carry, fetched
+        cand_col = fetched["cand_urls"].combine_chunks()
+        lengths = pc.list_value_length(cand_col).to_numpy().astype(np.int64)
+        total = int(lengths.sum())
+        if total == 0:
+            return (
+                {"part": part, "cand_rows": 0},
+                carry,
+                fetched.select(_pull_cols),
+                CAND_SCHEMA.empty_table(),
+            )
+        parents = pc.list_parent_indices(cand_col)
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        surts = pc.list_flatten(fetched["cand_surts"].combine_chunks())
+        cand = pa.table(
+            {
+                "url": pc.list_flatten(cand_col),
+                "surt": surts,
+                "host": pc.list_flatten(fetched["cand_hosts"].combine_chunks()),
+                "priority": pc.take(fetched["priority"], parents),
+                "hop": pc.take(fetched["hop"], parents),
+                "order_host": pc.take(fetched["fetch_host"], parents),
+                "order_slot": pc.take(fetched["slot"], parents),
+                "order_rank": pa.array(
+                    (np.arange(total) - starts).astype(np.int32)
+                ),
+                "shard": pa.array(
+                    np.fromiter(
+                        (shard_of(k, n_shards) for k in surts.to_pylist()),
+                        dtype=np.int32,
+                        count=total,
+                    )
+                ),
+            }
+        ).cast(CAND_SCHEMA)
+        return (
+            {"part": part, "cand_rows": total},
+            carry,
+            fetched.select(_pull_cols),
+            cand,
+        )
 
     import time as _time
 
@@ -528,10 +529,8 @@ def run_crawl(
             for p in range(n_parts)
         ]
         _mark(f"w{wave}:assemble")
-        # --- ONE execution per wave: drain -> fetch/extract/route -------
-        stage = FetchExtractStage(
-            scfg, icfg, wave, ccfg, pool.shards, docs_dir=docs_dir
-        )
+        # --- ONE execution per wave: drain -> fetch/extract -------------
+        stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
         block_refs = (
             rd.from_arrow_refs(input_refs)
             .map_batches(
@@ -551,14 +550,26 @@ def run_crawl(
         carry_refs, carry_counts = {}, {}
         fetched_parts = []
         fetched_per_part: dict[int, int] = {}
+        accept_acks = []
         splits = [_split_block.remote(ref) for ref in block_refs]
-        for part_ref, carry_ref, fetched_ref in splits:
-            part = ray.get(part_ref)
+        for meta_ref, carry_ref, fetched_ref, cand_ref in splits:
+            meta = ray.get(meta_ref)
             ftbl = ray.get(fetched_ref)
             fetched_parts.append(ftbl)
-            if part >= 0:
-                carry_refs[part] = carry_ref
-                fetched_per_part[part] = ftbl.num_rows
+            if meta["part"] >= 0:
+                carry_refs[meta["part"]] = carry_ref
+                fetched_per_part[meta["part"]] = ftbl.num_rows
+            if meta["cand_rows"]:
+                # candidate routing BY REFERENCE from the driver: one
+                # ordered channel per shard actor, shards self-filter rows
+                # from the shared block (zero-copy plasma reads); no task
+                # ever blocks on an actor call
+                accept_acks.extend(
+                    pool.shards[s].accept_routed.remote(wave, cand_ref, s)
+                    for s in range(n_shards)
+                )
+        if accept_acks:
+            ray.get(accept_acks)  # delivery barrier before finalize
         # carry counts via tiny remote probes (rows only, tables stay put)
         count_refs = {
             p: _count_rows.remote(r) for p, r in carry_refs.items()

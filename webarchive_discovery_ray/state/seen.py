@@ -90,11 +90,22 @@ class SeenSet:
         return [self._bloom.might_contain(k) and k in self._exact for k in keys]
 
     def accept(self, wave: int, tbl) -> int:
-        """Buffer a candidate table chunk for ``wave`` (streamed from
-        fetch tasks). Columns: url, surt, host, priority, hop,
-        order_host, order_slot, order_rank."""
+        """Buffer a candidate table chunk for ``wave``. Columns: url,
+        surt, host, priority, hop, order_host, order_slot, order_rank."""
         self._pending.setdefault(wave, []).append(tbl)
         return tbl.num_rows
+
+    def accept_routed(self, wave: int, tbl, shard_id: int) -> int:
+        """Buffer this shard's rows of a SHARED candidate block (driver
+        routes the block by reference to every shard; the ``shard``
+        column pre-computed by the split task says which rows are ours —
+        the plasma read is zero-copy, only our rows are materialised)."""
+        import pyarrow.compute as pc
+
+        mine = tbl.filter(pc.equal(tbl["shard"], shard_id))
+        if mine.num_rows:
+            self._pending.setdefault(wave, []).append(mine)
+        return mine.num_rows
 
     def finalize_wave(self, wave: int):
         """Wave barrier: sort this shard's candidates by the global order
