@@ -15,11 +15,18 @@ Per wave:
    drop, cumcount slot assignment under the per-host budget;
 3. **fetch + extract** — ``map_batches`` over Arrow: deterministic page
    generation (stands in for HTTP fetch) + the full extraction chain;
-   candidate outlinks are filtered, SURT-keyed and STREAMED DIRECTLY to
-   the seen-shard actors (``shard.accept``) from inside the task; when a
-   document sink is attached, docs are written straight to per-(wave,
-   partition) parquet fragments (resumable layout);
-4. **discovery barrier** — each seen shard sorts its candidates by the
+   candidate outlinks are filtered + SURT-keyed in the task and emitted
+   as list columns; when a document sink is attached, docs are written
+   straight to per-(wave, partition) parquet fragments (resumable
+   layout);
+4. **candidate routing** — a split task flattens + shard-keys the
+   candidates (vectorized); the DRIVER routes each block to the seen
+   shards BY REFERENCE (``accept_routed(block_ref, shard)``) — tasks
+   never call actors (a task-side RPC couples fetch slots to actor
+   channel health and one delayed message stalls the wave), candidate
+   bytes never touch the driver, and shards read the shared block
+   zero-copy;
+5. **discovery barrier** — each seen shard sorts its candidates by the
    pinned global order key (parent host, parent slot, link rank), keeps
    first-unseen SURTs, and returns only the winners; the driver merges
    per-shard winners, assigns global ``seq`` in order, and routes them to
