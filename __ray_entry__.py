@@ -48,6 +48,7 @@ def _crawl_frontier(sf_dir: str):
         CrawlConfig(politeness_budget=4, max_waves=3),
         syn,
         fetch_concurrency=2,
+        collect_log=True,
     )
     return pa.Table.from_pylist(res.fetch_log)
 
@@ -446,13 +447,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'neutral' END AS sentiment
             FROM (
                 SELECT doc_id,
-                       CASE WHEN trim(substr(text, 1, 10000)) = '' THEN 0
+                       CAST(CASE WHEN trim(substr(text, 1, 10000)) = '' THEN 0
                             ELSE list_sum(list_transform(
                                 regexp_split_to_array(trim(substr(text, 1, 10000)), '\s+'),
                                 w -> CASE w WHEN 'fast' THEN 2 WHEN 'small' THEN 1
                                             WHEN 'big' THEN 1 WHEN 'slow' THEN -2
                                             WHEN 'error' THEN -3 WHEN 'dup' THEN -1
-                                            ELSE 0 END)) END AS score
+                                            ELSE 0 END)) END AS BIGINT) AS score
                 FROM documents
             )
         """,

@@ -48,7 +48,8 @@ def test_oracle_sanity(oracle_result):
 
 
 def test_ray_crawl_matches_oracle(ray_session, seeds, oracle_result):
-    got = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2, fetch_batch_size=16)
+    got = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
     exp = oracle_result
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert got.seen_sorted == exp.seen_sorted  # byte-identical seen set
@@ -89,7 +90,8 @@ def test_checkpoint_resume_identical(ray_session, seeds, oracle_result, tmp_path
     )
     run_crawl(seeds, partial_cfg, SYN, checkpoint_dir=ckpt, fetch_concurrency=2)
     resumed = run_crawl(
-        seeds, CRAWL, SYN, checkpoint_dir=ckpt, resume=True, fetch_concurrency=2
+        seeds, CRAWL, SYN, checkpoint_dir=ckpt, resume=True, fetch_concurrency=2,
+        collect_log=True, collect_seen=True,
     )
     exp = oracle_result
     assert [_log_key(e) for e in resumed.fetch_log] == [_log_key(e) for e in exp.fetch_log]
@@ -104,7 +106,8 @@ def test_docs_sink_fragments(ray_session, seeds, tmp_path_factory):
     import pyarrow.parquet as pq
 
     docs_dir = str(tmp_path_factory.mktemp("crawl_docs"))
-    r = run_crawl(seeds, CRAWL, SYN, docs_dir=docs_dir, fetch_concurrency=2)
+    r = run_crawl(seeds, CRAWL, SYN, docs_dir=docs_dir, fetch_concurrency=2,
+                  collect_log=True)
     frags = sorted(glob.glob(f"{docs_dir}/wave_*/part_*.parquet"))
     assert frags
     total = 0
@@ -122,7 +125,8 @@ def test_hot_host_budget_bound(ray_session):
     seeds = seed_urls(syn, n_seeds=4)
     ccfg = CrawlConfig(politeness_budget=2, max_waves=3, seen_shards=2)
     exp = oracle_crawl(seeds, ccfg, syn)
-    got = run_crawl(seeds, ccfg, syn, fetch_concurrency=2)
+    got = run_crawl(seeds, ccfg, syn, fetch_concurrency=2,
+                    collect_log=True, collect_seen=True)
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert got.seen_sorted == exp.seen_sorted
     per = {}
@@ -131,3 +135,39 @@ def test_hot_host_budget_bound(ray_session):
         per[(e["wave"], e["host"])] += 1
     assert max(per.values()) <= 2
     assert any(s["carryover"] > 0 for s in got.wave_stats)
+
+
+def test_salted_predrain_byte_parity(ray_session):
+    """Hot-host salting (SURVEY §7.1-7): with salt_threshold forced low so
+    EVERY sizeable partition takes the salted pre-drain path, the fetch
+    log, seen set, and wave stats must stay byte-identical to the
+    sequential oracle — the salted top-budget union provably contains the
+    global per-host selection, and carryover (survivor losers + salted
+    direct carry) must sum to the oracle's count. Politeness invariants
+    (budget bound, pinned order) must survive the split."""
+    syn = SyntheticConfig(n_hosts=8, pages_per_host=80, max_fanout=8, hot_host_share=0.6)
+    seeds = seed_urls(syn, n_seeds=8)
+
+    def cfg(**kw):
+        return CrawlConfig(politeness_budget=2, max_waves=4, seen_shards=2, **kw)
+
+    exp = oracle_crawl(seeds, cfg(), syn)
+    got = run_crawl(
+        seeds,
+        # threshold 0: EVERY non-empty partition takes the salted path
+        cfg(salt_threshold=0, salt_factor=4),
+        syn,
+        fetch_concurrency=2,
+        collect_log=True,
+        collect_seen=True,
+    )
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    keys = ("wave", "frontier", "fetched", "carryover", "new_urls")
+    assert [{k: s[k] for k in keys} for s in got.wave_stats] == [
+        {k: s[k] for k in keys} for s in exp.wave_stats
+    ]
+    per = {}
+    for e in got.fetch_log:
+        per[(e["wave"], e["host"])] = per.get((e["wave"], e["host"]), 0) + 1
+    assert max(per.values()) <= 2

@@ -220,6 +220,25 @@ def test_dechunk_roundtrip_and_heuristics():
     assert maybe_dechunk(enc[:-10] + b"zz") in ((enc[:-10] + b"zz", False),)
 
 
+def test_dechunk_hint_gates_probe():
+    """Transfer-Encoding hint gates the framing probe (InputStreamUtils
+    .java:243-259): only 'chunked' (case-insensitive) probes; a payload
+    that merely LOOKS chunked ('0\\r\\n', 'abc\\n...') must pass through
+    untouched when the header is absent or different."""
+    from webarchive_discovery_ray.functions.payload import chunk_encode, maybe_dechunk
+
+    data = b"payload body " * 50
+    enc = chunk_encode(data, 128)
+    assert maybe_dechunk(enc, "chunked") == (data, True)
+    assert maybe_dechunk(enc, "Chunked") == (data, True)
+    # hinted not-chunked / absent header: no probe even on chunk-like heads
+    looks_chunked = b"0\r\nrest of a text file"
+    for payload in (enc, looks_chunked, b"abc\nnot really chunked"):
+        assert maybe_dechunk(payload, "") == (payload, False)
+        assert maybe_dechunk(payload, None) == (payload, False)
+        assert maybe_dechunk(payload, "identity") == (payload, False)
+
+
 def test_decompress_gzip_and_passthrough():
     import gzip
 
@@ -227,10 +246,15 @@ def test_decompress_gzip_and_passthrough():
 
     raw = b"<html><p>content</p></html>"
     gz = gzip.compress(raw, mtime=0)
-    assert maybe_decompress(gz, "") == (raw, "gzip")  # magic sniffed
+    # hint precedence mirrors InputStreamUtils.maybeDecompress (:399-447):
+    # absent header (None) auto-sniffs the gzip magic; an explicit empty
+    # hint passes through untouched even when the magic matches
+    assert maybe_decompress(gz, None) == (raw, "gzip")  # magic sniffed
+    assert maybe_decompress(gz, "") == (gz, "")  # explicit '' wins
     assert maybe_decompress(gz, "gzip") == (raw, "gzip")
-    assert maybe_decompress(raw, "") == (raw, "")
-    assert maybe_decompress(b"\x1f\x8bcorrupt", "") == (b"\x1f\x8bcorrupt", "")
+    assert maybe_decompress(gz, "identity") == (gz, "")  # unknown hint
+    assert maybe_decompress(raw, None) == (raw, "")
+    assert maybe_decompress(b"\x1f\x8bcorrupt", None) == (b"\x1f\x8bcorrupt", "")
 
 
 def test_chunked_and_gzip_extraction_parity():

@@ -121,10 +121,40 @@ def test_buffered_sink_flush_thresholds():
     sent = []
     stage = BufferedSinkStage(send=lambda rows: sent.append(len(rows)), batch_docs=10)
     t = pa.table({"v": list(range(25))})
-    stage(t)
+    acc = stage(t)
     assert sent == [10, 10]  # two threshold flushes, 5 buffered
-    stage._flush()
+    assert acc["buffered"][0].as_py() == 5  # tail visible to callers
+    assert stage.close() == 25  # explicit commit flushes the tail
     assert sent == [10, 10, 5]
+
+
+def test_run_buffered_sink_flushes_tail(ray_session, tmp_path):
+    """S6 distributed: the sub-threshold tail MUST reach the transport via
+    the explicit close() fan-out (not __del__)."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.sources.sinks import run_buffered_sink
+
+    out = tmp_path / "sink"
+    out.mkdir()
+
+    def make_send(shard_id):
+        path = str(out / f"shard_{shard_id}.jsonl")
+
+        def send(rows):
+            with open(path, "a", encoding="utf-8") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+
+        return send
+
+    ds = rd.from_items([{"a": i} for i in range(103)])  # 103 % 50 leaves a tail
+    stats = run_buffered_sink(ds, make_send, n_shards=2, batch_docs=50)
+    assert stats["accepted"] == 103 and stats["flushed"] == 103
+    rows = []
+    for f in glob.glob(str(out / "shard_*.jsonl")):
+        rows += [json.loads(line) for line in open(f)]
+    assert sorted(r["a"] for r in rows) == list(range(103))
 
 
 def test_retry_sender_drops_after_attempts():

@@ -58,6 +58,15 @@ class CrawlConfig:
     seen_shards: int = 8
     respect_robots: bool = True
     max_urls: int | None = None  # overall stop condition (None = unbounded)
+    # hot-host skew (SURVEY §7.1-7): a frontier partition whose assembled
+    # block exceeds salt_threshold rows is split into salt_factor salted
+    # sub-blocks; each is pre-drained in parallel (robots filter + per-host
+    # top-budget by the global (priority, seq) order) and only the
+    # survivors re-merge into the politeness drain. Byte-parity holds for
+    # ANY split: the global top-budget of a host is contained in the union
+    # of its sub-block top-budgets. None disables salting.
+    salt_threshold: int | None = 100_000
+    salt_factor: int = 8
 
 
 @dataclass(frozen=True)

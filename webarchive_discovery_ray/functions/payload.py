@@ -22,12 +22,23 @@ __all__ = ["maybe_dechunk", "maybe_decompress", "chunk_encode"]
 _CHUNK_HEAD = re.compile(rb"([0-9a-fA-F]{1,8})(;[^\r\n]*)?\r?\n")
 _GZIP_MAGIC = b"\x1f\x8b"
 
+# sentinel: probe unconditionally (the reference's 1-arg maybeDechunk);
+# callers with an HTTP header should pass the Transfer-Encoding value
+_PROBE = object()
 
-def maybe_dechunk(data: bytes) -> tuple[bytes, bool]:
-    """Decode HTTP chunked framing when the head looks chunked; return
-    ``(payload, was_chunked)``. Any framing inconsistency mid-stream
-    returns the ORIGINAL bytes untouched (the reference treats a probe
-    mismatch as not-chunked rather than erroring)."""
+
+def maybe_dechunk(data: bytes, hint: object = _PROBE) -> tuple[bytes, bool]:
+    """Decode HTTP chunked framing; return ``(payload, was_chunked)``.
+
+    When ``hint`` is given (the record's Transfer-Encoding header) the
+    framing probe runs ONLY when it equals ``chunked`` case-insensitively
+    (``InputStreamUtils.java:243-259``: any other value — including absent
+    — passes the stream through unmodified). Without a hint the head is
+    probed unconditionally (the reference's 1-arg ``maybeDechunk``). Any
+    framing inconsistency mid-stream returns the ORIGINAL bytes untouched
+    (a probe mismatch is not-chunked, not an error)."""
+    if hint is not _PROBE and (str(hint or "")).strip().lower() != "chunked":
+        return data, False
     m = _CHUNK_HEAD.match(data)
     if not m:
         return data, False
@@ -55,12 +66,24 @@ def maybe_dechunk(data: bytes) -> tuple[bytes, bool]:
 
 
 def maybe_decompress(data: bytes, content_encoding: str | None = None) -> tuple[bytes, str]:
-    """Return ``(payload, encoding_applied)``. gzip is applied when the
-    magic bytes match OR the header hints gzip; brotli only on hint (and
-    only if a brotli module exists — otherwise passed through, matching
-    the gate-behind-import rule). Corrupt streams pass through."""
-    hint = (content_encoding or "").strip().lower()
-    if data[:2] == _GZIP_MAGIC or hint == "gzip":
+    """Return ``(payload, encoding_applied)``.
+
+    A present Content-Encoding hint takes precedence over magic sniffing
+    (``InputStreamUtils.maybeDecompress``, :399-447): ``''`` passes the
+    stream through as-is, ``gzip``/``br`` decompress, anything else passes
+    through. Only when the header is ABSENT (``None``) is the gzip magic
+    auto-sniffed (brotli is never sniffed — unreliable). brotli needs a
+    brotli module (absent in this container → pass through, matching the
+    gate-behind-import rule). Corrupt streams pass through."""
+    if content_encoding is None:
+        if data[:2] == _GZIP_MAGIC:
+            try:
+                return _gzip.decompress(data), "gzip"
+            except Exception:
+                return data, ""
+        return data, ""
+    hint = content_encoding.strip().lower()
+    if hint == "gzip":
         try:
             return _gzip.decompress(data), "gzip"
         except Exception:

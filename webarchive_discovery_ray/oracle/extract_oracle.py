@@ -276,13 +276,13 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
 
     raw: bytes = rec["payload"] or b""
     doc["content_length"] = len(raw)
-    payload, _ = maybe_dechunk(raw)  # M14 (hash after dechunk)
+    payload, _ = maybe_dechunk(raw, rec.get("transfer_encoding"))  # M14
     doc["hash"] = sha1_b32(payload)
     if rec.get("payload_sha1") and rec["payload_sha1"] != doc["hash"]:
         doc["hash_mismatch"] = True
         errors.append("Digest validation failed")
         doc["parse_error"] = "; ".join(errors)
-    payload, _ = maybe_decompress(payload, rec.get("content_encoding"))  # M15
+    payload, _ = maybe_decompress(payload, rec.get("content_encoding") or None)  # M15
     if len(payload) >= 4:
         hx = payload[: cfg.first_bytes_length].hex()
         doc["content_ffb"] = hx[:8]

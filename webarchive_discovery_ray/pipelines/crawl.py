@@ -217,14 +217,20 @@ class FetchExtractStage:
                 docs.append(doc)
         # --- document sink: one fragment per (wave, partition) ----------
         if docs:
+            import uuid
+
             import pyarrow.parquet as pq
 
             d = os.path.join(self.docs_dir, f"wave_{self.wave:04d}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                pa.Table.from_pylist(docs, schema=DOCS_OUT_SCHEMA),
-                os.path.join(d, f"part_{part:05d}.parquet"),
-            )
+            # atomic publish: a retried/reconstructed task may write the
+            # same fragment concurrently — tmp + os.replace guarantees the
+            # final file is one writer's COMPLETE (deterministic) output,
+            # never a torn interleaving
+            final = os.path.join(d, f"part_{part:05d}.parquet")
+            tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+            pq.write_table(pa.Table.from_pylist(docs, schema=DOCS_OUT_SCHEMA), tmp)
+            os.replace(tmp, final)
         if not out:
             return OUT_SCHEMA.empty_table()
         return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
@@ -238,35 +244,38 @@ def page_for_url_cached(url: str, scfg: SyntheticConfig) -> dict:
     return page_for_url(url, scfg)
 
 
+def _robots_drop(df: pd.DataFrame, robots_rules: dict[str, list[str]]) -> pd.DataFrame:
+    """Drop robots-Disallowed rows (injected robots fetches at priority -1
+    are exempt; only hosts WITH rules pay the per-row Python check)."""
+    if not robots_rules:
+        return df
+    ruled = df["host"].map(lambda h: h in robots_rules)
+    if not ruled.any():
+        return df
+    sub = df.loc[ruled]
+    keep = np.fromiter(
+        (
+            p == -1 or not is_disallowed(url_path(u), robots_rules[h])
+            for p, u, h in zip(sub["priority"].to_numpy(), sub["url"], sub["host"])
+        ),
+        dtype=bool,
+        count=len(sub),
+    )
+    drop_idx = sub.index[~keep]
+    return df.drop(index=drop_idx) if len(drop_idx) else df
+
+
 def _make_drain_fn(budget: int, robots_rules: dict[str, list[str]]):
     """Vectorized politeness drain over a host-hash-partitioned block.
 
-    The block holds every row of each host it contains, so per-host queues
-    are complete: order by (priority, seq), drop robots-Disallowed rows
-    (injected robots fetches at priority -1 are exempt; only hosts WITH
-    rules pay the per-row Python check), then ``cumcount`` assigns slots —
-    first ``budget`` per host are selected, the rest carry over."""
+    The block holds every (surviving) row of each host it contains, so
+    per-host queues are complete: order by (priority, seq), drop
+    robots-Disallowed rows, then ``cumcount`` assigns slots — first
+    ``budget`` per host are selected, the rest carry over."""
 
     def drain(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
-        if robots_rules:
-            ruled = df["host"].map(lambda h: h in robots_rules)
-            if ruled.any():
-                sub = df.loc[ruled]
-                keep = np.fromiter(
-                    (
-                        p == -1
-                        or not is_disallowed(url_path(u), robots_rules[h])
-                        for p, u, h in zip(
-                            sub["priority"].to_numpy(), sub["url"], sub["host"]
-                        )
-                    ),
-                    dtype=bool,
-                    count=len(sub),
-                )
-                drop_idx = sub.index[~keep]
-                if len(drop_idx):
-                    df = df.drop(index=drop_idx)
+        df = _robots_drop(df, robots_rules)
         slots = df.groupby("host", sort=False).cumcount().to_numpy()
         return df.assign(
             slot=np.where(slots < budget, slots, -1).astype("int32"),
@@ -366,6 +375,8 @@ def run_crawl(
     resume: bool = False,
     fetch_concurrency: int = 4,
     fetch_batch_size: int = 64,  # kept for API compat; blocks are batches
+    collect_log: bool = False,
+    collect_seen: bool = False,
 ) -> CrawlResult:
     """Run the crawl (optionally resuming from the last complete wave).
 
@@ -373,7 +384,14 @@ def run_crawl(
     block on seen-shard ``accept`` acks, and a pool that saturates every
     core starves the (num_cpus=0) shard actors, stalling the whole wave
     on actor back-pressure. The politeness partitions already provide
-    more blocks than workers, so the headroom costs no utilisation."""
+    more blocks than workers, so the headroom costs no utilisation.
+
+    ``collect_log`` / ``collect_seen`` are TEST/ANALYSIS hooks: they pull
+    the full fetch log (as Python dicts) / the sorted global seen set onto
+    the driver — O(total fetched) / O(total seen) driver memory, never the
+    default. Production runs stream the per-wave fetch log to parquet via
+    ``checkpoint_dir`` (and, when only ``docs_dir`` is given, alongside
+    the per-wave docs fragments)."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
@@ -383,16 +401,47 @@ def run_crawl(
     n_parts = max(16, fetch_concurrency * 4)
 
     @ray.remote
-    def _assemble(carry: pa.Table | None, extras: pa.Table) -> pa.Table:
-        if carry is None or carry.num_rows == 0:
-            return extras
-        if extras.num_rows == 0:
-            return carry
-        return pa.concat_tables([carry, extras])
+    def _assemble(extras: pa.Table, *carries: pa.Table) -> pa.Table:
+        tbls = [t for t in (extras, *carries) if t is not None and t.num_rows]
+        if not tbls:
+            return extras  # keeps the schema for downstream stages
+        return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
 
     @ray.remote
     def _count_rows(tbl: pa.Table) -> int:
         return tbl.num_rows
+
+    @ray.remote
+    def _salt_split(tbl: pa.Table, n_sub: int) -> list[pa.Table]:
+        """Split a hot partition block into n_sub salted sub-blocks by a
+        stable per-URL hash. ANY split preserves parity (see _pre_drain),
+        so the hash only needs to spread rows evenly."""
+        salts = pd.util.hash_array(
+            np.asarray(tbl["surt"].to_pylist(), dtype=object), categorize=False
+        ) % n_sub
+        return [tbl.filter(pa.array(salts == s)) for s in range(n_sub)]
+
+    @ray.remote(num_returns=2)
+    def _pre_drain(tbl: pa.Table, budget: int, robots_rules: dict):
+        """Salted phase-1 drain over ONE sub-block of a hot partition:
+        apply the robots drop (same rule as the main drain — dropped rows
+        leave the frontier), then keep each host's top ``budget`` rows by
+        the global (priority, seq) order as SURVIVORS; the rest carry
+        over directly. Parity: a row selected by the global drain ranks
+        < budget in any subset containing it, so the union of sub-block
+        survivors contains every globally selected row, and the final
+        drain over survivors assigns identical slots."""
+        if tbl.num_rows == 0:
+            return tbl, tbl
+        df = tbl.to_pandas()
+        df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
+        df = _robots_drop(df, robots_rules)
+        ranks = df.groupby("host", sort=False).cumcount().to_numpy()
+        survive = ranks < budget
+        cols = ["url", "surt", "host", "priority", "hop", "seq", "part"]
+        sv = pa.Table.from_pandas(df.loc[survive, cols], preserve_index=False)
+        cr = pa.Table.from_pandas(df.loc[~survive, cols], preserve_index=False)
+        return sv.cast(PART_SCHEMA), cr.cast(PART_SCHEMA)
 
     n_shards = ccfg.seen_shards
     _pull_cols = [
@@ -475,10 +524,11 @@ def run_crawl(
     pool = SeenShardPool(ccfg.seen_shards)
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
-    log_tables: list[pa.Table] = []
+    log_tables: list[pa.Table] = []  # retained ONLY under collect_log
     pending_delta: list[str] = []  # SURTs first seen since last checkpoint
     start_wave = 0
-    carry_refs: dict[int, "ray.ObjectRef"] = {}
+    order_base = 0
+    carry_refs: dict[int, list["ray.ObjectRef"]] = {}
     carry_counts: dict[int, int] = {}
 
     if resume and checkpoint_dir is not None and (last := latest_complete_wave(checkpoint_dir)) is not None:
@@ -487,7 +537,8 @@ def run_crawl(
         pool.restore_keys(ck["seen_keys"])
         robots_scheduled = ck["robots_scheduled"]
         robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
-        if ck["fetch_log"].num_rows:
+        order_base = ck["fetch_log"].num_rows
+        if collect_log and order_base:
             log_tables.append(ck["fetch_log"])
         seq = ck["seq"]
         start_wave = last + 1
@@ -496,8 +547,6 @@ def run_crawl(
         extras, seq = _seed_frontier(seeds, pool)
         robots_check_hosts = set(pc.unique(extras["host"]).to_pylist())
         pending_delta.extend(extras["surt"].to_pylist())
-
-    order_base = sum(t.num_rows for t in log_tables)
     for wave in range(start_wave, ccfg.max_waves):
         _mark(f"w{wave}:start")
         # --- robots injection (new hosts only: a host already in the
@@ -531,14 +580,50 @@ def run_crawl(
         _mark(f"w{wave}:robots")
         # --- assemble wave input blocks (object-store resident) ---------
         extra_parts = _partition_by_host(extras, n_parts)
-        input_refs = [
-            _assemble.remote(carry_refs.get(p), extra_parts[p])
-            for p in range(n_parts)
-        ]
+        input_refs = []
+        pre_carry: dict[int, list] = {}  # salted-path direct carryover
+        rules_ref = None
+        for p in range(n_parts):
+            assembled = _assemble.remote(extra_parts[p], *carry_refs.get(p, []))
+            rows_p = extra_parts[p].num_rows + carry_counts.get(p, 0)
+            if ccfg.salt_threshold is not None and rows_p > ccfg.salt_threshold:
+                # hot-host path: salted phase-1 drain in parallel, only
+                # survivors (≤ salt_factor × budget per host) re-merge
+                if rules_ref is None:
+                    rules_ref = ray.put(robots_rules)
+                subs = _salt_split.options(
+                    num_returns=ccfg.salt_factor
+                ).remote(assembled, ccfg.salt_factor)
+                if ccfg.salt_factor == 1:
+                    subs = [subs]
+                outs = [
+                    _pre_drain.remote(sub, ccfg.politeness_budget, rules_ref)
+                    for sub in subs
+                ]
+                input_refs.append(
+                    _assemble.remote(PART_SCHEMA.empty_table(), *[sv for sv, _ in outs])
+                )
+                pre_carry[p] = [cr for _, cr in outs]
+            else:
+                input_refs.append(assembled)
         _mark(f"w{wave}:assemble")
+        # resumable docs layout: clear this wave's fragment dir first so a
+        # crashed prior attempt (possibly with a different n_parts) can't
+        # leave stale part_*.parquet fragments beside the new ones
+        if docs_dir is not None:
+            wdir = os.path.join(docs_dir, f"wave_{wave:04d}")
+            if os.path.isdir(wdir):
+                import shutil
+
+                shutil.rmtree(wdir)
         # --- ONE execution per wave: drain -> fetch/extract -------------
+        # materialize() PINS the wave's output blocks for the lifetime of
+        # ``mat``: without it the streaming executor frees blocks eagerly
+        # and the downstream _split_block / seen-shard reads trigger
+        # lineage reconstruction that re-runs fetch tasks (wasted compute
+        # + duplicate fragment writes)
         stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
-        block_refs = (
+        mat = (
             rd.from_arrow_refs(input_refs)
             .map_batches(
                 _make_drain_fn(ccfg.politeness_budget, robots_rules),
@@ -551,39 +636,53 @@ def run_crawl(
                 batch_size=None,
                 concurrency=fetch_concurrency,
             )
-            .to_arrow_refs()
+            .materialize()
         )
+        block_refs = mat.to_arrow_refs()
         _mark(f"w{wave}:exec")
-        carry_refs, carry_counts = {}, {}
-        fetched_parts = []
-        fetched_per_part: dict[int, int] = {}
-        accept_acks = []
         splits = [_split_block.remote(ref) for ref in block_refs]
-        for meta_ref, carry_ref, fetched_ref, cand_ref in splits:
-            meta = ray.get(meta_ref)
-            ftbl = ray.get(fetched_ref)
-            fetched_parts.append(ftbl)
+        metas = ray.get([m for m, _, _, _ in splits])
+        fetched_parts = ray.get([f for _, _, f, _ in splits])
+        carry_refs = {p: list(refs) for p, refs in pre_carry.items()}
+        fetched_per_part: dict[int, int] = {}
+        cand_refs = []
+        for meta, (_, carry_ref, _, cand_ref), ftbl in zip(
+            metas, splits, fetched_parts
+        ):
             if meta["part"] >= 0:
-                carry_refs[meta["part"]] = carry_ref
+                carry_refs.setdefault(meta["part"], []).append(carry_ref)
                 fetched_per_part[meta["part"]] = ftbl.num_rows
             if meta["cand_rows"]:
-                # candidate routing BY REFERENCE from the driver: one
-                # ordered channel per shard actor, shards self-filter rows
-                # from the shared block (zero-copy plasma reads); no task
-                # ever blocks on an actor call
-                accept_acks.extend(
-                    pool.shards[s].accept_routed.remote(wave, cand_ref, s)
+                cand_refs.append(cand_ref)
+        if cand_refs:
+            # candidate routing BY REFERENCE from the driver, BATCHED: one
+            # accept call per shard per WAVE (not per block × shard) — the
+            # shards self-filter their rows from the shared blocks
+            # (zero-copy plasma reads); no fetch task ever blocks on an
+            # actor call, and the per-wave actor-RPC count is O(n_shards)
+            ray.get(
+                [
+                    pool.shards[s].accept_routed_many.remote(wave, cand_refs, s)
                     for s in range(n_shards)
-                )
-        if accept_acks:
-            ray.get(accept_acks)  # delivery barrier before finalize
+                ]
+            )  # delivery barrier before finalize
         # carry counts via tiny remote probes (rows only, tables stay put)
-        count_refs = {
-            p: _count_rows.remote(r) for p, r in carry_refs.items()
-        }
-        carry_counts = {p: ray.get(r) for p, r in count_refs.items()}
-        carry_refs = {p: r for p, r in carry_refs.items() if carry_counts.get(p, 0) > 0}
-        carry_counts = {p: c for p, c in carry_counts.items() if c > 0}
+        count_refs = [
+            (p, r, _count_rows.remote(r))
+            for p, refs in carry_refs.items()
+            for r in refs
+        ]
+        counts = ray.get([c for _, _, c in count_refs])
+        # every consumer of the wave's blocks is done (splits gotten,
+        # accepts ack'd, counts probed): release the pinned blocks — the
+        # carry refs that outlive the wave are _split_block TASK outputs,
+        # independent of the dataset's blocks
+        del mat, block_refs, splits
+        carry_refs, carry_counts = {}, {}
+        for (p, r, _), c in zip(count_refs, counts):
+            if c > 0:
+                carry_refs.setdefault(p, []).append(r)
+                carry_counts[p] = carry_counts.get(p, 0) + c
 
         _mark(f"w{wave}:split")
         fetched_tbl = (
@@ -600,23 +699,31 @@ def run_crawl(
         )
         n_fetched = fetched_tbl.num_rows
         res.total_docs += n_fetched
-        # --- fetch log (arrow, no row iteration) ------------------------
-        log_tables.append(
-            pa.table(
-                {
-                    "order": pa.array(
-                        np.arange(order_base, order_base + n_fetched), pa.int64()
-                    ),
-                    "wave": pa.array(np.full(n_fetched, wave, dtype=np.int32)),
-                    "host": fetched_tbl["fetch_host"],
-                    "slot": fetched_tbl["slot"],
-                    "url": fetched_tbl["url"],
-                    "surt": fetched_tbl["surt"],
-                    "status": fetched_tbl["fetch_status"],
-                },
-                schema=FETCHLOG_SCHEMA,
-            )
+        # --- fetch log (arrow, no row iteration): the per-wave table is
+        # streamed to parquet (checkpoint and/or docs fragment dirs) and
+        # retained on the driver only under collect_log -------------------
+        wave_log = pa.table(
+            {
+                "order": pa.array(
+                    np.arange(order_base, order_base + n_fetched), pa.int64()
+                ),
+                "wave": pa.array(np.full(n_fetched, wave, dtype=np.int32)),
+                "host": fetched_tbl["fetch_host"],
+                "slot": fetched_tbl["slot"],
+                "url": fetched_tbl["url"],
+                "surt": fetched_tbl["surt"],
+                "status": fetched_tbl["fetch_status"],
+            },
+            schema=FETCHLOG_SCHEMA,
         )
+        if collect_log:
+            log_tables.append(wave_log)
+        if docs_dir is not None and checkpoint_dir is None:
+            import pyarrow.parquet as _pq
+
+            wdir = os.path.join(docs_dir, f"wave_{wave:04d}")
+            os.makedirs(wdir, exist_ok=True)
+            _pq.write_table(wave_log, os.path.join(wdir, "fetch_log.parquet"))
         order_base += n_fetched
         # --- robots results (tiny subset) -------------------------------
         robots_hits = fetched_tbl.filter(
@@ -685,7 +792,7 @@ def run_crawl(
         _mark(f"w{wave}:discovery")
         # --- checkpoint (sync point: frontier pulled once to persist) ---
         if checkpoint_dir is not None:
-            carry_tbls = ray.get(list(carry_refs.values()))
+            carry_tbls = ray.get([r for refs in carry_refs.values() for r in refs])
             next_frontier = pa.concat_tables(
                 [t.select(FRONTIER_SCHEMA.names) for t in carry_tbls] + [extras]
             ) if (carry_tbls or extras.num_rows) else FRONTIER_SCHEMA.empty_table()
@@ -693,7 +800,7 @@ def run_crawl(
                 checkpoint_dir,
                 wave,
                 next_frontier,
-                log_tables[-1],
+                wave_log,
                 pending_delta,
                 robots_scheduled,
                 robots_rules,
@@ -709,8 +816,12 @@ def run_crawl(
     if _debug:
         for (l1, t1), (l2, t2) in zip(_marks, _marks[1:]):
             print(f"[crawl-timing] {l1} -> {l2}: {t2 - t1:.2f}s")
-    res.fetch_log = (
-        pa.concat_tables(log_tables).to_pylist() if log_tables else []
-    )
-    res.seen_sorted = pool.all_keys_sorted()
+    # driver-side materializations are OPT-IN (test/analysis hooks): the
+    # production outputs are the streamed per-wave parquet artifacts
+    if collect_log:
+        res.fetch_log = (
+            pa.concat_tables(log_tables).to_pylist() if log_tables else []
+        )
+    if collect_seen:
+        res.seen_sorted = pool.all_keys_sorted()
     return res

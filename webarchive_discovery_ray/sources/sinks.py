@@ -28,7 +28,7 @@ from typing import Callable
 
 import pyarrow as pa
 
-__all__ = ["write_jsonl", "BufferedSinkStage", "RetrySender"]
+__all__ = ["write_jsonl", "BufferedSinkStage", "RetrySender", "run_buffered_sink"]
 
 
 def write_jsonl(ds, path: str, compress: bool = False) -> int:
@@ -62,8 +62,13 @@ class BufferedSinkStage:
     Use as ``ds.map_batches(BufferedSinkStage, fn_constructor_kwargs=
     {"send": fn}, concurrency=N, batch_size=B)`` — each actor buffers rows
     and flushes when ``batch_docs`` or ``batch_bytes`` is reached (the
-    reference's 500-doc / 20 MB defaults) and once more on actor teardown.
-    Emits one (flushed, bytes) row per input batch for accounting."""
+    reference's 500-doc / 20 MB defaults). Each accounting row carries a
+    ``buffered`` column (rows still held after the batch) so callers can
+    detect an unflushed tail; the GUARANTEED final flush is an explicit
+    ``close()`` (reference: ``DocumentConsumer.close() -> commit``) — via
+    :func:`run_buffered_sink` when running as a distributed sink. ``__del__``
+    also flushes as a best-effort backstop, but is not guaranteed at Ray
+    actor teardown."""
 
     def __init__(
         self,
@@ -84,6 +89,12 @@ class BufferedSinkStage:
             self.flushed += len(self.buf)
             self.buf, self.buf_bytes = [], 0
 
+    def close(self) -> int:
+        """Flush the buffered tail; return total rows flushed so far.
+        The explicit commit path — call from the driver on teardown."""
+        self._flush()
+        return self.flushed
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         flushed_before = self.flushed
         for r in batch.to_pylist():
@@ -95,14 +106,70 @@ class BufferedSinkStage:
             {
                 "accepted": pa.array([batch.num_rows], pa.int64()),
                 "flushed": pa.array([self.flushed - flushed_before], pa.int64()),
+                "buffered": pa.array([len(self.buf)], pa.int64()),
             }
         )
 
-    def __del__(self):  # final flush (reference: close() -> commit)
+    def __del__(self):  # best-effort backstop only; close() is the contract
         try:
             self._flush()
         except Exception:
             pass
+
+
+def run_buffered_sink(
+    ds,
+    make_send: Callable[[int], Callable[[list[dict]], None]],
+    n_shards: int = 4,
+    batch_docs: int = 500,
+    batch_bytes: int = 20 * 1024 * 1024,
+) -> dict:
+    """Drive ``ds`` through ``n_shards`` buffered sink actors with a
+    GUARANTEED final flush (explicit ``close()`` fan-out from the driver
+    after the stream drains — the reference's consumer-close contract,
+    ``BufferedDocumentConsumer.java:98-133``).
+
+    ``make_send(shard_id)`` builds the transport inside each sink actor
+    (so file handles / HTTP sessions are actor-local, never pickled).
+    Batches are routed shard = block_index % n_shards from ``map_batches``
+    tasks by actor handle — streaming, no driver materialization. Returns
+    ``{"accepted": n, "flushed": n}``; the two MUST be equal after close.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _SinkShard:
+        def __init__(self, shard_id: int):
+            self.stage = BufferedSinkStage(
+                send=make_send(shard_id),
+                batch_docs=batch_docs,
+                batch_bytes=batch_bytes,
+            )
+
+        def accept(self, batch: pa.Table) -> int:
+            self.stage(batch)
+            return batch.num_rows
+
+        def close(self) -> int:
+            return self.stage.close()
+
+    actors = [_SinkShard.remote(i) for i in range(n_shards)]
+
+    def route(batch: pa.Table) -> pa.Table:
+        # cheap stable routing: spread batches over shards by content hash
+        import zlib
+
+        shard = zlib.crc32(str(batch.slice(0, 1).to_pylist()).encode()) % n_shards
+        n = ray.get(actors[shard].accept.remote(batch))
+        return pa.table({"accepted": pa.array([n], pa.int64())})
+
+    accepted = int(
+        ds.map_batches(route, batch_format="pyarrow").sum("accepted") or 0
+    )
+    flushed = sum(ray.get([a.close.remote() for a in actors]))
+    for a in actors:
+        ray.kill(a)
+    return {"accepted": accepted, "flushed": flushed}
 
 
 class RetrySender:

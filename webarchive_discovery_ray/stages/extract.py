@@ -369,16 +369,18 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
     raw: bytes = rec["payload"] or b""
     out["content_length"] = len(raw)
     # M14: dechunk before hashing (default hash stage is
-    # after_dechunk_before_decompression, InputStreamUtils.java:54-76)
-    payload, _ = maybe_dechunk(raw)
+    # after_dechunk_before_decompression, InputStreamUtils.java:54-76);
+    # framing probed only when Transfer-Encoding hints chunked (:243-259)
+    payload, _ = maybe_dechunk(raw, rec.get("transfer_encoding"))
     digest = sha1_b32(payload)
     out["hash"] = digest
     header_digest = rec.get("payload_sha1") or ""
     if header_digest and header_digest != digest:
         out["hash_mismatch"] = True
         parse_errors.append("Digest validation failed")
-    # M15: decompress for analysis (gzip magic/hint; brotli hint-only)
-    payload, _ = maybe_decompress(payload, rec.get("content_encoding"))
+    # M15: decompress for analysis — a present Content-Encoding hint wins;
+    # '' in the synthetic schema means header-absent -> None (auto-sniff)
+    payload, _ = maybe_decompress(payload, rec.get("content_encoding") or None)
     if len(payload) >= 4:
         hexbytes = payload[: cfg.first_bytes_length].hex()
         out["content_ffb"] = hexbytes[:8]

@@ -107,6 +107,19 @@ class SeenSet:
             self._pending.setdefault(wave, []).append(mine)
         return mine.num_rows
 
+    def accept_routed_many(self, wave: int, refs: list, shard_id: int) -> int:
+        """Batched delivery: ONE actor call per shard per wave. ``refs``
+        is the wave's full list of shared candidate-block ObjectRefs (a
+        list argument is not auto-dereferenced by Ray, so the plasma reads
+        happen here — still zero-copy, still only this shard's rows are
+        materialised by the filter)."""
+        import ray
+
+        total = 0
+        for tbl in ray.get(list(refs)):
+            total += self.accept_routed(wave, tbl, shard_id)
+        return total
+
     def finalize_wave(self, wave: int):
         """Wave barrier: sort this shard's candidates by the global order
         key, keep the first occurrence of each unseen SURT (adding it to
