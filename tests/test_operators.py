@@ -305,3 +305,88 @@ def test_store_content_split():
         if d["content_text_length"]:
             hit = True  # length retained even though text is unstored
     assert hit
+
+
+def test_minhash_lsh_pairs_matches_sequential_reference(ray_session):
+    """The distributed MinHash+LSH pipeline (hash-partitioned verify, no
+    driver corpus broadcast) must produce exactly the pair set of a
+    sequential in-process reference using the same banding + Jaccard."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import (
+        _BANDS,
+        _ROWS_PER_BAND,
+        _minhash_signature,
+        _perm_seeds,
+        _shingles,
+        minhash_lsh_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    seeds = _perm_seeds()
+    import hashlib
+
+    buckets = collections.defaultdict(list)
+    texts = {}
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        texts[doc_id] = text
+        sig = _minhash_signature(_shingles(text), seeds)
+        for band in range(_BANDS):
+            chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
+            bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            buckets[f"{band}:{bh}"].append(doc_id)
+    expected = {}
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected[(ids[i], ids[j])] = None
+    kept = {}
+    for a, b in expected:
+        sa, sb = _shingles(texts[a]), _shingles(texts[b])
+        jac = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        if jac >= 0.3:
+            kept[(a, b)] = round(jac, 6)
+
+    got_df = minhash_lsh_pairs(sf_dir).to_pandas()
+    got = {
+        (int(r.doc_a), int(r.doc_b)): round(float(r.jaccard), 6)
+        for r in got_df.itertuples()
+    }
+    assert got == kept
+    assert kept, "fixture must actually contain near-duplicates"
+
+
+def test_simhash_batch_matches_scalar_definition():
+    """Vectorised SimHash must equal the scalar per-token-per-bit
+    definition bit for bit."""
+    import hashlib
+
+    import numpy as np
+
+    from webarchive_discovery_ray.pipelines.dedup import simhash_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the repeated token weight test",
+        "",
+        "single",
+        "completely different content here with many words " * 5,
+    ]
+
+    def scalar(text):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        sig = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                sig |= 1 << bit
+        return f"{sig:016x}"
+
+    assert simhash_batch(texts) == [scalar(t) for t in texts]

@@ -112,41 +112,44 @@ def lineitem_agg(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """Broadcast join: orders -> customer -> nation, revenue per nation.
+    """orders ⨝ customer hash-shuffle join -> nation broadcast -> revenue
+    per nation.
 
-    The dimension tables (customer, nation) are broadcast once via
-    ``ray.put`` and applied inside ``map_batches`` — no shuffle join (J1
-    pattern). Columns: n_name, revenue (round 2), n_orders."""
+    customer is FACT-sized (1.5M rows/SF) so orders⋈customer is a proper
+    hash-partitioned ``Dataset.join`` — both sides route by custkey, no
+    driver materialization. Only the 25-row nation table broadcasts
+    (``ray.put`` + per-worker cache). Columns: n_name, revenue (round 2),
+    n_orders."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    from ..functions.broadcast import get_broadcast
+
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(
-        zip(
-            cust["c_custkey"],
-            cust["c_nationkey"].map(
-                dict(zip(nation["n_nationkey"], nation["n_name"]))
-            ),
-        )
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    n_parts = int(min(64, max(4, ray.cluster_resources().get("CPU", 8))))
+    joined = orders.join(
+        cust,
+        "inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
-    lookup_ref = ray.put(cust_to_nation)
 
-    class AttachNation:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "n_name": df["o_custkey"].map(self.lookup),
-                    "price_cents": cents(df["o_totalprice"].to_numpy()),
-                }
-            )
+    def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = get_broadcast(nation_ref)
+        return pd.DataFrame(
+            {
+                "n_name": df["c_nationkey"].map(lookup),
+                "price_cents": cents(df["o_totalprice"].to_numpy()),
+            }
+        )
 
     agg = (
-        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(AttachNation, batch_format="pandas", concurrency=2)
+        joined.map_batches(attach_nation, batch_format="pandas")
         .groupby("n_name")
         .aggregate(
             Sum("price_cents", alias_name="revenue_c"),
@@ -270,26 +273,25 @@ def semi_join_lineitem(sf_dir: str, top_n: int = 100):
     import ray
     from ray.data.aggregate import Count, Sum
 
+    from ..functions.broadcast import get_broadcast
+
     top = topk_orders(sf_dir, top_n).take_all()
-    keys = frozenset(r["o_orderkey"] for r in top)
-    keys_ref = ray.put(keys)
+    keys_ref = ray.put(frozenset(r["o_orderkey"] for r in top))
 
-    class FilterKeys:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sel = df[df["l_orderkey"].isin(self.keys)]
-            return pd.DataFrame(
-                {
-                    "l_returnflag": sel["l_returnflag"],
-                    "qty_cents": cents(sel["l_quantity"].to_numpy()),
-                }
-            )
+    def filter_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # task-pool stage (no pinned actor count): the key set broadcasts
+        # once per worker via the get_broadcast cache
+        sel = df[df["l_orderkey"].isin(get_broadcast(keys_ref))]
+        return pd.DataFrame(
+            {
+                "l_returnflag": sel["l_returnflag"],
+                "qty_cents": cents(sel["l_quantity"].to_numpy()),
+            }
+        )
 
     agg = (
         read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
-        .map_batches(FilterKeys, batch_format="pandas", concurrency=2)
+        .map_batches(filter_keys, batch_format="pandas")
         .groupby("l_returnflag")
         .aggregate(Count(alias_name="n_items"), Sum("qty_cents", alias_name="qty_c"))
     )

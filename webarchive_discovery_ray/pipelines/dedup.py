@@ -99,15 +99,26 @@ def _minhash_signature(shingle_hashes: Iterable[int], seeds: np.ndarray) -> np.n
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
-    shingle -> 32-perm minhash -> 8x4 band buckets -> groupby(band,
-    band_hash) candidate pairs -> exact 3-gram Jaccard verify against the
-    broadcast text store. Columns: doc_a, doc_b, jaccard (rounded 6).
-    Deterministic; rows-only driver check (non-SQL)."""
-    import pyarrow.compute as pc
-    import ray
-    from ray.data.aggregate import Count
+    shingle -> 32-perm minhash -> 8x4 band buckets -> groupby(bucket)
+    co-group (pairs emitted only when a bucket holds ≥2 docs — singleton
+    pruning is inside the group pass, no separate counts shuffle) ->
+    distinct pairs -> HASH-PARTITIONED verify. Columns: doc_a, doc_b,
+    jaccard (rounded 6). Deterministic; rows-only driver check (non-SQL).
 
-    from ..functions.broadcast import get_broadcast
+    100-TB shuffle discipline (cf. the reference's reducer-side grouping,
+    ``MDXReduplicatingReducer.java:72-153``): the corpus text is never
+    materialized on the driver. Verification routes candidate-pair id
+    references and document texts to the same hash partitions
+    (union + groupby(key) co-group — the tag-join pattern):
+
+    1. pairs' distinct doc ids ⨝ documents on doc_id -> candidate texts
+       (the corpus streams through ONE shuffle; only docs referenced by a
+       candidate pair emit their text);
+    2. pairs ⨝ candidate-texts on doc_a -> (doc_a, doc_b, text_a);
+    3. that ⨝ candidate-texts on doc_b -> exact 3-gram Jaccard, filter.
+
+    Steps 2-3 shuffle only candidate-bounded data."""
+    from ray.data.aggregate import Count
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     seeds = _perm_seeds()
@@ -130,85 +141,159 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
             }
         )
 
-    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow").materialize()
-    # singleton pruning: the overwhelming majority of LSH buckets hold one
-    # doc — drop them BEFORE the per-group pair stage so map_groups only
-    # touches true collisions (the bucket-count groupby is a vectorized
-    # hash aggregate; the surviving-bucket set is tiny and broadcasts)
-    counts = bands_ds.groupby("bucket").aggregate(Count(alias_name="n"))
-    hot = {r["bucket"] for r in counts.filter(expr="n >= 2").take_all()}
-    if not hot:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-    hot_arr = pa.array(sorted(hot), pa.string())
+    # ---- candidate pairs: vectorized self-join on bucket ----------------
+    # bands ⨝ bands on bucket with doc_id_a < doc_id_b gives exactly the
+    # within-bucket pairs; singleton buckets vanish in the join (their only
+    # "pair" is the self-pair the < filter drops). No per-group Python
+    # calls, no driver-side hot-bucket set. Partition count tracks the
+    # cluster (join spins one aggregator per partition — oversubscribing a
+    # small cluster stalls the pipeline).
+    import pyarrow.compute as pc
+    import ray
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["bucket"], value_set=hot_arr))
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # the three verify joins move candidate-bounded data only: coarser
+    # partitions there cut the per-join aggregator spin-up cost
+    n_verify_parts = int(min(32, max(4, n_cpus // 4)))
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].unique())
-        rows = [
-            {"doc_a": ids[i], "doc_b": ids[j]}
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
-
-    candidates = (
-        bands_ds.map_batches(keep_hot, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # distinct candidate pairs (bands produce duplicates)
-    distinct_pairs = candidates.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands")
+    bands = ds.map_batches(to_bands, batch_format="pyarrow").materialize()
+    # size the pair-join by data volume (each partition costs an aggregator
+    # actor spin-up — small inputs shouldn't pay for 64 of them; the row
+    # count is free on the materialized bands)
+    n_join_parts = int(min(min(64, max(4, n_cpus)), max(4, bands.count() // 20_000 + 1)))
+    raw_pairs = bands.join(
+        bands,
+        "inner",
+        num_partitions=n_join_parts,
+        on=("bucket",),
+        left_suffix="_a",
+        right_suffix="_b",
     )
 
-    texts_ref = ray.put(
-        {
-            r["doc_id"]: r["text"]
-            for r in read_table(sf_dir, "documents", columns=["doc_id", "text"]).take_all()
-        }
+    def ordered(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch["doc_id_a"], batch["doc_id_b"]))
+        return pa.table({"doc_a": keep["doc_id_a"], "doc_b": keep["doc_id_b"]})
+
+    # distinct candidate pairs (bands produce duplicates). materialize()
+    # between join segments: each Dataset.join keeps num_partitions
+    # aggregator actors alive for its whole plan — chaining four joins in
+    # ONE streaming plan oversubscribes a small cluster's CPUs and stalls.
+    # The materialized sets are candidate-bounded (object-store resident,
+    # spillable), never driver-resident.
+    distinct_pairs = (
+        raw_pairs.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .materialize()
+    )
+
+    # ---- hash-partitioned verify (no driver/corpus materialization) ----
+    # Dataset.join = hash-shuffle both sides into co-located partitions,
+    # vectorized per-partition join. The corpus text streams through ONE
+    # semi-join; every later join ships only candidate-bounded data.
+
+    def ids_of(col: str):
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch[col].cast(pa.int64())})
+
+        return project
+
+    cand_ids = distinct_pairs.map_batches(
+        ids_of("doc_a"), batch_format="pyarrow"
+    ).union(distinct_pairs.map_batches(ids_of("doc_b"), batch_format="pyarrow"))
+    # candidate texts: corpus ⋉ candidate ids (left_semi keeps each
+    # matching doc exactly once regardless of duplicate id references)
+    agg_args = {"num_cpus": 0.25}  # verify joins move little data: don't
+    # let their aggregators reserve half the cluster (the default budget)
+    cand_texts = ds.join(
+        cand_ids,
+        "left_semi",
+        num_partitions=n_verify_parts,
+        on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).materialize()
+
+    with_a = distinct_pairs.join(
+        cand_texts,
+        "inner",
+        num_partitions=n_verify_parts,
+        on=("doc_a",),
+        right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).rename_columns({"text": "text_a"})
+    with_b = with_a.join(
+        cand_texts,
+        "inner",
+        num_partitions=n_verify_parts,
+        on=("doc_b",),
+        right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        texts = get_broadcast(texts_ref)
         out = []
-        for da, db in zip(df["doc_a"], df["doc_b"]):
-            sa = _shingles(texts[da])
-            sb = _shingles(texts[db])
+        for da, db, ta, tb in zip(df["doc_a"], df["doc_b"], df["text_a"], df["text"]):
+            sa = _shingles(ta)
+            sb = _shingles(tb)
             j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
             if j >= threshold:
                 out.append({"doc_a": int(da), "doc_b": int(db), "jaccard": round(j, 6)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
-    return distinct_pairs.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas")
+
+
+def simhash_batch(texts) -> list[str]:
+    """Vectorised 64-bit token-weighted SimHash for a sequence of texts.
+
+    One md5 per UNIQUE token in the batch (tokens repeat heavily across a
+    corpus batch), then a single ±1 bit-matrix gather-sum per document —
+    no per-token × per-bit Python loop. Bit semantics identical to the
+    scalar definition: bit b of the signature is 1 iff
+    sum over tokens of (±1 where token-hash bit b) > 0."""
+    # batch vocabulary
+    tok_lists = [t.split() for t in texts]
+    vocab: dict[str, int] = {}
+    for toks in tok_lists:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+    if vocab:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        # (n_vocab, 64) ±1 matrix: column b = bit b of the token hash
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        pm = 2 * bits - 1
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    out = []
+    for toks in tok_lists:
+        if not toks:
+            out.append(f"{0:016x}")
+            continue
+        idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+        acc = pm[idx].sum(axis=0)
+        sig = int((weights * (acc > 0).astype(np.uint64)).sum(dtype=np.uint64))
+        out.append(f"{sig:016x}")
+    return out
 
 
 def simhash_signatures(sf_dir: str):
     """64-bit SimHash per document (token-weighted). Columns: doc_id,
-    simhash (16-char hex). Deterministic; rows-only."""
+    simhash (16-char hex). Deterministic; SQL-oracle-checked."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def simhash(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in df["text"]:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in text.split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            sig = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    sig |= 1 << bit
-            out.append(f"{sig:016x}")
-        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out})
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "simhash": simhash_batch(df["text"])}
+        )
 
     return ds.map_batches(simhash, batch_format="pandas")
 

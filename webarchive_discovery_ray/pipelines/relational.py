@@ -129,20 +129,74 @@ def range_join_events(sf_dir: str):
 
 def window_running_sum(sf_dir: str):
     """Running (cumulative) sum of value per event_type ordered by
-    (ts, event_id) — the windowed-aggregate operator. Hash-partitioned by
-    the PARTITION BY key, per-group sort + cumsum in integer cents.
-    Columns: event_id, event_type, running_value."""
+    (ts, event_id) — the windowed-aggregate operator, as a TWO-PHASE
+    prefix sum. Columns: event_id, event_type, running_value.
+
+    A ``groupby(event_type)`` would collapse the whole table into as many
+    pandas groups as there are event types (~5) — one group per task, the
+    table's full size in one worker's memory. Instead: range-partition by
+    (event_type, ts, event_id) with ``ds.sort`` (blocks stay bounded no
+    matter how few distinct types exist), compute per-block cumsums and
+    per-block per-type totals, then a TINY driver pass turns the block
+    totals into per-(block, type) offsets (classic scan prefix-sum). The
+    driver handles only #blocks × #types integers, never rows."""
+    import ray
+    import ray.data as rd
+
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
 
-    def per_type(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "event_id": df["event_id"],
+                "ts": df["ts"],
                 "event_type": df["event_type"],
-                "running_value": np.cumsum(cents) / 100.0,
+                "cents": np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64),
             }
         )
 
-    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+    sorted_ds = (
+        ds.map_batches(to_cents, batch_format="pandas")
+        .sort(["event_type", "ts", "event_id"])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()  # blocks in global sort order
+
+    @ray.remote
+    def block_totals(tbl: pa.Table) -> dict:
+        df = tbl.to_pandas()
+        return {
+            k: int(v)
+            for k, v in df.groupby("event_type", sort=False)["cents"].sum().items()
+        }
+
+    totals = ray.get([block_totals.remote(r) for r in refs])
+    offsets: list[dict] = []
+    running: dict[str, int] = {}
+    for t in totals:
+        offsets.append({k: running.get(k, 0) for k in t})
+        for k, v in t.items():
+            running[k] = running.get(k, 0) + v
+
+    @ray.remote
+    def apply_offsets(tbl: pa.Table, off: dict) -> pa.Table:
+        df = tbl.to_pandas()
+        csum = df.groupby("event_type", sort=False)["cents"].cumsum()
+        base = df["event_type"].map(off).fillna(0).astype("int64")
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": df["event_id"],
+                    "event_type": df["event_type"],
+                    "running_value": (csum + base) / 100.0,
+                }
+            ),
+            preserve_index=False,
+        )
+
+    out_refs = [apply_offsets.remote(r, o) for r, o in zip(refs, offsets)]
+    # pin the sorted blocks until every offset task has produced its output
+    # (task outputs are driver-owned and survive the sorted set's release)
+    ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
+    del sorted_ds, refs
+    return rd.from_arrow_refs(out_refs)

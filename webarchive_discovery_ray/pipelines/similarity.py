@@ -43,33 +43,34 @@ def ann_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
     regardless of table size."""
     import ray
 
+    from ..functions.broadcast import get_broadcast
+
     qids, qmat = _query_matrix(sf_dir, n_queries)
     q_ref = ray.put((qids, qmat))
 
-    class PartialTopK:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(q_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["vec_id"].to_numpy()
-            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            sims = np.round((mat / norms[:, None]) @ self.qmat.T, 6)  # (n, q)
-            out = []
-            for qi, qid in enumerate(self.qids):
-                col = sims[:, qi]
-                take = min(len(ids), k)
-                # partial top-k with (-cos, vec_id) order
-                order = np.lexsort((ids, -col))[:take]
-                for i in order:
-                    out.append(
-                        {"query_vec_id": int(qid), "vec_id": int(ids[i]), "cos_r": float(col[i])}
-                    )
-            return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # task-pool stage (fully elastic, no pinned actor count): the query
+        # matrix broadcasts once per worker via the get_broadcast cache
+        bqids, bqmat = get_broadcast(q_ref)
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ bqmat.T, 6)  # (n, q)
+        out = []
+        for qi, qid in enumerate(bqids):
+            col = sims[:, qi]
+            take = min(len(ids), k)
+            # partial top-k with (-cos, vec_id) order
+            order = np.lexsort((ids, -col))[:take]
+            for i in order:
+                out.append(
+                    {"query_vec_id": int(qid), "vec_id": int(ids[i]), "cos_r": float(col[i])}
+                )
+        return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
 
     partials = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
-        PartialTopK, batch_format="pandas", concurrency=2
+        partial_topk, batch_format="pandas"
     )
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -132,36 +133,36 @@ def ivf_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_probe: int = 
         probe[int(qid)] = {labels[i] for i in order}
     probe_ref = ray.put((qids, qmat, probe))
 
-    class BucketTopK:
-        def __init__(self):
-            self.qids, self.qmat, self.probe = ray.get(probe_ref)
+    from ..functions.broadcast import get_broadcast
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            ids = df["vec_id"].to_numpy()
-            lab = df["label"].to_numpy()
-            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            mat = mat / norms[:, None]
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(lab, list(self.probe[int(qid)]))
-                if not mask.any():
-                    continue
-                col = np.round(mat[mask] @ self.qmat[qi], 6)
-                sel_ids = ids[mask]
-                order = np.lexsort((sel_ids, -col))[: min(k, len(sel_ids))]
-                for i in order:
-                    out.append(
-                        {
-                            "query_vec_id": int(qid),
-                            "vec_id": int(sel_ids[i]),
-                            "cos_r": float(col[i]),
-                        }
-                    )
-            return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # task-pool stage: probe table broadcasts once per worker
+        bqids, bqmat, bprobe = get_broadcast(probe_ref)
+        out = []
+        ids = df["vec_id"].to_numpy()
+        lab = df["label"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        for qi, qid in enumerate(bqids):
+            mask = np.isin(lab, list(bprobe[int(qid)]))
+            if not mask.any():
+                continue
+            col = np.round(mat[mask] @ bqmat[qi], 6)
+            sel_ids = ids[mask]
+            order = np.lexsort((sel_ids, -col))[: min(k, len(sel_ids))]
+            for i in order:
+                out.append(
+                    {
+                        "query_vec_id": int(qid),
+                        "vec_id": int(sel_ids[i]),
+                        "cos_r": float(col[i]),
+                    }
+                )
+        return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
 
-    partials = ds.map_batches(BucketTopK, batch_format="pandas", concurrency=2)
+    partials = ds.map_batches(bucket_topk, batch_format="pandas")
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cos_r", "vec_id"], ascending=[False, True], kind="mergesort")

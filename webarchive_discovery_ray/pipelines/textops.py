@@ -105,20 +105,33 @@ def language_id(sf_dir: str):
     # pre-aggregate per batch, then one small groupby (combiner pattern)
     from ray.data.aggregate import Sum
 
+    def topk_per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        # bounded top-k by (-n, token): safe as a per-batch truncation
+        # AFTER the Sum aggregate (counts are final), because a token in a
+        # lang's global top-k is necessarily in the top-k of whichever
+        # batch holds its single (lang, token) row
+        df = df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        return df.groupby("lang", sort=False).head(_PROFILE_TOP_K)
+
+    # distributed truncation: per-output-batch top-k bounds what reaches
+    # the driver to ≤ k × langs × blocks rows — the driver never sees the
+    # unbounded (lang, token) vocabulary; the final top-k merge is a tiny
+    # in-memory pass over that bounded set
     token_totals = (
         ds.map_batches(partial_profiles, batch_format="pandas")
         .groupby(["lang", "token"])
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(topk_per_lang, batch_format="pandas")
         .take_all()
     )
-    profiles: dict[str, dict[str, int]] = {}
+    by_lang: dict[str, list] = {}
     for r in token_totals:
-        profiles.setdefault(r["lang"], {})[r["token"]] = r["n"]
+        by_lang.setdefault(r["lang"], []).append((r["token"], r["n"]))
     top_profiles = {
         lang: dict(
-            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_PROFILE_TOP_K]
+            sorted(toks, key=lambda kv: (-kv[1], kv[0]))[:_PROFILE_TOP_K]
         )
-        for lang, c in profiles.items()
+        for lang, toks in by_lang.items()
     }
     profiles_ref = ray.put(top_profiles)
 
@@ -155,7 +168,12 @@ def language_id(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(Classify, batch_format="pandas", concurrency=2)
+    # autoscaling actor pool (1, cluster CPUs): never pin a fixed actor
+    # count — a 32-CPU box would starve at 2 and a 2-CPU box would thrash
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(
+        Classify, batch_format="pandas", concurrency=(1, max(2, n_cpus))
+    )
 
 
 _FP_WINDOW = 4  # winnowing window over 3-token shingle hashes
@@ -170,6 +188,8 @@ def doc_fingerprint(sf_dir: str):
     Columns: doc_id, fingerprint."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    from numpy.lib.stride_tricks import sliding_window_view
+
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for text in df["text"]:
@@ -177,16 +197,22 @@ def doc_fingerprint(sf_dir: str):
             shingles = [
                 " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
             ] or [text]
-            hashes = [
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                for s in shingles
-            ]
-            selected = {
-                min(hashes[i : i + _FP_WINDOW])
-                for i in range(max(1, len(hashes) - _FP_WINDOW + 1))
-            }
+            hashes = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    for s in shingles
+                ),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # winnowing select: per-window minimum, vectorised via a
+            # strided view (no per-window Python slice/min)
+            if len(hashes) <= _FP_WINDOW:
+                selected = np.array([hashes.min()])
+            else:
+                selected = sliding_window_view(hashes, _FP_WINDOW).min(axis=1)
             digest = hashlib.md5(
-                ",".join(str(h) for h in sorted(selected)).encode()
+                ",".join(str(h) for h in np.unique(selected)).encode()
             ).hexdigest()
             out.append(digest)
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": out})
