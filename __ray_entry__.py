@@ -92,9 +92,26 @@ def _extract_documents(sf_dir: str):
 
 
 def _cdx(sf_dir: str):
-    from webarchive_discovery_ray.pipelines.cdx import cdx_sorted
+    """M38/O1: captures materialized pre-sort so the DuckDB oracle verifies
+    the projection content; the global sort order itself is pinned by
+    pytest (hash compare is order-insensitive)."""
+    import shutil
 
-    return cdx_sorted(500)
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.cdx import captures_from_pages_batch
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages_ds
+
+    out = f"{_ORACLE_MAT}/captures"
+    shutil.rmtree(out, ignore_errors=True)
+    icfg = IndexConfig(response_include=())
+    fixture_pages_ds(500, SyntheticConfig(), 32).map_batches(
+        lambda b: captures_from_pages_batch(b, icfg),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).write_parquet(out)
+    return rd.read_parquet(out).sort(["surt_key", "timestamp14"])
 
 
 def _reduplicate(sf_dir: str):
@@ -137,6 +154,8 @@ def _annotations(sf_dir: str):
         "resource": {},
         "root": {f"http://{hs[0]}/": [("collection-zero", "19900101000000", "20991231235959")]},
         "subdomains": {hs[1]: [("collection-one", "19900101000000", "20991231235959")]},
+        # 4th scope: regex over the record's source file (Annotator.java:186-204)
+        "source_file_matches": {r"-0000\.warc": [("first-warc", "19900101000000", "20991231235959")]},
         "open_access_surts": [f"({','.join(reversed(hs[2].split('.')))})"],
     }
     icfg = IndexConfig(response_include=())
@@ -212,22 +231,61 @@ def _file_digest(sf_dir: str):
     return file_digest(paths)
 
 
+# fixture-derived queries materialize their (deterministic, pytest-oracled)
+# extraction base to parquet so the DuckDB oracle can verify the
+# projection / aggregation plumbing over the SAME input table
+_ORACLE_MAT = "/tmp/wdr_oracle_mat"
+_MAT_COLS = [
+    "record_type", "hash", "surt", "wayback_date", "host", "crawl_year",
+    "content_type", "content_type_norm", "status", "content_length",
+    "source_file", "source_offset",
+]
+
+
+def _materialized_docs_base(n_pages: int = 500):
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import _docs_ds
+
+    out = f"{_ORACLE_MAT}/docs_base"
+    shutil.rmtree(out, ignore_errors=True)
+    _docs_ds(n_pages).map_batches(
+        lambda b: b.select(_MAT_COLS), batch_format="pyarrow"
+    ).write_parquet(out)
+    return rd.read_parquet(out)
+
+
 def _mdx_stats(sf_dir: str):
     from webarchive_discovery_ray.pipelines.stats import mdx_stats
 
-    return mdx_stats(500)
+    return mdx_stats(docs=_materialized_docs_base(500))
 
 
 def _persist_log(sf_dir: str):
-    from webarchive_discovery_ray.pipelines.stats import persist_log
+    import shutil
 
-    return persist_log(500)
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import persist_log, persist_log_docs
+
+    out = f"{_ORACLE_MAT}/plog_base"
+    shutil.rmtree(out, ignore_errors=True)
+    cols = [
+        "record_type", "surt", "status", "hash", "wayback_date",
+        "content_length", "source_file", "source_offset",
+    ]
+    persist_log_docs(500).map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow"
+    ).write_parquet(out)
+    return persist_log(docs=rd.read_parquet(out))
 
 
 def _dataset_summaries(sf_dir: str):
     from webarchive_discovery_ray.pipelines.stats import dataset_summaries
 
-    return dataset_summaries(500)
+    return dataset_summaries(docs=_materialized_docs_base(500))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -470,5 +528,146 @@ def oracle_sql() -> dict[str, str]:
                       FROM embeddings WHERE vec_id < 8) q
                 CROSS JOIN embeddings e
             ) WHERE rank <= 5
+        """,
+        # 64-bit token SimHash: ('0x'||substr(md5(t),1,16))::UBIGINT equals
+        # int.from_bytes(md5(t)[:8], 'big'); the bit/accumulate/select
+        # pipeline mirrors pipelines/dedup.simhash_batch exactly
+        "simhash_signatures": r"""
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            th AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM th, (SELECT unnest(range(64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   lpad(lower(to_hex(COALESCE(s.sig, 0))), 16, '0') AS simhash
+            FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # winnowing fingerprint: 3-token shingles -> md5-derived uint64 ->
+        # per-4-window minimum -> md5 of the sorted distinct selection
+        # (mirrors pipelines/textops.doc_fingerprint)
+        "doc_fingerprint": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 OR toks = ['']
+                            THEN [text]
+                            ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       END AS shingles
+                FROM base
+            ),
+            h AS (
+                SELECT doc_id, i AS idx,
+                       ('0x' || substr(md5(shingles[i]), 1, 16))::UBIGINT AS hv,
+                       len(shingles) AS n
+                FROM sh, unnest(range(1, len(shingles) + 1)) AS r(i)
+            ),
+            wins AS (
+                SELECT doc_id, idx, n,
+                       min(hv) OVER (PARTITION BY doc_id ORDER BY idx
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                FROM h
+            ),
+            sel AS (
+                SELECT doc_id, wmin FROM wins
+                WHERE idx <= CASE WHEN n <= 4 THEN 1 ELSE n - 3 END
+            )
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(list(wmin))), ','))
+                       AS fingerprint
+            FROM sel GROUP BY doc_id
+        """,
+        # deterministic injection (every 3rd doc gets district[doc_id % 5]
+        # + ' 1AA' appended) mirrored from the query's inject stage; the
+        # synthetic corpus is lowercase so only injected postcodes match
+        "postcode_geo": """
+            WITH geo(district, lat, lon) AS (VALUES
+                ('EC1A', 51.5204, -0.0979), ('EH1', 55.9505, -3.1875),
+                ('LS1', 53.7965, -1.5478), ('M1', 53.4794, -2.2453),
+                ('SW1A', 51.501, -0.1416)),
+            inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                            ['EC1A','EH1','LS1','M1','SW1A'][(doc_id % 5) + 1]
+                       END AS district
+                FROM documents
+            )
+            SELECT i.doc_id,
+                   CASE WHEN i.district IS NULL THEN NULL
+                        ELSE i.district || ' 1AA' END AS postcode,
+                   i.district AS postcode_district, g.lat, g.lon
+            FROM inj i LEFT JOIN geo g ON i.district = g.district
+        """,
+        # fixture-derived: the query materializes its pytest-oracled
+        # extraction base to parquet first; the SQL verifies the
+        # projection over that same table
+        "mdx_stats": f"""
+            SELECT record_type || ':' ||
+                       CASE WHEN hash IS NULL OR hash = '' THEN '-' ELSE hash END
+                       AS mdx_key,
+                   surt, wayback_date AS timestamp14, host, crawl_year,
+                   content_type, status, content_length AS length,
+                   source_file, source_offset AS "offset"
+            FROM read_parquet('{_ORACLE_MAT}/docs_base/*.parquet')
+        """,
+        "dataset_summaries": f"""
+            WITH base AS (
+                SELECT * FROM read_parquet('{_ORACLE_MAT}/docs_base/*.parquet')
+            )
+            SELECT 'host' AS facet, crawl_year AS year,
+                   COALESCE(host, '') AS value, count(*) AS count
+            FROM base GROUP BY 2, 3
+            UNION ALL
+            SELECT 'format', crawl_year, COALESCE(content_type_norm, ''), count(*)
+            FROM base GROUP BY 2, 3
+        """,
+        "cdx_sorted": f"""
+            SELECT * FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+        """,
+        # ordered response<->metadata pairing: a metadata record attaches
+        # to the latest preceding response/revisit offset within its file
+        "persist_log": f"""
+            WITH rows AS (
+                SELECT * FROM read_parquet('{_ORACLE_MAT}/plog_base/*.parquet')
+            ),
+            rr AS (
+                SELECT surt, status, hash AS digest,
+                       wayback_date AS timestamp14,
+                       content_length AS length, source_file, source_offset,
+                       lead(source_offset, 1, 9223372036854775807) OVER (
+                           PARTITION BY source_file ORDER BY source_offset
+                       ) AS next_off
+                FROM rows WHERE record_type IN ('response', 'revisit')
+            )
+            SELECT surt, status, digest, timestamp14, length, source_file,
+                   EXISTS (
+                       SELECT 1 FROM rows m
+                       WHERE m.record_type = 'metadata'
+                         AND m.source_file = rr.source_file
+                         AND m.source_offset > rr.source_offset
+                         AND m.source_offset < rr.next_off
+                   ) AS has_metadata
+            FROM rr
         """,
     }

@@ -265,3 +265,105 @@ NORM_TYPES = [
 @pytest.mark.parametrize("ct,norm,solr", NORM_TYPES)
 def test_normalise_content_type(ct, norm, solr):
     assert normalise_content_type(ct) == (norm, solr)
+
+
+# --- field-adjustment policy (SolrRecord.addField pipeline) ------------------
+
+
+class TestFieldPolicy:
+    """Goldens ported from SolrRecordFactoryTest.java + the FieldAdjuster
+    pipeline spec (SolrRecordFactory.java:185-259)."""
+
+    def test_url_max_length(self):
+        from webarchive_discovery_ray.functions.fieldpolicy import DEFAULT_POLICY
+
+        # short URL unchanged (SolrRecordFactoryTest: "short")
+        assert DEFAULT_POLICY.adjust("url", "short") == "short"
+        # huge URL trimmed to the configured 2000 (reference.conf)
+        fake = "short" + "O" * 2500
+        assert len(DEFAULT_POLICY.adjust("url", fake)) == 2000
+
+    def test_whitespace_collapse(self):
+        from webarchive_discovery_ray.functions.fieldpolicy import DEFAULT_POLICY
+
+        assert (
+            DEFAULT_POLICY.adjust("content", " leading   middle   and   trailing spaces  ")
+            == "leading middle and trailing spaces"
+        )
+
+    def test_url_norm_srcset_rewrite(self):
+        from webarchive_discovery_ray.functions.fieldpolicy import DEFAULT_POLICY
+
+        base = "http://example.com/foo.png"
+        assert DEFAULT_POLICY.adjust("url_norm", base) == base
+        assert DEFAULT_POLICY.adjust("url_norm", base + "%201080w") == base
+        # rewrite only applies to url_norm, not url
+        assert DEFAULT_POLICY.adjust("url", base + "%201080w") == base + "%201080w"
+
+    def test_control_chars_and_utf8(self):
+        from webarchive_discovery_ray.functions.fieldpolicy import DEFAULT_POLICY
+
+        assert DEFAULT_POLICY.adjust("title", "a\x00b\x1fc\x7fd") == "abcd"
+        # unpaired surrogate -> replaced, not crashed
+        assert DEFAULT_POLICY.adjust("title", "ok\ud800end") == "ok?end"
+
+    def test_empty_drops_field(self):
+        from webarchive_discovery_ray.functions.fieldpolicy import DEFAULT_POLICY
+
+        assert DEFAULT_POLICY.adjust("title", "   ") is None
+        assert DEFAULT_POLICY.adjust("title", None) is None
+        assert DEFAULT_POLICY.adjust("title", "\x01\x02") is None
+
+    def test_max_values_and_zero_rules(self):
+        from webarchive_discovery_ray.functions.fieldpolicy import (
+            FieldPolicy,
+            FieldRule,
+        )
+
+        pol = FieldPolicy(fields={
+            "tags": FieldRule(max_values=2),
+            "off": FieldRule(max_values=0),
+            "len0": FieldRule(max_length=0),
+        })
+        # first k kept, duplicates rejected when capped
+        assert pol.adjust_many("tags", ["a", "b", "a", "c"]) == ["a", "b"]
+        assert pol.adjust_many("tags", ["x", "x", "y"]) == ["x", "y"]
+        # unlimited fields keep duplicates (isAllowedtoAdd only checks capped)
+        assert pol.adjust_many("links", ["u", "u"]) == ["u", "u"]
+        assert pol.adjust("off", "anything") is None
+        assert pol.adjust("len0", "anything") is None
+
+    def test_pipeline_order_maxlength_after_collapse(self):
+        from webarchive_discovery_ray.functions.fieldpolicy import (
+            FieldPolicy,
+            FieldRule,
+        )
+
+        pol = FieldPolicy(fields={"f": FieldRule(max_length=5)})
+        # collapse first ("a b c d"), then truncate -> "a b c"[:5]
+        assert pol.adjust("f", "a   b   c   d") == "a b c"
+
+    def test_extraction_applies_policy(self):
+        from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+        from webarchive_discovery_ray.functions.hashing import sha1_b32
+        from webarchive_discovery_ray.oracle.extract_oracle import oracle_extract_record
+        from webarchive_discovery_ray.sources.synthetic import fixture_pages
+        from webarchive_discovery_ray.stages.extract import extract_record
+
+        base = next(
+            r
+            for r in fixture_pages(200, SyntheticConfig())
+            if r["record_type"] == "response" and r["status"] == 200
+        )
+        payload = (
+            b"<html><head><title>Sp\x01aced    title \x02here</title></head>"
+            b"<body><p>text</p></body></html>"
+        )
+        rec = dict(base, payload=payload, payload_sha1=sha1_b32(payload),
+                   mime_served="text/html", transfer_encoding="", content_encoding="")
+        d1 = extract_record(rec, IndexConfig())
+        d2 = oracle_extract_record(rec, IndexConfig())
+        assert d1["title"] == d2["title"] == "Spaced title here"
+        off = IndexConfig(apply_field_policy=False)
+        d3 = extract_record(rec, off)
+        assert d3["title"] == "Sp\x01aced title \x02here"

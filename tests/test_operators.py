@@ -74,19 +74,27 @@ def test_annotate_batch_scopes_and_date_gate():
             "wayback_date": ["20200101000000", "20200101000000", "19800101000000"],
         }
     )
+    batch = batch.append_column(
+        "source_file",
+        pa.array(["crawl-2020-a.warc.gz", "other.warc.gz", "crawl-2020-b.warc.gz"]),
+    )
     anns = {
         "resource": {"http://a.example.com/x": [("exact", "20190101000000", "20210101000000")]},
         "root": {"http://a.example.com/": [("rooted", "20190101000000", "20210101000000")]},
         "subdomains": {"b.example.com": [("sub", "20190101000000", "20210101000000")],
                        "c.example.com": [("gated", "20190101000000", "20210101000000")]},
+        # 4th scope (Annotator.java:186-204): regex over source_file
+        "source_file_matches": {r"crawl-2020-": [("batch2020", "20190101000000", "20210101000000")]},
         "open_access_surts": ["(com,example,a,"],
     }
     out = annotate_batch(batch, anns).to_pylist()
-    assert out[0]["collections"] == ["exact", "rooted"]
+    assert out[0]["collections"] == ["batch2020", "exact", "rooted"]
     assert out[0]["access_terms"] == "OA"
-    assert out[1]["collections"] == ["sub"]  # host-suffix scope
+    assert out[1]["collections"] == ["sub"]  # host-suffix scope; regex misses
     assert out[1]["access_terms"] == "RRO"
-    assert out[2]["collections"] == []  # date gate rejects 1980 capture
+    # date gate rejects the 1980 capture for BOTH the subdomain and the
+    # matching source-file rule
+    assert out[2]["collections"] == []
 
 
 # --- ARK + ARC-name ----------------------------------------------------------

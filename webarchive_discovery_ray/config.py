@@ -34,6 +34,13 @@ class IndexConfig:
     # M35 (WARCIndexer.java:471-490): when False the extracted text is not
     # stored in the output `content` column (length is still recorded)
     store_content: bool = True
+    # field-adjustment policy (SolrRecord.addField -> adjust pipeline,
+    # SolrRecord.java:135-188): every output string field passes through
+    # functions/fieldpolicy.DEFAULT_POLICY (control-char strip, UTF-8
+    # sanitise, whitespace collapse, per-field rewrites + max_length).
+    # Spans are exempt — they are the payload-parity surface, not a Solr
+    # field
+    apply_field_policy: bool = True
 
 
 @dataclass(frozen=True)

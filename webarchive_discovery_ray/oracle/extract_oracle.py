@@ -267,12 +267,27 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         "source_offset": rec["source_offset"],
     }
 
+    def _finish(d: dict) -> dict:
+        # independent policy application (same contract as the stage's
+        # apply_field_policy; shared DEFAULT_POLICY table, separate loop)
+        if cfg.apply_field_policy:
+            from ..functions.fieldpolicy import DEFAULT_POLICY
+
+            for k, v in d.items():
+                if k == "spans":
+                    continue
+                if isinstance(v, str):
+                    d[k] = DEFAULT_POLICY.adjust(k, v)
+                elif isinstance(v, list):
+                    d[k] = DEFAULT_POLICY.adjust_many(k, v)
+        return d
+
     if rec["record_type"] == "revisit":
         served = rec["mime_served"] or None
         doc["content_type"] = served.split(";")[0] if served else None
         doc["content_type_full"] = served
         doc["hash"] = rec["payload_sha1"] or None
-        return doc
+        return _finish(doc)
 
     raw: bytes = rec["payload"] or b""
     doc["content_length"] = len(raw)
@@ -356,7 +371,7 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
     if not cfg.store_content:
         doc["content"] = None  # M35: index-only text (length retained)
     doc["spans"] = spans
-    return doc
+    return _finish(doc)
 
 
 def oracle_extract_all(records: list[dict], cfg: IndexConfig) -> list[dict]:

@@ -21,27 +21,27 @@ __all__ = ["captures_from_pages_batch", "cdx_sorted", "revisit_captures"]
 
 def captures_from_pages_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
     """pages batch -> captures batch (M38): one CDX-style row per record
-    surviving the extraction filters."""
+    surviving the extraction filters. Pure columnar projection (fill_null
+    for the reference's '-' placeholders) — no row iteration."""
+    import pyarrow.compute as pc
+
     docs = extract_batch(batch, cfg)
     if docs.num_rows == 0:
         return CAPTURES_SCHEMA.empty_table()
-    rows = []
-    for d in docs.to_pylist():
-        rows.append(
-            {
-                "surt_key": d["surt"],
-                "timestamp14": d["wayback_date"] or "",
-                "url": d["url"],
-                "mime": d["content_type"] or "-",
-                "status": d["status"],
-                "digest": d["hash"] or "-",
-                "length": d["content_length"],
-                "offset": d["source_offset"],
-                "filename": d["source_file"],
-                "record_type": d["record_type"],
-            }
-        )
-    return pa.Table.from_pylist(rows, schema=CAPTURES_SCHEMA)
+    return pa.table(
+        {
+            "surt_key": docs["surt"],
+            "timestamp14": pc.fill_null(docs["wayback_date"], ""),
+            "url": docs["url"],
+            "mime": pc.fill_null(docs["content_type"], "-"),
+            "status": docs["status"],
+            "digest": pc.fill_null(docs["hash"], "-"),
+            "length": docs["content_length"],
+            "offset": docs["source_offset"],
+            "filename": docs["source_file"],
+            "record_type": docs["record_type"],
+        }
+    ).cast(CAPTURES_SCHEMA)
 
 
 def cdx_sorted(

@@ -265,15 +265,22 @@ def _robots_drop(df: pd.DataFrame, robots_rules: dict[str, list[str]]) -> pd.Dat
     return df.drop(index=drop_idx) if len(drop_idx) else df
 
 
-def _make_drain_fn(budget: int, robots_rules: dict[str, list[str]]):
+def _make_drain_fn(budget: int, rules_ref):
     """Vectorized politeness drain over a host-hash-partitioned block.
 
     The block holds every (surviving) row of each host it contains, so
     per-host queues are complete: order by (priority, seq), drop
     robots-Disallowed rows, then ``cumcount`` assigns slots — first
-    ``budget`` per host are selected, the rest carry over."""
+    ``budget`` per host are selected, the rest carry over.
+
+    ``rules_ref`` is an ObjectRef to the robots-rules dict: embedding the
+    dict in the task closure re-serializes it into EVERY task submission
+    (at 50k ruled hosts that dominates the wave's driver time); the ref
+    deserializes once per worker via the broadcast cache."""
+    from ..functions.broadcast import get_broadcast
 
     def drain(df: pd.DataFrame) -> pd.DataFrame:
+        robots_rules = get_broadcast(rules_ref) if rules_ref is not None else {}
         df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
         df = _robots_drop(df, robots_rules)
         slots = df.groupby("host", sort=False).cumcount().to_numpy()
@@ -340,12 +347,12 @@ def _frontier_table(
     )
 
 
-def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[pa.Table, int]:
-    """Seeds in list order; first occurrence of a SURT wins (at a 10^10
-    design point the seed list is itself a Dataset read — the dedupe is
-    the same shard probe)."""
+def _canon_seed_chunk(pairs: list) -> tuple[list, list, list, list]:
+    """canonicalise + host + SURT for a seed chunk (regex-heavy: runs as a
+    remote task per chunk so a wide seed list doesn't serialize on the
+    driver)."""
     urls, keys, hosts, pris = [], [], [], []
-    for url, pri in seeds:
+    for url, pri in pairs:
         u = canonicalise_url(url)
         host = extract_host(u)
         if host == MALFORMED_HOST:
@@ -354,6 +361,36 @@ def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[pa.Table, int]:
         keys.append(surt_key(u))
         hosts.append(host)
         pris.append(pri)
+    return urls, keys, hosts, pris
+
+
+def _robots_chunk(hosts: list) -> tuple[list, list]:
+    """robots URL + SURT key per host chunk (remote-task helper)."""
+    urls = [robots_url_for_host(h) for h in hosts]
+    return urls, [surt_key(u) for u in urls]
+
+
+_PAR_CHUNK = 4096  # below this, remote dispatch costs more than it saves
+
+
+def _chunked_remote(fn, items: list, n_out: int) -> tuple[list, ...]:
+    """Run ``fn`` over chunks of ``items`` as Ray tasks; concatenate the
+    per-chunk output lists in order (inline below the dispatch threshold)."""
+    if len(items) <= _PAR_CHUNK:
+        return fn(items)
+    import ray
+
+    rfn = ray.remote(fn)
+    chunks = [items[i : i + _PAR_CHUNK] for i in range(0, len(items), _PAR_CHUNK)]
+    outs = ray.get([rfn.remote(c) for c in chunks])
+    return tuple([x for o in outs for x in o[i]] for i in range(n_out))
+
+
+def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[pa.Table, int]:
+    """Seeds in list order; first occurrence of a SURT wins (at a 10^10
+    design point the seed list is itself a Dataset read — the dedupe is
+    the same shard probe). Canonicalisation fans out as chunked tasks."""
+    urls, keys, hosts, pris = _chunked_remote(_canon_seed_chunk, list(seeds), 4)
     fu, fk, fh, fp = [], [], [], []
     for u, k, h, p, new in zip(urls, keys, hosts, pris, pool.add_if_new(keys)):
         if new:
@@ -380,11 +417,10 @@ def run_crawl(
 ) -> CrawlResult:
     """Run the crawl (optionally resuming from the last complete wave).
 
-    Sizing: keep ``fetch_concurrency`` at ~3/4 of the CPUs — fetch tasks
-    block on seen-shard ``accept`` acks, and a pool that saturates every
-    core starves the (num_cpus=0) shard actors, stalling the whole wave
-    on actor back-pressure. The politeness partitions already provide
-    more blocks than workers, so the headroom costs no utilisation.
+    ``fetch_concurrency`` sizes the partition count (``n_parts``), not an
+    actor pool — the fused drain+fetch stage is a task pool that scales
+    elastically to every free CPU (tasks never call actors; candidate
+    routing is driver-submitted by reference).
 
     ``collect_log`` / ``collect_seen`` are TEST/ANALYSIS hooks: they pull
     the full fetch log (as Python dicts) / the sorted global seen set onto
@@ -525,7 +561,11 @@ def run_crawl(
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
-    pending_delta: list[str] = []  # SURTs first seen since last checkpoint
+    # SURTs first seen since the last checkpoint; tracked ONLY when
+    # checkpointing (building the per-wave Python string list costs
+    # O(new URLs) driver time every wave otherwise)
+    track_delta = checkpoint_dir is not None
+    pending_delta: list[str] = []
     start_wave = 0
     order_base = 0
     carry_refs: dict[int, list["ray.ObjectRef"]] = {}
@@ -546,7 +586,8 @@ def run_crawl(
     else:
         extras, seq = _seed_frontier(seeds, pool)
         robots_check_hosts = set(pc.unique(extras["host"]).to_pylist())
-        pending_delta.extend(extras["surt"].to_pylist())
+        if track_delta:
+            pending_delta.extend(extras["surt"].to_pylist())
     for wave in range(start_wave, ccfg.max_waves):
         _mark(f"w{wave}:start")
         # --- robots injection (new hosts only: a host already in the
@@ -554,8 +595,7 @@ def run_crawl(
         if ccfg.respect_robots:
             new_hosts = sorted(robots_check_hosts - robots_scheduled)
             robots_scheduled.update(new_hosts)
-            rurls = [robots_url_for_host(h) for h in new_hosts]
-            rkeys = [surt_key(u) for u in rurls]
+            rurls, rkeys = _chunked_remote(_robots_chunk, new_hosts, 2)
             ru, rk, rh = [], [], []
             for h, u, k, new in zip(
                 new_hosts, rurls, rkeys, pool.add_if_new(rkeys) if rkeys else []
@@ -564,7 +604,8 @@ def run_crawl(
                     ru.append(u)
                     rk.append(k)
                     rh.append(h)
-                    pending_delta.append(k)
+                    if track_delta:
+                        pending_delta.append(k)
             if ru:
                 extras = pa.concat_tables(
                     [
@@ -582,15 +623,15 @@ def run_crawl(
         extra_parts = _partition_by_host(extras, n_parts)
         input_refs = []
         pre_carry: dict[int, list] = {}  # salted-path direct carryover
-        rules_ref = None
+        # robots rules enter the cluster ONCE per wave (object store), not
+        # once per task closure
+        rules_ref = ray.put(robots_rules) if robots_rules else None
         for p in range(n_parts):
             assembled = _assemble.remote(extra_parts[p], *carry_refs.get(p, []))
             rows_p = extra_parts[p].num_rows + carry_counts.get(p, 0)
             if ccfg.salt_threshold is not None and rows_p > ccfg.salt_threshold:
                 # hot-host path: salted phase-1 drain in parallel, only
                 # survivors (≤ salt_factor × budget per host) re-merge
-                if rules_ref is None:
-                    rules_ref = ray.put(robots_rules)
                 subs = _salt_split.options(
                     num_returns=ccfg.salt_factor
                 ).remote(assembled, ccfg.salt_factor)
@@ -616,29 +657,23 @@ def run_crawl(
                 import shutil
 
                 shutil.rmtree(wdir)
-        # --- ONE execution per wave: drain -> fetch/extract -------------
-        # materialize() PINS the wave's output blocks for the lifetime of
-        # ``mat``: without it the streaming executor frees blocks eagerly
-        # and the downstream _split_block / seen-shard reads trigger
-        # lineage reconstruction that re-runs fetch tasks (wasted compute
-        # + duplicate fragment writes)
+        # --- ONE execution per wave: fused drain -> fetch/extract -------
+        # ONE plain Ray task per block: the politeness drain and the
+        # fetch/extract chain run fused in the same task (whole block =
+        # complete host groups), and the split task chains directly on the
+        # block's ObjectRef — split of early blocks overlaps with later
+        # blocks still fetching, there is no per-wave streaming-executor
+        # startup, and task outputs are stable (no eager block GC, so no
+        # lineage reconstruction can re-run a fetch).
+        drain_fn = _make_drain_fn(ccfg.politeness_budget, rules_ref)
         stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
-        mat = (
-            rd.from_arrow_refs(input_refs)
-            .map_batches(
-                _make_drain_fn(ccfg.politeness_budget, robots_rules),
-                batch_format="pandas",
-                batch_size=None,  # whole block: keeps host groups intact
-            )
-            .map_batches(
-                stage,
-                batch_format="pyarrow",
-                batch_size=None,
-                concurrency=fetch_concurrency,
-            )
-            .materialize()
-        )
-        block_refs = mat.to_arrow_refs()
+
+        @ray.remote
+        def _drain_fetch(tbl: pa.Table) -> pa.Table:
+            drained = drain_fn(tbl.to_pandas())
+            return stage(pa.Table.from_pandas(drained, preserve_index=False))
+
+        block_refs = [_drain_fetch.remote(ref) for ref in input_refs]
         _mark(f"w{wave}:exec")
         splits = [_split_block.remote(ref) for ref in block_refs]
         metas = ray.get([m for m, _, _, _ in splits])
@@ -673,11 +708,7 @@ def run_crawl(
             for r in refs
         ]
         counts = ray.get([c for _, _, c in count_refs])
-        # every consumer of the wave's blocks is done (splits gotten,
-        # accepts ack'd, counts probed): release the pinned blocks — the
-        # carry refs that outlive the wave are _split_block TASK outputs,
-        # independent of the dataset's blocks
-        del mat, block_refs, splits
+        del block_refs, splits  # wave's intermediates can be GC'd
         carry_refs, carry_counts = {}, {}
         for (p, r, _), c in zip(count_refs, counts):
             if c > 0:
@@ -763,7 +794,8 @@ def run_crawl(
                 }
             ).cast(FRONTIER_SCHEMA)
             seq += n_new
-            pending_delta.extend(extras["surt"].to_pylist())
+            if track_delta:
+                pending_delta.extend(extras["surt"].to_pylist())
             robots_check_hosts = set(pc.unique(winners["host"]).to_pylist())
         else:
             n_new = 0
@@ -808,8 +840,6 @@ def run_crawl(
                 stats,
             )
             pending_delta = []
-        else:
-            pending_delta.clear()  # no checkpointing: don't accumulate
         if ccfg.max_urls is not None and order_base >= ccfg.max_urls:
             break
 

@@ -155,33 +155,45 @@ def postcode_extract(ds):
 def annotate_batch(batch: pa.Table, annotations: dict) -> pa.Table:
     """Apply collection annotations to a docs batch (J1 semantics):
 
-    scopes checked per URL in the reference's order — exact ``resource``
-    match, ``root`` URL-prefix match, ``subdomains`` host-suffix match —
-    gated on crawl_date within the collection's [from, to] date range
-    (lexicographic compare of wayback dates, matching DateRange). Emits
-    ``collections`` (sorted list) and ``access_terms``.
+    the reference's four scopes in order (``Annotator.java:127-232``) —
+    exact ``resource`` match, ``root`` URL-prefix match, ``subdomains``
+    host-suffix match, ``source_file_matches`` regex over the record's
+    source file — gated on crawl_date within the collection's [from, to]
+    date range (lexicographic compare of wayback dates, matching
+    DateRange). Emits ``collections`` (sorted list) and ``access_terms``.
 
     annotations = {
         "resource": {url_norm: [(name, from14, to14)]},
         "root": {url_prefix: [(name, from14, to14)]},
         "subdomains": {host_suffix: [(name, from14, to14)]},
+        "source_file_matches": {regex: [(name, from14, to14)]},
         "open_access_surts": [surt_prefix, ...],
     }
     """
     res = annotations.get("resource", {})
     roots = annotations.get("root", {})
     subs = annotations.get("subdomains", {})
+    sfm = [
+        (re.compile(p), entries)
+        for p, entries in annotations.get("source_file_matches", {}).items()
+    ]
     oa = annotations.get("open_access_surts", [])
 
     def in_range(d14: str, frm: str, to: str) -> bool:
         return bool(d14) and frm <= d14 <= to
 
+    source_files = (
+        batch["source_file"].to_pylist()
+        if sfm and "source_file" in batch.column_names
+        else [None] * batch.num_rows
+    )
     collections, access = [], []
-    for url, host, surt, d14 in zip(
+    for url, host, surt, d14, src in zip(
         batch["url_norm"].to_pylist(),
         batch["host"].to_pylist(),
         batch["surt"].to_pylist(),
         batch["wayback_date"].to_pylist(),
+        source_files,
     ):
         found: set[str] = set()
         for name, frm, to in res.get(url, []):
@@ -194,6 +206,11 @@ def annotate_batch(batch: pa.Table, annotations: dict) -> pa.Table:
                         found.add(name)
         for suffix, entries in subs.items():
             if host == suffix or host.endswith("." + suffix):
+                for name, frm, to in entries:
+                    if in_range(d14, frm, to):
+                        found.add(name)
+        for rx, entries in sfm:
+            if src and rx.search(src):
                 for name, frm, to in entries:
                     if in_range(d14, frm, to):
                         found.add(name)

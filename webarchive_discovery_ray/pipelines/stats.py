@@ -27,7 +27,7 @@ from ..config import IndexConfig, SyntheticConfig
 from ..sources.synthetic import fixture_pages_ds
 from ..stages.extract import extract_batch
 
-__all__ = ["mdx_stats", "persist_log", "dataset_summaries", "file_digest"]
+__all__ = ["mdx_stats", "persist_log", "persist_log_docs", "dataset_summaries", "file_digest"]
 
 
 def _docs_ds(n_pages: int, scfg: SyntheticConfig | None = None, num_blocks: int = 32):
@@ -38,10 +38,11 @@ def _docs_ds(n_pages: int, scfg: SyntheticConfig | None = None, num_blocks: int 
     )
 
 
-def mdx_stats(n_pages: int = 600, scfg: SyntheticConfig | None = None):
+def mdx_stats(n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None):
     """M39: per-record MDX-style stats projection. Columns: mdx_key
     (record_type:hash), surt, timestamp14, host, crawl_year, content_type,
-    status, length, source_file, offset."""
+    status, length, source_file, offset. ``docs`` overrides the fixture
+    input (the oracle contract materializes the shared base to parquet)."""
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -67,47 +68,15 @@ def mdx_stats(n_pages: int = 600, scfg: SyntheticConfig | None = None):
             }
         )
 
-    return _docs_ds(n_pages, scfg).map_batches(project, batch_format="pyarrow")
+    base = docs if docs is not None else _docs_ds(n_pages, scfg)
+    return base.map_batches(project, batch_format="pyarrow")
 
 
-def persist_log(n_pages: int = 600, scfg: SyntheticConfig | None = None):
-    """M40/J4: SURT-keyed fetch history — within each source file, records
-    sorted by offset; each ``metadata`` record merges onto the immediately
-    preceding ``response`` record for the same URL (Heritrix sequence
-    convention). Columns: surt, status, digest, timestamp14, length,
-    source_file, has_metadata."""
-
-    def pair(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("source_offset", kind="mergesort")
-        out = []
-        last_response_idx: int | None = None
-        for _, row in df.iterrows():
-            if row["record_type"] in ("response", "revisit"):
-                out.append(
-                    {
-                        "surt": row["surt"],
-                        "status": row["status"],
-                        "digest": row["hash"],
-                        "timestamp14": row["wayback_date"],
-                        "length": row["content_length"],
-                        "source_file": row["source_file"],
-                        "has_metadata": False,
-                    }
-                )
-                last_response_idx = len(out) - 1
-            elif row["record_type"] == "metadata" and last_response_idx is not None:
-                out[last_response_idx]["has_metadata"] = True
-        cols = [
-            "surt", "status", "digest", "timestamp14",
-            "length", "source_file", "has_metadata",
-        ]
-        return pd.DataFrame(out, columns=cols)
-
-    # pairing is ordered WITHIN a source file: group by file (J4's
-    # within-partition ordered merge), stats config keeps metadata records.
-    # Input models the Heritrix WARC convention the reference relies on
-    # (PersistLogMapper.java:86-97): a metadata record directly FOLLOWS its
-    # response record in the same file — every 5th response gets one.
+def persist_log_docs(n_pages: int = 600, scfg: SyntheticConfig | None = None):
+    """The persist-log fixture input: extracted docs (response/revisit/
+    metadata kept) where every 5th response is followed by a metadata
+    record in the same file at offset+1 (the Heritrix WARC convention,
+    PersistLogMapper.java:86-97)."""
     import ray.data as rd
 
     from ..functions.hashing import stable_hash64
@@ -136,17 +105,56 @@ def persist_log(n_pages: int = 600, scfg: SyntheticConfig | None = None):
                 rows.append(meta)
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
-    docs = (
+    return (
         rd.range(n_pages, override_num_blocks=16)
         .map_batches(gen, batch_format="pyarrow", batch_size=None)
         .map_batches(
             lambda b: extract_batch(b, icfg), batch_format="pyarrow", batch_size=None
         )
     )
+
+
+def persist_log(n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None):
+    """M40/J4: SURT-keyed fetch history — within each source file, records
+    sorted by offset; each ``metadata`` record merges onto the immediately
+    preceding ``response`` record for the same URL (Heritrix sequence
+    convention). Columns: surt, status, digest, timestamp14, length,
+    source_file, has_metadata. ``docs`` overrides the fixture input."""
+    import numpy as np
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pairing: each metadata offset attaches to the latest
+        # preceding response/revisit offset (searchsorted, no row loop)
+        df = df.sort_values("source_offset", kind="mergesort")
+        resp = df[df["record_type"].isin(("response", "revisit"))]
+        meta_off = df.loc[
+            df["record_type"] == "metadata", "source_offset"
+        ].to_numpy()
+        r_off = resp["source_offset"].to_numpy()
+        has = np.zeros(len(resp), dtype=bool)
+        if len(meta_off) and len(r_off):
+            idx = np.searchsorted(r_off, meta_off, side="right") - 1
+            has[idx[idx >= 0]] = True
+        return pd.DataFrame(
+            {
+                "surt": resp["surt"].to_numpy(),
+                "status": resp["status"].to_numpy(),
+                "digest": resp["hash"].to_numpy(),
+                "timestamp14": resp["wayback_date"].to_numpy(),
+                "length": resp["content_length"].to_numpy(),
+                "source_file": resp["source_file"].to_numpy(),
+                "has_metadata": has,
+            }
+        )
+
+    # pairing is ordered WITHIN a source file: group by file (J4's
+    # within-partition ordered merge)
+    if docs is None:
+        docs = persist_log_docs(n_pages, scfg)
     return docs.groupby("source_file").map_groups(pair, batch_format="pandas")
 
 
-def dataset_summaries(n_pages: int = 600, scfg: SyntheticConfig | None = None):
+def dataset_summaries(n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None):
     """A2: multi-facet frequency counts in one pass — (facet, year, value,
     count) rows for facets host / content_type_norm. Partial-aggregated
     inside map_batches (combiner), then one small groupby."""
@@ -168,8 +176,9 @@ def dataset_summaries(n_pages: int = 600, scfg: SyntheticConfig | None = None):
         out["value"] = out["value"].fillna("")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    base = docs if docs is not None else _docs_ds(n_pages, scfg)
     return (
-        _docs_ds(n_pages, scfg)
+        base
         .map_batches(partials, batch_format="pyarrow")
         .groupby(["facet", "year", "value"])
         .aggregate(Sum("n", alias_name="count"))

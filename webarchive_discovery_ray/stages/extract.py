@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import IndexConfig
+from ..functions.fieldpolicy import DEFAULT_POLICY
 from ..functions.hashing import md5_b64, sha1_b32
 from ..functions.htmlscan import parse_srcset, tokenize_html
 from ..functions.mime import detect_mime, reconcile_content_type
@@ -449,7 +450,26 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         out["content"] = None  # M35: index-only text (length retained)
     out["spans"] = spans
     out["parse_error"] = "; ".join(parse_errors) if parse_errors else None
+    if cfg.apply_field_policy:
+        apply_field_policy(out)
     return out
+
+
+def apply_field_policy(out: dict) -> None:
+    """Run every output string field through the field-adjustment policy
+    (``SolrRecord.addField`` -> ``adjust``, SolrRecord.java:135-188) —
+    control-char strip, UTF-8 sanitise, whitespace collapse, per-field
+    rewrites and max_length, empty -> None. ``spans`` are exempt: they are
+    the payload-parity surface (BASELINE input_hint), not a Solr field.
+    ``content_text_length`` keeps the pre-policy extracted length (the
+    reference records text length as its own field before adjustment)."""
+    for k, v in out.items():
+        if k == "spans":
+            continue
+        if isinstance(v, str):
+            out[k] = DEFAULT_POLICY.adjust(k, v)
+        elif isinstance(v, list):
+            out[k] = DEFAULT_POLICY.adjust_many(k, v)
 
 
 def _vector_prefilter(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
