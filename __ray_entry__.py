@@ -141,6 +141,26 @@ def _media_features(sf_dir: str):
     )
 
 
+def _pdf_preflight(sf_dir: str):
+    """M26: structural PDF/A preflight over the fixture's PDF payloads."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import SyntheticConfig
+    from webarchive_discovery_ray.schema import PAGES_SCHEMA
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.multimodal import PdfPreflightStage
+
+    rows = [
+        r
+        for r in fixture_pages(600, SyntheticConfig())
+        if r["mime_served"] == "application/pdf"
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    return ds.map_batches(
+        PdfPreflightStage, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def _annotations(sf_dir: str):
     """J1: broadcast annotations join over extracted fixture docs."""
     from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
@@ -368,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_sorted": _cdx,
         "reduplicate_revisits": _reduplicate,
         "media_features": _media_features,
+        "pdf_preflight": _pdf_preflight,
     }
 
 

@@ -225,3 +225,60 @@ def test_media_stage_seeded_sampling():
     assert 0 < sampled.num_rows < 60  # ~1-in-10, deterministic
     again = MediaFeatureStage(sample_one_in=10)(batch)
     assert sampled["url"].to_pylist() == again["url"].to_pylist()
+
+
+def test_write_xml_roundtrip(ray_session, tmp_path):
+    """S4 XML variant: <add><doc><field name=...> batches parse back with
+    multi-valued fields repeated and None fields omitted."""
+    import xml.etree.ElementTree as ET
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.sources.sinks import write_xml
+
+    ds = rd.from_items(
+        [{"id": i, "title": f"T<{i}>&", "tags": ["a", "b"], "skip": None} for i in range(20)]
+    )
+    n = write_xml(ds, str(tmp_path / "xml"))
+    assert n == 20
+    docs = []
+    for f in glob.glob(str(tmp_path / "xml" / "*.xml")):
+        root = ET.parse(f).getroot()
+        assert root.tag == "add"
+        for doc in root.findall("doc"):
+            fields = {}
+            for fe in doc.findall("field"):
+                fields.setdefault(fe.get("name"), []).append(fe.text)
+            docs.append(fields)
+    assert len(docs) == 20
+    d0 = sorted(docs, key=lambda d: int(d["id"][0]))[0]
+    assert d0["title"] == ["T<0>&"]  # escaping round-trips
+    assert d0["tags"] == ["a", "b"]  # multi-valued repeats
+    assert "skip" not in d0  # None omitted
+
+
+def test_pdf_preflight_structural_checks():
+    """M26: structural preflight verdicts + deduped error codes."""
+    from webarchive_discovery_ray.stages.multimodal import (
+        PdfPreflightStage,
+        pdf_preflight_record,
+    )
+
+    good = b"%PDF-1.4\n1 0 obj\n<<>>\nendobj\nstartxref\n9\n%%EOF\n"
+    assert pdf_preflight_record(good) == (None, [])  # unknown w/o full validator
+    v, errs = pdf_preflight_record(b"not a pdf at all")
+    assert v == "false" and "1.0.0" in errs and "1.0.2" in errs
+    v, errs = pdf_preflight_record(b"%PDF-x.\nbody")
+    assert v == "false" and "1.0.1" in errs
+    v, errs = pdf_preflight_record(b"%PDF-1.7\nbody\nstartxref\n5\n")
+    assert v == "false" and errs == ["1.0.2"]  # only EOF missing
+
+    stage = PdfPreflightStage()
+    out = stage(pa.table({"url": ["u1", "u2"], "payload": [good, b"junk"]}))
+    rows = out.to_pylist()
+    assert rows[0]["pdf_pdfa_is_valid"] is None
+    assert rows[1]["pdf_pdfa_is_valid"] == "false"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        PdfPreflightStage(real=True)

@@ -308,20 +308,34 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.25):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # tiled upper-triangle matmul: peak memory is one B×B tile, not
+        # the full n×n similarity matrix — a hot label stays one task
+        # (the group must co-locate) but its memory is bounded
+        B = 2048
         ids = df["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
+        mat = mat / norms[:, None]
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, B):
+            ai = mat[i0 : i0 + B]
+            for j0 in range(i0, n, B):
+                sims = ai @ mat[j0 : j0 + B].T
+                ia, ib = np.nonzero(sims >= threshold)
+                gi, gj = ia + i0, ib + j0
+                keep = gi < gj  # upper triangle across tiles
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[gj[keep]])
+                out_c.append(np.round(sims[ia[keep], ib[keep]], 6))
         return pd.DataFrame(
             {
-                "vec_a": ids[ia[mask]],
-                "vec_b": ids[ib[mask]],
-                "cos": np.round(sims[ia, ib][mask], 6),
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "cos": np.concatenate(out_c) if out_c else np.array([], np.float64),
             }
         )
 
@@ -339,23 +353,20 @@ def reduplicate(ds, batch_format: str = "pyarrow"):
     Reference: ``MDXReduplicatingReducer.java:72-153``."""
 
     def fix_group(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized merge: each revisit field keeps its own value unless
+        # null, in which case the exemplar's fills in (column ops, no
+        # per-row iteration)
         df = df.sort_values(["timestamp14", "url"], kind="mergesort")
         responses = df[df["record_type"] == "response"]
-        exemplar = responses.iloc[0] if len(responses) else None
-        out = []
-        for _, row in df.iterrows():
-            if row["record_type"] != "revisit":
-                out.append(row.to_dict())
-                continue
-            if exemplar is None:
-                out.append(row.to_dict())  # unresolved revisit
-                continue
-            merged = exemplar.to_dict()
-            for k, v in row.to_dict().items():
-                if v is not None and not (isinstance(v, float) and pd.isna(v)):
-                    merged[k] = v
-            merged["record_type"] = "reduplicated"
-            out.append(merged)
-        return pd.DataFrame(out)
+        rev = df["record_type"] == "revisit"
+        if responses.empty or not rev.any():
+            return df  # unresolved revisits pass through unchanged
+        exemplar = responses.iloc[0]
+        out = df.copy()
+        for col in df.columns:
+            vals = out.loc[rev, col]
+            out.loc[rev, col] = vals.where(vals.notna(), exemplar[col])
+        out.loc[rev, "record_type"] = "reduplicated"
+        return out
 
     return ds.groupby("digest").map_groups(fix_group, batch_format="pandas")

@@ -28,7 +28,13 @@ from typing import Callable
 
 import pyarrow as pa
 
-__all__ = ["write_jsonl", "BufferedSinkStage", "RetrySender", "run_buffered_sink"]
+__all__ = [
+    "write_jsonl",
+    "write_xml",
+    "BufferedSinkStage",
+    "RetrySender",
+    "run_buffered_sink",
+]
 
 
 def write_jsonl(ds, path: str, compress: bool = False) -> int:
@@ -50,6 +56,55 @@ def write_jsonl(ds, path: str, compress: bool = False) -> int:
             with open(name, "w", encoding="utf-8") as f:
                 for r in rows:
                     f.write(json.dumps(r, default=str) + "\n")
+        return pa.table({"n": pa.array([len(rows)], pa.int64())})
+
+    counts = ds.map_batches(dump, batch_format="pyarrow", batch_size=None)
+    return int(counts.sum("n") or 0)
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def write_xml(ds, path: str, compress: bool = False) -> int:
+    """S4 XML variant: Solr ``<add><doc><field name=...>`` batches, one
+    file per input block (gzip optional), mirroring the reference's XML
+    output format (``SingleFileDocumentConsumer.java:96-131`` writing
+    ``SolrRecord.writeXml`` per record under one ``<add>`` root).
+
+    Multi-valued (list) columns emit one ``<field>`` per value; None
+    values are omitted (a dropped field, matching addField semantics).
+    Returns the row count."""
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        rows = batch.to_pylist()
+        name = os.path.join(path, f"part-{uuid.uuid4().hex}.xml")
+        opener = (
+            (lambda: gzip.open(name + ".gz", "wt", encoding="utf-8"))
+            if compress
+            else (lambda: open(name, "w", encoding="utf-8"))
+        )
+        with opener() as f:
+            f.write("<add>\n")
+            for r in rows:
+                f.write("<doc>\n")
+                for k, v in r.items():
+                    values = v if isinstance(v, list) else [v]
+                    for item in values:
+                        if item is None:
+                            continue
+                        f.write(
+                            f'  <field name="{_xml_escape(str(k))}">'
+                            f"{_xml_escape(str(item))}</field>\n"
+                        )
+                f.write("</doc>\n")
+            f.write("</add>\n")
         return pa.table({"n": pa.array([len(rows)], pa.int64())})
 
     counts = ds.map_batches(dump, batch_format="pyarrow", batch_size=None)

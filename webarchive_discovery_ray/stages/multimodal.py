@@ -25,8 +25,10 @@ __all__ = [
     "MEDIA_FEATURES_SCHEMA",
     "ImageResizeStage",
     "FrameSampleStage",
+    "PdfPreflightStage",
     "RESIZED_SCHEMA",
     "FRAMES_SCHEMA",
+    "PDF_PREFLIGHT_SCHEMA",
 ]
 
 MEDIA_FEATURES_SCHEMA = pa.schema(
@@ -124,6 +126,83 @@ class MediaFeatureStage:
         if not rows:
             return MEDIA_FEATURES_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=MEDIA_FEATURES_SCHEMA)
+
+
+PDF_PREFLIGHT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("pdf_pdfa_is_valid", pa.string()),  # 'false' | None (=unknown)
+        ("pdf_pdfa_errors", pa.list_(pa.string())),  # unique codes
+    ]
+)
+
+# structural-check error codes, modelled on Apache Preflight's syntax
+# family ("1.x" = syntax errors); full PDF/A profile codes need the real
+# validator (real=True)
+_PDF_ERR_NOT_PDF = "1.0.0"  # missing/invalid %PDF header
+_PDF_ERR_BAD_VERSION = "1.0.1"  # unparsable header version
+_PDF_ERR_NO_EOF = "1.0.2"  # missing %%EOF trailer marker
+_PDF_ERR_NO_STARTXREF = "1.0.3"  # missing startxref
+
+
+def pdf_preflight_record(payload: bytes) -> tuple[str | None, list[str]]:
+    """M26 structural preflight over raw PDF bytes (no external library):
+    header + version, ``%%EOF`` trailer, ``startxref`` presence. Returns
+    ``(is_valid, errors)`` where structural failures yield ``('false',
+    codes)`` and a structurally sound file yields ``(None, [])`` — the
+    full PDF/A profile verdict needs the real validator.
+
+    Reference: ``warc-indexer/src/main/java/uk/bl/wa/analyser/payload/
+    PDFAnalyser.java:82-123`` (pdf_pdfa_is_valid + deduped
+    pdf_pdfa_errors via Apache Preflight; off by default in
+    reference.conf)."""
+    errors: list[str] = []
+    if not payload.startswith(b"%PDF-"):
+        errors.append(_PDF_ERR_NOT_PDF)
+    else:
+        ver = payload[5:8]
+        if not (len(ver) >= 3 and ver[0:1].isdigit() and ver[1:2] == b"."):
+            errors.append(_PDF_ERR_BAD_VERSION)
+    tail = payload[-2048:]
+    if b"%%EOF" not in tail:
+        errors.append(_PDF_ERR_NO_EOF)
+    if b"startxref" not in tail:
+        errors.append(_PDF_ERR_NO_STARTXREF)
+    return ("false", errors) if errors else (None, [])
+
+
+class PdfPreflightStage:
+    """Actor-pool stage: (url, payload) batches -> PDF/A preflight fields.
+
+    The structural layer (header/version/EOF/startxref) runs for real on
+    the raw bytes; the full Apache-Preflight-equivalent PDF/A profile
+    validation is gated behind ``real=True`` (no PDF library in this
+    container). Error codes are deduped, as the reference dedupes the
+    preflight error list."""
+
+    def __init__(self, real: bool = False):
+        if real:  # pragma: no cover - no PDF validator in this sandbox
+            raise NotImplementedError(
+                "full PDF/A profile validation requires a preflight "
+                "library (pdfbox-preflight / verapdf); the structural "
+                "layer (real=False) has no such dependency"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            payload = r.get("payload") or b""
+            is_valid, errors = pdf_preflight_record(payload)
+            rows.append(
+                {
+                    "url": r["url"],
+                    "pdf_pdfa_is_valid": is_valid,
+                    "pdf_pdfa_errors": errors,
+                }
+            )
+        if not rows:
+            return PDF_PREFLIGHT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=PDF_PREFLIGHT_SCHEMA)
 
 
 RESIZED_SCHEMA = pa.schema(
