@@ -367,3 +367,32 @@ class TestFieldPolicy:
         off = IndexConfig(apply_field_policy=False)
         d3 = extract_record(rec, off)
         assert d3["title"] == "Sp\x01aced title \x02here"
+
+    def test_derived_fields_policy_identity(self):
+        """The skip set is sound: applying the policy to every
+        DERIVED_IDENTITY_FIELDS value across the fixture corpus is the
+        identity (so skipping them changes nothing)."""
+        from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+        from webarchive_discovery_ray.functions.fieldpolicy import (
+            DEFAULT_POLICY,
+            DERIVED_IDENTITY_FIELDS,
+        )
+        from webarchive_discovery_ray.sources.synthetic import fixture_pages
+        from webarchive_discovery_ray.stages.extract import extract_record
+
+        cfg = IndexConfig(response_include=())
+        checked = 0
+        for r in fixture_pages(400, SyntheticConfig()):
+            d = extract_record(r, cfg)
+            if d is None:
+                continue
+            for k in DERIVED_IDENTITY_FIELDS:
+                v = d.get(k)
+                # contract of the skip path: '' -> None, all else identity
+                if isinstance(v, str):
+                    assert DEFAULT_POLICY.adjust(k, v) == (v or None), (k, v)
+                    checked += 1
+                elif isinstance(v, list):
+                    assert DEFAULT_POLICY.adjust_many(k, v) == v, (k, v)
+                    checked += 1
+        assert checked > 1000

@@ -41,6 +41,18 @@ _CNTRL = re.compile(r"[\x00-\x1f\x7f]")
 _SPACE = re.compile(r"[ \t\n\x0b\f\r]+")
 _JAVA_GROUP = re.compile(r"\$(\d+)")
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=256)
+def _compiled_rewrites(rewrites: tuple) -> tuple:
+    """Pattern compile + Java '$n' -> Python '\\\\n' conversion, once per
+    distinct rewrite tuple (re.sub with a string pattern recompiles on
+    every call — measurable on per-record hot paths)."""
+    return tuple(
+        (re.compile(p), _JAVA_GROUP.sub(r"\\\1", r)) for p, r in rewrites
+    )
+
 
 @dataclass(frozen=True)
 class FieldRule:
@@ -69,34 +81,75 @@ class FieldPolicy:
         rule = self.rule_for(field_name)
         if rule.max_values == 0 or rule.max_length == 0:
             return None
-        s = "" if value is None else value
+        if value is None:
+            return None  # null -> '' -> dropped; skip the pipeline
+        s = value
         if rule.remove_control_characters:
             s = _CNTRL.sub("", s)
-        if rule.sanitize_utf8:
+        # ASCII strings are valid UTF-8 and roundtrip unchanged — skip the
+        # two-copy encode/decode for them (str.isascii is one C scan)
+        if rule.sanitize_utf8 and not s.isascii():
             s = s.encode("utf-8", "replace").decode("utf-8", "replace")
         if rule.normalise_whitespace:
             s = _SPACE.sub(" ", s.strip())
-        for pattern, replacement in rule.rewrites:
-            s = re.sub(pattern, _JAVA_GROUP.sub(r"\\\1", replacement), s)
+        for rx, repl in _compiled_rewrites(rule.rewrites):
+            s = rx.sub(repl, s)
         if rule.max_length != -1 and len(s) > rule.max_length:
             s = s[: rule.max_length]
         return s if s else None
 
     def adjust_many(self, field_name: str, values) -> list[str]:
         """Multi-valued addField loop: adjust each value; honour
-        ``max_values`` (first k kept, duplicates rejected when capped)."""
+        ``max_values`` (first k kept, duplicates rejected when capped).
+        The pipeline is inlined (rule + compiled rewrites hoisted out of
+        the per-element loop — list fields dominate the per-record cost)."""
         rule = self.rule_for(field_name)
+        if rule.max_values == 0 or rule.max_length == 0:
+            return []
+        rewrites = _compiled_rewrites(rule.rewrites)
+        capped = rule.max_values != -1
+        max_len = rule.max_length
         out: list[str] = []
-        for v in values or []:
-            adjusted = self.adjust(field_name, v)
-            if adjusted is None:
+        for s in values or []:
+            if s is None:
                 continue
-            if rule.max_values != -1:
-                if len(out) >= rule.max_values or adjusted in out:
-                    continue
-            out.append(adjusted)
+            if rule.remove_control_characters:
+                s = _CNTRL.sub("", s)
+            if rule.sanitize_utf8 and not s.isascii():
+                s = s.encode("utf-8", "replace").decode("utf-8", "replace")
+            if rule.normalise_whitespace:
+                s = _SPACE.sub(" ", s.strip())
+            for rx, repl in rewrites:
+                s = rx.sub(repl, s)
+            if max_len != -1 and len(s) > max_len:
+                s = s[:max_len]
+            if not s:
+                continue
+            if capped and (len(out) >= rule.max_values or s in out):
+                continue
+            out.append(s)
         return out
 
+
+# Output fields whose values are DERIVED by our own kernels from already-
+# sanitised inputs (digests, SURTs, canonical hosts, fixed-vocabulary
+# normalised types, ISO timestamps, hex byte dumps): the default pipeline
+# is provably the identity on them — no control chars, valid UTF-8, no
+# collapsible whitespace — so the per-record policy pass skips them. The
+# identity claim is asserted over the fixture corpus in
+# tests/test_kernels.py::TestFieldPolicy. External-content fields (URLs,
+# titles, text, links, HTML-derived metadata) always pass through the
+# policy.
+DERIVED_IDENTITY_FIELDS = frozenset(
+    {
+        "doc_id", "surt", "host_surt", "url_path", "url_type",
+        "resource_name", "content_type_ext", "host", "domain",
+        "public_suffix", "crawl_date", "crawl_year", "wayback_date",
+        "record_type", "solr_type", "content_type_norm", "content_ffb",
+        "content_first_bytes", "hash", "links_hosts", "links_domains",
+        "links_public_suffixes", "links_hosts_surts",
+    }
+)
 
 # reference.conf warc.solr.field_setup defaults
 _URL_RULE = FieldRule(max_length=2000)

@@ -271,10 +271,17 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         # independent policy application (same contract as the stage's
         # apply_field_policy; shared DEFAULT_POLICY table, separate loop)
         if cfg.apply_field_policy:
-            from ..functions.fieldpolicy import DEFAULT_POLICY
+            from ..functions.fieldpolicy import (
+                DEFAULT_POLICY,
+                DERIVED_IDENTITY_FIELDS,
+            )
 
             for k, v in d.items():
                 if k == "spans":
+                    continue
+                if k in DERIVED_IDENTITY_FIELDS:
+                    if v == "":
+                        d[k] = None
                     continue
                 if isinstance(v, str):
                     d[k] = DEFAULT_POLICY.adjust(k, v)

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import IndexConfig
-from ..functions.fieldpolicy import DEFAULT_POLICY
+from ..functions.fieldpolicy import DEFAULT_POLICY, DERIVED_IDENTITY_FIELDS
 from ..functions.hashing import md5_b64, sha1_b32
 from ..functions.htmlscan import parse_srcset, tokenize_html
 from ..functions.mime import detect_mime, reconcile_content_type
@@ -456,15 +456,21 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
 
 
 def apply_field_policy(out: dict) -> None:
-    """Run every output string field through the field-adjustment policy
+    """Run the output string fields through the field-adjustment policy
     (``SolrRecord.addField`` -> ``adjust``, SolrRecord.java:135-188) —
     control-char strip, UTF-8 sanitise, whitespace collapse, per-field
-    rewrites and max_length, empty -> None. ``spans`` are exempt: they are
-    the payload-parity surface (BASELINE input_hint), not a Solr field.
-    ``content_text_length`` keeps the pre-policy extracted length (the
-    reference records text length as its own field before adjustment)."""
+    rewrites and max_length, empty -> None. ``spans`` are exempt (the
+    payload-parity surface, not a Solr field) and DERIVED_IDENTITY_FIELDS
+    are skipped (the policy is provably the identity on kernel-derived
+    values — asserted over the corpus in tests). ``content_text_length``
+    keeps the pre-policy extracted length (the reference records text
+    length as its own field before adjustment)."""
     for k, v in out.items():
         if k == "spans":
+            continue
+        if k in DERIVED_IDENTITY_FIELDS:
+            if v == "":
+                out[k] = None  # the one policy effect on derived values
             continue
         if isinstance(v, str):
             out[k] = DEFAULT_POLICY.adjust(k, v)
