@@ -493,7 +493,7 @@ def run_crawl(
         the fetch stage's list columns (vectorized) and shard-keyed so
         each seen shard can self-filter its rows from the shared block."""
         empty = (
-            {"part": -1, "cand_rows": 0},
+            {"part": -1, "cand_rows": 0, "fetched_rows": 0},
             FRONTIER_SCHEMA.empty_table(),
             OUT_SCHEMA.empty_table().select(_pull_cols),
             CAND_SCHEMA.empty_table(),
@@ -511,7 +511,7 @@ def run_crawl(
         total = int(lengths.sum())
         if total == 0:
             return (
-                {"part": part, "cand_rows": 0},
+                {"part": part, "cand_rows": 0, "fetched_rows": fetched.num_rows},
                 carry,
                 fetched.select(_pull_cols),
                 CAND_SCHEMA.empty_table(),
@@ -541,11 +541,62 @@ def run_crawl(
             }
         ).cast(CAND_SCHEMA)
         return (
-            {"part": part, "cand_rows": total},
+            {"part": part, "cand_rows": total, "fetched_rows": fetched.num_rows},
             carry,
             fetched.select(_pull_cols),
             cand,
         )
+
+    @ray.remote(num_returns=2)
+    def _finalize_fetch(wave: int, order_base: int, log_path: str | None, *parts):
+        """Remote end-of-wave fetch finalization: concat the per-part
+        fetched tables, apply the pinned rule-4 order (host, slot), build
+        the wave's fetch-log table, optionally stream it to parquet
+        (atomic publish), and scrape the robots hits. Returns a SMALL dict
+        (count + robots map) and the log table — the driver materializes
+        the latter only under collect_log / checkpointing."""
+        tbl = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts
+            else OUT_SCHEMA.empty_table().select(_pull_cols)
+        )
+        tbl = tbl.take(
+            pc.sort_indices(
+                tbl, sort_keys=[("fetch_host", "ascending"), ("slot", "ascending")]
+            )
+        )
+        n = tbl.num_rows
+        wave_log = pa.table(
+            {
+                "order": pa.array(np.arange(order_base, order_base + n), pa.int64()),
+                "wave": pa.array(np.full(n, wave, dtype=np.int32)),
+                "host": tbl["fetch_host"],
+                "slot": tbl["slot"],
+                "url": tbl["url"],
+                "surt": tbl["surt"],
+                "status": tbl["fetch_status"],
+            },
+            schema=FETCHLOG_SCHEMA,
+        )
+        if log_path is not None:
+            import uuid
+
+            import pyarrow.parquet as _pq
+
+            os.makedirs(os.path.dirname(log_path), exist_ok=True)
+            tmp = f"{log_path}.tmp-{uuid.uuid4().hex}"
+            _pq.write_table(wave_log, tmp)
+            os.replace(tmp, log_path)
+        hits = tbl.filter(
+            pc.and_(tbl["is_robots"], pc.equal(tbl["fetch_status"], 200))
+        )
+        robots = {
+            h: list(rules)
+            for h, rules in zip(
+                hits["fetch_host"].to_pylist(), hits["robots_rules"].to_pylist()
+            )
+        }
+        return {"n_fetched": n, "robots": robots}, wave_log
 
     import time as _time
 
@@ -676,17 +727,26 @@ def run_crawl(
         block_refs = [_drain_fetch.remote(ref) for ref in input_refs]
         _mark(f"w{wave}:exec")
         splits = [_split_block.remote(ref) for ref in block_refs]
+        # fetch-log finalization runs REMOTE (concat + rule-4 sort + log
+        # build + robots scrape of ~budget×hosts rows): the driver gets
+        # back only a count and the tiny robots map; the log table itself
+        # is pulled only under collect_log / checkpointing
+        log_path = (
+            os.path.join(docs_dir, f"wave_{wave:04d}", "fetch_log.parquet")
+            if docs_dir is not None and checkpoint_dir is None
+            else None
+        )
+        small_ref, wave_log_ref = _finalize_fetch.remote(
+            wave, order_base, log_path, *[f for _, _, f, _ in splits]
+        )
         metas = ray.get([m for m, _, _, _ in splits])
-        fetched_parts = ray.get([f for _, _, f, _ in splits])
         carry_refs = {p: list(refs) for p, refs in pre_carry.items()}
         fetched_per_part: dict[int, int] = {}
         cand_refs = []
-        for meta, (_, carry_ref, _, cand_ref), ftbl in zip(
-            metas, splits, fetched_parts
-        ):
+        for meta, (_, carry_ref, _, cand_ref) in zip(metas, splits):
             if meta["part"] >= 0:
                 carry_refs.setdefault(meta["part"], []).append(carry_ref)
-                fetched_per_part[meta["part"]] = ftbl.num_rows
+                fetched_per_part[meta["part"]] = meta["fetched_rows"]
             if meta["cand_rows"]:
                 cand_refs.append(cand_ref)
         if cand_refs:
@@ -716,57 +776,15 @@ def run_crawl(
                 carry_counts[p] = carry_counts.get(p, 0) + c
 
         _mark(f"w{wave}:split")
-        fetched_tbl = (
-            pa.concat_tables(fetched_parts).combine_chunks()
-            if fetched_parts
-            else OUT_SCHEMA.empty_table()
-        )
-        # rule 4: global fetch order within a wave = (host, slot) ascending
-        fetched_tbl = fetched_tbl.take(
-            pc.sort_indices(
-                fetched_tbl,
-                sort_keys=[("fetch_host", "ascending"), ("slot", "ascending")],
-            )
-        )
-        n_fetched = fetched_tbl.num_rows
+        small = ray.get(small_ref)
+        n_fetched = small["n_fetched"]
+        new_robots = small["robots"]
         res.total_docs += n_fetched
-        # --- fetch log (arrow, no row iteration): the per-wave table is
-        # streamed to parquet (checkpoint and/or docs fragment dirs) and
-        # retained on the driver only under collect_log -------------------
-        wave_log = pa.table(
-            {
-                "order": pa.array(
-                    np.arange(order_base, order_base + n_fetched), pa.int64()
-                ),
-                "wave": pa.array(np.full(n_fetched, wave, dtype=np.int32)),
-                "host": fetched_tbl["fetch_host"],
-                "slot": fetched_tbl["slot"],
-                "url": fetched_tbl["url"],
-                "surt": fetched_tbl["surt"],
-                "status": fetched_tbl["fetch_status"],
-            },
-            schema=FETCHLOG_SCHEMA,
-        )
+        wave_log = None  # pulled lazily (collect_log / checkpoint only)
         if collect_log:
+            wave_log = ray.get(wave_log_ref)
             log_tables.append(wave_log)
-        if docs_dir is not None and checkpoint_dir is None:
-            import pyarrow.parquet as _pq
-
-            wdir = os.path.join(docs_dir, f"wave_{wave:04d}")
-            os.makedirs(wdir, exist_ok=True)
-            _pq.write_table(wave_log, os.path.join(wdir, "fetch_log.parquet"))
         order_base += n_fetched
-        # --- robots results (tiny subset) -------------------------------
-        robots_hits = fetched_tbl.filter(
-            pc.and_(fetched_tbl["is_robots"], pc.equal(fetched_tbl["fetch_status"], 200))
-        )
-        new_robots = {
-            h: list(rules)
-            for h, rules in zip(
-                robots_hits["fetch_host"].to_pylist(),
-                robots_hits["robots_rules"].to_pylist(),
-            )
-        }
         _mark(f"w{wave}:log")
         # --- discovery barrier: shards resolve, driver merges winners ---
         winner_parts = pool.finalize_wave(wave)
@@ -824,6 +842,8 @@ def run_crawl(
         _mark(f"w{wave}:discovery")
         # --- checkpoint (sync point: frontier pulled once to persist) ---
         if checkpoint_dir is not None:
+            if wave_log is None:
+                wave_log = ray.get(wave_log_ref)
             carry_tbls = ray.get([r for refs in carry_refs.values() for r in refs])
             next_frontier = pa.concat_tables(
                 [t.select(FRONTIER_SCHEMA.names) for t in carry_tbls] + [extras]
