@@ -90,9 +90,15 @@ def bench_extract(sf_dir: str, num_cpus: int) -> dict:
         )
 
     run(num_cpus * 64, num_cpus)  # warmup: imports + broadcast per worker
-    t0 = time.time()
-    out = run(n_pages, num_cpus * 6)
-    dt = time.time() - t0
+    # BENCH_REPS>1 (set by --scaling) takes the best of N timed runs:
+    # shared-host noise swings single runs ±30%, the minimum is the
+    # faithful capacity estimate
+    reps = int(os.environ.get("BENCH_REPS", "1"))
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = run(n_pages, num_cpus * 6)
+        dt = min(dt, time.time() - t0)
     assert out > 0
     return {"sec": dt, "rows": n_pages, "docs_per_s": n_pages / dt}
 
@@ -273,6 +279,7 @@ def main() -> None:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                env={**os.environ, "BENCH_REPS": "2"},
             )
             runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])["results"]
         lo, hi = levels
