@@ -437,11 +437,65 @@ def run_crawl(
     n_parts = max(16, fetch_concurrency * 4)
 
     @ray.remote
-    def _assemble(extras: pa.Table, *carries: pa.Table) -> pa.Table:
-        tbls = [t for t in (extras, *carries) if t is not None and t.num_rows]
+    def _assemble(parts_list, p: int, extras_small, *carries: pa.Table) -> pa.Table:
+        """Build one partition's wave-input block: the winner partition
+        (``parts_list`` is the remote-resolved list of per-part frontier
+        tables, read zero-copy from the shared plasma object) + the
+        driver's small robots-injection rows for this part + the carryover
+        blocks."""
+        tbls = []
+        if parts_list is not None and parts_list[p].num_rows:
+            tbls.append(parts_list[p])
+        for t in (extras_small, *carries):
+            if t is not None and t.num_rows:
+                tbls.append(t)
         if not tbls:
-            return extras  # keeps the schema for downstream stages
+            return PART_SCHEMA.empty_table()
         return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+
+    @ray.remote(num_returns=2)
+    def _resolve_winners(seq_start: int, want_surts: bool, *winner_parts):
+        """Remote discovery finalization: merge the shards' winner tables,
+        apply the pinned global order (parent host, parent slot, link
+        rank), assign ``seq`` numbers, and hash-partition the next wave's
+        frontier by host. The driver receives only a SMALL info dict
+        (counts, new-host list, optionally the SURT delta for
+        checkpointing); the partition list stays in the object store."""
+        parts = [t for t in winner_parts if t is not None and t.num_rows]
+        if not parts:
+            return None, {
+                "n_new": 0, "hosts": [], "surts": [],
+                "rows_per_part": [0] * n_parts,
+            }
+        winners = pa.concat_tables(parts).combine_chunks()
+        winners = winners.take(
+            pc.sort_indices(
+                winners,
+                sort_keys=[
+                    ("order_host", "ascending"),
+                    ("order_slot", "ascending"),
+                    ("order_rank", "ascending"),
+                ],
+            )
+        )
+        n_new = winners.num_rows
+        extras = pa.table(
+            {
+                "url": winners["url"],
+                "surt": winners["surt"],
+                "host": winners["host"],
+                "priority": winners["priority"],
+                "hop": pc.add(winners["hop"], 1),
+                "seq": pa.array(np.arange(seq_start, seq_start + n_new), pa.int64()),
+            }
+        ).cast(FRONTIER_SCHEMA)
+        plist = _partition_by_host(extras, n_parts)
+        return plist, {
+            "n_new": n_new,
+            "hosts": pc.unique(winners["host"]).to_pylist(),
+            "surts": extras["surt"].to_pylist() if want_surts else [],
+            "rows_per_part": [t.num_rows for t in plist],
+        }
 
     @ray.remote
     def _count_rows(tbl: pa.Table) -> int:
@@ -639,15 +693,21 @@ def run_crawl(
         robots_check_hosts = set(pc.unique(extras["host"]).to_pylist())
         if track_delta:
             pending_delta.extend(extras["surt"].to_pylist())
+    # the frontier lives as a PARTITION LIST in the object store between
+    # waves; the driver holds only a ref + per-part row counts
+    _seed_parts = _partition_by_host(extras, n_parts)
+    extras_parts_ref = ray.put(_seed_parts)
+    extras_rows_per_part = [t.num_rows for t in _seed_parts]
+    del extras, _seed_parts
     for wave in range(start_wave, ccfg.max_waves):
         _mark(f"w{wave}:start")
         # --- robots injection (new hosts only: a host already in the
         # frontier was scheduled at its first appearance) ----------------
+        ru, rk, rh = [], [], []
         if ccfg.respect_robots:
             new_hosts = sorted(robots_check_hosts - robots_scheduled)
             robots_scheduled.update(new_hosts)
             rurls, rkeys = _chunked_remote(_robots_chunk, new_hosts, 2)
-            ru, rk, rh = [], [], []
             for h, u, k, new in zip(
                 new_hosts, rurls, rkeys, pool.add_if_new(rkeys) if rkeys else []
             ):
@@ -657,29 +717,33 @@ def run_crawl(
                     rh.append(h)
                     if track_delta:
                         pending_delta.append(k)
-            if ru:
-                extras = pa.concat_tables(
-                    [
-                        extras,
-                        _frontier_table(
-                            ru, rk, rh, [-1] * len(ru), [0] * len(ru), [-1] * len(ru)
-                        ),
-                    ]
-                )
-        frontier_rows = extras.num_rows + sum(carry_counts.values())
+        robots_tbl = (
+            _frontier_table(ru, rk, rh, [-1] * len(ru), [0] * len(ru), [-1] * len(ru))
+            if ccfg.respect_robots and ru
+            else FRONTIER_SCHEMA.empty_table()
+        )
+        frontier_rows = (
+            sum(extras_rows_per_part) + robots_tbl.num_rows + sum(carry_counts.values())
+        )
         if frontier_rows == 0:
             break
         _mark(f"w{wave}:robots")
         # --- assemble wave input blocks (object-store resident) ---------
-        extra_parts = _partition_by_host(extras, n_parts)
+        robots_parts = _partition_by_host(robots_tbl, n_parts)
         input_refs = []
         pre_carry: dict[int, list] = {}  # salted-path direct carryover
         # robots rules enter the cluster ONCE per wave (object store), not
         # once per task closure
         rules_ref = ray.put(robots_rules) if robots_rules else None
         for p in range(n_parts):
-            assembled = _assemble.remote(extra_parts[p], *carry_refs.get(p, []))
-            rows_p = extra_parts[p].num_rows + carry_counts.get(p, 0)
+            assembled = _assemble.remote(
+                extras_parts_ref, p, robots_parts[p], *carry_refs.get(p, [])
+            )
+            rows_p = (
+                extras_rows_per_part[p]
+                + robots_parts[p].num_rows
+                + carry_counts.get(p, 0)
+            )
             if ccfg.salt_threshold is not None and rows_p > ccfg.salt_threshold:
                 # hot-host path: salted phase-1 drain in parallel, only
                 # survivors (≤ salt_factor × budget per host) re-merge
@@ -693,7 +757,7 @@ def run_crawl(
                     for sub in subs
                 ]
                 input_refs.append(
-                    _assemble.remote(PART_SCHEMA.empty_table(), *[sv for sv, _ in outs])
+                    _assemble.remote(None, -1, None, *[sv for sv, _ in outs])
                 )
                 pre_carry[p] = [cr for _, cr in outs]
             else:
@@ -786,39 +850,20 @@ def run_crawl(
             log_tables.append(wave_log)
         order_base += n_fetched
         _mark(f"w{wave}:log")
-        # --- discovery barrier: shards resolve, driver merges winners ---
-        winner_parts = pool.finalize_wave(wave)
-        if winner_parts:
-            winners = pa.concat_tables(winner_parts).combine_chunks()
-            winners = winners.take(
-                pc.sort_indices(
-                    winners,
-                    sort_keys=[
-                        ("order_host", "ascending"),
-                        ("order_slot", "ascending"),
-                        ("order_rank", "ascending"),
-                    ],
-                )
-            )
-            n_new = winners.num_rows
-            extras = pa.table(
-                {
-                    "url": winners["url"],
-                    "surt": winners["surt"],
-                    "host": winners["host"],
-                    "priority": winners["priority"],
-                    "hop": pc.add(winners["hop"], 1),
-                    "seq": pa.array(np.arange(seq, seq + n_new), pa.int64()),
-                }
-            ).cast(FRONTIER_SCHEMA)
-            seq += n_new
-            if track_delta:
-                pending_delta.extend(extras["surt"].to_pylist())
-            robots_check_hosts = set(pc.unique(winners["host"]).to_pylist())
-        else:
-            n_new = 0
-            extras = FRONTIER_SCHEMA.empty_table()
-            robots_check_hosts = set()
+        # --- discovery barrier: shards resolve their candidates; the
+        # winner merge + seq assignment + next-wave partitioning run in a
+        # REMOTE task — the driver sees only counts, new hosts and
+        # (under checkpointing) the SURT delta
+        extras_parts_ref, info_ref = _resolve_winners.remote(
+            seq, track_delta, *pool.finalize_wave_refs(wave)
+        )
+        info = ray.get(info_ref)
+        n_new = info["n_new"]
+        seq += n_new
+        extras_rows_per_part = info["rows_per_part"]
+        if track_delta:
+            pending_delta.extend(info["surts"])
+        robots_check_hosts = set(info["hosts"])
         robots_rules.update(new_robots)
         stats = {
             "wave": wave,
@@ -845,9 +890,15 @@ def run_crawl(
             if wave_log is None:
                 wave_log = ray.get(wave_log_ref)
             carry_tbls = ray.get([r for refs in carry_refs.values() for r in refs])
+            plist = ray.get(extras_parts_ref)
+            winner_tbls = [
+                t.select(FRONTIER_SCHEMA.names)
+                for t in (plist or [])
+                if t.num_rows
+            ]
             next_frontier = pa.concat_tables(
-                [t.select(FRONTIER_SCHEMA.names) for t in carry_tbls] + [extras]
-            ) if (carry_tbls or extras.num_rows) else FRONTIER_SCHEMA.empty_table()
+                [t.select(FRONTIER_SCHEMA.names) for t in carry_tbls] + winner_tbls
+            ) if (carry_tbls or winner_tbls) else FRONTIER_SCHEMA.empty_table()
             write_wave_checkpoint(
                 checkpoint_dir,
                 wave,

@@ -198,6 +198,12 @@ class SeenShardPool:
             if t is not None
         ]
 
+    def finalize_wave_refs(self, wave: int) -> list:
+        """Like :meth:`finalize_wave` but returns the per-shard ObjectRefs
+        without materializing them — the winner merge can then run as a
+        remote task with the refs as auto-dereferenced args."""
+        return [s.finalize_wave.remote(wave) for s in self._shards]
+
     def add_if_new(self, keys: list[str]) -> list[bool]:
         import ray
 
