@@ -73,14 +73,6 @@ def quality_score(sf_dir: str):
 _PROFILE_TOP_K = 40
 
 
-def _token_counts(texts: pd.Series) -> dict[str, int]:
-    counts: dict[str, int] = {}
-    for toks in texts.str.split():
-        for t in toks:
-            counts[t] = counts.get(t, 0) + 1
-    return counts
-
-
 def language_id(sf_dir: str):
     """Corpus-trained language ID: two-phase train/broadcast/apply.
 
@@ -96,11 +88,19 @@ def language_id(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def partial_profiles(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for lang, grp in df.groupby("lang"):
-            for tok, n in _token_counts(grp["text"]).items():
-                rows.append({"lang": lang, "token": tok, "n": n})
-        return pd.DataFrame(rows, columns=["lang", "token", "n"])
+        # vectorized per-batch combiner: split -> explode -> one grouped
+        # size() (no per-token Python dict loop)
+        ex = (
+            df[["lang"]]
+            .assign(token=df["text"].str.split())
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        return (
+            ex.groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
 
     # pre-aggregate per batch, then one small groupby (combiner pattern)
     from ray.data.aggregate import Sum
