@@ -402,6 +402,263 @@ def _seed_frontier(seeds, pool: SeenShardPool) -> tuple[pa.Table, int]:
     return _frontier_table(fu, fk, fh, fp, [0] * n, list(range(n))), n
 
 
+# --- module-level remote tasks (registered/exported ONCE per Ray session;
+# per-wave closures would re-pickle and re-export them every wave) --------
+import ray as _ray
+
+_PULL_COLS = [
+    "url", "surt", "host", "priority", "hop", "seq", "part", "slot",
+    "selected", "fetch_host", "fetch_status", "is_robots", "robots_rules",
+]
+
+
+@_ray.remote
+def _assemble(parts_list, p: int, extras_small, *carries: pa.Table) -> pa.Table:
+    """Build one partition's wave-input block: the winner partition
+    (``parts_list`` is the remote-resolved list of per-part frontier
+    tables, read zero-copy from the shared plasma object) + the driver's
+    small robots-injection rows for this part + the carryover blocks."""
+    tbls = []
+    if parts_list is not None and parts_list[p].num_rows:
+        tbls.append(parts_list[p])
+    for t in (extras_small, *carries):
+        if t is not None and t.num_rows:
+            tbls.append(t)
+    if not tbls:
+        return PART_SCHEMA.empty_table()
+    return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+
+
+@_ray.remote(num_returns=2)
+def _resolve_winners(n_parts: int, seq_start: int, want_surts: bool, *winner_parts):
+    """Remote discovery finalization: merge the shards' winner tables,
+    apply the pinned global order (parent host, parent slot, link rank),
+    assign ``seq`` numbers, and hash-partition the next wave's frontier by
+    host. The driver receives only a SMALL info dict (counts, new-host
+    list, optionally the SURT delta for checkpointing); the partition list
+    stays in the object store."""
+    import pyarrow.compute as pc
+
+    parts = [t for t in winner_parts if t is not None and t.num_rows]
+    if not parts:
+        return None, {
+            "n_new": 0, "hosts": [], "surts": [],
+            "rows_per_part": [0] * n_parts,
+        }
+    winners = pa.concat_tables(parts).combine_chunks()
+    winners = winners.take(
+        pc.sort_indices(
+            winners,
+            sort_keys=[
+                ("order_host", "ascending"),
+                ("order_slot", "ascending"),
+                ("order_rank", "ascending"),
+            ],
+        )
+    )
+    n_new = winners.num_rows
+    extras = pa.table(
+        {
+            "url": winners["url"],
+            "surt": winners["surt"],
+            "host": winners["host"],
+            "priority": winners["priority"],
+            "hop": pc.add(winners["hop"], 1),
+            "seq": pa.array(np.arange(seq_start, seq_start + n_new), pa.int64()),
+        }
+    ).cast(FRONTIER_SCHEMA)
+    plist = _partition_by_host(extras, n_parts)
+    return plist, {
+        "n_new": n_new,
+        "hosts": pc.unique(winners["host"]).to_pylist(),
+        "surts": extras["surt"].to_pylist() if want_surts else [],
+        "rows_per_part": [t.num_rows for t in plist],
+    }
+
+
+@_ray.remote
+def _count_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@_ray.remote
+def _salt_split(tbl: pa.Table, n_sub: int) -> list[pa.Table]:
+    """Split a hot partition block into n_sub salted sub-blocks by a
+    stable per-URL hash. ANY split preserves parity (see _pre_drain), so
+    the hash only needs to spread rows evenly."""
+    salts = pd.util.hash_array(
+        np.asarray(tbl["surt"].to_pylist(), dtype=object), categorize=False
+    ) % n_sub
+    return [tbl.filter(pa.array(salts == s)) for s in range(n_sub)]
+
+
+@_ray.remote(num_returns=2)
+def _pre_drain(tbl: pa.Table, budget: int, rules_boxed):
+    """Salted phase-1 drain over ONE sub-block of a hot partition: apply
+    the robots drop (same rule as the main drain — dropped rows leave the
+    frontier), then keep each host's top ``budget`` rows by the global
+    (priority, seq) order as SURVIVORS; the rest carry over directly.
+    Parity: a row selected by the global drain ranks < budget in any
+    subset containing it, so the union of sub-block survivors contains
+    every globally selected row, and the final drain over survivors
+    assigns identical slots. ``rules_boxed`` is ``[rules_ref]`` or None —
+    boxed so the dict deserializes once per worker via the broadcast
+    cache, not once per task."""
+    from ..functions.broadcast import get_broadcast
+
+    if tbl.num_rows == 0:
+        return tbl, tbl
+    robots_rules = get_broadcast(rules_boxed[0]) if rules_boxed else {}
+    df = tbl.to_pandas()
+    df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
+    df = _robots_drop(df, robots_rules)
+    ranks = df.groupby("host", sort=False).cumcount().to_numpy()
+    survive = ranks < budget
+    cols = ["url", "surt", "host", "priority", "hop", "seq", "part"]
+    sv = pa.Table.from_pandas(df.loc[survive, cols], preserve_index=False)
+    cr = pa.Table.from_pandas(df.loc[~survive, cols], preserve_index=False)
+    return sv.cast(PART_SCHEMA), cr.cast(PART_SCHEMA)
+
+
+@_ray.remote
+def _drain_fetch(
+    tbl: pa.Table,
+    budget: int,
+    rules_boxed,
+    scfg: SyntheticConfig,
+    icfg,
+    wave: int,
+    ccfg: CrawlConfig,
+    docs_dir: str | None,
+) -> pa.Table:
+    """Fused politeness drain + fetch/extract for ONE frontier block (the
+    block holds complete host groups, so the drain's per-host queues are
+    whole). Robots rules arrive boxed (once-per-worker broadcast)."""
+    rules_ref = rules_boxed[0] if rules_boxed else None
+    drained = _make_drain_fn(budget, rules_ref)(tbl.to_pandas())
+    stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
+    return stage(pa.Table.from_pandas(drained, preserve_index=False))
+
+
+@_ray.remote(num_returns=4)
+def _split_block(n_shards: int, tbl: pa.Table):
+    """(meta, carry_table, fetched_table, candidate_table).
+
+    Carry and candidates stay remote; candidates are flattened from the
+    fetch stage's list columns (vectorized) and shard-keyed so each seen
+    shard can self-filter its rows from the shared block."""
+    import pyarrow.compute as pc
+
+    empty = (
+        {"part": -1, "cand_rows": 0, "fetched_rows": 0},
+        FRONTIER_SCHEMA.empty_table(),
+        OUT_SCHEMA.empty_table().select(_PULL_COLS),
+        CAND_SCHEMA.empty_table(),
+    )
+    if tbl.num_rows == 0 or "selected" not in tbl.column_names:
+        return empty  # empty input parts pass through the maps untouched
+    part = int(tbl["part"][0].as_py())
+    sel = tbl["selected"]
+    carry = tbl.filter(pc.invert(sel)).select(
+        ["url", "surt", "host", "priority", "hop", "seq", "part"]
+    )
+    fetched = tbl.filter(sel)
+    cand_col = fetched["cand_urls"].combine_chunks()
+    lengths = pc.list_value_length(cand_col).to_numpy().astype(np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return (
+            {"part": part, "cand_rows": 0, "fetched_rows": fetched.num_rows},
+            carry,
+            fetched.select(_PULL_COLS),
+            CAND_SCHEMA.empty_table(),
+        )
+    parents = pc.list_parent_indices(cand_col)
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    surts = pc.list_flatten(fetched["cand_surts"].combine_chunks())
+    cand = pa.table(
+        {
+            "url": pc.list_flatten(cand_col),
+            "surt": surts,
+            "host": pc.list_flatten(fetched["cand_hosts"].combine_chunks()),
+            "priority": pc.take(fetched["priority"], parents),
+            "hop": pc.take(fetched["hop"], parents),
+            "order_host": pc.take(fetched["fetch_host"], parents),
+            "order_slot": pc.take(fetched["slot"], parents),
+            "order_rank": pa.array(
+                (np.arange(total) - starts).astype(np.int32)
+            ),
+            "shard": pa.array(
+                np.fromiter(
+                    (shard_of(k, n_shards) for k in surts.to_pylist()),
+                    dtype=np.int32,
+                    count=total,
+                )
+            ),
+        }
+    ).cast(CAND_SCHEMA)
+    return (
+        {"part": part, "cand_rows": total, "fetched_rows": fetched.num_rows},
+        carry,
+        fetched.select(_PULL_COLS),
+        cand,
+    )
+
+
+@_ray.remote(num_returns=2)
+def _finalize_fetch(wave: int, order_base: int, log_path: str | None, *parts):
+    """Remote end-of-wave fetch finalization: concat the per-part fetched
+    tables, apply the pinned rule-4 order (host, slot), build the wave's
+    fetch-log table, optionally stream it to parquet (atomic publish), and
+    scrape the robots hits. Returns a SMALL dict (count + robots map) and
+    the log table — the driver materializes the latter only under
+    collect_log / checkpointing."""
+    import pyarrow.compute as pc
+
+    tbl = (
+        pa.concat_tables(parts).combine_chunks()
+        if parts
+        else OUT_SCHEMA.empty_table().select(_PULL_COLS)
+    )
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl, sort_keys=[("fetch_host", "ascending"), ("slot", "ascending")]
+        )
+    )
+    n = tbl.num_rows
+    wave_log = pa.table(
+        {
+            "order": pa.array(np.arange(order_base, order_base + n), pa.int64()),
+            "wave": pa.array(np.full(n, wave, dtype=np.int32)),
+            "host": tbl["fetch_host"],
+            "slot": tbl["slot"],
+            "url": tbl["url"],
+            "surt": tbl["surt"],
+            "status": tbl["fetch_status"],
+        },
+        schema=FETCHLOG_SCHEMA,
+    )
+    if log_path is not None:
+        import uuid
+
+        import pyarrow.parquet as _pq
+
+        os.makedirs(os.path.dirname(log_path), exist_ok=True)
+        tmp = f"{log_path}.tmp-{uuid.uuid4().hex}"
+        _pq.write_table(wave_log, tmp)
+        os.replace(tmp, log_path)
+    hits = tbl.filter(
+        pc.and_(tbl["is_robots"], pc.equal(tbl["fetch_status"], 200))
+    )
+    robots = {
+        h: list(rules)
+        for h, rules in zip(
+            hits["fetch_host"].to_pylist(), hits["robots_rules"].to_pylist()
+        )
+    }
+    return {"n_fetched": n, "robots": robots}, wave_log
+
+
 def run_crawl(
     seeds: list[tuple[str, int]],
     ccfg: CrawlConfig,
@@ -435,222 +692,7 @@ def run_crawl(
     # partitions ≫ workers: fine-grained blocks balance skewed hosts and
     # keep stragglers short; parts are cheap (empty ones short-circuit)
     n_parts = max(16, fetch_concurrency * 4)
-
-    @ray.remote
-    def _assemble(parts_list, p: int, extras_small, *carries: pa.Table) -> pa.Table:
-        """Build one partition's wave-input block: the winner partition
-        (``parts_list`` is the remote-resolved list of per-part frontier
-        tables, read zero-copy from the shared plasma object) + the
-        driver's small robots-injection rows for this part + the carryover
-        blocks."""
-        tbls = []
-        if parts_list is not None and parts_list[p].num_rows:
-            tbls.append(parts_list[p])
-        for t in (extras_small, *carries):
-            if t is not None and t.num_rows:
-                tbls.append(t)
-        if not tbls:
-            return PART_SCHEMA.empty_table()
-        return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
-
-    @ray.remote(num_returns=2)
-    def _resolve_winners(seq_start: int, want_surts: bool, *winner_parts):
-        """Remote discovery finalization: merge the shards' winner tables,
-        apply the pinned global order (parent host, parent slot, link
-        rank), assign ``seq`` numbers, and hash-partition the next wave's
-        frontier by host. The driver receives only a SMALL info dict
-        (counts, new-host list, optionally the SURT delta for
-        checkpointing); the partition list stays in the object store."""
-        parts = [t for t in winner_parts if t is not None and t.num_rows]
-        if not parts:
-            return None, {
-                "n_new": 0, "hosts": [], "surts": [],
-                "rows_per_part": [0] * n_parts,
-            }
-        winners = pa.concat_tables(parts).combine_chunks()
-        winners = winners.take(
-            pc.sort_indices(
-                winners,
-                sort_keys=[
-                    ("order_host", "ascending"),
-                    ("order_slot", "ascending"),
-                    ("order_rank", "ascending"),
-                ],
-            )
-        )
-        n_new = winners.num_rows
-        extras = pa.table(
-            {
-                "url": winners["url"],
-                "surt": winners["surt"],
-                "host": winners["host"],
-                "priority": winners["priority"],
-                "hop": pc.add(winners["hop"], 1),
-                "seq": pa.array(np.arange(seq_start, seq_start + n_new), pa.int64()),
-            }
-        ).cast(FRONTIER_SCHEMA)
-        plist = _partition_by_host(extras, n_parts)
-        return plist, {
-            "n_new": n_new,
-            "hosts": pc.unique(winners["host"]).to_pylist(),
-            "surts": extras["surt"].to_pylist() if want_surts else [],
-            "rows_per_part": [t.num_rows for t in plist],
-        }
-
-    @ray.remote
-    def _count_rows(tbl: pa.Table) -> int:
-        return tbl.num_rows
-
-    @ray.remote
-    def _salt_split(tbl: pa.Table, n_sub: int) -> list[pa.Table]:
-        """Split a hot partition block into n_sub salted sub-blocks by a
-        stable per-URL hash. ANY split preserves parity (see _pre_drain),
-        so the hash only needs to spread rows evenly."""
-        salts = pd.util.hash_array(
-            np.asarray(tbl["surt"].to_pylist(), dtype=object), categorize=False
-        ) % n_sub
-        return [tbl.filter(pa.array(salts == s)) for s in range(n_sub)]
-
-    @ray.remote(num_returns=2)
-    def _pre_drain(tbl: pa.Table, budget: int, robots_rules: dict):
-        """Salted phase-1 drain over ONE sub-block of a hot partition:
-        apply the robots drop (same rule as the main drain — dropped rows
-        leave the frontier), then keep each host's top ``budget`` rows by
-        the global (priority, seq) order as SURVIVORS; the rest carry
-        over directly. Parity: a row selected by the global drain ranks
-        < budget in any subset containing it, so the union of sub-block
-        survivors contains every globally selected row, and the final
-        drain over survivors assigns identical slots."""
-        if tbl.num_rows == 0:
-            return tbl, tbl
-        df = tbl.to_pandas()
-        df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
-        df = _robots_drop(df, robots_rules)
-        ranks = df.groupby("host", sort=False).cumcount().to_numpy()
-        survive = ranks < budget
-        cols = ["url", "surt", "host", "priority", "hop", "seq", "part"]
-        sv = pa.Table.from_pandas(df.loc[survive, cols], preserve_index=False)
-        cr = pa.Table.from_pandas(df.loc[~survive, cols], preserve_index=False)
-        return sv.cast(PART_SCHEMA), cr.cast(PART_SCHEMA)
-
     n_shards = ccfg.seen_shards
-    _pull_cols = [
-        "url", "surt", "host", "priority", "hop", "seq", "part", "slot",
-        "selected", "fetch_host", "fetch_status", "is_robots", "robots_rules",
-    ]
-
-    @ray.remote(num_returns=4)
-    def _split_block(tbl: pa.Table):
-        """(meta, carry_table, fetched_table, candidate_table).
-
-        Carry and candidates stay remote; candidates are flattened from
-        the fetch stage's list columns (vectorized) and shard-keyed so
-        each seen shard can self-filter its rows from the shared block."""
-        empty = (
-            {"part": -1, "cand_rows": 0, "fetched_rows": 0},
-            FRONTIER_SCHEMA.empty_table(),
-            OUT_SCHEMA.empty_table().select(_pull_cols),
-            CAND_SCHEMA.empty_table(),
-        )
-        if tbl.num_rows == 0 or "selected" not in tbl.column_names:
-            return empty  # empty input parts pass through the maps untouched
-        part = int(tbl["part"][0].as_py())
-        sel = tbl["selected"]
-        carry = tbl.filter(pc.invert(sel)).select(
-            ["url", "surt", "host", "priority", "hop", "seq", "part"]
-        )
-        fetched = tbl.filter(sel)
-        cand_col = fetched["cand_urls"].combine_chunks()
-        lengths = pc.list_value_length(cand_col).to_numpy().astype(np.int64)
-        total = int(lengths.sum())
-        if total == 0:
-            return (
-                {"part": part, "cand_rows": 0, "fetched_rows": fetched.num_rows},
-                carry,
-                fetched.select(_pull_cols),
-                CAND_SCHEMA.empty_table(),
-            )
-        parents = pc.list_parent_indices(cand_col)
-        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
-        surts = pc.list_flatten(fetched["cand_surts"].combine_chunks())
-        cand = pa.table(
-            {
-                "url": pc.list_flatten(cand_col),
-                "surt": surts,
-                "host": pc.list_flatten(fetched["cand_hosts"].combine_chunks()),
-                "priority": pc.take(fetched["priority"], parents),
-                "hop": pc.take(fetched["hop"], parents),
-                "order_host": pc.take(fetched["fetch_host"], parents),
-                "order_slot": pc.take(fetched["slot"], parents),
-                "order_rank": pa.array(
-                    (np.arange(total) - starts).astype(np.int32)
-                ),
-                "shard": pa.array(
-                    np.fromiter(
-                        (shard_of(k, n_shards) for k in surts.to_pylist()),
-                        dtype=np.int32,
-                        count=total,
-                    )
-                ),
-            }
-        ).cast(CAND_SCHEMA)
-        return (
-            {"part": part, "cand_rows": total, "fetched_rows": fetched.num_rows},
-            carry,
-            fetched.select(_pull_cols),
-            cand,
-        )
-
-    @ray.remote(num_returns=2)
-    def _finalize_fetch(wave: int, order_base: int, log_path: str | None, *parts):
-        """Remote end-of-wave fetch finalization: concat the per-part
-        fetched tables, apply the pinned rule-4 order (host, slot), build
-        the wave's fetch-log table, optionally stream it to parquet
-        (atomic publish), and scrape the robots hits. Returns a SMALL dict
-        (count + robots map) and the log table — the driver materializes
-        the latter only under collect_log / checkpointing."""
-        tbl = (
-            pa.concat_tables(parts).combine_chunks()
-            if parts
-            else OUT_SCHEMA.empty_table().select(_pull_cols)
-        )
-        tbl = tbl.take(
-            pc.sort_indices(
-                tbl, sort_keys=[("fetch_host", "ascending"), ("slot", "ascending")]
-            )
-        )
-        n = tbl.num_rows
-        wave_log = pa.table(
-            {
-                "order": pa.array(np.arange(order_base, order_base + n), pa.int64()),
-                "wave": pa.array(np.full(n, wave, dtype=np.int32)),
-                "host": tbl["fetch_host"],
-                "slot": tbl["slot"],
-                "url": tbl["url"],
-                "surt": tbl["surt"],
-                "status": tbl["fetch_status"],
-            },
-            schema=FETCHLOG_SCHEMA,
-        )
-        if log_path is not None:
-            import uuid
-
-            import pyarrow.parquet as _pq
-
-            os.makedirs(os.path.dirname(log_path), exist_ok=True)
-            tmp = f"{log_path}.tmp-{uuid.uuid4().hex}"
-            _pq.write_table(wave_log, tmp)
-            os.replace(tmp, log_path)
-        hits = tbl.filter(
-            pc.and_(tbl["is_robots"], pc.equal(tbl["fetch_status"], 200))
-        )
-        robots = {
-            h: list(rules)
-            for h, rules in zip(
-                hits["fetch_host"].to_pylist(), hits["robots_rules"].to_pylist()
-            )
-        }
-        return {"n_fetched": n, "robots": robots}, wave_log
 
     import time as _time
 
@@ -733,8 +775,9 @@ def run_crawl(
         input_refs = []
         pre_carry: dict[int, list] = {}  # salted-path direct carryover
         # robots rules enter the cluster ONCE per wave (object store), not
-        # once per task closure
-        rules_ref = ray.put(robots_rules) if robots_rules else None
+        # once per task closure; BOXED so tasks resolve them through the
+        # per-worker broadcast cache instead of per-task deserialization
+        rules_boxed = [ray.put(robots_rules)] if robots_rules else None
         for p in range(n_parts):
             assembled = _assemble.remote(
                 extras_parts_ref, p, robots_parts[p], *carry_refs.get(p, [])
@@ -753,7 +796,7 @@ def run_crawl(
                 if ccfg.salt_factor == 1:
                     subs = [subs]
                 outs = [
-                    _pre_drain.remote(sub, ccfg.politeness_budget, rules_ref)
+                    _pre_drain.remote(sub, ccfg.politeness_budget, rules_boxed)
                     for sub in subs
                 ]
                 input_refs.append(
@@ -780,17 +823,15 @@ def run_crawl(
         # blocks still fetching, there is no per-wave streaming-executor
         # startup, and task outputs are stable (no eager block GC, so no
         # lineage reconstruction can re-run a fetch).
-        drain_fn = _make_drain_fn(ccfg.politeness_budget, rules_ref)
-        stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
-
-        @ray.remote
-        def _drain_fetch(tbl: pa.Table) -> pa.Table:
-            drained = drain_fn(tbl.to_pandas())
-            return stage(pa.Table.from_pandas(drained, preserve_index=False))
-
-        block_refs = [_drain_fetch.remote(ref) for ref in input_refs]
+        block_refs = [
+            _drain_fetch.remote(
+                ref, ccfg.politeness_budget, rules_boxed, scfg, icfg, wave,
+                ccfg, docs_dir,
+            )
+            for ref in input_refs
+        ]
         _mark(f"w{wave}:exec")
-        splits = [_split_block.remote(ref) for ref in block_refs]
+        splits = [_split_block.remote(n_shards, ref) for ref in block_refs]
         # fetch-log finalization runs REMOTE (concat + rule-4 sort + log
         # build + robots scrape of ~budget×hosts rows): the driver gets
         # back only a count and the tiny robots map; the log table itself
@@ -855,7 +896,7 @@ def run_crawl(
         # REMOTE task — the driver sees only counts, new hosts and
         # (under checkpointing) the SURT delta
         extras_parts_ref, info_ref = _resolve_winners.remote(
-            seq, track_delta, *pool.finalize_wave_refs(wave)
+            n_parts, seq, track_delta, *pool.finalize_wave_refs(wave)
         )
         info = ray.get(info_ref)
         n_new = info["n_new"]
