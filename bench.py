@@ -271,7 +271,10 @@ def main() -> None:
     if args.scaling:
         levels = (max(2, num_cpus // 4), num_cpus)
         runs = {}
-        for cpus in levels:  # fresh process per level = fresh Ray session
+        for i, cpus in enumerate(levels):  # fresh process per level = fresh Ray session
+            if i:
+                time.sleep(45)  # cool-down: don't hand the next level the
+                # previous level's thermal/contention state
             cmd = [
                 sys.executable, __file__, "--_worker",
                 "--cpus", str(cpus), "--only", ",".join(HEADLINE),
