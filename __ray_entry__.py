@@ -176,7 +176,9 @@ def _annotations(sf_dir: str):
         "subdomains": {hs[1]: [("collection-one", "19900101000000", "20991231235959")]},
         # 4th scope: regex over the record's source file (Annotator.java:186-204)
         "source_file_matches": {r"-0000\.warc": [("first-warc", "19900101000000", "20991231235959")]},
-        "open_access_surts": [f"({','.join(reversed(hs[2].split('.')))})"],
+        # OA prefixes use the URL-key SURT form shared with the docs'
+        # `surt` column ("tld,dom,host)/path" — no leading paren)
+        "open_access_surts": [f"{','.join(reversed(hs[2].split('.')))})"],
     }
     icfg = IndexConfig(response_include=())
     docs = fixture_pages_ds(500, scfg, 8).map_batches(

@@ -70,7 +70,7 @@ def test_annotate_batch_scopes_and_date_gate():
             "url_norm": ["http://a.example.com/x", "http://sub.b.example.com/y",
                          "http://c.example.com/z"],
             "host": ["a.example.com", "sub.b.example.com", "c.example.com"],
-            "surt": ["(com,example,a,)/x", "(com,example,b,sub,)/y", "(com,example,c,)/z"],
+            "surt": ["com,example,a)/x", "com,example,b,sub)/y", "com,example,c)/z"],
             "wayback_date": ["20200101000000", "20200101000000", "19800101000000"],
         }
     )
@@ -85,7 +85,7 @@ def test_annotate_batch_scopes_and_date_gate():
                        "c.example.com": [("gated", "20190101000000", "20210101000000")]},
         # 4th scope (Annotator.java:186-204): regex over source_file
         "source_file_matches": {r"crawl-2020-": [("batch2020", "20190101000000", "20210101000000")]},
-        "open_access_surts": ["(com,example,a,"],
+        "open_access_surts": ["com,example,a)"],
     }
     out = annotate_batch(batch, anns).to_pylist()
     assert out[0]["collections"] == ["batch2020", "exact", "rooted"]

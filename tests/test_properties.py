@@ -1,0 +1,181 @@
+"""Property-based invariants (hypothesis) for the scalar kernels and the
+crawl-plane primitives — complements the golden tables with generated
+inputs (SURVEY §5: the reference pins behaviour with example tables; the
+from-scratch kernels also hold structural invariants worth fuzzing)."""
+
+import string
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# --- URL canonicalisation ----------------------------------------------------
+
+from webarchive_discovery_ray.functions.normalisation import canonicalise_url
+from webarchive_discovery_ray.functions.surt import surt_key
+
+_url_path = st.text(
+    alphabet=string.ascii_letters + string.digits + "/._-%?&=+~",
+    max_size=40,
+)
+_host = st.from_regex(r"[a-z][a-z0-9-]{0,10}(\.[a-z][a-z0-9]{1,6}){1,3}", fullmatch=True)
+_urls = st.builds(lambda h, p: f"http://{h}/{p}", _host, _url_path)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls)
+def test_canonicalise_idempotent(url):
+    once = canonicalise_url(url)
+    assert canonicalise_url(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls)
+def test_surt_key_shape(url):
+    # URL-key SURT form (functions/surt.py docstring): reversed host,
+    # ")/" separator, NO leading paren (that's the host_to_surt form)
+    k = surt_key(canonicalise_url(url))
+    assert ")/" in k and not k.startswith("(")
+    assert surt_key(k) != ""  # total function, never raises
+
+
+# --- payload decode ----------------------------------------------------------
+
+from webarchive_discovery_ray.functions.payload import (
+    chunk_encode,
+    maybe_dechunk,
+    maybe_decompress,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096), st.integers(min_value=1, max_value=700))
+def test_dechunk_roundtrips_any_payload(data, chunk_size):
+    enc = chunk_encode(data, chunk_size)
+    assert maybe_dechunk(enc, "chunked") == (data, True)
+    # without the chunked hint the framing is never touched
+    assert maybe_dechunk(enc, None) == (enc, False)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=4096))
+def test_gzip_roundtrips_any_payload(data):
+    import gzip
+
+    gz = gzip.compress(data, mtime=0)
+    assert maybe_decompress(gz, "gzip") == (data, "gzip")
+    assert maybe_decompress(gz, None) == (data, "gzip")  # sniffed
+    assert maybe_decompress(gz, "") == (gz, "")  # explicit empty hint wins
+
+
+# --- field policy ------------------------------------------------------------
+
+from webarchive_discovery_ray.functions.fieldpolicy import DEFAULT_POLICY
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_policy_output_clean_and_idempotent(value):
+    out = DEFAULT_POLICY.adjust("title", value)
+    if out is None:
+        return
+    assert out != ""
+    assert not any(0 <= ord(c) <= 0x1F or ord(c) == 0x7F for c in out)
+    assert "  " not in out and out == out.strip()
+    out.encode("utf-8")  # must be valid UTF-8
+    # default rule (no rewrites) is idempotent
+    assert DEFAULT_POLICY.adjust("title", out) == out
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + " /%.", max_size=120))
+def test_policy_url_truncation(suffix):
+    value = "http://h.example/" + "Q" * 2300 + suffix
+    out = DEFAULT_POLICY.adjust("url", value)
+    assert out is not None and len(out) <= 2000
+
+
+# --- SimHash -----------------------------------------------------------------
+
+from webarchive_discovery_ray.pipelines.dedup import simhash_batch
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), max_size=30))
+def test_simhash_order_independent(tokens):
+    import random
+
+    text = " ".join(tokens)
+    shuffled = tokens[:]
+    random.Random(3).shuffle(shuffled)
+    assert simhash_batch([text]) == simhash_batch([" ".join(shuffled)])
+
+
+# --- crawl-plane primitives --------------------------------------------------
+
+from webarchive_discovery_ray.pipelines.crawl import (
+    _make_drain_fn,
+    _partition_by_host,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a.com", "b.net", "c.org", "d.io"]), min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=8),
+)
+def test_partition_by_host_complete_and_colocated(hosts, n_parts):
+    tbl = pa.table(
+        {
+            "url": [f"http://{h}/{i}" for i, h in enumerate(hosts)],
+            "surt": [f"({h})/{i}" for i, h in enumerate(hosts)],
+            "host": hosts,
+            "priority": pa.array([0] * len(hosts), pa.int32()),
+            "hop": pa.array([0] * len(hosts), pa.int32()),
+            "seq": pa.array(list(range(len(hosts))), pa.int64()),
+        }
+    )
+    parts = _partition_by_host(tbl, n_parts)
+    assert len(parts) == n_parts
+    assert sum(p.num_rows for p in parts) == tbl.num_rows  # complete
+    host_part = {}
+    for i, p in enumerate(parts):
+        for h in set(p["host"].to_pylist()):
+            assert host_part.setdefault(h, i) == i  # co-located
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a.com", "b.net", "c.org"]),
+            st.integers(min_value=-1, max_value=3),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_drain_budget_and_order(rows, budget):
+    df = pd.DataFrame(
+        {
+            "url": [f"http://{h}/{i}" for i, (h, _) in enumerate(rows)],
+            "host": [h for h, _ in rows],
+            "priority": np.array([p for _, p in rows], dtype=np.int32),
+            "seq": np.arange(len(rows), dtype=np.int64),
+        }
+    )
+    out = _make_drain_fn(budget, None)(df)
+    sel = out[out["selected"]]
+    # politeness bound
+    assert (sel.groupby("host").size() <= budget).all()
+    # selected rows are each host's (priority, seq)-smallest
+    for host, grp in out.groupby("host"):
+        ordered = grp.sort_values(["priority", "seq"]).reset_index(drop=True)
+        k = min(budget, len(ordered))
+        assert ordered["selected"].iloc[:k].all()
+        assert not ordered["selected"].iloc[k:].any()
+        # slots are 0..k-1 in that order
+        assert list(ordered["slot"].iloc[:k]) == list(range(k))

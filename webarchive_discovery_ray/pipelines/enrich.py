@@ -169,6 +169,11 @@ def annotate_batch(batch: pa.Table, annotations: dict) -> pa.Table:
         "source_file_matches": {regex: [(name, from14, to14)]},
         "open_access_surts": [surt_prefix, ...],
     }
+
+    ``open_access_surts`` prefixes use the URL-key SURT form of the docs'
+    ``surt`` column (``tld,dom,host)/path`` — ``functions/surt.surt_key``),
+    matching the reference's SurtPrefixSet.containsPrefixOf gate over
+    candidate SURTs (``Annotator.java:214-228``).
     """
     res = annotations.get("resource", {})
     roots = annotations.get("root", {})
