@@ -282,3 +282,46 @@ def test_pdf_preflight_structural_checks():
 
     with _pytest.raises(NotImplementedError):
         PdfPreflightStage(real=True)
+
+
+# --- CLI ---------------------------------------------------------------------
+
+
+def test_cli_extract_crawl_cdx(ray_session, tmp_path):
+    """The command surface end-to-end: records parquet -> extract (parquet
+    + jsonl), crawl with docs sink, cdx sort — all through cli.main with
+    the already-initialised session (the CLI must not re-init Ray)."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.cli import main
+    from webarchive_discovery_ray.config import SyntheticConfig
+    from webarchive_discovery_ray.schema import PAGES_SCHEMA
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(fixture_pages(200, SyntheticConfig()), schema=PAGES_SCHEMA),
+        pages,
+    )
+    out1 = tmp_path / "docs_pq"
+    assert main(["extract", str(pages), str(out1)]) == 0
+    docs = pq.read_table(str(out1))
+    assert docs.num_rows > 100 and "spans" in docs.schema.names
+
+    out2 = tmp_path / "docs_jsonl"
+    assert main(["extract", str(pages), str(out2), "--format", "jsonl"]) == 0
+    assert glob.glob(str(out2 / "*.jsonl"))
+
+    docs_dir = tmp_path / "crawl_docs"
+    assert main([
+        "crawl", "--hosts", "10", "--pages-per-host", "30", "--n-seeds", "5",
+        "--budget", "2", "--waves", "2", "--seen-shards", "2",
+        "--docs-dir", str(docs_dir),
+    ]) == 0
+    assert glob.glob(str(docs_dir / "wave_*" / "part_*.parquet"))
+
+    out3 = tmp_path / "cdx"
+    assert main(["cdx", str(pages), str(out3)]) == 0
+    caps = pq.read_table(str(out3))
+    keys = list(zip(caps["surt_key"].to_pylist(), caps["timestamp14"].to_pylist()))
+    assert caps.num_rows > 100 and keys == sorted(keys)

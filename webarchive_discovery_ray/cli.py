@@ -1,0 +1,172 @@
+"""Command-line entry points (the reference's command surface, Ray-native).
+
+Mirrors the warc-indexer CLI family:
+
+* ``extract`` — ``WARCIndexerCommand`` (``warc-indexer/src/main/java/uk/bl/
+  wa/indexer/WARCIndexerCommand.java:194-255``): input records table ->
+  extracted documents, parquet/JSONL/XML output;
+* ``crawl`` — the new frontier/scheduler plane (north rule): seed list ->
+  per-(wave, partition) document fragments + streamed fetch log +
+  checkpoints, resumable;
+* ``cdx`` — ``ArchiveCDXGenerator``: records -> globally sorted captures.
+
+Run via ``python -m webarchive_discovery_ray.cli <cmd> ...`` locally, or on
+a cluster through ``ray job submit --working-dir . --
+python -m webarchive_discovery_ray.cli <cmd> ...`` (the driver contract
+lives in ``__ray_entry__.py``; only this CLI owns a Ray session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():  # driver-contract guard
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+
+def _cmd_extract(args: argparse.Namespace) -> dict:
+    import ray.data as rd
+
+    from .config import IndexConfig
+    from .stages.extract import ExtractStage
+
+    cfg = IndexConfig(
+        store_content=not args.no_store_content,
+        extract_content_first_bytes=not args.no_first_bytes,
+    )
+    ds = rd.read_parquet(args.input)
+    docs = ds.map_batches(
+        ExtractStage(cfg), batch_format="pyarrow", batch_size=args.batch_size
+    )
+    if args.format == "parquet":
+        docs.write_parquet(args.output)
+        n = None
+    elif args.format == "jsonl":
+        from .sources.sinks import write_jsonl
+
+        n = write_jsonl(docs, args.output, compress=args.gzip)
+    else:  # xml
+        from .sources.sinks import write_xml
+
+        n = write_xml(docs, args.output, compress=args.gzip)
+    return {"cmd": "extract", "output": args.output, "format": args.format,
+            "rows": n}
+
+
+def _cmd_crawl(args: argparse.Namespace) -> dict:
+    from .config import CrawlConfig, SyntheticConfig
+    from .pipelines.crawl import run_crawl
+    from .sources.synthetic import seed_urls
+
+    scfg = SyntheticConfig(n_hosts=args.hosts, pages_per_host=args.pages_per_host)
+    if args.seeds:
+        seeds = [
+            (line.strip(), 0)
+            for line in open(args.seeds, encoding="utf-8")
+            if line.strip()
+        ]
+    else:
+        seeds = seed_urls(scfg, args.n_seeds)
+    ccfg = CrawlConfig(
+        politeness_budget=args.budget,
+        max_waves=args.waves,
+        seen_shards=args.seen_shards,
+        respect_robots=not args.no_robots,
+    )
+    res = run_crawl(
+        seeds,
+        ccfg,
+        scfg,
+        checkpoint_dir=args.checkpoint_dir,
+        docs_dir=args.docs_dir,
+        resume=args.resume,
+        fetch_concurrency=args.fetch_concurrency,
+    )
+    return {
+        "cmd": "crawl",
+        "fetched": res.total_fetched,
+        "waves": [
+            {k: s[k] for k in ("wave", "frontier", "fetched", "carryover", "new_urls")}
+            for s in res.wave_stats
+        ],
+        "docs_dir": args.docs_dir,
+        "checkpoint_dir": args.checkpoint_dir,
+    }
+
+
+def _cmd_cdx(args: argparse.Namespace) -> dict:
+    import ray.data as rd
+
+    from .config import IndexConfig
+    from .pipelines.cdx import captures_from_pages_batch
+
+    icfg = IndexConfig(response_include=())
+    caps = (
+        rd.read_parquet(args.input)
+        .map_batches(
+            lambda b: captures_from_pages_batch(b, icfg),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .sort(["surt_key", "timestamp14"])
+    )
+    caps.write_parquet(args.output)
+    return {"cmd": "cdx", "output": args.output}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="webarchive_discovery_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="records table -> extracted documents")
+    ex.add_argument("input", help="pages/records parquet path or dir")
+    ex.add_argument("output", help="output dir")
+    ex.add_argument("--format", choices=("parquet", "jsonl", "xml"), default="parquet")
+    ex.add_argument("--gzip", action="store_true")
+    ex.add_argument("--batch-size", type=int, default=128)
+    ex.add_argument("--no-store-content", action="store_true")
+    ex.add_argument("--no-first-bytes", action="store_true")
+    ex.set_defaults(fn=_cmd_extract)
+
+    cr = sub.add_parser("crawl", help="seed list -> resumable crawl run")
+    cr.add_argument("--seeds", help="file with one URL per line (default: synthetic)")
+    cr.add_argument("--n-seeds", type=int, default=100)
+    cr.add_argument("--hosts", type=int, default=1000)
+    cr.add_argument("--pages-per-host", type=int, default=50)
+    cr.add_argument("--budget", type=int, default=8)
+    cr.add_argument("--waves", type=int, default=4)
+    cr.add_argument("--seen-shards", type=int, default=8)
+    cr.add_argument("--fetch-concurrency", type=int, default=8)
+    cr.add_argument("--no-robots", action="store_true")
+    cr.add_argument("--docs-dir")
+    cr.add_argument("--checkpoint-dir")
+    cr.add_argument("--resume", action="store_true")
+    cr.set_defaults(fn=_cmd_crawl)
+
+    cx = sub.add_parser("cdx", help="records table -> globally sorted captures")
+    cx.add_argument("input")
+    cx.add_argument("output")
+    cx.set_defaults(fn=_cmd_cdx)
+
+    args = ap.parse_args(argv)
+    _init_ray(args.num_cpus)
+    out = args.fn(args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
