@@ -394,9 +394,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _ensure_oracle_materializations() -> None:
+    """The fixture-derived oracles read parquet the matching queries()
+    entries materialize. If the driver evaluates the SQL before running
+    those queries, create the (deterministic) files here. Only possible
+    when a Ray session exists — at plain import time (e.g. pytest
+    collection) this is a no-op and the queries themselves materialize."""
+    import os
+
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return
+    except Exception:  # pragma: no cover
+        return
+    if not os.path.isdir(f"{_ORACLE_MAT}/docs_base"):
+        _materialized_docs_base(500)
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx("")
+    if not os.path.isdir(f"{_ORACLE_MAT}/plog_base"):
+        _persist_log("")
+
+
 def oracle_sql() -> dict[str, str]:
     ws = r"\s+"
     tokens = f"regexp_split_to_array(trim(text), '{ws}')"
+    _ensure_oracle_materializations()
     return {
         # money/value sums use the same floor(x*scale + 0.5) integer-cents
         # quantisation as the Ray pipelines -> bit-exact across engines
