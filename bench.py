@@ -197,6 +197,28 @@ def bench_ann(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": dt, "rows": n}
 
 
+def bench_simhash(sf_dir: str, num_cpus: int) -> dict:
+    """Vectorized 64-bit SimHash over the documents table."""
+    from webarchive_discovery_ray.pipelines.dedup import simhash_signatures
+
+    t0 = time.time()
+    n = simhash_signatures(sf_dir).count()
+    dt = time.time() - t0
+    assert n > 0
+    return {"sec": dt, "rows": n, "docs_per_s": n / dt}
+
+
+def bench_fingerprint(sf_dir: str, num_cpus: int) -> dict:
+    """Winnowing fingerprint (strided window-min) over the documents table."""
+    from webarchive_discovery_ray.pipelines.textops import doc_fingerprint
+
+    t0 = time.time()
+    n = doc_fingerprint(sf_dir).count()
+    dt = time.time() - t0
+    assert n > 0
+    return {"sec": dt, "rows": n, "docs_per_s": n / dt}
+
+
 BENCHES = {
     "extract": bench_extract,
     "crawl": bench_crawl,
@@ -204,6 +226,8 @@ BENCHES = {
     "cdx_sort": bench_cdx_sort,
     "dedup_minhash": bench_dedup_minhash,
     "ann_cosine": bench_ann,
+    "simhash": bench_simhash,
+    "fingerprint": bench_fingerprint,
 }
 
 # scaling uses the wide-wave crawl regime (see bench_crawl docstring)

@@ -171,3 +171,31 @@ def test_salted_predrain_byte_parity(ray_session):
     for e in got.fetch_log:
         per[(e["wave"], e["host"])] = per.get((e["wave"], e["host"]), 0) + 1
     assert max(per.values()) <= 2
+
+
+def test_resume_with_different_n_parts_leaves_no_stale_fragments(
+    ray_session, seeds, tmp_path_factory
+):
+    """A crashed attempt's docs fragments must not survive a re-run with a
+    different partition count (fragment files are keyed by part number;
+    the wave dir is cleared before each wave's fetch)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs_dir = str(tmp_path_factory.mktemp("stale_docs"))
+    # attempt 1: wide partitioning (fetch_concurrency 8 -> 32 parts)
+    r1 = run_crawl(seeds, CRAWL, SYN, docs_dir=docs_dir, fetch_concurrency=8)
+    n1 = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(f"{docs_dir}/wave_*/part_*.parquet")
+    )
+    assert n1 == r1.total_fetched
+    # attempt 2 (simulates a retry after a crash): narrower partitioning
+    # renumbers parts — stale part_*.parquet from attempt 1 must be gone
+    r2 = run_crawl(seeds, CRAWL, SYN, docs_dir=docs_dir, fetch_concurrency=2)
+    n2 = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(f"{docs_dir}/wave_*/part_*.parquet")
+    )
+    assert n2 == r2.total_fetched == r1.total_fetched
