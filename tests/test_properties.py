@@ -179,3 +179,62 @@ def test_drain_budget_and_order(rows, budget):
         assert not ordered["selected"].iloc[k:].any()
         # slots are 0..k-1 in that order
         assert list(ordered["slot"].iloc[:k]) == list(range(k))
+
+
+# --- differential fuzz: stage vs oracle extraction ---------------------------
+
+_html_bits = st.lists(
+    st.sampled_from(
+        [
+            "<html>", "</html>", "<head>", "</head>", "<body>", "</body>",
+            "<title>", "</title>", "<p>", "</p>", "<a href='/x'>", "<a href=>",
+            "</a>", "<img src='/i.png'>", "<img srcset='/a.png 1x, /b.png 2x'>",
+            "<picture>", "<source srcset='/s.png'>", "</picture>",
+            "<script>var a = '</p>';</script>", "</script>",
+            "<link rel=license href='http://l/'>", "<td background='/bg.gif'>",
+            "text word  spaced", "&amp; entity", "<!-- comment -->",
+            "<meta name=originalpublicationdate content='2020-05-01'>",
+            "\x00", "\udcff", "<", ">", "='", "<p", "attr=\"",
+        ]
+    ),
+    max_size=25,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html_bits)
+def test_extraction_parity_on_fuzzed_html(bits):
+    """The distributed stage and the independently-written sequential
+    oracle must produce identical span sequences (the BASELINE input_hint
+    invariant) on arbitrary—including hostile—HTML."""
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.oracle.extract_oracle import oracle_extract_record
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.extract import extract_record
+
+    base = next(
+        r
+        for r in fixture_pages(50, SyntheticConfig())
+        if r["record_type"] == "response" and r["status"] == 200
+    )
+    payload = "".join(bits).encode("utf-8", "surrogatepass")
+    rec = dict(
+        base,
+        payload=payload,
+        payload_sha1=sha1_b32(payload),
+        mime_served="text/html; charset=utf-8",
+        transfer_encoding="",
+        content_encoding="",
+    )
+    cfg = IndexConfig()
+    d1 = extract_record(rec, cfg)
+    d2 = oracle_extract_record(rec, cfg)
+    assert (d1 is None) == (d2 is None)
+    if d1 is None:
+        return
+    assert d1["spans"] == d2["spans"]
+    assert d1["links"] == d2["links"]
+    assert d1["title"] == d2["title"]
+    assert d1["hash"] == d2["hash"]
+    assert d1["content"] == d2["content"]
