@@ -275,8 +275,12 @@ def run_benches(names, sf_dir: str, num_cpus: int) -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
     try:
         results = {}
+        best_of = int(os.environ.get("BENCH_BEST_OF", "2"))
         for name in names:
-            results[name] = BENCHES[name](sf_dir, num_cpus)
+            # best-of-N against shared-host noise (±30-60% run-to-run on
+            # this VM): the minimum wall time is the capacity estimate
+            runs = [BENCHES[name](sf_dir, num_cpus) for _ in range(best_of)]
+            results[name] = min(runs, key=lambda r: r["sec"])
         return results
     finally:
         ray.shutdown()
@@ -306,7 +310,9 @@ def main() -> None:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
-                env={**os.environ, "BENCH_REPS": "2"},
+                # inner best-of reps handle the noise for the scaling pair;
+                # don't stack the outer best-of on top
+                env={**os.environ, "BENCH_REPS": "2", "BENCH_BEST_OF": "1"},
             )
             runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])["results"]
         lo, hi = levels
