@@ -325,3 +325,57 @@ def test_cli_extract_crawl_cdx(ray_session, tmp_path):
     caps = pq.read_table(str(out3))
     keys = list(zip(caps["surt_key"].to_pylist(), caps["timestamp14"].to_pylist()))
     assert caps.num_rows > 100 and keys == sorted(keys)
+
+
+# --- §2.10 plugin analysers ---------------------------------------------------
+
+
+def test_plugin_analysers_registry_and_extraction(ray_session):
+    """User-extension surface: registered payload/text analysers run after
+    the core chain, gated by should_process, outputs in plugin_fields."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.schema import PAGES_SCHEMA
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.analysers import (
+        build_analysers,
+        registered_analysers,
+    )
+    from webarchive_discovery_ray.stages.extract import ExtractStage
+
+    pay, txt = registered_analysers()
+    assert "face_detection" in pay and {"sentiment", "fuzzy_hash"} <= set(txt)
+    # same instances per process (per-actor init rule)
+    assert build_analysers(("face_detection",), ())[0][0] is build_analysers(
+        ("face_detection",), ()
+    )[0][0]
+
+    cfg = IndexConfig(
+        response_include=(),
+        payload_analysers=("face_detection",),
+        text_analysers=("sentiment", "fuzzy_hash"),
+    )
+    rows = fixture_pages(300, SyntheticConfig())
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    out = ds.map_batches(ExtractStage(cfg), batch_format="pyarrow", batch_size=64)
+    docs = out.take_all()
+    by_field = {}
+    for d in docs:
+        for k, v in d["plugin_fields"] or []:
+            by_field.setdefault(k, []).append((d, v))
+    # face counts only on image docs; sentiment/fuzzy on text docs
+    assert by_field.get("image_faces"), "fixture must contain images"
+    assert all(
+        d["content_type"].startswith("image/") for d, _ in by_field["image_faces"]
+    )
+    assert by_field.get("sentiment")
+    assert all(v in ("positive", "negative", "neutral") for _, v in by_field["sentiment"])
+    assert any(k.startswith("ssdeep_hash_bs_") for k in by_field)
+    # default config: no plugins, column null
+    plain = (
+        rd.from_arrow(pa.Table.from_pylist(rows[:20], schema=PAGES_SCHEMA))
+        .map_batches(ExtractStage(IndexConfig()), batch_format="pyarrow")
+        .take_all()
+    )
+    assert all(d["plugin_fields"] is None for d in plain)

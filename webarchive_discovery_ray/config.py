@@ -34,6 +34,11 @@ class IndexConfig:
     # M35 (WARCIndexer.java:471-490): when False the extracted text is not
     # stored in the output `content` column (length is still recorded)
     store_content: bool = True
+    # §2.10 plugin surface (AbstractPayloadAnalyser / AbstractTextAnalyser
+    # ServiceLoader analogue): names from stages/analysers.py registries,
+    # instantiated once per actor, outputs land in `plugin_fields`
+    payload_analysers: tuple[str, ...] = ()
+    text_analysers: tuple[str, ...] = ()
     # field-adjustment policy (SolrRecord.addField -> adjust pipeline,
     # SolrRecord.java:135-188): every output string field passes through
     # functions/fieldpolicy.DEFAULT_POLICY (control-char strip, UTF-8

@@ -265,6 +265,7 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         "parse_error": "; ".join(errors) if errors else None,
         "source_file": rec["source_file"],
         "source_offset": rec["source_offset"],
+        "plugin_fields": None,  # §2.10 plugins are stage-side extensions
     }
 
     def _finish(d: dict) -> dict:

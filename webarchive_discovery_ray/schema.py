@@ -93,6 +93,9 @@ DOCUMENTS_SCHEMA = pa.schema(
         ("parse_error", pa.string()),
         ("source_file", pa.string()),
         ("source_offset", pa.int64()),
+        # free-form plugin-analyser outputs (§2.10 user-extension surface;
+        # the analogue of the reference's arbitrary Solr field adds)
+        ("plugin_fields", pa.map_(pa.string(), pa.string())),
     ]
 )
 

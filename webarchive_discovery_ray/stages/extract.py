@@ -450,6 +450,18 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         out["content"] = None  # M35: index-only text (length retained)
     out["spans"] = spans
     out["parse_error"] = "; ".join(parse_errors) if parse_errors else None
+    # §2.10 plugin analysers (instances cached per process; the reference
+    # runs its ServiceLoader plugin set after the core chain)
+    if cfg.payload_analysers or cfg.text_analysers:
+        from .analysers import build_analysers
+
+        pas, tas = build_analysers(cfg.payload_analysers, cfg.text_analysers)
+        for a in pas:
+            if a.should_process(out.get("content_type") or ""):
+                a.analyse(rec, payload, out)
+        if tas and out.get("content"):
+            for a in tas:
+                a.analyse_text(out["content"], out)
     if cfg.apply_field_policy:
         apply_field_policy(out)
     return out
