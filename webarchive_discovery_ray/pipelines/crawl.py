@@ -373,14 +373,21 @@ def _robots_chunk(hosts: list) -> tuple[list, list]:
 _PAR_CHUNK = 4096  # below this, remote dispatch costs more than it saves
 
 
+_REMOTE_FN_CACHE: dict = {}
+
+
 def _chunked_remote(fn, items: list, n_out: int) -> tuple[list, ...]:
     """Run ``fn`` over chunks of ``items`` as Ray tasks; concatenate the
-    per-chunk output lists in order (inline below the dispatch threshold)."""
+    per-chunk output lists in order (inline below the dispatch threshold).
+    The remote wrapper is cached per function — ray.remote(fn) on every
+    call would re-register/export the function each wave."""
     if len(items) <= _PAR_CHUNK:
         return fn(items)
     import ray
 
-    rfn = ray.remote(fn)
+    rfn = _REMOTE_FN_CACHE.get(fn)
+    if rfn is None:
+        rfn = _REMOTE_FN_CACHE[fn] = ray.remote(fn)
     chunks = [items[i : i + _PAR_CHUNK] for i in range(0, len(items), _PAR_CHUNK)]
     outs = ray.get([rfn.remote(c) for c in chunks])
     return tuple([x for o in outs for x in o[i]] for i in range(n_out))
