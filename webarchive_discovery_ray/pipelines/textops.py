@@ -24,11 +24,19 @@ from ..sources.io import read_table
 __all__ = ["token_stats", "quality_score", "language_id", "doc_fingerprint"]
 
 
+# BPE-ish subword pre-tokeniser (GPT-2-style segment classes, ASCII form:
+# optionally-space-prefixed letter runs / digit runs / punctuation runs) —
+# the same RE2-compatible pattern the SQL oracle evaluates
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def token_stats(sf_dir: str):
     """Per-document token statistics (SQL-oracle-checked).
 
-    Columns: doc_id, n_tokens, doc_len — whitespace tokenisation identical
-    to ``regexp_split_to_array(trim(text), '\\s+')`` with empty -> 0."""
+    Columns: doc_id, n_tokens (whitespace tokenisation, identical to
+    ``regexp_split_to_array(trim(text), '\\s+')`` with empty -> 0),
+    n_tokens_bpe (BPE-ish subword count via BPE_ISH_PATTERN — the
+    LLM-pipeline budget proxy), doc_len."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
@@ -36,6 +44,9 @@ def token_stats(sf_dir: str):
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": df["text"].str.split().str.len().astype("int64"),
+                "n_tokens_bpe": df["text"]
+                .str.count(BPE_ISH_PATTERN)
+                .astype("int64"),
                 "doc_len": df["text"].str.len().astype("int64"),
             }
         )
@@ -43,27 +54,41 @@ def token_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pandas")
 
 
+# quality-signal vocabularies (brief: length / punct / stopword ratios)
+STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
+_PUNCT_CLASS = r"[^\sA-Za-z0-9]"
+
+
 def quality_score(sf_dir: str):
     """Per-document quality features (SQL-oracle-checked).
 
-    Columns: doc_id, doc_len, n_tokens, n_distinct, distinct_ratio.
-    ``distinct_ratio`` is one double division of two exact integers, so it
-    is bit-identical to the SQL oracle's."""
+    Columns: doc_id, doc_len, n_tokens, n_distinct, distinct_ratio,
+    punct_ratio (non-alphanumeric non-space chars / chars),
+    stopword_ratio (stopword tokens / tokens). Each ratio is one double
+    division of two exact integers, so it is bit-identical to the SQL
+    oracle's."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = frozenset(STOPWORDS)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.split()
         n_tokens = toks.str.len().astype("int64")
         n_distinct = toks.map(lambda t: len(set(t))).astype("int64")
+        doc_len = df["text"].str.len().astype("int64")
+        n_punct = df["text"].str.count(_PUNCT_CLASS).astype("int64")
+        n_stop = toks.map(lambda t: sum(1 for w in t if w in stop)).astype("int64")
+        safe_tokens = n_tokens.replace(0, 1)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "doc_len": df["text"].str.len().astype("int64"),
+                "doc_len": doc_len,
                 "n_tokens": n_tokens,
                 "n_distinct": n_distinct,
-                "distinct_ratio": np.where(
-                    n_tokens > 0, n_distinct / n_tokens.replace(0, 1), 0.0
+                "distinct_ratio": np.where(n_tokens > 0, n_distinct / safe_tokens, 0.0),
+                "punct_ratio": np.where(
+                    doc_len > 0, n_punct / doc_len.replace(0, 1), 0.0
                 ),
+                "stopword_ratio": np.where(n_tokens > 0, n_stop / safe_tokens, 0.0),
             }
         )
 
