@@ -13,24 +13,26 @@ Per wave:
 2. **politeness drain** — vectorized per-block drain (blocks are complete
    host groups by construction): order (priority, seq), robots-Disallow
    drop, cumcount slot assignment under the per-host budget;
-3. **fetch + extract** — ``map_batches`` over Arrow: deterministic page
-   generation (stands in for HTTP fetch) + the full extraction chain;
-   candidate outlinks are filtered + SURT-keyed in the task and emitted
-   as list columns; when a document sink is attached, docs are written
-   straight to per-(wave, partition) parquet fragments (resumable
-   layout);
-4. **candidate routing** — a split task flattens + shard-keys the
-   candidates (vectorized); the DRIVER routes each block to the seen
-   shards BY REFERENCE (``accept_routed(block_ref, shard)``) — tasks
-   never call actors (a task-side RPC couples fetch slots to actor
-   channel health and one delayed message stalls the wave), candidate
-   bytes never touch the driver, and shards read the shared block
-   zero-copy;
+3. **fetch + extract** — ONE plain Ray task per block fuses the drain
+   with deterministic page generation (stands in for HTTP fetch) + the
+   full extraction chain; candidate outlinks are filtered + SURT-keyed in
+   the task and emitted as list columns; when a document sink is
+   attached, docs are written straight to per-(wave, partition) parquet
+   fragments (atomic publish, resumable layout);
+4. **candidate routing** — a split task (chained on the block ref, so it
+   overlaps with still-running fetches) flattens + shard-keys the
+   candidates (vectorized); the DRIVER routes the wave's blocks to the
+   seen shards BY REFERENCE, ONE batched call per shard — tasks never
+   call actors (a task-side RPC couples fetch slots to actor channel
+   health and one delayed message stalls the wave), candidate bytes
+   never touch the driver, and shards read the shared blocks zero-copy;
 5. **discovery barrier** — each seen shard sorts its candidates by the
    pinned global order key (parent host, parent slot, link rank), keeps
-   first-unseen SURTs, and returns only the winners; the driver merges
-   per-shard winners, assigns global ``seq`` in order, and routes them to
-   next-wave host partitions.
+   first-unseen SURTs, and returns only the winners; a REMOTE task merges
+   the shards' winner tables, assigns global ``seq`` and hash-partitions
+   the next wave's frontier — the driver sees only counts, new hosts and
+   (under checkpointing) the SURT delta. The per-wave fetch-log
+   concat/sort/build likewise runs remote.
 
 Crawl ordering and the final seen set are byte-identical to
 ``oracle/crawl_oracle.py`` under the same seed list + politeness budget
@@ -694,7 +696,6 @@ def run_crawl(
     the per-wave docs fragments)."""
     import pyarrow.compute as pc
     import ray
-    import ray.data as rd
 
     # partitions ≫ workers: fine-grained blocks balance skewed hosts and
     # keep stragglers short; parts are cheap (empty ones short-circuit)
