@@ -398,3 +398,34 @@ def test_simhash_batch_matches_scalar_definition():
         return f"{sig:016x}"
 
     assert simhash_batch(texts) == [scalar(t) for t in texts]
+
+
+def test_cuckoo_filter_membership_delete_and_overflow():
+    """Cuckoo filter: no false negatives, low false-positive rate, delete
+    works (Bloom can't), involution i2 = i1 ^ H(fp) holds, and a saturated
+    filter reports insert failure so SeenSet can engage its Bloom overflow."""
+    from webarchive_discovery_ray.state.seen import CuckooFilter, SeenSet
+
+    cf = CuckooFilter(n_buckets=1 << 10, bucket_size=4)  # 4096 slots
+    keys = [f"uk,co,site{i})/page/{i}" for i in range(3000)]
+    assert all(cf.add(k) for k in keys)  # ~73% load fits without failure
+    assert all(cf.might_contain(k) for k in keys)  # NO false negatives
+    fp = sum(cf.might_contain(f"absent{i}") for i in range(3000))
+    assert fp < 60  # 16-bit fingerprints: ~2% worst-case here
+    # involution: alternate of the alternate is the original bucket
+    f, i1 = cf._fp_and_index(keys[0])
+    i2 = cf._alt_index(i1, f)
+    assert cf._alt_index(i2, f) == i1
+    # delete removes exactly one copy
+    assert cf.delete(keys[0]) and not cf.delete("never-added")
+    # saturate a tiny filter -> add() reports failure instead of looping
+    tiny = CuckooFilter(n_buckets=2, bucket_size=2)
+    results = [tiny.add(f"k{i}") for i in range(16)]
+    assert not all(results)
+
+    # SeenSet falls back to Bloom on overflow and stays exact
+    ss = SeenSet(n_bits=1 << 20)
+    ss._cuckoo = CuckooFilter(n_buckets=2, bucket_size=2)  # force overflow
+    flags = ss.add_if_new([f"key{i}" for i in range(64)])
+    assert all(flags) and ss._bloom is not None
+    assert ss.add_if_new(["key0", "key63", "fresh"]) == [False, False, True]

@@ -1,18 +1,22 @@
-"""Sharded URL-seen set: Bloom-accelerated exact membership actors.
+"""Sharded URL-seen set: cuckoo-filter-accelerated exact membership actors.
 
 New construction per BASELINE.json north_rule (the reference leaves URL
 dedup to post-hoc MDX hash grouping and notes the non-scalable Solr
-dup-check at ``WARCIndexer.java:184-187``). Design per SURVEY.md §2.7/§7.4:
+dup-check at ``WARCIndexer.java:184-187``). Design per SURVEY.md §2.7/§7.4
+and the north star's sharded cuckoo-filter seen set with Bloom fallback:
 
 * keys are SURT URL keys, routed to ``hash(surt) % n_shards`` actor shards;
-* each shard holds a Bloom filter (numpy bit array, k=4 sha-derived probes)
-  as the fast *definitely-new* path, plus the exact Python set as the
-  authoritative membership store — probabilistic structures are
-  accelerators only, because the north rule demands byte-identical final
-  seen sets vs the oracle;
+* each shard holds a CUCKOO filter (2-choice bucketed 16-bit fingerprints,
+  xor-partial-key relocation — supports delete, unlike Bloom) as the fast
+  *definitely-new* path, plus the exact Python set as the authoritative
+  membership store — probabilistic structures are accelerators only,
+  because the north rule demands byte-identical final seen sets vs the
+  oracle. When a cuckoo insert fails (filter saturated), the shard falls
+  back to a Bloom filter for the overflow — the north star's
+  bloom-fallback-for-spill-partitions rule;
 * snapshots serialise the sorted key list (the byte-comparable
   representation) for checkpoint/resume; at 10^10-URL scale each shard
-  would persist to a Lance/Parquet side table and keep only the Bloom +
+  would persist to a Lance/Parquet side table and keep only the filters +
   hot set in RAM — the actor API is unchanged.
 """
 
@@ -24,7 +28,7 @@ import numpy as np
 
 from ..functions.hashing import stable_hash64
 
-__all__ = ["BloomFilter", "SeenSet", "shard_of", "SeenShardPool"]
+__all__ = ["BloomFilter", "CuckooFilter", "SeenSet", "shard_of", "SeenShardPool"]
 
 _SHARD_SEED = 7
 
@@ -55,8 +59,102 @@ class BloomFilter:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(key))
 
 
+class CuckooFilter:
+    """Deterministic cuckoo filter (Fan et al., CoNEXT'14 construction):
+    ``n_buckets`` (power of two) buckets of ``bucket_size`` 16-bit
+    fingerprints; candidate buckets ``i1 = H(key)`` and
+    ``i2 = i1 ^ H(fp)`` (xor partial-key — an involution, so either
+    bucket recovers the other from the stored fingerprint alone), with
+    bounded random-walk relocation on insert. Supports delete, which
+    Bloom cannot; ~95% load factor at bucket_size 4.
+
+    ``add`` returns False when the relocation walk fails (filter full) —
+    the caller is expected to fall back (SeenSet uses a Bloom overflow)."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int = 1 << 16, bucket_size: int = 4):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+        self.n_buckets = n_buckets
+        self.bucket_size = bucket_size
+        self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
+        self.count = 0
+        # victim stash: a failed relocation walk must NOT drop the evicted
+        # fingerprint (that would be a false negative for an EARLIER key);
+        # the homeless (bucket, fp) pair parks here
+        self.stash: set[tuple[int, int]] = set()
+
+    def _fp_and_index(self, key: str) -> tuple[int, int]:
+        d = hashlib.sha1(key.encode("utf-8")).digest()
+        fp = int.from_bytes(d[:2], "big") or 1  # 0 marks an empty slot
+        i1 = int.from_bytes(d[2:10], "big") & (self.n_buckets - 1)
+        return fp, i1
+
+    def _alt_index(self, i: int, fp: int) -> int:
+        # xor with a hash of the fingerprint (mod 2^k keeps the involution)
+        h = int.from_bytes(hashlib.sha1(fp.to_bytes(2, "big")).digest()[:8], "big")
+        return (i ^ h) & (self.n_buckets - 1)
+
+    def _bucket_insert(self, i: int, fp: int) -> bool:
+        row = self.table[i]
+        empties = np.nonzero(row == 0)[0]
+        if len(empties):
+            row[empties[0]] = fp
+            return True
+        return False
+
+    def add(self, key: str) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        if self._bucket_insert(i1, fp) or self._bucket_insert(i2, fp):
+            self.count += 1
+            return True
+        # relocation walk (deterministic slot choice keeps runs replayable)
+        i = i1 if (fp & 1) else i2
+        for kick in range(self.MAX_KICKS):
+            slot = (fp + kick) % self.bucket_size
+            fp, self.table[i][slot] = int(self.table[i][slot]), fp
+            i = self._alt_index(i, fp)
+            if self._bucket_insert(i, fp):
+                self.count += 1
+                return True
+        # walk failed: park the homeless victim in the stash (it belongs
+        # to an EARLIER key — dropping it would create a false negative)
+        # and signal saturation so the caller engages its fallback for
+        # THIS key
+        self.stash.add((i, fp))
+        self.count += 1
+        return False
+
+    def might_contain(self, key: str) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        if (self.table[i1] == fp).any():
+            return True
+        i2 = self._alt_index(i1, fp)
+        if (self.table[i2] == fp).any():
+            return True
+        return bool(self.stash) and (
+            (i1, fp) in self.stash or (i2, fp) in self.stash
+        )
+
+    def delete(self, key: str) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        for i in (i1, self._alt_index(i1, fp)):
+            hits = np.nonzero(self.table[i] == fp)[0]
+            if len(hits):
+                self.table[i][hits[0]] = 0
+                self.count -= 1
+                return True
+            if (i, fp) in self.stash:
+                self.stash.discard((i, fp))
+                self.count -= 1
+                return True
+        return False
+
+
 class SeenSet:
-    """One shard's state: Bloom accelerator + exact authoritative set.
+    """One shard's state: cuckoo accelerator (+ Bloom overflow) + exact
+    authoritative set.
 
     Besides point membership (``add_if_new``), a shard resolves WAVE
     CANDIDATES: fetch tasks stream candidate tables in via ``accept``
@@ -69,25 +167,40 @@ class SeenSet:
     as winners."""
 
     def __init__(self, n_bits: int = 1 << 20):
-        self._bloom = BloomFilter(n_bits)
+        self._n_bits = n_bits
+        # cuckoo slots sized ~n_bits/32 (4 slots/bucket); Bloom engages
+        # only as the overflow fallback once the cuckoo walk fails
+        self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, n_bits >> 7))
+        self._bloom: BloomFilter | None = None
         self._exact: set[str] = set()
         self._pending: dict[int, list] = {}
 
+    def _acc_add(self, key: str) -> None:
+        if not self._cuckoo.add(key):
+            if self._bloom is None:  # overflow fallback (north-star rule)
+                self._bloom = BloomFilter(self._n_bits)
+            self._bloom.add(key)
+
+    def _acc_might_contain(self, key: str) -> bool:
+        return self._cuckoo.might_contain(key) or (
+            self._bloom is not None and self._bloom.might_contain(key)
+        )
+
     def add_if_new(self, keys: list[str]) -> list[bool]:
-        """For each key: True when newly added. Bloom 'no' short-circuits
-        the exact probe; Bloom 'maybe' is verified against the exact set."""
+        """For each key: True when newly added. Filter 'no' short-circuits
+        the exact probe; 'maybe' is verified against the exact set."""
         out = []
         for key in keys:
-            if self._bloom.might_contain(key) and key in self._exact:
+            if self._acc_might_contain(key) and key in self._exact:
                 out.append(False)
             else:
                 self._exact.add(key)
-                self._bloom.add(key)
+                self._acc_add(key)
                 out.append(True)
         return out
 
     def contains(self, keys: list[str]) -> list[bool]:
-        return [self._bloom.might_contain(k) and k in self._exact for k in keys]
+        return [self._acc_might_contain(k) and k in self._exact for k in keys]
 
     def accept(self, wave: int, tbl) -> int:
         """Buffer a candidate table chunk for ``wave``. Columns: url,
@@ -149,7 +262,7 @@ class SeenSet:
                 mask.append(False)
             else:
                 exact.add(k)
-                self._bloom.add(k)
+                self._acc_add(k)
                 mask.append(True)
         w = t.filter(pa.array(mask))
         return w if w.num_rows else None
@@ -159,9 +272,10 @@ class SeenSet:
 
     def restore(self, keys: list[str]) -> None:
         self._exact = set(keys)
-        self._bloom = BloomFilter(self._bloom.n_bits)
+        self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, self._n_bits >> 7))
+        self._bloom = None
         for k in keys:
-            self._bloom.add(k)
+            self._acc_add(k)
 
     def __len__(self) -> int:
         return len(self._exact)
