@@ -191,19 +191,24 @@ def _annotations(sf_dir: str):
 
 
 def _ark_lookup(sf_dir: str):
-    """J2: filename -> ARK broadcast join over the captures table."""
-    from webarchive_discovery_ray.pipelines.cdx import cdx_sorted
+    """J2: filename -> ARK broadcast join over the captures table. The ARK
+    register covers the first 64 distinct filenames (sorted) — the rest
+    pass through, exercising BOTH branches of the reference semantics."""
     from webarchive_discovery_ray.pipelines.enrich import ark_lookup_batch
 
-    caps = cdx_sorted(500)
-    ark_map = {f"crawl-{i:04d}.warc.gz": f"ark:/81055/{i:08d}" for i in range(64)}
+    caps = _cdx(sf_dir)  # also materializes the captures for the oracle
+    files = sorted(caps.unique("filename"))
+    ark_map = {f: f"ark:/81055/{i:08d}" for i, f in enumerate(files[:64])}
     return caps.map_batches(
         lambda b: ark_lookup_batch(b, ark_map), batch_format="pyarrow", batch_size=None
     ).select_columns(["surt_key", "filename", "ark"])
 
 
 def _arcname(sf_dir: str):
-    """M30: ARC-name regex rules over fixture pages."""
+    """M30: ARC-name regex rules over fixture pages (base materialized so
+    the DuckDB oracle evaluates the same first-match-wins rules in SQL)."""
+    import shutil
+
     import ray.data as rd
 
     from webarchive_discovery_ray.config import SyntheticConfig
@@ -212,10 +217,17 @@ def _arcname(sf_dir: str):
     from webarchive_discovery_ray.sources.synthetic import fixture_pages
 
     rows = fixture_pages(400, SyntheticConfig())
+    out = f"{_ORACLE_MAT}/arcname_base"
+    shutil.rmtree(out, ignore_errors=True)
     ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=PAGES_SCHEMA))
-    return ds.map_batches(
-        arcname_fields_batch, batch_format="pyarrow", batch_size=None
-    ).select_columns(["url", "source_file", "arc_job", "arc_harvest", "arc_institution"])
+    ds.map_batches(
+        lambda b: b.select(["url", "source_file"]), batch_format="pyarrow"
+    ).write_parquet(out)
+    return (
+        rd.read_parquet(out)
+        .map_batches(arcname_fields_batch, batch_format="pyarrow", batch_size=None)
+        .select_columns(["url", "source_file", "arc_job", "arc_harvest", "arc_institution"])
+    )
 
 
 def _postcodes(sf_dir: str):
@@ -415,6 +427,8 @@ def _ensure_oracle_materializations() -> None:
         _cdx("")
     if not os.path.isdir(f"{_ORACLE_MAT}/plog_base"):
         _persist_log("")
+    if not os.path.isdir(f"{_ORACLE_MAT}/arcname_base"):
+        _arcname("")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -698,8 +712,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'format', crawl_year, COALESCE(content_type_norm, ''), count(*)
             FROM base GROUP BY 2, 3
         """,
+        # IVF-style within-label pairwise cosine (the approximation is the
+        # label bucketing, shared by both sides; float64 cosine + round(6)
+        # verified bit-equal numpy vs DuckDB)
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.25
+        """,
         "cdx_sorted": f"""
             SELECT * FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+        """,
+        # M30 first-match-wins ARC-name rules (ARCNameAnalyser.java:123-127)
+        "arcname_fields": f"""
+            SELECT url, source_file,
+                   CASE WHEN regexp_matches(source_file, '^([a-z]+)-([0-9]+)-')
+                        THEN regexp_extract(source_file, '^([a-z]+)-([0-9]+)-', 1)
+                        WHEN regexp_matches(source_file, '^crawl') THEN 'crawl'
+                   END AS arc_job,
+                   CASE WHEN regexp_matches(source_file, '^([a-z]+)-([0-9]+)-')
+                        THEN regexp_extract(source_file, '^([a-z]+)-([0-9]+)-', 2)
+                   END AS arc_harvest,
+                   CASE WHEN regexp_matches(source_file, '^([a-z]+)-([0-9]+)-')
+                        THEN 'synthetic'
+                        WHEN regexp_matches(source_file, '^crawl') THEN 'fallback'
+                   END AS arc_institution
+            FROM read_parquet('{_ORACLE_MAT}/arcname_base/*.parquet')
+        """,
+        # J2: ARK register = the first 64 distinct filenames (sorted)
+        "ark_lookup": f"""
+            WITH caps AS (
+                SELECT * FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+            ),
+            f AS (
+                SELECT filename,
+                       row_number() OVER (ORDER BY filename) - 1 AS rn
+                FROM (SELECT DISTINCT filename FROM caps)
+            ),
+            m AS (
+                SELECT filename, printf('ark:/81055/%08d', rn) AS ark
+                FROM f WHERE rn < 64
+            )
+            SELECT c.surt_key, c.filename, COALESCE(m.ark, c.filename) AS ark
+            FROM caps c LEFT JOIN m USING (filename)
         """,
         # ordered response<->metadata pairing: a metadata record attaches
         # to the latest preceding response/revisit offset within its file
