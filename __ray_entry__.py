@@ -512,7 +512,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len({tokens}) END AS n_tokens,
-                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^\t\n\f\r A-Za-z0-9]+'))
                        AS n_tokens_bpe,
                    length(text) AS doc_len
             FROM documents
@@ -528,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(list_distinct({tokens})) * 1.0 / len({tokens})
                         END AS distinct_ratio,
                    CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) * 1.0
+                        ELSE len(regexp_extract_all(text, '[^\t\n\f\r A-Za-z0-9]')) * 1.0
                              / length(text) END AS punct_ratio,
                    CASE WHEN trim(text) = '' THEN 0.0
                         ELSE len(list_filter({tokens},

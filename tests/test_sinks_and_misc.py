@@ -379,3 +379,28 @@ def test_plugin_analysers_registry_and_extraction(ray_session):
         .take_all()
     )
     assert all(d["plugin_fields"] is None for d in plain)
+
+
+def test_text_analysers_run_with_unstored_content():
+    """M35 + §2.10: text analysers run on the EXTRACTED text even when
+    store_content=False nulls the output content column (the reference's
+    analysers consume the Tika text, not the Solr field)."""
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+    from webarchive_discovery_ray.stages.extract import extract_record
+
+    cfg = IndexConfig(
+        response_include=(), store_content=False, text_analysers=("sentiment",)
+    )
+    hit = False
+    for r in fixture_pages(200, SyntheticConfig()):
+        d = extract_record(r, cfg)
+        if d is None or not d["content_text_length"]:
+            continue
+        assert d["content"] is None  # M35 still holds
+        assert d["plugin_fields"] and dict(
+            d["plugin_fields"] if isinstance(d["plugin_fields"], dict)
+            else d["plugin_fields"]
+        ).get("sentiment") in ("positive", "negative", "neutral")
+        hit = True
+    assert hit

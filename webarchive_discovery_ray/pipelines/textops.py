@@ -25,9 +25,11 @@ __all__ = ["token_stats", "quality_score", "language_id", "doc_fingerprint"]
 
 
 # BPE-ish subword pre-tokeniser (GPT-2-style segment classes, ASCII form:
-# optionally-space-prefixed letter runs / digit runs / punctuation runs) —
-# the same RE2-compatible pattern the SQL oracle evaluates
-BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# optionally-space-prefixed letter runs / digit runs / punctuation runs).
+# The whitespace class is EXPLICIT ([\t\n\f\r ]) so Python re and the SQL
+# oracle's RE2 agree on every input — Python's \s matches Unicode spaces
+# (NBSP, \u2028, ...) that RE2's does not
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\t\n\f\r A-Za-z0-9]+"
 
 
 def token_stats(sf_dir: str):
@@ -56,7 +58,7 @@ def token_stats(sf_dir: str):
 
 # quality-signal vocabularies (brief: length / punct / stopword ratios)
 STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
-_PUNCT_CLASS = r"[^\sA-Za-z0-9]"
+_PUNCT_CLASS = r"[^\t\n\f\r A-Za-z0-9]"  # explicit ws: Python re == RE2
 
 
 def quality_score(sf_dir: str):

@@ -446,6 +446,10 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         spans = [s for s in spans if s["kind"] not in ("text", "title")]
         out["content"] = None
         out["content_text_length"] = None
+    # the extracted text is the TEXT-ANALYSER input regardless of whether
+    # the content field is stored (the reference's analysers run on the
+    # Tika text, not the Solr field) — capture before the M35 nulling
+    extracted_text = out.get("content")
     if not cfg.store_content:
         out["content"] = None  # M35: index-only text (length retained)
     out["spans"] = spans
@@ -459,9 +463,9 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         for a in pas:
             if a.should_process(out.get("content_type") or ""):
                 a.analyse(rec, payload, out)
-        if tas and out.get("content"):
+        if tas and extracted_text:
             for a in tas:
-                a.analyse_text(out["content"], out)
+                a.analyse_text(extracted_text, out)
     if cfg.apply_field_policy:
         apply_field_policy(out)
     return out
@@ -488,6 +492,16 @@ def apply_field_policy(out: dict) -> None:
             out[k] = DEFAULT_POLICY.adjust(k, v)
         elif isinstance(v, list):
             out[k] = DEFAULT_POLICY.adjust_many(k, v)
+        elif isinstance(v, dict):
+            # plugin_fields: every plugin value passes the policy under its
+            # OWN field name (the reference's arbitrary Solr adds all go
+            # through SolrRecord.adjust); dropped-empty values vanish
+            adjusted = {
+                ik: av
+                for ik, iv in v.items()
+                if (av := DEFAULT_POLICY.adjust(ik, iv)) is not None
+            }
+            out[k] = adjusted or None
 
 
 def _vector_prefilter(batch: pa.Table, cfg: IndexConfig) -> pa.Table:

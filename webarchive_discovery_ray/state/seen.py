@@ -83,6 +83,10 @@ class CuckooFilter:
         # fingerprint (that would be a false negative for an EARLIER key);
         # the homeless (bucket, fp) pair parks here
         self.stash: set[tuple[int, int]] = set()
+        # set on the first failed walk: callers should stop inserting here
+        # (lookups stay valid) — without this every post-saturation add
+        # would pay the full MAX_KICKS walk and grow the stash unboundedly
+        self.saturated = False
 
     def _fp_and_index(self, key: str) -> tuple[int, int]:
         d = hashlib.sha1(key.encode("utf-8")).digest()
@@ -119,11 +123,14 @@ class CuckooFilter:
                 self.count += 1
                 return True
         # walk failed: park the homeless victim in the stash (it belongs
-        # to an EARLIER key — dropping it would create a false negative)
+        # to an EARLIER key — dropping it would create a false negative;
+        # the walk's swaps keep the table's population constant, so the
+        # net effect of this add is +1 stored fingerprint: the new key's)
         # and signal saturation so the caller engages its fallback for
-        # THIS key
+        # THIS key and every later one
         self.stash.add((i, fp))
         self.count += 1
+        self.saturated = True
         return False
 
     def might_contain(self, key: str) -> bool:
@@ -168,15 +175,19 @@ class SeenSet:
 
     def __init__(self, n_bits: int = 1 << 20):
         self._n_bits = n_bits
-        # cuckoo slots sized ~n_bits/32 (4 slots/bucket); Bloom engages
-        # only as the overflow fallback once the cuckoo walk fails
-        self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, n_bits >> 7))
+        # cuckoo slots sized n_bits/4 (4 slots/bucket = n_bits/16 buckets,
+        # ~0.5 MB at the 1M-bit default); Bloom engages only as the
+        # overflow fallback once the cuckoo walk first fails
+        self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, n_bits >> 4))
         self._bloom: BloomFilter | None = None
         self._exact: set[str] = set()
         self._pending: dict[int, list] = {}
 
     def _acc_add(self, key: str) -> None:
-        if not self._cuckoo.add(key):
+        # once the cuckoo saturates, route adds straight to the Bloom
+        # overflow (cuckoo lookups stay valid for everything it holds) —
+        # retrying the filter would pay a full relocation walk per key
+        if self._cuckoo.saturated or not self._cuckoo.add(key):
             if self._bloom is None:  # overflow fallback (north-star rule)
                 self._bloom = BloomFilter(self._n_bits)
             self._bloom.add(key)
@@ -272,7 +283,7 @@ class SeenSet:
 
     def restore(self, keys: list[str]) -> None:
         self._exact = set(keys)
-        self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, self._n_bits >> 7))
+        self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, self._n_bits >> 4))
         self._bloom = None
         for k in keys:
             self._acc_add(k)
