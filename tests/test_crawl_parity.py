@@ -199,3 +199,17 @@ def test_resume_with_different_n_parts_leaves_no_stale_fragments(
         for f in glob.glob(f"{docs_dir}/wave_*/part_*.parquet")
     )
     assert n2 == r2.total_fetched == r1.total_fetched
+
+
+def test_max_urls_stop_condition(ray_session, seeds):
+    """ccfg.max_urls bounds the total fetches: the crawl stops after the
+    first wave that crosses the budget (matching the oracle's rule)."""
+    ccfg = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=2, max_urls=20)
+    exp = oracle_crawl(seeds, ccfg, SYN)
+    got = run_crawl(seeds, ccfg, SYN, fetch_concurrency=2,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    assert got.total_fetched >= 20  # crossed within the stopping wave
+    full = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2, collect_log=True)
+    assert got.total_fetched < full.total_fetched  # it actually stopped early

@@ -429,3 +429,16 @@ def test_cuckoo_filter_membership_delete_and_overflow():
     flags = ss.add_if_new([f"key{i}" for i in range(64)])
     assert all(flags) and ss._bloom is not None
     assert ss.add_if_new(["key0", "key63", "fresh"]) == [False, False, True]
+
+
+def test_language_id_deterministic_across_runs(ray_session):
+    """Corpus-trained language ID must be bit-stable run to run (pinned
+    tie-breaks; distributed top-k truncation must not depend on block
+    arrival order)."""
+    from webarchive_discovery_ray.pipelines.textops import language_id
+
+    sf = "/root/testdata/sf0.001"
+    a = language_id(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = language_id(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"doc_id", "lang", "lang_pred"}

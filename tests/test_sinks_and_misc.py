@@ -404,3 +404,13 @@ def test_text_analysers_run_with_unstored_content():
         ).get("sentiment") in ("positive", "negative", "neutral")
         hit = True
     assert hit
+
+
+def test_run_buffered_sink_empty_dataset(ray_session, tmp_path):
+    import ray.data as rd
+
+    from webarchive_discovery_ray.sources.sinks import run_buffered_sink
+
+    ds = rd.from_items([{"a": 1}]).filter(lambda r: False)
+    stats = run_buffered_sink(ds, lambda sid: (lambda rows: None), n_shards=2)
+    assert stats == {"accepted": 0, "flushed": 0}
