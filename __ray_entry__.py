@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.relational import (
         asof_join_events,
         range_join_events,
+        sliding_window_events,
         window_running_sum,
     )
     from webarchive_discovery_ray.pipelines.textops import (
@@ -379,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         "window_running_sum": window_running_sum,
+        "sliding_window_events": sliding_window_events,
         "regex_scan": regex_scan,
         "sentiment_score": sentiment_score,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
@@ -554,6 +556,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_type, b.lo AS bucket_lo, count(*) AS n_events,
                    sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
             FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1, 2
+        """,
+        "sliding_window_events": """
+            SELECT event_type,
+                   make_timestamp(((epoch_ms(ts) // 900000) * 900000
+                                   - k.k * 900000) * 1000) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+            FROM events, (SELECT unnest(range(4)) AS k) k
             GROUP BY 1, 2
         """,
         "window_running_sum": """
