@@ -213,3 +213,24 @@ def test_max_urls_stop_condition(ray_session, seeds):
     assert got.total_fetched >= 20  # crossed within the stopping wave
     full = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2, collect_log=True)
     assert got.total_fetched < full.total_fetched  # it actually stopped early
+
+
+def test_salted_predrain_factor_one(ray_session):
+    """Regression: salt_factor=1 (degenerate split) must not crash —
+    with num_returns=1 Ray hands back the return value unsplit, so
+    _salt_split returns the table itself, and parity must still hold."""
+    syn = SyntheticConfig(n_hosts=4, pages_per_host=40, max_fanout=6)
+    seeds = seed_urls(syn, n_seeds=4)
+
+    def cfg(**kw):
+        return CrawlConfig(politeness_budget=2, max_waves=3, seen_shards=2, **kw)
+
+    exp = oracle_crawl(seeds, cfg(), syn)
+    got = run_crawl(
+        seeds,
+        cfg(salt_threshold=0, salt_factor=1),
+        syn,
+        fetch_concurrency=2,
+        collect_log=True,
+    )
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]

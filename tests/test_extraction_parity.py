@@ -135,3 +135,28 @@ def test_fixture_exercises_edge_paths(pages_rows):
     assert any(d["hash_mismatch"] for d in docs)
     assert any(d["spans"] and d["spans"][0]["kind"] == "media" for d in docs)
     assert any(d["content_type_norm"] == "html" and d["links"] for d in docs)
+
+
+def test_revisit_path_applies_field_policy(pages_rows):
+    """Regression: the revisit short-circuit must run the same field
+    policy as the oracle's ``_finish`` — hostile served types (trailing
+    space, embedded newline) and control-char / over-long URLs must
+    come out identical on both sides (M13 × SolrRecord.java:135-188)."""
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.stages.extract import extract_record
+
+    base = next(r for r in pages_rows if r["record_type"] == "revisit")
+    cfg = IndexConfig()
+    hostile = [
+        {"mime_served": "text/html ; charset=utf-8"},
+        {"mime_served": "text/html;\ncharset=x"},
+        {"url": base["url"] + "\x07ctl"},
+        {"url": base["url"] + "x" * 3000},
+    ]
+    for mut in hostile:
+        rec = dict(base, **mut)
+        got = extract_record(rec, cfg)
+        exp = oracle_extract_record(rec, cfg)
+        assert got == exp, f"revisit parity broke for {mut.keys()}"

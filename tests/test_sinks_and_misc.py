@@ -414,3 +414,23 @@ def test_run_buffered_sink_empty_dataset(ray_session, tmp_path):
     ds = rd.from_items([{"a": 1}]).filter(lambda r: False)
     stats = run_buffered_sink(ds, lambda sid: (lambda rows: None), n_shards=2)
     assert stats == {"accepted": 0, "flushed": 0}
+
+
+def test_jsonl_xml_sinks_idempotent_filenames(ray_session, tmp_path):
+    """Regression: a retried write task must overwrite, not duplicate —
+    filenames derive from block content, so writing the same dataset
+    twice into one directory leaves the same file set."""
+    import ray
+
+    from webarchive_discovery_ray.sources.sinks import write_jsonl, write_xml
+
+    rows = [{"a": i, "b": f"v{i}"} for i in range(10)]
+    for writer, ext in ((write_jsonl, "jsonl"), (write_xml, "xml")):
+        out = tmp_path / ext
+        n1 = writer(ray.data.from_items(rows), str(out))
+        files1 = sorted(p.name for p in out.iterdir())
+        n2 = writer(ray.data.from_items(rows), str(out))
+        files2 = sorted(p.name for p in out.iterdir())
+        assert n1 == n2 == 10
+        assert files1 == files2, f"{ext} sink duplicated blocks on re-run"
+        assert not any(".tmp-" in f for f in files2)

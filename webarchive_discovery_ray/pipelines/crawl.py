@@ -495,6 +495,10 @@ def _salt_split(tbl: pa.Table, n_sub: int) -> list[pa.Table]:
     """Split a hot partition block into n_sub salted sub-blocks by a
     stable per-URL hash. ANY split preserves parity (see _pre_drain), so
     the hash only needs to spread rows evenly."""
+    if n_sub == 1:
+        # num_returns=1 delivers the return value unsplit — hand back the
+        # table itself, not a 1-list the caller would see as a list object
+        return tbl
     salts = pd.util.hash_array(
         np.asarray(tbl["surt"].to_pylist(), dtype=object), categorize=False
     ) % n_sub

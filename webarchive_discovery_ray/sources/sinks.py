@@ -44,18 +44,26 @@ def write_jsonl(ds, path: str, compress: bool = False) -> int:
     os.makedirs(path, exist_ok=True)
 
     def dump(batch: pa.Table) -> pa.Table:
+        import hashlib
         import uuid
 
         rows = batch.to_pylist()
-        name = os.path.join(path, f"part-{uuid.uuid4().hex}.jsonl")
+        text = "".join(json.dumps(r, default=str) + "\n" for r in rows)
+        # deterministic name from content: a retried/reconstructed task
+        # re-writes the SAME file (tmp + os.replace = atomic), never a
+        # second uuid-named duplicate of the block
+        digest = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
+        name = os.path.join(path, f"part-{digest}.jsonl")
         if compress:
-            with gzip.open(name + ".gz", "wt", encoding="utf-8") as f:
-                for r in rows:
-                    f.write(json.dumps(r, default=str) + "\n")
+            name += ".gz"
+        tmp = name + f".tmp-{uuid.uuid4().hex}"
+        if compress:
+            with gzip.open(tmp, "wt", encoding="utf-8") as f:
+                f.write(text)
         else:
-            with open(name, "w", encoding="utf-8") as f:
-                for r in rows:
-                    f.write(json.dumps(r, default=str) + "\n")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+        os.replace(tmp, name)
         return pa.table({"n": pa.array([len(rows)], pa.int64())})
 
     counts = ds.map_batches(dump, batch_format="pyarrow", batch_size=None)
@@ -81,30 +89,40 @@ def write_xml(ds, path: str, compress: bool = False) -> int:
     os.makedirs(path, exist_ok=True)
 
     def dump(batch: pa.Table) -> pa.Table:
+        import hashlib
         import uuid
 
         rows = batch.to_pylist()
-        name = os.path.join(path, f"part-{uuid.uuid4().hex}.xml")
-        opener = (
-            (lambda: gzip.open(name + ".gz", "wt", encoding="utf-8"))
-            if compress
-            else (lambda: open(name, "w", encoding="utf-8"))
-        )
-        with opener() as f:
-            f.write("<add>\n")
-            for r in rows:
-                f.write("<doc>\n")
-                for k, v in r.items():
-                    values = v if isinstance(v, list) else [v]
-                    for item in values:
-                        if item is None:
-                            continue
-                        f.write(
-                            f'  <field name="{_xml_escape(str(k))}">'
-                            f"{_xml_escape(str(item))}</field>\n"
-                        )
-                f.write("</doc>\n")
-            f.write("</add>\n")
+        parts = ["<add>\n"]
+        for r in rows:
+            parts.append("<doc>\n")
+            for k, v in r.items():
+                values = v if isinstance(v, list) else [v]
+                for item in values:
+                    if item is None:
+                        continue
+                    parts.append(
+                        f'  <field name="{_xml_escape(str(k))}">'
+                        f"{_xml_escape(str(item))}</field>\n"
+                    )
+            parts.append("</doc>\n")
+        parts.append("</add>\n")
+        text = "".join(parts)
+        # deterministic content-derived name + atomic replace: retried
+        # tasks overwrite instead of duplicating the block (see dump in
+        # write_jsonl)
+        digest = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
+        name = os.path.join(path, f"part-{digest}.xml")
+        if compress:
+            name += ".gz"
+        tmp = name + f".tmp-{uuid.uuid4().hex}"
+        if compress:
+            with gzip.open(tmp, "wt", encoding="utf-8") as f:
+                f.write(text)
+        else:
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+        os.replace(tmp, name)
         return pa.table({"n": pa.array([len(rows)], pa.int64())})
 
     counts = ds.map_batches(dump, batch_format="pyarrow", batch_size=None)
@@ -186,9 +204,9 @@ def run_buffered_sink(
 
     ``make_send(shard_id)`` builds the transport inside each sink actor
     (so file handles / HTTP sessions are actor-local, never pickled).
-    Batches are routed shard = block_index % n_shards from ``map_batches``
-    tasks by actor handle — streaming, no driver materialization. Returns
-    ``{"accepted": n, "flushed": n}``; the two MUST be equal after close.
+    Batches are routed round-robin per map worker (content-independent)
+    to the sink actors by handle — streaming, no driver materialization.
+    Returns ``{"accepted": n, "flushed": n}``; equal after close.
     """
     import ray
 
@@ -210,16 +228,24 @@ def run_buffered_sink(
 
     actors = [_SinkShard.remote(i) for i in range(n_shards)]
 
-    def route(batch: pa.Table) -> pa.Table:
-        # cheap stable routing: spread batches over shards by content hash
-        import zlib
+    class _Route:
+        # per-worker round-robin: every map worker cycles through all
+        # shards (start offset decorrelated by pid), so the fan-out holds
+        # even when batches share content — a first-row content hash
+        # degenerates to one shard on sorted/constant-key data
+        def __init__(self):
+            self._next = os.getpid() % n_shards
 
-        shard = zlib.crc32(str(batch.slice(0, 1).to_pylist()).encode()) % n_shards
-        n = ray.get(actors[shard].accept.remote(batch))
-        return pa.table({"accepted": pa.array([n], pa.int64())})
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            shard = self._next
+            self._next = (shard + 1) % n_shards
+            n = ray.get(actors[shard].accept.remote(batch))
+            return pa.table({"accepted": pa.array([n], pa.int64())})
 
     accepted = int(
-        ds.map_batches(route, batch_format="pyarrow").sum("accepted") or 0
+        ds.map_batches(_Route, batch_format="pyarrow", concurrency=(1, n_shards))
+        .sum("accepted")
+        or 0
     )
     flushed = sum(ray.get([a.close.remote() for a in actors]))
     for a in actors:

@@ -353,6 +353,7 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         "content": None,
         "content_text_length": None,
         "parse_error": None,
+        "plugin_fields": None,  # §2.10: populated only when plugins run
         "source_file": rec["source_file"],
         "source_offset": rec["source_offset"],
     }
@@ -361,10 +362,12 @@ def extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         # M13: revisit short-circuit — served type becomes content_type,
         # no content_length, digest carried from the header, no analysis.
         served = rec["mime_served"] or None
-        out["content_type"] = re.sub(r";.*$", "", served) if served else None
+        out["content_type"] = served.split(";")[0] if served else None
         out["content_type_full"] = served
         out["hash"] = rec["payload_sha1"] or None
         out["parse_error"] = "; ".join(parse_errors) if parse_errors else None
+        if cfg.apply_field_policy:
+            apply_field_policy(out)
         return out
 
     raw: bytes = rec["payload"] or b""
