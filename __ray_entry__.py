@@ -361,6 +361,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_score,
         token_stats,
     )
+    from webarchive_discovery_ray.pipelines.curation import (
+        decontaminate,
+        kmeans_embeddings,
+        pii_scrub,
+        repetition_score,
+    )
 
     return {
         # --- SQL-oracle-checked -----------------------------------------
@@ -383,6 +389,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": sliding_window_events,
         "regex_scan": regex_scan,
         "sentiment_score": sentiment_score,
+        "decontaminate": decontaminate,
+        "repetition_score": repetition_score,
+        "pii_scrub": pii_scrub,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
@@ -405,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reduplicate_revisits": _reduplicate,
         "media_features": _media_features,
         "pdf_preflight": _pdf_preflight,
+        "kmeans_embeddings": kmeans_embeddings,
     }
 
 
@@ -798,5 +808,75 @@ def oracle_sql() -> dict[str, str]:
                          AND m.source_offset < rr.next_off
                    ) AS has_metadata
             FROM rr
+        """,
+        # benchmark decontamination: distinct shared 8-gram shingles
+        # between each corpus doc and the doc_id<10 "benchmark" slice
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       array_to_string(
+                           w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' '
+                       ) AS g
+                FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+                WHERE len(w) >= 8
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+            hits AS (
+                SELECT dg.doc_id, count(*) AS n_matches
+                FROM (
+                    SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 10
+                ) dg
+                JOIN bench USING (g) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+                   COALESCE(h.n_matches, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id >= 10
+        """,
+        # Gopher-style repetition signals: duplicate word / 2-gram fracs
+        "repetition_score": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            words AS (SELECT doc_id, UNNEST(w) AS tok FROM toks),
+            wstat AS (
+                SELECT doc_id, count(*) AS n_words,
+                       count(DISTINCT tok) AS n_uniq
+                FROM words GROUP BY doc_id
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       array_to_string(
+                           w[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' '
+                       ) AS g
+                FROM toks, UNNEST(range(1, len(w))) AS t(i)
+                WHERE len(w) >= 2
+            ),
+            gstat AS (
+                SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS u_g
+                FROM g2 GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   1.0 - CAST(w.n_uniq AS DOUBLE) / w.n_words
+                       AS dup_word_frac,
+                   1.0 - CAST(COALESCE(g.u_g, 0) AS DOUBLE)
+                       / COALESCE(g.n_g, 1) AS dup_2gram_frac
+            FROM wstat w LEFT JOIN gstat g USING (doc_id)
+        """,
+        # digit-run masking + salted-md5 pseudonym; [0-9]+ is byte-wise
+        # identical between Python re and DuckDB's RE2
+        "pii_scrub": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g')
+                       AS props_redacted,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                       AS n_redactions,
+                   md5('pii-salt:' || CAST(user_id AS VARCHAR))
+                       AS user_pseudonym
+            FROM events
         """,
     }

@@ -1,0 +1,115 @@
+"""Corpus-curation operators (pipelines/curation.py) vs independent
+sequential references over the sf0.001 fixture tables."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+
+
+def test_decontaminate_matches_sequential_set_logic(ray_session):
+    from webarchive_discovery_ray.pipelines.curation import (
+        _doc_grams,
+        decontaminate,
+    )
+
+    docs = _docs()
+    bench = set()
+    for r in docs:
+        if r["doc_id"] < 10:
+            bench |= _doc_grams(r["text"])
+    assert bench, "benchmark slice produced no shingles"
+    expect = {
+        r["doc_id"]: len(_doc_grams(r["text"]) & bench)
+        for r in docs
+        if r["doc_id"] >= 10
+    }
+
+    got = decontaminate(SF).to_pandas().set_index("doc_id")
+    assert got["n_matches"].to_dict() == expect
+    assert (got["contaminated"] == (got["n_matches"] > 0)).all()
+
+
+def test_repetition_score_matches_sequential(ray_session):
+    from webarchive_discovery_ray.pipelines.curation import repetition_score
+
+    got = repetition_score(SF).to_pandas().set_index("doc_id")
+    for r in _docs():
+        w = r["text"].split(" ")
+        dup_w = 1.0 - len(set(w)) / len(w)
+        pairs = list(zip(w, w[1:]))
+        dup_g = 1.0 - len(set(pairs)) / len(pairs) if pairs else 0.0
+        assert got.loc[r["doc_id"], "dup_word_frac"] == pytest.approx(dup_w)
+        assert got.loc[r["doc_id"], "dup_2gram_frac"] == pytest.approx(dup_g)
+
+
+def test_pii_scrub_redaction_and_pseudonym(ray_session):
+    import re
+
+    from webarchive_discovery_ray.pipelines.curation import pii_scrub
+
+    events = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "props"]
+    ).to_pylist()
+    got = pii_scrub(SF).to_pandas().set_index("event_id")
+    assert len(got) == len(events)
+    for r in events[:50]:
+        row = got.loc[r["event_id"]]
+        assert row["props_redacted"] == re.sub(r"[0-9]+", "<NUM>", r["props"])
+        assert row["n_redactions"] == len(re.findall(r"[0-9]+", r["props"]))
+        assert (
+            row["user_pseudonym"]
+            == hashlib.md5(f"pii-salt:{r['user_id']}".encode()).hexdigest()
+        )
+    # no digits survive redaction anywhere
+    assert not got["props_redacted"].str.contains(r"[0-9]").any()
+    # pseudonyms are stable: same user -> same pseudonym
+    df = pd.DataFrame(events).merge(
+        got.reset_index()[["event_id", "user_pseudonym"]], on="event_id"
+    )
+    assert (df.groupby("user_id")["user_pseudonym"].nunique() == 1).all()
+
+
+def test_kmeans_matches_sequential_reference(ray_session):
+    from webarchive_discovery_ray.pipelines.curation import (
+        kmeans_embeddings,
+        kmeans_reference,
+    )
+
+    got = (
+        kmeans_embeddings(SF, k=4, n_iter=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        kmeans_reference(SF, k=4, n_iter=3)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (got["vec_id"].to_numpy() == exp["vec_id"].to_numpy()).all()
+    # identical semantics; partial-sum order can differ in float eps, so
+    # allow disagreement only where a point is near-equidistant
+    diff = got["cluster"].to_numpy() != exp["cluster"].to_numpy()
+    assert diff.mean() < 0.01, f"{diff.sum()} assignments diverged"
+    # clusters are non-trivial: more than one cluster used
+    assert got["cluster"].nunique() > 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """k larger than the natural cluster count must not NaN out."""
+    from webarchive_discovery_ray.pipelines.curation import kmeans_embeddings
+
+    got = kmeans_embeddings(SF, k=12, n_iter=2).to_pandas()
+    assert got["cluster"].between(0, 11).all()
+    assert len(got) == len(pq.read_table(f"{SF}/embeddings.parquet"))

@@ -1,0 +1,287 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Engine extensions beyond the reference's own operator set (per the build
+brief's training-data mandate), in the same plugin spirit as the
+reference's per-document text analysers
+(``warc-indexer/src/main/java/uk/bl/wa/analyser/text/*``):
+
+- :func:`decontaminate` — benchmark n-gram overlap flagging (the standard
+  eval-decontamination pass: drop training docs that share long n-grams
+  with a held-out benchmark set).
+- :func:`repetition_score` — Gopher-style repetition quality signals
+  (duplicate-word and duplicate-2-gram fractions).
+- :func:`pii_scrub` — PII redaction + stable pseudonymization over an
+  event stream (digit-run masking, salted-hash user pseudonyms).
+- :func:`kmeans_embeddings` — distributed Lloyd's k-means over the
+  embedding column (broadcast centroids, per-batch partial sums).
+
+Scale shape: every operator here is a streaming ``map_batches`` over the
+big table with ONLY small state broadcast (``ray.put``) — the benchmark
+gram set, the k x d centroid matrix. No shuffle, no driver-side pass over
+the corpus; the per-iteration k-means reduce is k x d floats regardless
+of corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.io import read_table
+
+__all__ = [
+    "decontaminate",
+    "repetition_score",
+    "pii_scrub",
+    "kmeans_embeddings",
+    "kmeans_reference",
+]
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+DECON_NGRAM = 8  # tokens per shingle; the common eval-decontamination width
+
+
+def _doc_grams(text: str, n: int = DECON_NGRAM) -> set[str]:
+    # split on single space (matches the oracle's string_split(text, ' '))
+    w = text.split(" ")
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def decontaminate(sf_dir: str, bench_max_id: int = 10):
+    """Flag documents sharing any 8-gram with the benchmark set.
+
+    The benchmark is the (small) doc_id < ``bench_max_id`` slice — its
+    distinct 8-gram shingles are built once and broadcast; every other
+    document streams through a ``map_batches`` that intersects its own
+    shingle set with the broadcast set. Columns: doc_id, n_matches
+    (distinct shared shingles), contaminated (n_matches > 0).
+
+    100-TB shape: benchmark suites are MBs, the corpus is the big side —
+    broadcast the grams (``ray.put`` once, read per task), never shuffle
+    the corpus.
+    """
+    import ray
+
+    bench_rows = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(expr=f"doc_id < {bench_max_id}")
+        .take_all()
+    )
+    bench: set[str] = set()
+    for r in bench_rows:
+        bench |= _doc_grams(r["text"])
+    bench_ref = ray.put(bench)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr=f"doc_id >= {bench_max_id}"
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        grams = ray.get(bench_ref)
+        n_matches = [
+            len(_doc_grams(t) & grams) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_matches": pa.array(n_matches, pa.int64()),
+                "contaminated": pa.array([n > 0 for n in n_matches]),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition (Gopher-style quality signals)
+
+
+def repetition_score(sf_dir: str):
+    """Duplicate-word and duplicate-2-gram fractions per document.
+
+    dup_word_frac = 1 - distinct(words)/count(words); dup_2gram_frac
+    likewise over adjacent word pairs (0.0 for single-word docs). One
+    tokenisation pass per document feeds both statistics; the transform
+    is stateless and stream-parallel.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dup_w = np.empty(len(df), dtype=np.float64)
+        dup_g = np.empty(len(df), dtype=np.float64)
+        for i, text in enumerate(df["text"].to_numpy()):
+            w = text.split(" ")
+            dup_w[i] = 1.0 - len(set(w)) / len(w)
+            if len(w) >= 2:
+                pairs = list(zip(w, w[1:]))
+                dup_g[i] = 1.0 - len(set(pairs)) / len(pairs)
+            else:
+                dup_g[i] = 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup_word_frac": dup_w,
+                "dup_2gram_frac": dup_g,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+
+PII_SALT = "pii-salt:"  # shared with the SQL oracle; rotate in production
+_DIGIT_RUN = r"[0-9]+"  # explicit class: Python re and RE2 agree byte-wise
+
+
+def pii_scrub(sf_dir: str):
+    """Redact digit runs in ``props`` and pseudonymize ``user_id``.
+
+    Columns: event_id, props_redacted (digit runs -> ``<NUM>``),
+    n_redactions, user_pseudonym (md5 of salt+user_id — a stable
+    pseudonym so downstream joins on the user still work after the PII
+    column is dropped). Pure vectorized string kernels; no state.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "props"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "props_redacted": df["props"].str.replace(
+                    _DIGIT_RUN, "<NUM>", regex=True
+                ),
+                "n_redactions": df["props"]
+                .str.count(_DIGIT_RUN)
+                .astype("int64"),
+                "user_pseudonym": [
+                    hashlib.md5(f"{PII_SALT}{u}".encode()).hexdigest()
+                    for u in df["user_id"].to_numpy()
+                ],
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings
+
+
+def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    # squared-Euclidean argmin; ties resolve to the lowest cluster index
+    d2 = (
+        (mat * mat).sum(axis=1, keepdims=True)
+        - 2.0 * mat @ centroids.T
+        + (centroids * centroids).sum(axis=1)
+    )
+    return d2.argmin(axis=1)
+
+
+def _batch_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, n_iter: int = 5):
+    """Distributed Lloyd's k-means over the ``embeddings`` table.
+
+    Deterministic init: the vectors with vec_id < k (filter pushed into
+    the read). Each iteration broadcasts the k x d centroid matrix and
+    runs one streaming ``map_batches`` pass emitting per-batch partial
+    sums (k x d) + counts; the driver reduces those tiny partials and
+    recenters (empty cluster keeps its previous centroid). The final
+    pass emits (vec_id, cluster).
+
+    100-TB shape: per-iteration driver traffic is O(batches x k x d)
+    floats — independent of corpus size; the corpus itself never leaves
+    the object store and is re-read per iteration (at scale, checkpoint
+    the input once with ``materialize()`` on a real cluster).
+    """
+    import ray
+
+    init_rows = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {k}")
+        .take_all()
+    )
+    init_rows.sort(key=lambda r: r["vec_id"])
+    centroids = np.asarray(
+        [r["embedding"] for r in init_rows], dtype=np.float64
+    )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    for _ in range(n_iter):
+        cref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _batch_matrix(batch)
+            lab = _assign(mat, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, lab, mat)
+            counts = np.bincount(lab, minlength=len(c))
+            return pa.table(
+                {
+                    "cluster": pa.array(range(len(c)), pa.int64()),
+                    "vec_sum": pa.array(sums.tolist()),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+            sums[r["cluster"]] += np.asarray(r["vec_sum"])
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        lab = _assign(_batch_matrix(batch), c)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(lab, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_reference(sf_dir: str, k: int = 8, n_iter: int = 5) -> pd.DataFrame:
+    """Sequential numpy oracle for :func:`kmeans_embeddings` (tests)."""
+    import pyarrow.parquet as pq
+    import os
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    ids = tbl["vec_id"].to_numpy()[order]
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    centroids = mat[ids < k].copy()
+    for _ in range(n_iter):
+        lab = _assign(mat, centroids)
+        for c in range(k):
+            sel = lab == c
+            if sel.any():
+                centroids[c] = mat[sel].mean(axis=0)
+    lab = _assign(mat, centroids)
+    return pd.DataFrame({"vec_id": ids, "cluster": lab.astype(np.int64)})
