@@ -198,7 +198,8 @@ def events_hourly(sf_dir: str):
         return pd.DataFrame(
             {
                 "event_type": df["event_type"],
-                "hour": df["hour"],
+                # us resolution: bit-identical dtype to DuckDB's TIMESTAMP
+                "hour": df["hour"].astype("datetime64[us]"),
                 "total_value": df["total_q"] / 10000.0,
                 "n_events": df["n_events"],
             }

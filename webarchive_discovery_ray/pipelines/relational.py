@@ -83,7 +83,10 @@ def sliding_window_events(sf_dir: str, window_s: int = 3600, slide_s: int = 900)
         return pd.DataFrame(
             {
                 "event_type": df["event_type"],
-                "window_start": pd.to_datetime(df["window_start_ms"], unit="ms"),
+                # us resolution: bit-identical dtype to DuckDB's TIMESTAMP
+                "window_start": pd.to_datetime(df["window_start_ms"], unit="ms").astype(
+                    "datetime64[us]"
+                ),
                 "n_events": df["n_events"],
                 "sum_value": df["cents"] / 100.0,
             }
