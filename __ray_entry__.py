@@ -115,10 +115,63 @@ def _cdx(sf_dir: str):
 
 
 def _reduplicate(sf_dir: str):
-    from webarchive_discovery_ray.pipelines.cdx import revisit_captures
+    """J3 over the SAME materialized captures table the cdx oracle reads,
+    so the DuckDB oracle can replay the exemplar-merge in SQL."""
+    import os
+
+    import ray.data as rd
+
     from webarchive_discovery_ray.pipelines.dedup import reduplicate
 
-    return reduplicate(revisit_captures(500))
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+
+    def restore_int(batch: pa.Table) -> pa.Table:
+        # the pandas group-merge promotes nullable int columns to float;
+        # every null is filled by the exemplar merge in this fixture, so
+        # cast back for a dtype-exact comparison with the SQL oracle
+        for c in ("length",):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, batch[c].cast(pa.int64()))
+        return batch
+
+    return reduplicate(rd.read_parquet(f"{_ORACLE_MAT}/captures")).map_batches(
+        restore_int, batch_format="pyarrow"
+    )
+
+
+def _neardup_clusters(sf_dir: str):
+    """Connected components over the MinHash-LSH pair graph. The verified
+    pair list materializes to parquet so the DuckDB oracle can recompute
+    reachability with a recursive CTE over the SAME edge set."""
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from webarchive_discovery_ray.sources.io import read_table
+
+    out = f"{_ORACLE_MAT}/neardup_pairs"
+    shutil.rmtree(out, ignore_errors=True)
+    minhash_lsh_pairs(sf_dir).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    ).write_parquet(out)
+    import glob
+    import os
+
+    if not glob.glob(f"{out}/*.parquet"):  # empty pair set still needs a file
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        pq.write_table(empty, f"{out}/empty.parquet")
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"])
+    return neardup_clusters(rd.read_parquet(out), nodes)
 
 
 def _media_features(sf_dir: str):
@@ -161,33 +214,71 @@ def _pdf_preflight(sf_dir: str):
     )
 
 
-def _annotations(sf_dir: str):
-    """J1: broadcast annotations join over extracted fixture docs."""
-    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
-    from webarchive_discovery_ray.pipelines.enrich import annotate_batch
-    from webarchive_discovery_ray.sources.synthetic import fixture_pages_ds, hosts
-    from webarchive_discovery_ray.stages.extract import extract_batch
+def _annotation_rules() -> dict:
+    """The J1 rule set used by BOTH the Ray query and the SQL oracle
+    (literals derived deterministically from the synthetic host list)."""
+    from webarchive_discovery_ray.config import SyntheticConfig
+    from webarchive_discovery_ray.sources.synthetic import hosts
 
-    scfg = SyntheticConfig()
-    hs = hosts(scfg)
-    anns = {
+    hs = hosts(SyntheticConfig())
+    return {
         "resource": {},
         "root": {f"http://{hs[0]}/": [("collection-zero", "19900101000000", "20991231235959")]},
         "subdomains": {hs[1]: [("collection-one", "19900101000000", "20991231235959")]},
         # 4th scope: regex over the record's source file (Annotator.java:186-204)
-        "source_file_matches": {r"-0000\.warc": [("first-warc", "19900101000000", "20991231235959")]},
+        # — matches the shard-5 synthetic WARCs so the scope has real hits
+        "source_file_matches": {r"^synth-00005-": [("first-warc", "19900101000000", "20991231235959")]},
         # OA prefixes use the URL-key SURT form shared with the docs'
         # `surt` column ("tld,dom,host)/path" — no leading paren)
         "open_access_surts": [f"{','.join(reversed(hs[2].split('.')))})"],
     }
+
+
+def _annotations(sf_dir: str):
+    """J1: broadcast annotations join over extracted fixture docs (base
+    materialized so the DuckDB oracle applies the same rules in SQL;
+    ``collections`` flattens to a csv string for a stable comparison
+    surface — the underlying annotate_batch emits the real list column)."""
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.enrich import annotate_batch
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages_ds
+
+    anns = _annotation_rules()
+    out = f"{_ORACLE_MAT}/ann_base"
+    shutil.rmtree(out, ignore_errors=True)
     icfg = IndexConfig(response_include=())
-    docs = fixture_pages_ds(500, scfg, 8).map_batches(
-        lambda b: extract_batch(b, icfg), batch_format="pyarrow", batch_size=None
+    cols = ["doc_id", "url_norm", "host", "surt", "wayback_date", "source_file"]
+    fixture_pages_ds(500, SyntheticConfig(), 8).map_batches(
+        lambda b: extract_batch_sel(b, icfg, cols), batch_format="pyarrow", batch_size=None
+    ).write_parquet(out)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        ann = annotate_batch(batch, anns)
+        csv = pa.array(
+            [",".join(c) for c in ann["collections"].to_pylist()], pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": ann["doc_id"],
+                "url_norm": ann["url_norm"],
+                "collections": csv,
+                "access_terms": ann["access_terms"],
+            }
+        )
+
+    return rd.read_parquet(out).map_batches(
+        flatten, batch_format="pyarrow", batch_size=None
     )
-    out = docs.map_batches(
-        lambda b: annotate_batch(b, anns), batch_format="pyarrow", batch_size=None
-    )
-    return out.select_columns(["doc_id", "url_norm", "collections", "access_terms"])
+
+
+def extract_batch_sel(batch: pa.Table, icfg, cols: list[str]) -> pa.Table:
+    from webarchive_discovery_ray.stages.extract import extract_batch
+
+    return extract_batch(batch, icfg).select(cols)
 
 
 def _ark_lookup(sf_dir: str):
@@ -355,9 +446,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sliding_window_events,
         window_running_sum,
     )
+    from webarchive_discovery_ray.pipelines.aggregates import global_quantiles
     from webarchive_discovery_ray.pipelines.textops import (
         doc_fingerprint,
+        inverted_index,
         language_id,
+        ngram_topk,
+        pack_sequences,
         quality_score,
         token_stats,
     )
@@ -392,12 +487,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "repetition_score": repetition_score,
         "pii_scrub": pii_scrub,
+        "global_quantiles": global_quantiles,
+        "ngram_topk": ngram_topk,
+        "inverted_index": inverted_index,
+        "pack_sequences": pack_sequences,
+        "neardup_clusters": _neardup_clusters,
+        "ivf_cosine_topk": ivf_cosine_topk,
+        "language_id": language_id,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
         "embedding_neardup_pairs": embedding_neardup_pairs,
-        "ivf_cosine_topk": ivf_cosine_topk,
-        "language_id": language_id,
         "doc_fingerprint": doc_fingerprint,
         "fuzzy_hashes": fuzzy_hashes,
         "postcode_geo": _postcodes,
@@ -441,12 +541,42 @@ def _ensure_oracle_materializations() -> None:
         _persist_log("")
     if not os.path.isdir(f"{_ORACLE_MAT}/arcname_base"):
         _arcname("")
+    if not os.path.isdir(f"{_ORACLE_MAT}/ann_base"):
+        _annotations("")
+    if not os.path.isdir(f"{_ORACLE_MAT}/neardup_pairs"):
+        # the pair graph depends on the corpus: default to the driver's
+        # correctness scale; the query itself re-materializes at its own sf
+        _neardup_clusters("/root/testdata/sf0.01")
 
 
 def oracle_sql() -> dict[str, str]:
     ws = r"\s+"
     tokens = f"regexp_split_to_array(trim(text), '{ws}')"
     _ensure_oracle_materializations()
+
+    # J1 rule literals shared with the Ray query (deterministic host list)
+    ann = _annotation_rules()
+    ann_root = next(iter(ann["root"]))
+    ann_sub = next(iter(ann["subdomains"]))
+    ann_sfm = next(iter(ann["source_file_matches"]))
+    ann_oa = ann["open_access_surts"][0]
+    ann_gate = "wayback_date BETWEEN '19900101000000' AND '20991231235959'"
+
+    # J3 exemplar-merge columns (captures schema minus the group key and
+    # record_type, which get dedicated CASEs)
+    redup_cols = [
+        "surt_key", "timestamp14", "url", "mime", "status",
+        "length", "offset", "filename",
+    ]
+    redup_ex = ",\n                   ".join(
+        f'first_value("{c}") OVER win AS "ex_{c}"' for c in redup_cols
+    )
+    redup_merge = ",\n                   ".join(
+        f"CASE WHEN record_type = 'revisit' AND has_resp"
+        f' THEN COALESCE("{c}", "ex_{c}") ELSE "{c}" END AS "{c}"'
+        for c in redup_cols
+    )
+
     return {
         # money/value sums use the same floor(x*scale + 0.5) integer-cents
         # quantisation as the Ray pipelines -> bit-exact across engines
@@ -866,6 +996,207 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - CAST(COALESCE(g.u_g, 0) AS DOUBLE)
                        / COALESCE(g.n_g, 1) AS dup_2gram_frac
             FROM wstat w LEFT JOIN gstat g USING (doc_id)
+        """,
+        # integer-dot-product language ID: top-40 token profiles per lang,
+        # score = sum(doc token count x profile count) — exact arithmetic,
+        # ties -> lexicographically smallest lang, zero overlap -> min lang
+        "language_id": rf"""
+            WITH toks AS (
+                SELECT doc_id, lang, t.tok
+                FROM documents, unnest({tokens}) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            counts AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+            prof AS (
+                SELECT lang, tok, n FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY lang ORDER BY n DESC, tok) AS rn
+                    FROM counts
+                ) WHERE rn <= 40
+            ),
+            dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            scores AS (
+                SELECT dt.doc_id, p.lang, sum(dt.c * p.n) AS s
+                FROM dt JOIN prof p ON dt.tok = p.tok GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT doc_id, lang AS lang_pred FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+                    FROM scores
+                ) WHERE rn = 1
+            )
+            SELECT d.doc_id, d.lang,
+                   COALESCE(b.lang_pred, (SELECT min(lang) FROM documents))
+                       AS lang_pred
+            FROM documents d LEFT JOIN best b USING (doc_id)
+        """,
+        # IVF probe: per-label centroids (per-dimension avg), 3 nearest
+        # centroids per query by round-6 cosine (label tie-break), exact
+        # round-6 cosine rank within the probed buckets — mirrors
+        # pipelines/similarity.ivf_cosine_topk
+        "ivf_cosine_topk": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT label, generate_subscripts(emb, 1) AS idx,
+                       unnest(emb) AS val
+                FROM e
+            ),
+            cent AS (
+                SELECT label, list(v ORDER BY idx) AS c FROM (
+                    SELECT label, idx, avg(val) AS v FROM dims GROUP BY 1, 2
+                ) GROUP BY label
+            ),
+            q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 8),
+            probe AS (
+                SELECT qid, label FROM (
+                    SELECT q.qid, cent.label,
+                           row_number() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY round(list_cosine_similarity(cent.c, q.qe), 6)
+                                   DESC, cent.label
+                           ) AS rn
+                    FROM q, cent
+                ) WHERE rn <= 3
+            )
+            SELECT qid AS query_vec_id, vec_id, rank FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY round(list_cosine_similarity(e.emb, q.qe), 6)
+                               DESC, e.vec_id
+                       ) AS rank
+                FROM q JOIN probe p ON p.qid = q.qid
+                       JOIN e ON e.label = p.label
+            ) WHERE rank <= 5
+        """,
+        # J1 annotations: the same four-scope rule set as the Ray query
+        # (resource scope empty in this fixture), date-gated, over the
+        # materialized extraction base
+        "annotations": rf"""
+            SELECT doc_id, url_norm,
+                   COALESCE(array_to_string(list_sort(list_filter(
+                       [CASE WHEN starts_with(url_norm, '{ann_root}')
+                                  AND {ann_gate} THEN 'collection-zero' END,
+                        CASE WHEN (host = '{ann_sub}'
+                                   OR ends_with(host, '.{ann_sub}'))
+                                  AND {ann_gate} THEN 'collection-one' END,
+                        CASE WHEN regexp_matches(source_file, '{ann_sfm}')
+                                  AND {ann_gate} THEN 'first-warc' END],
+                       x -> x IS NOT NULL)), ','), '') AS collections,
+                   CASE WHEN starts_with(surt, '{ann_oa}') THEN 'OA'
+                        ELSE 'RRO' END AS access_terms
+            FROM read_parquet('{_ORACLE_MAT}/ann_base/*.parquet')
+        """,
+        # J3 reduplication: per-digest exemplar = first response by
+        # (timestamp14, url); revisits take their own non-null fields,
+        # exemplar fills the nulls; record_type -> 'reduplicated'
+        "reduplicate_revisits": f"""
+            WITH rows AS (
+                SELECT * FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+            ),
+            w AS (
+                SELECT *,
+                   bool_or(record_type = 'response') OVER
+                       (PARTITION BY digest) AS has_resp,
+                   {redup_ex}
+                FROM rows
+                WINDOW win AS (
+                    PARTITION BY digest
+                    ORDER BY (record_type <> 'response'), timestamp14, url
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                )
+            )
+            SELECT {redup_merge},
+                   digest,
+                   CASE WHEN record_type = 'revisit' AND has_resp
+                        THEN 'reduplicated' ELSE record_type END AS record_type
+            FROM w
+        """,
+        # connected components over the materialized LSH pair graph:
+        # cluster_id = min doc_id reachable (recursive transitive closure)
+        "neardup_clusters": f"""
+            WITH RECURSIVE edges AS (
+                SELECT doc_a AS src, doc_b AS dst
+                FROM read_parquet('{_ORACLE_MAT}/neardup_pairs/*.parquet')
+                UNION ALL
+                SELECT doc_b, doc_a
+                FROM read_parquet('{_ORACLE_MAT}/neardup_pairs/*.parquet')
+            ),
+            reach(a, b) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        # exact lower-value quantiles: value at index floor(q*(n-1))
+        "global_quantiles": """
+            WITH s AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) - 1 AS rn
+                FROM lineitem
+            ),
+            n AS (SELECT count(*) AS c FROM lineitem),
+            qs(q) AS (VALUES (0.01), (0.10), (0.25), (0.50), (0.75), (0.90), (0.99))
+            SELECT qs.q AS q, s.v AS value
+            FROM qs, n, s
+            WHERE s.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)
+        """,
+        # corpus top-50 2-grams, ties broken by gram asc
+        "ngram_topk": rf"""
+            WITH toks AS (
+                SELECT {tokens} AS w FROM documents WHERE trim(text) <> ''
+            ),
+            g AS (
+                SELECT w[CAST(i AS BIGINT)] || ' ' || w[CAST(i + 1 AS BIGINT)] AS gram
+                FROM toks, unnest(range(1, len(w))) AS t(i)
+                WHERE len(w) >= 2
+            )
+            SELECT gram, count(*) AS n FROM g
+            GROUP BY gram ORDER BY n DESC, gram LIMIT 50
+        """,
+        # inverted index: token -> (df, total_tf, first-8 posting doc_ids)
+        "inverted_index": rf"""
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents, unnest({tokens}) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            tf AS (SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT tok AS token,
+                   count(*) AS df,
+                   CAST(sum(c) AS BIGINT) AS total_tf,
+                   array_to_string(
+                       list_slice(list(doc_id ORDER BY doc_id), 1, 8), ','
+                   ) AS postings
+            FROM tf GROUP BY tok
+        """,
+        # concat-and-chunk sequence packing over doc_id order (512-token
+        # context windows; empty docs collapse to bin_start)
+        "pack_sequences": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n,
+                       CAST(COALESCE(sum(n) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS off
+                FROM t
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, off AS tok_offset,
+                   off // 512 AS bin_start,
+                   CASE WHEN n = 0 THEN off // 512
+                        ELSE (off + n - 1) // 512 END AS bin_end
+            FROM c
         """,
         # digit-run masking + salted-md5 pseudonym; [0-9]+ is byte-wise
         # identical between Python re and DuckDB's RE2

@@ -442,3 +442,108 @@ def test_language_id_deterministic_across_runs(ray_session):
     b = language_id(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert set(a.columns) == {"doc_id", "lang", "lang_pred"}
+
+
+# --- round-2 operators: clustering, quantiles, n-grams, packing --------------
+
+def test_neardup_clusters_label_propagation(ray_session):
+    """Chain + clique + singletons: every node must get the min doc_id
+    reachable through the pair graph."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.dedup import neardup_clusters
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} and {21}
+    pairs = rd.from_items(
+        [
+            {"doc_a": 1, "doc_b": 2},
+            {"doc_a": 2, "doc_b": 3},
+            {"doc_a": 3, "doc_b": 4},
+            {"doc_a": 10, "doc_b": 11},
+            {"doc_a": 11, "doc_b": 12},
+            {"doc_a": 10, "doc_b": 12},
+        ]
+    )
+    nodes = rd.from_items([{"doc_id": i} for i in [1, 2, 3, 4, 10, 11, 12, 20, 21]])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, nodes).take_all()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
+def test_global_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.aggregates import global_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    vals = np.sort(pq.read_table(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])[
+        "l_extendedprice"
+    ].to_numpy())
+    df = global_quantiles(sf).sort_values("q").reset_index(drop=True)
+    for q, v in zip(df["q"], df["value"]):
+        assert v == vals[int(np.floor(q * (len(vals) - 1)))]
+
+
+def test_pack_sequences_layout_invariants(ray_session):
+    """Offsets are the exclusive prefix sum of token counts in doc_id
+    order; bins cover the concatenated stream without gaps."""
+    from webarchive_discovery_ray.pipelines.textops import pack_sequences
+
+    df = (
+        pack_sequences("/root/testdata/sf0.001", context=128)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    off = 0
+    for _, r in df.iterrows():
+        assert r["tok_offset"] == off
+        assert r["bin_start"] == off // 128
+        end = (off + r["n_tokens"] - 1) // 128 if r["n_tokens"] else off // 128
+        assert r["bin_end"] == end
+        off += r["n_tokens"]
+
+
+def test_ngram_topk_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import ngram_topk
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        toks = t.split()
+        c.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = ngram_topk(sf).to_pandas()
+    got = list(zip(got["gram"], got["n"]))
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_inverted_index_postings(ray_session):
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import inverted_index
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    posting: dict[str, dict[int, int]] = {}
+    for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for tok in t.split():
+            posting.setdefault(tok, {}).setdefault(d, 0)
+            posting[tok][d] += 1
+    df = inverted_index(sf).to_pandas()
+    assert len(df) == len(posting)
+    by_tok = df.set_index("token")
+    for tok in list(posting)[:40]:
+        row = by_tok.loc[tok]
+        ids = sorted(posting[tok])
+        assert row["df"] == len(ids)
+        assert row["total_tf"] == sum(posting[tok].values())
+        assert row["postings"] == ",".join(str(i) for i in ids[:8])

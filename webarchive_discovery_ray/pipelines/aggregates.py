@@ -351,3 +351,53 @@ def union_orders_split(sf_dir: str, split: float = 150000.0):
         .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
         .map_batches(finalise, batch_format="pandas")
     )
+
+
+GLOBAL_QUANTILES = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def global_quantiles(sf_dir: str, qs=GLOBAL_QUANTILES):
+    """Exact global quantiles of ``lineitem.l_extendedprice`` (lower-value
+    semantics: value at index ``floor(q * (n-1))`` of the sorted column).
+
+    Distributed: ONE range-partitioned ``ds.sort`` (the only shuffle),
+    per-block row counts via tiny remote tasks, then the driver maps each
+    quantile index to a (block, local offset) and fetches single values —
+    the driver handles #blocks integers + len(qs) floats, never rows.
+    Columns: q, value. SQL-oracle-checked."""
+    import math
+
+    import ray
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    sorted_ds = ds.sort("l_extendedprice").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    bounds = np.cumsum([0] + counts)
+
+    # quantile index -> (block, local offset); fetch each block once
+    want: dict[int, list[tuple[int, int]]] = {}
+    for qi, q in enumerate(qs):
+        gidx = int(math.floor(q * (n - 1)))
+        b = int(np.searchsorted(bounds, gidx, side="right") - 1)
+        want.setdefault(b, []).append((qi, gidx - int(bounds[b])))
+
+    @ray.remote
+    def fetch(tbl: pa.Table, offs: list[int]) -> list[float]:
+        col = tbl["l_extendedprice"]
+        return [float(col[o].as_py()) for o in offs]
+
+    got = {
+        b: fetch.remote(refs[b], [o for _, o in pairs]) for b, pairs in want.items()
+    }
+    vals = [0.0] * len(qs)
+    for b, pairs in want.items():
+        for (qi, _), v in zip(pairs, ray.get(got[b])):
+            vals[qi] = v
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64), "value": vals})

@@ -370,3 +370,88 @@ def reduplicate(ds, batch_format: str = "pyarrow"):
         return out
 
     return ds.groupby("digest").map_groups(fix_group, batch_format="pandas")
+
+
+def neardup_clusters(pairs_ds, nodes_ds):
+    """Connected components over a near-dup pair list: every document gets
+    the MINIMUM doc_id reachable through the pair graph (hash-min label
+    propagation — the standard BSP connected-components algorithm).
+
+    ``pairs_ds``: Dataset with (doc_a, doc_b); ``nodes_ds``: Dataset with
+    (doc_id) covering every node (unpaired docs become singleton
+    clusters). Each iteration is ONE edge⨝label hash join + ONE grouped
+    Min — all candidate-bounded data (the edge list is the LSH-verified
+    pair set, not the corpus). Convergence is detected inside the same
+    grouped pass (a per-node ``own`` marker carries the previous label, so
+    ``changed`` is a filter+count over the aggregated output — no extra
+    join). Iterations are O(component diameter); near-dup components are
+    shallow in practice. Columns: doc_id, cluster_id."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = int(min(16, max(2, n_cpus // 2)))
+    agg_args = {"num_cpus": 0.25}
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].cast(pa.int64())
+        b = batch["doc_b"].cast(pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        return pa.table({"doc_id": ids, "label": ids})
+
+    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    for _ in range(64):  # diameter bound; near-dup graphs converge in a few
+        msgs = edges.join(
+            labels,
+            "inner",
+            num_partitions=n_parts,
+            on=("src",),
+            right_on=("doc_id",),
+            aggregator_ray_remote_args=agg_args,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["dst"],
+                    "label": b["label"],
+                    "own": pa.nulls(b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        selfs = labels.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"], "label": b["label"], "own": b["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        agg = (
+            selfs.union(msgs)
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="label"), Max("own", alias_name="own"))
+            .materialize()
+        )
+        changed = agg.map_batches(
+            lambda b: b.filter(pc.less(b["label"], b["own"])), batch_format="pyarrow"
+        ).count()
+        labels = agg.map_batches(
+            lambda b: b.select(["doc_id", "label"]), batch_format="pyarrow"
+        ).materialize()
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    )

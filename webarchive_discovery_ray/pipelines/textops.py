@@ -18,10 +18,19 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..sources.io import read_table
 
-__all__ = ["token_stats", "quality_score", "language_id", "doc_fingerprint"]
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "doc_fingerprint",
+    "ngram_topk",
+    "inverted_index",
+    "pack_sequences",
+]
 
 
 # BPE-ish subword pre-tokeniser (GPT-2-style segment classes, ASCII form:
@@ -105,10 +114,12 @@ def language_id(sf_dir: str):
 
     Phase 1 (train): per-``lang`` token-frequency profiles via a grouped
     aggregation (small result, materialised). Phase 2 (apply): profiles
-    broadcast with ``ray.put``; each batch classifies docs by cosine over
-    the shared profile vocabulary. Columns: doc_id, lang, lang_pred.
-    Non-SQL-expressible -> rows-only driver check; determinism pinned by
-    lexicographic tie-breaks."""
+    broadcast with ``ray.put``; each batch classifies docs by an INTEGER
+    dot product of the doc's token counts against each lang's top-k
+    profile counts (exact arithmetic — no float cosine), ties broken by
+    lexicographically-smallest lang; zero-overlap docs get the smallest
+    lang. Columns: doc_id, lang, lang_pred. SQL-oracle-checked (the
+    integer scoring is bit-exact across engines)."""
     import ray
     import ray.data as rd
 
@@ -168,25 +179,21 @@ def language_id(sf_dir: str):
             self.langs = sorted(prof)
             vocab = sorted({t for c in prof.values() for t in c})
             self.vocab_ix = {t: i for i, t in enumerate(vocab)}
-            mat = np.zeros((len(self.langs), len(vocab)))
+            mat = np.zeros((len(self.langs), len(vocab)), dtype=np.int64)
             for li, lang in enumerate(self.langs):
                 for t, n in prof[lang].items():
                     mat[li, self.vocab_ix[t]] = n
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            self.mat = mat / norms[:, None]
+            self.mat = mat
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.zeros((len(df), len(self.vocab_ix)))
+            vecs = np.zeros((len(df), len(self.vocab_ix)), dtype=np.int64)
             for i, toks in enumerate(df["text"].str.split()):
                 for t in toks:
                     j = self.vocab_ix.get(t)
                     if j is not None:
                         vecs[i, j] += 1
-            norms = np.linalg.norm(vecs, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (vecs / norms[:, None]) @ self.mat.T
-            best = np.argmax(sims, axis=1)  # ties -> lowest index = lexicographic
+            scores = vecs @ self.mat.T  # exact int64 dot products
+            best = np.argmax(scores, axis=1)  # ties -> lowest index = lexicographic
             return pd.DataFrame(
                 {
                     "doc_id": df["doc_id"],
@@ -245,3 +252,155 @@ def doc_fingerprint(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": out})
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
+    """Corpus-level top-k n-grams (counts over whitespace tokens).
+
+    Per-batch partial counts (combiner), ONE grouped Sum over (gram), a
+    per-output-block top-k truncation, then a bounded global sort+limit —
+    the shuffle moves pre-aggregated (gram, n) rows and the final sort
+    touches at most k x blocks rows. Ties at the k-th position break by
+    gram asc (matching ``ORDER BY n DESC, gram LIMIT k``). Columns:
+    gram, n. SQL-oracle-checked."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        grams = toks.map(
+            lambda t: [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        )
+        ex = grams.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"gram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        vc = ex.value_counts()
+        return pd.DataFrame({"gram": vc.index, "n": vc.to_numpy().astype("int64")})
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # safe truncation AFTER the Sum: a gram in the global top-k is in
+        # the top-k of whichever output block holds its single row
+        return df.sort_values(["n", "gram"], ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pandas")
+        .sort(["n", "gram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def inverted_index(sf_dir: str, max_postings: int = 8):
+    """Distributed inverted index: token -> (document frequency, total term
+    frequency, first ``max_postings`` posting doc_ids). The Solr/Lucene
+    index the reference delegates to (``warc-indexer/.../solr/
+    SolrRecordFactory.java`` feeds text into Solr's inverted index),
+    re-expressed as a first-class Dataset op: per-batch (token, doc_id, tf)
+    partials, ONE hash shuffle on token, vectorised per-group finalise.
+    Posting lists are truncated (bounded output per token — no unbounded
+    hot-token group) and emitted as a csv string for a stable comparison
+    surface. Columns: token, df, total_tf, postings. SQL-oracle-checked."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_tf(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            df[["doc_id"]]
+            .assign(token=df["text"].str.split())
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        g = (
+            ex.groupby(["token", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return g
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        # one group = one token (groupby key); df/tf are exact because each
+        # (token, doc_id) pair appears once per source block and is summed
+        g = df.groupby("doc_id", sort=True)["tf"].sum()
+        ids = g.index.to_numpy()
+        return pd.DataFrame(
+            {
+                "token": [df["token"].iloc[0]],
+                "df": np.array([len(ids)], dtype=np.int64),
+                "total_tf": np.array([int(g.sum())], dtype=np.int64),
+                "postings": [",".join(str(i) for i in ids[:max_postings])],
+            }
+        )
+
+    return (
+        ds.map_batches(partial_tf, batch_format="pandas")
+        .groupby("token")
+        .map_groups(finalise, batch_format="pandas")
+    )
+
+
+_PACK_CONTEXT = 512  # tokens per training context window
+
+
+def pack_sequences(sf_dir: str, context: int = _PACK_CONTEXT):
+    """Concat-and-chunk sequence packing (GPT-style): documents are laid
+    end-to-end in doc_id order and sliced into fixed ``context``-token
+    windows; each document records its global token offset and the bin
+    range it lands in. TWO-PHASE prefix sum (same scan pattern as
+    window_running_sum): range-partition by doc_id via ``ds.sort``,
+    per-block token totals -> tiny driver offset merge -> per-block
+    cumsum + offset. The driver holds #blocks integers, never rows.
+    Columns: doc_id, n_tokens, tok_offset, bin_start, bin_end (empty docs
+    collapse to bin_start). SQL-oracle-checked."""
+    import ray
+    import ray.data as rd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.split().str.len().astype("int64"),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(count_tokens, batch_format="pandas")
+        .sort("doc_id")
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_total(tbl: pa.Table) -> int:
+        return int(tbl["n_tokens"].to_pandas().sum()) if tbl.num_rows else 0
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def pack_block(tbl: pa.Table, base: int) -> pa.Table:
+        df = tbl.to_pandas()
+        n = df["n_tokens"].to_numpy()
+        off = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        end = np.where(n > 0, (off + n - 1) // context, off // context)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "n_tokens": n,
+                    "tok_offset": off,
+                    "bin_start": off // context,
+                    "bin_end": end,
+                }
+            ),
+            preserve_index=False,
+        )
+
+    out_refs = [pack_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
+    del sorted_ds, refs
+    return rd.from_arrow_refs(out_refs)
