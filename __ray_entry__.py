@@ -413,6 +413,21 @@ def _dataset_summaries(sf_dir: str):
     return dataset_summaries(docs=_materialized_docs_base(500))
 
 
+def _host_link_graph(sf_dir: str):
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import _docs_ds, host_link_graph
+
+    out = f"{_ORACLE_MAT}/link_base"
+    shutil.rmtree(out, ignore_errors=True)
+    _docs_ds(500).map_batches(
+        lambda b: b.select(["host", "links_hosts"]), batch_format="pyarrow"
+    ).write_parquet(out)
+    return host_link_graph(docs=rd.read_parquet(out))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.aggregates import (
         distinct_event_types,
@@ -426,10 +441,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         union_orders_split,
     )
     from webarchive_discovery_ray.pipelines.dedup import (
+        dup_span_fraction,
         embedding_neardup_pairs,
         exact_dedup,
         minhash_lsh_pairs,
         simhash_signatures,
+    )
+    from webarchive_discovery_ray.pipelines.sessions import (
+        grouped_topk_docs,
+        sessionize_events,
+        stratified_sample_events,
     )
     from webarchive_discovery_ray.pipelines.similarity import (
         ann_cosine_topk,
@@ -494,6 +515,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": _neardup_clusters,
         "ivf_cosine_topk": ivf_cosine_topk,
         "language_id": language_id,
+        "sessionize_events": sessionize_events,
+        "stratified_sample_events": stratified_sample_events,
+        "grouped_topk_docs": grouped_topk_docs,
+        "dup_span_fraction": dup_span_fraction,
+        "host_link_graph": _host_link_graph,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
@@ -543,6 +569,8 @@ def _ensure_oracle_materializations() -> None:
         _arcname("")
     if not os.path.isdir(f"{_ORACLE_MAT}/ann_base"):
         _annotations("")
+    if not os.path.isdir(f"{_ORACLE_MAT}/link_base"):
+        _host_link_graph("")
     if not os.path.isdir(f"{_ORACLE_MAT}/neardup_pairs"):
         # the pair graph depends on the corpus: default to the driver's
         # correctness scale; the query itself re-materializes at its own sf
@@ -1209,5 +1237,96 @@ def oracle_sql() -> dict[str, str]:
                    md5('pii-salt:' || CAST(user_id AS VARCHAR))
                        AS user_pseudonym
             FROM events
+        """,
+        # 30-minute-gap sessionization (gap strictly > 1800 s starts a new
+        # session; ties ordered by (ts, event_id) in both engines)
+        "sessionize_events": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_num
+                FROM o
+            )
+            SELECT user_id, session_num,
+                   count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_value
+            FROM s GROUP BY user_id, session_num
+        """,
+        # deterministic 20-per-stratum sample by md5(event_id) rank
+        "stratified_sample_events": """
+            SELECT event_type, event_id, rank FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ) AS rank
+                FROM events
+            ) WHERE rank <= 20
+        """,
+        # top-3 docs by (n_chars desc, doc_id) per (lang, source)
+        "grouped_topk_docs": """
+            SELECT lang, source, doc_id, n_chars, rank FROM (
+                SELECT lang, source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rank
+                FROM documents
+            ) WHERE rank <= 3
+        """,
+        # duplicated 8-token-window coverage per document (token indices
+        # are 1-based here, 0-based in the Ray op — coverage counts agree)
+        "dup_span_fraction": f"""
+            WITH t AS (
+                SELECT doc_id, {tokens} AS w,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n_tokens
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, i,
+                       md5(array_to_string(
+                           w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' '
+                       )) AS sh
+                FROM t, unnest(range(1, n_tokens - 6)) AS r(i)
+            ),
+            dups AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT p.doc_id, j
+                FROM pos p JOIN dups USING (sh),
+                     unnest(range(p.i, p.i + 8)) AS c(j)
+            ),
+            nd AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                FROM cov GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_tokens,
+                   COALESCE(nd.n_dup, 0) AS n_dup_tokens,
+                   CASE WHEN t.n_tokens > 0
+                        THEN COALESCE(nd.n_dup, 0)
+                             / CAST(t.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS dup_fraction
+            FROM t LEFT JOIN nd USING (doc_id)
+        """,
+        # host->host weighted link-graph edges over the materialized
+        # extraction base (M22 links_hosts)
+        "host_link_graph": f"""
+            SELECT host AS src_host, l.dst AS dst_host,
+                   count(*) AS n_links
+            FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                 unnest(links_hosts) AS l(dst)
+            GROUP BY 1, 2
         """,
     }

@@ -547,3 +547,126 @@ def test_inverted_index_postings(ray_session):
         assert row["df"] == len(ids)
         assert row["total_tf"] == sum(posting[tok].values())
         assert row["postings"] == ",".join(str(i) for i in ids[:8])
+
+
+# --- sessionization / sampling / grouped ranking ----------------------------
+
+def test_sessionize_events_invariants(ray_session):
+    """Per-user sessions partition the user's events; boundaries are gaps
+    strictly over the timeout; within-session consecutive gaps are <= it."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.sessions import sessionize_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    df = sessionize_events(sf, gap_s=1800).to_pandas()
+    # every event accounted for exactly once
+    assert df.groupby("user_id")["n_events"].sum().sort_index().equals(
+        ev.groupby("user_id").size().sort_index().astype("int64")
+    )
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("session_num").reset_index(drop=True)
+        assert list(g["session_num"]) == list(range(1, len(g) + 1))
+        assert (g["end_ts"] >= g["start_ts"]).all()
+        # sessions are time-ordered and separated by > 1800 s
+        gaps = (
+            g["start_ts"].iloc[1:].to_numpy().astype("datetime64[us]").astype("int64")
+            - g["end_ts"].iloc[:-1].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        assert (gaps > 1800 * 1_000_000).all()
+
+
+def test_stratified_sample_deterministic_and_bounded(ray_session):
+    from webarchive_discovery_ray.pipelines.sessions import stratified_sample_events
+
+    sf = "/root/testdata/sf0.001"
+    a = stratified_sample_events(sf, k=7).to_pandas()
+    b = stratified_sample_events(sf, k=7).to_pandas()
+    key = ["event_type", "event_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    per = a.groupby("event_type")
+    assert (per.size() <= 7).all()
+    for _, g in per:
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_grouped_topk_docs_ranks(ray_session):
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.sessions import grouped_topk_docs
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    ).to_pandas()
+    got = grouped_topk_docs(sf, k=2).to_pandas()
+    want = (
+        docs.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .groupby(["lang", "source"], sort=False)
+        .head(2)
+    )
+    assert len(got) == len(want)
+    gset = set(map(tuple, got[["lang", "source", "doc_id"]].to_numpy()))
+    wset = set(map(tuple, want[["lang", "source", "doc_id"]].to_numpy()))
+    assert gset == wset
+    for _, g in got.groupby(["lang", "source"]):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["n_chars"].diff().dropna() <= 0).all()
+
+
+def test_dup_span_fraction_matches_sequential_reference(ray_session):
+    """Distributed duplicated-window coverage == a brute-force sequential
+    pass over the corpus (window counts -> per-doc interval union)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import dup_span_fraction
+
+    sf = "/root/testdata/sf0.001"
+    w = 8
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    counts: Counter = Counter()
+    toks_of = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        toks_of[did] = toks
+        counts.update(
+            " ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)
+        )
+    want = {}
+    for did, toks in toks_of.items():
+        covered = set()
+        for i in range(len(toks) - w + 1):
+            if counts[" ".join(toks[i : i + w])] >= 2:
+                covered.update(range(i, i + w))
+        want[did] = (len(toks), len(covered))
+    df = dup_span_fraction(sf, w=w).to_pandas().set_index("doc_id")
+    assert len(df) == len(docs)
+    assert any(n_cov > 0 for _, n_cov in want.values()), "fixture has no dup spans"
+    for did, (n_tok, n_cov) in want.items():
+        assert df.loc[did, "n_tokens"] == n_tok
+        assert df.loc[did, "n_dup_tokens"] == n_cov
+        frac = n_cov / n_tok if n_tok else 0.0
+        assert df.loc[did, "dup_fraction"] == frac
+
+
+def test_host_link_graph_totals(ray_session):
+    """Edge weights sum to the total outlink-host mentions of the base."""
+    from webarchive_discovery_ray.pipelines.stats import _docs_ds, host_link_graph
+
+    base = _docs_ds(120).materialize()
+    total = sum(
+        len(r) for r in base.select_columns(["links_hosts"]).to_pandas()["links_hosts"]
+    )
+    g = host_link_graph(docs=base).to_pandas()
+    assert g["n_links"].sum() == total
+    assert (g["n_links"] >= 1).all()
+    assert not g.duplicated(["src_host", "dst_host"]).any()

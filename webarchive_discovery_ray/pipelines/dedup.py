@@ -29,6 +29,7 @@ __all__ = [
     "simhash_signatures",
     "embedding_neardup_pairs",
     "reduplicate",
+    "dup_span_fraction",
 ]
 
 
@@ -55,6 +56,116 @@ def exact_dedup(sf_dir: str):
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
+
+
+_SPAN_W = 8  # duplicated-window width in whitespace tokens
+
+
+def dup_span_fraction(sf_dir: str, w: int = _SPAN_W):
+    """Exact duplicated-substring coverage per document, at token
+    granularity (the "Deduplicating Training Data Makes Language Models
+    Better" metric, token-window form): a w-token window is *duplicated*
+    when its text occurs ≥2 times anywhere in the corpus (any doc, any
+    position, including within one doc); each document reports the
+    fraction of its tokens covered by the union of its duplicated windows.
+
+    Shape (all shuffles hash-partitioned, no driver materialization):
+    (1) per-batch shingle emission — (md5(window), doc_id, pos) rows,
+    materialized once (used by both the count and the join-back);
+    (2) ONE grouped Count keeps window hashes with ≥2 occurrences;
+    (3) a left-semi join filters the position rows to duplicated windows;
+    (4) per-doc grouped interval-union (vectorised diff/clip) counts
+    covered tokens; (5) a left-outer join against the per-doc token counts
+    emits EVERY document (zero coverage included). Columns: doc_id,
+    n_tokens, n_dup_tokens, dup_fraction (one double division of two exact
+    ints — bit-identical to the SQL oracle's)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_parts = int(min(64, max(4, ray.cluster_resources().get("CPU", 8))))
+    agg_args = {"num_cpus": 0.25}
+
+    def shingle_positions(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        poss: list = []
+        shs: list = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            for i in range(len(toks) - w + 1):
+                shs.append(_md5_hex(" ".join(toks[i : i + w])))
+                ids.append(did)
+                poss.append(i)
+        return pd.DataFrame(
+            {
+                "sh": pd.Series(shs, dtype=str),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+            }
+        )
+
+    shingles = ds.map_batches(
+        shingle_positions, batch_format="pandas"
+    ).materialize()
+    dup_sh = (
+        shingles.groupby("sh")
+        .aggregate(Count(alias_name="n_occ"))
+        .filter(lambda r: r["n_occ"] >= 2)
+        .select_columns(["sh"])
+    )
+    dup_pos = shingles.join(
+        dup_sh,
+        "left_semi",
+        num_partitions=n_parts,
+        on=("sh",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.unique(df["pos"].to_numpy())
+        covered = int(np.minimum(np.diff(p), w).sum()) + w
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([df["doc_id"].iloc[0]], dtype="int64"),
+                "n_dup_tokens": pd.Series([covered], dtype="int64"),
+            }
+        )
+
+    cov = dup_pos.groupby("doc_id").map_groups(coverage, batch_format="pandas")
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.split().str.len().astype("int64"),
+            }
+        )
+
+    out = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pandas"
+    ).join(
+        cov,
+        "left_outer",
+        num_partitions=n_parts,
+        on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        n_dup = df["n_dup_tokens"].fillna(0).astype("int64")
+        n_tok = df["n_tokens"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tok,
+                "n_dup_tokens": n_dup,
+                "dup_fraction": np.where(
+                    n_tok > 0, n_dup / n_tok.replace(0, 1).astype("float64"), 0.0
+                ),
+            }
+        )
+
+    return out.map_batches(finalise, batch_format="pandas")
 
 
 _N_PERM = 32

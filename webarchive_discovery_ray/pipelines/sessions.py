@@ -1,0 +1,165 @@
+"""Session / sampling / grouped-ranking operators over the ``events`` and
+``documents`` tables.
+
+Training-data-pipeline operators beyond the reference's own set. The
+reference precedent for ordered per-key stateful passes is the within-file
+response<->metadata pairing (``warc-hadoop-crawler-utils/src/main/java/uk/
+bl/wa/hadoop/recrawl/PersistLogMapper.java:86-97`` — a sort-by-key then
+sequential merge inside one reducer group); these generalise that shape:
+
+* **sessionization** — hash-partition by the session key (``groupby(
+  user_id).map_groups``), per-group time-sort + vectorised gap detection
+  (diff/cumsum — no per-row loop). Partitioning assumption: one user's
+  events co-locate; user cardinality is high so groups stay bounded.
+* **stratified sampling** — deterministic k-per-stratum by md5 rank; the
+  per-batch partial top-k bounds every block's contribution to
+  ``k × strata`` rows before the small grouped finalise (combiner
+  pattern — the shuffle moves at most k × strata × blocks rows).
+* **grouped top-k** — same partial/finalise shape over (lang, source).
+
+All three are SQL-oracle-checked (md5 ranks and integer-cents sums are
+bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ..sources.io import read_table
+
+__all__ = [
+    "sessionize_events",
+    "stratified_sample_events",
+    "grouped_topk_docs",
+]
+
+SESSION_GAP_S = 1800  # classic 30-minute inactivity timeout
+
+
+def sessionize_events(sf_dir: str, gap_s: int = SESSION_GAP_S):
+    """Gap-timeout sessionization: per user, events ordered by
+    (ts, event_id) start a new session when the gap since the previous
+    event EXCEEDS ``gap_s`` (equality keeps the session). One output row
+    per session. Columns: user_id, session_num (1-based per user),
+    n_events, start_ts, end_ts, sum_value (integer-cents quantised,
+    bit-exact vs the SQL window oracle)."""
+    gap_us = gap_s * 1_000_000
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        us = ts.astype("int64")
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (us[1:] - us[:-1]) > gap_us
+        snum = np.cumsum(new)
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "session_num": snum,
+                    "ts": ts,
+                    "cents": cents,
+                }
+            )
+            .groupby("session_num", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("ts", "size"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+                cents=("cents", "sum"),
+            )
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "session_num": g["session_num"].astype("int64"),
+                "n_events": g["n_events"].astype("int64"),
+                "start_ts": g["start_ts"].astype("datetime64[us]"),
+                "end_ts": g["end_ts"].astype("datetime64[us]"),
+                "sum_value": g["cents"].to_numpy() / 100.0,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def _md5_rank(ids: pd.Series) -> pd.Series:
+    return ids.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+
+
+STRATA_K = 20
+
+
+def stratified_sample_events(sf_dir: str, k: int = STRATA_K):
+    """Deterministic stratified sample: k events per event_type, ranked by
+    (md5(event_id), event_id). Per-batch partial top-k per stratum (each
+    block contributes ≤ k × strata rows to the shuffle), grouped finalise
+    assigns 1-based ranks. Columns: event_type, event_id, rank."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rk=_md5_rank(df["event_id"]))
+        df = df.sort_values(["event_type", "rk", "event_id"], kind="mergesort")
+        return df.groupby("event_type", sort=False).head(k)
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rk", "event_id"], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(finalise, batch_format="pandas")
+    )
+
+
+GROUP_TOPK = 3
+
+
+def grouped_topk_docs(sf_dir: str, k: int = GROUP_TOPK):
+    """Grouped top-k: the k largest documents by (n_chars desc, doc_id asc)
+    within each (lang, source) group — the per-host-top-pages shape. Same
+    partial/finalise combiner as the stratified sample. Columns: lang,
+    source, doc_id, n_chars, rank."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "source", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby(["lang", "source"], sort=False).head(k)
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "source": df["source"].to_numpy(),
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .map_groups(finalise, batch_format="pandas")
+    )

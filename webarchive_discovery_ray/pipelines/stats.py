@@ -27,7 +27,14 @@ from ..config import IndexConfig, SyntheticConfig
 from ..sources.synthetic import fixture_pages_ds
 from ..stages.extract import extract_batch
 
-__all__ = ["mdx_stats", "persist_log", "persist_log_docs", "dataset_summaries", "file_digest"]
+__all__ = [
+    "mdx_stats",
+    "persist_log",
+    "persist_log_docs",
+    "dataset_summaries",
+    "file_digest",
+    "host_link_graph",
+]
 
 
 def _docs_ds(n_pages: int, scfg: SyntheticConfig | None = None, num_blocks: int = 32):
@@ -35,6 +42,41 @@ def _docs_ds(n_pages: int, scfg: SyntheticConfig | None = None, num_blocks: int 
     icfg = IndexConfig(response_include=())  # stats keep all statuses
     return fixture_pages_ds(n_pages, scfg, num_blocks).map_batches(
         lambda b: extract_batch(b, icfg), batch_format="pyarrow", batch_size=None
+    )
+
+
+def host_link_graph(n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None):
+    """Host->host link graph: aggregate the extraction chain's per-page
+    outlink hosts (M22's ``links_hosts`` field, the Solr ``links_hosts``
+    facet the reference feeds from ``HTMLAnalyser.java:180-220``) into
+    weighted edges. Per-batch explode + partial count (combiner), ONE
+    grouped Sum over (src_host, dst_host) — the shuffle moves
+    pre-aggregated edge rows, never pages. Columns: src_host, dst_host,
+    n_links. SQL-oracle-checked over the materialized docs base."""
+    from ray.data.aggregate import Sum
+
+    def partial_edges(batch: pa.Table) -> pa.Table:
+        df = batch.select(["host", "links_hosts"]).to_pandas()
+        ex = (
+            df.rename(columns={"host": "src_host"})
+            .assign(dst_host=df["links_hosts"])
+            .drop(columns=["links_hosts"])
+            .explode("dst_host")
+            .dropna(subset=["dst_host"])
+        )
+        g = (
+            ex.groupby(["src_host", "dst_host"], sort=False)
+            .size()
+            .reset_index(name="n_links")
+        )
+        g["n_links"] = g["n_links"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = docs if docs is not None else _docs_ds(n_pages, scfg)
+    return (
+        base.map_batches(partial_edges, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
     )
 
 
