@@ -140,6 +140,20 @@ def _reduplicate(sf_dir: str):
     )
 
 
+def _capture_intervals(sf_dir: str):
+    """Per-SURT capture-history stats over the SAME materialized captures
+    table the cdx oracle reads."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import capture_intervals
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+    return capture_intervals(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
+
+
 def _neardup_clusters(sf_dir: str):
     """Connected components over the MinHash-LSH pair graph. The verified
     pair list materializes to parquet so the DuckDB oracle can recompute
@@ -475,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ngram_topk,
         pack_sequences,
         quality_score,
+        tfidf_top_terms,
         token_stats,
     )
     from webarchive_discovery_ray.pipelines.curation import (
@@ -520,6 +535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_docs": grouped_topk_docs,
         "dup_span_fraction": dup_span_fraction,
         "host_link_graph": _host_link_graph,
+        "tfidf_top_terms": tfidf_top_terms,
+        "capture_intervals": _capture_intervals,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
@@ -1328,5 +1345,37 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
                  unnest(links_hosts) AS l(dst)
             GROUP BY 1, 2
+        """,
+        # per-doc top-5 rarity-weighted terms (score = tf/df, exact
+        # rational — ln-damped idf is not bit-stable across engines)
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents, unnest({tokens}) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+                SELECT tf.doc_id, tf.tok AS token,
+                       CAST(tf.tf AS BIGINT) AS tf,
+                       CAST(dfreq.df AS BIGINT) AS df,
+                       CAST(tf.tf AS DOUBLE) / dfreq.df AS score
+                FROM tf JOIN dfreq USING (tok)
+            )
+            SELECT doc_id, token, tf, df, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token
+                ) AS rank FROM scored
+            ) WHERE rank <= 5
+        """,
+        # per-SURT capture-history stats (revisit-scheduling signal)
+        "capture_intervals": f"""
+            SELECT surt_key, count(*) AS n_captures,
+                   min(timestamp14) AS first_ts14,
+                   max(timestamp14) AS last_ts14,
+                   CAST(count(DISTINCT digest) AS BIGINT) AS n_versions
+            FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+            GROUP BY surt_key
         """,
     }

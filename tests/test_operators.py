@@ -670,3 +670,56 @@ def test_host_link_graph_totals(ray_session):
     assert g["n_links"].sum() == total
     assert (g["n_links"] >= 1).all()
     assert not g.duplicated(["src_host", "dst_host"]).any()
+
+
+def test_tfidf_top_terms_reference(ray_session):
+    """Distributed tf/df ranking == a sequential pandas reference."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    dfreq: Counter = Counter()
+    tfs = {}
+    for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        c = Counter(t.split())
+        tfs[d] = c
+        dfreq.update(c.keys())
+    got = tfidf_top_terms(sf, k=3).to_pandas()
+    for did, g in got.groupby("doc_id"):
+        want = sorted(
+            ((tf / dfreq[tok], tok, tf) for tok, tf in tfs[did].items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        g = g.sort_values("rank")
+        assert list(g["token"]) == [w[1] for w in want]
+        assert list(g["tf"]) == [w[2] for w in want]
+        assert list(g["df"]) == [dfreq[w[1]] for w in want]
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    assert set(got["doc_id"]) == set(tfs) - {
+        d for d, c in tfs.items() if not c
+    }
+
+
+def test_capture_intervals_stats(ray_session):
+    """Grouped capture stats == pandas groupby over the same captures."""
+    from webarchive_discovery_ray.pipelines.cdx import capture_intervals, cdx_sorted
+
+    caps = cdx_sorted(150).materialize()
+    ref = caps.to_pandas()
+    got = capture_intervals(caps).to_pandas().set_index("surt_key")
+    want = ref.groupby("surt_key").agg(
+        n_captures=("timestamp14", "size"),
+        first_ts14=("timestamp14", "min"),
+        last_ts14=("timestamp14", "max"),
+        n_versions=("digest", "nunique"),
+    )
+    assert len(got) == len(want)
+    for k, row in want.iterrows():
+        assert got.loc[k, "n_captures"] == row["n_captures"]
+        assert got.loc[k, "first_ts14"] == row["first_ts14"]
+        assert got.loc[k, "last_ts14"] == row["last_ts14"]
+        assert got.loc[k, "n_versions"] == row["n_versions"]

@@ -16,7 +16,12 @@ from ..config import IndexConfig, SyntheticConfig
 from ..schema import CAPTURES_SCHEMA
 from ..stages.extract import extract_batch
 
-__all__ = ["captures_from_pages_batch", "cdx_sorted", "revisit_captures"]
+__all__ = [
+    "captures_from_pages_batch",
+    "cdx_sorted",
+    "revisit_captures",
+    "capture_intervals",
+]
 
 
 def captures_from_pages_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
@@ -71,3 +76,31 @@ def cdx_sorted(
 def revisit_captures(n_pages: int = 400, scfg: SyntheticConfig | None = None):
     """Captures table (digest-keyed) for the reduplication pipeline (J3)."""
     return cdx_sorted(n_pages, scfg)
+
+
+def capture_intervals(captures):
+    """Per-URL capture history stats — the crawl-scheduling signal behind
+    OutbackCDX's revisit decisions (``warc-hadoop-crawler-utils/.../recrawl``
+    reads the same per-SURT fetch history): captures per surt_key, first /
+    last capture timestamp, and the number of distinct content versions
+    (digest changes). ONE hash-partitioned groupby on the capture key;
+    timestamp14 strings order lexicographically so min/max are exact.
+    Columns: surt_key, n_captures, first_ts14, last_ts14, n_versions."""
+    import pandas as pd
+
+    def per_surt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "surt_key": [df["surt_key"].iloc[0]],
+                "n_captures": pd.Series([len(df)], dtype="int64"),
+                "first_ts14": [df["timestamp14"].min()],
+                "last_ts14": [df["timestamp14"].max()],
+                "n_versions": pd.Series([df["digest"].nunique()], dtype="int64"),
+            }
+        )
+
+    return (
+        captures.select_columns(["surt_key", "timestamp14", "digest"])
+        .groupby("surt_key")
+        .map_groups(per_surt, batch_format="pandas")
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "ngram_topk",
     "inverted_index",
     "pack_sequences",
+    "tfidf_top_terms",
 ]
 
 
@@ -337,6 +338,81 @@ def inverted_index(sf_dir: str, max_postings: int = 8):
     return (
         ds.map_batches(partial_tf, batch_format="pandas")
         .groupby("token")
+        .map_groups(finalise, batch_format="pandas")
+    )
+
+
+_TFIDF_K = 5
+
+
+def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K):
+    """Per-document top-k rarity-weighted terms: score = tf / df (exact
+    rational tf-idf surrogate — one double division of two exact ints, so
+    the ranking is bit-identical to the SQL oracle's; a log-damped idf is
+    a drop-in variant but ``ln`` is not guaranteed bit-equal across
+    engines). Shape: per-batch exact (token, doc_id, tf) rows (a document
+    lives in one row, so no tf shuffle), ONE grouped Count for df, an
+    inner join back on token, then per-batch partial top-k per doc + the
+    grouped finalise (each block contributes ≤ k rows per doc it holds).
+    Ties at rank k break by token asc. Columns: doc_id, token, tf, df,
+    score, rank."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_parts = int(min(64, max(4, ray.cluster_resources().get("CPU", 8))))
+
+    def exact_tf(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            df[["doc_id"]]
+            .assign(token=df["text"].str.split())
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        g = (
+            ex.groupby(["token", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    tf = ds.map_batches(exact_tf, batch_format="pandas").materialize()
+    dfreq = tf.groupby("token").aggregate(Count(alias_name="df"))
+    scored = tf.join(
+        dfreq,
+        "inner",
+        num_partitions=n_parts,
+        on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def score_and_trim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(score=df["tf"].to_numpy() / df["df"].to_numpy().astype("float64"))
+        df = df.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("doc_id", sort=False).head(k)
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["score", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "token": df["token"].to_numpy(),
+                "tf": df["tf"].astype("int64").to_numpy(),
+                "df": df["df"].astype("int64").to_numpy(),
+                "score": df["score"].to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        scored.map_batches(score_and_trim, batch_format="pandas")
+        .groupby("doc_id")
         .map_groups(finalise, batch_format="pandas")
     )
 
