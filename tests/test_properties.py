@@ -26,9 +26,22 @@ _urls = st.builds(lambda h, p: f"http://{h}/{p}", _host, _url_path)
 
 @settings(max_examples=200, deadline=None)
 @given(_urls)
-def test_canonicalise_idempotent(url):
-    once = canonicalise_url(url)
-    assert canonicalise_url(once) == once
+def test_canonicalise_converges_within_two(url):
+    # The REFERENCE is not strictly idempotent: canon.canonicalize
+    # lowercases BEFORE escapeUTF8(createUnambiguous) unescapes ASCII
+    # escapes (Normalisation.java:137-160), so e.g. '%41' decodes to an
+    # uppercase 'A' that only the NEXT pass lowercases. Byte-exact parity
+    # means we inherit that; the invariant that does hold is convergence
+    # after one extra pass.
+    twice = canonicalise_url(canonicalise_url(url))
+    assert canonicalise_url(twice) == twice
+
+
+def test_canonicalise_ascii_escape_matches_reference_order():
+    # pinned example of the non-idempotence inherited from the reference:
+    # pass 1 lowercases then unescapes %41 -> 'A'; pass 2 lowercases it
+    assert canonicalise_url("http://a.example.com/%41") == "http://a.example.com/A"
+    assert canonicalise_url("http://a.example.com/A") == "http://a.example.com/a"
 
 
 @settings(max_examples=200, deadline=None)

@@ -1,0 +1,53 @@
+"""Bucketed grouped passes — the repo's scale-safe alternative to raw-key
+``groupby``.
+
+Measured on this Ray version (see BASELINE.md "grouped-pass discipline"):
+``Dataset.groupby(key).aggregate(...)`` over raw rows costs ~1.3 ms/row of
+Python-side accumulate (a 235k-row Count took 33-37 s at 32 CPUs under both
+sort- and hash-shuffle strategies), and ``groupby(key).map_groups(fn)``
+pays one Python ``fn`` call per DISTINCT key. Both are fine when the input
+is pre-aggregated/small; both are pathological over per-token / per-URL /
+per-user row streams.
+
+The bucketed pass keeps the SAME co-location guarantee with bounded group
+count: attach ``bucket = stable_hash(key) % n_buckets`` (vectorized),
+``groupby("bucket").map_groups(fn)`` so the shuffle machinery handles only
+``n_buckets`` groups, and do the real per-key grouping INSIDE ``fn`` with
+vectorized pandas kernels. All rows of a key land in one bucket, so any
+per-key computation stays exact; skew is bounded by the hash (salt the key
+first if one key dominates a bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["bucket_of", "default_buckets"]
+
+_KNUTH = np.uint64(2654435761)
+
+
+def bucket_of(values: pd.Series, n_buckets: int) -> pd.Series:
+    """Stable int32 bucket id per value (int or string keys; vectorized).
+
+    Only co-location matters — the hash need not match any other engine's.
+    Ints use a Knuth multiplicative mix (consecutive ids would otherwise
+    stripe buckets); strings use ``pd.util.hash_array`` (deterministic,
+    fixed hash key)."""
+    arr = values.to_numpy()
+    if arr.dtype.kind in "iu":
+        h = (arr.astype(np.uint64) * _KNUTH) >> np.uint64(16)
+    else:
+        h = pd.util.hash_array(arr.astype(object), categorize=False)
+    return pd.Series((h % np.uint64(n_buckets)).astype(np.int32), index=values.index)
+
+
+def default_buckets(min_b: int = 16, per_cpu: int = 2, cap: int = 128) -> int:
+    """Bucket count sized to the cluster: enough groups to spread over
+    every CPU (×``per_cpu`` for stragglers), capped so tiny clusters do
+    not shuffle hundreds of near-empty buckets."""
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(min(cap, max(min_b, n_cpus * per_cpu)))

@@ -88,19 +88,30 @@ def capture_intervals(captures):
     Columns: surt_key, n_captures, first_ts14, last_ts14, n_versions."""
     import pandas as pd
 
-    def per_surt(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "surt_key": [df["surt_key"].iloc[0]],
-                "n_captures": pd.Series([len(df)], dtype="int64"),
-                "first_ts14": [df["timestamp14"].min()],
-                "last_ts14": [df["timestamp14"].max()],
-                "n_versions": pd.Series([df["digest"].nunique()], dtype="int64"),
-            }
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["surt_key"], n_b))
+
+    def stats_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over every SURT in the bucket (per-key map_groups
+        # would pay one Python call per URL — functions/bucketing.py)
+        g = df.groupby("surt_key", sort=False).agg(
+            n_captures=("timestamp14", "size"),
+            first_ts14=("timestamp14", "min"),
+            last_ts14=("timestamp14", "max"),
+            n_versions=("digest", "nunique"),
         )
+        g = g.reset_index()
+        g["n_captures"] = g["n_captures"].astype("int64")
+        g["n_versions"] = g["n_versions"].astype("int64")
+        return g
 
     return (
         captures.select_columns(["surt_key", "timestamp14", "digest"])
-        .groupby("surt_key")
-        .map_groups(per_surt, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(stats_in_bucket, batch_format="pandas")
     )

@@ -7,7 +7,9 @@ group by digest, exemplar merge); ssdeep fields (FuzzyHashAnalyser) are
 emitted for near-dup *search* but the clustering operators here are new
 construction for training-data pipelines.
 
-Shuffle strategy: one hash-partitioned groupby per operator; MinHash
+Shuffle strategy: one hash-partitioned exchange per operator, expressed
+as BUCKETED grouped passes (``functions/bucketing.py`` — raw-key
+``groupby`` walks rows/groups in Python on this Ray version); MinHash
 shingles/signatures are computed batch-local (combiner style) so only
 (band, band_hash, doc_id) triples shuffle, not documents.
 """
@@ -40,21 +42,32 @@ def _md5_hex(text: str) -> str:
 def exact_dedup(sf_dir: str):
     """Exact dedup by content hash: one exemplar (min doc_id) per text.
 
-    Columns: h (md5 hex), doc_id. SQL oracle:
-    ``SELECT md5(text) h, min(doc_id) doc_id FROM documents GROUP BY 1``."""
-    from ray.data.aggregate import Min
+    One bucketed grouped pass (``functions/bucketing.py`` — a raw-key
+    ``groupby(h).aggregate(Min)`` walks every distinct hash in Python):
+    per-batch partial min per hash (combiner), then a vectorized grouped
+    min inside each hash bucket. Columns: h (md5 hex), doc_id. SQL
+    oracle: ``SELECT md5(text) h, min(doc_id) doc_id FROM documents
+    GROUP BY 1``."""
+    from ..functions.bucketing import bucket_of, default_buckets
 
+    n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
             {"h": [_md5_hex(t) for t in df["text"]], "doc_id": df["doc_id"]}
         )
+        g = g.groupby("h", sort=False)["doc_id"].min().reset_index()
+        g["bucket"] = bucket_of(g["h"], n_b)
+        return g
+
+    def min_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", sort=False)["doc_id"].min().reset_index()
 
     return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        ds.map_batches(partial_min, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(min_in_bucket, batch_format="pandas")
     )
 
 
@@ -69,22 +82,22 @@ def dup_span_fraction(sf_dir: str, w: int = _SPAN_W):
     position, including within one doc); each document reports the
     fraction of its tokens covered by the union of its duplicated windows.
 
-    Shape (all shuffles hash-partitioned, no driver materialization):
-    (1) per-batch shingle emission — (md5(window), doc_id, pos) rows,
-    materialized once (used by both the count and the join-back);
-    (2) ONE grouped Count keeps window hashes with ≥2 occurrences;
-    (3) a left-semi join filters the position rows to duplicated windows;
-    (4) per-doc grouped interval-union (vectorised diff/clip) counts
-    covered tokens; (5) a left-outer join against the per-doc token counts
-    emits EVERY document (zero coverage included). Columns: doc_id,
-    n_tokens, n_dup_tokens, dup_fraction (one double division of two exact
-    ints — bit-identical to the SQL oracle's)."""
-    import ray
-    from ray.data.aggregate import Count
+    Shape — TWO bucketed grouped passes (``functions/bucketing.py``; no
+    joins, no raw-key aggregates, no driver materialization):
+    (1) per-batch shingle emission, (md5(window), doc_id, pos) rows keyed
+    by ``bucket(sh)`` — one vectorized pass per bucket finds the window
+    hashes occurring ≥2 times (all occurrences of a hash co-locate) and
+    emits only their (doc_id, pos) rows;
+    (2) those rows union the per-doc token counts (pos = -1 marker) and a
+    second pass keyed by ``bucket(doc_id)`` computes each doc's interval
+    union with a vectorized grouped diff/clip — every document appears
+    (zero coverage included). Columns: doc_id, n_tokens, n_dup_tokens,
+    dup_fraction (one double division of two exact ints — bit-identical
+    to the SQL oracle's)."""
+    from ..functions.bucketing import bucket_of, default_buckets
 
+    n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_parts = int(min(64, max(4, ray.cluster_resources().get("CPU", 8))))
-    agg_args = {"num_cpus": 0.25}
 
     def shingle_positions(df: pd.DataFrame) -> pd.DataFrame:
         ids: list = []
@@ -96,76 +109,85 @@ def dup_span_fraction(sf_dir: str, w: int = _SPAN_W):
                 shs.append(_md5_hex(" ".join(toks[i : i + w])))
                 ids.append(did)
                 poss.append(i)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "sh": pd.Series(shs, dtype=str),
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "pos": pd.Series(poss, dtype="int64"),
             }
         )
+        out["bucket"] = bucket_of(out["sh"], n_b)
+        return out
 
-    shingles = ds.map_batches(
-        shingle_positions, batch_format="pandas"
-    ).materialize()
-    dup_sh = (
-        shingles.groupby("sh")
-        .aggregate(Count(alias_name="n_occ"))
-        .filter(lambda r: r["n_occ"] >= 2)
-        .select_columns(["sh"])
-    )
-    dup_pos = shingles.join(
-        dup_sh,
-        "left_semi",
-        num_partitions=n_parts,
-        on=("sh",),
-        aggregator_ray_remote_args=agg_args,
-    )
-
-    def coverage(df: pd.DataFrame) -> pd.DataFrame:
-        p = np.unique(df["pos"].to_numpy())
-        covered = int(np.minimum(np.diff(p), w).sum()) + w
+    def dup_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["sh"].value_counts()
+        dup = set(vc.index[vc.to_numpy() >= 2])
+        sub = df[df["sh"].isin(dup)]
         return pd.DataFrame(
             {
-                "doc_id": pd.Series([df["doc_id"].iloc[0]], dtype="int64"),
-                "n_dup_tokens": pd.Series([covered], dtype="int64"),
+                "doc_id": sub["doc_id"].to_numpy(),
+                "pos": sub["pos"].to_numpy(),
+                "n_tok": np.zeros(len(sub), dtype="int64"),
             }
         )
 
-    cov = dup_pos.groupby("doc_id").map_groups(coverage, batch_format="pandas")
+    dup_pos = (
+        ds.map_batches(shingle_positions, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dup_in_bucket, batch_format="pandas")
+    )
 
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "n_tokens": df["text"].str.split().str.len().astype("int64"),
+                "doc_id": df["doc_id"].astype("int64"),
+                "pos": np.full(len(df), -1, dtype="int64"),
+                "n_tok": df["text"].str.split().str.len().astype("int64"),
             }
         )
 
-    out = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    toks = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         count_tokens, batch_format="pandas"
-    ).join(
-        cov,
-        "left_outer",
-        num_partitions=n_parts,
-        on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
     )
 
-    def finalise(df: pd.DataFrame) -> pd.DataFrame:
-        n_dup = df["n_dup_tokens"].fillna(0).astype("int64")
-        n_tok = df["n_tokens"].astype("int64")
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["doc_id"], n_b))
+
+    def coverage_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["pos"] < 0]  # one marker row per doc carries n_tok
+        d = (
+            df[df["pos"] >= 0]
+            .drop_duplicates(["doc_id", "pos"])
+            .sort_values(["doc_id", "pos"], kind="mergesort")
+        )
+        if len(d):
+            # grouped interval union: within a doc each position covers
+            # [pos, pos+w); the union adds min(gap, w) per sorted step and
+            # w for the doc's first position (diff is NaN there)
+            diffs = d.groupby("doc_id")["pos"].diff()
+            contrib = np.minimum(diffs.fillna(w).to_numpy(), w)
+            cov = pd.Series(contrib).groupby(d["doc_id"].to_numpy()).sum()
+        else:
+            cov = pd.Series(dtype="float64")
+        n_dup = t["doc_id"].map(cov).fillna(0).astype("int64").to_numpy()
+        n_tok = t["n_tok"].to_numpy()
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].astype("int64"),
+                "doc_id": t["doc_id"].to_numpy(),
                 "n_tokens": n_tok,
                 "n_dup_tokens": n_dup,
                 "dup_fraction": np.where(
-                    n_tok > 0, n_dup / n_tok.replace(0, 1).astype("float64"), 0.0
+                    n_tok > 0, n_dup / np.where(n_tok > 0, n_tok, 1).astype("float64"), 0.0
                 ),
             }
         )
 
-    return out.map_batches(finalise, batch_format="pandas")
+    return (
+        dup_pos.union(toks)
+        .map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(coverage_bucket, batch_format="pandas")
+    )
 
 
 _N_PERM = 32
@@ -291,10 +313,23 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     # ONE streaming plan oversubscribes a small cluster's CPUs and stalls.
     # The materialized sets are candidate-bounded (object-store resident,
     # spillable), never driver-resident.
+    # distinct via a bucketed grouped pass (functions/bucketing.py — a
+    # raw-key groupby would walk every candidate pair in Python)
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["doc_a"] * 1_000_003 + df["doc_b"], n_b))
+
+    def distinct_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_a", "doc_b"]].drop_duplicates()
+
     distinct_pairs = (
         raw_pairs.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pandas")
         .materialize()
     )
 
@@ -463,24 +498,42 @@ def reduplicate(ds, batch_format: str = "pyarrow"):
 
     Reference: ``MDXReduplicatingReducer.java:72-153``."""
 
-    def fix_group(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized merge: each revisit field keeps its own value unless
-        # null, in which case the exemplar's fills in (column ops, no
-        # per-row iteration)
-        df = df.sort_values(["timestamp14", "url"], kind="mergesort")
-        responses = df[df["record_type"] == "response"]
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["digest"], n_b))
+
+    def fix_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across EVERY digest in the bucket (per-digest
+        # map_groups pays one Python call per distinct content hash —
+        # functions/bucketing.py): exemplar = first response per digest by
+        # (timestamp14, url); revisit fields keep their own values unless
+        # null, where the exemplar's fill in via a digest-keyed map
+        df = df.drop(columns=["bucket"]).sort_values(
+            ["digest", "timestamp14", "url"], kind="mergesort"
+        )
+        exemplars = df[df["record_type"] == "response"].drop_duplicates(
+            "digest", keep="first"
+        ).set_index("digest", drop=False)
         rev = df["record_type"] == "revisit"
-        if responses.empty or not rev.any():
-            return df  # unresolved revisits pass through unchanged
-        exemplar = responses.iloc[0]
+        fixable = rev & df["digest"].isin(exemplars.index)
+        if not fixable.any():
+            return df
         out = df.copy()
+        dig = out.loc[fixable, "digest"]
         for col in df.columns:
-            vals = out.loc[rev, col]
-            out.loc[rev, col] = vals.where(vals.notna(), exemplar[col])
-        out.loc[rev, "record_type"] = "reduplicated"
+            vals = out.loc[fixable, col]
+            out.loc[fixable, col] = vals.where(vals.notna(), dig.map(exemplars[col]))
+        out.loc[fixable, "record_type"] = "reduplicated"
         return out
 
-    return ds.groupby("digest").map_groups(fix_group, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fix_bucket, batch_format="pandas")
+    )
 
 
 def neardup_clusters(pairs_ds, nodes_ds):
@@ -490,31 +543,41 @@ def neardup_clusters(pairs_ds, nodes_ds):
 
     ``pairs_ds``: Dataset with (doc_a, doc_b); ``nodes_ds``: Dataset with
     (doc_id) covering every node (unpaired docs become singleton
-    clusters). Each iteration is ONE edge⨝label hash join + ONE grouped
-    Min — all candidate-bounded data (the edge list is the LSH-verified
-    pair set, not the corpus). Convergence is detected inside the same
-    grouped pass (a per-node ``own`` marker carries the previous label, so
-    ``changed`` is a filter+count over the aggregated output — no extra
-    join). Iterations are O(component diameter); near-dup components are
-    shallow in practice. Columns: doc_id, cluster_id."""
+    clusters). Each iteration is TWO bucketed grouped passes — a
+    co-grouped edge⨝label merge (edges keyed by bucket(src), labels by
+    bucket(doc_id): same hash, so a vectorized in-bucket pandas merge
+    routes the labels) and a bucketed grouped min — all candidate-bounded
+    data (the edge list is the LSH-verified pair set, not the corpus).
+    Convergence is detected from the same output (a per-node ``own``
+    marker carries the previous label, so ``changed`` is a filter+count —
+    no extra join). Iterations are O(component diameter); near-dup
+    components are shallow in practice. Columns: doc_id, cluster_id."""
     import pyarrow.compute as pc
-    import ray
-    from ray.data.aggregate import Max, Min
 
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_parts = int(min(16, max(2, n_cpus // 2)))
-    agg_args = {"num_cpus": 0.25}
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    # every per-iteration exchange is a BUCKETED grouped pass
+    # (functions/bucketing.py): Dataset.join spins an aggregator actor
+    # pool per call, and a raw-key groupby walks every node in Python —
+    # at a few-second iteration cadence both dominate the loop. Instead
+    # the edge⨝label routing itself runs as a co-group: edges keyed by
+    # bucket(src) and labels by bucket(doc_id) share the hash, so a
+    # vectorized in-bucket merge emits the propagated labels.
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].cast(pa.int64())
         b = batch["doc_b"].cast(pa.int64())
-        return pa.table(
-            {
-                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
-            }
-        )
+        src = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()])
+        dst = pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])
+        t = pd.DataFrame({"key": src.to_numpy(), "dst": dst.to_numpy()})
+        t["bucket"] = bucket_of(t["key"], n_b)
+        return pa.Table.from_pandas(t, preserve_index=False)
 
+    # edge rows: (key=src, dst, bucket(src)); label rows ride along with
+    # dst = -1 (doc ids are non-negative, so the marker needs no nulls
+    # and everything stays int64)
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
     def init_labels(batch: pa.Table) -> pa.Table:
@@ -523,34 +586,59 @@ def neardup_clusters(pairs_ds, nodes_ds):
 
     labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
 
-    for _ in range(64):  # diameter bound; near-dup graphs converge in a few
-        msgs = edges.join(
-            labels,
-            "inner",
-            num_partitions=n_parts,
-            on=("src",),
-            right_on=("doc_id",),
-            aggregator_ray_remote_args=agg_args,
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    "doc_id": b["dst"],
-                    "label": b["label"],
-                    "own": pa.nulls(b.num_rows, pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # column order must match edges_l exactly (union aligns schemas)
+        key = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "dst": np.full(len(df), -1, dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+                "label": df["label"].astype("int64"),
+            }
         )
-        selfs = labels.map_batches(
-            lambda b: pa.table(
-                {"doc_id": b["doc_id"], "label": b["label"], "own": b["label"]}
-            ),
-            batch_format="pyarrow",
+
+    def propagate_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["dst"] < 0]
+        edg = df[df["dst"] >= 0]
+        msgs = edg[["key", "dst"]].merge(lab[["key", "label"]], on="key", how="inner")
+        selfs = pd.DataFrame(
+            {"doc_id": lab["key"].to_numpy(), "label": lab["label"].astype("int64").to_numpy(),
+             "own": lab["label"].astype("int64").to_numpy()}
+        )
+        out_msgs = pd.DataFrame(
+            {"doc_id": msgs["dst"].to_numpy(), "label": msgs["label"].to_numpy(),
+             "own": np.full(len(msgs), -1, dtype="int64")}
+        )
+        return pd.concat([selfs, out_msgs], ignore_index=True)
+
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["doc_id"], n_b))
+
+    def minmax_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("doc_id", sort=False)
+            .agg(label=("label", "min"), own=("own", "max"))
+            .reset_index()
+        )
+        g["label"] = g["label"].astype("int64")
+        g["own"] = g["own"].astype("int64")
+        return g
+
+    for _ in range(64):  # diameter bound; near-dup graphs converge in a few
+        # label columns: edges carry no label — pandas aligns on concat in
+        # the grouped pass, so tag label rows with the full column set
+        tagged = labels.map_batches(tag_labels, batch_format="pandas")
+        edges_l = edges.map_batches(
+            lambda df: df.assign(label=np.int64(-1)), batch_format="pandas"
         )
         agg = (
-            selfs.union(msgs)
-            .groupby("doc_id")
-            .aggregate(Min("label", alias_name="label"), Max("own", alias_name="own"))
+            edges_l.union(tagged)
+            .groupby("bucket")
+            .map_groups(propagate_in_bucket, batch_format="pandas")
+            .map_batches(add_doc_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(minmax_in_bucket, batch_format="pandas")
             .materialize()
         )
         changed = agg.map_batches(

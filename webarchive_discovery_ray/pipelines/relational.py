@@ -8,10 +8,11 @@ as-of-style merge within a WARC file) and the digest self-join
 for training-data pipelines, each expressed per SURVEY.md §2 guidance as a
 composition of map_batches + groupby().map_groups + sort:
 
-* **as-of join** — hash-partition both sides by the equality key
-  (``groupby(key).map_groups``), per-group time-sorted backward merge
-  (``pandas.merge_asof``). Partitioning assumption: the equality key
-  co-locates both sides; no global sort needed.
+* **as-of join** — hash-partition both sides by bucket(equality key)
+  (one bucketed grouped pass, ``functions/bucketing.py``), vectorized
+  in-bucket backward merge for every key at once
+  (``pandas.merge_asof(by=key)``). Partitioning assumption: the equality
+  key co-locates both sides; no global sort needed.
 * **range join** — the bucket side is small: broadcast it and bin the big
   side vectorised inside ``map_batches`` (``numpy.searchsorted``), then a
   partial-aggregate + small groupby. No shuffle of the big side.
@@ -101,22 +102,36 @@ def asof_join_events(sf_dir: str):
     signup_event_id (-1 when none), signup_ts (epoch when none — matching
     the oracle's COALESCE for a null-free comparison surface).
 
-    Oracle: DuckDB ``ASOF LEFT JOIN`` (on user_id, ts >= signup ts)."""
+    Oracle: DuckDB ``ASOF LEFT JOIN`` (on user_id, ts >= signup ts).
+
+    ONE bucketed grouped pass keyed by ``bucket(user_id)``
+    (``functions/bucketing.py`` — a per-user map_groups pays one Python
+    call per user): inside a bucket, ``pd.merge_asof(..., by="user_id")``
+    performs the per-user backward merge for EVERY user in one vectorized
+    call (both sides time-sorted; the equality key co-locates by
+    construction)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
     epoch = pd.Timestamp("1970-01-01")
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["user_id"], n_b))
+
+    def asof_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts", "signup_event_id", "signup_ts"]
         left = (
-            df[df["event_type"] == "purchase"]
+            df[df["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
             .sort_values(["ts", "event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
         right = (
-            df[df["event_type"] == "signup"]
-            .sort_values(["ts", "event_id"], kind="mergesort")
+            df[df["event_type"] == "signup"][["event_id", "user_id", "ts"]]
+            .rename(columns={"event_id": "signup_event_id", "ts": "signup_ts"})
+            .sort_values(["signup_ts", "signup_event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
-        cols = ["event_id", "user_id", "ts", "signup_event_id", "signup_ts"]
         if left.empty:
             return pd.DataFrame(
                 {
@@ -128,24 +143,27 @@ def asof_join_events(sf_dir: str):
                 }
             )
         if right.empty:
-            out = left[["event_id", "user_id", "ts"]].copy()
-            out["signup_event_id"] = -1
+            out = left.copy()
+            out["signup_event_id"] = np.int64(-1)
             out["signup_ts"] = epoch
             return out[cols]
         merged = pd.merge_asof(
-            left[["event_id", "user_id", "ts"]],
-            right[["event_id", "ts"]].rename(
-                columns={"event_id": "signup_event_id", "ts": "signup_ts"}
-            ),
+            left,
+            right,
             left_on="ts",
             right_on="signup_ts",
+            by="user_id",
             direction="backward",
         )
         merged["signup_event_id"] = merged["signup_event_id"].fillna(-1).astype("int64")
         merged["signup_ts"] = merged["signup_ts"].fillna(epoch)
         return merged[cols]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(asof_in_bucket, batch_format="pandas")
+    )
 
 
 # static bucket table (the small side of the range join)

@@ -7,10 +7,11 @@ response<->metadata pairing (``warc-hadoop-crawler-utils/src/main/java/uk/
 bl/wa/hadoop/recrawl/PersistLogMapper.java:86-97`` — a sort-by-key then
 sequential merge inside one reducer group); these generalise that shape:
 
-* **sessionization** — hash-partition by the session key (``groupby(
-  user_id).map_groups``), per-group time-sort + vectorised gap detection
-  (diff/cumsum — no per-row loop). Partitioning assumption: one user's
-  events co-locate; user cardinality is high so groups stay bounded.
+* **sessionization** — hash-partition by bucket(user_id) (one bucketed
+  grouped pass, ``functions/bucketing.py``), in-bucket time-sort +
+  vectorised gap detection across every user at once (diff/cumsum — no
+  per-row or per-user Python). Partitioning assumption: one user's
+  events co-locate; bucketing bounds the group count.
 * **stratified sampling** — deterministic k-per-stratum by md5 rank; the
   per-batch partial top-k bounds every block's contribution to
   ``k × strata`` rows before the small grouped finalise (combiner
@@ -46,35 +47,52 @@ def sessionize_events(sf_dir: str, gap_s: int = SESSION_GAP_S):
     per session. Columns: user_id, session_num (1-based per user),
     n_events, start_ts, end_ts, sum_value (integer-cents quantised,
     bit-exact vs the SQL window oracle)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
     gap_us = gap_s * 1_000_000
+    n_b = default_buckets()
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["user_id"], n_b))
+
+    def sessions_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over EVERY user in the bucket (a per-user
+        # map_groups would pay one Python call per user — see
+        # functions/bucketing.py): sort by (user, ts, event_id), flag
+        # session starts at user boundaries or gaps > gap_us, running
+        # session ids via cumsum, then one grouped aggregate
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = df["ts"].to_numpy().astype("datetime64[us]")
         us = ts.astype("int64")
+        uid = df["user_id"].to_numpy()
         new = np.ones(len(df), dtype=bool)
-        new[1:] = (us[1:] - us[:-1]) > gap_us
-        snum = np.cumsum(new)
+        same_user = uid[1:] == uid[:-1]
+        new[1:] = ~same_user | ((us[1:] - us[:-1]) > gap_us)
+        gnum = np.cumsum(new)  # globally increasing session ids
+        # per-user session_num = gnum - gnum[first row of user] + 1
+        base = np.maximum.accumulate(np.where(new & np.r_[True, ~same_user], gnum, 0))
+        snum = gnum - base + 1
         cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
         g = (
             pd.DataFrame(
                 {
-                    "user_id": df["user_id"].to_numpy(),
+                    "user_id": uid,
                     "session_num": snum,
                     "ts": ts,
                     "cents": cents,
+                    "g": gnum,
                 }
             )
-            .groupby("session_num", sort=True)
+            .groupby("g", sort=True)
             .agg(
                 user_id=("user_id", "first"),
+                session_num=("session_num", "first"),
                 n_events=("ts", "size"),
                 start_ts=("ts", "min"),
                 end_ts=("ts", "max"),
                 cents=("cents", "sum"),
             )
-            .reset_index()
         )
         return pd.DataFrame(
             {
@@ -87,7 +105,11 @@ def sessionize_events(sf_dir: str, gap_s: int = SESSION_GAP_S):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions_in_bucket, batch_format="pandas")
+    )
 
 
 def _md5_rank(ids: pd.Series) -> pd.Series:

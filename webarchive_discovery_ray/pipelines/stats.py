@@ -50,10 +50,14 @@ def host_link_graph(n_pages: int = 600, scfg: SyntheticConfig | None = None, doc
     outlink hosts (M22's ``links_hosts`` field, the Solr ``links_hosts``
     facet the reference feeds from ``HTMLAnalyser.java:180-220``) into
     weighted edges. Per-batch explode + partial count (combiner), ONE
-    grouped Sum over (src_host, dst_host) — the shuffle moves
+    bucketed grouped sum over (src_host, dst_host)
+    (``functions/bucketing.py`` — edge cardinality is host², so a raw-key
+    groupby aggregate walks it in Python) — the shuffle moves
     pre-aggregated edge rows, never pages. Columns: src_host, dst_host,
     n_links. SQL-oracle-checked over the materialized docs base."""
-    from ray.data.aggregate import Sum
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
 
     def partial_edges(batch: pa.Table) -> pa.Table:
         df = batch.select(["host", "links_hosts"]).to_pandas()
@@ -70,13 +74,23 @@ def host_link_graph(n_pages: int = 600, scfg: SyntheticConfig | None = None, doc
             .reset_index(name="n_links")
         )
         g["n_links"] = g["n_links"].astype("int64")
+        g["bucket"] = bucket_of(g["src_host"] + "\x00" + g["dst_host"], n_b)
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["src_host", "dst_host"], sort=False)["n_links"]
+            .sum()
+            .reset_index()
+        )
+        g["n_links"] = g["n_links"].astype("int64")
+        return g
 
     base = docs if docs is not None else _docs_ds(n_pages, scfg)
     return (
         base.map_batches(partial_edges, batch_format="pyarrow")
-        .groupby(["src_host", "dst_host"])
-        .aggregate(Sum("n_links", alias_name="n_links"))
+        .groupby("bucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
     )
 
 
@@ -199,8 +213,13 @@ def persist_log(n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=No
 def dataset_summaries(n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None):
     """A2: multi-facet frequency counts in one pass — (facet, year, value,
     count) rows for facets host / content_type_norm. Partial-aggregated
-    inside map_batches (combiner), then one small groupby."""
-    from ray.data.aggregate import Sum
+    inside map_batches (combiner), then ONE bucketed grouped sum
+    (``functions/bucketing.py`` — the host facet's value column has
+    host-cardinality, so a raw-key groupby aggregate walks it in
+    Python)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
 
     def partials(batch: pa.Table) -> pa.Table:
         df = batch.select(["host", "crawl_year", "content_type_norm"]).to_pandas()
@@ -216,14 +235,24 @@ def dataset_summaries(n_pages: int = 600, scfg: SyntheticConfig | None = None, d
             frames.append(g)
         out = pd.concat(frames, ignore_index=True)
         out["value"] = out["value"].fillna("")
+        out["bucket"] = bucket_of(out["facet"] + "\x00" + out["year"] + "\x00" + out["value"], n_b)
         return pa.Table.from_pandas(out, preserve_index=False)
+
+    def sum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["facet", "year", "value"], sort=False)["n"]
+            .sum()
+            .reset_index(name="count")
+        )
+        g["count"] = g["count"].astype("int64")
+        return g
 
     base = docs if docs is not None else _docs_ds(n_pages, scfg)
     return (
         base
         .map_batches(partials, batch_format="pyarrow")
-        .groupby(["facet", "year", "value"])
-        .aggregate(Sum("n", alias_name="count"))
+        .groupby("bucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
     )
 
 

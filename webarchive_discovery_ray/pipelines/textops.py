@@ -141,26 +141,31 @@ def language_id(sf_dir: str):
             .reset_index(name="n")
         )
 
-    # pre-aggregate per batch, then one small groupby (combiner pattern)
-    from ray.data.aggregate import Sum
-
-    def topk_per_lang(df: pd.DataFrame) -> pd.DataFrame:
-        # bounded top-k by (-n, token): safe as a per-batch truncation
-        # AFTER the Sum aggregate (counts are final), because a token in a
-        # lang's global top-k is necessarily in the top-k of whichever
-        # batch holds its single (lang, token) row
-        df = df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
-        return df.groupby("lang", sort=False).head(_PROFILE_TOP_K)
-
-    # distributed truncation: per-output-batch top-k bounds what reaches
-    # the driver to ≤ k × langs × blocks rows — the driver never sees the
+    # distributed truncation: per-bucket top-k bounds what reaches the
+    # driver to ≤ k × langs × buckets rows — the driver never sees the
     # unbounded (lang, token) vocabulary; the final top-k merge is a tiny
-    # in-memory pass over that bounded set
+    # in-memory pass over that bounded set. The grouped sum runs as a
+    # bucketed pass (functions/bucketing.py — a raw-key groupby aggregate
+    # would walk the vocabulary in Python); bucketing on token co-locates
+    # every (lang, token) pair, so in-bucket sums are exact and a token in
+    # a lang's global top-k is in its bucket's top-k
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["token"], n_b))
+
+    def sum_topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "token"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        return g.groupby("lang", sort=False).head(_PROFILE_TOP_K)
+
     token_totals = (
         ds.map_batches(partial_profiles, batch_format="pandas")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(topk_per_lang, batch_format="pandas")
+        .map_batches(bucketed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sum_topk_in_bucket, batch_format="pandas")
         .take_all()
     )
     by_lang: dict[str, list] = {}
@@ -258,14 +263,17 @@ def doc_fingerprint(sf_dir: str):
 def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
     """Corpus-level top-k n-grams (counts over whitespace tokens).
 
-    Per-batch partial counts (combiner), ONE grouped Sum over (gram), a
-    per-output-block top-k truncation, then a bounded global sort+limit —
-    the shuffle moves pre-aggregated (gram, n) rows and the final sort
-    touches at most k x blocks rows. Ties at the k-th position break by
-    gram asc (matching ``ORDER BY n DESC, gram LIMIT k``). Columns:
-    gram, n. SQL-oracle-checked."""
-    from ray.data.aggregate import Sum
+    Per-batch partial counts (combiner), ONE bucketed grouped pass on
+    ``bucket(gram)`` fusing the exact sum with a per-bucket top-k
+    truncation (every occurrence of a gram co-locates, so in-bucket sums
+    are exact and a global-top-k gram is in its bucket's top-k —
+    ``functions/bucketing.py``), then a bounded global sort+limit over at
+    most k x buckets rows. Ties at the k-th position break by gram asc
+    (matching ``ORDER BY n DESC, gram LIMIT k``). Columns: gram, n.
+    SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets
 
+    n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -276,20 +284,21 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
         ex = grams.explode().dropna()
         if ex.empty:
             return pd.DataFrame({"gram": pd.Series([], dtype=str),
-                                 "n": pd.Series([], dtype="int64")})
+                                 "n": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int32")})
         vc = ex.value_counts()
-        return pd.DataFrame({"gram": vc.index, "n": vc.to_numpy().astype("int64")})
+        out = pd.DataFrame({"gram": vc.index, "n": vc.to_numpy().astype("int64")})
+        out["bucket"] = bucket_of(out["gram"], n_b)
+        return out
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        # safe truncation AFTER the Sum: a gram in the global top-k is in
-        # the top-k of whichever output block holds its single row
-        return df.sort_values(["n", "gram"], ascending=[False, True]).head(k)
+    def sum_topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", sort=False)["n"].sum().reset_index()
+        return g.sort_values(["n", "gram"], ascending=[False, True]).head(k)
 
     return (
         ds.map_batches(partial_counts, batch_format="pandas")
-        .groupby("gram")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(block_topk, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sum_topk_in_bucket, batch_format="pandas")
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
@@ -301,10 +310,15 @@ def inverted_index(sf_dir: str, max_postings: int = 8):
     index the reference delegates to (``warc-indexer/.../solr/
     SolrRecordFactory.java`` feeds text into Solr's inverted index),
     re-expressed as a first-class Dataset op: per-batch (token, doc_id, tf)
-    partials, ONE hash shuffle on token, vectorised per-group finalise.
+    partials, ONE bucketed grouped pass on ``bucket(token)``
+    (``functions/bucketing.py`` — a per-token map_groups pays one Python
+    call per vocabulary entry) with a vectorised in-bucket finalise.
     Posting lists are truncated (bounded output per token — no unbounded
     hot-token group) and emitted as a csv string for a stable comparison
     surface. Columns: token, df, total_tf, postings. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial_tf(df: pd.DataFrame) -> pd.DataFrame:
@@ -319,26 +333,37 @@ def inverted_index(sf_dir: str, max_postings: int = 8):
             .size()
             .reset_index(name="tf")
         )
+        g["bucket"] = bucket_of(g["token"], n_b)
         return g
 
-    def finalise(df: pd.DataFrame) -> pd.DataFrame:
-        # one group = one token (groupby key); df/tf are exact because each
-        # (token, doc_id) pair appears once per source block and is summed
-        g = df.groupby("doc_id", sort=True)["tf"].sum()
-        ids = g.index.to_numpy()
+    def finalise_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # (token, doc_id) pairs appear once per source block: sum to exact
+        # tf, then one vectorized grouped aggregate per token
+        g = (
+            df.groupby(["token", "doc_id"], sort=False)["tf"]
+            .sum()
+            .reset_index()
+            .sort_values(["token", "doc_id"], kind="mergesort")
+        )
+        agg = g.groupby("token", sort=False).agg(
+            df=("doc_id", "size"), total_tf=("tf", "sum")
+        )
+        heads = g.groupby("token", sort=False).head(max_postings)
+        heads = heads.assign(s=heads["doc_id"].astype(str))
+        postings = heads.groupby("token", sort=False)["s"].agg(",".join)
         return pd.DataFrame(
             {
-                "token": [df["token"].iloc[0]],
-                "df": np.array([len(ids)], dtype=np.int64),
-                "total_tf": np.array([int(g.sum())], dtype=np.int64),
-                "postings": [",".join(str(i) for i in ids[:max_postings])],
+                "token": agg.index.to_numpy(),
+                "df": agg["df"].astype("int64").to_numpy(),
+                "total_tf": agg["total_tf"].astype("int64").to_numpy(),
+                "postings": agg.index.map(postings).to_numpy(),
             }
         )
 
     return (
         ds.map_batches(partial_tf, batch_format="pandas")
-        .groupby("token")
-        .map_groups(finalise, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(finalise_bucket, batch_format="pandas")
     )
 
 
@@ -350,17 +375,21 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K):
     rational tf-idf surrogate — one double division of two exact ints, so
     the ranking is bit-identical to the SQL oracle's; a log-damped idf is
     a drop-in variant but ``ln`` is not guaranteed bit-equal across
-    engines). Shape: per-batch exact (token, doc_id, tf) rows (a document
-    lives in one row, so no tf shuffle), ONE grouped Count for df, an
-    inner join back on token, then per-batch partial top-k per doc + the
-    grouped finalise (each block contributes ≤ k rows per doc it holds).
-    Ties at rank k break by token asc. Columns: doc_id, token, tf, df,
-    score, rank."""
-    import ray
-    from ray.data.aggregate import Count
+    engines).
 
+    Shape — TWO bucketed grouped passes (``functions/bucketing.py``):
+    per-batch exact (token, doc_id, tf) rows (a document lives in one
+    row, so tf needs no shuffle), pass 1 keyed by ``bucket(token)``
+    attaches df vectorized (all rows of a token co-locate) and trims to
+    each doc's in-bucket top-k (valid combiner: a doc's global top-k is a
+    subset of its per-bucket top-k union), pass 2 keyed by
+    ``bucket(doc_id)`` assigns final ranks with one vectorized grouped
+    cumcount. Ties at rank k break by token asc. Columns: doc_id, token,
+    tf, df, score, rank."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_parts = int(min(64, max(4, ray.cluster_resources().get("CPU", 8))))
 
     def exact_tf(df: pd.DataFrame) -> pd.DataFrame:
         ex = (
@@ -375,30 +404,39 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K):
             .reset_index(name="tf")
         )
         g["tf"] = g["tf"].astype("int64")
+        g["bucket"] = bucket_of(g["token"], n_b)
         return g
 
-    tf = ds.map_batches(exact_tf, batch_format="pandas").materialize()
-    dfreq = tf.groupby("token").aggregate(Count(alias_name="df"))
-    scored = tf.join(
-        dfreq,
-        "inner",
-        num_partitions=n_parts,
-        on=("token",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
-
-    def score_and_trim(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(score=df["tf"].to_numpy() / df["df"].to_numpy().astype("float64"))
+    def df_and_trim(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["token"].value_counts()  # df: docs per token (exact —
+        # each (token, doc_id) pair is one row and tokens co-locate)
+        df = df.assign(df=df["token"].map(counts).astype("int64"))
+        df = df.assign(
+            score=df["tf"].to_numpy() / df["df"].to_numpy().astype("float64")
+        )
         df = df.sort_values(
             ["doc_id", "score", "token"], ascending=[True, False, True],
             kind="mergesort",
         )
-        return df.groupby("doc_id", sort=False).head(k)
+        out = df.groupby("doc_id", sort=False).head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "token": out["token"].to_numpy(),
+                "tf": out["tf"].to_numpy(),
+                "df": out["df"].to_numpy(),
+                "score": out["score"].to_numpy(),
+                "bucket": bucket_of(out["doc_id"], n_b).to_numpy(),
+            }
+        )
 
-    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+    def rank_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
-            ["score", "token"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+            ["doc_id", "score", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.assign(rank=df.groupby("doc_id", sort=False).cumcount() + 1)
+        df = df[df["rank"] <= k]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64").to_numpy(),
@@ -406,14 +444,16 @@ def tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K):
                 "tf": df["tf"].astype("int64").to_numpy(),
                 "df": df["df"].astype("int64").to_numpy(),
                 "score": df["score"].to_numpy(),
-                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+                "rank": df["rank"].astype("int64").to_numpy(),
             }
         )
 
     return (
-        scored.map_batches(score_and_trim, batch_format="pandas")
-        .groupby("doc_id")
-        .map_groups(finalise, batch_format="pandas")
+        ds.map_batches(exact_tf, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(df_and_trim, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rank_in_bucket, batch_format="pandas")
     )
 
 
