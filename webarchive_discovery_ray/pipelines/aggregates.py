@@ -74,15 +74,29 @@ def lineitem_agg(sf_dir: str):
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table(
+        # in-batch combiner: the grouped aggregate downstream walks rows
+        # in Python on this Ray version (BASELINE.md grouped-pass
+        # discipline) — ship it 6 partial rows per block, not 600k
+        df = pd.DataFrame(
             {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
                 "qty_cents": cents(qty),
                 "base_cents": cents(price),
                 "disc_cents": cents(price * (1.0 - disc)),
             }
         )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                qty_cents=("qty_cents", "sum"),
+                base_cents=("base_cents", "sum"),
+                disc_cents=("disc_cents", "sum"),
+                n=("qty_cents", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -91,7 +105,7 @@ def lineitem_agg(sf_dir: str):
             Sum("qty_cents", alias_name="qty_c"),
             Sum("base_cents", alias_name="base_c"),
             Sum("disc_cents", alias_name="disc_c"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
@@ -140,20 +154,28 @@ def revenue_by_nation(sf_dir: str):
     )
 
     def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+        # in-batch combiner (BASELINE.md grouped-pass discipline): 25
+        # nation partials per block, not raw joined orders
         lookup = get_broadcast(nation_ref)
-        return pd.DataFrame(
-            {
-                "n_name": df["c_nationkey"].map(lookup),
-                "price_cents": cents(df["o_totalprice"].to_numpy()),
-            }
+        g = (
+            pd.DataFrame(
+                {
+                    "n_name": df["c_nationkey"].map(lookup),
+                    "price_cents": cents(df["o_totalprice"].to_numpy()),
+                }
+            )
+            .groupby("n_name", sort=False)
+            .agg(revenue_c=("price_cents", "sum"), n=("price_cents", "size"))
+            .reset_index()
         )
+        return g
 
     agg = (
         joined.map_batches(attach_nation, batch_format="pandas")
         .groupby("n_name")
         .aggregate(
-            Sum("price_cents", alias_name="revenue_c"),
-            Count(alias_name="n_orders"),
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n", alias_name="n_orders"),
         )
     )
 
@@ -180,18 +202,26 @@ def events_hourly(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "hour": df["ts"].dt.floor("h"),
-                "value_q": cents(df["value"].to_numpy(), scale=10000.0),
-            }
+        # in-batch combiner (BASELINE.md grouped-pass discipline): ship
+        # (type, hour) partials per block, not raw events
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "hour": df["ts"].dt.floor("h"),
+                    "value_q": cents(df["value"].to_numpy(), scale=10000.0),
+                }
+            )
+            .groupby(["event_type", "hour"], sort=False)
+            .agg(total_q=("value_q", "sum"), n=("value_q", "size"))
+            .reset_index()
         )
+        return g
 
     agg = (
         ds.map_batches(bucket, batch_format="pandas")
         .groupby(["event_type", "hour"])
-        .aggregate(Sum("value_q", alias_name="total_q"), Count(alias_name="n_events"))
+        .aggregate(Sum("total_q", alias_name="total_q"), Sum("n", alias_name="n_events"))
     )
 
     def finalise(df: pd.DataFrame) -> pd.DataFrame:
@@ -209,15 +239,22 @@ def events_hourly(sf_dir: str):
 
 
 def freq_count_docs(sf_dir: str):
-    """A1 frequency counting: distinct (lang, source) value counts.
+    """A1 frequency counting: distinct (lang, source) value counts —
+    per-batch partial counts (combiner), one tiny grouped Sum.
 
     Columns: lang, source, n."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
 
     return (
         read_table(sf_dir, "documents", columns=["lang", "source"])
+        .map_batches(partial, batch_format="pandas")
         .groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 
@@ -230,9 +267,17 @@ def topk_orders(sf_dir: str, k: int = 10):
 
 
 def distinct_event_types(sf_dir: str):
-    """Set op: distinct event_type values. Columns: event_type."""
+    """Set op: distinct event_type values — per-batch dedupe (combiner),
+    one tiny grouped pass. Columns: event_type."""
     ds = read_table(sf_dir, "events", columns=["event_type"])
-    return ds.groupby("event_type").count().select_columns(["event_type"])
+    return (
+        ds.map_batches(
+            lambda df: df.drop_duplicates(["event_type"]), batch_format="pandas"
+        )
+        .groupby("event_type")
+        .count()
+        .select_columns(["event_type"])
+    )
 
 
 def reservoir_sample_events(sf_dir: str, k: int = 5):
@@ -281,20 +326,27 @@ def semi_join_lineitem(sf_dir: str, top_n: int = 100):
 
     def filter_keys(df: pd.DataFrame) -> pd.DataFrame:
         # task-pool stage (no pinned actor count): the key set broadcasts
-        # once per worker via the get_broadcast cache
+        # once per worker via the get_broadcast cache; in-batch combiner
+        # (BASELINE.md grouped-pass discipline) ships 3 partials per block
         sel = df[df["l_orderkey"].isin(get_broadcast(keys_ref))]
-        return pd.DataFrame(
-            {
-                "l_returnflag": sel["l_returnflag"],
-                "qty_cents": cents(sel["l_quantity"].to_numpy()),
-            }
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": sel["l_returnflag"],
+                    "qty_cents": cents(sel["l_quantity"].to_numpy()),
+                }
+            )
+            .groupby("l_returnflag", sort=False)
+            .agg(n_items=("qty_cents", "size"), qty_c=("qty_cents", "sum"))
+            .reset_index()
         )
+        return g
 
     agg = (
         read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
         .map_batches(filter_keys, batch_format="pandas")
         .groupby("l_returnflag")
-        .aggregate(Count(alias_name="n_items"), Sum("qty_cents", alias_name="qty_c"))
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("qty_c", alias_name="qty_c"))
     )
 
     def finalise(df: pd.DataFrame) -> pd.DataFrame:
