@@ -464,7 +464,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.sessions import (
         grouped_topk_docs,
         sessionize_events,
+        source_mix,
         stratified_sample_events,
+    )
+    from webarchive_discovery_ray.pipelines.aggregates import (
+        anti_join_orders,
+        grouped_quantiles,
     )
     from webarchive_discovery_ray.pipelines.similarity import (
         ann_cosine_topk,
@@ -537,6 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": _host_link_graph,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
+        "anti_join_orders": anti_join_orders,
+        "grouped_quantiles": grouped_quantiles,
+        "source_mix": source_mix,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
@@ -1377,5 +1385,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT digest) AS BIGINT) AS n_versions
             FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
             GROUP BY surt_key
+        """,
+        # anti join: orders with no lineitem above the quantity threshold
+        "anti_join_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (
+                SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
+            )
+        """,
+        # exact per-type quantiles, lower-value semantics
+        "grouped_quantiles": """
+            WITH s AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value
+                       ) - 1 AS rn
+                FROM events
+            ),
+            n AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+            qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9))
+            SELECT s.event_type, qs.q AS q, s.value AS value
+            FROM qs, n, s
+            WHERE s.event_type = n.event_type
+              AND s.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)
+        """,
+        # deterministic weighted source interleave: src{i} contributes up
+        # to 2*(i+1) docs by md5 rank
+        "source_mix": r"""
+            SELECT source, doc_id, rank FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rank
+                FROM documents
+            ) WHERE rank <= 2 * (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) + 1)
         """,
     }

@@ -723,3 +723,51 @@ def test_capture_intervals_stats(ray_session):
         assert got.loc[k, "first_ts14"] == row["first_ts14"]
         assert got.loc[k, "last_ts14"] == row["last_ts14"]
         assert got.loc[k, "n_versions"] == row["n_versions"]
+
+
+def test_anti_join_orders_complement(ray_session):
+    """Anti-join output is exactly orders minus the semi-join side."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.aggregates import anti_join_orders
+
+    sf = "/root/testdata/sf0.001"
+    orders = pq.read_table(f"{sf}/orders.parquet", columns=["o_orderkey"])
+    li = pq.read_table(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]).to_pandas()
+    hot = set(li.loc[li["l_quantity"] > 45.0, "l_orderkey"])
+    want = set(orders["o_orderkey"].to_pylist()) - hot
+    got = anti_join_orders(sf).to_pandas()
+    assert set(got["o_orderkey"]) == want
+    assert len(got) == len(want)
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.aggregates import grouped_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    got = grouped_quantiles(sf)
+    for (t, q), sub in got.set_index(["event_type", "q"]).groupby(level=[0, 1]):
+        vals = np.sort(ev.loc[ev["event_type"] == t, "value"].to_numpy())
+        assert sub["value"].iloc[0] == vals[int(np.floor(q * (len(vals) - 1)))]
+
+
+def test_source_mix_ratio_ladder(ray_session):
+    from webarchive_discovery_ray.pipelines.sessions import source_mix
+
+    sf = "/root/testdata/sf0.001"
+    got = source_mix(sf, per_unit=2).to_pandas()
+    per = got.groupby("source").size()
+    for src, n in per.items():
+        i = int(src.replace("src", ""))
+        assert n <= 2 * (i + 1)
+        assert sorted(got.loc[got["source"] == src, "rank"]) == list(range(1, n + 1))
+    # determinism
+    again = source_mix(sf, per_unit=2).to_pandas()
+    key = ["source", "doc_id", "rank"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )

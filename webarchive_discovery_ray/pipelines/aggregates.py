@@ -36,6 +36,8 @@ __all__ = [
     "distinct_event_types",
     "reservoir_sample_events",
     "semi_join_lineitem",
+    "anti_join_orders",
+    "grouped_quantiles",
 ]
 
 _Q1_CUTOFF = "1998-09-02"
@@ -402,6 +404,105 @@ def union_orders_split(sf_dir: str, split: float = 150000.0):
         .groupby("o_orderstatus")
         .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
         .map_batches(finalise, batch_format="pandas")
+    )
+
+
+def anti_join_orders(sf_dir: str, qty_threshold: float = 45.0):
+    """Anti join (§2.7 set-op family): orders with NO lineitem above the
+    quantity threshold — ``Dataset.join(..., "left_anti")``, the
+    hash-shuffle anti-join (both sides partition by the key; no key set
+    ever materializes on the driver, unlike the broadcast semi-join).
+    Columns: o_orderkey, o_totalprice."""
+    import ray
+
+    n_parts = int(min(32, max(4, ray.cluster_resources().get("CPU", 8) // 2)))
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    hot = (
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .filter(expr=f"l_quantity > {qty_threshold}")
+        .map_batches(
+            lambda df: df[["l_orderkey"]].drop_duplicates(), batch_format="pandas"
+        )
+    )
+    return orders.join(
+        hot,
+        "left_anti",
+        num_partitions=n_parts,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+
+GROUPED_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def grouped_quantiles(sf_dir: str, qs=GROUPED_QUANTILES):
+    """Exact per-group quantiles of ``events.value`` per event_type
+    (lower-value semantics: value at index ``floor(q * (n_g - 1))`` of the
+    group's sorted values). Same two-phase scan as
+    :func:`global_quantiles`, generalized to groups: ONE range-partitioned
+    ``ds.sort((event_type, value))``, per-block per-group counts via tiny
+    remote tasks, driver maps each (group, q) to a (block, local offset)
+    and fetches single values. Scale-safe for LOW-cardinality group keys
+    (driver holds blocks × groups ints) — a ``groupby(event_type)`` would
+    put one whole type in one task instead. Columns: event_type, q,
+    value. SQL-oracle-checked."""
+    import math
+
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    sorted_ds = ds.sort(["event_type", "value"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def type_counts(tbl: pa.Table) -> dict:
+        df = tbl.to_pandas()
+        return {k: int(v) for k, v in df.groupby("event_type", sort=False).size().items()}
+
+    counts = ray.get([type_counts.remote(r) for r in refs])
+    # per-type total + per-block starting offset of each type's run
+    totals: dict[str, int] = {}
+    block_start: list[dict] = []
+    for c in counts:
+        block_start.append({k: totals.get(k, 0) for k in c})
+        for k, v in c.items():
+            totals[k] = totals.get(k, 0) + v
+
+    # (type, q) -> (block, local offset within block's rows of that type)
+    want: dict[int, list[tuple[int, str, float, int]]] = {}
+    out_rows: list[tuple[str, float]] = []
+    for t in sorted(totals):
+        for q in qs:
+            gidx = int(math.floor(q * (totals[t] - 1)))
+            for b, (c, starts) in enumerate(zip(counts, block_start)):
+                if t in c and starts[t] <= gidx < starts[t] + c[t]:
+                    local_of_type = gidx - starts[t]
+                    want.setdefault(b, []).append((len(out_rows), t, q, local_of_type))
+                    break
+            out_rows.append((t, q))
+
+    @ray.remote
+    def fetch(tbl: pa.Table, items: list) -> list[float]:
+        df = tbl.to_pandas()
+        out = []
+        for _, t, _, off in items:
+            vals = df.loc[df["event_type"] == t, "value"].to_numpy()
+            out.append(float(vals[off]))
+        return out
+
+    got = {b: fetch.remote(refs[b], items) for b, items in want.items()}
+    vals = [0.0] * len(out_rows)
+    for b, items in want.items():
+        for (ri, _, _, _), v in zip(items, ray.get(got[b])):
+            vals[ri] = v
+    return pd.DataFrame(
+        {
+            "event_type": [t for t, _ in out_rows],
+            "q": np.asarray([q for _, q in out_rows], dtype=np.float64),
+            "value": vals,
+        }
     )
 
 

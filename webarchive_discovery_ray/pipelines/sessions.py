@@ -35,6 +35,7 @@ __all__ = [
     "sessionize_events",
     "stratified_sample_events",
     "grouped_topk_docs",
+    "source_mix",
 ]
 
 SESSION_GAP_S = 1800  # classic 30-minute inactivity timeout
@@ -183,5 +184,44 @@ def grouped_topk_docs(sf_dir: str, k: int = GROUP_TOPK):
     return (
         ds.map_batches(partial, batch_format="pandas")
         .groupby(["lang", "source"])
+        .map_groups(finalise, batch_format="pandas")
+    )
+
+
+def source_mix(sf_dir: str, per_unit: int = 2):
+    """Training-data source mixing: a deterministic weighted interleave of
+    the corpus's sources — source ``src{i}`` contributes up to
+    ``per_unit * (i + 1)`` documents (the mixture ratio ladder), selected
+    by (md5(doc_id), doc_id) rank within the source. The sampling-ratio
+    analogue of data-mixture curation (e.g. upweighting curated sources);
+    per-batch partial top-k per source bounds every block's contribution
+    before the small grouped finalise. Columns: source, doc_id, rank."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def k_of(source: pd.Series) -> pd.Series:
+        idx = source.str.extract(r"(\d+)$", expand=False).fillna("0").astype(int)
+        return (per_unit * (idx + 1)).astype("int64")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rk=_md5_rank(df["doc_id"]), k=k_of(df["source"]))
+        df = df.sort_values(["source", "rk", "doc_id"], kind="mergesort")
+        df = df.assign(rn=df.groupby("source", sort=False).cumcount() + 1)
+        return df[df["rn"] <= df["k"]].drop(columns=["rn"])
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rk", "doc_id"], kind="mergesort")
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+        df = df[df["rank"] <= df["k"]]
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "doc_id": df["doc_id"].to_numpy(),
+                "rank": df["rank"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
         .map_groups(finalise, batch_format="pandas")
     )
