@@ -251,3 +251,13 @@ def test_extraction_parity_on_fuzzed_html(bits):
     assert d1["title"] == d2["title"]
     assert d1["hash"] == d2["hash"]
     assert d1["content"] == d2["content"]
+
+
+def test_title_offset_anchors_at_first_opening_tag():
+    # fuzz-found: a nested <title> inside an open title must not re-anchor
+    # the span offset (stage now matches the oracle's first-tag anchor)
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.stages.extract import parse_html_features
+
+    f = parse_html_features("<title><title>x</title>", "http://e.com/", IndexConfig())
+    assert f.title == (0, "x")

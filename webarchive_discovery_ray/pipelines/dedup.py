@@ -232,26 +232,23 @@ def _minhash_signature(shingle_hashes: Iterable[int], seeds: np.ndarray) -> np.n
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
-    shingle -> 32-perm minhash -> 8x4 band buckets -> groupby(bucket)
-    co-group (pairs emitted only when a bucket holds ≥2 docs — singleton
-    pruning is inside the group pass, no separate counts shuffle) ->
-    distinct pairs -> HASH-PARTITIONED verify. Columns: doc_a, doc_b,
-    jaccard (rounded 6). Deterministic; rows-only driver check (non-SQL).
+    shingle -> 32-perm minhash -> 8x4 band buckets -> bucketed co-grouped
+    self-merge (pairs emitted only when an LSH bucket holds ≥2 docs —
+    singleton pruning is inherent to the merge) -> distinct pairs ->
+    tag-join verify. Columns: doc_a, doc_b, jaccard (rounded 6).
+    Deterministic; rows-only driver check (non-SQL).
 
     100-TB shuffle discipline (cf. the reference's reducer-side grouping,
     ``MDXReduplicatingReducer.java:72-153``): the corpus text is never
-    materialized on the driver. Verification routes candidate-pair id
-    references and document texts to the same hash partitions
-    (union + groupby(key) co-group — the tag-join pattern):
+    materialized on the driver, and every exchange is a bucketed grouped
+    pass (``functions/bucketing.py`` — no join-aggregator actor pools):
 
-    1. pairs' distinct doc ids ⨝ documents on doc_id -> candidate texts
-       (the corpus streams through ONE shuffle; only docs referenced by a
-       candidate pair emit their text);
-    2. pairs ⨝ candidate-texts on doc_a -> (doc_a, doc_b, text_a);
-    3. that ⨝ candidate-texts on doc_b -> exact 3-gram Jaccard, filter.
-
-    Steps 2-3 shuffle only candidate-bounded data."""
-    from ray.data.aggregate import Count
+    1. pass A keys corpus texts by bucket(doc_id) and each pair SIDE by
+       bucket(its doc) — the in-bucket merge attaches the text to every
+       side referencing a co-located doc (the corpus streams through this
+       ONE shuffle; unreferenced texts drop there);
+    2. pass B keys both halves by bucket(pair) and computes the exact
+       3-gram Jaccard — candidate-bounded data only."""
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     seeds = _perm_seeds()
@@ -274,50 +271,34 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
             }
         )
 
-    # ---- candidate pairs: vectorized self-join on bucket ----------------
-    # bands ⨝ bands on bucket with doc_id_a < doc_id_b gives exactly the
-    # within-bucket pairs; singleton buckets vanish in the join (their only
-    # "pair" is the self-pair the < filter drops). No per-group Python
-    # calls, no driver-side hot-bucket set. Partition count tracks the
-    # cluster (join spins one aggregator per partition — oversubscribing a
-    # small cluster stalls the pipeline).
-    import pyarrow.compute as pc
-    import ray
-
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    # the three verify joins move candidate-bounded data only: coarser
-    # partitions there cut the per-join aggregator spin-up cost
-    n_verify_parts = int(min(32, max(4, n_cpus // 4)))
-
-    bands = ds.map_batches(to_bands, batch_format="pyarrow").materialize()
-    # size the pair-join by data volume (each partition costs an aggregator
-    # actor spin-up — small inputs shouldn't pay for 64 of them; the row
-    # count is free on the materialized bands)
-    n_join_parts = int(min(min(64, max(4, n_cpus)), max(4, bands.count() // 20_000 + 1)))
-    raw_pairs = bands.join(
-        bands,
-        "inner",
-        num_partitions=n_join_parts,
-        on=("bucket",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
-
-    def ordered(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.less(batch["doc_id_a"], batch["doc_id_b"]))
-        return pa.table({"doc_a": keep["doc_id_a"], "doc_b": keep["doc_id_b"]})
-
-    # distinct candidate pairs (bands produce duplicates). materialize()
-    # between join segments: each Dataset.join keeps num_partitions
-    # aggregator actors alive for its whole plan — chaining four joins in
-    # ONE streaming plan oversubscribes a small cluster's CPUs and stalls.
-    # The materialized sets are candidate-bounded (object-store resident,
-    # spillable), never driver-resident.
-    # distinct via a bucketed grouped pass (functions/bucketing.py — a
-    # raw-key groupby would walk every candidate pair in Python)
+    # ---- candidate pairs: bucketed co-grouped self-merge ----------------
+    # bands rows keyed by bucket(lsh key) co-locate every doc sharing an
+    # LSH band bucket; a vectorized in-bucket pandas self-merge with
+    # doc_a < doc_b gives exactly the within-bucket pairs (singleton
+    # buckets vanish -- their only "pair" is the self-pair the < filter
+    # drops). No per-group Python calls, no join-aggregator actor pools
+    # (functions/bucketing.py -- every exchange below is the same bucketed
+    # grouped pass).
     from ..functions.bucketing import bucket_of, default_buckets
 
     n_b = default_buckets()
+
+    def band_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(b=bucket_of(df["bucket"], n_b))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[["bucket", "doc_id"]].merge(df[["bucket", "doc_id"]], on="bucket")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {"doc_a": m["doc_id_x"].to_numpy(), "doc_b": m["doc_id_y"].to_numpy()}
+        )
+
+    raw_pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .map_batches(band_bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
 
     def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(bucket=bucket_of(df["doc_a"] * 1_000_003 + df["doc_b"], n_b))
@@ -326,59 +307,69 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
         return df[["doc_a", "doc_b"]].drop_duplicates()
 
     distinct_pairs = (
-        raw_pairs.map_batches(ordered, batch_format="pyarrow")
-        .map_batches(pair_bucket, batch_format="pandas")
+        raw_pairs.map_batches(pair_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(distinct_in_bucket, batch_format="pandas")
         .materialize()
     )
 
-    # ---- hash-partitioned verify (no driver/corpus materialization) ----
-    # Dataset.join = hash-shuffle both sides into co-located partitions,
-    # vectorized per-partition join. The corpus text streams through ONE
-    # semi-join; every later join ships only candidate-bounded data.
+    # ---- tag-join verify (no driver/corpus materialization) ------------
+    # Two bucketed co-group passes replace three hash joins with the SAME
+    # shuffle discipline: pass A keys corpus texts by bucket(doc_id) and
+    # each pair SIDE by bucket(its doc) -- the in-bucket merge attaches
+    # the text to every side referencing a co-located doc (texts of
+    # unreferenced docs drop there, the semi-join's effect); pass B keys
+    # both halves by bucket(pair) and computes the exact 3-gram Jaccard.
+    # The corpus text streams through pass A once; pass B ships only
+    # candidate-bounded data.
 
-    def ids_of(col: str):
-        def project(batch: pa.Table) -> pa.Table:
-            return pa.table({"doc_id": batch[col].cast(pa.int64())})
+    def tag_texts(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "doc_a": np.full(len(df), -1, dtype="int64"),
+                "doc_b": np.full(len(df), -1, dtype="int64"),
+                "side": np.zeros(len(df), dtype="int64"),
+                "text": df["text"],
+                "bucket": bucket_of(key, n_b),
+            }
+        )
 
-        return project
+    def tag_side(col: str, side: int):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            key = df[col].astype("int64")
+            return pd.DataFrame(
+                {
+                    "key": key,
+                    "doc_a": df["doc_a"].astype("int64"),
+                    "doc_b": df["doc_b"].astype("int64"),
+                    "side": np.full(len(df), side, dtype="int64"),
+                    "text": pd.Series([""] * len(df), dtype=object, index=df.index),
+                    "bucket": bucket_of(key, n_b),
+                }
+            )
 
-    cand_ids = distinct_pairs.map_batches(
-        ids_of("doc_a"), batch_format="pyarrow"
-    ).union(distinct_pairs.map_batches(ids_of("doc_b"), batch_format="pyarrow"))
-    # candidate texts: corpus ⋉ candidate ids (left_semi keeps each
-    # matching doc exactly once regardless of duplicate id references)
-    agg_args = {"num_cpus": 0.25}  # verify joins move little data: don't
-    # let their aggregators reserve half the cluster (the default budget)
-    cand_texts = ds.join(
-        cand_ids,
-        "left_semi",
-        num_partitions=n_verify_parts,
-        on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
-    ).materialize()
+        return tag
 
-    with_a = distinct_pairs.join(
-        cand_texts,
-        "inner",
-        num_partitions=n_verify_parts,
-        on=("doc_a",),
-        right_on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
-    ).rename_columns({"text": "text_a"})
-    with_b = with_a.join(
-        cand_texts,
-        "inner",
-        num_partitions=n_verify_parts,
-        on=("doc_b",),
-        right_on=("doc_id",),
-        aggregator_ray_remote_args=agg_args,
-    )
+    def attach_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[df["side"] == 0][["key", "text"]]
+        sides = df[df["side"] > 0][["key", "doc_a", "doc_b", "side"]]
+        m = sides.merge(texts, on="key", how="inner")
+        out = m[["doc_a", "doc_b", "side", "text"]].copy()
+        out["bucket"] = bucket_of(out["doc_a"] * 1_000_003 + out["doc_b"], n_b)
+        return out
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def verify_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b = df[df["side"] == 2][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = a.merge(b, on=["doc_a", "doc_b"])
         out = []
-        for da, db, ta, tb in zip(df["doc_a"], df["doc_b"], df["text_a"], df["text"]):
+        for da, db, ta, tb in zip(m["doc_a"], m["doc_b"], m["text_a"], m["text_b"]):
             sa = _shingles(ta)
             sb = _shingles(tb)
             j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
@@ -386,7 +377,17 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
                 out.append({"doc_a": int(da), "doc_b": int(db), "jaccard": round(j, 6)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    tagged = (
+        ds.map_batches(tag_texts, batch_format="pandas")
+        .union(distinct_pairs.map_batches(tag_side("doc_a", 1), batch_format="pandas"))
+        .union(distinct_pairs.map_batches(tag_side("doc_b", 2), batch_format="pandas"))
+    )
+    return (
+        tagged.groupby("bucket")
+        .map_groups(attach_in_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify_in_bucket, batch_format="pandas")
+    )
 
 
 def simhash_batch(texts) -> list[str]:

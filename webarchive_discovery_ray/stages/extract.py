@@ -146,7 +146,10 @@ def parse_html_features(html: str, base_url: str, cfg: IndexConfig) -> _HtmlFeat
                 f.elements.add(name[:100])
             if name == "body":
                 body_seen_at = tok.offset
-            elif name == "title" and f.title is None:
+            elif name == "title" and f.title is None and in_title_at < 0:
+                # a nested <title> start inside an open title must NOT
+                # re-anchor the span offset (the oracle anchors at the
+                # first opening tag; fuzz-found parity case)
                 in_title_at = tok.offset
             elif name == "p":
                 close_paragraph()
