@@ -253,16 +253,56 @@ def fix_url_errors(url: str) -> str:
     return canonicalise_url(url, allow_high_order=False, create_unambiguous=False)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _scheme_netloc(base: str) -> str | None:
+    """``scheme://netloc`` of a base URL (cached: one parse per page, not
+    one per link)."""
+    from urllib.parse import urlsplit
+
+    try:
+        sp = urlsplit(base)
+    except Exception:  # pragma: no cover
+        return None
+    if not sp.scheme or not sp.netloc:
+        return None
+    return f"{sp.scheme}://{sp.netloc}"
+
+
 def resolve_relative(url: str, relative: str, normalise: bool = True) -> str:
     """Resolve ``relative`` against ``url``; optionally canonicalise.
 
     Reference: ``Normalisation.java:100-121``; goldens
     ``NormalisationTest.java:68-93``.
+
+    Fast paths (urljoin measured ~14% of the extraction chain) cover only
+    cases verified byte-identical to ``urljoin``: a lowercase-scheme
+    absolute ref returns as-is (urljoin does NOT resolve dot segments
+    inside absolute refs, only lowercases the scheme), and a
+    root-relative ref without dot segments concatenates onto the cached
+    ``scheme://netloc``. Everything else (protocol-relative, dotted,
+    query/fragment-relative, uppercase schemes) takes the stdlib path.
     """
-    try:
-        resolved = urljoin(url, relative)
-    except Exception as exc:  # pragma: no cover - urljoin rarely raises
-        raise ValueError(f"Unable to resolve '{relative}' relative to '{url}'") from exc
+    resolved = None
+    if relative.startswith(("http://", "https://")):
+        resolved = relative
+    elif (
+        relative.startswith("/")
+        and not relative.startswith("//")
+        and "/." not in relative  # any dot segment: /./ /../ trailing /. /..
+    ):
+        prefix = _scheme_netloc(url)
+        if prefix is not None:
+            resolved = prefix + relative
+    if resolved is None:
+        try:
+            resolved = urljoin(url, relative)
+        except Exception as exc:  # pragma: no cover - urljoin rarely raises
+            raise ValueError(
+                f"Unable to resolve '{relative}' relative to '{url}'"
+            ) from exc
     if not resolved:
         raise ValueError(f"Unable to resolve '{relative}' relative to '{url}'")
     return canonicalise_url(resolved) if normalise else resolved

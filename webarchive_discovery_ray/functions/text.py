@@ -28,29 +28,22 @@ MAX_TEXT_LENGTH = 512 * 1024
 
 _WS = {" ", "\n", "\t"}
 
+# C-regex form of the SpaceTrimWriter collapse (a per-char Python loop here
+# was ~7% of the whole extraction chain): a run containing '\n' becomes
+# exactly '\n' (the first sub consumes the whole run around the first
+# newline), remaining space/tab runs become ' ', edge runs strip. The
+# whitespace set is EXACTLY {' ', '\n', '\t'} — never \r or \f.
+_NL_RUN = re.compile(r"[ \t]*\n[ \t\n]*")
+_SP_RUN = re.compile(r"[ \t]+")
+
 
 def space_trim(text: str) -> str:
     """Collapse whitespace runs exactly like the reference's SpaceTrimWriter:
     leading whitespace is dropped; a run containing ``\\n`` collapses to one
     newline, otherwise to one space; trailing run is dropped (never flushed)."""
-    out: list[str] = []
-    is_start = True
-    last_was_space = False
-    included_newline = False
-    for ch in text:
-        if ch in _WS:
-            last_was_space = True
-            if ch == "\n":
-                included_newline = True
-        else:
-            if last_was_space:
-                if not is_start:
-                    out.append("\n" if included_newline else " ")
-                last_was_space = False
-                included_newline = False
-            is_start = False
-            out.append(ch)
-    return "".join(out)
+    text = _NL_RUN.sub("\n", text)
+    text = _SP_RUN.sub(" ", text)
+    return text.strip(" \n")
 
 
 def truncate_text(text: str, max_length: int = MAX_TEXT_LENGTH) -> str:

@@ -38,19 +38,33 @@ def parse_wayback_date(timestamp: str) -> datetime | None:
     12: yyyyMMddHHmm; 14: +ss; 16: +cs (a '0' is appended to make 17);
     >=17: yyyyMMddHHmmssSSS (first 17 digits). Other lengths -> None.
     """
+    # manual slice-parse (strptime here measured ~4% of the extraction
+    # chain); the ASCII-digits guard matches strptime's strictness (int()
+    # alone would accept '+1' / unicode digits) and the datetime
+    # constructor enforces the same field ranges strptime did
+    if not (timestamp.isascii() and timestamp.isdigit()):
+        return None
     try:
         n = len(timestamp)
         if n == 12:
-            return datetime.strptime(timestamp, "%Y%m%d%H%M")
+            return datetime(
+                int(timestamp[0:4]), int(timestamp[4:6]), int(timestamp[6:8]),
+                int(timestamp[8:10]), int(timestamp[10:12]),
+            )
         if n == 14:
-            return datetime.strptime(timestamp, "%Y%m%d%H%M%S")
+            return datetime(
+                int(timestamp[0:4]), int(timestamp[4:6]), int(timestamp[6:8]),
+                int(timestamp[8:10]), int(timestamp[10:12]), int(timestamp[12:14]),
+            )
         if n == 16:
             timestamp = timestamp + "0"
             n = 17
         if n >= 17:
-            base = datetime.strptime(timestamp[:14], "%Y%m%d%H%M%S")
-            millis = int(timestamp[14:17])
-            return base.replace(microsecond=millis * 1000)
+            return datetime(
+                int(timestamp[0:4]), int(timestamp[4:6]), int(timestamp[6:8]),
+                int(timestamp[8:10]), int(timestamp[10:12]), int(timestamp[12:14]),
+                int(timestamp[14:17]) * 1000,
+            )
     except ValueError:
         return None
     return None
