@@ -396,3 +396,27 @@ class TestFieldPolicy:
                     assert DEFAULT_POLICY.adjust_many(k, v) == v, (k, v)
                     checked += 1
         assert checked > 1000
+
+
+def test_bucket_of_colocates_and_spreads():
+    import numpy as np
+    import pandas as pd
+
+    from webarchive_discovery_ray.functions.bucketing import bucket_of
+
+    # determinism + co-location: same key -> same bucket, across calls
+    s = pd.Series(["a", "b", "a", "c"] * 10)
+    b1, b2 = bucket_of(s, 16), bucket_of(s, 16)
+    assert b1.tolist() == b2.tolist()
+    assert len(set(b1[s == "a"])) == 1
+    # int keys: consecutive ids don't stripe into one bucket
+    ids = pd.Series(np.arange(10_000, dtype=np.int64))
+    bi = bucket_of(ids, 32)
+    counts = bi.value_counts()
+    assert len(counts) == 32
+    assert counts.max() < 3 * counts.min()  # roughly uniform
+    # string keys spread too
+    ss = pd.Series([f"host{i}.example" for i in range(10_000)])
+    bs = bucket_of(ss, 32)
+    assert bs.value_counts().max() < 3 * bs.value_counts().min()
+    assert bs.dtype == np.int32 and bi.dtype == np.int32

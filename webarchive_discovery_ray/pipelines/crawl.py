@@ -589,6 +589,11 @@ def _split_block(n_shards: int, tbl: pa.Table):
     parents = pc.list_parent_indices(cand_col)
     starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
     surts = pc.list_flatten(fetched["cand_surts"].combine_chunks())
+    shards_arr = np.fromiter(
+        (shard_of(k, n_shards) for k in surts.to_pylist()),
+        dtype=np.int32,
+        count=total,
+    )
     cand = pa.table(
         {
             "url": pc.list_flatten(cand_col),
@@ -601,17 +606,24 @@ def _split_block(n_shards: int, tbl: pa.Table):
             "order_rank": pa.array(
                 (np.arange(total) - starts).astype(np.int32)
             ),
-            "shard": pa.array(
-                np.fromiter(
-                    (shard_of(k, n_shards) for k in surts.to_pylist()),
-                    dtype=np.int32,
-                    count=total,
-                )
-            ),
+            "shard": pa.array(shards_arr),
         }
     ).cast(CAND_SCHEMA)
+    # sort by shard ONCE here and publish per-shard slice bounds: each
+    # shard then takes a ZERO-COPY slice of the shared block instead of
+    # filtering every row of every block (that scan cost n_shards x
+    # total-candidates per wave and grew with the shard count)
+    order = np.argsort(shards_arr, kind="stable")
+    cand = cand.take(pa.array(order))
+    sorted_shards = shards_arr[order]
+    bounds = np.searchsorted(sorted_shards, np.arange(n_shards + 1)).tolist()
     return (
-        {"part": part, "cand_rows": total, "fetched_rows": fetched.num_rows},
+        {
+            "part": part,
+            "cand_rows": total,
+            "fetched_rows": fetched.num_rows,
+            "shard_bounds": bounds,
+        },
         carry,
         fetched.select(_PULL_COLS),
         cand,
@@ -860,21 +872,30 @@ def run_crawl(
         carry_refs = {p: list(refs) for p, refs in pre_carry.items()}
         fetched_per_part: dict[int, int] = {}
         cand_refs = []
+        cand_bounds = []  # per block: n_shards+1 slice offsets
         for meta, (_, carry_ref, _, cand_ref) in zip(metas, splits):
             if meta["part"] >= 0:
                 carry_refs.setdefault(meta["part"], []).append(carry_ref)
                 fetched_per_part[meta["part"]] = meta["fetched_rows"]
             if meta["cand_rows"]:
                 cand_refs.append(cand_ref)
+                cand_bounds.append(meta["shard_bounds"])
         if cand_refs:
             # candidate routing BY REFERENCE from the driver, BATCHED: one
-            # accept call per shard per WAVE (not per block × shard) — the
-            # shards self-filter their rows from the shared blocks
-            # (zero-copy plasma reads); no fetch task ever blocks on an
+            # accept call per shard per WAVE (not per block × shard). The
+            # split task sorted each block by shard and published slice
+            # bounds, so each shard takes a ZERO-COPY slice of the shared
+            # block — total routing work is O(candidates), not
+            # O(n_shards × candidates); no fetch task ever blocks on an
             # actor call, and the per-wave actor-RPC count is O(n_shards)
             ray.get(
                 [
-                    pool.shards[s].accept_routed_many.remote(wave, cand_refs, s)
+                    pool.shards[s].accept_routed_many.remote(
+                        wave,
+                        cand_refs,
+                        s,
+                        [(b[s], b[s + 1]) for b in cand_bounds],
+                    )
                     for s in range(n_shards)
                 ]
             )  # delivery barrier before finalize

@@ -231,17 +231,30 @@ class SeenSet:
             self._pending.setdefault(wave, []).append(mine)
         return mine.num_rows
 
-    def accept_routed_many(self, wave: int, refs: list, shard_id: int) -> int:
+    def accept_routed_many(
+        self, wave: int, refs: list, shard_id: int, bounds: list | None = None
+    ) -> int:
         """Batched delivery: ONE actor call per shard per wave. ``refs``
         is the wave's full list of shared candidate-block ObjectRefs (a
         list argument is not auto-dereferenced by Ray, so the plasma reads
-        happen here — still zero-copy, still only this shard's rows are
-        materialised by the filter)."""
+        happen here — still zero-copy). ``bounds`` carries this shard's
+        (start, stop) slice per block (the split task sorts each block by
+        shard), so taking our rows is a zero-copy SLICE — no per-shard
+        filter scan of every block; without bounds, fall back to the
+        filter path (legacy callers/tests)."""
         import ray
 
         total = 0
-        for tbl in ray.get(list(refs)):
-            total += self.accept_routed(wave, tbl, shard_id)
+        tbls = ray.get(list(refs))
+        if bounds is None:
+            for tbl in tbls:
+                total += self.accept_routed(wave, tbl, shard_id)
+            return total
+        for tbl, (start, stop) in zip(tbls, bounds):
+            if stop > start:
+                mine = tbl.slice(start, stop - start)
+                self._pending.setdefault(wave, []).append(mine)
+                total += mine.num_rows
         return total
 
     def finalize_wave(self, wave: int):
