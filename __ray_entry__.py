@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         decontaminate,
         kmeans_embeddings,
         pii_scrub,
+        quality_filter,
         repetition_score,
     )
 
@@ -545,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
+        "quality_filter": quality_filter,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
@@ -1408,6 +1410,29 @@ def oracle_sql() -> dict[str, str]:
             FROM qs, n, s
             WHERE s.event_type = n.event_type
               AND s.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)
+        """,
+        # corpus-relative quality filter: keep docs with distinct-token
+        # ratio >= the corpus's exact P25 of that ratio
+        "quality_filter": f"""
+            WITH r AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE len(list_distinct({tokens})) * 1.0
+                                 / len({tokens}) END AS distinct_ratio
+                FROM documents
+            ),
+            s AS (
+                SELECT distinct_ratio,
+                       row_number() OVER (ORDER BY distinct_ratio) - 1 AS rn
+                FROM r
+            ),
+            n AS (SELECT count(*) AS c FROM r),
+            thr AS (
+                SELECT s.distinct_ratio AS t FROM s, n
+                WHERE s.rn = CAST(floor(0.25 * (n.c - 1)) AS BIGINT)
+            )
+            SELECT r.doc_id, r.distinct_ratio
+            FROM r, thr WHERE r.distinct_ratio >= thr.t
         """,
         # deterministic weighted source interleave: src{i} contributes up
         # to 2*(i+1) docs by md5 rank

@@ -113,3 +113,23 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     got = kmeans_embeddings(SF, k=12, n_iter=2).to_pandas()
     assert got["cluster"].between(0, 11).all()
     assert len(got) == len(pq.read_table(f"{SF}/embeddings.parquet"))
+
+
+def test_quality_filter_threshold_semantics(ray_session):
+    """Kept set == docs with ratio >= the exact corpus P25 (numpy ref)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import quality_filter
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    toks = docs["text"].str.split()
+    n = toks.str.len().to_numpy()
+    d = toks.map(lambda t: len(set(t))).to_numpy()
+    r = np.where(n > 0, d / np.where(n > 0, n, 1), 0.0)
+    thr = np.sort(r)[int(np.floor(0.25 * (len(r) - 1)))]
+    want = set(docs.loc[r >= thr, "doc_id"])
+    got = quality_filter(sf).to_pandas()
+    assert set(got["doc_id"]) == want
+    assert (got["distinct_ratio"] >= thr).all()

@@ -38,6 +38,7 @@ __all__ = [
     "pii_scrub",
     "kmeans_embeddings",
     "kmeans_reference",
+    "quality_filter",
 ]
 
 
@@ -285,3 +286,62 @@ def kmeans_reference(sf_dir: str, k: int = 8, n_iter: int = 5) -> pd.DataFrame:
                 centroids[c] = mat[sel].mean(axis=0)
     lab = _assign(mat, centroids)
     return pd.DataFrame({"vec_id": ids, "cluster": lab.astype(np.int64)})
+
+
+QUALITY_FILTER_Q = 0.25
+
+
+def quality_filter(sf_dir: str, q: float = QUALITY_FILTER_Q):
+    """Corpus-relative quality filtering: keep documents whose
+    distinct-token ratio is at or above the corpus's exact ``q`` quantile
+    of that ratio (lower-value semantics, as :func:`...aggregates.
+    global_quantiles`) — the composition pattern of a curation pipeline:
+    score -> global threshold -> filter, with the threshold computed by
+    the two-phase scan (one range-partitioned sort, per-block counts,
+    driver index pick; the driver holds #blocks ints + one float) and
+    applied as a broadcast inside ``map_batches``. Columns: doc_id,
+    distinct_ratio. SQL-oracle-checked (ratios are one double division of
+    exact ints, so the kept set is bit-identical)."""
+    import math
+
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratios(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        n_tokens = toks.str.len().astype("int64")
+        n_distinct = toks.map(lambda t: len(set(t))).astype("int64")
+        safe = n_tokens.replace(0, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "distinct_ratio": np.where(n_tokens > 0, n_distinct / safe, 0.0),
+            }
+        )
+
+    scored = ds.map_batches(ratios, batch_format="pandas").materialize()
+    sorted_ds = scored.sort("distinct_ratio").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    gidx = int(math.floor(q * (n - 1)))
+    bounds = np.cumsum([0] + counts)
+    b = int(np.searchsorted(bounds, gidx, side="right") - 1)
+
+    @ray.remote
+    def pick(tbl: pa.Table, off: int) -> float:
+        return float(tbl["distinct_ratio"][off].as_py())
+
+    thr = ray.get(pick.remote(refs[b], gidx - int(bounds[b])))
+    del sorted_ds, refs
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["distinct_ratio"] >= thr]
+
+    return scored.map_batches(keep, batch_format="pandas")

@@ -179,41 +179,44 @@ def language_id(sf_dir: str):
     }
     profiles_ref = ray.put(top_profiles)
 
-    class Classify:
-        def __init__(self):
-            prof = ray.get(profiles_ref)
-            self.langs = sorted(prof)
-            vocab = sorted({t for c in prof.values() for t in c})
-            self.vocab_ix = {t: i for i, t in enumerate(vocab)}
-            mat = np.zeros((len(self.langs), len(vocab)), dtype=np.int64)
-            for li, lang in enumerate(self.langs):
-                for t, n in prof[lang].items():
-                    mat[li, self.vocab_ix[t]] = n
-            self.mat = mat
+    # classify runs as a TASK-pool map (the per-worker broadcast cache
+    # builds the tiny profile matrix once per process — an actor pool here
+    # paid multi-second spin-up for state that is k x langs ints), with
+    # the token->vocab scatter fully vectorized (explode + map + add.at —
+    # no per-doc per-token Python loop)
+    from ..functions.broadcast import get_broadcast
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.zeros((len(df), len(self.vocab_ix)), dtype=np.int64)
-            for i, toks in enumerate(df["text"].str.split()):
-                for t in toks:
-                    j = self.vocab_ix.get(t)
-                    if j is not None:
-                        vecs[i, j] += 1
-            scores = vecs @ self.mat.T  # exact int64 dot products
-            best = np.argmax(scores, axis=1)  # ties -> lowest index = lexicographic
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"],
-                    "lang": df["lang"],
-                    "lang_pred": [self.langs[b] for b in best],
-                }
-            )
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        prof = get_broadcast(profiles_ref)
+        langs = sorted(prof)
+        vocab = sorted({t for c in prof.values() for t in c})
+        vocab_ix = pd.Series(
+            np.arange(len(vocab), dtype=np.int64), index=vocab
+        )
+        mat = np.zeros((len(langs), len(vocab)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for t, n in prof[lang].items():
+                mat[li, vocab_ix[t]] = n
+        toks = df["text"].str.split()
+        lens = toks.str.len().to_numpy()
+        vecs = np.zeros((len(df), len(vocab)), dtype=np.int64)
+        if lens.sum():
+            rows = np.repeat(np.arange(len(df)), lens)
+            flat = pd.Series(np.concatenate([t for t in toks if t]))
+            js = flat.map(vocab_ix).to_numpy()
+            hit = ~pd.isna(js)
+            np.add.at(vecs, (rows[hit], js[hit].astype(np.int64)), 1)
+        scores = vecs @ mat.T  # exact int64 dot products
+        best = np.argmax(scores, axis=1)  # ties -> lowest index = lexicographic
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df["lang"],
+                "lang_pred": [langs[b] for b in best],
+            }
+        )
 
-    # autoscaling actor pool (1, cluster CPUs): never pin a fixed actor
-    # count — a 32-CPU box would starve at 2 and a 2-CPU box would thrash
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    return ds.map_batches(
-        Classify, batch_format="pandas", concurrency=(1, max(2, n_cpus))
-    )
+    return ds.map_batches(classify, batch_format="pandas")
 
 
 _FP_WINDOW = 4  # winnowing window over 3-token shingle hashes
