@@ -474,6 +474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.similarity import (
         ann_cosine_topk,
         ivf_cosine_topk,
+        sq8_cosine_topk,
+        sq8_quantize,
     )
     from webarchive_discovery_ray.pipelines.enrich import (
         fuzzy_hashes,
@@ -568,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "pdf_preflight": _pdf_preflight,
         "kmeans_embeddings": kmeans_embeddings,
+        "sq8_embeddings": sq8_quantize,
+        "sq8_cosine_topk": sq8_cosine_topk,
     }
 
 

@@ -771,3 +771,42 @@ def test_source_mix_ratio_ladder(ray_session):
     assert got.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_sq8_quantize_matches_numpy_reference(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.similarity import sq8_quantize
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()])
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    want = np.clip(np.round((mat - lo) / scale), 0, 255).astype(np.uint8)
+    got = sq8_quantize(sf).to_pandas().set_index("vec_id")
+    assert len(got) == len(mat)
+    for vid, row in zip(tbl["vec_id"].to_pylist(), want):
+        assert got.loc[vid, "codes"] == row.tobytes()
+    # reconstruction error bounded by half a quantization step per dim
+    assert (got["max_abs_err"] <= scale.max() / 2 + 1e-12).all()
+
+
+def test_sq8_topk_recall_vs_exact(ray_session):
+    from webarchive_discovery_ray.pipelines.similarity import (
+        ann_cosine_topk,
+        sq8_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_cosine_topk(sf).to_pandas()
+    approx = sq8_cosine_topk(sf).to_pandas()
+    assert len(approx) == len(exact)
+    hits = 0
+    for qid, g in exact.groupby("query_vec_id"):
+        e = set(g["vec_id"])
+        a = set(approx.loc[approx["query_vec_id"] == qid, "vec_id"])
+        hits += len(e & a) / len(e)
+    recall = hits / exact["query_vec_id"].nunique()
+    assert recall >= 0.9, f"SQ8 top-k recall {recall:.2f} < 0.9"

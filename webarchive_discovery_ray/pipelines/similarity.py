@@ -17,7 +17,7 @@ import pandas as pd
 
 from ..sources.io import read_table
 
-__all__ = ["ann_cosine_topk", "ivf_cosine_topk"]
+__all__ = ["ann_cosine_topk", "ivf_cosine_topk", "sq8_quantize", "sq8_cosine_topk"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -163,6 +163,116 @@ def ivf_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_probe: int = 
         return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
 
     partials = ds.map_batches(bucket_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos_r", "vec_id"], ascending=[False, True], kind="mergesort")
+        df = df.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_vec_id": df["query_vec_id"],
+                "vec_id": df["vec_id"],
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")
+
+
+def sq8_quantize(sf_dir: str):
+    """SQ8 scalar quantization of the embedding column — the memory-scale
+    path for similarity search (int8 codes are 4x smaller than float32 and
+    16x smaller than the float64 math): per-dimension [min, max] from a
+    distributed partial reduce (each block contributes one 2 x d vector;
+    the driver folds #blocks of them), then a broadcast affine encode per
+    batch. Deterministic; rows-only (codes verified against a sequential
+    numpy reference in pytest). Columns: vec_id, codes (binary, d bytes),
+    max_abs_err (double, reconstruction error of the row)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_minmax(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "lo": [mat.min(axis=0).tobytes()],
+                "hi": [mat.max(axis=0).tobytes()],
+            }
+        )
+
+    parts = ds.map_batches(partial_minmax, batch_format="pandas").take_all()
+    los = np.stack([np.frombuffer(p["lo"], dtype=np.float64) for p in parts])
+    his = np.stack([np.frombuffer(p["hi"], dtype=np.float64) for p in parts])
+    lo, hi = los.min(axis=0), his.max(axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    params_ref = ray.put((lo, scale))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        blo, bscale = get_broadcast(params_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = np.clip(np.round((mat - blo) / bscale), 0, 255).astype(np.uint8)
+        recon = blo + codes.astype(np.float64) * bscale
+        err = np.abs(recon - mat).max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "codes": [c.tobytes() for c in codes],
+                "max_abs_err": err,
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def sq8_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Brute-force cosine top-k over SQ8-DEQUANTIZED vectors — the
+    quantized variant of :func:`ann_cosine_topk` (same partial-top-k /
+    tiny-reduce shape; queries stay full-precision, candidates are
+    reconstructed from int8 codes). Rows-only; pytest checks top-k recall
+    against the exact search. Columns: query_vec_id, vec_id, rank."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    # quantization parameters from the same distributed reduce
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_minmax(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"lo": [mat.min(axis=0).tobytes()], "hi": [mat.max(axis=0).tobytes()]}
+        )
+
+    parts = ds.map_batches(partial_minmax, batch_format="pandas").take_all()
+    los = np.stack([np.frombuffer(p["lo"], dtype=np.float64) for p in parts])
+    his = np.stack([np.frombuffer(p["hi"], dtype=np.float64) for p in parts])
+    lo, hi = los.min(axis=0), his.max(axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    q_ref = ray.put((qids, qmat, lo, scale))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bqids, bqmat, blo, bscale = get_broadcast(q_ref)
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = np.clip(np.round((mat - blo) / bscale), 0, 255).astype(np.uint8)
+        recon = blo + codes.astype(np.float64) * bscale  # the search index
+        norms = np.linalg.norm(recon, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((recon / norms[:, None]) @ bqmat.T, 6)
+        out = []
+        for qi, qid in enumerate(bqids):
+            col = sims[:, qi]
+            order = np.lexsort((ids, -col))[: min(len(ids), k)]
+            for i in order:
+                out.append(
+                    {"query_vec_id": int(qid), "vec_id": int(ids[i]), "cos_r": float(col[i])}
+                )
+        return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cos_r", "vec_id"], ascending=[False, True], kind="mergesort")
