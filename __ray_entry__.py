@@ -613,6 +613,46 @@ def oracle_sql() -> dict[str, str]:
     tokens = f"regexp_split_to_array(trim(text), '{ws}')"
     _ensure_oracle_materializations()
 
+    # MinHash permutation seeds shared with pipelines/dedup (deterministic,
+    # sha-derived) inlined as UBIGINT literals for the SQL mirror
+    from webarchive_discovery_ray.pipelines.dedup import _perm_seeds
+
+    mh_seeds = ", ".join(
+        f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(_perm_seeds())
+    )
+    u64_mod = "18446744073709551616::UHUGEINT"
+
+    # numpy round() is banker's (half-to-even); DuckDB round() is
+    # half-away-from-zero — emulate half-to-even on the quotient q >= 0
+    sq8_round = (
+        "(CAST(floor(q + 0.5) AS BIGINT) - CASE WHEN q - floor(q) = 0.5 "
+        "AND CAST(floor(q) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)"
+    )
+    # shared SQ8 prologue: per-dimension [min,max] over the corpus, affine
+    # scale, and the banker's-rounded uint8 code per (vec, dim) — mirrors
+    # pipelines/similarity.sq8_quantize's distributed partial reduce
+    sq8_prologue = f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            dims AS (
+              SELECT u0.dim, min(u.val) AS lo, max(u.val) AS hi
+              FROM e, unnest(generate_series(1, len(v))) AS u0(dim),
+                   LATERAL (SELECT v[u0.dim] AS val) u
+              GROUP BY u0.dim
+            ),
+            params AS (
+              SELECT dim, lo,
+                     CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale
+              FROM dims
+            ),
+            coded AS (
+              SELECT vec_id, dim, val, lo, scale,
+                     GREATEST(0, LEAST(255, {sq8_round})) AS code
+              FROM (SELECT e.vec_id, p.dim, e.v[p.dim] AS val, p.lo, p.scale,
+                           (e.v[p.dim] - p.lo) / p.scale AS q
+                    FROM e CROSS JOIN params p)
+            )"""
+
     # J1 rule literals shared with the Ray query (deterministic host list)
     ann = _annotation_rules()
     ann_root = next(iter(ann["root"]))
@@ -839,6 +879,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    lpad(lower(to_hex(COALESCE(s.sig, 0))), 16, '0') AS simhash
             FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # SQ8 scalar quantization mirror (pipelines/similarity.sq8_quantize)
+        "sq8_embeddings": sq8_prologue
+        + """
+            SELECT vec_id,
+                   string_agg(lpad(lower(to_hex(code)), 2, '0'),
+                              '' ORDER BY dim) AS codes,
+                   max(abs(lo + code * scale - val)) AS max_abs_err
+            FROM coded GROUP BY vec_id
+        """,
+        # quantized brute-force cosine top-k: reconstruct each vector from
+        # its SQ8 codes, rank by cosine vs the full-precision queries
+        # (pipelines/similarity.sq8_cosine_topk)
+        "sq8_cosine_topk": sq8_prologue
+        + """
+            , recon AS (
+              SELECT vec_id, list(lo + code * scale ORDER BY dim) AS rv
+              FROM coded GROUP BY vec_id
+            ),
+            q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 8)
+            SELECT qid AS query_vec_id, vec_id, rank FROM (
+              SELECT q.qid, r.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                         ORDER BY round(list_cosine_similarity(q.qv, r.rv), 6)
+                                  DESC, r.vec_id) AS rank
+              FROM q CROSS JOIN recon r
+            ) WHERE rank <= 5
+        """,
+        # full MinHash+LSH chain mirror (pipelines/dedup.minhash_lsh_pairs):
+        # md5 3-gram shingles -> splitmix64(x ^ seed) per permutation (the
+        # two odd multipliers with uint64 wraparound via UHUGEINT mod 2^64)
+        # -> per-band decimal-join md5 bucket keys -> within-bucket pairs
+        # -> exact hashed-shingle Jaccard >= 0.3
+        "minhash_lsh_pairs": f"""
+            WITH seeds(perm, seed) AS (VALUES {mh_seeds}),
+            tk AS (
+              SELECT doc_id, text, {tokens} AS t FROM documents
+            ),
+            gr AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [text] END AS gs
+              FROM tk
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS x
+              FROM gr, unnest(gs) AS u(g)
+            ),
+            z0 AS (SELECT doc_id, perm, xor(x, seed) AS z FROM sh CROSS JOIN seeds),
+            z1 AS (SELECT doc_id, perm,
+              ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+               % {u64_mod})::UBIGINT AS z FROM z0),
+            z2 AS (SELECT doc_id, perm,
+              ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+               % {u64_mod})::UBIGINT AS z FROM z1),
+            mh AS (SELECT doc_id, perm, min(xor(z, z >> 31)) AS v
+                   FROM z2 GROUP BY 1, 2),
+            bk AS (SELECT doc_id, perm // 4 AS band,
+                     substr(md5(string_agg(v::VARCHAR, '-' ORDER BY perm)), 1, 16) AS bh
+                   FROM mh GROUP BY doc_id, perm // 4),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bk a JOIN bk b
+                       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.doc_a
+                      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+                      GROUP BY 1, 2),
+            jac AS (SELECT i.doc_a, i.doc_b, i.i::DOUBLE / (na.n + nb.n - i.i) AS j
+                    FROM inter i
+                    JOIN cnt na ON na.doc_id = i.doc_a
+                    JOIN cnt nb ON nb.doc_id = i.doc_b)
+            SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
         """,
         # winnowing fingerprint: 3-token shingles -> md5-derived uint64 ->
         # per-4-window minimum -> md5 of the sorted distinct selection

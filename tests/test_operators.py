@@ -326,6 +326,7 @@ def test_minhash_lsh_pairs_matches_sequential_reference(ray_session):
     from webarchive_discovery_ray.pipelines.dedup import (
         _BANDS,
         _ROWS_PER_BAND,
+        _band_key,
         _minhash_signature,
         _perm_seeds,
         _shingles,
@@ -344,8 +345,7 @@ def test_minhash_lsh_pairs_matches_sequential_reference(ray_session):
         sig = _minhash_signature(_shingles(text), seeds)
         for band in range(_BANDS):
             chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
-            bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            buckets[f"{band}:{bh}"].append(doc_id)
+            buckets[f"{band}:{_band_key(chunk)}"].append(doc_id)
     expected = {}
     for ids in buckets.values():
         ids = sorted(set(ids))
@@ -788,7 +788,7 @@ def test_sq8_quantize_matches_numpy_reference(ray_session):
     got = sq8_quantize(sf).to_pandas().set_index("vec_id")
     assert len(got) == len(mat)
     for vid, row in zip(tbl["vec_id"].to_pylist(), want):
-        assert got.loc[vid, "codes"] == row.tobytes()
+        assert got.loc[vid, "codes"] == row.tobytes().hex()
     # reconstruction error bounded by half a quantization step per dim
     assert (got["max_abs_err"] <= scale.max() / 2 + 1e-12).all()
 

@@ -229,6 +229,17 @@ def _minhash_signature(shingle_hashes: Iterable[int], seeds: np.ndarray) -> np.n
     return _splitmix64(h[None, :] ^ seeds[:, None]).min(axis=1)
 
 
+def _band_key(chunk: np.ndarray) -> str:
+    """LSH band bucket key: md5 of the band's minhash values joined as
+    decimal strings (truncated to 16 hex chars). The join format is
+    arbitrary — two docs share a bucket iff the 4 values are equal —
+    and this form is directly expressible in the DuckDB oracle
+    (``md5(string_agg(v::VARCHAR, '-' ORDER BY perm))``)."""
+    return hashlib.md5(
+        "-".join(str(int(v)) for v in chunk).encode()
+    ).hexdigest()[:16]
+
+
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -236,7 +247,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     self-merge (pairs emitted only when an LSH bucket holds ≥2 docs —
     singleton pruning is inherent to the merge) -> distinct pairs ->
     tag-join verify. Columns: doc_a, doc_b, jaccard (rounded 6).
-    Deterministic; rows-only driver check (non-SQL).
+    Deterministic; the full chain (md5 shingles -> splitmix64 minhash ->
+    decimal-join band keys -> exact hashed-shingle Jaccard) is mirrored
+    by a DuckDB SQL oracle in ``__ray_entry__.oracle_sql()``.
 
     100-TB shuffle discipline (cf. the reference's reducer-side grouping,
     ``MDXReduplicatingReducer.java:72-153``): the corpus text is never
@@ -261,9 +274,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
             sig = _minhash_signature(_shingles(text), seeds)
             for band in range(_BANDS):
                 chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
-                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
                 doc_ids.append(doc_id)
-                buckets.append(f"{band}:{bh}")
+                buckets.append(f"{band}:{_band_key(chunk)}")
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),

@@ -184,9 +184,11 @@ def sq8_quantize(sf_dir: str):
     16x smaller than the float64 math): per-dimension [min, max] from a
     distributed partial reduce (each block contributes one 2 x d vector;
     the driver folds #blocks of them), then a broadcast affine encode per
-    batch. Deterministic; rows-only (codes verified against a sequential
-    numpy reference in pytest). Columns: vec_id, codes (binary, d bytes),
-    max_abs_err (double, reconstruction error of the row)."""
+    batch. Deterministic; verified against a sequential numpy reference in
+    pytest AND a DuckDB SQL mirror (per-dim min/max + banker's-rounding
+    affine code). Columns: vec_id, codes (hex string of the d uint8 codes
+    — the engine-internal form is the raw bytes; hex is the stable query
+    surface), max_abs_err (double, reconstruction error of the row)."""
     import ray
 
     from ..functions.broadcast import get_broadcast
@@ -218,7 +220,7 @@ def sq8_quantize(sf_dir: str):
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].astype("int64"),
-                "codes": [c.tobytes() for c in codes],
+                "codes": [c.tobytes().hex() for c in codes],
                 "max_abs_err": err,
             }
         )
