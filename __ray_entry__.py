@@ -490,6 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from webarchive_discovery_ray.pipelines.aggregates import global_quantiles
     from webarchive_discovery_ray.pipelines.textops import (
+        bm25_topk,
+        cdc_chunks,
         doc_fingerprint,
         inverted_index,
         language_id,
@@ -498,6 +500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_score,
         tfidf_top_terms,
         token_stats,
+    )
+    from webarchive_discovery_ray.pipelines.sketches import (
+        bloom_semi_join,
+        heavy_hitters,
     )
     from webarchive_discovery_ray.pipelines.curation import (
         decontaminate,
@@ -549,11 +555,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
         "quality_filter": quality_filter,
-        # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
+        "bloom_semi_join": bloom_semi_join,
+        "heavy_hitters": heavy_hitters,
+        "cdc_chunks": cdc_chunks,
+        "bm25_topk": bm25_topk,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "doc_fingerprint": doc_fingerprint,
+        "sq8_embeddings": sq8_quantize,
+        "sq8_cosine_topk": sq8_cosine_topk,
+        # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "fuzzy_hashes": fuzzy_hashes,
         "postcode_geo": _postcodes,
         "annotations": _annotations,
@@ -570,8 +582,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "pdf_preflight": _pdf_preflight,
         "kmeans_embeddings": kmeans_embeddings,
-        "sq8_embeddings": sq8_quantize,
-        "sq8_cosine_topk": sq8_cosine_topk,
     }
 
 
@@ -621,6 +631,11 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(_perm_seeds())
     )
     u64_mod = "18446744073709551616::UHUGEINT"
+
+    from webarchive_discovery_ray.pipelines.sketches import BLOOM_PRICE_THR as _BLOOM_THR
+    from webarchive_discovery_ray.pipelines.textops import BM25_TERMS
+
+    _BM25_VALS = ", ".join(f"('{t}')" for t in BM25_TERMS)
 
     # numpy round() is banker's (half-to-even); DuckDB round() is
     # half-away-from-zero — emulate half-to-even on the quotient q >= 0
@@ -879,6 +894,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    lpad(lower(to_hex(COALESCE(s.sig, 0))), 16, '0') AS simhash
             FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # Bloom semi join: the sketch is a prefilter only, so the oracle is
+        # the plain semi join (pipelines/sketches.bloom_semi_join)
+        "bloom_semi_join": f"""
+            SELECT l_orderkey, count(*)::BIGINT AS n_items,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > {_BLOOM_THR!r})
+            GROUP BY 1
+        """,
+        # two-pass Misra-Gries heavy hitters are EXACT, so the oracle is
+        # the plain top-k count (pipelines/sketches.heavy_hitters)
+        "heavy_hitters": f"""
+            SELECT tok AS token, count(*)::BIGINT AS n
+            FROM documents, unnest({tokens}) AS t(tok)
+            WHERE tok <> ''
+            GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        # token-level content-defined chunking: boundary after any token
+        # whose md5-uint64 ≡ 0 (mod 16); chunk index = boundaries strictly
+        # before the token (pipelines/textops.cdc_chunks)
+        "cdc_chunks": f"""
+            WITH tk AS (SELECT doc_id, {tokens} AS t FROM documents),
+            pos AS (SELECT doc_id, u.i AS pos, t[u.i] AS tok
+                    FROM tk, unnest(generate_series(1, len(t))) AS u(i)
+                    WHERE t[u.i] <> ''),
+            fl AS (SELECT doc_id, pos, tok,
+                     CASE WHEN ('0x' || substr(md5(tok),1,16))::UBIGINT % 16 = 0
+                          THEN 1 ELSE 0 END AS b
+                   FROM pos),
+            ch AS (SELECT doc_id, pos, tok,
+                     COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS cidx
+                   FROM fl)
+            SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+                   count(*)::BIGINT AS n_tokens,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+            FROM ch GROUP BY doc_id, cidx
+        """,
+        # BM25 (k1=1.2, b=0.75, +1 idf form) for the fixed query terms
+        # (pipelines/textops.bm25_topk)
+        "bm25_topk": f"""
+            WITH tk AS (SELECT doc_id, {tokens} AS t FROM documents),
+            dl AS (SELECT doc_id,
+                          CASE WHEN t = [''] THEN 0 ELSE len(t) END AS dl
+                   FROM tk),
+            stats AS (SELECT count(*)::DOUBLE AS n,
+                             (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+            q(term) AS (VALUES {_BM25_VALS}),
+            tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+                   FROM tk, unnest(t) AS u(tok)
+                   WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                   FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))
+                     ) AS score
+              FROM tf JOIN df USING (term) JOIN dl d ON d.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score_r,
+                   row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
+            FROM (SELECT doc_id, round(score, 6) AS score_r FROM scored
+                  WHERE round(score, 6) > 0)
+            QUALIFY rank <= 10
         """,
         # SQ8 scalar quantization mirror (pipelines/similarity.sq8_quantize)
         "sq8_embeddings": sq8_prologue

@@ -1,0 +1,186 @@
+"""Sketch-accelerated operators: Bloom semi join, exact heavy hitters,
+content-defined chunking, BM25 — each against a sequential in-process
+reference (the DuckDB mirrors live in __ray_entry__.oracle_sql and are
+exercised by the driver gate)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_never_false_negative():
+    from webarchive_discovery_ray.pipelines.sketches import (
+        _BLOOM_BITS,
+        bloom_add,
+        bloom_contains,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**62, size=5000)
+    bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+    bloom_add(bits, keys)
+    assert bloom_contains(bits, keys).all()
+    # false-positive rate stays sane at this load factor
+    probe = rng.integers(2**62, 2**63, size=5000)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = bloom_contains(bits, fresh).mean()
+    assert fp < 0.05, f"bloom fp rate {fp:.3f}"
+
+
+def test_bloom_semi_join_matches_pandas_reference(ray_session):
+    from webarchive_discovery_ray.pipelines.sketches import (
+        BLOOM_PRICE_THR,
+        bloom_semi_join,
+    )
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    line = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).to_pandas()
+    hot = set(orders.loc[orders["o_totalprice"] > BLOOM_PRICE_THR, "o_orderkey"])
+    sub = line[line["l_orderkey"].isin(hot)]
+    want = (
+        sub.groupby("l_orderkey")
+        .agg(n_items=("l_orderkey", "size"), sum_qty=("l_quantity", "sum"))
+        .reset_index()
+        .sort_values("l_orderkey", ignore_index=True)
+    )
+    got = (
+        bloom_semi_join(SF)
+        .to_pandas()
+        .sort_values("l_orderkey", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_items": "int64"}), want.astype({"n_items": "int64"})
+    )
+    assert hot, "fixture must have qualifying orders"
+
+
+def test_heavy_hitters_exact_and_fallback(ray_session):
+    from webarchive_discovery_ray.pipelines.sketches import heavy_hitters
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    counts = docs["text"].str.split().explode().dropna().value_counts()
+    want = sorted(
+        counts.items(), key=lambda t: (-t[1], t[0])
+    )[:20]
+
+    got = heavy_hitters(SF)
+    got_pairs = list(zip(got["token"], got["n"]))
+    assert got_pairs == [(t, int(n)) for t, n in want]
+
+    # m=2 makes the completeness bound unprovable -> exact fallback path
+    got_fb = heavy_hitters(SF, m=2)
+    assert list(zip(got_fb["token"], got_fb["n"])) == [
+        (t, int(n)) for t, n in want
+    ]
+
+
+def _cdc_reference(doc_id: int, text: str, mod: int = 16):
+    toks = text.split()
+    rows, start, cidx = [], 0, 0
+    for i, t in enumerate(toks):
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        if h % mod == 0:
+            rows.append(
+                (
+                    doc_id,
+                    cidx,
+                    i + 1 - start,
+                    hashlib.md5(" ".join(toks[start : i + 1]).encode()).hexdigest(),
+                )
+            )
+            start, cidx = i + 1, cidx + 1
+    if start < len(toks):
+        rows.append(
+            (
+                doc_id,
+                cidx,
+                len(toks) - start,
+                hashlib.md5(" ".join(toks[start:]).encode()).hexdigest(),
+            )
+        )
+    return rows
+
+
+def test_cdc_chunks_matches_sequential_reference(ray_session):
+    from webarchive_discovery_ray.pipelines.textops import cdc_chunks
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        want.extend(_cdc_reference(int(did), text))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "chunk_idx", "n_tokens", "chunk_hash"]
+    ).sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    got = (
+        cdc_chunks(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want_df)
+    # chunks partition each doc's tokens
+    lens = got.groupby("doc_id")["n_tokens"].sum()
+    toks = docs.set_index("doc_id")["text"].str.split().str.len()
+    assert (lens == toks[toks > 0].astype("int64")).all()
+
+
+def test_cdc_chunks_realign_after_prefix_insertion(ray_session, tmp_path):
+    """The CDC property fixed-size chunking lacks: inserting a prefix
+    only changes chunks up to the first boundary — everything after
+    realigns to identical chunk hashes."""
+    from webarchive_discovery_ray.pipelines.textops import cdc_chunks
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    # the longest fixture doc gives several chunks; pad with itself so
+    # there are interior boundaries even if mod-16 tokens are sparse
+    base = " ".join([docs.loc[docs["text"].str.len().idxmax(), "text"]] * 4)
+    edited = "INSERTED tokens at the front " + base
+    tbl = pa.table({"doc_id": [1, 2], "text": [base, edited]})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = cdc_chunks(str(tmp_path)).to_pandas()
+    h1 = list(got.loc[got["doc_id"] == 1, "chunk_hash"])
+    h2 = set(got.loc[got["doc_id"] == 2, "chunk_hash"])
+    # all original chunks except (at most) the first survive the edit
+    assert all(h in h2 for h in h1[1:])
+    assert len(h1) > 2, "fixture doc must produce several chunks"
+
+
+def test_bm25_matches_sequential_reference(ray_session):
+    from webarchive_discovery_ray.pipelines.textops import (
+        BM25_TERMS,
+        bm25_topk,
+    )
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    toks = docs["text"].str.split()
+    dl = toks.str.len().to_numpy().astype(float)
+    n_docs = len(docs)
+    avgdl = dl.sum() / n_docs
+    score = np.zeros(n_docs)
+    for t in BM25_TERMS:
+        tf = np.array([lst.count(t) for lst in toks], dtype=float)
+        df = float((tf > 0).sum())
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        score += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    score_r = np.round(score, 6)
+    order = sorted(
+        [(s, int(d)) for s, d in zip(score_r, docs["doc_id"]) if s > 0],
+        key=lambda p: (-p[0], p[1]),
+    )[:10]
+    got = bm25_topk(SF).to_pandas().sort_values("rank", ignore_index=True)
+    assert list(got["doc_id"]) == [d for _, d in order]
+    assert list(got["score_r"]) == pytest.approx([s for s, _ in order], abs=0)
+    assert list(got["rank"]) == list(range(1, len(order) + 1))

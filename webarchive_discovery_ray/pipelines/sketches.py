@@ -1,0 +1,261 @@
+"""Sketch-accelerated operators: Bloom-filter semi join and two-pass
+exact heavy hitters.
+
+Both follow the engine's 100-TB discipline for "small summary, big
+stream" problems: a FIXED-SIZE sketch is built from distributed per-batch
+partials (each block contributes one OR-able / union-able summary, the
+driver folds #blocks of them), broadcast once via ``ray.put``, and used
+to PRUNE the big side in-stream — the expensive exchange then runs over
+survivors only. Results are EXACT (the sketch is a prefilter, never the
+answer): the Bloom join verifies survivors with a bucketed co-grouped
+semi join, and the heavy-hitter pass re-counts candidates exactly,
+falling back to a full grouped count if the sketch bound cannot prove
+top-k completeness.
+
+Reference precedent: the reference prunes per-record work with cheap
+hints before expensive analysis (e.g. ``WARCPayloadAnalysers`` gates by
+MIME before Tika parsing); no Bloom machinery exists there — these are
+engine extensions for the training-data pipeline per the build brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ..sources.io import read_table
+
+__all__ = ["bloom_semi_join", "heavy_hitters"]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter primitives: m-bit array, k=4 splitmix64-derived hashes.
+# Plain numpy uint8 bit arrays so per-batch partials OR together.
+
+_BLOOM_BITS = 1 << 17  # 16 KiB — fixed size regardless of corpus scale
+_BLOOM_K = 4
+_BLOOM_SEEDS = np.array(
+    [
+        int.from_bytes(hashlib.sha1(f"bloom-{j}".encode()).digest()[:8], "big")
+        for j in range(_BLOOM_K)
+    ],
+    dtype=np.uint64,
+)
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), k) bit positions via splitmix64(key ^ seed_j)."""
+    from .dedup import _splitmix64
+
+    h = _splitmix64(keys.astype(np.uint64)[:, None] ^ _BLOOM_SEEDS[None, :])
+    return (h % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def bloom_add(bits: np.ndarray, keys: np.ndarray) -> None:
+    pos = _bloom_positions(keys)
+    byte, bit = pos >> 3, pos & 7
+    np.bitwise_or.at(bits, byte.ravel(), (1 << bit.ravel()).astype(np.uint8))
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership: True iff ALL k bits are set (may false-
+    positive, never false-negative)."""
+    pos = _bloom_positions(keys)
+    byte, bit = pos >> 3, pos & 7
+    return ((bits[byte] >> bit) & 1).all(axis=1)
+
+
+BLOOM_PRICE_THR = 400000.0
+
+
+def bloom_semi_join(sf_dir: str, price_thr: float = BLOOM_PRICE_THR):
+    """Semi join lineitem ⋉ high-value orders, Bloom-prefiltered.
+
+    The scale pattern this demonstrates: when the "small" side is too big
+    to broadcast exactly but its BLOOM is 16 KiB, prune the fact stream
+    with the sketch first (false positives only), then run the exact
+    semi join as a bucketed co-grouped pass over the few survivors —
+    the all-to-all exchange never sees the pruned rows.
+
+    1. build: orders batches → per-batch partial Bloom (OR-able 16 KiB
+       arrays); driver ORs #blocks of them; ``ray.put`` once;
+    2. prune: lineitem batches test l_orderkey against the broadcast
+       Bloom and pre-aggregate survivors to (key, n_items, sum_qty)
+       partials — combiner before the shuffle;
+    3. verify: partials union the true key set (tagged), ONE bucketed
+       grouped pass on bucket(key) keeps keys present on the orders side
+       and folds the partials — false positives die here, exactly.
+
+    Columns: l_orderkey, n_items, sum_qty. SQL-oracle-checked (the oracle
+    is the plain semi join — the Bloom must not change the answer)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    hot = orders.filter(expr=f"o_totalprice > {price_thr!r}")
+
+    def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+        bloom_add(bits, df["o_orderkey"].to_numpy())
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = hot.map_batches(partial_bloom, batch_format="pandas").take_all()
+    bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+    for p in parts:
+        bits |= np.frombuffer(p["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(bits)
+
+    def prune_and_combine(df: pd.DataFrame) -> pd.DataFrame:
+        b = get_broadcast(bloom_ref)
+        keys = df["l_orderkey"].to_numpy()
+        keep = bloom_contains(b, keys)
+        sub = df[keep]
+        g = sub.groupby("l_orderkey", sort=False).agg(
+            n_items=("l_orderkey", "size"), sum_qty=("l_quantity", "sum")
+        )
+        out = g.reset_index().rename(columns={"l_orderkey": "key"})
+        out["side"] = np.zeros(len(out), dtype="int64")
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out[["key", "n_items", "sum_qty", "side", "bucket"]]
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "n_items": np.zeros(len(df), dtype="int64"),
+                "sum_qty": np.zeros(len(df), dtype="float64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def verify_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        present = set(df.loc[df["side"] == 1, "key"])
+        sub = df[(df["side"] == 0) & df["key"].isin(present)]
+        g = (
+            sub.groupby("key", sort=False)
+            .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+            .reset_index()
+            .rename(columns={"key": "l_orderkey"})
+        )
+        return g
+
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    tagged = line.map_batches(prune_and_combine, batch_format="pandas").union(
+        hot.map_batches(tag_orders, batch_format="pandas")
+    )
+    return tagged.groupby("bucket").map_groups(
+        verify_in_bucket, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters (Misra-Gries candidates + exact recount)
+
+_HH_K = 20
+_HH_CAP = 256  # per-batch candidate capacity m
+
+
+def heavy_hitters(sf_dir: str, k: int = _HH_K, m: int = _HH_CAP):
+    """Exact top-``k`` tokens by corpus frequency via a two-pass sketch.
+
+    Pass 1 keeps, per batch, every token with batch count > batch_N/(m+1)
+    (the Misra-Gries retention set): any token with GLOBAL frequency
+    ≥ N/(m+1) must clear that bar in at least one batch, so the candidate
+    union provably contains every possible top-k member whenever the k-th
+    exact count ≥ N/(m+1). Pass 2 broadcasts the (bounded, ≤ m·#blocks)
+    candidate set and counts ONLY candidates exactly — a vectorized isin
+    prefilter, tiny shuffle. If the completeness bound fails (degenerate
+    flat distributions), fall back to the exact full grouped count; the
+    answer is exact either way, so the SQL oracle is the plain top-k.
+
+    Columns: token, n (ties broken by token asc)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def mg_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode().dropna()
+        n = len(toks)
+        if n == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=str)})
+        vc = toks.value_counts()
+        keep = vc[vc > n / (m + 1)]
+        return pd.DataFrame({"token": keep.index.astype(str)})
+
+    # the candidate union is bounded (≤ m+1 per block) — a driver set here
+    # is the sketch itself, not a corpus materialization
+    cand_rows = ds.map_batches(mg_candidates, batch_format="pandas").take_all()
+    candidates = {r["token"] for r in cand_rows}
+    cand_ref = ray.put(candidates)
+
+    def count_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        cset = get_broadcast(cand_ref)
+        toks = df["text"].str.split().explode().dropna()
+        total = len(toks)
+        sub = toks[toks.isin(cset)]
+        vc = sub.value_counts()
+        out = pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+        # one marker row per batch carries the batch token total so the
+        # completeness bound N/(m+1) is computed distributively
+        out = pd.concat(
+            [out, pd.DataFrame({"token": [""], "n": [total]})], ignore_index=True
+        )
+        out["bucket"] = bucket_of(out["token"], n_b)
+        return out
+
+    def sum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", sort=False)["n"].sum().reset_index()
+
+    counts = (
+        ds.map_batches(count_candidates, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
+        .take_all()
+    )
+    total_n = sum(r["n"] for r in counts if r["token"] == "")
+    exact = sorted(
+        ((r["token"], int(r["n"])) for r in counts if r["token"] != ""),
+        key=lambda t: (-t[1], t[0]),
+    )
+    kth = exact[k - 1][1] if len(exact) >= k else 0
+    if kth < total_n / (m + 1):
+        # bound unprovable: exact full grouped count (still one bucketed
+        # pass; the fixture never hits this, adversarial inputs might)
+        def all_counts(df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.split().explode().dropna()
+            vc = toks.value_counts()
+            out = pd.DataFrame(
+                {"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+            )
+            out["bucket"] = bucket_of(out["token"], n_b)
+            return out
+
+        counts = (
+            ds.map_batches(all_counts, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(sum_in_bucket, batch_format="pandas")
+            .take_all()
+        )
+        exact = sorted(
+            ((r["token"], int(r["n"])) for r in counts), key=lambda t: (-t[1], t[0])
+        )
+    top = exact[:k]
+    return pd.DataFrame(
+        {
+            "token": [t for t, _ in top],
+            "n": pd.Series([n for _, n in top], dtype="int64"),
+        }
+    )

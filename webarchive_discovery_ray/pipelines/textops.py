@@ -31,6 +31,8 @@ __all__ = [
     "inverted_index",
     "pack_sequences",
     "tfidf_top_terms",
+    "cdc_chunks",
+    "bm25_topk",
 ]
 
 
@@ -523,3 +525,149 @@ def pack_sequences(sf_dir: str, context: int = _PACK_CONTEXT):
     ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
     del sorted_ds, refs
     return rd.from_arrow_refs(out_refs)
+
+
+_CDC_MOD = 16  # expected chunk length in tokens (geometric)
+
+
+def cdc_chunks(sf_dir: str, mod: int = _CDC_MOD):
+    """Token-level content-defined chunking — the dedup primitive that
+    survives insertions (fixed-size chunking shifts every boundary after
+    an edit; content-defined boundaries realign). A chunk boundary falls
+    AFTER any token whose md5-derived uint64 ≡ 0 (mod ``mod``), giving
+    geometrically distributed chunk lengths with mean ``mod``; chunk
+    hashes are then stable keys for chunk-level exact dedup across the
+    corpus.
+
+    Fully batch-local (chunking never crosses documents, so there is NO
+    shuffle at all — the ideal scale shape); one md5 per UNIQUE token per
+    batch, then vectorized flag/cumsum/group per document. Columns:
+    doc_id, chunk_idx, n_tokens, chunk_hash. SQL-oracle-checked."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.split() for t in df["text"]]
+        vocab: dict[str, bool] = {}
+        for toks in tok_lists:
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = (
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                        % mod
+                        == 0
+                    )
+        ids, idxs, lens, hashes = [], [], [], []
+        for did, toks in zip(df["doc_id"], tok_lists):
+            if not toks:
+                continue
+            flags = np.fromiter(
+                (vocab[t] for t in toks), dtype=bool, count=len(toks)
+            )
+            # chunk of token i = number of boundaries strictly before i
+            cidx = np.concatenate([[0], np.cumsum(flags[:-1])]).astype(np.int64)
+            starts = np.flatnonzero(np.diff(cidx, prepend=-1))
+            ends = np.concatenate([starts[1:], [len(toks)]])
+            for ci, (s, e) in enumerate(zip(starts, ends)):
+                ids.append(did)
+                idxs.append(ci)
+                lens.append(e - s)
+                hashes.append(hashlib.md5(" ".join(toks[s:e]).encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "n_tokens": pd.Series(lens, dtype="int64"),
+                "chunk_hash": pd.Series(hashes, dtype=str),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+BM25_TERMS = ("join", "hash", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk(sf_dir: str, terms=BM25_TERMS, k: int = 10):
+    """BM25 document ranking for a fixed query — the Lucene scoring the
+    reference delegates to Solr (``warc-indexer/.../solr/``), re-expressed
+    as a Dataset op. Two passes, both combiner-shaped:
+
+    1. stats: each batch emits ONE row (n_docs, total_len, df per term) —
+       the driver folds #blocks rows into N, avgdl, df_t and broadcasts
+       (idf uses the BM25+1 form: ln((N - df + .5)/(df + .5) + 1));
+    2. score: per-batch exact term tf via tokenised isin, vectorized BM25,
+       local top-k partial -> tiny global reduce (same partial-top-k shape
+       as ann_cosine_topk).
+
+    Columns: doc_id, score_r (round 6), rank. SQL-oracle-checked."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = list(terms)
+
+    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        lens = toks.str.len().astype("int64")
+        row = {"n_docs": [len(df)], "total_len": [int(lens.sum())]}
+        for t in terms:
+            row[f"df_{t}"] = [
+                int(sum(1 for lst in toks if t in set(lst)))
+            ]
+        return pd.DataFrame(row)
+
+    parts = ds.map_batches(partial_stats, batch_format="pandas").take_all()
+    n_docs = sum(p["n_docs"] for p in parts)
+    avgdl = sum(p["total_len"] for p in parts) / n_docs
+    idf = {
+        t: float(
+            np.log(
+                (n_docs - sum(p[f"df_{t}"] for p in parts) + 0.5)
+                / (sum(p[f"df_{t}"] for p in parts) + 0.5)
+                + 1.0
+            )
+        )
+        for t in terms
+    }
+    stats_ref = ray.put((idf, avgdl))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bidf, bavgdl = get_broadcast(stats_ref)
+        toks = df["text"].str.split()
+        dl = toks.str.len().to_numpy().astype("float64")
+        score = np.zeros(len(df))
+        for t in terms:
+            tf = np.fromiter(
+                (lst.count(t) for lst in toks), dtype="float64", count=len(df)
+            )
+            denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / bavgdl)
+            score += bidf[t] * tf * (_BM25_K1 + 1.0) / denom
+        score_r = np.round(score, 6)
+        keep = score_r > 0
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "score_r": score_r[keep],
+            }
+        )
+        out = out.sort_values(
+            ["score_r", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return out
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["score_r", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
+        return df
+
+    return partials.repartition(1).map_batches(
+        final_topk, batch_format="pandas"
+    )
