@@ -427,6 +427,23 @@ def _dataset_summaries(sf_dir: str):
     return dataset_summaries(docs=_materialized_docs_base(500))
 
 
+def _host_pagerank(sf_dir: str):
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_pagerank
+
+    _host_link_graph_base()
+    return host_pagerank(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
+def _host_link_graph_base() -> None:
+    """Materialize the shared link base if absent (idempotent)."""
+    import os
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/link_base"):
+        _host_link_graph("")
+
+
 def _host_link_graph(sf_dir: str):
     import shutil
 
@@ -504,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.sketches import (
         bloom_semi_join,
         heavy_hitters,
+        hll_distinct_tokens,
     )
     from webarchive_discovery_ray.pipelines.curation import (
         decontaminate,
@@ -549,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_docs": grouped_topk_docs,
         "dup_span_fraction": dup_span_fraction,
         "host_link_graph": _host_link_graph,
+        "host_pagerank": _host_pagerank,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "anti_join_orders": anti_join_orders,
@@ -566,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_embeddings": sq8_quantize,
         "sq8_cosine_topk": sq8_cosine_topk,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
+        "hll_distinct_tokens": hll_distinct_tokens,
         "fuzzy_hashes": fuzzy_hashes,
         "postcode_geo": _postcodes,
         "annotations": _annotations,
@@ -1562,6 +1582,38 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
                  unnest(links_hosts) AS l(dst)
             GROUP BY 1, 2
+        """,
+        # PageRank over the host link graph, 5 fixed iterations, no
+        # dangling redistribution (pipelines/stats.host_pagerank); the
+        # zero-weight self-loops keep every node alive in the recursive
+        # term (the CTE may reference r only once)
+        "host_pagerank": f"""
+            WITH RECURSIVE
+            base AS (SELECT host AS src_host, l.dst AS dst_host,
+                            count(*)::DOUBLE AS w
+                     FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                          unnest(links_hosts) AS l(dst)
+                     GROUP BY 1, 2),
+            outdeg AS (SELECT src_host, sum(w) AS deg FROM base GROUP BY 1),
+            nodes AS (SELECT DISTINCT h FROM (SELECT src_host AS h FROM base
+                                              UNION ALL SELECT dst_host FROM base)),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            edges AS (
+              SELECT b.src_host AS src, b.dst_host AS dst, b.w / o.deg AS frac
+              FROM base b JOIN outdeg o USING (src_host)
+              UNION ALL
+              SELECT h, h, 0.0 FROM nodes
+            ),
+            r(it, host, rank) AS (
+              SELECT 0, h, 1.0 / (SELECT n FROM nn) FROM nodes
+              UNION ALL
+              SELECT it + 1, e.dst,
+                     (SELECT 0.15 / n FROM nn) + sum(0.85 * r.rank * e.frac)
+              FROM r JOIN edges e ON e.src = r.host
+              WHERE it < 5
+              GROUP BY it + 1, e.dst
+            )
+            SELECT host, round(rank, 8) AS rank_r FROM r WHERE it = 5
         """,
         # per-doc top-5 rarity-weighted terms (score = tf/df, exact
         # rational — ln-damped idf is not bit-stable across engines)

@@ -184,3 +184,64 @@ def test_bm25_matches_sequential_reference(ray_session):
     assert list(got["doc_id"]) == [d for _, d in order]
     assert list(got["score_r"]) == pytest.approx([s for s, _ in order], abs=0)
     assert list(got["rank"]) == list(range(1, len(order) + 1))
+
+
+def test_host_pagerank_matches_power_iteration(ray_session):
+    """Distributed 2-shuffle-per-iteration PageRank == sequential numpy
+    power iteration on the same edge list (round 8)."""
+    from collections import defaultdict
+
+    from webarchive_discovery_ray.pipelines.stats import (
+        _docs_ds,
+        host_link_graph,
+        host_pagerank,
+    )
+
+    base = _docs_ds(120).materialize()
+    edges = host_link_graph(docs=base).to_pandas()
+    deg = edges.groupby("src_host")["n_links"].sum().to_dict()
+    nodes = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    rank = np.full(n, 1.0 / n)
+    ins = defaultdict(list)
+    for s, d, w in zip(edges["src_host"], edges["dst_host"], edges["n_links"]):
+        ins[idx[d]].append((idx[s], w / deg[s]))
+    for _ in range(5):
+        new = np.full(n, 0.15 / n)
+        for d_i, srcs in ins.items():
+            new[d_i] += sum(0.85 * rank[s_i] * f for s_i, f in srcs)
+        rank = new
+    want = {h: round(float(rank[idx[h]]), 8) for h in nodes}
+    got = host_pagerank(docs=base).to_pandas()
+    got_map = dict(zip(got["host"], got["rank_r"]))
+    assert set(got_map) == set(want)
+    for h in nodes:
+        assert abs(got_map[h] - want[h]) < 2e-8, (h, got_map[h], want[h])
+    # ranks are a (sub-stochastic) distribution: positive, sum <= 1
+    assert all(v > 0 for v in got_map.values())
+    assert sum(got_map.values()) <= 1.0 + 1e-9
+
+
+def test_hll_distinct_within_error_and_deterministic(ray_session):
+    from webarchive_discovery_ray.pipelines.sketches import hll_distinct_tokens
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    exact = docs["text"].str.split().explode().dropna().nunique()
+    a = hll_distinct_tokens(SF)
+    b = hll_distinct_tokens(SF)
+    est = int(a["n_distinct_est"].iloc[0])
+    assert est == int(b["n_distinct_est"].iloc[0]), "must be deterministic"
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hll_register_merge_equals_single_pass():
+    """Elementwise max of per-part registers == registers of the union
+    (the mergeability the distributed fold relies on)."""
+    from webarchive_discovery_ray.pipelines.sketches import hll_registers
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 2**63, size=4000).astype(np.uint64)
+    b = rng.integers(0, 2**63, size=4000).astype(np.uint64)
+    merged = np.maximum(hll_registers(a), hll_registers(b))
+    assert (merged == hll_registers(np.concatenate([a, b]))).all()

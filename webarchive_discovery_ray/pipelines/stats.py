@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -34,6 +35,7 @@ __all__ = [
     "dataset_summaries",
     "file_digest",
     "host_link_graph",
+    "host_pagerank",
 ]
 
 
@@ -278,3 +280,159 @@ def file_digest(paths: list[str]):
         )
 
     return ds.map_batches(digest, batch_format="pyarrow")
+
+
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def host_pagerank(
+    n_pages: int = 600,
+    scfg: SyntheticConfig | None = None,
+    docs=None,
+    n_iters: int = _PR_ITERS,
+):
+    """PageRank over the host→host link graph — the crawl-priority signal
+    a frontier scheduler ranks hosts by (the reference exposes the raw
+    ``links_hosts`` facet and leaves ranking to Solr; this makes the
+    iterative computation a first-class distributed op).
+
+    Variant: rank = (1-d)/N + d·Σ_in rank(src)·w/outdeg(src), fixed
+    ``n_iters`` iterations, no dangling-mass redistribution (leaked mass
+    is a defined property of this variant, mirrored exactly by the
+    recursive-CTE oracle).
+
+    Scale shape: ranks and edges BOTH stay distributed datasets; each
+    iteration is two bucketed grouped passes (ranks⋈edges by src →
+    contributions; contributions ∪ node keep-alives by dst → new ranks)
+    and a materialize so lineage doesn't recompute the whole history.
+    The driver holds two scalars (N, iteration counter), never a rank
+    vector. Columns: host, rank_r (round 8). SQL-oracle-checked via a
+    DuckDB recursive CTE over the same materialized link base."""
+    import ray.data as rd
+
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    edges_raw = host_link_graph(n_pages, scfg, docs=docs)
+
+    # one-time prep: attach outdeg share to every edge (bucketed by src)
+    def edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["src_host"], n_b))
+
+    def frac_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.groupby("src_host", sort=False)["n_links"].transform("sum")
+        return pd.DataFrame(
+            {
+                "src": df["src_host"],
+                "dst": df["dst_host"],
+                "frac": df["n_links"].astype("float64") / deg.astype("float64"),
+            }
+        )
+
+    edges = (
+        edges_raw.map_batches(edge_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(frac_in_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        return pd.DataFrame({"host": pd.Series(h, dtype=str)})
+
+    def dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("host")
+
+    def node_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["host"], n_b))
+
+    nodes = (
+        edges.map_batches(to_nodes, batch_format="pandas")
+        .map_batches(node_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    base_rank = (1.0 - _PR_D) / n_nodes
+
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": df["host"],
+                "rank": np.full(len(df), 1.0 / n_nodes, dtype="float64"),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pandas").materialize()
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["host"],
+                "dst": pd.Series([""] * len(df), dtype=str, index=df.index),
+                "val": df["rank"].astype("float64"),
+                "side": np.zeros(len(df), dtype="int64"),
+                "bucket": bucket_of(df["host"], n_b),
+            }
+        )
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["src"],
+                "dst": df["dst"],
+                "val": df["frac"].astype("float64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(df["src"], n_b),
+            }
+        )
+
+    def contrib_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["side"] == 0][["key", "val"]].rename(columns={"val": "rank"})
+        e = df[df["side"] == 1][["key", "dst", "val"]]
+        m = e.merge(r, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "host": m["dst"],
+                "c": _PR_D * m["rank"].to_numpy() * m["val"].to_numpy(),
+            }
+        )
+
+    def zero_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": df["host"], "c": np.zeros(len(df), dtype="float64")}
+        )
+
+    def host_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["host"], n_b))
+
+    def fold_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False)["c"].sum().reset_index()
+        return pd.DataFrame(
+            {"host": g["host"], "rank": base_rank + g["c"].to_numpy()}
+        )
+
+    for _ in range(n_iters):
+        tagged = ranks.map_batches(tag_rank, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas")
+        )
+        contrib = tagged.groupby("bucket").map_groups(
+            contrib_in_bucket, batch_format="pandas"
+        )
+        all_c = contrib.union(
+            nodes.map_batches(zero_contrib, batch_format="pandas")
+        ).map_batches(host_bucket, batch_format="pandas")
+        ranks = (
+            all_c.groupby("bucket")
+            .map_groups(fold_in_bucket, batch_format="pandas")
+            .materialize()
+        )
+
+    def round_out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": df["host"], "rank_r": np.round(df["rank"].to_numpy(), 8)}
+        )
+
+    return ranks.map_batches(round_out, batch_format="pandas")
