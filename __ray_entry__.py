@@ -526,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.curation import (
         decontaminate,
         kmeans_embeddings,
+        unigram_logloss,
         pii_scrub,
         quality_filter,
         repetition_score,
@@ -574,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
         "quality_filter": quality_filter,
+        "unigram_logloss": unigram_logloss,
         "bloom_semi_join": bloom_semi_join,
         "heavy_hitters": heavy_hitters,
         "cdc_chunks": cdc_chunks,
@@ -914,6 +916,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    lpad(lower(to_hex(COALESCE(s.sig, 0))), 16, '0') AS simhash
             FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # unigram-LM per-doc log-loss, top-128 vocabulary + add-one OOV
+        # smoothing (pipelines/curation.unigram_logloss)
+        "unigram_logloss": f"""
+            WITH toks AS (
+              SELECT doc_id, tok FROM documents,
+                   unnest({tokens}) AS t(tok)
+              WHERE tok <> ''
+            ),
+            cnt AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+            vocab AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT 128),
+            tot AS (SELECT (SELECT count(*) FROM toks)::DOUBLE AS N,
+                           (SELECT count(*) FROM vocab)::DOUBLE AS V),
+            scored AS (
+              SELECT t.doc_id,
+                     avg(-ln((COALESCE(v.n, 0) + 1) / (s.N + s.V + 1))) AS ll
+              FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN tot s
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({tokens}) END::BIGINT AS n_tokens,
+                   round(COALESCE(s.ll, 0.0), 6) AS logloss_r
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         # Bloom semi join: the sketch is a prefilter only, so the oracle is
         # the plain semi join (pipelines/sketches.bloom_semi_join)

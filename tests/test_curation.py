@@ -133,3 +133,32 @@ def test_quality_filter_threshold_semantics(ray_session):
     got = quality_filter(sf).to_pandas()
     assert set(got["doc_id"]) == want
     assert (got["distinct_ratio"] >= thr).all()
+
+
+def test_unigram_logloss_matches_sequential_reference(ray_session):
+    """Distributed train+score == a sequential numpy unigram LM."""
+    import numpy as np
+    from collections import Counter
+
+    from webarchive_discovery_ray.pipelines.curation import unigram_logloss
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    counts = Counter()
+    total = 0
+    for t in docs["text"]:
+        w = t.split()
+        counts.update(w)
+        total += len(w)
+    vocab = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:128])
+    denom = total + len(vocab) + 1
+    logp = {t: np.log((n + 1) / denom) for t, n in vocab.items()}
+    oov = np.log(1.0 / denom)
+    got = unigram_logloss(sf).to_pandas().set_index("doc_id")
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        w = text.split()
+        want = -np.mean([logp.get(t, oov) for t in w]) if w else 0.0
+        assert got.loc[did, "logloss_r"] == round(float(want), 6)
+        assert got.loc[did, "n_tokens"] == len(w)
+    # OOV-heavy text must score strictly worse than pure-vocab text
+    assert oov < min(logp.values())

@@ -39,6 +39,7 @@ __all__ = [
     "kmeans_embeddings",
     "kmeans_reference",
     "quality_filter",
+    "unigram_logloss",
 ]
 
 
@@ -345,3 +346,89 @@ def quality_filter(sf_dir: str, q: float = QUALITY_FILTER_Q):
         return df[df["distinct_ratio"] >= thr]
 
     return scored.map_batches(keep, batch_format="pandas")
+
+
+_LM_VOCAB = 128  # bounded vocabulary (top-V by count, token tiebreak)
+
+
+def unigram_logloss(sf_dir: str, vocab_size: int = _LM_VOCAB):
+    """Unigram-LM log-loss per document — the perplexity-proxy quality
+    signal (the KenLM-filter shape used by CCNet-style curation, reduced
+    to the distributable unigram case).
+
+    Train: per-batch token counts plus one batch-total marker row
+    (combiner) → ONE bucketed grouped sum; each bucket emits only its
+    local top-``vocab_size`` (count, token) rows and its marker partial,
+    the driver merges #buckets×V rows into the exact global top-V
+    vocabulary (count desc, token asc — deterministic) and folds the
+    markers into N — bounded driver state regardless of corpus size.
+    Add-one smoothing over vocab plus one OOV bucket:
+    p(tok) = (n_tok + 1)/(N + V + 1), OOV p = 1/(N + V + 1).
+
+    Score: broadcast the V-entry log-prob map, one streaming pass computes
+    each doc's mean −ln p (0.0 for empty docs). Columns: doc_id,
+    n_tokens, logloss_r (round 6). SQL-oracle-checked."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode().dropna()
+        vc = toks.value_counts()
+        out = pd.DataFrame(
+            {"tok": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+        # marker row: "" is never a real token (split drops empties)
+        out = pd.concat(
+            [out, pd.DataFrame({"tok": [""], "n": [len(toks)]})],
+            ignore_index=True,
+        )
+        out["bucket"] = bucket_of(out["tok"], n_b)
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", sort=False)["n"].sum().reset_index()
+        marker = g[g["tok"] == ""]
+        real = g[g["tok"] != ""].sort_values(
+            ["n", "tok"], ascending=[False, True]
+        ).head(vocab_size)
+        return pd.concat([real, marker], ignore_index=True)
+
+    tops = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pandas")
+        .take_all()
+    )
+    n_total = sum(int(r["n"]) for r in tops if r["tok"] == "")
+    merged = sorted(
+        ((r["tok"], int(r["n"])) for r in tops if r["tok"] != ""),
+        key=lambda t: (-t[1], t[0]),
+    )[:vocab_size]
+    v = len(merged)
+    denom = float(n_total + v + 1)
+    logp = {t: float(np.log((n + 1) / denom)) for t, n in merged}
+    oov = float(np.log(1.0 / denom))
+    lm_ref = ray.put((logp, oov))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        blogp, boov = get_broadcast(lm_ref)
+        toks = df["text"].str.split()
+        n_tok = toks.str.len().astype("int64")
+        ll = np.zeros(len(df))
+        for i, lst in enumerate(toks):
+            if lst:
+                ll[i] = -np.mean([blogp.get(t, boov) for t in lst])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tok,
+                "logloss_r": np.round(ll, 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
