@@ -563,7 +563,7 @@ def _split_block(n_shards: int, tbl: pa.Table):
     import pyarrow.compute as pc
 
     empty = (
-        {"part": -1, "cand_rows": 0, "fetched_rows": 0},
+        {"part": -1, "cand_rows": 0, "fetched_rows": 0, "robots": []},
         FRONTIER_SCHEMA.empty_table(),
         OUT_SCHEMA.empty_table().select(_PULL_COLS),
         CAND_SCHEMA.empty_table(),
@@ -576,12 +576,26 @@ def _split_block(n_shards: int, tbl: pa.Table):
         ["url", "surt", "host", "priority", "hop", "seq", "part"]
     )
     fetched = tbl.filter(sel)
+    # robots hits ride back in the meta dict (tiny): the driver needs the
+    # wave's parsed rules for the NEXT wave's drain without joining on the
+    # fetch-log finalize chain
+    hits = fetched.filter(
+        pc.and_(fetched["is_robots"], pc.equal(fetched["fetch_status"], 200))
+    )
+    robots_pairs = list(
+        zip(hits["fetch_host"].to_pylist(), hits["robots_rules"].to_pylist())
+    )
     cand_col = fetched["cand_urls"].combine_chunks()
     lengths = pc.list_value_length(cand_col).to_numpy().astype(np.int64)
     total = int(lengths.sum())
     if total == 0:
         return (
-            {"part": part, "cand_rows": 0, "fetched_rows": fetched.num_rows},
+            {
+                "part": part,
+                "cand_rows": 0,
+                "fetched_rows": fetched.num_rows,
+                "robots": robots_pairs,
+            },
             carry,
             fetched.select(_PULL_COLS),
             CAND_SCHEMA.empty_table(),
@@ -623,6 +637,7 @@ def _split_block(n_shards: int, tbl: pa.Table):
             "cand_rows": total,
             "fetched_rows": fetched.num_rows,
             "shard_bounds": bounds,
+            "robots": robots_pairs,
         },
         carry,
         fetched.select(_PULL_COLS),
@@ -630,14 +645,15 @@ def _split_block(n_shards: int, tbl: pa.Table):
     )
 
 
-@_ray.remote(num_returns=2)
+@_ray.remote
 def _finalize_fetch(wave: int, order_base: int, log_path: str | None, *parts):
     """Remote end-of-wave fetch finalization: concat the per-part fetched
     tables, apply the pinned rule-4 order (host, slot), build the wave's
-    fetch-log table, optionally stream it to parquet (atomic publish), and
-    scrape the robots hits. Returns a SMALL dict (count + robots map) and
-    the log table — the driver materializes the latter only under
-    collect_log / checkpointing."""
+    fetch-log table, optionally stream it to parquet (atomic publish).
+    OFF the wave critical path: the driver gets the wave's count and
+    robots map from the split metas and joins this chain only under
+    collect_log / checkpointing (or once at crawl end to make the
+    parquet writes durable)."""
     import pyarrow.compute as pc
 
     tbl = (
@@ -672,16 +688,7 @@ def _finalize_fetch(wave: int, order_base: int, log_path: str | None, *parts):
         tmp = f"{log_path}.tmp-{uuid.uuid4().hex}"
         _pq.write_table(wave_log, tmp)
         os.replace(tmp, log_path)
-    hits = tbl.filter(
-        pc.and_(tbl["is_robots"], pc.equal(tbl["fetch_status"], 200))
-    )
-    robots = {
-        h: list(rules)
-        for h, rules in zip(
-            hits["fetch_host"].to_pylist(), hits["robots_rules"].to_pylist()
-        )
-    }
-    return {"n_fetched": n, "robots": robots}, wave_log
+    return wave_log
 
 
 def run_crawl(
@@ -732,6 +739,7 @@ def run_crawl(
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
+    log_flush_refs: list = []  # streamed-log chains joined at crawl end
     # SURTs first seen since the last checkpoint; tracked ONLY when
     # checkpointing (building the per-wave Python string list costs
     # O(new URLs) driver time every wave otherwise)
@@ -865,9 +873,11 @@ def run_crawl(
             if docs_dir is not None and checkpoint_dir is None
             else None
         )
-        small_ref, wave_log_ref = _finalize_fetch.remote(
+        wave_log_ref = _finalize_fetch.remote(
             wave, order_base, log_path, *[f for _, _, f, _ in splits]
         )
+        if log_path is not None:
+            log_flush_refs.append(wave_log_ref)
         metas = ray.get([m for m, _, _, _ in splits])
         carry_refs = {p: list(refs) for p, refs in pre_carry.items()}
         fetched_per_part: dict[int, int] = {}
@@ -914,9 +924,20 @@ def run_crawl(
                 carry_counts[p] = carry_counts.get(p, 0) + c
 
         _mark(f"w{wave}:split")
-        small = ray.get(small_ref)
-        n_fetched = small["n_fetched"]
-        new_robots = small["robots"]
+        # --- discovery barrier: shards resolve their candidates; the
+        # winner merge + seq assignment + next-wave partitioning run in a
+        # REMOTE task. Submitted BEFORE blocking on the fetch-log
+        # finalize so the two remote chains (log concat/sort and shard
+        # finalize -> winner merge) overlap instead of serializing
+        extras_parts_ref, info_ref = _resolve_winners.remote(
+            n_parts, seq, track_delta, *pool.finalize_wave_refs(wave)
+        )
+        # wave count + robots rules come straight from the split metas —
+        # the fetch-log build/sort/write chain runs fully off the wave
+        # critical path (joined only under collect_log / checkpointing,
+        # plus one durability barrier at crawl end for streamed logs)
+        n_fetched = sum(m["fetched_rows"] for m in metas)
+        new_robots = {h: list(r) for m in metas for h, r in m["robots"]}
         res.total_docs += n_fetched
         wave_log = None  # pulled lazily (collect_log / checkpoint only)
         if collect_log:
@@ -924,13 +945,6 @@ def run_crawl(
             log_tables.append(wave_log)
         order_base += n_fetched
         _mark(f"w{wave}:log")
-        # --- discovery barrier: shards resolve their candidates; the
-        # winner merge + seq assignment + next-wave partitioning run in a
-        # REMOTE task — the driver sees only counts, new hosts and
-        # (under checkpointing) the SURT delta
-        extras_parts_ref, info_ref = _resolve_winners.remote(
-            n_parts, seq, track_delta, *pool.finalize_wave_refs(wave)
-        )
         info = ray.get(info_ref)
         n_new = info["n_new"]
         seq += n_new
@@ -991,6 +1005,11 @@ def run_crawl(
     if _debug:
         for (l1, t1), (l2, t2) in zip(_marks, _marks[1:]):
             print(f"[crawl-timing] {l1} -> {l2}: {t2 - t1:.2f}s")
+    # durability barrier: streamed per-wave fetch-log writes happen in
+    # remote tasks off the wave critical path — join them once here so
+    # the files exist when run_crawl returns
+    if log_flush_refs:
+        ray.wait(log_flush_refs, num_returns=len(log_flush_refs), fetch_local=False)
     # driver-side materializations are OPT-IN (test/analysis hooks): the
     # production outputs are the streamed per-wave parquet artifacts
     if collect_log:

@@ -55,6 +55,25 @@ class BloomFilter:
         for p in self._positions(key):
             self.bits[p >> 3] |= 1 << (p & 7)
 
+    def add_many(self, keys: list[str]) -> None:
+        """Batched add: one vectorized scatter instead of per-key numpy
+        ops (the wave-barrier path — shards absorb whole winner lists)."""
+        if not keys:
+            return
+        n_bits, k = self.n_bits, self.k
+        pos = np.empty(len(keys) * k, dtype=np.int64)
+        j = 0
+        for key in keys:
+            d = hashlib.sha1(key.encode("utf-8")).digest()
+            h1 = int.from_bytes(d[:8], "big")
+            h2 = int.from_bytes(d[8:16], "big") | 1
+            for i in range(k):
+                pos[j] = (h1 + i * h2) % n_bits
+                j += 1
+        np.bitwise_or.at(
+            self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+        )
+
     def might_contain(self, key: str) -> bool:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(key))
 
@@ -77,8 +96,16 @@ class CuckooFilter:
         assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
         self.n_buckets = n_buckets
         self.bucket_size = bucket_size
-        self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
+        # buckets as plain Python lists: scalar membership (`fp in row`)
+        # and slot writes are ~10x cheaper than per-key numpy ops on
+        # 4-element rows — this class sits on the wave-barrier hot path
+        self.table: list[list[int]] = [
+            [0] * bucket_size for _ in range(n_buckets)
+        ]
         self.count = 0
+        # memoized H(fp) for the alt-index involution (fp space is 16-bit;
+        # walks and probes revisit the same fingerprints constantly)
+        self._alt_cache: dict[int, int] = {}
         # victim stash: a failed relocation walk must NOT drop the evicted
         # fingerprint (that would be a false negative for an EARLIER key);
         # the homeless (bucket, fp) pair parks here
@@ -96,15 +123,19 @@ class CuckooFilter:
 
     def _alt_index(self, i: int, fp: int) -> int:
         # xor with a hash of the fingerprint (mod 2^k keeps the involution)
-        h = int.from_bytes(hashlib.sha1(fp.to_bytes(2, "big")).digest()[:8], "big")
+        h = self._alt_cache.get(fp)
+        if h is None:
+            h = self._alt_cache[fp] = int.from_bytes(
+                hashlib.sha1(fp.to_bytes(2, "big")).digest()[:8], "big"
+            )
         return (i ^ h) & (self.n_buckets - 1)
 
     def _bucket_insert(self, i: int, fp: int) -> bool:
         row = self.table[i]
-        empties = np.nonzero(row == 0)[0]
-        if len(empties):
-            row[empties[0]] = fp
-            return True
+        for s in range(self.bucket_size):
+            if row[s] == 0:
+                row[s] = fp
+                return True
         return False
 
     def add(self, key: str) -> bool:
@@ -117,7 +148,8 @@ class CuckooFilter:
         i = i1 if (fp & 1) else i2
         for kick in range(self.MAX_KICKS):
             slot = (fp + kick) % self.bucket_size
-            fp, self.table[i][slot] = int(self.table[i][slot]), fp
+            row = self.table[i]
+            fp, row[slot] = row[slot], fp
             i = self._alt_index(i, fp)
             if self._bucket_insert(i, fp):
                 self.count += 1
@@ -133,12 +165,50 @@ class CuckooFilter:
         self.saturated = True
         return False
 
+    def add_many(self, keys: list[str]) -> list[bool]:
+        """Batched add with the same per-key semantics as :meth:`add`
+        (including walks/stash/saturation) but one tight loop — the
+        fast common case (an empty slot in bucket 1 or 2) costs a digest
+        plus a few list ops."""
+        out = []
+        table = self.table
+        rng = range(self.bucket_size)
+        for key in keys:
+            if self.saturated:
+                out.append(False)
+                continue
+            d = hashlib.sha1(key.encode("utf-8")).digest()
+            fp = int.from_bytes(d[:2], "big") or 1
+            i1 = int.from_bytes(d[2:10], "big") & (self.n_buckets - 1)
+            placed = False
+            row = table[i1]
+            for s in rng:
+                if row[s] == 0:
+                    row[s] = fp
+                    placed = True
+                    break
+            if not placed:
+                row = table[self._alt_index(i1, fp)]
+                for s in rng:
+                    if row[s] == 0:
+                        row[s] = fp
+                        placed = True
+                        break
+            if placed:
+                self.count += 1
+                out.append(True)
+            else:
+                # rare: both buckets full — take the full relocation-walk
+                # path (which does its own counting/stash/saturation)
+                out.append(self.add(key))
+        return out
+
     def might_contain(self, key: str) -> bool:
         fp, i1 = self._fp_and_index(key)
-        if (self.table[i1] == fp).any():
+        if fp in self.table[i1]:
             return True
         i2 = self._alt_index(i1, fp)
-        if (self.table[i2] == fp).any():
+        if fp in self.table[i2]:
             return True
         return bool(self.stash) and (
             (i1, fp) in self.stash or (i2, fp) in self.stash
@@ -147,11 +217,12 @@ class CuckooFilter:
     def delete(self, key: str) -> bool:
         fp, i1 = self._fp_and_index(key)
         for i in (i1, self._alt_index(i1, fp)):
-            hits = np.nonzero(self.table[i] == fp)[0]
-            if len(hits):
-                self.table[i][hits[0]] = 0
-                self.count -= 1
-                return True
+            row = self.table[i]
+            for s in range(self.bucket_size):
+                if row[s] == fp:
+                    row[s] = 0
+                    self.count -= 1
+                    return True
             if (i, fp) in self.stash:
                 self.stash.discard((i, fp))
                 self.count -= 1
@@ -192,23 +263,40 @@ class SeenSet:
                 self._bloom = BloomFilter(self._n_bits)
             self._bloom.add(key)
 
+    def _acc_add_many(self, keys: list[str]) -> None:
+        """Batched accelerator add (wave-barrier path): cuckoo add_many,
+        overflow failures go to the Bloom in ONE vectorized scatter."""
+        if not keys:
+            return
+        ok = self._cuckoo.add_many(keys)
+        spill = [k for k, o in zip(keys, ok) if not o]
+        if spill:
+            if self._bloom is None:
+                self._bloom = BloomFilter(self._n_bits)
+            self._bloom.add_many(spill)
+
     def _acc_might_contain(self, key: str) -> bool:
         return self._cuckoo.might_contain(key) or (
             self._bloom is not None and self._bloom.might_contain(key)
         )
 
     def add_if_new(self, keys: list[str]) -> list[bool]:
-        """For each key: True when newly added. Filter 'no' short-circuits
-        the exact probe; 'maybe' is verified against the exact set."""
-        out = []
-        for key in keys:
-            if self._acc_might_contain(key) and key in self._exact:
-                out.append(False)
-            else:
-                self._exact.add(key)
-                self._acc_add(key)
-                out.append(True)
-        return out
+        """For each key: True when newly added. Vectorized: in-batch
+        first-occurrence via pandas ``duplicated`` + one C-speed ``isin``
+        probe of the exact set, then ONE batched accelerator add. (The
+        exact set is authoritative; the accelerator exists for the spill
+        regime where the exact set pages out — per-key probes here would
+        be pure overhead.)"""
+        import pandas as pd
+
+        if not keys:
+            return []
+        ser = pd.Series(keys, dtype=object)
+        mask = (~ser.duplicated() & ~ser.isin(self._exact)).tolist()
+        new = [k for k, m in zip(keys, mask) if m]
+        self._exact.update(new)
+        self._acc_add_many(new)
+        return mask
 
     def contains(self, keys: list[str]) -> list[bool]:
         return [self._acc_might_contain(k) and k in self._exact for k in keys]
@@ -279,15 +367,19 @@ class SeenSet:
                 ],
             )
         )
-        exact = self._exact
-        mask = []
-        for k in t["surt"].to_pylist():
-            if k in exact:
-                mask.append(False)
-            else:
-                exact.add(k)
-                self._acc_add(k)
-                mask.append(True)
+        import pandas as pd
+
+        # vectorized first-unseen selection: in-table duplicates drop via
+        # ``duplicated`` (table is sorted by the pinned order key, so
+        # "first" is the correct occurrence), already-seen keys via ONE
+        # C-speed ``isin`` probe; the accelerator absorbs the winners in
+        # one batched add — same semantics as the per-key loop, without
+        # paying per-key Python on the wave barrier
+        surts = pd.Series(t["surt"].to_pylist(), dtype=object)
+        mask = (~surts.duplicated() & ~surts.isin(self._exact)).to_numpy()
+        new = [k for k, m in zip(surts, mask) if m]
+        self._exact.update(new)
+        self._acc_add_many(new)
         w = t.filter(pa.array(mask))
         return w if w.num_rows else None
 
@@ -298,8 +390,7 @@ class SeenSet:
         self._exact = set(keys)
         self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, self._n_bits >> 4))
         self._bloom = None
-        for k in keys:
-            self._acc_add(k)
+        self._acc_add_many(list(keys))
 
     def __len__(self) -> int:
         return len(self._exact)
