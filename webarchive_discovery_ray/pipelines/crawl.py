@@ -27,12 +27,18 @@ Per wave:
    health and one delayed message stalls the wave), candidate bytes
    never touch the driver, and shards read the shared blocks zero-copy;
 5. **discovery barrier** — each seen shard sorts its candidates by the
-   pinned global order key (parent host, parent slot, link rank), keeps
-   first-unseen SURTs, and returns only the winners; a REMOTE task merges
-   the shards' winner tables, assigns global ``seq`` and hash-partitions
-   the next wave's frontier — the driver sees only counts, new hosts and
-   (under checkpointing) the SURT delta. The per-wave fetch-log
-   concat/sort/build likewise runs remote.
+   pinned global order key (parent host, parent slot, link rank) and
+   keeps first-unseen SURTs (vectorized batch dedup + batched
+   cuckoo/bloom absorption); the winner merge is a TWO-PHASE PARALLEL
+   SORT: the driver blocks only on per-shard smalls (counts, hosts,
+   order_host boundary samples) and tiny per-range counts, then
+   range-parallel tasks each merge one order_host range (binary-search
+   slices of the pre-sorted shard tables), assign exact global ``seq``
+   from per-range offsets, and hash-partition their slice — the next
+   wave's assembly consumes the per-(range, part) outputs by reference.
+   The per-wave fetch-log concat/sort/build runs fully OFF the critical
+   path (wave counts and robots rules come from the split metas; one
+   durability barrier at crawl end joins the streamed log writes).
 
 Crawl ordering and the final seen set are byte-identical to
 ``oracle/crawl_oracle.py`` under the same seed list + politeness budget
@@ -438,23 +444,50 @@ def _assemble(parts_list, p: int, extras_small, *carries: pa.Table) -> pa.Table:
     return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
 
 
-@_ray.remote(num_returns=2)
-def _resolve_winners(n_parts: int, seq_start: int, want_surts: bool, *winner_parts):
-    """Remote discovery finalization: merge the shards' winner tables,
-    apply the pinned global order (parent host, parent slot, link rank),
-    assign ``seq`` numbers, and hash-partition the next wave's frontier by
-    host. The driver receives only a SMALL info dict (counts, new-host
-    list, optionally the SURT delta for checkpointing); the partition list
-    stays in the object store."""
+@_ray.remote
+def _range_counts(boundaries: list, tbl) -> np.ndarray:
+    """Per-order_host-range winner counts for ONE shard's (order-key-
+    sorted) winner table — tiny task, the driver folds these into the
+    per-range seq offsets (phase 1 of the two-phase distributed sort)."""
+    n_ranges = len(boundaries) + 1
+    if tbl is None or tbl.num_rows == 0:
+        return np.zeros(n_ranges, dtype=np.int64)
+    oh = np.asarray(tbl["order_host"].to_pylist(), dtype=object)
+    cuts = np.searchsorted(oh, np.asarray(boundaries, dtype=object), side="left")
+    edges = np.concatenate([[0], cuts, [len(oh)]])
+    return np.diff(edges).astype(np.int64)
+
+
+@_ray.remote
+def _range_finalize(
+    boundaries: list, r: int, seq_start: int, n_parts: int, *winner_parts
+):
+    """Phase 2 of the parallel winners merge: ONE order_host range across
+    all shards — slice each sorted shard table to the range (binary
+    search), concat + sort by the pinned global order (parent host,
+    parent slot, link rank — unique per candidate, so the range-local
+    sort reproduces the global order exactly), assign ``seq`` from this
+    range's global offset, and hash-partition by host. Invoked with
+    ``num_returns=n_parts + 1``: the per-part frontier tables stay
+    remote; the last return is the small rows-per-part list the driver
+    needs for the salt decision."""
     import pyarrow.compute as pc
 
-    parts = [t for t in winner_parts if t is not None and t.num_rows]
-    if not parts:
-        return None, {
-            "n_new": 0, "hosts": [], "surts": [],
-            "rows_per_part": [0] * n_parts,
-        }
-    winners = pa.concat_tables(parts).combine_chunks()
+    lo = boundaries[r - 1] if r > 0 else None
+    hi = boundaries[r] if r < len(boundaries) else None
+    slices = []
+    for t in winner_parts:
+        if t is None or t.num_rows == 0:
+            continue
+        oh = np.asarray(t["order_host"].to_pylist(), dtype=object)
+        a = 0 if lo is None else int(np.searchsorted(oh, lo, side="left"))
+        b = len(oh) if hi is None else int(np.searchsorted(oh, hi, side="left"))
+        if b > a:
+            slices.append(t.slice(a, b - a))
+    if not slices:
+        plist = _partition_by_host(FRONTIER_SCHEMA.empty_table(), n_parts)
+        return (*plist, [0] * n_parts)
+    winners = pa.concat_tables(slices).combine_chunks()
     winners = winners.take(
         pc.sort_indices(
             winners,
@@ -465,7 +498,7 @@ def _resolve_winners(n_parts: int, seq_start: int, want_surts: bool, *winner_par
             ],
         )
     )
-    n_new = winners.num_rows
+    n = winners.num_rows
     extras = pa.table(
         {
             "url": winners["url"],
@@ -473,16 +506,25 @@ def _resolve_winners(n_parts: int, seq_start: int, want_surts: bool, *winner_par
             "host": winners["host"],
             "priority": winners["priority"],
             "hop": pc.add(winners["hop"], 1),
-            "seq": pa.array(np.arange(seq_start, seq_start + n_new), pa.int64()),
+            "seq": pa.array(np.arange(seq_start, seq_start + n), pa.int64()),
         }
     ).cast(FRONTIER_SCHEMA)
     plist = _partition_by_host(extras, n_parts)
-    return plist, {
-        "n_new": n_new,
-        "hosts": pc.unique(winners["host"]).to_pylist(),
-        "surts": extras["surt"].to_pylist() if want_surts else [],
-        "rows_per_part": [t.num_rows for t in plist],
-    }
+    return (*plist, [t.num_rows for t in plist])
+
+
+def _pick_boundaries(samples: list[str], n_ranges: int) -> list[str]:
+    """Range split points from the shards' order_host samples: distinct
+    quantile picks (ranges are [prev, b) — a host never straddles)."""
+    if n_ranges <= 1 or not samples:
+        return []
+    pool_sorted = sorted(samples)
+    picks = []
+    for i in range(1, n_ranges):
+        v = pool_sorted[min(len(pool_sorted) - 1, i * len(pool_sorted) // n_ranges)]
+        if not picks or v > picks[-1]:
+            picks.append(v)
+    return picks
 
 
 @_ray.remote
@@ -773,6 +815,11 @@ def run_crawl(
     extras_parts_ref = ray.put(_seed_parts)
     extras_rows_per_part = [t.num_rows for t in _seed_parts]
     del extras, _seed_parts
+    # winners of the previous wave arrive as per-(range, part) refs from
+    # the parallel merge; empty before wave 0
+    winners_part_refs: dict[int, list] = {}
+    winners_rows_refs: list = []
+    pending_winner_rows = 0
     for wave in range(start_wave, ccfg.max_waves):
         _mark(f"w{wave}:start")
         # --- robots injection (new hosts only: a host already in the
@@ -797,7 +844,10 @@ def run_crawl(
             else FRONTIER_SCHEMA.empty_table()
         )
         frontier_rows = (
-            sum(extras_rows_per_part) + robots_tbl.num_rows + sum(carry_counts.values())
+            sum(extras_rows_per_part)
+            + pending_winner_rows
+            + robots_tbl.num_rows
+            + sum(carry_counts.values())
         )
         if frontier_rows == 0:
             break
@@ -810,12 +860,24 @@ def run_crawl(
         # once per task closure; BOXED so tasks resolve them through the
         # per-worker broadcast cache instead of per-task deserialization
         rules_boxed = [ray.put(robots_rules)] if robots_rules else None
+        # per-part winner rows from the range tasks (tiny lists, needed
+        # for the salt decision; the tables themselves stay remote)
+        winners_rows_per_part = [0] * n_parts
+        if winners_rows_refs:
+            for rows in ray.get(winners_rows_refs):
+                for p, c in enumerate(rows):
+                    winners_rows_per_part[p] += c
         for p in range(n_parts):
             assembled = _assemble.remote(
-                extras_parts_ref, p, robots_parts[p], *carry_refs.get(p, [])
+                extras_parts_ref,
+                p,
+                robots_parts[p],
+                *winners_part_refs.get(p, []),
+                *carry_refs.get(p, []),
             )
             rows_p = (
                 extras_rows_per_part[p]
+                + winners_rows_per_part[p]
                 + robots_parts[p].num_rows
                 + carry_counts.get(p, 0)
             )
@@ -924,14 +986,15 @@ def run_crawl(
                 carry_counts[p] = carry_counts.get(p, 0) + c
 
         _mark(f"w{wave}:split")
-        # --- discovery barrier: shards resolve their candidates; the
-        # winner merge + seq assignment + next-wave partitioning run in a
-        # REMOTE task. Submitted BEFORE blocking on the fetch-log
-        # finalize so the two remote chains (log concat/sort and shard
-        # finalize -> winner merge) overlap instead of serializing
-        extras_parts_ref, info_ref = _resolve_winners.remote(
-            n_parts, seq, track_delta, *pool.finalize_wave_refs(wave)
-        )
+        # --- discovery barrier (two-phase parallel winners merge): the
+        # shards finalize concurrently; the driver blocks ONLY on their
+        # small dicts (counts, hosts, boundary samples, optional SURT
+        # delta) and on the tiny per-range counts — the heavy
+        # merge/sort/seq/partition work fans out over order_host ranges
+        # as parallel tasks whose outputs the next wave's assembly
+        # consumes BY REFERENCE (the classic two-phase distributed sort:
+        # exact global seq from per-range offsets)
+        winner_refs, small_refs = pool.finalize_wave_split(wave, track_delta)
         # wave count + robots rules come straight from the split metas —
         # the fetch-log build/sort/write chain runs fully off the wave
         # critical path (joined only under collect_log / checkpointing,
@@ -945,13 +1008,40 @@ def run_crawl(
             log_tables.append(wave_log)
         order_base += n_fetched
         _mark(f"w{wave}:log")
-        info = ray.get(info_ref)
-        n_new = info["n_new"]
+        smalls = ray.get(small_refs)
+        n_new = sum(s["n"] for s in smalls)
+        robots_check_hosts = set()
+        for s in smalls:
+            robots_check_hosts.update(s["hosts"])
+            if track_delta:
+                pending_delta.extend(s["surts"])
+        winners_part_refs = {}
+        winners_rows_refs = []
+        if n_new:
+            # few ranges for small waves (task overhead), more for wide
+            n_ranges = 1 if n_new < 50_000 else min(8, n_shards)
+            boundaries = _pick_boundaries(
+                [x for s in smalls for x in s["samples"]], n_ranges
+            )
+            per_shard = ray.get(
+                [_range_counts.remote(boundaries, w) for w in winner_refs]
+            )
+            per_range = np.sum(per_shard, axis=0)
+            offs = seq + np.concatenate([[0], np.cumsum(per_range)[:-1]])
+            outs = [
+                _range_finalize.options(num_returns=n_parts + 1).remote(
+                    boundaries, r, int(offs[r]), n_parts, *winner_refs
+                )
+                for r in range(len(boundaries) + 1)
+            ]
+            winners_part_refs = {
+                p: [o[p] for o in outs] for p in range(n_parts)
+            }
+            winners_rows_refs = [o[n_parts] for o in outs]
         seq += n_new
-        extras_rows_per_part = info["rows_per_part"]
-        if track_delta:
-            pending_delta.extend(info["surts"])
-        robots_check_hosts = set(info["hosts"])
+        extras_parts_ref = None  # the seed list is consumed by wave 0
+        extras_rows_per_part = [0] * n_parts
+        pending_winner_rows = n_new
         robots_rules.update(new_robots)
         stats = {
             "wave": wave,
@@ -978,10 +1068,12 @@ def run_crawl(
             if wave_log is None:
                 wave_log = ray.get(wave_log_ref)
             carry_tbls = ray.get([r for refs in carry_refs.values() for r in refs])
-            plist = ray.get(extras_parts_ref)
+            all_winner_refs = [
+                r for refs in winners_part_refs.values() for r in refs
+            ]
             winner_tbls = [
                 t.select(FRONTIER_SCHEMA.names)
-                for t in (plist or [])
+                for t in ray.get(all_winner_refs)
                 if t.num_rows
             ]
             next_frontier = pa.concat_tables(

@@ -383,6 +383,29 @@ class SeenSet:
         w = t.filter(pa.array(mask))
         return w if w.num_rows else None
 
+    def finalize_wave_split(self, wave: int, want_surts: bool, n_samples: int):
+        """Two-object finalize for the parallel winners merge: (winners
+        table, small dict). The small dict carries everything the DRIVER
+        needs (count, unique hosts, optional SURT delta, and evenly-spaced
+        ``order_host`` samples for range-boundary selection) so the heavy
+        merge/sort/partition can run in range-parallel tasks off the
+        driver's critical path."""
+        w = self.finalize_wave(wave)
+        if w is None:
+            return None, {"n": 0, "hosts": [], "surts": [], "samples": []}
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        oh = w["order_host"]
+        idx = np.linspace(0, w.num_rows - 1, num=min(n_samples, w.num_rows))
+        samples = oh.take(pa.array(idx.astype(np.int64))).to_pylist()
+        return w, {
+            "n": w.num_rows,
+            "hosts": pc.unique(w["host"]).to_pylist(),
+            "surts": w["surt"].to_pylist() if want_surts else [],
+            "samples": samples,
+        }
+
     def snapshot(self) -> list[str]:
         return sorted(self._exact)
 
@@ -432,6 +455,20 @@ class SeenShardPool:
         without materializing them — the winner merge can then run as a
         remote task with the refs as auto-dereferenced args."""
         return [s.finalize_wave.remote(wave) for s in self._shards]
+
+    def finalize_wave_split(
+        self, wave: int, want_surts: bool, n_samples: int = 33
+    ) -> tuple[list, list]:
+        """(winner_table_refs, small_dict_refs) per shard: the tables stay
+        remote for the range-parallel merge; the smalls are what the
+        driver blocks on (counts, hosts, samples, optional SURT delta)."""
+        pairs = [
+            s.finalize_wave_split.options(num_returns=2).remote(
+                wave, want_surts, n_samples
+            )
+            for s in self._shards
+        ]
+        return [p[0] for p in pairs], [p[1] for p in pairs]
 
     def add_if_new(self, keys: list[str]) -> list[bool]:
         import ray
