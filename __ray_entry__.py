@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hll_distinct_tokens,
     )
     from webarchive_discovery_ray.pipelines.curation import (
+        curation_pipeline,
         decontaminate,
         kmeans_embeddings,
         unigram_logloss,
@@ -576,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": source_mix,
         "quality_filter": quality_filter,
         "unigram_logloss": unigram_logloss,
+        "curation_pipeline": curation_pipeline,
         "bloom_semi_join": bloom_semi_join,
         "heavy_hitters": heavy_hitters,
         "cdc_chunks": cdc_chunks,
@@ -713,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
         for c in redup_cols
     )
 
-    return {
+    out = {
         # money/value sums use the same floor(x*scale + 0.5) integer-cents
         # quantisation as the Ray pipelines -> bit-exact across engines
         "lineitem_agg": """
@@ -1732,3 +1734,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 2 * (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) + 1)
         """,
     }
+    # the composed curation funnel: quality-kept training docs (doc_id >=
+    # 10) minus near-dup doc_b exemplars minus contaminated docs — each
+    # component is its own oracle above; subquery-WITH keeps them verbatim
+    out["curation_pipeline"] = f"""
+        SELECT q.doc_id, q.distinct_ratio
+        FROM ({out['quality_filter']}) q
+        WHERE q.doc_id >= 10
+          AND q.doc_id NOT IN (SELECT doc_b FROM ({out['minhash_lsh_pairs']}))
+          AND q.doc_id NOT IN (SELECT doc_id FROM ({out['decontaminate']})
+                               WHERE contaminated)
+    """
+    return out

@@ -162,3 +162,28 @@ def test_unigram_logloss_matches_sequential_reference(ray_session):
         assert got.loc[did, "n_tokens"] == len(w)
     # OOV-heavy text must score strictly worse than pure-vocab text
     assert oov < min(logp.values())
+
+
+def test_curation_pipeline_composes_components(ray_session):
+    """The funnel == set algebra over its three component pipelines."""
+    from webarchive_discovery_ray.pipelines.curation import (
+        curation_pipeline,
+        decontaminate,
+        quality_filter,
+    )
+    from webarchive_discovery_ray.pipelines.dedup import minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    kept = quality_filter(sf).to_pandas()
+    pairs = minhash_lsh_pairs(sf).to_pandas()
+    flags = decontaminate(sf).to_pandas()
+    want = set(kept.loc[kept["doc_id"] >= 10, "doc_id"])
+    want -= set(pairs["doc_b"])
+    want -= set(flags.loc[flags["contaminated"], "doc_id"])
+    got = curation_pipeline(sf).to_pandas()
+    assert set(got["doc_id"]) == want
+    assert not got["doc_id"].duplicated().any()
+    # ratios pass through from the quality stage untouched
+    ref = kept.set_index("doc_id")["distinct_ratio"]
+    assert all(got.set_index("doc_id")["distinct_ratio"] == ref[got["doc_id"]].values)
+    assert len(want) > 0 and len(want) < len(kept)

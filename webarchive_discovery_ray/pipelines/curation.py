@@ -40,6 +40,7 @@ __all__ = [
     "kmeans_reference",
     "quality_filter",
     "unigram_logloss",
+    "curation_pipeline",
 ]
 
 
@@ -432,3 +433,77 @@ def unigram_logloss(sf_dir: str, vocab_size: int = _LM_VOCAB):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def curation_pipeline(sf_dir: str):
+    """The full curation funnel as ONE composed pipeline — what a
+    training-data user actually runs: corpus-relative quality filter
+    (P25 distinct-token ratio), near-duplicate removal (MinHash+LSH
+    verified pairs — the larger doc_id of each pair drops), and benchmark
+    decontamination (8-gram overlap docs drop; the benchmark docs
+    themselves, doc_id < 10, never enter the training set).
+
+    Composition stays scale-shaped: the three component pipelines run as
+    their own distributed stages, and the funnel merge is ONE bucketed
+    anti-join pass (kept rows and drop ids co-locate on bucket(doc_id);
+    no drop-set broadcast — the near-dup set is candidate-bounded but not
+    provably small). Columns: doc_id, distinct_ratio.
+    SQL-oracle-checked (the oracle composes the three component mirrors)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+    from .dedup import minhash_lsh_pairs
+
+    n_b = default_buckets()
+    kept = quality_filter(sf_dir)
+    pairs = minhash_lsh_pairs(sf_dir)
+    flags = decontaminate(sf_dir)
+
+    def tag_keep(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "distinct_ratio": df["distinct_ratio"].astype("float64"),
+                "side": np.zeros(len(df), dtype="int64"),
+                "bucket": bucket_of(did, n_b),
+            }
+        )
+
+    def tag_dup_drop(df: pd.DataFrame) -> pd.DataFrame:
+        did = pd.Series(df["doc_b"].unique(), dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "distinct_ratio": np.zeros(len(did), dtype="float64"),
+                "side": np.ones(len(did), dtype="int64"),
+                "bucket": bucket_of(did, n_b),
+            }
+        )
+
+    def tag_contaminated(df: pd.DataFrame) -> pd.DataFrame:
+        did = df.loc[df["contaminated"], "doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did.to_numpy(),
+                "distinct_ratio": np.zeros(len(did), dtype="float64"),
+                "side": np.ones(len(did), dtype="int64"),
+                "bucket": bucket_of(did, n_b).to_numpy(),
+            }
+        )
+
+    def anti_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        drops = set(df.loc[df["side"] == 1, "doc_id"])
+        out = df[
+            (df["side"] == 0)
+            & (df["doc_id"] >= 10)
+            & ~df["doc_id"].isin(drops)
+        ]
+        return out[["doc_id", "distinct_ratio"]]
+
+    tagged = (
+        kept.map_batches(tag_keep, batch_format="pandas")
+        .union(pairs.map_batches(tag_dup_drop, batch_format="pandas"))
+        .union(flags.map_batches(tag_contaminated, batch_format="pandas"))
+    )
+    return tagged.groupby("bucket").map_groups(
+        anti_in_bucket, batch_format="pandas"
+    )
