@@ -234,3 +234,128 @@ def test_salted_predrain_factor_one(ray_session):
         collect_log=True,
     )
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+
+
+def test_finalize_wave_split_matches_single_finalize(ray_session):
+    """The (winners, small) split finalize must agree with the plain
+    finalize on counts/hosts/samples, including the empty-shard case."""
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.state.seen import SeenSet
+
+    ss = SeenSet()
+    t = pa.table(
+        {
+            "url": [f"http://h{i % 3}.com/p{i}" for i in range(30)],
+            "surt": [f"com,h{i % 3})/p{i}" for i in range(30)],
+            "host": [f"h{i % 3}.com" for i in range(30)],
+            "priority": pa.array([0] * 30, pa.int32()),
+            "hop": pa.array([0] * 30, pa.int32()),
+            "order_host": [f"h{i % 3}.com" for i in range(30)],
+            "order_slot": pa.array([i // 3 for i in range(30)], pa.int32()),
+            "order_rank": pa.array([i % 3 for i in range(30)], pa.int32()),
+        }
+    )
+    ss.accept(7, t)
+    w, small = ss.finalize_wave_split(7, want_surts=True, n_samples=5)
+    assert small["n"] == w.num_rows == 30
+    assert set(small["hosts"]) == {"h0.com", "h1.com", "h2.com"}
+    assert set(small["surts"]) == set(t["surt"].to_pylist())
+    assert len(small["samples"]) == 5
+    # samples are drawn from the SORTED order_host column
+    assert small["samples"] == sorted(small["samples"])
+    # empty shard: no candidates accepted for this wave
+    w2, small2 = ss.finalize_wave_split(8, want_surts=True, n_samples=5)
+    assert w2 is None and small2["n"] == 0 and small2["samples"] == []
+    # re-finalizing wave 7 returns nothing new (all SURTs now seen)
+    ss.accept(9, t)
+    w3, small3 = ss.finalize_wave_split(9, want_surts=False, n_samples=5)
+    assert w3 is None and small3["n"] == 0
+
+
+def test_range_finalize_reproduces_global_sort(ray_session):
+    """Range-parallel winners merge == the single global sort: exact seq
+    from per-range offsets, every row in exactly one range."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from webarchive_discovery_ray.pipelines.crawl import (
+        _pick_boundaries,
+        _range_counts,
+        _range_finalize,
+    )
+
+    rng = np.random.default_rng(11)
+    shards = []
+    all_rows = []
+    for s in range(4):
+        n = 200
+        hosts = [f"host{rng.integers(0, 40):03d}.com" for _ in range(n)]
+        t = pa.table(
+            {
+                "url": [f"http://{h}/{i}" for i, h in enumerate(hosts)],
+                "surt": [f"{h})/{s}-{i}" for i, h in enumerate(hosts)],
+                "host": hosts,
+                "priority": pa.array([0] * n, pa.int32()),
+                "hop": pa.array([0] * n, pa.int32()),
+                "order_host": hosts,
+                "order_slot": pa.array(
+                    rng.integers(0, 1000, n).astype("int32")
+                ),
+                "order_rank": pa.array(np.arange(n, dtype="int32")),
+            }
+        )
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("order_host", "ascending"),
+                    ("order_slot", "ascending"),
+                    ("order_rank", "ascending"),
+                ],
+            )
+        )
+        shards.append(t)
+        all_rows.append(t)
+    # sequential reference: global sort + seq
+    glob = pa.concat_tables(all_rows)
+    glob = glob.take(
+        pc.sort_indices(
+            glob,
+            sort_keys=[
+                ("order_host", "ascending"),
+                ("order_slot", "ascending"),
+                ("order_rank", "ascending"),
+            ],
+        )
+    )
+    want = {s: i + 1000 for i, s in enumerate(glob["surt"].to_pylist())}
+
+    samples = [h for t in shards for h in t["order_host"].to_pylist()[::37]]
+    boundaries = _pick_boundaries(samples, 4)
+    assert boundaries, "fixture must produce split points"
+    refs = [ray.put(t) for t in shards]
+    counts = ray.get([_range_counts.remote(boundaries, r) for r in refs])
+    per_range = np.sum(counts, axis=0)
+    assert per_range.sum() == 800
+    offs = 1000 + np.concatenate([[0], np.cumsum(per_range)[:-1]])
+    n_parts = 8
+    got = {}
+    for r in range(len(boundaries) + 1):
+        outs = ray.get(
+            list(
+                _range_finalize.options(num_returns=n_parts + 1).remote(
+                    boundaries, r, int(offs[r]), n_parts, *refs
+                )
+            )
+        )
+        rows = outs[n_parts]
+        assert sum(rows) == per_range[r]
+        for p in range(n_parts):
+            for surt, seq in zip(
+                outs[p]["surt"].to_pylist(), outs[p]["seq"].to_pylist()
+            ):
+                got[surt] = seq
+    assert got == want
