@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sentiment_score,
     )
     from webarchive_discovery_ray.pipelines.relational import (
+        outer_join_customer_orders,
         asof_join_events,
         range_join_events,
         sliding_window_events,
@@ -551,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         "window_running_sum": window_running_sum,
+        "outer_join_customer_orders": outer_join_customer_orders,
         "sliding_window_events": sliding_window_events,
         "regex_scan": regex_scan,
         "sentiment_score": sentiment_score,
@@ -1734,6 +1736,16 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 2 * (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) + 1)
         """,
     }
+    # left-outer aggregate join in exact integer cents
+    # (pipelines/relational.outer_join_customer_orders)
+    out["outer_join_customer_orders"] = """
+        SELECT c.c_custkey,
+               count(o.o_orderkey)::BIGINT AS n_orders,
+               COALESCE(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)),
+                        0) / 100.0 AS total_spent
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """
     # the composed curation funnel: quality-kept training docs (doc_id >=
     # 10) minus near-dup doc_b exemplars minus contaminated docs — each
     # component is its own oracle above; subquery-WITH keeps them verbatim

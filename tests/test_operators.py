@@ -810,3 +810,51 @@ def test_sq8_topk_recall_vs_exact(ray_session):
         hits += len(e & a) / len(e)
     recall = hits / exact["query_vec_id"].nunique()
     assert recall >= 0.9, f"SQ8 top-k recall {recall:.2f} < 0.9"
+
+
+def test_outer_join_customer_orders_includes_zero_order_customers(
+    ray_session, tmp_path
+):
+    """Left-outer semantics: every customer appears — including an
+    injected customer with NO orders (the fixture's referential
+    integrity means every stock customer has some); totals match a
+    pandas reference in exact cents."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.relational import (
+        outer_join_customer_orders,
+    )
+
+    src = "/root/testdata/sf0.001"
+    base_cust = pq.read_table(f"{src}/customer.parquet")
+    extra = {name: [None] for name in base_cust.column_names}
+    extra["c_custkey"] = [999_999]
+    import pyarrow as pa_mod
+
+    pq.write_table(
+        pa_mod.concat_tables(
+            [base_cust, pa_mod.Table.from_pydict(extra, schema=base_cust.schema)]
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    import shutil
+
+    shutil.copy(f"{src}/orders.parquet", str(tmp_path / "orders.parquet"))
+    sf = str(tmp_path)
+    cust = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"]).to_pandas()
+    orders = pq.read_table(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    orders["c"] = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    )
+    agg = orders.groupby("o_custkey").agg(n=("o_custkey", "size"), c=("c", "sum"))
+    got = outer_join_customer_orders(sf).to_pandas().set_index("c_custkey")
+    assert set(got.index) == set(cust["c_custkey"])
+    for ck in cust["c_custkey"]:
+        n = int(agg["n"].get(ck, 0))
+        c = int(agg["c"].get(ck, 0))
+        assert got.loc[ck, "n_orders"] == n
+        assert got.loc[ck, "total_spent"] == c / 100.0
+    assert (got["n_orders"] == 0).any(), "fixture must have orderless customers"

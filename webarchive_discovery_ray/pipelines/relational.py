@@ -34,6 +34,7 @@ __all__ = [
     "range_join_events",
     "window_running_sum",
     "sliding_window_events",
+    "outer_join_customer_orders",
 ]
 
 
@@ -282,3 +283,72 @@ def window_running_sum(sf_dir: str):
     ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
     del sorted_ds, refs
     return rd.from_arrow_refs(out_refs)
+
+
+def outer_join_customer_orders(sf_dir: str):
+    """Left-outer aggregate join customer ⟕ orders — the join flavor the
+    relational family was missing (semi/anti/inner-hash/as-of/range exist):
+    every customer appears, zero-order customers included.
+
+    Shape: per-batch partial (custkey, n, cents) combiners on the orders
+    side, customer keys tagged, ONE bucketed co-grouped pass on
+    bucket(custkey) — the outer side never ships order rows, only
+    pre-aggregated partials. Money in exact integer cents
+    (``aggregates.cents``) so the double division at the end is
+    bit-identical to the SQL oracle's. Columns: c_custkey, n_orders,
+    total_spent. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def order_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.assign(c=cents(df["o_totalprice"].to_numpy()))
+            .groupby("o_custkey", sort=False)
+            .agg(n=("o_custkey", "size"), c=("c", "sum"))
+            .reset_index()
+            .rename(columns={"o_custkey": "key"})
+        )
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g[["key", "n", "c", "side", "bucket"]]
+
+    def tag_customers(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "n": np.zeros(len(df), dtype="int64"),
+                "c": np.zeros(len(df), dtype="int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def join_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cust_keys = df.loc[df["side"] == 1, "key"]
+        agg = (
+            df[df["side"] == 0]
+            .groupby("key", sort=False)[["n", "c"]]
+            .sum()
+        )
+        n = cust_keys.map(agg["n"]).fillna(0).astype("int64")
+        c = cust_keys.map(agg["c"]).fillna(0).astype("int64")
+        return pd.DataFrame(
+            {
+                "c_custkey": cust_keys.to_numpy(),
+                "n_orders": n.to_numpy(),
+                "total_spent": c.to_numpy() / 100.0,
+            }
+        )
+
+    tagged = orders.map_batches(order_partials, batch_format="pandas").union(
+        cust.map_batches(tag_customers, batch_format="pandas")
+    )
+    return tagged.groupby("bucket").map_groups(
+        join_in_bucket, batch_format="pandas"
+    )
