@@ -312,18 +312,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
 
-    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(bucket=bucket_of(df["doc_a"] * 1_000_003 + df["doc_b"], n_b))
-
-    def distinct_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["doc_a", "doc_b"]].drop_duplicates()
-
-    distinct_pairs = (
-        raw_pairs.map_batches(pair_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(distinct_in_bucket, batch_format="pandas")
-        .materialize()
-    )
+    # No standalone distinct pass: a pair rediscovered in k band buckets
+    # emits k copies, but every copy of (pair, side) lands in the SAME
+    # doc-bucket of the attach pass below (the bucket is a function of
+    # the side's doc), so an in-bucket drop_duplicates there is exact —
+    # one fewer all-to-all, and the duplicate factor is bounded by the
+    # band count (8). Materialized because both side-taggers consume it.
+    distinct_pairs = raw_pairs.materialize()
 
     # ---- tag-join verify (no driver/corpus materialization) ------------
     # Two bucketed co-group passes replace three hash joins with the SAME
@@ -366,7 +361,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
 
     def attach_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[df["side"] == 0][["key", "text"]]
-        sides = df[df["side"] > 0][["key", "doc_a", "doc_b", "side"]]
+        # exact pair dedup lives here (see distinct_pairs note): all
+        # copies of a (pair, side) row share this bucket
+        sides = df[df["side"] > 0][
+            ["key", "doc_a", "doc_b", "side"]
+        ].drop_duplicates()
         m = sides.merge(texts, on="key", how="inner")
         out = m[["doc_a", "doc_b", "side", "text"]].copy()
         out["bucket"] = bucket_of(out["doc_a"] * 1_000_003 + out["doc_b"], n_b)
