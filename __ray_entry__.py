@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         simhash_signatures,
     )
     from webarchive_discovery_ray.pipelines.sessions import (
+        global_shuffle,
         grouped_topk_docs,
         sessionize_events,
         source_mix,
@@ -577,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
+        "global_shuffle": global_shuffle,
         "quality_filter": quality_filter,
         "unigram_logloss": unigram_logloss,
         "curation_pipeline": curation_pipeline,
@@ -1736,6 +1738,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 2 * (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) + 1)
         """,
     }
+    # deterministic seeded shuffle rank (pipelines/sessions.global_shuffle)
+    out["global_shuffle"] = """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS shuffle_rank
+        FROM documents
+    """
     # left-outer aggregate join in exact integer cents
     # (pipelines/relational.outer_join_customer_orders)
     out["outer_join_customer_orders"] = """

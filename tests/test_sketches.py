@@ -245,3 +245,24 @@ def test_hll_register_merge_equals_single_pass():
     b = rng.integers(0, 2**63, size=4000).astype(np.uint64)
     merged = np.maximum(hll_registers(a), hll_registers(b))
     assert (merged == hll_registers(np.concatenate([a, b]))).all()
+
+
+def test_global_shuffle_deterministic_permutation(ray_session):
+    from webarchive_discovery_ray.pipelines.sessions import global_shuffle
+
+    a = global_shuffle(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = global_shuffle(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b), "same salt must be bit-stable"
+    n = len(a)
+    assert sorted(a["shuffle_rank"]) == list(range(n)), "exact permutation"
+    # sequential md5-rank reference
+    order = sorted(
+        a["doc_id"], key=lambda d: (hashlib.md5(f"epoch0:{d}".encode()).hexdigest(), d)
+    )
+    want = {d: i for i, d in enumerate(order)}
+    assert all(want[d] == r for d, r in zip(a["doc_id"], a["shuffle_rank"]))
+    # a different salt is a different permutation
+    c = global_shuffle(SF, salt="epoch1").to_pandas()
+    assert set(c["shuffle_rank"]) == set(range(n))
+    cm = dict(zip(c["doc_id"], c["shuffle_rank"]))
+    assert any(cm[d] != want[d] for d in a["doc_id"])

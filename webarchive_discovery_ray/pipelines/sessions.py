@@ -28,6 +28,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..sources.io import read_table
 
@@ -36,6 +37,7 @@ __all__ = [
     "stratified_sample_events",
     "grouped_topk_docs",
     "source_mix",
+    "global_shuffle",
 ]
 
 SESSION_GAP_S = 1800  # classic 30-minute inactivity timeout
@@ -225,3 +227,62 @@ def source_mix(sf_dir: str, per_unit: int = 2):
         .groupby("source")
         .map_groups(finalise, batch_format="pandas")
     )
+
+
+def global_shuffle(sf_dir: str, salt: str = "epoch0"):
+    """Deterministic global training-order shuffle: rank = position in
+    md5(salt:doc_id) order — the seeded-shuffle export primitive (same
+    hash-rank device as :func:`stratified_sample_events` /
+    :func:`source_mix`, applied corpus-wide). Reproducible across runs
+    and cluster sizes, re-shuffled per epoch by changing ``salt``.
+
+    Shape: the hash attaches per batch (vectorized md5 via hashlib over
+    the batch's ids only), the rank is ONE range-partitioned sort +
+    per-block offsets — the same two-phase scan as pack_sequences; no
+    driver materialization. Columns: doc_id, shuffle_rank.
+    SQL-oracle-checked (row_number over the same md5 order)."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    from ..sources.io import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "k": [
+                    hashlib.md5(f"{salt}:{d}".encode()).hexdigest()
+                    for d in df["doc_id"]
+                ],
+            }
+        )
+
+    sorted_ds = ds.map_batches(add_key, batch_format="pandas").sort("k").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_rows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([block_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def rank_block(tbl: pa.Table, base: int) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "shuffle_rank": pa.array(
+                    np.arange(base, base + n, dtype=np.int64)
+                ),
+            }
+        )
+
+    out = [rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    ray.wait(out, num_returns=len(out), fetch_local=False)
+    return rd.from_arrow_refs(out)
