@@ -372,10 +372,15 @@ def _canon_seed_chunk(pairs: list) -> tuple[list, list, list, list]:
     return urls, keys, hosts, pris
 
 
-def _robots_chunk(hosts: list) -> tuple[list, list]:
-    """robots URL + SURT key per host chunk (remote-task helper)."""
+def _robots_chunk(hosts: list) -> tuple[list, list, list]:
+    """(robots URL, SURT key, shard hash64) per host chunk — the sha1
+    shard hashing rides in the chunked remote tasks so the driver's only
+    per-host work is a vectorized modulo."""
+    from ..state.seen import _SHARD_SEED
+
     urls = [robots_url_for_host(h) for h in hosts]
-    return urls, [surt_key(u) for u in urls]
+    keys = [surt_key(u) for u in urls]
+    return urls, keys, [stable_hash64(k, _SHARD_SEED) for k in keys]
 
 
 _PAR_CHUNK = 4096  # below this, remote dispatch costs more than it saves
@@ -828,16 +833,17 @@ def run_crawl(
         if ccfg.respect_robots:
             new_hosts = sorted(robots_check_hosts - robots_scheduled)
             robots_scheduled.update(new_hosts)
-            rurls, rkeys = _chunked_remote(_robots_chunk, new_hosts, 2)
-            for h, u, k, new in zip(
-                new_hosts, rurls, rkeys, pool.add_if_new(rkeys) if rkeys else []
-            ):
-                if new:
-                    ru.append(u)
-                    rk.append(k)
-                    rh.append(h)
-                    if track_delta:
-                        pending_delta.append(k)
+            rurls, rkeys, rhashes = _chunked_remote(_robots_chunk, new_hosts, 3)
+            if rkeys:
+                new_mask = np.asarray(
+                    pool.add_if_new_hashed(rkeys, rhashes), dtype=bool
+                )
+                idx = np.flatnonzero(new_mask)
+                ru = [rurls[i] for i in idx]
+                rk = [rkeys[i] for i in idx]
+                rh = [new_hosts[i] for i in idx]
+                if track_delta:
+                    pending_delta.extend(rk)
         robots_tbl = (
             _frontier_table(ru, rk, rh, [-1] * len(ru), [0] * len(ru), [-1] * len(ru))
             if ccfg.respect_robots and ru

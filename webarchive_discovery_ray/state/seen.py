@@ -471,20 +471,36 @@ class SeenShardPool:
         return [p[0] for p in pairs], [p[1] for p in pairs]
 
     def add_if_new(self, keys: list[str]) -> list[bool]:
+        hashes = [stable_hash64(k, _SHARD_SEED) for k in keys]
+        return self.add_if_new_hashed(keys, hashes)
+
+    def add_if_new_hashed(self, keys: list[str], hash64s) -> list[bool]:
+        """add_if_new with the shard hashes precomputed (e.g. by the
+        chunked remote canonicalization tasks) — driver routing is one
+        numpy modulo + argsort instead of a per-key Python loop."""
         import ray
 
-        by_shard: dict[int, list[int]] = {}
-        for i, key in enumerate(keys):
-            by_shard.setdefault(shard_of(key, self.n_shards), []).append(i)
-        refs = {
-            s: self._shards[s].add_if_new.remote([keys[i] for i in idxs])
-            for s, idxs in by_shard.items()
-        }
-        out = [False] * len(keys)
-        for s, idxs in by_shard.items():
-            for i, res in zip(idxs, ray.get(refs[s])):
-                out[i] = res
-        return out
+        if not keys:
+            return []
+        shards = (
+            np.asarray(hash64s, dtype=np.uint64) % np.uint64(self.n_shards)
+        ).astype(np.int64)
+        order = np.argsort(shards, kind="stable")
+        sorted_shards = shards[order]
+        bounds = np.searchsorted(sorted_shards, np.arange(self.n_shards + 1))
+        refs = []
+        for s in range(self.n_shards):
+            a, b = int(bounds[s]), int(bounds[s + 1])
+            if b > a:
+                refs.append(
+                    (a, b, self._shards[s].add_if_new.remote(
+                        [keys[i] for i in order[a:b]]
+                    ))
+                )
+        out = np.zeros(len(keys), dtype=bool)
+        for a, b, ref in refs:
+            out[order[a:b]] = ray.get(ref)
+        return out.tolist()
 
     def snapshot(self) -> list[list[str]]:
         import ray
