@@ -359,3 +359,33 @@ def test_range_finalize_reproduces_global_sort(ray_session):
             ):
                 got[surt] = seq
     assert got == want
+
+
+def test_add_if_new_hashed_matches_plain_routing(ray_session):
+    """Precomputed-hash routing == the plain per-key path, duplicates and
+    cross-shard distribution included."""
+    from webarchive_discovery_ray.functions.hashing import stable_hash64
+    from webarchive_discovery_ray.state.seen import _SHARD_SEED, SeenShardPool
+
+    keys = [f"com,site{i % 37})/p/{i % 61}" for i in range(500)]
+    a = SeenShardPool(4)
+    b = SeenShardPool(4)
+    got_a = a.add_if_new(keys)
+    hashes = [stable_hash64(k, _SHARD_SEED) for k in keys]
+    got_b = b.add_if_new_hashed(keys, hashes)
+    assert got_a == got_b
+    # second pass: everything already seen
+    assert not any(b.add_if_new_hashed(keys, hashes))
+
+
+def test_bloom_add_many_equals_scalar_adds():
+    from webarchive_discovery_ray.state.seen import BloomFilter
+
+    keys = [f"key-{i}" for i in range(2000)]
+    a = BloomFilter(1 << 16)
+    b = BloomFilter(1 << 16)
+    for k in keys:
+        a.add(k)
+    b.add_many(keys)
+    assert (a.bits == b.bits).all()
+    assert all(b.might_contain(k) for k in keys)
