@@ -140,6 +140,19 @@ def _reduplicate(sf_dir: str):
     )
 
 
+def _recrawl_schedule(sf_dir: str):
+    """Per-SURT recrawl schedule over the same materialized captures."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import recrawl_schedule
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+    return recrawl_schedule(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
+
+
 def _capture_intervals(sf_dir: str):
     """Per-SURT capture-history stats over the SAME materialized captures
     table the cdx oracle reads."""
@@ -575,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _host_pagerank,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
+        "recrawl_schedule": _recrawl_schedule,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -1678,6 +1692,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT digest) AS BIGINT) AS n_versions
             FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
             GROUP BY surt_key
+        """,
+        # per-SURT recrawl schedule in exact integer arithmetic
+        # (pipelines/cdx.recrawl_schedule)
+        "recrawl_schedule": f"""
+            WITH g AS (
+                SELECT surt_key,
+                       count(*)::BIGINT AS n_captures,
+                       CAST(count(DISTINCT digest) AS BIGINT) AS n_versions,
+                       (epoch(strptime(max(timestamp14), '%Y%m%d%H%M%S'))
+                        - epoch(strptime(min(timestamp14), '%Y%m%d%H%M%S')))::BIGINT
+                           AS span_s
+                FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+                GROUP BY surt_key
+            )
+            SELECT surt_key, n_captures, n_versions,
+                   CASE WHEN n_captures > 1
+                        THEN (1000 * (n_versions - 1) // (n_captures - 1)) / 1000.0
+                        ELSE 0.0 END AS change_rate,
+                   CASE WHEN n_captures > 1
+                        THEN span_s // (n_captures - 1) ELSE 0 END AS mean_interval_s,
+                   CASE WHEN n_captures > 1
+                        THEN span_s * (1500 - (1000 * (n_versions - 1) // (n_captures - 1)))
+                             // ((n_captures - 1) * 1000)
+                        ELSE 2592000 END AS next_fetch_s
+            FROM g
         """,
         # anti join: orders with no lineitem above the quantity threshold
         "anti_join_orders": """

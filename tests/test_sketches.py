@@ -266,3 +266,48 @@ def test_global_shuffle_deterministic_permutation(ray_session):
     assert set(c["shuffle_rank"]) == set(range(n))
     cm = dict(zip(c["doc_id"], c["shuffle_rank"]))
     assert any(cm[d] != want[d] for d in a["doc_id"])
+
+
+def test_recrawl_schedule_exact_and_monotone(ray_session):
+    """Exact-integer scheduling math vs a sequential reference, plus the
+    semantics: more content change => shorter revisit interval."""
+    import calendar
+    import time as _time
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import recrawl_schedule
+
+    rows = []
+    # u-static: 5 captures, 1 version; u-hot: 5 captures, 5 versions
+    for name, versions in (("com,static)/", 1), ("com,hot)/", 5)):
+        for i in range(5):
+            rows.append(
+                {
+                    "surt_key": name,
+                    "timestamp14": f"2020010{i+1}000000",
+                    "digest": f"d{i % versions}",
+                }
+            )
+    rows.append({"surt_key": "com,once)/", "timestamp14": "20200101000000", "digest": "x"})
+    caps = rd.from_items(rows)
+    got = recrawl_schedule(caps).to_pandas().set_index("surt_key")
+
+    def epoch(ts):
+        return calendar.timegm(_time.strptime(ts, "%Y%m%d%H%M%S"))
+
+    span = epoch("20200105000000") - epoch("20200101000000")
+    # static: cr_m=0 -> 1.5x mean interval
+    assert got.loc["com,static)/", "mean_interval_s"] == span // 4
+    assert got.loc["com,static)/", "next_fetch_s"] == span * 1500 // 4000
+    assert got.loc["com,static)/", "change_rate"] == 0.0
+    # hot: cr_m=1000 -> 0.5x mean interval
+    assert got.loc["com,hot)/", "change_rate"] == 1.0
+    assert got.loc["com,hot)/", "next_fetch_s"] == span * 500 // 4000
+    assert (
+        got.loc["com,hot)/", "next_fetch_s"]
+        < got.loc["com,static)/", "next_fetch_s"]
+    )
+    # single capture: 30-day default
+    assert got.loc["com,once)/", "next_fetch_s"] == 2_592_000
+    assert got.loc["com,once)/", "mean_interval_s"] == 0

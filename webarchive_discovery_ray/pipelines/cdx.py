@@ -21,6 +21,7 @@ __all__ = [
     "cdx_sorted",
     "revisit_captures",
     "capture_intervals",
+    "recrawl_schedule",
 ]
 
 
@@ -114,4 +115,74 @@ def capture_intervals(captures):
         .map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(stats_in_bucket, batch_format="pandas")
+    )
+
+
+_RECRAWL_DEFAULT_S = 2_592_000  # 30 days for single-capture URLs
+
+
+def recrawl_schedule(captures):
+    """Per-SURT recrawl schedule from the capture history — the decision
+    OutbackCDX-backed crawlers make per URL (``warc-hadoop-crawler-utils``
+    recrawl utilities read the same per-SURT history): URLs whose content
+    changes often get short revisit intervals, static ones get long ones.
+
+    All scheduling math is EXACT INTEGER arithmetic so the distributed
+    result is bit-identical to the SQL mirror: change-rate in millis
+    ``cr_m = 1000*(n_versions-1) // (n_captures-1)``, revisit interval
+    ``next_fetch_s = span_s*(1500 - cr_m) // ((n_captures-1)*1000)``
+    (1.5x the mean observed interval for static URLs scaling down to 0.5x
+    for always-changing ones); single-capture URLs get the 30-day
+    default. ONE bucketed grouped pass, same shape as
+    :func:`capture_intervals`. Columns: surt_key, n_captures, n_versions,
+    change_rate (exact double cr_m/1000), mean_interval_s, next_fetch_s.
+    SQL-oracle-checked."""
+    import pandas as pd
+
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["surt_key"], n_b))
+
+    def schedule_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = (
+            pd.to_datetime(df["timestamp14"], format="%Y%m%d%H%M%S")
+            .astype("int64")
+            // 1_000_000_000
+        )
+        d = df.assign(epoch=epoch)
+        g = d.groupby("surt_key", sort=False).agg(
+            n_captures=("epoch", "size"),
+            first_e=("epoch", "min"),
+            last_e=("epoch", "max"),
+            n_versions=("digest", "nunique"),
+        )
+        n = g["n_captures"].astype("int64")
+        v = g["n_versions"].astype("int64")
+        span = (g["last_e"] - g["first_e"]).astype("int64")
+        multi = n > 1
+        denom = (n - 1).where(multi, 1)
+        cr_m = (1000 * (v - 1) // denom).where(multi, 0).astype("int64")
+        mean_iv = (span // denom).where(multi, 0).astype("int64")
+        nxt = (span * (1500 - cr_m) // (denom * 1000)).where(
+            multi, _RECRAWL_DEFAULT_S
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "surt_key": g.index.to_numpy(),
+                "n_captures": n.to_numpy(),
+                "n_versions": v.to_numpy(),
+                "change_rate": (cr_m / 1000.0).to_numpy(),
+                "mean_interval_s": mean_iv.to_numpy(),
+                "next_fetch_s": nxt.to_numpy(),
+            }
+        )
+
+    return (
+        captures.select_columns(["surt_key", "timestamp14", "digest"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(schedule_in_bucket, batch_format="pandas")
     )
