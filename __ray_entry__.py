@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_neardup_pairs,
         exact_dedup,
         minhash_lsh_pairs,
+        simhash_neardup_pairs,
         simhash_signatures,
     )
     from webarchive_discovery_ray.pipelines.sessions import (
@@ -602,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_signatures": simhash_signatures,
+        "simhash_neardup_pairs": simhash_neardup_pairs,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "doc_fingerprint": doc_fingerprint,
         "sq8_embeddings": sq8_quantize,
@@ -1108,6 +1110,42 @@ def oracle_sql() -> dict[str, str]:
                     JOIN cnt na ON na.doc_id = i.doc_a
                     JOIN cnt nb ON nb.doc_id = i.doc_b)
             SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
+        """,
+        # SimHash Hamming-radius-3 near-dup pairs: 4x16-bit band join over
+        # the simhash CTE, bit_count(xor) verify
+        # (pipelines/dedup.simhash_neardup_pairs)
+        "simhash_neardup_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents, unnest({tokens}) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            th AS (SELECT doc_id,
+                          ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                   FROM toks),
+            bits AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM th, (SELECT unnest(range(64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            sigs AS (
+                SELECT doc_id, CAST(SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                                             ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            ),
+            fs AS (SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+                   FROM documents d LEFT JOIN sigs s USING (doc_id)),
+            bands AS (SELECT doc_id, sig, b.band,
+                             ((sig >> (16 * b.band)) & 65535::UBIGINT) AS chunk
+                      FROM fs, (SELECT unnest(range(4)) AS band) b),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                            a.sig AS sa, b2.sig AS sb
+                     FROM bands a JOIN bands b2
+                       ON a.band = b2.band AND a.chunk = b2.chunk
+                      AND a.doc_id < b2.doc_id)
+            SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         # winnowing fingerprint: 3-token shingles -> md5-derived uint64 ->
         # per-4-window minimum -> md5 of the sorted distinct selection

@@ -311,3 +311,37 @@ def test_recrawl_schedule_exact_and_monotone(ray_session):
     # single capture: 30-day default
     assert got.loc["com,once)/", "next_fetch_s"] == 2_592_000
     assert got.loc["com,once)/", "mean_interval_s"] == 0
+
+
+def test_simhash_neardup_pairs_pigeonhole_complete(ray_session):
+    """Banding must find EVERY pair within Hamming 3 (pigeonhole over
+    4x16-bit bands) — verified against the brute-force all-pairs set."""
+    import itertools
+
+    from webarchive_discovery_ray.pipelines.dedup import (
+        simhash_batch,
+        simhash_neardup_pairs,
+        _popcount64,
+    )
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    sigs = {
+        int(d): int(h, 16)
+        for d, h in zip(docs["doc_id"], simhash_batch(list(docs["text"])))
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        ham = int(
+            _popcount64(np.array([sigs[a] ^ sigs[b]], dtype=np.uint64))[0]
+        )
+        if ham <= 3:
+            want[(a, b)] = ham
+    got_df = simhash_neardup_pairs(SF).to_pandas()
+    got = {
+        (int(r.doc_a), int(r.doc_b)): int(r.hamming)
+        for r in got_df.itertuples()
+    }
+    assert got == want
+    assert want, "fixture must contain Hamming-close pairs"

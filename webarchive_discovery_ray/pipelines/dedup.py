@@ -32,6 +32,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "reduplicate",
     "dup_span_fraction",
+    "simhash_neardup_pairs",
 ]
 
 
@@ -665,4 +666,106 @@ def neardup_clusters(pairs_ds, nodes_ds):
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"], "cluster_id": b["label"]}),
         batch_format="pyarrow",
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR; numpy<2 lacks
+    bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64
+        )
+
+
+_SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 => >= 1 exact band
+
+
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-duplicate pairs — the production web-scale near-dup
+    path (Charikar/Manku-style: 64-bit signatures, Hamming radius 3): by
+    pigeonhole, two signatures within Hamming ``max_hamming`` (< 4) agree
+    exactly on at least one of 4 16-bit bands, so banding finds every
+    such pair. Columns: doc_a, doc_b, hamming.
+
+    Shape: signatures per batch (the vectorized :func:`simhash_batch`
+    kernel), 4 (band-key, doc_id, sig) rows per doc; ONE bucketed
+    grouped self-merge verifies Hamming IN-BAND (signatures ride along —
+    no text join-back at all); a second bucketed pass dedupes pairs that
+    matched in several bands. SQL-oracle-checked (bit_count(xor) mirror
+    over the simhash CTE)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.array(
+            [int(h, 16) for h in simhash_batch(list(df["text"]))],
+            dtype=np.uint64,
+        )
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        keys, out_ids, out_sigs = [], [], []
+        for band in range(_SIMHASH_BANDS):
+            chunk = (sigs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+            keys.append((np.int64(band) << np.int64(16)) | chunk.astype(np.int64))
+            out_ids.append(ids)
+            out_sigs.append(sigs)
+        out = pd.DataFrame(
+            {
+                "key": np.concatenate(keys),
+                "doc_id": np.concatenate(out_ids),
+                "sig": np.concatenate(out_sigs),
+            }
+        )
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="key")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        ham = _popcount64(
+            m["sig_x"].to_numpy().astype(np.uint64)
+            ^ m["sig_y"].to_numpy().astype(np.uint64)
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy()[keep],
+                "doc_b": m["doc_id_y"].to_numpy()[keep],
+                "hamming": ham[keep],
+            }
+        )
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=bucket_of(df["doc_a"] * 1_000_003 + df["doc_b"], n_b)
+        )
+
+    def distinct_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_a", "doc_b", "hamming"]].drop_duplicates(
+            ["doc_a", "doc_b"]
+        )
+
+    return (
+        ds.map_batches(to_bands, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pandas")
     )
