@@ -140,6 +140,28 @@ def _reduplicate(sf_dir: str):
     )
 
 
+def _span_stats(sf_dir: str):
+    """Interleaved-span statistics over a materialized nested spans base
+    (doc_id + spans list<struct> — the input_hint shape, written once so
+    the DuckDB mirror reads the same rows)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import _docs_ds, span_stats
+
+    out = f"{_ORACLE_MAT}/spans_base"
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        _docs_ds(500).map_batches(
+            lambda b: b.select(["doc_id", "spans"]), batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.replace(tmp, out)
+    return span_stats(rd.read_parquet(out))
+
+
 def _recrawl_schedule(sf_dir: str):
     """Per-SURT recrawl schedule over the same materialized captures."""
     import os
@@ -590,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "recrawl_schedule": _recrawl_schedule,
+        "span_stats": _span_stats,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -656,6 +679,8 @@ def _ensure_oracle_materializations() -> None:
         _annotations("")
     if not os.path.isdir(f"{_ORACLE_MAT}/link_base"):
         _host_link_graph("")
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats("")
     if not os.path.isdir(f"{_ORACLE_MAT}/neardup_pairs"):
         # the pair graph depends on the corpus: default to the driver's
         # correctness scale; the query itself re-materializes at its own sf
@@ -1730,6 +1755,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT digest) AS BIGINT) AS n_versions
             FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
             GROUP BY surt_key
+        """,
+        # interleaved-span stats over the nested spans base
+        # (pipelines/stats.span_stats)
+        "span_stats": f"""
+            SELECT doc_id,
+                   len(spans)::BIGINT AS n_spans,
+                   len(list_filter(spans, s -> s.kind = 'text'))::BIGINT AS n_text,
+                   len(list_filter(spans, s -> s.kind = 'media'))::BIGINT AS n_media,
+                   len(list_filter(spans,
+                       s -> COALESCE(s.media_ref, '') <> ''))::BIGINT AS n_media_refs,
+                   COALESCE(list_sum(list_transform(
+                       list_filter(spans, s -> s.kind = 'text'),
+                       s -> strlen(COALESCE(s.text, '')))), 0)::BIGINT AS text_chars,
+                   CASE WHEN len(spans) > 0
+                        THEN len(list_filter(spans, s -> s.kind = 'media'))
+                             / CAST(len(spans) AS DOUBLE)
+                        ELSE 0.0 END AS media_fraction
+            FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet')
         """,
         # per-SURT recrawl schedule in exact integer arithmetic
         # (pipelines/cdx.recrawl_schedule)

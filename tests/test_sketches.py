@@ -345,3 +345,54 @@ def test_simhash_neardup_pairs_pigeonhole_complete(ray_session):
     }
     assert got == want
     assert want, "fixture must contain Hamming-close pairs"
+
+
+def test_span_stats_counts_match_nested_rows(ray_session):
+    """Span stats from the vectorized pyarrow pass == a per-row Python
+    reference over the same nested docs."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.stats import span_stats
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages_ds
+    from webarchive_discovery_ray.stages.extract import extract_batch
+
+    docs = fixture_pages_ds(150, SyntheticConfig(), 8).map_batches(
+        lambda b: extract_batch(b, IndexConfig()), batch_format="pyarrow"
+    ).materialize()
+    got = span_stats(docs).to_pandas()
+    rows = docs.select_columns(["doc_id", "spans"]).take_all()
+    assert len(rows) == len(got)
+    # doc_ids can repeat (revisits) — compare row MULTISETS
+    want = []
+    saw_media = False
+    for r in rows:
+        spans = r["spans"] or []
+        n_text = sum(1 for s in spans if s["kind"] == "text")
+        n_media = sum(1 for s in spans if s["kind"] == "media")
+        want.append(
+            (
+                r["doc_id"],
+                len(spans),
+                n_text,
+                n_media,
+                sum(1 for s in spans if (s["media_ref"] or "") != ""),
+                sum(len(s["text"] or "") for s in spans if s["kind"] == "text"),
+                n_media / len(spans) if spans else 0.0,
+            )
+        )
+        saw_media = saw_media or n_media > 0
+    got_rows = [
+        (
+            r.doc_id,
+            int(r.n_spans),
+            int(r.n_text),
+            int(r.n_media),
+            int(r.n_media_refs),
+            int(r.text_chars),
+            float(r.media_fraction),
+        )
+        for r in got.itertuples()
+    ]
+    assert sorted(got_rows) == sorted(want)
+    assert saw_media, "fixture must contain interleaved media spans"
