@@ -162,6 +162,124 @@ def _span_stats(sf_dir: str):
     return span_stats(rd.read_parquet(out))
 
 
+_WARC_FIXTURE_DIR = "/root/reference/warc-indexer/src/test/resources"
+_WARC_FIXTURES = (
+    "IAH-urls-wget.warc.gz",
+    "IAH-20080430204825-00000-blackbook-truncated.warc",
+    "IAH-20080430204825-00000-blackbook-truncated.warc.gz",
+    "IAH-20080430204825-00000-blackbook-truncated.arc",
+    "IAH-20080430204825-00000-blackbook-truncated.arc.gz",
+    "gov.uk-revisit-warcs/BL-20140325121225068-00000-32090~opera~8443.warc.gz",
+    "gov.uk-revisit-warcs/BL-20140325122341434-00000-32090~opera~8443.warc.gz",
+    "ip-host-testcase.warc.gz",
+    "truncated_datetime.warc",
+)
+
+
+def _warc_input_paths() -> list[str]:
+    """Reference fixture (W)ARCs when the read-only reference tree is
+    present; otherwise a deterministic synthetic WARC.gz (same bytes feed
+    the Ray query and the SQL oracle, so the gate stays meaningful)."""
+    import os
+
+    paths = [os.path.join(_WARC_FIXTURE_DIR, n) for n in _WARC_FIXTURES]
+    paths = [p for p in paths if os.path.exists(p)]
+    if paths:
+        return paths
+    out = f"{_ORACLE_MAT}/synthetic.warc.gz"
+    if not os.path.exists(out):
+        from webarchive_discovery_ray.oracle.warc_oracle import (
+            build_synthetic_warc_gz,
+        )
+
+        os.makedirs(_ORACLE_MAT, exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(build_synthetic_warc_gz())
+        os.replace(tmp, out)
+    return [out]
+
+
+def _warc_extract(sf_dir: str):
+    """Real WARC/ARC binary input path (S1/S2): from-scratch reader
+    (sources/warc.py, one file per task) -> full extraction chain ->
+    flat per-survivor projection. The SQL oracle is generated by the
+    INDEPENDENT sequential parser + extraction oracle
+    (oracle/warc_oracle.py + oracle/extract_oracle.py) rendered as a
+    VALUES table — DuckDB cannot read WARC, so the independent
+    implementation is transcribed into SQL at call time."""
+    import pyarrow.compute as pc
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.sources.warc import read_archive_pages
+    from webarchive_discovery_ray.stages.extract import ExtractStage
+
+    docs = read_archive_pages(_warc_input_paths()).map_batches(
+        ExtractStage(IndexConfig()), batch_format="pyarrow", batch_size=64
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_file": b["source_file"],
+                "source_offset": pc.cast(b["source_offset"], pa.int64()),
+                "doc_id": b["doc_id"],
+                "url": b["url"],
+                "record_type": b["record_type"],
+                "status": pc.cast(b["status"], pa.int32()),
+                "content_type": pc.fill_null(b["content_type"], ""),
+                "hash": pc.fill_null(b["hash"], ""),
+                "title": pc.fill_null(b["title"], ""),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow")
+
+
+def _warc_oracle_values_sql() -> str:
+    """Sequential-oracle WARC extraction rendered as a DuckDB VALUES
+    table (the independent conformance path for warc_extract)."""
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: object) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    cfg = IndexConfig()
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None:
+                continue
+            rows.append(
+                "({}, {}::BIGINT, {}, {}, {}, {}::INTEGER, {}, {}, {})".format(
+                    lit(doc["source_file"]),
+                    doc["source_offset"],
+                    lit(doc["doc_id"]),
+                    lit(doc["url"]),
+                    lit(doc["record_type"]),
+                    doc["status"],
+                    lit(doc["content_type"] or ""),
+                    lit(doc["hash"] or ""),
+                    lit(doc["title"] or ""),
+                )
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(source_file, source_offset, doc_id, url, record_type,"
+        + " status, content_type, hash, title)"
+    )
+
+
 def _recrawl_schedule(sf_dir: str):
     """Per-SURT recrawl schedule over the same materialized captures."""
     import os
@@ -631,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "sq8_embeddings": sq8_quantize,
         "sq8_cosine_topk": sq8_cosine_topk,
+        "warc_extract": _warc_extract,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "fuzzy_hashes": fuzzy_hashes,
@@ -1887,4 +2006,8 @@ def oracle_sql() -> dict[str, str]:
           AND q.doc_id NOT IN (SELECT doc_id FROM ({out['decontaminate']})
                                WHERE contaminated)
     """
+    # real WARC/ARC binary fixtures: the independent sequential parser +
+    # extraction oracle, rendered as a VALUES table (DuckDB cannot read
+    # WARC, so the independent implementation IS the SQL)
+    out["warc_extract"] = _warc_oracle_values_sql()
     return out

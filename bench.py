@@ -366,6 +366,14 @@ def main() -> None:
             )
             eff[name] = per_pair[best]
             eff_pairs[name] = [round(v, 4) for v in per_pair]
+        # median pair alongside the best-pair headline so downstream
+        # records can read typical-case scaling, not just the
+        # least-contended window
+        eff_median = {
+            name: sorted(vals)[len(vals) // 2] if len(vals) % 2 == 1
+            else sum(sorted(vals)[len(vals) // 2 - 1 : len(vals) // 2 + 1]) / 2
+            for name, vals in eff_pairs.items()
+        }
         best_runs = {
             lo: min(runs[lo], key=lambda r: sum(v["sec"] for v in r.values())),
             hi: min(runs[hi], key=lambda r: sum(v["sec"] for v in r.values())),
@@ -380,6 +388,9 @@ def main() -> None:
                     "unit": "efficiency",
                     "levels": {str(c): runs[c] for c in levels},
                     "efficiency": {k: round(v, 4) for k, v in eff.items()},
+                    "efficiency_median_pair": {
+                        k: round(v, 4) for k, v in eff_median.items()
+                    },
                     "efficiency_all_pairs": eff_pairs,
                     "cpu_ceiling": ceiling,
                     "efficiency_vs_ceiling": {

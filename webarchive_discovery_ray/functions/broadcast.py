@@ -29,5 +29,17 @@ def get_broadcast(ref) -> Any:
     return _CACHE[key]
 
 
+def get_broadcast_derived(ref, tag: str, build) -> Any:
+    """Per-process cache for a value DERIVED from a broadcast object
+    (e.g. a scoring matrix built from a broadcast profile dict). ``build``
+    receives the resolved broadcast value and runs at most once per
+    (ref, tag) per worker process — batch functions that previously
+    rebuilt derived state on every call hang it here instead."""
+    key = (ref.hex() if hasattr(ref, "hex") else ref, tag)
+    if key not in _CACHE:
+        _CACHE[key] = build(get_broadcast(ref))
+    return _CACHE[key]
+
+
 def clear_broadcast_cache() -> None:
     _CACHE.clear()

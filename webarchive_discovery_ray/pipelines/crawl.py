@@ -941,9 +941,15 @@ def run_crawl(
             if docs_dir is not None and checkpoint_dir is None
             else None
         )
-        wave_log_ref = _finalize_fetch.remote(
-            wave, order_base, log_path, *[f for _, _, f, _ in splits]
-        )
+        # only submit when some consumer exists (log streaming, collect_log
+        # or checkpointing) — otherwise the concat + rule-4 sort + log
+        # build would run as pure wasted cluster work competing with the
+        # next wave's fetch tasks
+        wave_log_ref = None
+        if log_path is not None or collect_log or checkpoint_dir is not None:
+            wave_log_ref = _finalize_fetch.remote(
+                wave, order_base, log_path, *[f for _, _, f, _ in splits]
+            )
         if log_path is not None:
             log_flush_refs.append(wave_log_ref)
         metas = ray.get([m for m, _, _, _ in splits])

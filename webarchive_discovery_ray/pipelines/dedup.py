@@ -268,15 +268,45 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     seeds = _perm_seeds()
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids, buckets = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = _minhash_signature(_shingles(text), seeds)
-            for band in range(_BANDS):
-                chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
-                doc_ids.append(doc_id)
-                buckets.append(f"{band}:{_band_key(chunk)}")
+        """Batch-vectorized shingle -> minhash -> band keys.
+
+        One flattened pass per batch: every doc's k-grams land in one
+        array, md5 runs ONCE per unique gram (duplicate grams — within or
+        across docs — are hashed once), and the 32 per-permutation mins
+        for ALL docs come from a single ``np.minimum.reduceat`` over the
+        doc-segmented hash array (min over duplicates equals min over the
+        shingle SET, so the per-doc dedup of ``_shingles`` is not needed
+        here). Oracle semantics (md5 grams, splitmix64 perms, decimal-join
+        band keys) are unchanged."""
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        grams: list[str] = []
+        starts = np.empty(len(texts), dtype=np.int64)
+        for j, text in enumerate(texts):
+            starts[j] = len(grams)
+            toks = text.split()
+            if len(toks) >= 3:
+                grams.extend(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+            else:
+                grams.append(text)  # _shingles' `or [text]` fallback
+        uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
+        uniq_h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+                for g in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        h = uniq_h[inv]  # doc-segment-ordered gram hashes
+        v = _splitmix64(h[None, :] ^ seeds[:, None])  # (32, total_grams)
+        sig = np.minimum.reduceat(v, starts, axis=1)  # (32, n_docs)
+        doc_ids = np.repeat(ids, _BANDS)
+        buckets = [
+            f"{band}:{_band_key(sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND, d])}"
+            for d in range(len(texts))
+            for band in range(_BANDS)
+        ]
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),

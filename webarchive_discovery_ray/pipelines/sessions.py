@@ -116,7 +116,13 @@ def sessionize_events(sf_dir: str, gap_s: int = SESSION_GAP_S):
 
 
 def _md5_rank(ids: pd.Series) -> pd.Series:
-    return ids.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    # md5 itself is oracle-pinned; batch the loop (vectorized str encode,
+    # one tight pass, no Series.map per-row lambda dispatch)
+    md5 = hashlib.md5
+    vals = ids.astype(str).to_numpy()
+    return pd.Series(
+        [md5(v.encode()).hexdigest() for v in vals], index=ids.index
+    )
 
 
 STRATA_K = 20

@@ -171,9 +171,11 @@ def heavy_hitters(sf_dir: str, k: int = _HH_K, m: int = _HH_CAP):
     union provably contains every possible top-k member whenever the k-th
     exact count ≥ N/(m+1). Pass 2 broadcasts the (bounded, ≤ m·#blocks)
     candidate set and counts ONLY candidates exactly — a vectorized isin
-    prefilter, tiny shuffle. If the completeness bound fails (degenerate
-    flat distributions), fall back to the exact full grouped count; the
-    answer is exact either way, so the SQL oracle is the plain top-k.
+    prefilter, tiny shuffle. If the k-th candidate count is not STRICTLY
+    above N/(m+1) (degenerate flat distributions, or an exact tie on the
+    bound where the strict per-batch bar could have dropped an equal-count
+    token), fall back to the exact full grouped count; the answer is exact
+    either way, so the SQL oracle is the plain top-k.
 
     Columns: token, n (ties broken by token asc)."""
     import ray
@@ -231,7 +233,12 @@ def heavy_hitters(sf_dir: str, k: int = _HH_K, m: int = _HH_CAP):
         key=lambda t: (-t[1], t[0]),
     )
     kth = exact[k - 1][1] if len(exact) >= k else 0
-    if kth < total_n / (m + 1):
+    # `<=` (not `<`): the per-batch retention is strict (count > n/(m+1)),
+    # so a token whose global count is EXACTLY N/(m+1) can miss every
+    # batch's bar; if the k-th candidate sits exactly on the bound, an
+    # equal-count non-candidate could win the token-asc tie-break — the
+    # bound is only provably complete when kth is strictly above it.
+    if kth <= total_n / (m + 1):
         # bound unprovable: exact full grouped count (still one bucketed
         # pass; the fixture never hits this, adversarial inputs might)
         def all_counts(df: pd.DataFrame) -> pd.DataFrame:

@@ -186,19 +186,24 @@ def language_id(sf_dir: str):
     # paid multi-second spin-up for state that is k x langs ints), with
     # the token->vocab scatter fully vectorized (explode + map + add.at —
     # no per-doc per-token Python loop)
-    from ..functions.broadcast import get_broadcast
+    from ..functions.broadcast import get_broadcast_derived
 
-    def classify(df: pd.DataFrame) -> pd.DataFrame:
-        prof = get_broadcast(profiles_ref)
+    def _build_matrix(prof: dict) -> tuple[list, pd.Series, np.ndarray]:
         langs = sorted(prof)
         vocab = sorted({t for c in prof.values() for t in c})
-        vocab_ix = pd.Series(
-            np.arange(len(vocab), dtype=np.int64), index=vocab
-        )
+        vocab_ix = pd.Series(np.arange(len(vocab), dtype=np.int64), index=vocab)
         mat = np.zeros((len(langs), len(vocab)), dtype=np.int64)
         for li, lang in enumerate(langs):
             for t, n in prof[lang].items():
                 mat[li, vocab_ix[t]] = n
+        return langs, vocab_ix, mat
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        # built once per worker process (derived-state cache), not per batch
+        langs, vocab_ix, mat = get_broadcast_derived(
+            profiles_ref, "langid-matrix", _build_matrix
+        )
+        vocab = vocab_ix.index
         toks = df["text"].str.split()
         lens = toks.str.len().to_numpy()
         vecs = np.zeros((len(df), len(vocab)), dtype=np.int64)
@@ -610,13 +615,20 @@ def bm25_topk(sf_dir: str, terms=BM25_TERMS, k: int = 10):
     terms = list(terms)
 
     def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split()
+        toks = df["text"].reset_index(drop=True).str.split()
         lens = toks.str.len().astype("int64")
         row = {"n_docs": [len(df)], "total_len": [int(lens.sum())]}
+        # one explode + isin, then distinct (doc, term) counts — no
+        # per-row Python membership loop
+        flat = toks.explode()
+        hit = flat[flat.isin(terms)]
+        dfc = (
+            pd.DataFrame({"row": hit.index, "tok": hit.to_numpy()})
+            .drop_duplicates()["tok"]
+            .value_counts()
+        )
         for t in terms:
-            row[f"df_{t}"] = [
-                int(sum(1 for lst in toks if t in set(lst)))
-            ]
+            row[f"df_{t}"] = [int(dfc.get(t, 0))]
         return pd.DataFrame(row)
 
     parts = ds.map_batches(partial_stats, batch_format="pandas").take_all()
@@ -636,13 +648,23 @@ def bm25_topk(sf_dir: str, terms=BM25_TERMS, k: int = 10):
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         bidf, bavgdl = get_broadcast(stats_ref)
-        toks = df["text"].str.split()
+        toks = df["text"].reset_index(drop=True).str.split()
         dl = toks.str.len().to_numpy().astype("float64")
+        # per-(doc, term) tf via one explode + isin + group size — no
+        # per-row list.count() Python loop
+        flat = toks.explode()
+        hit = flat[flat.isin(terms)]
+        tf_mat = (
+            pd.DataFrame({"row": hit.index, "tok": hit.to_numpy()})
+            .groupby(["row", "tok"])
+            .size()
+            .unstack(fill_value=0)
+        )
         score = np.zeros(len(df))
         for t in terms:
-            tf = np.fromiter(
-                (lst.count(t) for lst in toks), dtype="float64", count=len(df)
-            )
+            tf = np.zeros(len(df))
+            if t in tf_mat.columns:
+                tf[tf_mat.index.to_numpy()] = tf_mat[t].to_numpy().astype("float64")
             denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / bavgdl)
             score += bidf[t] * tf * (_BM25_K1 + 1.0) / denom
         score_r = np.round(score, 6)

@@ -1,0 +1,361 @@
+"""From-scratch WARC/ARC binary record readers (the real S1/S2 input path).
+
+No warcio / JWAT / heritrix: WARC (ISO 28500, any ``WARC/x.y`` version
+line — the fixtures span 0.17 and 1.0) and ARC v1/v2 are parsed directly
+from bytes, and gzip *multi-member* archives are split with ``zlib`` so
+every record keeps its **compressed member offset** (the CDX offset
+contract). Reference behaviour mirrored (semantics, not code):
+
+* ``ArchiveReaderFactory.get`` format sniffing + whole-file record
+  iteration, one file per task
+  (warc-hadoop-recordreaders/src/main/java/uk/bl/wa/hadoop/
+  ArchiveFileRecordReader.java:140-160);
+* the 2-consecutive-failure skip rule: a record that fails to parse is
+  skipped once (resync to the next record boundary); a second consecutive
+  failure abandons the rest of the file
+  (warc-indexer/src/main/java/uk/bl/wa/indexer/WARCIndexerCommand.java:211-236);
+* per-record-type HTTP handling (WARCIndexer.java:655-706
+  ``processWARCHTTPHeaders``): ``resource`` records get a synthetic
+  status 200 ("cheating a bit here for tool compatibility"), ``request``
+  records get no status, ``response``/``revisit`` records parse the
+  status line only when the block starts with ``HTTP``;
+* ARC records carry no ``WARC-Type`` header so they are never
+  record-type-filtered (WARCIndexer.java:305-312 — the type check is
+  skipped for ARC); they surface as ``record_type="response"`` with the
+  HTTP status parsed from the record content
+  (ARCRecord.getStatusCode semantics).
+
+Output rows conform to ``schema.PAGES_SCHEMA`` so the whole existing
+extraction chain (``stages/extract.py``) runs unchanged on real archives.
+
+Scale notes: a (W)ARC file is the natural parallel unit — gzip members are
+not splittable without an external index — so ``read_archive_pages`` maps
+one file to one task (exactly the reference's one-file-per-split), and the
+downstream extract stage re-batches to its own ``batch_size``. Payload
+bytes ride Arrow ``large_binary`` blocks; nothing is held on the driver.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterable, Iterator
+
+import pyarrow as pa
+
+from ..schema import PAGES_SCHEMA
+
+__all__ = [
+    "split_gzip_members",
+    "iter_warc_records",
+    "iter_arc_records",
+    "parse_archive_bytes",
+    "read_archive_pages",
+]
+
+GZIP_MAGIC = b"\x1f\x8b"
+_WARC_VERSION_RE = re.compile(rb"^WARC/\d+\.\d+\r?\n")
+_CRLF_SET = b"\r\n"
+
+
+def split_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield ``(compressed_offset, decompressed_member)`` for each gzip
+    member of a multi-member gzip file (one member per record is the
+    (W)ARC-gz convention; offsets are what CDX records)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != GZIP_MAGIC:
+            raise ValueError(f"not a gzip member at offset {pos}")
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(data[pos:])
+        out += d.flush()
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - corrupt stream guard
+            raise ValueError(f"gzip member at offset {pos} consumed no bytes")
+        yield pos, out
+        pos += consumed
+
+
+def _parse_header_lines(blob: bytes) -> dict[str, str]:
+    """Parse a WARC/HTTP ``Key: value`` header block (continuation lines
+    folded with a single space, keys case-folded)."""
+    headers: dict[str, str] = {}
+    last_key: str | None = None
+    for raw_line in blob.split(b"\n"):
+        line = raw_line.rstrip(b"\r")
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last_key is not None:
+            headers[last_key] += " " + line.strip().decode("latin1")
+            continue
+        if b":" not in line:
+            continue
+        key, _, value = line.partition(b":")
+        last_key = key.strip().decode("latin1").lower()
+        headers[last_key] = value.strip().decode("latin1")
+    return headers
+
+
+def iter_warc_records(
+    data: bytes, *, offset: int = 0
+) -> Iterator[tuple[int, dict[str, str], bytes]]:
+    """Iterate WARC records in a plain (decompressed) byte buffer.
+
+    Yields ``(record_offset, warc_headers, block)``; ``record_offset`` is
+    relative to the buffer start plus ``offset`` (callers pass the gzip
+    member offset so offsets always address the on-disk file). Raises
+    ``ValueError`` on a malformed record — the caller applies the
+    2-consecutive-failure policy.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record CRLF padding (records are terminated by
+        # two CRLFs that are not counted in Content-Length)
+        while pos < n and data[pos] in _CRLF_SET:
+            pos += 1
+        if pos >= n:
+            return
+        rec_start = pos
+        if not _WARC_VERSION_RE.match(data[pos : pos + 16]):
+            raise ValueError(f"no WARC version line at offset {offset + pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        sep = 4
+        alt = data.find(b"\n\n", pos)
+        if hdr_end == -1 or (alt != -1 and alt < hdr_end):
+            hdr_end, sep = alt, 2
+        if hdr_end == -1:
+            raise ValueError(f"unterminated WARC header at offset {offset + pos}")
+        headers = _parse_header_lines(data[pos:hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError(
+                f"bad/missing Content-Length at offset {offset + pos}"
+            ) from exc
+        body_start = hdr_end + sep
+        if body_start + length > n:
+            raise ValueError(f"truncated WARC block at offset {offset + pos}")
+        yield offset + rec_start, headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+_ARC_DATE_RE = re.compile(rb"^\d{14}$")
+
+
+def _parse_arc_header_line(line: bytes) -> tuple[str, str, str, int]:
+    """Parse an ARC v1/v2 record header line.
+
+    v1: ``url ip date content-type length``; v2 inserts result-code,
+    checksum, location, offset and filename before the length. URL is
+    always first, date third, content-type fourth, length last
+    (the published ARC file-format spec)."""
+    parts = line.split(b" ")
+    if len(parts) < 5 or not _ARC_DATE_RE.match(parts[2]):
+        raise ValueError(f"not an ARC header line: {line[:80]!r}")
+    url = parts[0].decode("latin1")
+    date14 = parts[2].decode("ascii")
+    mime = parts[3].decode("latin1")
+    length = int(parts[-1])
+    return url, date14, mime, length
+
+
+def iter_arc_records(
+    data: bytes, *, offset: int = 0
+) -> Iterator[tuple[int, dict[str, str], bytes]]:
+    """Iterate ARC records in a plain byte buffer.
+
+    Yields the same shape as :func:`iter_warc_records`, with the ARC
+    header line mapped onto pseudo-WARC headers (``arc`` key marks the
+    origin; the ``filedesc://`` version record is yielded too — the
+    reference iterates it and the protocol filter drops it downstream)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos] in _CRLF_SET:
+            pos += 1
+        if pos >= n:
+            return
+        rec_start = pos
+        eol = data.find(b"\n", pos)
+        if eol == -1:
+            raise ValueError(f"unterminated ARC header line at offset {offset + pos}")
+        url, date14, mime, length = _parse_arc_header_line(data[pos:eol].rstrip(b"\r"))
+        body_start = eol + 1
+        if body_start + length > n:
+            raise ValueError(f"truncated ARC block at offset {offset + pos}")
+        headers = {
+            "arc": "1",
+            "warc-target-uri": url,
+            "warc-date": date14,
+            "content-type": mime,
+            "content-length": str(length),
+        }
+        yield offset + rec_start, headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+_HTTP_STATUS_RE = re.compile(rb"^HTTP/\S+[ \t]+(\d{3})")
+
+
+def _parse_http_block(block: bytes) -> tuple[int | None, dict[str, str], bytes]:
+    """Split an ``application/http`` block into (status, headers, payload).
+
+    Mirrors WARCIndexer.java:672-683: the status line must start with
+    ``HTTP``; otherwise no status and the whole block is the payload."""
+    m = _HTTP_STATUS_RE.match(block)
+    if not m:
+        return None, {}, block
+    hdr_end = block.find(b"\r\n\r\n")
+    sep = 4
+    alt = block.find(b"\n\n")
+    if hdr_end == -1 or (alt != -1 and alt < hdr_end):
+        hdr_end, sep = alt, 2
+    if hdr_end == -1:
+        # headers never terminated — status line only, empty payload
+        return int(m.group(1)), {}, b""
+    first_eol = block.find(b"\n")
+    headers = _parse_header_lines(block[first_eol + 1 : hdr_end])
+    return int(m.group(1)), headers, block[hdr_end + sep :]
+
+
+def _iso_to_ts14(value: str) -> str:
+    """``2008-04-30T20:48:25Z`` / ``20080430204825`` -> 14 digits."""
+    digits = re.sub(r"[^0-9]", "", value)
+    return digits[:14]
+
+
+def _strip_digest_prefix(value: str | None) -> str | None:
+    if not value:
+        return None
+    return value.split(":", 1)[1] if ":" in value else value
+
+
+def warc_record_to_page(
+    rec_offset: int, headers: dict[str, str], block: bytes, source_file: str
+) -> dict:
+    """Project one parsed archive record onto a PAGES_SCHEMA row."""
+    is_arc = "arc" in headers
+    record_type = "response" if is_arc else headers.get("warc-type", "")
+    url = headers.get("warc-target-uri")
+    status: int | None = None
+    mime_served: str | None = None
+    location = None
+    content_encoding = None
+    transfer_encoding = None
+    payload = block
+    is_http_url = bool(url) and url.startswith("http")
+    if record_type == "resource":
+        # WARCIndexer.java:660-663: resources get a synthetic 200
+        if is_http_url:
+            status = 200
+        mime_served = headers.get("content-type")
+    elif record_type in ("response", "revisit") and is_http_url:
+        status, http_headers, payload = _parse_http_block(block)
+        mime_served = http_headers.get("content-type")
+        location = http_headers.get("location")
+        content_encoding = http_headers.get("content-encoding")
+        transfer_encoding = http_headers.get("transfer-encoding")
+    elif record_type == "warcinfo":
+        mime_served = headers.get("content-type")
+    return {
+        "url": url,
+        "timestamp14": _iso_to_ts14(headers.get("warc-date", "")),
+        "record_type": record_type,
+        "status": status,
+        "mime_served": mime_served or "",
+        "location": location or "",
+        "content_encoding": content_encoding or "",
+        "transfer_encoding": transfer_encoding or "",
+        "payload": payload,
+        "payload_sha1": _strip_digest_prefix(headers.get("warc-payload-digest")) or "",
+        "source_file": source_file,
+        "source_offset": rec_offset,
+    }
+
+
+def _sniff_is_arc(head: bytes) -> bool:
+    return head.startswith(b"filedesc://")
+
+
+def _iter_archive(data: bytes, source_file: str) -> Iterator[dict]:
+    """Iterate PAGES rows from raw (possibly gzip) archive file bytes,
+    applying the 2-consecutive-failure skip rule per segment stream."""
+    if data[:2] == GZIP_MAGIC:
+        segments: Iterable[tuple[int, bytes]] = split_gzip_members(data)
+    else:
+        segments = [(0, data)]
+    is_arc: bool | None = None
+    last_failed = -1
+    index = 0
+    for seg_offset, seg in segments:
+        if is_arc is None:
+            is_arc = _sniff_is_arc(seg)
+        it = (
+            iter_arc_records(seg, offset=seg_offset)
+            if is_arc
+            else iter_warc_records(seg, offset=seg_offset)
+        )
+        while True:
+            index += 1
+            try:
+                item = next(it, None)
+            except ValueError:
+                # WARCIndexerCommand.java:211-236: skip one bad record,
+                # abandon the file on two consecutive failures
+                if last_failed != index - 1:
+                    last_failed = index
+                    break  # resync at the next gzip member / segment
+                return
+            if item is None:
+                break
+            rec_offset, headers, block = item
+            yield warc_record_to_page(rec_offset, headers, block, source_file)
+
+
+def parse_archive_bytes(data: bytes, source_file: str) -> list[dict]:
+    """Parse one (W)ARC file's bytes into PAGES rows (file order)."""
+    return list(_iter_archive(data, source_file))
+
+
+def _basename(path: str) -> str:
+    return path.rsplit("/", 1)[-1]
+
+
+class _ArchiveToPages:
+    """map_batches callable: path rows -> PAGES_SCHEMA table.
+
+    Opens each file itself (pyarrow.fs, compression disabled) because
+    ``read_binary_files`` transparently gunzips by extension — we need the
+    RAW bytes so compressed member offsets stay CDX-addressable."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pyarrow import fs as pafs
+
+        rows: list[dict] = []
+        for path in batch["path"].to_pylist():
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            with filesystem.open_input_stream(fs_path, compression=None) as fh:
+                blob = fh.read()
+            rows.extend(parse_archive_bytes(blob, _basename(path)))
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def read_archive_pages(paths: list[str]) -> "ray.data.Dataset":  # noqa: F821
+    """Read (W)ARC/(W)ARC.gz files into a PAGES_SCHEMA Dataset.
+
+    One file per input block (= per task), matching the reference's
+    one-file-per-split contract (ArchiveFileRecordReader.java:140-160);
+    gzip members are not splittable so the file is the parallel unit.
+    Only paths ride the initial Dataset — each task opens and parses its
+    own file, so file bytes never pass through the driver."""
+    import os
+
+    import ray
+
+    items = [{"path": os.path.abspath(p) if "://" not in p else p} for p in paths]
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+    return ds.map_batches(
+        _ArchiveToPages(), batch_format="pyarrow", batch_size=None
+    )
