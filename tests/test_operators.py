@@ -472,6 +472,31 @@ def test_neardup_clusters_label_propagation(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
 
 
+def test_neardup_clusters_chain_converges_logarithmically(ray_session):
+    """Pointer doubling bounds a 1000-node path graph at O(log n) rounds
+    (plain hash-min would need ~999): every node must still resolve to
+    the chain minimum."""
+    import math
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.dedup import neardup_clusters
+
+    n = 1000
+    pairs = rd.from_items(
+        [{"doc_a": i, "doc_b": i + 1} for i in range(n - 1)], override_num_blocks=8
+    )
+    nodes = rd.from_items([{"doc_id": i} for i in range(n)], override_num_blocks=8)
+    stats = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, nodes, stats=stats).take_all()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # hop radius at least doubles per round; generous 3x slack on 2*log2(n)
+    assert stats["iterations"] <= 3 * int(math.log2(n)) + 4, stats
+
+
 def test_global_quantiles_matches_numpy(ray_session):
     import numpy as np
     import pyarrow.parquet as pq

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["bucket_of", "default_buckets"]
+__all__ = ["bucket_of", "default_buckets", "coalesce_blocks"]
 
 _KNUTH = np.uint64(2654435761)
 
@@ -41,6 +41,27 @@ def bucket_of(values: pd.Series, n_buckets: int) -> pd.Series:
     else:
         h = pd.util.hash_array(arr.astype(object), categorize=False)
     return pd.Series((h % np.uint64(n_buckets)).astype(np.int32), index=values.index)
+
+
+def coalesce_blocks(ds, target_block_bytes: int = 16 << 20):
+    """Materialize a Dataset and re-pin its block count to its SIZE.
+
+    A narrow stream produced by per-block map tasks inherits the corpus
+    read's parallelism (e.g. 64 near-empty blocks for a few-MB candidate
+    list), and every downstream all-to-all (groupby / sort) then pays
+    scheduling per block — measured here: a 3-sort chain over 64–192 tiny
+    blocks costs seconds of pure orchestration for milliseconds of
+    compute. Re-pinning to ``ceil(size_bytes / target_block_bytes)``
+    blocks makes the exchange data-sized. At real scale this is a no-op:
+    when upstream blocks already hold ≥ ``target_block_bytes`` the
+    condition never triggers and no extra exchange is added (the
+    materialize is free — every all-to-all barriers its input anyway)."""
+    m = ds.materialize()
+    nb = m.num_blocks()
+    target = max(1, min(nb, -(-m.size_bytes() // target_block_bytes)))
+    if target < nb:
+        m = m.repartition(target).materialize()
+    return m
 
 
 def default_buckets(min_b: int = 16, per_cpu: int = 2, cap: int = 128) -> int:

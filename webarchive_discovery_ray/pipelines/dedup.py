@@ -336,9 +336,17 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
             {"doc_a": m["doc_id_x"].to_numpy(), "doc_b": m["doc_id_y"].to_numpy()}
         )
 
+    # bands are ~100x narrower than the text they come from but inherit
+    # the corpus read's block count — re-pin to data size so the band
+    # sort schedules over data-sized blocks (no-op at real scale)
+    from ..functions.bucketing import coalesce_blocks
+
     raw_pairs = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
-        .map_batches(band_bucket, batch_format="pandas")
+        coalesce_blocks(
+            ds.map_batches(to_bands, batch_format="pyarrow").map_batches(
+                band_bucket, batch_format="pandas"
+            )
+        )
         .groupby("b")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
@@ -348,8 +356,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     # doc-bucket of the attach pass below (the bucket is a function of
     # the side's doc), so an in-bucket drop_duplicates there is exact —
     # one fewer all-to-all, and the duplicate factor is bounded by the
-    # band count (8). Materialized because both side-taggers consume it.
-    distinct_pairs = raw_pairs.materialize()
+    # band count (8). Materialized (size-pinned) because both
+    # side-taggers consume it.
+    distinct_pairs = coalesce_blocks(raw_pairs)
 
     # ---- tag-join verify (no driver/corpus materialization) ------------
     # Two bucketed co-group passes replace three hash joins with the SAME
@@ -420,15 +429,15 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
     tagged = (
-        ds.map_batches(tag_texts, batch_format="pandas")
+        coalesce_blocks(ds.map_batches(tag_texts, batch_format="pandas"))
         .union(distinct_pairs.map_batches(tag_side("doc_a", 1), batch_format="pandas"))
         .union(distinct_pairs.map_batches(tag_side("doc_b", 2), batch_format="pandas"))
     )
-    return (
-        tagged.groupby("bucket")
-        .map_groups(attach_in_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(verify_in_bucket, batch_format="pandas")
+    attached = coalesce_blocks(
+        tagged.groupby("bucket").map_groups(attach_in_bucket, batch_format="pandas")
+    )
+    return attached.groupby("bucket").map_groups(
+        verify_in_bucket, batch_format="pandas"
     )
 
 
@@ -579,24 +588,36 @@ def reduplicate(ds, batch_format: str = "pyarrow"):
     )
 
 
-def neardup_clusters(pairs_ds, nodes_ds):
+def neardup_clusters(pairs_ds, nodes_ds, *, max_iters: int = 64, stats: dict | None = None):
     """Connected components over a near-dup pair list: every document gets
     the MINIMUM doc_id reachable through the pair graph (hash-min label
-    propagation — the standard BSP connected-components algorithm).
+    propagation WITH pointer-doubling shortcutting — the BSP
+    connected-components algorithm bounded at O(log n) rounds instead of
+    O(component diameter); cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14, whose star operations this
+    shortcut+min round is equivalent to on a parent-pointer forest).
 
     ``pairs_ds``: Dataset with (doc_a, doc_b); ``nodes_ds``: Dataset with
     (doc_id) covering every node (unpaired docs become singleton
-    clusters). Each iteration is TWO bucketed grouped passes — a
-    co-grouped edge⨝label merge (edges keyed by bucket(src), labels by
-    bucket(doc_id): same hash, so a vectorized in-bucket pandas merge
-    routes the labels) and a bucketed grouped min — all candidate-bounded
-    data (the edge list is the LSH-verified pair set, not the corpus).
-    Convergence is detected from the same output (a per-node ``own``
-    marker carries the previous label, so ``changed`` is a filter+count —
-    no extra join). Iterations are O(component diameter); near-dup
-    components are shallow in practice. Columns: doc_id, cluster_id."""
-    import pyarrow.compute as pc
-
+    clusters). The ITERATION touches only edge ENDPOINTS — labels are
+    initialised from the distinct sources of the (bidirected) edge list,
+    so per-round data is bounded by the LSH-verified pair set, not the
+    corpus; nodes in no pair never enter the loop and are attached as
+    singleton clusters by ONE final bucketed anti-join pass. Each
+    iteration chains THREE bucketed grouped passes in ONE streaming
+    execution — (1) pointer doubling: label[u] <- label[label[u]]
+    via a co-group of (label[u] -> u) requests with (doc_id -> label) rows
+    (label values are always doc_ids of the same component, so the lookup
+    always resolves); (2) a co-grouped edge⨝label merge (edges keyed by
+    bucket(src), labels by bucket(doc_id): same hash, so a vectorized
+    in-bucket pandas merge routes the labels); (3) a bucketed grouped min.
+    Labels are monotone nonincreasing and always
+    ids within the component, so at the ``changed == 0`` fixpoint every
+    edge is label-uniform and each component carries its min doc_id.
+    A path graph of n nodes converges in O(log n) rounds (each round at
+    least doubles the hop radius a label has travelled) — see the
+    chain-graph pin in tests/test_operators.py. Columns: doc_id, cluster_id.
+    ``stats``, when given, records {"iterations": n} for tests/audits."""
     from ..functions.bucketing import bucket_of, default_buckets
 
     n_b = default_buckets()
@@ -622,12 +643,28 @@ def neardup_clusters(pairs_ds, nodes_ds):
     # dst = -1 (doc ids are non-negative, so the marker needs no nulls
     # and everything stays int64)
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # row-aware block pinning: upstream bucketed passes leave the (tiny,
+    # candidate-bounded) pair table scattered over dozens of near-empty
+    # blocks, and every per-iteration sort would schedule over all of
+    # them — size block count to the data (~256k int64 rows per block),
+    # never above what the upstream produced
+    n_edge_blocks = max(1, min(edges.num_blocks(), -(-edges.count() // 262_144)))
+    if n_edge_blocks < edges.num_blocks():
+        edges = edges.repartition(n_edge_blocks).materialize()
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].cast(pa.int64())
-        return pa.table({"doc_id": ids, "label": ids})
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # candidate-bounded: only edge endpoints iterate. Local (per-block)
+        # distinct is enough — cross-block duplicate (u, u) rows collapse
+        # in the first round's grouped min without changing any label.
+        u = df["key"].drop_duplicates().to_numpy()
+        return pd.DataFrame({"doc_id": u, "label": u})
 
-    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+    labels = edges.map_batches(init_labels, batch_format="pandas").materialize()
+    # stable per-iteration block count: unions and bucketed sorts multiply
+    # block counts (~2x per round), which compounds across iterations into
+    # quadratic sort scheduling — re-pin the label table to the input's
+    # block count after every round
+    n_label_blocks = max(1, labels.num_blocks())
 
     def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
         # column order must match edges_l exactly (union aligns schemas)
@@ -666,37 +703,132 @@ def neardup_clusters(pairs_ds, nodes_ds):
         )
         g["label"] = g["label"].astype("int64")
         g["own"] = g["own"].astype("int64")
+        # per-node changed marker: summed (one tiny execution over the
+        # already-materialized output) instead of a separate filter+count
+        g["chg"] = (g["label"] < g["own"]).astype("int64")
         return g
 
-    for _ in range(64):  # diameter bound; near-dup graphs converge in a few
-        # label columns: edges carry no label — pandas aligns on concat in
-        # the grouped pass, so tag label rows with the full column set
-        tagged = labels.map_batches(tag_labels, batch_format="pandas")
-        edges_l = edges.map_batches(
-            lambda df: df.assign(label=np.int64(-1)), batch_format="pandas"
+    # ---- pointer doubling (label[u] <- label[label[u]]) ------------------
+    # requests keyed by bucket(label[u]) meet label rows keyed by
+    # bucket(doc_id) — same hash — so the in-bucket merge resolves the
+    # double hop; label values are always component-member doc_ids, so
+    # every request finds its row.
+
+    def tag_requests(df: pd.DataFrame) -> pd.DataFrame:
+        lbl = df["label"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": lbl,
+                "u": df["doc_id"].astype("int64"),
+                "lab": np.full(len(df), -1, dtype="int64"),
+                "bucket": bucket_of(lbl, n_b),
+            }
         )
+
+    def tag_label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "u": np.full(len(df), -1, dtype="int64"),
+                "lab": df["label"].astype("int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def shortcut_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        req = df[df["u"] >= 0]
+        lab = df[df["lab"] >= 0]
+        m = req[["key", "u"]].merge(lab[["key", "lab"]], on="key", how="left")
+        return pd.DataFrame(
+            {
+                "doc_id": m["u"].to_numpy(),
+                # belt-and-braces: a missing row (cannot happen — label
+                # values are doc_ids) keeps the single-hop label
+                "label": m["lab"].fillna(m["key"]).astype("int64").to_numpy(),
+            }
+        )
+
+    edges_l = edges.map_batches(
+        lambda df: df.assign(label=np.int64(-1)), batch_format="pandas"
+    )
+    n_iters = 0
+    for it in range(max_iters):
+        n_iters = it + 1
+        if it == 0:
+            doubled = labels  # labels are identity — the shortcut is a no-op
+        else:
+            doubled = (
+                labels.map_batches(tag_requests, batch_format="pandas")
+                .union(labels.map_batches(tag_label_rows, batch_format="pandas"))
+                .groupby("bucket")
+                .map_groups(shortcut_in_bucket, batch_format="pandas")
+            )
+        # label columns: edges carry no label — pandas aligns on concat in
+        # the grouped pass, so tag label rows with the full column set.
+        # The shortcut chains INTO the same streaming execution as the
+        # edge pass: three bucketed exchanges, ONE executor launch.
         agg = (
-            edges_l.union(tagged)
+            edges_l.union(doubled.map_batches(tag_labels, batch_format="pandas"))
             .groupby("bucket")
             .map_groups(propagate_in_bucket, batch_format="pandas")
             .map_batches(add_doc_bucket, batch_format="pandas")
             .groupby("bucket")
             .map_groups(minmax_in_bucket, batch_format="pandas")
+            .repartition(n_label_blocks)
             .materialize()
         )
-        changed = agg.map_batches(
-            lambda b: b.filter(pc.less(b["label"], b["own"])), batch_format="pyarrow"
-        ).count()
-        labels = agg.map_batches(
-            lambda b: b.select(["doc_id", "label"]), batch_format="pyarrow"
-        ).materialize()
-        if changed == 0:
+        changed = agg.sum("chg")
+        labels = agg  # tag_* readers use doc_id/label only; no re-materialize
+        if not changed:
             break
+    if stats is not None:
+        stats["iterations"] = n_iters
 
-    return labels.map_batches(
-        lambda b: pa.table({"doc_id": b["doc_id"], "cluster_id": b["label"]}),
+    # singleton attach: ONE bucketed anti-join of the corpus node list
+    # against the (candidate-bounded) edge-endpoint set — unpaired nodes
+    # become their own cluster without ever having entered the loop
+    def tag_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "paired": np.zeros(len(df), dtype="int64"),
+                "bucket": bucket_of(ids, n_b),
+            }
+        )
+
+    def tag_paired(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "paired": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(ids, n_b),
+            }
+        )
+
+    def singles_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["paired"].max()
+        ids = g[g == 0].index.to_numpy().astype("int64")
+        return pd.DataFrame({"doc_id": ids, "cluster_id": ids})
+
+    singles = (
+        nodes_ds.map_batches(tag_nodes, batch_format="pandas")
+        .union(labels.map_batches(tag_paired, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(singles_in_bucket, batch_format="pandas")
+    )
+    clusters = labels.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "cluster_id": b["label"].combine_chunks().cast(pa.int64()),
+            }
+        ),
         batch_format="pyarrow",
     )
+    return clusters.union(singles)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
