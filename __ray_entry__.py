@@ -530,7 +530,7 @@ _ORACLE_MAT = "/tmp/wdr_oracle_mat"
 _MAT_COLS = [
     "record_type", "hash", "surt", "wayback_date", "host", "crawl_year",
     "content_type", "content_type_norm", "status", "content_length",
-    "source_file", "source_offset",
+    "source_file", "source_offset", "url", "links_hosts",
 ]
 
 
@@ -553,6 +553,34 @@ def _mdx_stats(sf_dir: str):
     from webarchive_discovery_ray.pipelines.stats import mdx_stats
 
     return mdx_stats(docs=_materialized_docs_base(500))
+
+
+def _year_host_outlinks(sf_dir: str):
+    """Year-keyed outlink frequencies (OutlinkExtractorMapper.java:73-82 +
+    FrequencyCountingReducer.java:44-68) over the materialized docs base."""
+    from webarchive_discovery_ray.pipelines.stats import year_host_outlinks
+
+    return year_host_outlinks(docs=_materialized_docs_base(500))
+
+
+def _hosts_report(sf_dir: str):
+    """Per-host crawl-log rollup (HostsReportMapper/Reducer) over a
+    deterministic Heritrix-style crawl.log text fixture; the lines
+    materialize to parquet so the DuckDB oracle parses the SAME text."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import (
+        heritrix_log_lines,
+        hosts_report,
+    )
+
+    out = f"{_ORACLE_MAT}/crawl_log_base"
+    shutil.rmtree(out, ignore_errors=True)
+    heritrix_log_lines(docs=_materialized_docs_base(500)).write_parquet(out)
+    return hosts_report(rd.read_parquet(out))
 
 
 def _persist_log(sf_dir: str):
@@ -758,6 +786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ark_lookup": _ark_lookup,
         "arcname_fields": _arcname,
         "mdx_stats": _mdx_stats,
+        "year_host_outlinks": _year_host_outlinks,
+        "hosts_report": _hosts_report,
         "persist_log": _persist_log,
         "dataset_summaries": _dataset_summaries,
         "file_digest": _file_digest,
@@ -800,6 +830,8 @@ def _ensure_oracle_materializations() -> None:
         _host_link_graph("")
     if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
         _span_stats("")
+    if not os.path.isdir(f"{_ORACLE_MAT}/crawl_log_base"):
+        _hosts_report("")
     if not os.path.isdir(f"{_ORACLE_MAT}/neardup_pairs"):
         # the pair graph depends on the corpus: default to the driver's
         # correctness scale; the query itself re-materializes at its own sf
@@ -1801,6 +1833,52 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(t.n_tokens AS DOUBLE)
                         ELSE 0.0 END AS dup_fraction
             FROM t LEFT JOIN nd USING (doc_id)
+        """,
+        # year-keyed outlink frequencies: response records with http(s)
+        # URLs, per (year, src_host) distinct link-host counts
+        # (OutlinkExtractorMapper + FrequencyCountingReducer)
+        "year_host_outlinks": f"""
+            SELECT crawl_year, host AS src_host, l.dst AS dst_host,
+                   count(*) AS n_links
+            FROM read_parquet('{_ORACLE_MAT}/docs_base/*.parquet'),
+                 unnest(links_hosts) AS l(dst)
+            WHERE record_type = 'response' AND url LIKE 'http%'
+            GROUP BY 1, 2, 3
+        """,
+        # per-host crawl-log rollup over the SAME Heritrix-style text
+        # lines the Ray op parses (HostsReportMapper.java:41-91 field
+        # semantics, HostsReportReducer.java:38-55 sums)
+        "hosts_report": f"""
+            WITH f AS (
+              SELECT string_split_regex(trim(line), '{ws}') AS p
+              FROM read_parquet('{_ORACLE_MAT}/crawl_log_base/*.parquet')
+            ),
+            ok AS (
+              SELECT p FROM f
+              WHERE len(p) = 12
+                AND NOT (p[2] LIKE '-%' AND p[2] <> '-9998')
+            ),
+            e AS (
+              SELECT CASE WHEN p[4] LIKE 'dns:%'
+                          THEN replace(p[4], 'dns:', '')
+                          ELSE regexp_extract(p[4], '^https?://([^/]+)/.*$', 1)
+                     END AS host,
+                     CASE WHEN p[3] = '-' THEN 0
+                          ELSE CAST(p[3] AS BIGINT) END AS nbytes,
+                     CASE WHEN p[2] = '-9998' THEN 1 ELSE 0 END AS robots,
+                     CASE WHEN p[12] LIKE '%warcRevists:digest%'
+                          THEN 1 ELSE 0 END AS dup
+              FROM ok
+            )
+            SELECT host,
+                   count(*)::BIGINT AS n_urls,
+                   sum(nbytes)::BIGINT AS n_bytes,
+                   sum(robots)::BIGINT AS n_robots,
+                   sum(dup)::BIGINT AS n_dup_urls,
+                   sum(nbytes * dup)::BIGINT AS n_dup_bytes
+            FROM e
+            WHERE host <> ''
+            GROUP BY host
         """,
         # host->host weighted link-graph edges over the materialized
         # extraction base (M22 links_hosts)

@@ -883,3 +883,74 @@ def test_outer_join_customer_orders_includes_zero_order_customers(
         assert got.loc[ck, "n_orders"] == n
         assert got.loc[ck, "total_spent"] == c / 100.0
     assert (got["n_orders"] == 0).any(), "fixture must have orderless customers"
+
+
+def test_hosts_report_mapper_semantics(ray_session):
+    """Pin HostsReportMapper.java:41-91 field semantics over hand-written
+    Heritrix crawl.log lines: 12-field gate, failure-code skip with the
+    -9998 robots exception, '-' size, dns: hosts, URI-regex skip,
+    warcRevists:digest dup accounting."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import hosts_report
+
+    L = [
+        # plain fetch, 100 bytes
+        "20140101 200 100 http://a.example/x LLE - html 1 t+1 sha1:AA - -",
+        # revisit (dup-by-hash), 50 bytes
+        "20140101 200 50 http://a.example/y LLE - html 1 t+1 sha1:AA - warcRevists:digest,ok",
+        # robots fetch: -9998 kept, counts as robots, '-' size -> 0 bytes
+        "20140101 -9998 - http://a.example/robots.txt LLE - text 1 t+1 sha1:BB - -",
+        # failure code: skipped entirely
+        "20140101 -5 77 http://a.example/z LLE - html 1 t+1 sha1:CC - -",
+        # dns: URI maps to bare host
+        "20140101 200 10 dns:b.example LLE - text/dns 1 t+1 sha1:DD - -",
+        # URI that fails the ^https?://host/.*$ regex: skipped
+        "20140101 200 10 ftp://c.example/x LLE - bin 1 t+1 sha1:EE - -",
+        # malformed (11 fields): skipped
+        "20140101 200 10 http://a.example/w LLE - html 1 t+1 sha1:FF -",
+    ]
+    got = {
+        r["host"]: r
+        for r in hosts_report(rd.from_items([{"line": x} for x in L])).take_all()
+    }
+    assert set(got) == {"a.example", "b.example"}
+    a = got["a.example"]
+    assert (a["n_urls"], a["n_bytes"], a["n_robots"]) == (3, 150, 1)
+    assert (a["n_dup_urls"], a["n_dup_bytes"]) == (1, 50)
+    b = got["b.example"]
+    assert (b["n_urls"], b["n_bytes"], b["n_robots"], b["n_dup_urls"]) == (1, 10, 0, 0)
+
+
+def test_year_host_outlinks_filters_and_counts(ray_session):
+    """OutlinkExtractorMapper: responses with http(s) URLs only; counts
+    are per distinct (year, src, dst) triple."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import year_host_outlinks
+
+    rows = [
+        {"record_type": "response", "url": "http://s.example/1",
+         "crawl_year": "2014", "host": "s.example",
+         "links_hosts": ["t.example", "t.example", "u.example"]},
+        {"record_type": "response", "url": "http://s.example/2",
+         "crawl_year": "2014", "host": "s.example",
+         "links_hosts": ["t.example"]},
+        {"record_type": "response", "url": "http://s.example/3",
+         "crawl_year": "2015", "host": "s.example",
+         "links_hosts": ["t.example"]},
+        # dropped: non-response, non-http
+        {"record_type": "request", "url": "http://s.example/4",
+         "crawl_year": "2014", "host": "s.example", "links_hosts": ["x.example"]},
+        {"record_type": "response", "url": "ftp://s.example/5",
+         "crawl_year": "2014", "host": "s.example", "links_hosts": ["x.example"]},
+    ]
+    got = {
+        (r["crawl_year"], r["src_host"], r["dst_host"]): r["n_links"]
+        for r in year_host_outlinks(docs=rd.from_items(rows)).take_all()
+    }
+    assert got == {
+        ("2014", "s.example", "t.example"): 3,
+        ("2014", "s.example", "u.example"): 1,
+        ("2015", "s.example", "t.example"): 1,
+    }

@@ -37,6 +37,9 @@ __all__ = [
     "host_link_graph",
     "host_pagerank",
     "span_stats",
+    "year_host_outlinks",
+    "heritrix_log_lines",
+    "hosts_report",
 ]
 
 
@@ -494,3 +497,185 @@ def span_stats(docs):
         )
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def year_host_outlinks(
+    n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None
+):
+    """Year-keyed host->host outlink frequencies.
+
+    Reference: ``warc-hadoop-indexer/.../outlinks/OutlinkExtractorMapper
+    .java:58-85`` — response records with an http(s) URL only, keyed by
+    ``(crawl_year, resource_host)``, one value per extracted link host —
+    reduced by ``FrequencyCountingReducer.java:44-68`` (count per DISTINCT
+    link value under each key). Same combiner discipline as
+    :func:`host_link_graph` with the year folded into the key: per-batch
+    explode + partial count, ONE bucketed grouped sum. Columns:
+    crawl_year, src_host, dst_host, n_links."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def partial_edges(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["record_type", "url", "crawl_year", "host", "links_hosts"]
+        ).to_pandas()
+        # OutlinkExtractorMapper.java:61-69: responses with http(s) URLs
+        df = df[
+            (df["record_type"] == "response")
+            & df["url"].astype(str).str.startswith("http")
+        ]
+        ex = (
+            df.rename(columns={"host": "src_host"})
+            .assign(dst_host=df["links_hosts"])
+            [["crawl_year", "src_host", "dst_host"]]
+            .explode("dst_host")
+            .dropna(subset=["dst_host"])
+        )
+        g = (
+            ex.groupby(["crawl_year", "src_host", "dst_host"], sort=False)
+            .size()
+            .reset_index(name="n_links")
+        )
+        g["n_links"] = g["n_links"].astype("int64")
+        g["bucket"] = bucket_of(
+            g["crawl_year"].astype(str) + "\x00" + g["src_host"] + "\x00" + g["dst_host"],
+            n_b,
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["crawl_year", "src_host", "dst_host"], sort=False)["n_links"]
+            .sum()
+            .reset_index()
+        )
+        g["n_links"] = g["n_links"].astype("int64")
+        return g
+
+    base = docs if docs is not None else _docs_ds(n_pages, scfg)
+    return (
+        base.map_batches(partial_edges, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
+    )
+
+
+def heritrix_log_lines(
+    n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None
+):
+    """Deterministic Heritrix-style ``crawl.log`` TEXT fixture derived
+    from the extraction docs base — the input shape ``HostsReport``
+    consumes (LogTimestamp StatusCode Size URI DiscoveryPath Referrer
+    MIME ThreadID RequestTimestamp+Duration Digest - Annotations). The
+    doc_id drives deterministic variation covering every mapper branch:
+    robots fetches (-9998), skipped failure codes, "-" sizes, ``dns:``
+    URIs, revisit annotations and malformed (≠12-field) lines (the
+    variation key is the integer ``source_offset``). Column:
+    line (string)."""
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            [
+                "source_offset", "url", "host", "wayback_date", "status",
+                "content_length", "content_type_norm", "hash",
+            ]
+        ).to_pandas()
+        d = df["source_offset"].astype("int64")
+        status = df["status"].fillna(200).astype(int).astype(str)
+        status = status.mask(d % 23 == 0, "-9998").mask(d % 23 == 1, "-5")
+        size = df["content_length"].fillna(0).astype(int).astype(str)
+        size = size.mask(d % 17 == 3, "-")
+        uri = df["url"].astype(str).mask(d % 13 == 4, "dns:" + df["host"].astype(str))
+        mime = df["content_type_norm"].fillna("html").astype(str)
+        digest = df["hash"].fillna("-").replace("", "-").astype(str)  # already sha1:-prefixed
+        notes = pd.Series(np.where(d % 7 == 5, "warcRevists:digest,unwritten", "-"),
+                          index=df.index)
+        parts = [
+            df["wayback_date"].astype(str), status, size, uri,
+            pd.Series("LLE", index=df.index), pd.Series("-", index=df.index),
+            mime, pd.Series("42", index=df.index),
+            pd.Series("20140101000000+123", index=df.index), digest,
+            pd.Series("-", index=df.index), notes,
+        ]
+        line = parts[0].str.cat(parts[1:], sep=" ")
+        # malformed lines (11 fields): the mapper must skip them
+        short = parts[0].str.cat(parts[1:-1], sep=" ")
+        line = line.mask(d % 29 == 6, short)
+        return pa.table({"line": pa.array(line.to_numpy(), pa.string())})
+
+    base = docs if docs is not None else _docs_ds(n_pages, scfg)
+    return base.map_batches(to_lines, batch_format="pyarrow")
+
+
+_HOSTS_URI_RE = r"^https?://([^/]+)/.*$"
+
+
+def hosts_report(lines):
+    """Per-host crawl-log rollup over Heritrix ``crawl.log`` text lines.
+
+    Reference: ``warc-hadoop-recordreaders/.../hosts/HostsReportMapper
+    .java:41-91`` (12-field whitespace split; drop failure codes except
+    -9998; "-" size -> 0; robots = -9998 fetches; dup-by-hash =
+    ``warcRevists:digest`` annotations; host from ``dns:`` prefix or the
+    ``^https?://([^/]+)/.*$`` URI regex, non-matches dropped) +
+    ``HostsReportReducer.java:38-55`` (per-host sums; also the job's
+    combiner — mirrored here as per-batch partial sums into ONE bucketed
+    grouped sum). Columns: host, n_urls, n_bytes, n_robots, n_dup_urls,
+    n_dup_bytes."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lines_s = batch["line"].to_pandas().astype(str)
+        p = lines_s.str.split()
+        ok = p.str.len() == 12
+        p = p[ok]
+        f = pd.DataFrame(
+            {
+                "status": p.str[1],
+                "size": p.str[2],
+                "uri": p.str[3],
+                "notes": p.str[11],
+            }
+        )
+        f = f[~(f["status"].str.startswith("-") & (f["status"] != "-9998"))]
+        host = f["uri"].str.extract(_HOSTS_URI_RE, expand=False)
+        host = host.mask(f["uri"].str.startswith("dns:"),
+                         f["uri"].str.replace("dns:", "", regex=False))
+        f = f.assign(host=host).dropna(subset=["host"])
+        nbytes = pd.to_numeric(f["size"].mask(f["size"] == "-", "0")).astype("int64")
+        robots = (f["status"] == "-9998").astype("int64")
+        dup = f["notes"].str.contains("warcRevists:digest", regex=False).astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "host": f["host"],
+                    "n_urls": np.ones(len(f), dtype="int64"),
+                    "n_bytes": nbytes,
+                    "n_robots": robots,
+                    "n_dup_urls": dup,
+                    "n_dup_bytes": nbytes * dup,
+                }
+            )
+            .groupby("host", sort=False)
+            .sum()
+            .reset_index()
+        )
+        g["bucket"] = bucket_of(g["host"], n_b)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=["bucket"])
+            .groupby("host", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    return (
+        lines.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
+    )
