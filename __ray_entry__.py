@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from webarchive_discovery_ray.pipelines.dedup import (
         dup_span_fraction,
+        exact_substring_spans,
         embedding_neardup_pairs,
         exact_dedup,
         minhash_lsh_pairs,
@@ -753,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": stratified_sample_events,
         "grouped_topk_docs": grouped_topk_docs,
         "dup_span_fraction": dup_span_fraction,
+        "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
         "host_pagerank": _host_pagerank,
         "tfidf_top_terms": tfidf_top_terms,
@@ -1799,6 +1801,38 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM documents
             ) WHERE rank <= 3
+        """,
+        # Lee-et-al EXACT character-level duplicate-substring spans:
+        # duplicated 40-char md5 windows, per-doc gaps-and-islands merge
+        # (1-based SQL positions -> the 0-based span convention)
+        "exact_substring_spans": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(len(text) - 39, 0)))
+                       AS pos
+              FROM documents
+            ),
+            w AS (SELECT doc_id, pos, md5(substr(text, pos, 40)) AS h
+                  FROM pos),
+            dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+            m AS (SELECT doc_id, pos FROM w
+                  WHERE h IN (SELECT h FROM dup)),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM m
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos - prev > 40
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id,
+                   (min(pos) - 1)::BIGINT AS span_start,
+                   (max(pos) - 1 + 40)::BIGINT AS span_end
+            FROM isl GROUP BY doc_id, island
         """,
         # duplicated 8-token-window coverage per document (token indices
         # are 1-based here, 0-based in the Ray op — coverage counts agree)

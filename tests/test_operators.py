@@ -954,3 +954,42 @@ def test_year_host_outlinks_filters_and_counts(ray_session):
         ("2014", "s.example", "u.example"): 1,
         ("2015", "s.example", "t.example"): 1,
     }
+
+
+def test_exact_substring_spans_lemma(ray_session, tmp_path):
+    """Character-level exact-dup spans: a shared 60-char substring between
+    two docs yields exactly the maximal covering span in both (the
+    duplicated-L-window union == duplicated-substring union lemma), and a
+    WITHIN-doc repeat also counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import exact_substring_spans
+
+    shared = "S" * 25 + "0123456789" * 2 + "E" * 15  # 60 chars
+    assert len(shared) == 60
+    rep = "R" * 45  # within-doc duplicate, 45 chars
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a" * 10 + shared + "b" * 10,       # span [10, 70)
+                    "c" * 5 + shared + "d" * 20,        # span [5, 65)
+                    "x" * 7 + rep + "y" * 9 + rep,      # two spans
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(str(tmp_path)).take_all()
+    )
+    # doc 3: rep occurs at 7 and 61; "R"*45 self-overlaps, and the runs of
+    # repeated chars inside docs 1/2 ("S"*25 etc.) stay below the 40-char
+    # floor so they alone can't create windows — but rep's 40-char windows
+    # duplicate across its two occurrences giving both full spans
+    assert (1, 10, 70) in got and (2, 5, 65) in got
+    d3 = [g for g in got if g[0] == 3]
+    assert (3, 7, 52) in d3 and (3, 61, 106) in d3

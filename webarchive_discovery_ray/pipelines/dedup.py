@@ -33,6 +33,7 @@ __all__ = [
     "reduplicate",
     "dup_span_fraction",
     "simhash_neardup_pairs",
+    "exact_substring_spans",
 ]
 
 
@@ -930,4 +931,99 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
         .map_batches(pair_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(distinct_in_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lee-et-al EXACT substring duplication (character-level, suffix-array
+# semantics via the duplicated-L-window lemma)
+
+_ESD_L = 40  # minimum duplicated substring length, in characters
+
+
+def exact_substring_spans(sf_dir: str, min_len: int = _ESD_L):
+    """Character-level EXACT duplicate-substring spans — the suffix-array
+    variant of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL'22): mark every maximal corpus region that is part
+    of some substring of length ≥ ``min_len`` occurring at least twice
+    anywhere in the corpus (including within the same document). The
+    reference implementation builds one corpus-wide suffix array; this
+    pipeline computes the IDENTICAL output through the duplicated-window
+    lemma: a substring S (|S| ≥ L) is duplicated iff every one of its
+    L-char windows is duplicated, so
+
+        union of duplicated substrings of length ≥ L
+          == union of duplicated L-char windows,
+
+    and the windows are a plain bucketed exchange — no global index:
+
+    1. map: per doc emit (md5(window), doc_id, pos) for every L-char
+       window (md5 pinned by the DuckDB oracle; the exchange ships 16-byte
+       digests, never the L-char text);
+    2. bucketed group by digest: windows whose digest occurs ≥ 2 times
+       anywhere are duplicated (positions re-keyed by bucket(doc_id));
+    3. bucketed per-doc island merge: overlapping/adjacent windows
+       (gap ≤ L) fold into maximal spans — vectorized gaps-and-islands.
+
+    ``dup_span_fraction`` is the token-window approximation of this op;
+    this one is exact at character granularity. Columns: doc_id,
+    span_start (0-based inclusive), span_end (exclusive)."""
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets
+
+    L = min_len
+    n_b = default_buckets()
+
+    def windows(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_doc: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        hashes: list[str] = []
+        for d, text in zip(doc_ids, texts):
+            n = len(text) - L + 1
+            if n <= 0:
+                continue
+            enc = text.encode("utf-8")  # synthetic corpus is 1 byte/char
+            hashes.extend(md5(enc[i : i + L]).hexdigest() for i in range(n))
+            out_doc.append(np.full(n, d, dtype=np.int64))
+            out_pos.append(np.arange(n, dtype=np.int64))
+        h = pd.Series(hashes, dtype=object)
+        t = pd.DataFrame(
+            {
+                "h": h,
+                "doc_id": np.concatenate(out_doc) if out_doc else np.array([], np.int64),
+                "pos": np.concatenate(out_pos) if out_pos else np.array([], np.int64),
+            }
+        )
+        t["bucket"] = bucket_of(t["h"], n_b)
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    def dup_positions(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df.duplicated("h", keep=False)]
+        out = keep[["doc_id", "pos"]].copy()
+        out["bucket"] = bucket_of(out["doc_id"], n_b)
+        return out
+
+    def merge_islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        prev = df.groupby("doc_id", sort=False)["pos"].shift()
+        brk = prev.isna() | (df["pos"] - prev > L)
+        island = brk.cumsum()
+        g = df.groupby([df["doc_id"], island], sort=False)["pos"].agg(["min", "max"])
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.get_level_values(0).to_numpy(),
+                "span_start": g["min"].to_numpy().astype("int64"),
+                "span_end": (g["max"] + L).to_numpy().astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        coalesce_blocks(ds.map_batches(windows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(dup_positions, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_islands, batch_format="pandas")
     )
