@@ -53,6 +53,42 @@ def _crawl_frontier(sf_dir: str):
     return pa.Table.from_pylist(res.fetch_log)
 
 
+def _recrawl_crawl(sf_dir: str):
+    """Closed crawl loop END-TO-END: the follow-up crawl's FETCH LOG,
+    seeded by the round-2 signals (recrawl intervals x host PageRank via
+    pipelines/cdx.recrawl_seed_list). Non-SQL (the crawl is stateful);
+    byte-parity vs the sequential oracle is pinned in
+    tests/test_crawl_parity.py::test_closed_loop_crawl_byte_parity."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.cdx import recrawl_seed_list
+    from webarchive_discovery_ray.pipelines.crawl import run_crawl
+    from webarchive_discovery_ray.pipelines.stats import host_pagerank
+
+    import os
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+    _host_link_graph_base()
+    ranks = host_pagerank(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+    seed_rows = sorted(
+        recrawl_seed_list(
+            rd.read_parquet(f"{_ORACLE_MAT}/captures"), ranks
+        ).take_all(),
+        key=lambda r: r["seed_rank"],
+    )[:24]  # bounded follow-up (the seed list itself is the oracled op)
+    syn = SyntheticConfig()
+    res = run_crawl(
+        [(r["url"], int(r["priority"])) for r in seed_rows],
+        CrawlConfig(politeness_budget=4, max_waves=2),
+        syn,
+        fetch_concurrency=2,
+        collect_log=True,
+    )
+    return pa.Table.from_pylist(res.fetch_log)
+
+
 def _extract_documents(sf_dir: str):
     """Extraction-plane conformance surface: synthetic fixture -> flat
     per-document summary (nested spans verified separately in pytest)."""
@@ -291,6 +327,23 @@ def _recrawl_schedule(sf_dir: str):
     if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
         _cdx(sf_dir)
     return recrawl_schedule(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
+
+
+def _recrawl_seed_list(sf_dir: str):
+    """Closed crawl loop: the NEXT crawl's prioritized seed list from the
+    LAST crawl's capture history (recrawl intervals) + host PageRank."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import recrawl_seed_list
+    from webarchive_discovery_ray.pipelines.stats import host_pagerank
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+    _host_link_graph_base()
+    ranks = host_pagerank(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+    return recrawl_seed_list(rd.read_parquet(f"{_ORACLE_MAT}/captures"), ranks)
 
 
 def _capture_intervals(sf_dir: str):
@@ -760,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "recrawl_schedule": _recrawl_schedule,
+        "recrawl_seed_list": _recrawl_seed_list,
         "span_stats": _span_stats,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
@@ -794,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_summaries": _dataset_summaries,
         "file_digest": _file_digest,
         "crawl_frontier": _crawl_frontier,
+        "recrawl_crawl": _recrawl_crawl,
         "extract_documents": _extract_documents,
         "cdx_sorted": _cdx,
         "reduplicate_revisits": _reduplicate,
@@ -2122,4 +2177,42 @@ def oracle_sql() -> dict[str, str]:
     # extraction oracle, rendered as a VALUES table (DuckDB cannot read
     # WARC, so the independent implementation IS the SQL)
     out["warc_extract"] = _warc_oracle_values_sql()
+    # closed crawl loop: recrawl intervals (sched) x host PageRank (ranks)
+    # -> the follow-up crawl's seed list; composes the two already-oracled
+    # CTEs, the latest-capture URL arg-max and the integer priority rule
+    out["recrawl_seed_list"] = f"""
+        WITH sched AS ({out["recrawl_schedule"]}),
+        ranks AS ({out["host_pagerank"]}),
+        latest AS (
+          SELECT surt_key, url FROM (
+            SELECT surt_key, url,
+                   row_number() OVER (
+                     PARTITION BY surt_key
+                     ORDER BY timestamp14 DESC, url DESC
+                   ) AS rn
+            FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+          ) WHERE rn = 1
+        ),
+        base AS (
+          SELECT s.surt_key, l.url,
+                 array_to_string(
+                   list_reverse(
+                     string_split(split_part(s.surt_key, ')', 1), ',')
+                   ), '.'
+                 ) AS host,
+                 s.next_fetch_s
+          FROM sched s JOIN latest l USING (surt_key)
+        ),
+        j AS (
+          SELECT b.surt_key, b.url, b.host, b.next_fetch_s,
+                 CAST(b.next_fetch_s // 86400 AS INTEGER) AS priority,
+                 CAST(floor(COALESCE(r.rank_r, 0.0) * 1e8) AS BIGINT)
+                   AS boost
+          FROM base b LEFT JOIN ranks r ON r.host = b.host
+        )
+        SELECT *,
+               row_number() OVER (ORDER BY priority, boost DESC, surt_key)
+                 AS seed_rank
+        FROM j
+    """
     return out

@@ -389,3 +389,92 @@ def test_bloom_add_many_equals_scalar_adds():
     b.add_many(keys)
     assert (a.bits == b.bits).all()
     assert all(b.might_contain(k) for k in keys)
+
+
+# --- closed crawl loop: round-2 signals drive the follow-up crawl -----------
+
+def _loop_captures_and_ranks():
+    """Hand-authored capture history + host ranks over the synthetic
+    universe: a fast-changing URL (due now), a static multi-capture URL
+    (long interval), single-capture URLs (30-day default), and two hosts
+    differing only by PageRank (the tie-break)."""
+    caps = [
+        # fast-changing: 3 captures, 3 versions over 2 days -> due soon
+        dict(surt_key="com,example,site0)/hot.html", url="http://site0.example.com/hot.html",
+             timestamp14="20240101000000", digest="d1"),
+        dict(surt_key="com,example,site0)/hot.html", url="http://site0.example.com/hot.html",
+             timestamp14="20240102000000", digest="d2"),
+        dict(surt_key="com,example,site0)/hot.html", url="http://site0.example.com/hot.html",
+             timestamp14="20240103000000", digest="d3"),
+        # static: 3 captures, 1 version over 100 days -> 1.5x mean interval
+        dict(surt_key="com,example,site1)/static.html", url="http://site1.example.com/static.html",
+             timestamp14="20240101000000", digest="s"),
+        dict(surt_key="com,example,site1)/static.html", url="http://site1.example.com/static.html",
+             timestamp14="20240220000000", digest="s"),
+        dict(surt_key="com,example,site1)/static.html", url="http://site1.example.com/static.html",
+             timestamp14="20240410000000", digest="s"),
+        # single captures on rank-differing hosts (same 30-day priority)
+        dict(surt_key="com,example,site2)/a.html", url="http://site2.example.com/a.html",
+             timestamp14="20240105000000", digest="x1"),
+        dict(surt_key="com,example,site3)/b.html", url="http://site3.example.com/b.html",
+             timestamp14="20240105000000", digest="x2"),
+        # latest-URL arg-max: same SURT captured under two url spellings
+        dict(surt_key="com,example,site4)/c", url="http://site4.example.com/c?v=old",
+             timestamp14="20240101000000", digest="y1"),
+        dict(surt_key="com,example,site4)/c", url="http://site4.example.com/c?v=new",
+             timestamp14="20240106000000", digest="y2"),
+    ]
+    ranks = [
+        dict(host="site0.example.com", rank_r=0.05),
+        dict(host="site1.example.com", rank_r=0.10),
+        dict(host="site2.example.com", rank_r=0.02),
+        dict(host="site3.example.com", rank_r=0.30),  # outranks site2
+        # site4 missing -> boost 0
+    ]
+    return caps, ranks
+
+
+def test_recrawl_seed_list_matches_sequential_rule(ray_session):
+    import ray.data as rd
+
+    from webarchive_discovery_ray.oracle.crawl_oracle import oracle_recrawl_seeds
+    from webarchive_discovery_ray.pipelines.cdx import recrawl_seed_list
+
+    caps, ranks = _loop_captures_and_ranks()
+    got = sorted(
+        recrawl_seed_list(rd.from_items(caps), rd.from_items(ranks)).take_all(),
+        key=lambda r: r["seed_rank"],
+    )
+    exp = oracle_recrawl_seeds(caps, ranks)
+    assert [
+        {k: r[k] for k in ("surt_key", "url", "host", "next_fetch_s",
+                           "priority", "boost", "seed_rank")}
+        for r in got
+    ] == exp
+    by_surt = {r["surt_key"]: r for r in exp}
+    # fast-changing first (due now), static long-interval last
+    assert exp[0]["surt_key"] == "com,example,site0)/hot.html"
+    assert exp[-1]["surt_key"] == "com,example,site1)/static.html"
+    # same priority class: higher-PageRank host wins the tie-break
+    s2, s3 = by_surt["com,example,site2)/a.html"], by_surt["com,example,site3)/b.html"]
+    assert s2["priority"] == s3["priority"] and s3["seed_rank"] < s2["seed_rank"]
+    # arg-max picked the LATEST capture's URL spelling
+    assert by_surt["com,example,site4)/c"]["url"].endswith("v=new")
+
+
+def test_closed_loop_crawl_byte_parity(ray_session):
+    """The follow-up crawl seeded by the round-2 signals reproduces the
+    sequential oracle byte-for-byte: fetch-log order and seen set."""
+    from webarchive_discovery_ray.oracle.crawl_oracle import (
+        oracle_crawl,
+        oracle_recrawl_seeds,
+    )
+
+    caps, ranks = _loop_captures_and_ranks()
+    seed_rows = oracle_recrawl_seeds(caps, ranks)
+    seeds = [(r["url"], int(r["priority"])) for r in seed_rows]
+    got = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    exp = oracle_crawl(seeds, CRAWL, SYN)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted

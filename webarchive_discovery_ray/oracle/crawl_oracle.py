@@ -205,3 +205,52 @@ def oracle_crawl(
 
     res.seen_sorted = sorted(seen)
     return res
+
+
+def oracle_recrawl_seeds(capture_rows, rank_rows, default_interval_s=2_592_000):
+    """Sequential closed-loop seed derivation — the independent mirror of
+    ``pipelines/cdx.recrawl_seed_list`` (plain dict/loop construction, no
+    pandas): per SURT take the latest capture's URL (max (timestamp14,
+    url)), the exact-integer recrawl interval (PersistLogMapper-style
+    fetch-history decision: ``span*(1500 - 1000*(v-1)//(n-1)) //
+    ((n-1)*1000)``, single captures -> ``default_interval_s``), the host
+    PageRank boost ``floor(rank_r * 1e8)``, and order by (priority=
+    due-days asc, boost desc, surt asc). Returns ordered dicts with
+    1-based seed_rank."""
+    import math
+    from calendar import timegm
+    from collections import defaultdict
+    from time import strptime
+
+    hist = defaultdict(list)
+    for r in capture_rows:
+        hist[r["surt_key"]].append(r)
+    ranks = {r["host"]: float(r["rank_r"]) for r in rank_rows}
+    out = []
+    for surt, rows in hist.items():
+        latest = max(rows, key=lambda r: (r["timestamp14"], r["url"]))
+        epochs = [timegm(strptime(r["timestamp14"], "%Y%m%d%H%M%S")) for r in rows]
+        n = len(rows)
+        versions = len({r["digest"] for r in rows})
+        if n > 1:
+            span = max(epochs) - min(epochs)
+            cr_m = 1000 * (versions - 1) // (n - 1)
+            nxt = span * (1500 - cr_m) // ((n - 1) * 1000)
+        else:
+            nxt = default_interval_s
+        host = ".".join(reversed(surt.split(")", 1)[0].split(",")))
+        boost = math.floor(ranks.get(host, 0.0) * 1e8)
+        out.append(
+            {
+                "surt_key": surt,
+                "url": latest["url"],
+                "host": host,
+                "next_fetch_s": nxt,
+                "priority": nxt // 86400,
+                "boost": boost,
+            }
+        )
+    out.sort(key=lambda d: (d["priority"], -d["boost"], d["surt_key"]))
+    for i, d in enumerate(out):
+        d["seed_rank"] = i + 1
+    return out

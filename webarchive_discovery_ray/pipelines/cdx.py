@@ -10,6 +10,8 @@ the explicit split file disappears (SURVEY.md O1).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..config import IndexConfig, SyntheticConfig
@@ -22,6 +24,7 @@ __all__ = [
     "revisit_captures",
     "capture_intervals",
     "recrawl_schedule",
+    "recrawl_seed_list",
 ]
 
 
@@ -186,3 +189,179 @@ def recrawl_schedule(captures):
         .groupby("bucket")
         .map_groups(schedule_in_bucket, batch_format="pandas")
     )
+
+
+def _surt_to_host(surt: pd.Series) -> pd.Series:
+    """``com,example,site10)/path`` -> ``site10.example.com`` (pure string
+    rule mirrored verbatim by the SQL oracle — no URL parser on either
+    side, so the two engines cannot diverge on odd URLs)."""
+    rev = surt.str.partition(")")[0].str.split(",")
+    return rev.map(lambda parts: ".".join(reversed(parts)))
+
+
+def recrawl_seed_list(captures, ranks):
+    """Close the crawl loop: turn the LAST crawl's signals into the NEXT
+    crawl's prioritized seed list.
+
+    The reference's recrawl machinery replays per-SURT fetch history into
+    Heritrix scheduling state (``warc-hadoop-crawler-utils/.../recrawl/
+    PersistLogMapper.java:117-142`` — A_FETCH_HISTORY drives the recrawl
+    decision); here the two round-trip signals are first-class datasets:
+
+    * ``captures`` — the capture history; :func:`recrawl_schedule` turns
+      it into an exact-integer revisit interval per SURT;
+    * ``ranks`` — :func:`~..pipelines.stats.host_pagerank` output
+      (host, rank_r), the host-importance signal.
+
+    Deterministic seed rule (every step integer/bit-exact and mirrored by
+    the DuckDB oracle): each SURT takes the URL of its LATEST capture
+    (max (timestamp14, url)); ``priority = next_fetch_s // 86400`` (days
+    until the revisit is due — sooner-due URLs outrank later ones);
+    within a priority class hosts with higher PageRank come first via
+    ``boost = floor(rank_r * 1e8)`` (rank_r is round(·, 8) and
+    hash-verified identical across engines, so the floor is too; unknown
+    hosts boost 0); ``seed_rank`` = 1-based position under
+    (priority asc, boost desc, surt_key asc). Feeding the list (ordered
+    by seed_rank) into :func:`~..pipelines.crawl.run_crawl` reproduces
+    the sequential oracle's follow-up crawl byte-for-byte
+    (tests/test_crawl_parity.py). Columns: surt_key, url, host,
+    next_fetch_s, priority, boost, seed_rank."""
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets
+
+    n_b = default_buckets()
+
+    # latest-capture URL per SURT (bucketed arg-max, same exchange as the
+    # schedule pass)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["surt_key"], n_b))
+
+    def latest_url_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["surt_key", "timestamp14", "url"], kind="mergesort"
+        ).drop_duplicates("surt_key", keep="last")
+        return d[["surt_key", "url"]]
+
+    latest = (
+        captures.select_columns(["surt_key", "timestamp14", "url"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(latest_url_in_bucket, batch_format="pandas")
+    )
+    sched = recrawl_schedule(captures)
+
+    # schedule ⋈ latest-url by surt (same bucket hash), then host-keyed
+    # co-group with the rank table — two exchanges, both candidate-sized
+    def tag_sched(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "surt_key": df["surt_key"],
+                "url": pd.Series([""] * len(df), dtype=object, index=df.index),
+                "next_fetch_s": df["next_fetch_s"].astype("int64"),
+                "bucket": bucket_of(df["surt_key"], n_b),
+            }
+        )
+
+    def tag_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "surt_key": df["surt_key"],
+                "url": df["url"],
+                "next_fetch_s": np.full(len(df), -1, dtype="int64"),
+                "bucket": bucket_of(df["surt_key"], n_b),
+            }
+        )
+
+    def join_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["next_fetch_s"] >= 0][["surt_key", "next_fetch_s"]]
+        u = df[df["next_fetch_s"] < 0][["surt_key", "url"]]
+        m = s.merge(u, on="surt_key", how="inner")
+        m["host"] = _surt_to_host(m["surt_key"])
+        m["bucket"] = bucket_of(m["host"], n_b)
+        return m
+
+    seeds = (
+        sched.map_batches(tag_sched, batch_format="pandas")
+        .union(latest.map_batches(tag_latest, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(join_in_bucket, batch_format="pandas")
+    )
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "surt_key": pd.Series([""] * len(df), dtype=object, index=df.index),
+                "next_fetch_s": np.full(len(df), -1, dtype="int64"),
+                "url": pd.Series([""] * len(df), dtype=object, index=df.index),
+                "host": df["host"],
+                "rank_r": df["rank_r"].astype("float64"),
+                "bucket": bucket_of(df["host"], n_b),
+            }
+        )
+
+    def rank_join_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["surt_key"] == ""][["host", "rank_r"]]
+        s = df[df["surt_key"] != ""][["surt_key", "url", "host", "next_fetch_s"]]
+        m = s.merge(r, on="host", how="left")
+        rank = m["rank_r"].fillna(0.0).to_numpy()
+        return pd.DataFrame(
+            {
+                "surt_key": m["surt_key"],
+                "url": m["url"],
+                "host": m["host"],
+                "next_fetch_s": m["next_fetch_s"].astype("int64"),
+                "priority": (m["next_fetch_s"] // 86400).astype("int32"),
+                "boost": np.floor(rank * 1e8).astype("int64"),
+            }
+        )
+
+    joined = coalesce_blocks(
+        seeds.union(ranks.map_batches(tag_rank, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(rank_join_in_bucket, batch_format="pandas")
+    )
+
+    # global seed order: a range sort over candidate-bounded rows (the
+    # seed list is one row per distinct SURT), then exact 1-based ranks
+    # from per-block row counts — the classic two-phase distributed rank:
+    # the driver sees only per-block INTS, blocks stay in the object
+    # store and get their rank column appended by remote tasks
+    import ray
+    import ray.data as rd
+
+    ordered = joined.sort(
+        ["priority", "boost", "surt_key"], descending=[False, True, False]
+    ).materialize()
+    blocks = ordered.to_arrow_refs()
+    count_rows = ray.remote(lambda t: t.num_rows)
+    sizes = ray.get([count_rows.remote(b) for b in blocks]) if blocks else []
+    offsets = (
+        np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype("int64")
+        if sizes
+        else np.array([], "int64")
+    )
+
+    def _append_rank(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            "seed_rank",
+            pa.array(np.arange(off + 1, off + 1 + t.num_rows), pa.int64()),
+        )
+
+    append_rank = ray.remote(_append_rank)
+    ranked = [
+        append_rank.remote(b, int(o)) for b, o in zip(blocks, offsets)
+    ]
+    if not ranked:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "surt_key": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "next_fetch_s": pa.array([], pa.int64()),
+                    "priority": pa.array([], pa.int32()),
+                    "boost": pa.array([], pa.int64()),
+                    "seed_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow_refs(ranked)

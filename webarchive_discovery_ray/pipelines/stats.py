@@ -315,7 +315,7 @@ def host_pagerank(
     DuckDB recursive CTE over the same materialized link base."""
     import ray.data as rd
 
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets
 
     n_b = default_buckets()
     edges_raw = host_link_graph(n_pages, scfg, docs=docs)
@@ -334,11 +334,13 @@ def host_pagerank(
             }
         )
 
-    edges = (
+    # size-pinned: the host-level edge list is ~corpus-independent narrow
+    # data scattered over the upstream pass's block count — every
+    # per-iteration sort would pay scheduling per near-empty block
+    edges = coalesce_blocks(
         edges_raw.map_batches(edge_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(frac_in_bucket, batch_format="pandas")
-        .materialize()
     )
 
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
@@ -351,12 +353,11 @@ def host_pagerank(
     def node_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(bucket=bucket_of(df["host"], n_b))
 
-    nodes = (
+    nodes = coalesce_blocks(
         edges.map_batches(to_nodes, batch_format="pandas")
         .map_batches(node_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(dedup_nodes, batch_format="pandas")
-        .materialize()
     )
     n_nodes = nodes.count()
     base_rank = (1.0 - _PR_D) / n_nodes
@@ -370,6 +371,7 @@ def host_pagerank(
         )
 
     ranks = nodes.map_batches(init_ranks, batch_format="pandas").materialize()
+    n_rank_blocks = max(1, ranks.num_blocks())
 
     def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -431,6 +433,10 @@ def host_pagerank(
         ranks = (
             all_c.groupby("bucket")
             .map_groups(fold_in_bucket, batch_format="pandas")
+            # re-pin the rank table's block count every round: the
+            # bucketed pass would otherwise multiply blocks per iteration
+            # (quadratic sort scheduling by round 4-5)
+            .repartition(n_rank_blocks)
             .materialize()
         )
 
