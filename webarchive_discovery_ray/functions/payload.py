@@ -72,9 +72,12 @@ def maybe_decompress(data: bytes, content_encoding: str | None = None) -> tuple[
     (``InputStreamUtils.maybeDecompress``, :399-447): ``''`` passes the
     stream through as-is, ``gzip``/``br`` decompress, anything else passes
     through. Only when the header is ABSENT (``None``) is the gzip magic
-    auto-sniffed (brotli is never sniffed — unreliable). brotli needs a
-    brotli module (absent in this container → pass through, matching the
-    gate-behind-import rule). Corrupt streams pass through."""
+    auto-sniffed (brotli is never sniffed — unreliable per the reference's
+    own comment). brotli decodes through the from-scratch RFC 7932
+    decoder (``functions/brotli_dec.py``); streams that reference the
+    appendix-A static dictionary (data unavailable in this container)
+    pass through unchanged via its documented gate, as do corrupt
+    streams."""
     if content_encoding is None:
         if data[:2] == _GZIP_MAGIC:
             try:
@@ -89,11 +92,12 @@ def maybe_decompress(data: bytes, content_encoding: str | None = None) -> tuple[
         except Exception:
             return data, ""
     if hint == "br":
-        try:  # pragma: no cover - brotli absent in this container
-            import brotli  # type: ignore
+        from .brotli_dec import BrotliError, brotli_decompress
 
-            return brotli.decompress(data), "br"
-        except Exception:
+        try:
+            return brotli_decompress(data), "br"
+        except BrotliError:
+            # incl. the static-dictionary gate: pass through unchanged
             return data, ""
     return data, ""
 

@@ -127,6 +127,10 @@ def oracle_parse_archive(data: bytes, source_file: str) -> list[dict]:
         for offset, headers, block in recs:
             rtype = "response" if "arc" in headers else headers.get("warc-type", "")
             url = headers.get("warc-target-uri")
+            # Normalisation.sanitiseWARCHeaderValue: strip one enclosing
+            # <> pair (only when both ends are bracketed)
+            if url and url[:1] == "<" and url[-1:] == ">":
+                url = url[1:-1]
             status = None
             http_headers: dict[str, str] = {}
             payload = block

@@ -232,13 +232,21 @@ def _strip_digest_prefix(value: str | None) -> str | None:
     return value.split(":", 1)[1] if ":" in value else value
 
 
+def _sanitise_header_value(value: str | None) -> str | None:
+    """``<http://x>`` -> ``http://x`` (Normalisation.java:58-71
+    sanitiseWARCHeaderValue — some writers angle-bracket WARC-Target-URI)."""
+    if value and value.startswith("<") and value.endswith(">"):
+        return value[1:-1]
+    return value
+
+
 def warc_record_to_page(
     rec_offset: int, headers: dict[str, str], block: bytes, source_file: str
 ) -> dict:
     """Project one parsed archive record onto a PAGES_SCHEMA row."""
     is_arc = "arc" in headers
     record_type = "response" if is_arc else headers.get("warc-type", "")
-    url = headers.get("warc-target-uri")
+    url = _sanitise_header_value(headers.get("warc-target-uri"))
     status: int | None = None
     mime_served: str | None = None
     location = None
