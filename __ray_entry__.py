@@ -209,6 +209,12 @@ _WARC_FIXTURES = (
     "gov.uk-revisit-warcs/BL-20140325122341434-00000-32090~opera~8443.warc.gz",
     "ip-host-testcase.warc.gz",
     "truncated_datetime.warc",
+    "compression/transfer_compression_none.warc",
+    "compression/transfer_compression_none.warc.gz",
+    "compression/transfer_compression_gzip.warc",
+    "compression/transfer_compression_gzip.warc.gz",
+    "compression/transfer_compression_brotli.warc",
+    "compression/transfer_compression_brotli.warc.gz",
 )
 
 

@@ -222,6 +222,37 @@ def bench_fingerprint(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": dt, "rows": n, "docs_per_s": n / dt}
 
 
+def bench_neardup_clusters(sf_dir: str, num_cpus: int) -> dict:
+    """MinHash pairs -> pointer-doubling connected components + singleton
+    attach (the full near-dup clustering chain)."""
+    from webarchive_discovery_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from webarchive_discovery_ray.sources.io import read_table
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(sf_dir).map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"])
+    stats: dict = {}
+    n = neardup_clusters(pairs, nodes, stats=stats).count()
+    dt = time.time() - t0
+    assert n > 0
+    return {"sec": dt, "rows": n, "iterations": stats.get("iterations")}
+
+
+def bench_exact_substring(sf_dir: str, num_cpus: int) -> dict:
+    """Lee-et-al exact duplicate-substring spans (char-level, 40+)."""
+    from webarchive_discovery_ray.pipelines.dedup import exact_substring_spans
+
+    t0 = time.time()
+    n = exact_substring_spans(sf_dir).count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n}
+
+
 BENCHES = {
     "extract": bench_extract,
     "crawl": bench_crawl,
@@ -231,6 +262,8 @@ BENCHES = {
     "ann_cosine": bench_ann,
     "simhash": bench_simhash,
     "fingerprint": bench_fingerprint,
+    "neardup_clusters": bench_neardup_clusters,
+    "exact_substring": bench_exact_substring,
 }
 
 # scaling uses the wide-wave crawl regime (see bench_crawl docstring)
