@@ -6,6 +6,8 @@ deterministic synthetic fixture corpus — including the filter conformance
 behaviour modelled on ``WARCIndexerTest.java:114-219``.
 """
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -160,3 +162,78 @@ def test_revisit_path_applies_field_policy(pages_rows):
         got = extract_record(rec, cfg)
         exp = oracle_extract_record(rec, cfg)
         assert got == exp, f"revisit parity broke for {mut.keys()}"
+
+
+# --- HTMLAnalyserTest.java link-extraction pins (real reference fixtures) ----
+
+def _extract_fixture_html(name: str, cfg=None, url="http://example.org/"):
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.schema import PAGES_SCHEMA
+    from webarchive_discovery_ray.stages.extract import extract_batch
+
+    path = f"/root/reference/warc-indexer/src/test/resources/{name}"
+    with open(path, "rb") as fh:
+        html = fh.read()
+    row = {
+        "url": url, "timestamp14": "20200101000000", "record_type": "response",
+        "status": 200, "mime_served": "text/html", "location": "",
+        "content_encoding": "", "transfer_encoding": "", "payload": html,
+        "payload_sha1": "", "source_file": "t.warc.gz", "source_offset": 0,
+    }
+    tbl = pa.Table.from_pylist([row], schema=PAGES_SCHEMA)
+    return extract_batch(tbl, cfg or IndexConfig()).to_pylist()[0]
+
+
+needs_links_fixture = pytest.mark.skipif(
+    not os.path.exists(
+        "/root/reference/warc-indexer/src/test/resources/links_extract.html"
+    ),
+    reason="reference fixture tree absent",
+)
+
+
+@needs_links_fixture
+def test_htmlanalyser_links_extraction_pins():
+    """HTMLAnalyserTest.java:57-91 over links_extract.html: 6 links (raw
+    resolved, www preserved — DEFAULT_LINKS_NORMALISE=false), 1 canonical
+    host, domain/suffix, the two SURT levels, and 12 image links
+    (src + srcset + HTML4 body background)."""
+    from webarchive_discovery_ray.config import IndexConfig
+
+    o = _extract_fixture_html(
+        "links_extract.html", IndexConfig(normalise_links=False)
+    )
+    assert len(o["links"]) == 6
+    assert "http://www.example.org/sub1.html" in o["links"]
+    assert o["links_hosts"] == ["example.org"]
+    assert o["links_domains"] == ["example.org"]
+    assert o["links_public_suffixes"] == ["org"]
+    assert o["links_hosts_surts"] == ["(org,", "(org,example,"]
+    assert len(o["links_images"]) == 12
+
+
+@needs_links_fixture
+def test_htmlanalyser_illegal_host_pins():
+    """HTMLAnalyserTest.java:94-127 over links_extract_illegals.html:
+    malformed hosts (non-ASCII, '&'-polluted) are skipped ENTIRELY from
+    links_hosts/links_domains (LinkExtractor HOST_PATTERN + the Apache-URI
+    non-ASCII mangling the reference documents)."""
+    from webarchive_discovery_ray.config import IndexConfig
+
+    o = _extract_fixture_html(
+        "links_extract_illegals.html", IndexConfig(normalise_links=False)
+    )
+    assert len(o["links"]) == 6
+    assert o["links_hosts"] == ["example.org", "valid.example.com"]
+    assert o["links_domains"] == ["example.com", "example.org"]
+
+
+@needs_links_fixture
+def test_links_canonicalised_mode_collapses_www():
+    """With normalise_links=True (this repo's default) the www variant
+    collapses into the canonical URL — 5 distinct links."""
+    o = _extract_fixture_html("links_extract.html")
+    assert len(o["links"]) == 5
+    assert all("www." not in u for u in o["links"])

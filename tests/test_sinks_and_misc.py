@@ -434,3 +434,75 @@ def test_jsonl_xml_sinks_idempotent_filenames(ray_session, tmp_path):
         assert n1 == n2 == 10
         assert files1 == files2, f"{ext} sink duplicated blocks on re-run"
         assert not any(".tmp-" in f for f in files2)
+
+
+def test_image_dimensions_from_real_fixtures():
+    """Header-only dims (the reference's fast path) against the real
+    fixture images, plus synthetic GIF/BMP and garbage fallbacks."""
+    import os
+    import struct
+
+    from webarchive_discovery_ray.functions.imagemeta import image_dimensions
+
+    FD = "/root/reference/warc-indexer/src/test/resources"
+    if os.path.exists(f"{FD}/cc.png"):
+        with open(f"{FD}/cc.png", "rb") as fh:
+            assert image_dimensions(fh.read()) == (217, 217)
+        with open(f"{FD}/16px-photo.jpg", "rb") as fh:
+            # real JFIF with ICC profile segments before the SOF marker
+            assert image_dimensions(fh.read()) == (16, 16)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert image_dimensions(gif) == (320, 200)
+    bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+           + struct.pack("<ii", 64, -48) + b"\x00" * 10)
+    assert image_dimensions(bmp) == (64, 48)  # top-down height -> abs
+    assert image_dimensions(b"\x00\x01\x02") is None
+    assert image_dimensions(b"\x89PNG\r\n\x1a\n\x00") is None
+
+
+def test_media_stage_uses_real_image_dims():
+    import os
+
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.stages.multimodal import MediaFeatureStage
+
+    FD = "/root/reference/warc-indexer/src/test/resources"
+    if not os.path.exists(f"{FD}/cc.png"):
+        import pytest
+
+        pytest.skip("fixture absent")
+    with open(f"{FD}/cc.png", "rb") as fh:
+        png = fh.read()
+    batch = pa.table(
+        {
+            "url": ["http://x/cc.png"],
+            "mime_served": ["image/png"],
+            "payload": [png],
+        }
+    )
+    row = MediaFeatureStage()(batch).to_pylist()[0]
+    assert (row["width"], row["height"]) == (217, 217)
+    assert row["media_kind"] == "image"
+
+
+def test_audio_metadata_from_real_fixtures():
+    """Header-only audio duration against the real fixtures; the m4a's
+    7.41 s ground truth ships in-container (cc0.m4a.to.mp3.ffmpeg.log)."""
+    import os
+
+    import pytest as _pytest
+
+    from webarchive_discovery_ray.functions.audiometa import audio_metadata
+
+    FD = "/root/reference/warc-indexer/src/test/resources"
+    if not os.path.exists(f"{FD}/cc0.m4a"):
+        _pytest.skip("fixture absent")
+    with open(f"{FD}/cc0.m4a", "rb") as fh:
+        m4a = audio_metadata(fh.read())
+    assert m4a == {"duration_s": 7.41, "sample_rate": 0, "container": "mp4"}
+    with open(f"{FD}/cc0.mp3", "rb") as fh:
+        mp3 = audio_metadata(fh.read())
+    assert mp3["container"] == "mp3" and mp3["sample_rate"] == 44100
+    assert abs(mp3["duration_s"] - 7.41) < 0.1  # lame delay/padding jitter
+    assert audio_metadata(b"\x00\x01") is None

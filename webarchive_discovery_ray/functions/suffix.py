@@ -29,10 +29,14 @@ __all__ = [
 
 MALFORMED_HOST = "malformed.host"
 
-# RFC-952/RFC-1123-ish host label validation, per LinkExtractor.java:78-80
-# (letters are allowed broadly with punycode in mind).
-_HOST_LABEL = r"(?:[^\W_]|[^\W_][\w-]{0,61}[^\W_])"
-_HOST_PATTERN = re.compile(rf"{_HOST_LABEL}(?:[.]{_HOST_LABEL})*$", re.UNICODE)
+# RFC-952/RFC-1123-ish host label validation, per LinkExtractor.java:78-80.
+# The reference's pattern allows \p{L} broadly, but its Apache URI handler
+# replaces non-ASCII characters with '?' BEFORE the pattern runs
+# (LinkExtractor.java:77 comment), so the EFFECTIVE acceptance is
+# ASCII-only — pinned by HTMLAnalyserTest.java:96-110 (æblegrød.dk must
+# be rejected as a host/domain).
+_HOST_LABEL = r"(?:[a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9-]{0,61}[a-zA-Z0-9])"
+_HOST_PATTERN = re.compile(rf"{_HOST_LABEL}(?:[.]{_HOST_LABEL})*$")
 
 _SCHEME_AUTHORITY = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)")
 

@@ -346,7 +346,9 @@ def oracle_extract_record(rec: dict, cfg: IndexConfig) -> dict | None:
         link_hosts = []
         for u in doc["links"]:
             h = extract_host(u)
-            link_hosts.append(canonicalise_host(h) if h != MALFORMED_HOST else h)
+            if h == MALFORMED_HOST:
+                continue  # HTMLAnalyser.java:147-149: skipped entirely
+            link_hosts.append(canonicalise_host(h))
         doc["links_hosts"] = sorted(set(link_hosts))
         doc["links_domains"] = sorted(
             {d for d in (extract_private_suffix_from_host(h) for h in link_hosts) if d}

@@ -245,8 +245,11 @@ def _link_host_fields(urls: list[str]) -> tuple[list[str], list[str], list[str],
     surts: set[str] = set()
     for u in urls:
         host = extract_host(u)
-        if host != MALFORMED_HOST:
-            host = canonicalise_host(host)
+        if host == MALFORMED_HOST:
+            # HTMLAnalyser.java:147-149: malformed hosts are skipped
+            # entirely — no host, domain, suffix or SURT entry
+            continue
+        host = canonicalise_host(host)
         hosts.add(host)
         d = extract_private_suffix_from_host(host)
         if d:

@@ -68,15 +68,30 @@ def _kind(payload: bytes) -> str:
 
 
 def _fake_decode(payload: bytes, kind: str) -> dict:
-    """Deterministic stand-in for pixel/sample decode: dimensions and an
-    8-dim feature vector derived from the content hash. Replace with
-    PIL.Image.open / av / librosa in production."""
+    """Dimensions + an 8-dim feature vector. Image WIDTH/HEIGHT are REAL —
+    parsed from the format header without any decode library
+    (``functions/imagemeta.py``, the reference's fast path:
+    ImageAnalyser.java:112-133 reads dimensions without full decode).
+    Pixel-derived features and video/audio decode remain deterministic
+    hash-based stand-ins (PIL/av/librosa absent in this container)."""
+    from ..functions.imagemeta import image_dimensions
+
     d = hashlib.sha1(payload).digest()
     h = int.from_bytes(d[:8], "big")
     width = 16 + h % 2048 if kind in ("image", "video") else 0
     height = 16 + (h >> 16) % 2048 if kind in ("image", "video") else 0
+    if kind == "image":
+        dims = image_dimensions(payload)
+        if dims is not None:
+            width, height = dims
     n_frames = 1 if kind == "image" else (h % 500 if kind == "video" else 0)
     duration = round((h % 36000) / 100.0, 2) if kind in ("audio", "video") else 0.0
+    if kind == "audio":
+        from ..functions.audiometa import audio_metadata
+
+        meta = audio_metadata(payload)
+        if meta is not None:
+            duration = meta["duration_s"]
     feat = np.frombuffer(d[:16], dtype=np.uint8)[:8].astype(np.float32) / 255.0
     return {
         "width": width,
