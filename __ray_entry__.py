@@ -198,6 +198,20 @@ def _span_stats(sf_dir: str):
     return span_stats(rd.read_parquet(out))
 
 
+def _interleaved_pack(sf_dir: str):
+    """Token-budget packing over the SAME materialized interleaved spans
+    base (text tokens + fixed vision-token cost per media span)."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import interleaved_pack
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return interleaved_pack(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 _WARC_FIXTURE_DIR = "/root/reference/warc-indexer/src/test/resources"
 _WARC_FIXTURES = (
     "IAH-urls-wget.warc.gz",
@@ -821,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": _recrawl_schedule,
         "recrawl_seed_list": _recrawl_seed_list,
         "span_stats": _span_stats,
+        "interleaved_pack": _interleaved_pack,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -2047,6 +2062,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT digest) AS BIGINT) AS n_versions
             FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
             GROUP BY surt_key
+        """,
+        # token-budget packing over the interleaved spans column: text
+        # tokens + 64 vision tokens per media span, GPT-style
+        # concat-and-chunk in doc_id order
+        "interleaved_pack": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(COALESCE(list_sum(list_transform(
+                           list_filter(spans, s -> s.kind = 'text'),
+                           s -> CASE WHEN trim(COALESCE(s.text, '')) = ''
+                                     THEN 0
+                                     ELSE len(regexp_split_to_array(
+                                            trim(s.text), '{ws}'))
+                                END)), 0) AS BIGINT) AS n_text_tokens,
+                       len(list_filter(spans, s -> s.kind = 'media'))::BIGINT
+                           AS n_media_spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet')
+            ),
+            c AS (
+                SELECT doc_id, n_text_tokens, n_media_spans,
+                       n_text_tokens + 64 * n_media_spans AS n_tokens,
+                       CAST(COALESCE(sum(n_text_tokens + 64 * n_media_spans)
+                           OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT)
+                           AS tok_offset
+                FROM t
+            )
+            SELECT doc_id, n_text_tokens, n_media_spans,
+                   CAST(n_tokens AS BIGINT) AS n_tokens, tok_offset,
+                   tok_offset // 512 AS bin_start,
+                   CASE WHEN n_tokens = 0 THEN tok_offset // 512
+                        ELSE (tok_offset + n_tokens - 1) // 512
+                   END AS bin_end
+            FROM c
         """,
         # interleaved-span stats over the nested spans base
         # (pipelines/stats.span_stats)

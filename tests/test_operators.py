@@ -993,3 +993,41 @@ def test_exact_substring_spans_lemma(ray_session, tmp_path):
     assert (1, 10, 70) in got and (2, 5, 65) in got
     d3 = [g for g in got if g[0] == 3]
     assert (3, 7, 52) in d3 and (3, 61, 106) in d3
+
+
+def test_interleaved_pack_token_budget(ray_session):
+    """Packing over interleaved text+media spans: text spans count their
+    whitespace tokens, each media span charges the fixed vision-token
+    cost, offsets are a global prefix sum in doc_id order and bin ranges
+    follow the concat-and-chunk rule."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import interleaved_pack
+
+    def span(kind, text="", ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    rows = [
+        {"doc_id": "a", "spans": [span("text", "one two three"),
+                                  span("media", ref="img:1"),
+                                  span("text", "four five")]},
+        {"doc_id": "b", "spans": [span("media", ref="img:2"),
+                                  span("media", ref="img:3")]},
+        {"doc_id": "c", "spans": [span("text", "   ")]},  # 0 tokens
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in interleaved_pack(
+            rd.from_items(rows), context=100, media_tokens=64
+        ).take_all()
+    }
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_text_tokens"], a["n_media_spans"], a["n_tokens"]) == (5, 1, 69)
+    assert (b["n_text_tokens"], b["n_media_spans"], b["n_tokens"]) == (0, 2, 128)
+    assert (c["n_text_tokens"], c["n_tokens"]) == (0, 0)
+    # doc_id order a < b < c: offsets 0, 69, 197
+    assert (a["tok_offset"], b["tok_offset"], c["tok_offset"]) == (0, 69, 197)
+    assert (a["bin_start"], a["bin_end"]) == (0, 0)
+    assert (b["bin_start"], b["bin_end"]) == (0, 1)  # 69..196 spans bins 0-1
+    assert (c["bin_start"], c["bin_end"]) == (1, 1)  # empty doc collapses

@@ -40,6 +40,7 @@ __all__ = [
     "year_host_outlinks",
     "heritrix_log_lines",
     "hosts_report",
+    "interleaved_pack",
 ]
 
 
@@ -685,3 +686,112 @@ def hosts_report(lines):
         .groupby("bucket")
         .map_groups(sum_in_bucket, batch_format="pandas")
     )
+
+
+_IPACK_CONTEXT = 512
+_IPACK_MEDIA_TOKENS = 64  # fixed vision-token cost per media span
+
+
+def interleaved_pack(
+    docs, context: int = _IPACK_CONTEXT, media_tokens: int = _IPACK_MEDIA_TOKENS
+):
+    """Token-budget sequence packing over INTERLEAVED text+media span
+    documents — the training-data layout step for multimodal corpora
+    (the ``spans`` column is this repo's north-rule payload:
+    ``list<struct<kind, text, media_ref, offset>>``).
+
+    Per-doc cost = whitespace tokens over its TEXT spans plus a fixed
+    ``media_tokens`` charge per media span (the usual constant-budget
+    vision-token model). Documents are laid end-to-end in doc_id order
+    and sliced into ``context``-token windows — the same GPT-style
+    concat-and-chunk layout (and the same TWO-PHASE prefix sum) as
+    ``textops.pack_sequences``: range-partition via ``ds.sort``,
+    per-block totals -> tiny driver offset merge -> per-block cumsum.
+    The driver holds #blocks integers. Span cost extraction is one
+    zero-copy ``list_flatten`` + ``np.add.at`` scatter per batch — no
+    per-span Python loop beyond tokenising unique text. Columns: doc_id,
+    n_text_tokens, n_media_spans, n_tokens, tok_offset, bin_start,
+    bin_end. SQL-oracle-checked via DuckDB list lambdas."""
+    import pyarrow.compute as pc
+    import ray
+
+    def costs(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        lengths = pc.list_value_length(spans)
+        lengths = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        text_tokens = np.zeros(n_rows, dtype=np.int64)
+        n_media = np.zeros(n_rows, dtype=np.int64)
+        if lengths.sum():
+            flat = pc.list_flatten(spans).combine_chunks()
+            kinds = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+            texts = flat.field("text").to_pylist()
+            parents = np.repeat(np.arange(n_rows), lengths)
+            is_text = kinds == "text"
+            is_media = kinds == "media"
+            tok = np.fromiter(
+                (len(t.split()) if t else 0 for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            np.add.at(text_tokens, parents[is_text], tok[is_text])
+            np.add.at(n_media, parents[is_media], 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_text_tokens": pa.array(text_tokens),
+                "n_media_spans": pa.array(n_media),
+                "n_tokens": pa.array(text_tokens + media_tokens * n_media),
+            }
+        )
+
+    sorted_ds = docs.map_batches(costs, batch_format="pyarrow").sort("doc_id").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    block_total = ray.remote(
+        lambda tbl: int(tbl["n_tokens"].to_pandas().sum()) if tbl.num_rows else 0
+    )
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    _EMPTY_PACK = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "n_text_tokens": pa.array([], pa.int64()),
+            "n_media_spans": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "tok_offset": pa.array([], pa.int64()),
+            "bin_start": pa.array([], pa.int64()),
+            "bin_end": pa.array([], pa.int64()),
+        }
+    )
+
+    def _pack_block(tbl: pa.Table, base: int) -> pa.Table:
+        if tbl.num_rows == 0:  # sort can emit schema-less empty blocks
+            return _EMPTY_PACK
+        df = tbl.to_pandas()
+        n = df["n_tokens"].to_numpy()
+        off = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        end = np.where(n > 0, (off + n - 1) // context, off // context)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "n_text_tokens": df["n_text_tokens"].astype("int64"),
+                    "n_media_spans": df["n_media_spans"].astype("int64"),
+                    "n_tokens": n.astype("int64"),
+                    "tok_offset": off,
+                    "bin_start": (off // context).astype("int64"),
+                    "bin_end": end.astype("int64"),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    pack_block = ray.remote(_pack_block)
+    out_refs = [pack_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    import ray.data as rd
+
+    if not out_refs:
+        return rd.from_arrow(_EMPTY_PACK)
+    return rd.from_arrow_refs(out_refs)
