@@ -102,22 +102,43 @@ def dup_span_fraction(sf_dir: str, w: int = _SPAN_W):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def shingle_positions(df: pd.DataFrame) -> pd.DataFrame:
-        ids: list = []
-        poss: list = []
-        shs: list = []
+        # batch-vectorized (same shape as minhash to_bands): flatten all
+        # windows, md5 ONCE per unique window text, map back via the
+        # inverse index — duplicate windows within a batch (common in
+        # templated corpora) hash once
+        md5 = hashlib.md5
+        grams: list[str] = []
+        ids: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
         for did, text in zip(df["doc_id"], df["text"]):
             toks = text.split()
-            for i in range(len(toks) - w + 1):
-                shs.append(_md5_hex(" ".join(toks[i : i + w])))
-                ids.append(did)
-                poss.append(i)
-        out = pd.DataFrame(
-            {
-                "sh": pd.Series(shs, dtype=str),
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "pos": pd.Series(poss, dtype="int64"),
-            }
-        )
+            n = len(toks) - w + 1
+            if n <= 0:
+                continue
+            grams.extend(" ".join(toks[i : i + w]) for i in range(n))
+            ids.append(np.full(n, did, dtype=np.int64))
+            poss.append(np.arange(n, dtype=np.int64))
+        if grams:
+            uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
+            uniq_h = np.asarray(
+                [md5(g.encode("utf-8")).hexdigest() for g in uniq], dtype=object
+            )
+            shs = uniq_h[inv]
+            out = pd.DataFrame(
+                {
+                    "sh": pd.Series(shs, dtype=str),
+                    "doc_id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                }
+            )
+        else:
+            out = pd.DataFrame(
+                {
+                    "sh": pd.Series([], dtype=str),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                }
+            )
         out["bucket"] = bucket_of(out["sh"], n_b)
         return out
 
