@@ -784,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.curation import (
         curation_pipeline,
         decontaminate,
+        gopher_rules,
         kmeans_embeddings,
         unigram_logloss,
         pii_scrub,
@@ -815,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentiment_score": sentiment_score,
         "decontaminate": decontaminate,
         "repetition_score": repetition_score,
+        "gopher_rules": gopher_rules,
         "pii_scrub": pii_scrub,
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
@@ -1586,6 +1588,69 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_matches, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id >= 10
+        """,
+        # Gopher quality rules (Rae et al. 2021 A1.1): exact-integer
+        # cross-multiplied verdicts mirror pipelines/curation.gopher_rules
+        "gopher_rules": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     text,
+                     list_filter({tokens}, w -> w <> '') AS w,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            stat AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+                          AS BIGINT) AS word_chars,
+                     len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                         ::BIGINT AS n_alpha_words,
+                     (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END
+                     )::BIGINT AS n_stop_distinct,
+                     ((len(text) - len(replace(text, '#', '')))
+                      + (len(text) - len(replace(text, '...', ''))) // 3
+                      + (len(text) - len(replace(text, '…', '')))
+                     )::BIGINT AS n_symbols,
+                     len(lines)::BIGINT AS n_lines,
+                     len(list_filter(lines, l -> starts_with(l, '•')
+                                             OR starts_with(l, '- ')))
+                         ::BIGINT AS n_bullet_lines,
+                     len(list_filter(lines, l -> ends_with(l, '...')
+                                             OR ends_with(l, '…')))
+                         ::BIGINT AS n_ellipsis_lines
+              FROM base
+            )
+            SELECT doc_id, n_words, word_chars, n_alpha_words,
+                   n_stop_distinct, n_symbols, n_lines, n_bullet_lines,
+                   n_ellipsis_lines,
+                   (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+                   (n_words > 0 AND 3 * n_words <= word_chars
+                    AND word_chars <= 10 * n_words) AS rule_mean_word_len,
+                   (n_words > 0 AND 10 * n_symbols <= n_words)
+                       AS rule_symbol_ratio,
+                   (10 * n_bullet_lines <= 9 * n_lines) AS rule_bullet_lines,
+                   (10 * n_ellipsis_lines <= 3 * n_lines)
+                       AS rule_ellipsis_lines,
+                   (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words)
+                       AS rule_alpha_words,
+                   (n_stop_distinct >= 2) AS rule_stop_words,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (n_words > 0 AND 3 * n_words <= word_chars
+                         AND word_chars <= 10 * n_words)
+                    AND (n_words > 0 AND 10 * n_symbols <= n_words)
+                    AND (10 * n_bullet_lines <= 9 * n_lines)
+                    AND (10 * n_ellipsis_lines <= 3 * n_lines)
+                    AND (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words)
+                    AND (n_stop_distinct >= 2)) AS keep
+            FROM stat
         """,
         # Gopher-style repetition signals: duplicate word / 2-gram fracs
         "repetition_score": """

@@ -187,3 +187,99 @@ def test_curation_pipeline_composes_components(ray_session):
     ref = kept.set_index("doc_id")["distinct_ratio"]
     assert all(got.set_index("doc_id")["distinct_ratio"] == ref[got["doc_id"]].values)
     assert len(want) > 0 and len(want) < len(kept)
+
+
+def _gopher_reference(doc_id, text):
+    """Sequential single-doc reference for the Gopher rule vector."""
+    w = [t for t in text.strip().split() if t]
+    n_words = len(w)
+    chars = sum(len(t) for t in w)
+    n_alpha = sum(1 for t in w if any(c.isascii() and c.isalpha() for c in t))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = sum(1 for s in stops if s in w)
+    n_sym = text.count("#") + text.count("...") + text.count("…")
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_bullet = sum(1 for l in lines if l.startswith("•") or l.startswith("- "))
+    n_ell = sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
+    r = {
+        "doc_id": doc_id,
+        "n_words": n_words,
+        "word_chars": chars,
+        "n_alpha_words": n_alpha,
+        "n_stop_distinct": n_stop,
+        "n_symbols": n_sym,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ell,
+        "rule_word_count": 50 <= n_words <= 100000,
+        "rule_mean_word_len": n_words > 0
+        and 3 * n_words <= chars <= 10 * n_words,
+        "rule_symbol_ratio": n_words > 0 and 10 * n_sym <= n_words,
+        "rule_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "rule_ellipsis_lines": 10 * n_ell <= 3 * n_lines,
+        "rule_alpha_words": n_words > 0 and 5 * n_alpha >= 4 * n_words,
+        "rule_stop_words": n_stop >= 2,
+    }
+    r["keep"] = all(
+        r[k]
+        for k in r
+        if k.startswith("rule_")
+    )
+    return r
+
+
+def test_gopher_rules_edge_cases(ray_session, tmp_path):
+    """Hand-authored docs hit every rule boundary; the distributed op
+    must agree with the sequential reference bit-for-bit."""
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.pipelines.curation import gopher_rules
+
+    good = "the be of and " + " ".join(f"word{i} nice" for i in range(30))
+    docs = [
+        (0, good),                                    # passes everything
+        (1, "the of short doc"),                      # word-count fail
+        (2, "the of " + "a " * 80),                   # mean-word-len low fail
+        (3, good + " ###### ## # ..."),               # symbol-ratio fail
+        (4, "\n".join("- " + good for _ in range(10))),   # bullet fail
+        (5, good + "\n" + good + "...\nmore..."),     # ellipsis-lines fail
+        (6, "the of " + " ".join(str(i) for i in range(60))),  # alpha fail
+        (7, good.replace("the ", "").replace("of ", "x ").replace(
+            "be ", "y ").replace("and ", "z ")),      # stopword fail
+        (8, ""),                                      # empty doc
+        (9, "…" + good + "…"),                        # unicode ellipsis chars
+    ]
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        gopher_rules(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame([_gopher_reference(d, t) for d, t in docs])
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+    # the fixture exercises each rule: every rule column has a False
+    for col in [c for c in want.columns if c.startswith("rule_")]:
+        assert (~want[col]).any(), f"{col} never fails in fixture"
+    assert want["keep"][0] and not want["keep"][1:].any()
+
+
+def test_gopher_rules_corpus_keep_fraction(ray_session):
+    """Over the synthetic corpus the rules must be non-degenerate
+    (some docs kept, some dropped) and internally consistent."""
+    from webarchive_discovery_ray.pipelines.curation import gopher_rules
+
+    got = gopher_rules(SF).to_pandas()
+    rules = [c for c in got.columns if c.startswith("rule_")]
+    assert (got["keep"] == got[rules].all(axis=1)).all()
+    assert got["n_words"].ge(got["n_alpha_words"]).all()

@@ -40,6 +40,7 @@ __all__ = [
     "kmeans_reference",
     "quality_filter",
     "unigram_logloss",
+    "gopher_rules",
     "curation_pipeline",
 ]
 
@@ -433,6 +434,121 @@ def unigram_logloss(sf_dir: str, vocab_size: int = _LM_VOCAB):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1 — the published
+# document-level quality heuristics; complements repetition_score which
+# covers the duplicate-fraction family)
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_ALPHA_RE = "[A-Za-z]"
+
+
+def gopher_rules(sf_dir: str):
+    """Full Gopher-style document quality rules with exact-integer
+    verdicts — the standard published pre-training quality gate:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]      (3*n <= chars <= 10*n)
+    - symbol-to-word ratio <= 0.1      ('#' chars + non-overlapping '...'
+                                        occurrences; 10*symbols <= n)
+    - <=90% of lines bullet-initial    (10*bullet <= 9*lines)
+    - <=30% of lines ellipsis-final    (10*ellipsis <= 3*lines)
+    - >=80% of words contain a letter  (5*alpha >= 4*n)
+    - >=2 distinct required stop words present
+
+    Every ratio rule is evaluated by integer cross-multiplication so the
+    kept set is bit-identical across engines (no float thresholds).
+    Columns: doc_id, the raw counters, and per-rule booleans + keep.
+    Zero shuffle: one vectorized pyarrow pass per batch (whitespace
+    split -> list_flatten -> np.add.at scatter, same shape as
+    stats.span_stats). SQL-oracle-checked with DuckDB list lambdas."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_arr = pa.array(GOPHER_STOPWORDS, pa.string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.cast(batch["text"], pa.string())
+        stripped = pc.utf8_trim_whitespace(text)
+        toks = pc.utf8_split_whitespace(stripped)
+        # trim+split yields [''] for empty docs; count only non-empty toks
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy().astype("int64")
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+        alpha = pc.match_substring_regex(flat, _ALPHA_RE).to_numpy(
+            zero_copy_only=False
+        )
+        n_words = np.zeros(n, dtype="int64")
+        chars = np.zeros(n, dtype="int64")
+        n_alpha = np.zeros(n, dtype="int64")
+        np.add.at(n_words, parents, nonempty)
+        np.add.at(chars, parents, wlen * nonempty)
+        np.add.at(n_alpha, parents, alpha & nonempty)
+        # distinct required-stopword hits: 8 bounded vectorized passes
+        n_stop = np.zeros(n, dtype="int64")
+        for sw in GOPHER_STOPWORDS:
+            hit = pc.equal(flat, sw).to_numpy(zero_copy_only=False)
+            seen = np.zeros(n, dtype=bool)
+            seen[parents[hit]] = True
+            n_stop += seen
+        # symbol counters over the raw text (doc-level, vectorized)
+        n_hash = pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+        n_ell3 = pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+        n_ellc = pc.count_substring(text, "…").to_numpy(zero_copy_only=False)
+        n_symbols = (n_hash + n_ell3 + n_ellc).astype("int64")
+        # line-level rules (bullet-initial / ellipsis-final)
+        lines = pc.split_pattern(text, "\n")
+        lflat = pc.list_flatten(lines).combine_chunks()
+        lparents = pc.list_parent_indices(lines).to_numpy().astype("int64")
+        bullet = pc.or_(
+            pc.starts_with(lflat, "•"), pc.starts_with(lflat, "- ")
+        ).to_numpy(zero_copy_only=False)
+        ell_end = pc.or_(
+            pc.ends_with(lflat, "..."), pc.ends_with(lflat, "…")
+        ).to_numpy(zero_copy_only=False)
+        n_lines = np.zeros(n, dtype="int64")
+        n_bullet = np.zeros(n, dtype="int64")
+        n_ellipsis = np.zeros(n, dtype="int64")
+        np.add.at(n_lines, lparents, 1)
+        np.add.at(n_bullet, lparents, bullet)
+        np.add.at(n_ellipsis, lparents, ell_end)
+
+        has_words = n_words > 0
+        r_count = (n_words >= 50) & (n_words <= 100000)
+        r_mean = has_words & (3 * n_words <= chars) & (chars <= 10 * n_words)
+        r_symbol = has_words & (10 * n_symbols <= n_words)
+        r_bullet = 10 * n_bullet <= 9 * n_lines
+        r_ellipsis = 10 * n_ellipsis <= 3 * n_lines
+        r_alpha = has_words & (5 * n_alpha >= 4 * n_words)
+        r_stop = n_stop >= 2
+        keep = r_count & r_mean & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "word_chars": pa.array(chars),
+                "n_alpha_words": pa.array(n_alpha),
+                "n_stop_distinct": pa.array(n_stop),
+                "n_symbols": pa.array(n_symbols),
+                "n_lines": pa.array(n_lines),
+                "n_bullet_lines": pa.array(n_bullet),
+                "n_ellipsis_lines": pa.array(n_ellipsis),
+                "rule_word_count": pa.array(r_count),
+                "rule_mean_word_len": pa.array(r_mean),
+                "rule_symbol_ratio": pa.array(r_symbol),
+                "rule_bullet_lines": pa.array(r_bullet),
+                "rule_ellipsis_lines": pa.array(r_ellipsis),
+                "rule_alpha_words": pa.array(r_alpha),
+                "rule_stop_words": pa.array(r_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def curation_pipeline(sf_dir: str):
