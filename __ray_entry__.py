@@ -212,6 +212,20 @@ def _interleaved_pack(sf_dir: str):
     return interleaved_pack(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _media_context(sf_dir: str):
+    """Nearest-text context per media span over the SAME materialized
+    interleaved spans base (the MMC4-style image-text pairing step)."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import media_context
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return media_context(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 _WARC_FIXTURE_DIR = "/root/reference/warc-indexer/src/test/resources"
 _WARC_FIXTURES = (
     "IAH-urls-wget.warc.gz",
@@ -838,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_seed_list": _recrawl_seed_list,
         "span_stats": _span_stats,
         "interleaved_pack": _interleaved_pack,
+        "media_context": _media_context,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -2162,6 +2177,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (tok_offset + n_tokens - 1) // 512
                    END AS bin_end
             FROM c
+        """,
+        # nearest-text context per media span over the nested spans base
+        # (pipelines/stats.media_context — the MMC4-style pairing step)
+        "media_context": f"""
+            WITH s AS (
+                SELECT doc_id, i,
+                       spans[i].kind AS kind,
+                       spans[i].text AS text,
+                       spans[i].media_ref AS media_ref,
+                       spans[i]."offset" AS off
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet'),
+                     unnest(generate_series(1, len(spans))) AS u(i)
+            ),
+            w AS (
+                SELECT doc_id, i, kind, media_ref, off,
+                       last_value(CASE WHEN kind = 'text' THEN text END
+                                  IGNORE NULLS)
+                           OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_text,
+                       first_value(CASE WHEN kind = 'text' THEN text END
+                                   IGNORE NULLS)
+                           OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING) AS next_text
+                FROM s
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+                   COALESCE(media_ref, '') AS media_ref,
+                   CAST(off AS BIGINT) AS "offset",
+                   COALESCE(prev_text, '') AS prev_text,
+                   COALESCE(next_text, '') AS next_text
+            FROM w WHERE kind = 'media'
         """,
         # interleaved-span stats over the nested spans base
         # (pipelines/stats.span_stats)

@@ -396,3 +396,87 @@ def test_span_stats_counts_match_nested_rows(ray_session):
     ]
     assert sorted(got_rows) == sorted(want)
     assert saw_media, "fixture must contain interleaved media spans"
+
+
+def test_media_context_nearest_text_rule(ray_session):
+    """media_context == the per-row sequential nearest-text rule over
+    both a hand-authored edge-case table (media-first, media-last,
+    consecutive media, media-only doc, no-media doc, cross-doc
+    isolation) and the extraction-chain fixture."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.stats import media_context
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages_ds
+    from webarchive_discovery_ray.stages.extract import extract_batch
+
+    def mk(kind, text=None, ref="", off=0):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    hand = [
+        ("d0", [mk("media", ref="m0"), mk("text", "a"), mk("media", ref="m1"),
+                mk("media", ref="m2"), mk("text", "b"), mk("media", ref="m3")]),
+        ("d1", [mk("media", ref="only")]),
+        ("d2", [mk("text", "t1"), mk("text", "t2")]),
+        ("d3", [mk("text", "zz"), mk("media", ref="m4")]),
+    ]
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hand]),
+            "spans": pa.array([s for _, s in hand], pa.list_(span_t)),
+        }
+    )
+
+    def reference(rows):
+        out = []
+        for r in rows:
+            spans = r["spans"] or []
+            for i, s in enumerate(spans):
+                if s["kind"] != "media":
+                    continue
+                prev = next(
+                    (spans[j]["text"] or "" for j in range(i - 1, -1, -1)
+                     if spans[j]["kind"] == "text"), "")
+                nxt = next(
+                    (spans[j]["text"] or "" for j in range(i + 1, len(spans))
+                     if spans[j]["kind"] == "text"), "")
+                out.append((r["doc_id"], i + 1, s["media_ref"] or "",
+                            int(s["offset"]), prev, nxt))
+        return sorted(out)
+
+    got = media_context(rd.from_arrow(tbl)).to_pandas()
+    got_rows = sorted(
+        (r.doc_id, int(r.span_idx), r.media_ref, int(r.offset),
+         r.prev_text, r.next_text)
+        for r in got.itertuples()
+    )
+    assert got_rows == reference([{"doc_id": d, "spans": s} for d, s in hand])
+    # d0: first media has no prev; last media has no next; the two
+    # consecutive media spans share identical contexts
+    by_ref = {r[2]: r for r in got_rows}
+    assert by_ref["m0"][4] == "" and by_ref["m0"][5] == "a"
+    assert by_ref["m1"][4] == by_ref["m2"][4] == "a"
+    assert by_ref["m1"][5] == by_ref["m2"][5] == "b"
+    assert by_ref["m3"][4] == "b" and by_ref["m3"][5] == ""
+    assert by_ref["only"][4] == "" and by_ref["only"][5] == ""
+    assert by_ref["m4"][4] == "zz" and by_ref["m4"][5] == ""
+
+    # extraction-chain fixture (multi-block): same sequential rule
+    docs = fixture_pages_ds(120, SyntheticConfig(), 8).map_batches(
+        lambda b: extract_batch(b, IndexConfig()), batch_format="pyarrow"
+    ).materialize()
+    got2 = media_context(docs).to_pandas()
+    rows = docs.select_columns(["doc_id", "spans"]).take_all()
+    want2 = reference(rows)
+    got2_rows = sorted(
+        (r.doc_id, int(r.span_idx), r.media_ref, int(r.offset),
+         r.prev_text, r.next_text)
+        for r in got2.itertuples()
+    )
+    assert got2_rows == want2
+    assert want2, "fixture must contain media spans"
