@@ -743,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dup_span_fraction,
         exact_substring_spans,
         embedding_neardup_pairs,
+        semdedup_keep,
         exact_dedup,
         minhash_lsh_pairs,
         simhash_neardup_pairs,
@@ -868,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": simhash_signatures,
         "simhash_neardup_pairs": simhash_neardup_pairs,
         "embedding_neardup_pairs": embedding_neardup_pairs,
+        "semdedup_keep": semdedup_keep,
         "doc_fingerprint": doc_fingerprint,
         "sq8_embeddings": sq8_quantize,
         "sq8_cosine_topk": sq8_cosine_topk,
@@ -1514,6 +1516,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])) >= 0.25
+        """,
+        # SemDeDup keep-list (min-id rule within the label bucket):
+        # mirrors pipelines/dedup.semdedup_keep at threshold 0.35
+        "semdedup_keep": """
+            WITH prior AS (
+                SELECT b.vec_id, count(*) AS n
+                FROM embeddings a
+                JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.35
+                GROUP BY b.vec_id
+            )
+            SELECT e.vec_id, e.label,
+                   CAST(COALESCE(p.n, 0) AS BIGINT) AS n_prior_dups,
+                   COALESCE(p.n, 0) = 0 AS keep
+            FROM embeddings e LEFT JOIN prior p USING (vec_id)
         """,
         "cdx_sorted": f"""
             SELECT * FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')

@@ -283,3 +283,30 @@ def test_gopher_rules_corpus_keep_fraction(ray_session):
     rules = [c for c in got.columns if c.startswith("rule_")]
     assert (got["keep"] == got[rules].all(axis=1)).all()
     assert got["n_words"].ge(got["n_alpha_words"]).all()
+
+
+def test_semdedup_keep_min_id_rule(ray_session):
+    """semdedup_keep == the sequential greedy min-id rule per label."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import semdedup_keep
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    want = {}
+    for _, grp in tbl.groupby("label"):
+        grp = grp.sort_values("vec_id")
+        mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = grp["vec_id"].to_numpy()
+        sims = mat @ mat.T
+        for j in range(len(ids)):
+            n_prior = int(np.sum(sims[:j, j] >= 0.35))
+            want[int(ids[j])] = n_prior
+    got = semdedup_keep(SF).to_pandas().set_index("vec_id")
+    assert got["n_prior_dups"].astype(int).to_dict() == want
+    assert (got["keep"] == (got["n_prior_dups"] == 0)).all()
+    # non-degenerate both ways at this threshold
+    assert got["keep"].any() and (~got["keep"]).any()

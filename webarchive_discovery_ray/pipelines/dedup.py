@@ -30,6 +30,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_signatures",
     "embedding_neardup_pairs",
+    "semdedup_keep",
     "reduplicate",
     "dup_span_fraction",
     "simhash_neardup_pairs",
@@ -560,6 +561,56 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.25):
         )
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+def semdedup_keep(sf_dir: str, threshold: float = 0.35):
+    """SemDeDup-style embedding dedup keep-list (Abbas et al. 2023,
+    reduced to the deterministic min-id rule): within each coarse
+    cluster (the ``label`` IVF bucket, as :func:`embedding_neardup_pairs`),
+    a vector is DROPPED when any lower-id vector in the same cluster has
+    cosine similarity >= ``threshold`` — keeping exactly one canonical
+    representative per greedy similarity chain. The published variant
+    picks the representative by distance-to-centroid; the min-id rule is
+    the deterministic equivalent used here so the kept set is
+    reproducible and SQL-mirrorable.
+
+    Scale shape: ``groupby(label)`` co-locates each coarse bucket (ONE
+    exchange); within-bucket comparison is the same tiled upper-triangle
+    matmul as the pair op — peak memory one B x B tile. Cross-cluster
+    near-dups are missed by construction (documented IVF approximation).
+    Columns: vec_id, label, n_prior_dups, keep."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def keep_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        B = 2048
+        ids = df["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        label = df["label"].to_numpy()[order]
+        mat = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        n = len(ids)
+        n_prior = np.zeros(n, dtype=np.int64)
+        for i0 in range(0, n, B):
+            ai = mat[i0 : i0 + B]
+            for j0 in range(i0, n, B):
+                sims = ai @ mat[j0 : j0 + B].T
+                ia, ib = np.nonzero(sims >= threshold)
+                gi, gj = ia + i0, ib + j0
+                hit = gi < gj  # strict upper triangle: prior = lower id
+                np.add.at(n_prior, gj[hit], 1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": label,
+                "n_prior_dups": n_prior,
+                "keep": n_prior == 0,
+            }
+        )
+
+    return ds.groupby("label").map_groups(keep_in_bucket, batch_format="pandas")
 
 
 def reduplicate(ds, batch_format: str = "pyarrow"):
