@@ -799,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.curation import (
         curation_pipeline,
         decontaminate,
+        dsir_weights,
         gopher_rules,
         kmeans_embeddings,
         unigram_logloss,
@@ -832,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "repetition_score": repetition_score,
         "gopher_rules": gopher_rules,
+        "dsir_weights": dsir_weights,
         "pii_scrub": pii_scrub,
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
@@ -1623,6 +1625,54 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_matches, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id >= 10
+        """,
+        # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+        # buckets (md5 -> uint64 mod 64), add-one smoothed target/raw
+        # log-ratio — mirrors pipelines/curation.dsir_weights
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, list_filter({tokens}, w -> w <> '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang, w[i] AS g
+              FROM toks, unnest(generate_series(1, len(w))) AS u(i)
+              UNION ALL
+              SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+              FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+            ),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % 64
+                          AS BIGINT) AS bucket
+              FROM grams
+            ),
+            cnt AS (
+              SELECT bucket, count(*)::BIGINT AS n_raw,
+                     (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS n_t
+              FROM b GROUP BY bucket
+            ),
+            tot AS (
+              SELECT sum(n_raw)::BIGINT AS nr, sum(n_t)::BIGINT AS nt FROM cnt
+            ),
+            ratio AS (
+              SELECT bucket,
+                     ln((n_t + 1) / (nt + 64.0))
+                     - ln((n_raw + 1) / (nr + 64.0)) AS r
+              FROM cnt CROSS JOIN tot
+            ),
+            doc_b AS (
+              SELECT doc_id, bucket, count(*)::BIGINT AS c
+              FROM b GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_grams, sum(c * ratio.r) AS lw
+              FROM doc_b JOIN ratio USING (bucket) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   round(COALESCE(s.lw, 0.0), 6) AS logweight
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         # Gopher quality rules (Rae et al. 2021 A1.1): exact-integer
         # cross-multiplied verdicts mirror pipelines/curation.gopher_rules

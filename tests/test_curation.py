@@ -310,3 +310,49 @@ def test_semdedup_keep_min_id_rule(ray_session):
     assert (got["keep"] == (got["n_prior_dups"] == 0)).all()
     # non-degenerate both ways at this threshold
     assert got["keep"].any() and (~got["keep"]).any()
+
+
+def test_dsir_weights_matches_sequential_reference(ray_session):
+    """dsir_weights == a sequential single-process reference (hashed
+    unigram+bigram buckets, add-one smoothed target/raw log ratio), and
+    the signal points toward the target slice."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import (
+        DSIR_BUCKETS,
+        dsir_weights,
+    )
+
+    tbl = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+
+    def buckets(text):
+        toks = text.split()
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:16], 16) % DSIR_BUCKETS
+            for g in grams
+        ]
+
+    n_raw = np.zeros(DSIR_BUCKETS)
+    n_tgt = np.zeros(DSIR_BUCKETS)
+    for _, r in tbl.iterrows():
+        for b in buckets(r["text"]):
+            n_raw[b] += 1
+            if r["lang"] == "en":
+                n_tgt[b] += 1
+    ratio = np.log((n_tgt + 1) / (n_tgt.sum() + DSIR_BUCKETS)) - np.log(
+        (n_raw + 1) / (n_raw.sum() + DSIR_BUCKETS)
+    )
+    got = dsir_weights(SF).to_pandas().set_index("doc_id")
+    for _, r in tbl.iterrows():
+        bs = buckets(r["text"])
+        want = round(float(sum(ratio[b] for b in bs)), 6)
+        assert got.loc[r["doc_id"], "logweight"] == pytest.approx(want, abs=2e-6)
+        assert got.loc[r["doc_id"], "n_grams"] == len(bs)
+    # importance weights must rank the target slice above the rest on mean
+    m = tbl.set_index("doc_id")["lang"] == "en"
+    assert got.loc[m[m].index, "logweight"].mean() > got.loc[
+        m[~m].index, "logweight"
+    ].mean()

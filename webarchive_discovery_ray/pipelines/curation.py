@@ -39,6 +39,7 @@ __all__ = [
     "kmeans_embeddings",
     "kmeans_reference",
     "quality_filter",
+    "dsir_weights",
     "unigram_logloss",
     "gopher_rules",
     "curation_pipeline",
@@ -430,6 +431,105 @@ def unigram_logloss(sf_dir: str, vocab_size: int = _LM_VOCAB):
                 "doc_id": df["doc_id"].astype("int64"),
                 "n_tokens": n_tok,
                 "logloss_r": np.round(ll, 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023 — data selection via importance
+# resampling over hashed n-gram features)
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_bucket_counts(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc hashed-gram bucket-count matrix for a batch.
+
+    Grams = whitespace unigrams + adjacent bigrams; bucket =
+    md5-first-16-hex-chars as uint64 mod DSIR_BUCKETS (the SQL mirror's
+    ``('0x'||substr(md5(g),1,16))::UBIGINT % 64``). Unique grams hash
+    once per batch (same cache shape as the minhash shingle pass).
+    Returns (counts [n_docs x B] int64, n_grams [n_docs] int64)."""
+    md5 = hashlib.md5
+    grams: list[str] = []
+    doc_ix: list[np.ndarray] = []
+    n_docs = len(texts)
+    for i, text in enumerate(texts):
+        toks = text.split()
+        g = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        grams.extend(g)
+        doc_ix.append(np.full(len(g), i, dtype=np.int64))
+    counts = np.zeros((n_docs, DSIR_BUCKETS), dtype=np.int64)
+    n_grams = np.zeros(n_docs, dtype=np.int64)
+    if grams:
+        uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
+        uniq_b = np.fromiter(
+            (int(md5(g.encode("utf-8")).hexdigest()[:16], 16) % DSIR_BUCKETS
+             for g in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        buckets = uniq_b[inv]
+        ix = np.concatenate(doc_ix)
+        np.add.at(counts, (ix, buckets), 1)
+        np.add.at(n_grams, ix, 1)
+    return counts, n_grams
+
+
+def dsir_weights(sf_dir: str, target_lang: str = DSIR_TARGET_LANG):
+    """DSIR-style log importance weights over hashed n-gram features —
+    the published data-selection signal (importance resampling toward a
+    target domain): features are whitespace unigrams + bigrams hashed
+    into ``DSIR_BUCKETS`` buckets; the target distribution is the
+    ``lang == target_lang`` slice, the raw distribution is the whole
+    corpus; both add-one smoothed. Per doc,
+    ``logweight = sum_g  ln p_target[b(g)] - ln p_raw[b(g)]``,
+    computed as the doc's bucket-count vector dotted with the broadcast
+    B-entry log-ratio vector.
+
+    Scale shape: per-batch partial bucket counts (a B-row combiner) are
+    the ONLY thing collected — bounded at B x #blocks ints regardless of
+    corpus size — then one broadcast + a streaming score pass; no
+    shuffle. Columns: doc_id, n_grams, logweight (rounded 6).
+    SQL-oracle-checked (DuckDB mirrors the md5 bucket hash)."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        counts, _ = _dsir_bucket_counts(df["text"].to_numpy())
+        is_t = (df["lang"] == target_lang).to_numpy()
+        return pd.DataFrame(
+            {
+                "bucket": np.arange(DSIR_BUCKETS, dtype=np.int64),
+                "n_raw": counts.sum(axis=0),
+                "n_target": counts[is_t].sum(axis=0),
+            }
+        )
+
+    parts = ds.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    agg = parts.groupby("bucket").sum()
+    n_raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    n_tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    n_raw[agg.index.to_numpy()] = agg["n_raw"].to_numpy()
+    n_tgt[agg.index.to_numpy()] = agg["n_target"].to_numpy()
+    N_raw, N_tgt = int(n_raw.sum()), int(n_tgt.sum())
+    ratio = np.log((n_tgt + 1) / (N_tgt + DSIR_BUCKETS)) - np.log(
+        (n_raw + 1) / (N_raw + DSIR_BUCKETS)
+    )
+    ratio_ref = ray.put(ratio)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ratio_ref)
+        counts, n_grams = _dsir_bucket_counts(df["text"].to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_grams": n_grams,
+                "logweight": np.round(counts @ r, 6),
             }
         )
 
