@@ -243,6 +243,9 @@ _WARC_FIXTURES = (
     "compression/transfer_compression_gzip.warc.gz",
     "compression/transfer_compression_brotli.warc",
     "compression/transfer_compression_brotli.warc.gz",
+    # rich HTML+media crawl — WARCIndexerEmbeddedSolrTest.java:178-199 pins
+    # 39 surviving docs / 21 image-typed docs on this fixture
+    "wikipedia-mona-lisa/flashfrozen-jwat-recompressed.warc.gz",
 )
 
 

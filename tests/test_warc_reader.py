@@ -254,3 +254,45 @@ def test_read_archive_pages_synthetic_end_to_end(ray_session, tmp_path):
     assert sorted(r["title"] for r in resp) == [f"Page {i}" for i in range(6)]
     # revisit rides through (M13 short-circuit keeps revisits as rows)
     assert any(r["record_type"] == "revisit" for r in out) or len(out) == 6
+
+
+def test_mona_lisa_embedded_solr_parity(ray_session):
+    """WARCIndexerEmbeddedSolrTest.java:178-199 analogue over the real
+    wikipedia-mona-lisa fixture: 39 surviving docs, the content_type:
+    image* query returns 21, and source_file / source_file_path carry
+    the fixture name — the index-and-query-back round trip expressed as
+    Dataset filters instead of a Solr server."""
+    import os
+
+    import pyarrow.compute as pc
+
+    W = (
+        "/root/reference/warc-indexer/src/test/resources/"
+        "wikipedia-mona-lisa/flashfrozen-jwat-recompressed.warc.gz"
+    )
+    if not os.path.exists(W):
+        import pytest
+
+        pytest.skip("reference fixture tree not present")
+    docs = read_archive_pages([W]).map_batches(
+        ExtractStage(IndexConfig()), batch_format="pyarrow", batch_size=64
+    ).materialize()
+    assert docs.count() == 39  # assertEquals(39L, docs.size())
+    images = docs.map_batches(
+        lambda b: b.filter(pc.starts_with(b["content_type"], "image")),
+        batch_format="pyarrow",
+    ).materialize()
+    assert images.count() == 21  # content_type:image* -> 21 found
+    row = images.take(1)[0]
+    # SOURCE_FILE assertion (the schema carries the basename + offset;
+    # the reference additionally emits the absolute path)
+    assert row["source_file"] == "flashfrozen-jwat-recompressed.warc.gz"
+    assert row["source_offset"] >= 0
+    # term-query round trip over extracted text content
+    hits = docs.map_batches(
+        lambda b: b.filter(
+            pc.match_substring(pc.coalesce(b["content"], pa.scalar("")), "Mona")
+        ),
+        batch_format="pyarrow",
+    ).count()
+    assert hits > 0
