@@ -431,6 +431,18 @@ def _neardup_clusters(sf_dir: str):
     return neardup_clusters(rd.read_parquet(out), nodes)
 
 
+def _cluster_representatives(sf_dir: str):
+    """Quality-argmax representative per near-dup cluster: composes the
+    SAME materialized pair set as neardup_clusters with the
+    quality_score distinct ratio, so the DuckDB oracle replays both."""
+    from webarchive_discovery_ray.pipelines.dedup import cluster_representatives
+    from webarchive_discovery_ray.pipelines.textops import quality_score
+
+    clusters = _neardup_clusters(sf_dir)
+    quality = quality_score(sf_dir)
+    return cluster_representatives(clusters, quality)
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -843,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": inverted_index,
         "pack_sequences": pack_sequences,
         "neardup_clusters": _neardup_clusters,
+        "cluster_representatives": _cluster_representatives,
         "ivf_cosine_topk": ivf_cosine_topk,
         "language_id": language_id,
         "sessionize_events": sessionize_events,
@@ -1905,6 +1918,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        # quality-argmax representative per near-dup cluster: composes the
+        # neardup_clusters reachability with the quality_score ratio
+        "cluster_representatives": f"""
+            WITH RECURSIVE edges AS (
+                SELECT doc_a AS src, doc_b AS dst
+                FROM read_parquet('{_ORACLE_MAT}/neardup_pairs/*.parquet')
+                UNION ALL
+                SELECT doc_b, doc_a
+                FROM read_parquet('{_ORACLE_MAT}/neardup_pairs/*.parquet')
+            ),
+            reach(a, b) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ),
+            clusters AS (
+                SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+            ),
+            q AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE len(list_distinct({tokens})) * 1.0
+                                 / len({tokens}) END AS distinct_ratio
+                FROM documents
+            )
+            SELECT c.doc_id, c.cluster_id, q.distinct_ratio,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.distinct_ratio DESC, c.doc_id ASC
+                   ) = 1 AS is_rep
+            FROM clusters c JOIN q USING (doc_id)
         """,
         # exact lower-value quantiles: value at index floor(q*(n-1))
         "global_quantiles": """

@@ -356,3 +356,26 @@ def test_dsir_weights_matches_sequential_reference(ray_session):
     assert got.loc[m[m].index, "logweight"].mean() > got.loc[
         m[~m].index, "logweight"
     ].mean()
+
+
+def test_cluster_representatives_quality_argmax(ray_session):
+    """cluster_representatives picks the max-distinct-ratio doc (min
+    doc_id on ties) of every near-dup cluster; singletons represent
+    themselves; exactly one rep per cluster."""
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["cluster_representatives"](SF).to_pandas()
+    assert len(got) == 500
+    reps = got[got["is_rep"]]
+    # exactly one rep per cluster
+    assert reps["cluster_id"].is_unique
+    assert set(reps["cluster_id"]) == set(got["cluster_id"])
+    # the rep maximizes (ratio, -doc_id) within its cluster
+    for cid, grp in got.groupby("cluster_id"):
+        best = grp.sort_values(
+            ["distinct_ratio", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        rep = grp[grp["is_rep"]].iloc[0]
+        assert rep["doc_id"] == best["doc_id"], cid
+    # fixture must contain at least one multi-doc cluster
+    assert (got.groupby("cluster_id").size() > 1).any()

@@ -31,6 +31,7 @@ __all__ = [
     "simhash_signatures",
     "embedding_neardup_pairs",
     "semdedup_keep",
+    "cluster_representatives",
     "reduplicate",
     "dup_span_fraction",
     "simhash_neardup_pairs",
@@ -561,6 +562,79 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.25):
         )
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+def cluster_representatives(clusters_ds, quality_ds):
+    """Quality-argmax representative selection per near-dup cluster —
+    the fuzzy-dedup keep rule a curation pipeline actually wants (keep
+    the BEST document of each duplicate group, not the arbitrary
+    min-id): within every cluster from :func:`neardup_clusters`, the
+    representative is the doc with the highest ``distinct_ratio``
+    (doc_id ascending on ties).
+
+    ``clusters_ds``: (doc_id, cluster_id); ``quality_ds``: (doc_id,
+    distinct_ratio). Shape: TWO bucketed grouped passes — attach the
+    quality score where doc_id co-locates, then the per-cluster argmax
+    where cluster_id co-locates; no broadcast (the cluster set is
+    corpus-sized). Columns: doc_id, cluster_id, distinct_ratio, is_rep."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def tag_clusters(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "cluster_id": df["cluster_id"].astype("int64"),
+                "distinct_ratio": np.zeros(len(df), dtype="float64"),
+                "side": np.zeros(len(df), dtype="int64"),
+                "bucket": bucket_of(did, n_b),
+            }
+        )
+
+    def tag_quality(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "cluster_id": np.full(len(df), -1, dtype="int64"),
+                "distinct_ratio": df["distinct_ratio"].astype("float64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(did, n_b),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == 0][["doc_id", "cluster_id"]]
+        q = df[df["side"] == 1][["doc_id", "distinct_ratio"]]
+        m = c.merge(q, on="doc_id", how="inner")
+        m["bucket"] = bucket_of(m["cluster_id"], n_b)
+        return m
+
+    def argmax_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["cluster_id", "distinct_ratio", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = ~d["cluster_id"].duplicated()
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(),
+                "cluster_id": d["cluster_id"].to_numpy(),
+                "distinct_ratio": d["distinct_ratio"].to_numpy(),
+                "is_rep": first.to_numpy(),
+            }
+        )
+
+    tagged = clusters_ds.map_batches(tag_clusters, batch_format="pandas").union(
+        quality_ds.map_batches(tag_quality, batch_format="pandas")
+    )
+    joined = tagged.groupby("bucket").map_groups(attach, batch_format="pandas")
+    return joined.groupby("bucket").map_groups(
+        argmax_in_bucket, batch_format="pandas"
+    )
 
 
 def semdedup_keep(sf_dir: str, threshold: float = 0.35):
