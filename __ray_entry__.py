@@ -777,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from webarchive_discovery_ray.pipelines.similarity import (
         ann_cosine_topk,
+        ann_hard_negatives,
         ivf_cosine_topk,
         sq8_cosine_topk,
         sq8_quantize,
@@ -838,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": token_stats,
         "quality_score": quality_score,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_hard_negatives": ann_hard_negatives,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         "window_running_sum": window_running_sum,
@@ -1198,6 +1200,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT vec_id AS qid, embedding AS qe
                       FROM embeddings WHERE vec_id < 8) q
                 CROSS JOIN embeddings e
+            ) WHERE rank <= 5
+        """,
+        # hard-negative mining: top-k most-similar vectors with a
+        # DIFFERENT label per query (pipelines/similarity.ann_hard_negatives)
+        "ann_hard_negatives": """
+            SELECT qid AS query_vec_id, vec_id, cos_r, rank FROM (
+                SELECT q.qid, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 6) AS cos_r,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                           ), 6) DESC, e.vec_id
+                       ) AS rank
+                FROM (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                      FROM embeddings WHERE vec_id < 8) q
+                JOIN embeddings e ON e.label <> q.ql
             ) WHERE rank <= 5
         """,
         # 64-bit token SimHash: ('0x'||substr(md5(t),1,16))::UBIGINT equals

@@ -379,3 +379,34 @@ def test_cluster_representatives_quality_argmax(ray_session):
         assert rep["doc_id"] == best["doc_id"], cid
     # fixture must contain at least one multi-doc cluster
     assert (got.groupby("cluster_id").size() > 1).any()
+
+
+def test_ann_hard_negatives_label_gate(ray_session):
+    """Hard negatives: top-k by cosine among DIFFERENT-label vectors
+    only, matching a sequential numpy reference."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.similarity import (
+        ann_hard_negatives,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ids = tbl["vec_id"].to_numpy()
+    labels = tbl["label"].to_numpy()
+    got = ann_hard_negatives(SF).to_pandas()
+    qmask = ids < 8
+    for qi in np.flatnonzero(qmask):
+        neg = labels != labels[qi]
+        sims = np.round(mat[neg] @ mat[qi], 6)
+        cand = ids[neg]
+        order = np.lexsort((cand, -sims))[:5]
+        want = list(cand[order])
+        sub = got[got["query_vec_id"] == ids[qi]].sort_values("rank")
+        assert list(sub["vec_id"]) == want
+        # label gate: no same-label vector (hence never the query itself)
+        lab = dict(zip(ids, labels))
+        assert all(lab[v] != labels[qi] for v in sub["vec_id"])

@@ -17,7 +17,8 @@ import pandas as pd
 
 from ..sources.io import read_table
 
-__all__ = ["ann_cosine_topk", "ivf_cosine_topk", "sq8_quantize", "sq8_cosine_topk"]
+__all__ = ["ann_cosine_topk",
+    "ann_hard_negatives", "ivf_cosine_topk", "sq8_quantize", "sq8_cosine_topk"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -85,6 +86,83 @@ def ann_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
         )
 
     return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")
+
+
+def ann_hard_negatives(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-similar vectors whose ``label`` DIFFERS
+    from the query's — the highest-similarity wrong-class candidates a
+    contrastive or retrieval trainer pairs against each anchor.
+
+    Same scale shape as :func:`ann_cosine_topk` (broadcast query matrix,
+    per-batch partial top-k, tiny grouped reduce), with the label
+    inequality applied as a vectorized mask inside the batch pass.
+    Columns: query_vec_id, vec_id, cos_r (rounded 6), rank."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    qrows = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .take_all()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in qrows])
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qnorms[qnorms == 0] = 1.0
+    q_ref = ray.put((qids, qlabels, qmat / qnorms[:, None]))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bqids, bqlabels, bqmat = get_broadcast(q_ref)
+        ids = df["vec_id"].to_numpy()
+        labels = df["label"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ bqmat.T, 6)  # (n, q)
+        out = []
+        for qi, qid in enumerate(bqids):
+            neg = labels != bqlabels[qi]  # hard-negative gate
+            if not neg.any():
+                continue
+            col = sims[neg, qi]
+            cand = ids[neg]
+            take = min(len(cand), k)
+            order = np.lexsort((cand, -col))[:take]
+            for i in order:
+                out.append(
+                    {
+                        "query_vec_id": int(qid),
+                        "vec_id": int(cand[i]),
+                        "cos_r": float(col[i]),
+                    }
+                )
+        return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
+
+    partials = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
+    ).map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cos_r", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        df = df.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_vec_id": df["query_vec_id"],
+                "vec_id": df["vec_id"],
+                "cos_r": df["cos_r"],
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
 
 
 def ivf_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_probe: int = 3):
