@@ -212,6 +212,20 @@ def _interleaved_pack(sf_dir: str):
     return interleaved_pack(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _span_dedup(sf_dir: str):
+    """C4-style text-span exact dedup over the SAME materialized
+    interleaved spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_dedup
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return span_dedup(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _media_context(sf_dir: str):
     """Nearest-text context per media span over the SAME materialized
     interleaved spans base (the MMC4-style image-text pairing step)."""
@@ -874,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": _span_stats,
         "interleaved_pack": _interleaved_pack,
         "media_context": _media_context,
+        "span_dedup": _span_dedup,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -2316,6 +2331,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (tok_offset + n_tokens - 1) // 512
                    END AS bin_end
             FROM c
+        """,
+        # C4-style text-span exact dedup over the nested spans base
+        # (pipelines/stats.span_dedup — first (doc_id, span_idx) keeps)
+        "span_dedup": f"""
+            WITH s AS (
+                SELECT doc_id, i,
+                       spans[i].kind AS kind,
+                       md5(COALESCE(spans[i].text, '')) AS h
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet'),
+                     unnest(generate_series(1, len(spans))) AS u(i)
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS span_idx, h,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, i
+                   ) = 1 AS keep
+            FROM s WHERE kind = 'text'
         """,
         # nearest-text context per media span over the nested spans base
         # (pipelines/stats.media_context — the MMC4-style pairing step)

@@ -480,3 +480,46 @@ def test_media_context_nearest_text_rule(ray_session):
     )
     assert got2_rows == want2
     assert want2, "fixture must contain media spans"
+
+
+def test_span_dedup_first_occurrence_rule(ray_session):
+    """span_dedup keeps exactly the first (doc_id, span_idx) occurrence
+    of each distinct text-span text; media spans never appear."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_dedup
+
+    def mk(kind, text=None, ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    hand = [
+        ("a", [mk("text", "dup"), mk("media", ref="m"), mk("text", "dup"),
+               mk("text", "uniq1")]),
+        ("b", [mk("text", "dup"), mk("text", "uniq2")]),
+    ]
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hand]),
+            "spans": pa.array([s for _, s in hand], pa.list_(span_t)),
+        }
+    )
+    got = span_dedup(rd.from_arrow(tbl)).to_pandas()
+    key = {(r.doc_id, int(r.span_idx)): bool(r.keep) for r in got.itertuples()}
+    # text spans only: ("a",2) is media and absent
+    assert ("a", 2) not in key
+    assert key == {
+        ("a", 1): True,   # first "dup"
+        ("a", 3): False,  # same-doc repeat
+        ("a", 4): True,   # uniq1
+        ("b", 1): False,  # cross-doc repeat
+        ("b", 2): True,   # uniq2
+    }
+    h = hashlib.md5(b"dup").hexdigest()
+    assert set(got.loc[got["h"] == h, "keep"]) == {True, False}

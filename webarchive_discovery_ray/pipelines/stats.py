@@ -38,6 +38,7 @@ __all__ = [
     "host_pagerank",
     "span_stats",
     "media_context",
+    "span_dedup",
     "year_host_outlinks",
     "heritrix_log_lines",
     "hosts_report",
@@ -595,6 +596,90 @@ def media_context(docs):
         )
 
     return docs.map_batches(contexts, batch_format="pyarrow")
+
+
+def span_dedup(docs):
+    """C4-style exact dedup at TEXT-SPAN granularity over interleaved
+    documents (Raffel et al. dedupe repeated three-sentence spans; the
+    deduplication unit here is the text span of the interleaved
+    ``spans`` column): every occurrence of an identical span text keeps
+    only its FIRST appearance in (doc_id, span_idx) order — the repeated
+    boilerplate paragraphs of a templated crawl drop everywhere else.
+
+    Shape: one vectorized flatten pass emits (md5(text), doc_id,
+    span_idx) rows — md5 computed once per UNIQUE span text per batch —
+    then ONE bucketed grouped pass where all occurrences of a hash
+    co-locate and the (doc_id, span_idx) min marks the keeper. Only
+    span-identity rows ride the exchange, never the span text. Columns:
+    doc_id, span_idx (1-based), h, keep. SQL-oracle-checked."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def span_hashes(batch: pa.Table) -> pd.DataFrame:
+        spans = batch["spans"].combine_chunks()
+        lengths = pc.list_value_length(spans).fill_null(0).to_numpy().astype("int64")
+        empty = pd.DataFrame(
+            {
+                "h": pd.Series([], dtype=str),
+                "doc_id": pd.Series([], dtype=str),
+                "span_idx": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+            }
+        )
+        if not lengths.sum():
+            return empty
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        texts = pc.coalesce(flat.field("text"), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.arange(len(parents), dtype="int64")
+        starts = np.zeros(len(parents), dtype="int64")
+        doc_first = np.flatnonzero(np.diff(parents, prepend=parents[0] - 1))
+        starts[doc_first] = pos[doc_first]
+        starts = np.maximum.accumulate(starts)
+        span_idx = pos - starts + 1
+        m = kinds == "text"
+        if not m.any():
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents[m]]
+        t = texts[m]
+        uniq, inv = np.unique(t, return_inverse=True)
+        md5 = hashlib.md5
+        uniq_h = np.asarray(
+            [md5(x.encode("utf-8")).hexdigest() for x in uniq], dtype=object
+        )
+        h = pd.Series(uniq_h[inv], dtype=str)
+        return pd.DataFrame(
+            {
+                "h": h,
+                "doc_id": pd.Series(doc_ids, dtype=str),
+                "span_idx": span_idx[m],
+                "bucket": bucket_of(h, n_b),
+            }
+        )
+
+    def first_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["h", "doc_id", "span_idx"], kind="mergesort")
+        keep = ~d["h"].duplicated()
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(),
+                "span_idx": d["span_idx"].to_numpy(),
+                "h": d["h"].to_numpy(),
+                "keep": keep.to_numpy(),
+            }
+        )
+
+    return (
+        docs.map_batches(span_hashes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_in_bucket, batch_format="pandas")
+    )
 
 
 def year_host_outlinks(
