@@ -817,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         language_id,
         ngram_topk,
         pack_sequences,
+        bucket_batches,
         quality_score,
         tfidf_top_terms,
         token_stats,
@@ -870,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": ngram_topk,
         "inverted_index": inverted_index,
         "pack_sequences": pack_sequences,
+        "bucket_batches": bucket_batches,
         "neardup_clusters": _neardup_clusters,
         "cluster_representatives": _cluster_representatives,
         "ivf_cosine_topk": ivf_cosine_topk,
@@ -2051,6 +2053,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n = 0 THEN off // 512
                         ELSE (off + n - 1) // 512 END AS bin_end
             FROM c
+        """,
+        # length-bucketed batch assignment (pipelines/textops.bucket_batches):
+        # power-of-2 token-length buckets, batches of 32 docs in doc_id order
+        "bucket_batches": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END::BIGINT AS n_tokens
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN n_tokens <= 0 THEN 0
+                            ELSE CAST(floor(log2(n_tokens)) AS BIGINT)
+                       END AS len_bucket
+                FROM t
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY len_bucket ORDER BY doc_id
+                       ) - 1 AS rk
+                FROM b
+            )
+            SELECT doc_id, n_tokens, len_bucket,
+                   rk // 32 AS batch_idx, rk % 32 AS pos_in_batch
+            FROM r
         """,
         # digit-run masking + salted-md5 pseudonym; [0-9]+ is byte-wise
         # identical between Python re and DuckDB's RE2

@@ -410,3 +410,22 @@ def test_ann_hard_negatives_label_gate(ray_session):
         # label gate: no same-label vector (hence never the query itself)
         lab = dict(zip(ids, labels))
         assert all(lab[v] != labels[qi] for v in sub["vec_id"])
+
+
+def test_bucket_batches_layout_invariants(ray_session):
+    """bucket_batches: exact floor-log2 buckets; ranks within each
+    bucket are dense, doc_id-ordered, and chunked into batches of 32."""
+    from webarchive_discovery_ray.pipelines.textops import bucket_batches
+
+    got = bucket_batches(SF).to_pandas()
+    assert len(got) == 500
+    for _, r in got.iterrows():
+        n = int(r["n_tokens"])
+        want = 0 if n <= 0 else n.bit_length() - 1
+        assert int(r["len_bucket"]) == want
+    for b, grp in got.groupby("len_bucket"):
+        grp = grp.sort_values("doc_id").reset_index(drop=True)
+        rk = grp["batch_idx"] * 32 + grp["pos_in_batch"]
+        # dense 0..n-1 ranks in doc_id order within the bucket
+        assert list(rk) == list(range(len(grp))), b
+    assert got["len_bucket"].nunique() > 1  # non-degenerate bucketing

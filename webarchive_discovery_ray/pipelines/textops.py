@@ -30,6 +30,7 @@ __all__ = [
     "ngram_topk",
     "inverted_index",
     "pack_sequences",
+    "bucket_batches",
     "tfidf_top_terms",
     "cdc_chunks",
     "bm25_topk",
@@ -527,6 +528,100 @@ def pack_sequences(sf_dir: str, context: int = _PACK_CONTEXT):
         )
 
     out_refs = [pack_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
+    del sorted_ds, refs
+    return rd.from_arrow_refs(out_refs)
+
+
+_BB_DOCS = 32  # documents per training batch within a length bucket
+
+
+def bucket_batches(sf_dir: str, batch_docs: int = _BB_DOCS):
+    """Length-bucketed batch assignment — the variable-length training
+    batching step: documents are grouped into power-of-2 token-length
+    buckets (``len_bucket = floor(log2(n_tokens))``, 0 for empty docs) so
+    padding waste stays bounded, then each bucket is split into batches
+    of ``batch_docs`` documents in doc_id order.
+
+    Scale shape: a single grouped pass would serialize each length
+    bucket onto one task (a bucket can hold a large corpus fraction), so
+    this uses the SAME two-phase scan as :func:`pack_sequences`: one
+    range-partitioned ``ds.sort`` on (len_bucket, doc_id), per-block
+    per-bucket counts, a tiny driver offset merge (#blocks x #buckets
+    ints — buckets are log-bounded), then per-block rank assignment.
+    Columns: doc_id, n_tokens, len_bucket, batch_idx, pos_in_batch.
+    SQL-oracle-checked."""
+    import ray
+    import ray.data as rd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split().str.len().astype("int64").to_numpy()
+        # exact floor(log2(n)) for positive ints: frexp's exponent - 1
+        lb = np.where(n > 0, np.frexp(n.astype(np.float64))[1] - 1, 0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "len_bucket": lb.astype("int64"),
+            }
+        )
+
+    sorted_ds = (
+        ds.map_batches(feat, batch_format="pandas")
+        .sort(["len_bucket", "doc_id"])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_counts(tbl: pa.Table) -> dict:
+        if not tbl.num_rows:
+            return {}
+        vc = tbl["len_bucket"].to_pandas().value_counts()
+        return {int(k): int(v) for k, v in vc.items()}
+
+    counts = ray.get([block_counts.remote(r) for r in refs])
+    # per-(block, bucket) global rank offsets: buckets are log-bounded
+    # and blocks are the read parallelism — driver state stays tiny
+    running: dict[int, int] = {}
+    offsets: list[dict] = []
+    for c in counts:
+        offsets.append({b: running.get(b, 0) for b in c})
+        for b, v in c.items():
+            running[b] = running.get(b, 0) + v
+
+    @ray.remote
+    def assign(tbl: pa.Table, base: dict) -> pa.Table:
+        df = tbl.to_pandas()
+        lb = df["len_bucket"].to_numpy()
+        # block is sorted by (len_bucket, doc_id): local rank within each
+        # bucket is a vectorized run-relative index
+        starts = np.flatnonzero(np.diff(lb, prepend=lb[0] - 1)) if len(lb) else []
+        local = np.arange(len(lb), dtype=np.int64)
+        if len(lb):
+            seg_start = np.zeros(len(lb), dtype=np.int64)
+            seg_start[starts] = local[starts]
+            seg_start = np.maximum.accumulate(seg_start)
+            local = local - seg_start
+        rank = local + (
+            pd.Series(lb).map(base).fillna(0).to_numpy().astype(np.int64)
+        )
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "n_tokens": df["n_tokens"],
+                    "len_bucket": df["len_bucket"],
+                    "batch_idx": rank // batch_docs,
+                    "pos_in_batch": rank % batch_docs,
+                }
+            ),
+            preserve_index=False,
+        )
+
+    out_refs = [assign.remote(r, o) for r, o in zip(refs, offsets)]
     ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
     del sorted_ds, refs
     return rd.from_arrow_refs(out_refs)
