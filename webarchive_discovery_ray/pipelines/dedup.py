@@ -628,10 +628,18 @@ def cluster_representatives(clusters_ds, quality_ds):
             }
         )
 
-    tagged = clusters_ds.map_batches(tag_clusters, batch_format="pandas").union(
-        quality_ds.map_batches(tag_quality, batch_format="pandas")
+    from ..functions.bucketing import coalesce_blocks
+
+    # both sides are narrow id/score streams that inherit the corpus
+    # read's block count — re-pin to data size before each exchange
+    tagged = coalesce_blocks(
+        clusters_ds.map_batches(tag_clusters, batch_format="pandas").union(
+            quality_ds.map_batches(tag_quality, batch_format="pandas")
+        )
     )
-    joined = tagged.groupby("bucket").map_groups(attach, batch_format="pandas")
+    joined = coalesce_blocks(
+        tagged.groupby("bucket").map_groups(attach, batch_format="pandas")
+    )
     return joined.groupby("bucket").map_groups(
         argmax_in_bucket, batch_format="pandas"
     )
