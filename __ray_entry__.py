@@ -775,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         semdedup_keep,
         exact_dedup,
         minhash_lsh_pairs,
+        ngram_jaccard_pairs,
         simhash_neardup_pairs,
         simhash_signatures,
     )
@@ -903,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": cdc_chunks,
         "bm25_topk": bm25_topk,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "simhash_signatures": simhash_signatures,
         "simhash_neardup_pairs": simhash_neardup_pairs,
         "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -1435,6 +1437,40 @@ def oracle_sql() -> dict[str, str]:
                       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
                       GROUP BY 1, 2),
             jac AS (SELECT i.doc_a, i.doc_b, i.i::DOUBLE / (na.n + nb.n - i.i) AS j
+                    FROM inter i
+                    JOIN cnt na ON na.doc_id = i.doc_a
+                    JOIN cnt nb ON nb.doc_id = i.doc_b)
+            SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
+        """,
+        # exact n-gram Jaccard pairs (pipelines/dedup.ngram_jaccard_pairs):
+        # distinct md5-hex16 3-gram shingles -> candidates from ANY shared
+        # gram (the Ray side prunes candidates with the Bayardo prefix-
+        # filter lemma, which is lossless for J >= t, so outputs coincide)
+        # -> exact |A∩B| / |A∪B| >= 0.3
+        "ngram_jaccard_pairs": f"""
+            WITH tk AS (
+              SELECT doc_id, text, {tokens} AS t FROM documents
+            ),
+            gr AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [text] END AS gs
+              FROM tk
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g
+              FROM gr, unnest(gs) AS u(g)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON b.g = a.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            jac AS (SELECT i.doc_a, i.doc_b,
+                           i.i::DOUBLE / (na.n + nb.n - i.i) AS j
                     FROM inter i
                     JOIN cnt na ON na.doc_id = i.doc_a
                     JOIN cnt nb ON nb.doc_id = i.doc_b)

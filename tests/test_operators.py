@@ -1031,3 +1031,75 @@ def test_interleaved_pack_token_budget(ray_session):
     assert (a["bin_start"], a["bin_end"]) == (0, 0)
     assert (b["bin_start"], b["bin_end"]) == (0, 1)  # 69..196 spans bins 0-1
     assert (c["bin_start"], c["bin_end"]) == (1, 1)  # empty doc collapses
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(ray_session):
+    """The prefix-filtered exact-Jaccard pipeline must equal brute-force
+    all-pairs Jaccard (pairs AND scores) — i.e. the Bayardo prefix-filter
+    candidate pruning is lossless for J >= t."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import (
+        _shingles,
+        ngram_jaccard_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shingled = {
+        d: _shingles(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(shingled), 2):
+        sa, sb = shingled[a], shingled[b]
+        jac = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        if jac >= 0.3:
+            expected[(a, b)] = round(jac, 6)
+
+    got_df = ngram_jaccard_pairs(sf_dir).to_pandas()
+    got = {
+        (int(r.doc_a), int(r.doc_b)): round(float(r.jaccard), 6)
+        for r in got_df.itertuples()
+    }
+    assert got == expected
+    assert expected  # non-vacuous on the synthetic table
+
+
+def test_ngram_jaccard_pairs_threshold_boundary(ray_session, tmp_path):
+    """Pairs exactly at the threshold are kept; just below are dropped —
+    and a qualifying pair whose ONLY shared grams are the corpus's hottest
+    (which fall out of every prefix only when unneeded) is still found."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # docs 1/2: J = 8/10 = 0.8 >= 0.3 -> kept
+        {"doc_id": 1, "text": base},                      # 8 grams
+        {"doc_id": 2, "text": base + " lambda mu"},       # 10 grams, 8 shared
+        # doc 3: shares ONLY the hottest gram with 1/2 but is tiny, so the
+        # pair qualifies: grams(3) = {alpha beta gamma}; J(1,3) = 1/8 < 0.3
+        {"doc_id": 3, "text": "alpha beta gamma"},
+        # docs 4/5: disjoint tiny pair exactly at J = 1/3 >= 0.3
+        {"doc_id": 4, "text": "one two three four"},      # 2 grams
+        {"doc_id": 5, "text": "one two three five"},      # 2 grams, 1 shared
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (int(r.doc_a), int(r.doc_b)): round(float(r.jaccard), 6)
+        for r in ngram_jaccard_pairs(str(tmp_path)).to_pandas().itertuples()
+    }
+    assert got == {(1, 2): 0.8, (4, 5): 0.333333}

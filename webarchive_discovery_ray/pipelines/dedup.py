@@ -28,6 +28,7 @@ from ..sources.io import read_table
 __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "simhash_signatures",
     "embedding_neardup_pairs",
     "semdedup_keep",
@@ -384,15 +385,26 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     # side-taggers consume it.
     distinct_pairs = coalesce_blocks(raw_pairs)
 
-    # ---- tag-join verify (no driver/corpus materialization) ------------
-    # Two bucketed co-group passes replace three hash joins with the SAME
-    # shuffle discipline: pass A keys corpus texts by bucket(doc_id) and
-    # each pair SIDE by bucket(its doc) -- the in-bucket merge attaches
-    # the text to every side referencing a co-located doc (texts of
-    # unreferenced docs drop there, the semi-join's effect); pass B keys
-    # both halves by bucket(pair) and computes the exact 3-gram Jaccard.
-    # The corpus text streams through pass A once; pass B ships only
-    # candidate-bounded data.
+    return _attach_verify_jaccard(ds, distinct_pairs, threshold, n_b)
+
+
+def _attach_verify_jaccard(ds, distinct_pairs, threshold: float, n_b: int):
+    """Shared tag-join exact-Jaccard verify (no driver/corpus
+    materialization) — consumed by ``minhash_lsh_pairs`` and
+    ``ngram_jaccard_pairs``.
+
+    Two bucketed co-group passes replace three hash joins with the SAME
+    shuffle discipline: pass A keys corpus texts by bucket(doc_id) and
+    each pair SIDE by bucket(its doc) -- the in-bucket merge attaches
+    the text to every side referencing a co-located doc (texts of
+    unreferenced docs drop there, the semi-join's effect); pass B keys
+    both halves by bucket(pair) and computes the exact 3-gram Jaccard.
+    The corpus text streams through pass A once; pass B ships only
+    candidate-bounded data. Exact (pair, side) dedup happens inside the
+    attach bucket — all copies of a rediscovered pair land there, so
+    ``distinct_pairs`` may carry duplicates.
+    """
+    from ..functions.bucketing import bucket_of, coalesce_blocks
 
     def tag_texts(df: pd.DataFrame) -> pd.DataFrame:
         key = df["doc_id"].astype("int64")
@@ -463,6 +475,129 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     return attached.groupby("bucket").map_groups(
         verify_in_bucket, batch_format="pandas"
     )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3):
+    """Exact n-gram Jaccard near-duplicate pairs via df-ordered prefix
+    filtering — EVERY pair with 3-gram Jaccard >= threshold, no LSH
+    false negatives; the exact counterpart of ``minhash_lsh_pairs``
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07 prefix-filter lemma).
+
+    Chain (each exchange a bucketed grouped pass, cf. module docstring):
+
+    1. distinct md5-hex16 3-gram shingles per doc — zero-shuffle, one
+       flattened ``np.unique`` pass per batch, md5 once per unique gram;
+    2. global document frequency per gram — ONE pass keyed by
+       bucket(gram): the bucket holds every row of a gram, so the
+       in-bucket ``transform('size')`` IS the global df;
+    3. per-doc prefix selection keyed by bucket(doc): under the total
+       order (df asc, gram asc), keep each doc's first
+       ``|A| - ceil(t|A|) + 1`` grams. Lemma: for any pair with
+       J >= t, the SMALLEST shared gram has rank <= |A| - |A∩B| + 1
+       <= |A| - ceil(t|A|) + 1 in both docs, so it lies in both
+       prefixes — a self-join on prefix grams is complete;
+    4. in-bucket self-merge on prefix grams -> candidate pairs (the
+       shared attach pass dedups rediscovered pairs in-bucket);
+    5. shared exact-Jaccard tag-join verify (``_attach_verify_jaccard``).
+
+    100-TB skew note: this never self-joins on hot grams — a stop-gram
+    (high df) sorts to the END of every doc's order and falls out of the
+    prefix index, so candidate fan-out is governed by the rare-gram df
+    distribution, not the stopword one. Threshold arithmetic is exact
+    (``Fraction``), so prefix lengths never suffer float-ceil edges.
+    Mirrored by a DuckDB oracle that generates candidates from ANY
+    shared gram — the lemma guarantees identical qualifying output.
+    """
+    from fractions import Fraction
+
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_b = default_buckets()
+    tf = Fraction(str(threshold))
+    num, den = tf.numerator, tf.denominator
+
+    def to_grams(batch: pa.Table) -> pa.Table:
+        """(doc_id, gram-hex16) rows, distinct within doc — vectorized:
+        one flattened gram list, md5 once per batch-unique gram, per-doc
+        dedup via a single np.unique over (doc_index, gram_index) keys."""
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for j, text in enumerate(texts):
+            toks = text.split()
+            before = len(grams)
+            if len(toks) >= 3:
+                grams.extend(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+            else:
+                grams.append(text)  # _shingles' `or [text]` fallback
+            counts[j] = len(grams) - before
+        uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
+        hexes = np.asarray(
+            [hashlib.md5(g.encode()).hexdigest()[:16] for g in uniq], dtype=object
+        )
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        key = np.unique(doc_idx * np.int64(len(uniq)) + inv)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[key // len(uniq)], pa.int64()),
+                "g": pa.array(hexes[key % len(uniq)], pa.string()),
+            }
+        )
+
+    def df_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "g": df["g"].to_numpy(),
+                "df": df.groupby("g")["g"].transform("size").to_numpy(),
+            }
+        )
+
+    def prefix_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "df", "g"], ignore_index=True)
+        sz = df.groupby("doc_id")["g"].transform("size").to_numpy()
+        rank = df.groupby("doc_id").cumcount().to_numpy()
+        # sz - ceil(t*sz) + 1, with ceil(a/b) = -((-a)//b) in exact ints
+        keep_len = sz - (-(((-num) * sz) // den)) + 1
+        return df.loc[rank < keep_len, ["doc_id", "g"]]
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="g")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {"doc_a": m["doc_id_x"].to_numpy(), "doc_b": m["doc_id_y"].to_numpy()}
+        )
+
+    grams = coalesce_blocks(ds.map_batches(to_grams, batch_format="pyarrow"))
+    with_df = (
+        grams.map_batches(
+            lambda df: df.assign(b=bucket_of(df["g"], n_b)), batch_format="pandas"
+        )
+        .groupby("b")
+        .map_groups(df_in_bucket, batch_format="pandas")
+    )
+    prefixes = (
+        coalesce_blocks(with_df)
+        .map_batches(
+            lambda df: df.assign(b=bucket_of(df["doc_id"], n_b)),
+            batch_format="pandas",
+        )
+        .groupby("b")
+        .map_groups(prefix_in_bucket, batch_format="pandas")
+    )
+    raw_pairs = (
+        coalesce_blocks(prefixes)
+        .map_batches(
+            lambda df: df.assign(b=bucket_of(df["g"], n_b)), batch_format="pandas"
+        )
+        .groupby("b")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    distinct_pairs = coalesce_blocks(raw_pairs)
+    return _attach_verify_jaccard(ds, distinct_pairs, threshold, n_b)
 
 
 def simhash_batch(texts) -> list[str]:
