@@ -782,9 +782,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.sessions import (
         global_shuffle,
         grouped_topk_docs,
+        mixture_weights,
         sessionize_events,
         source_mix,
         stratified_sample_events,
+        weighted_sample,
     )
     from webarchive_discovery_ray.pipelines.aggregates import (
         anti_join_orders,
@@ -895,6 +897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
+        "mixture_weights": mixture_weights,
+        "weighted_sample": weighted_sample,
         "global_shuffle": global_shuffle,
         "quality_filter": quality_filter,
         "unigram_logloss": unigram_logloss,
@@ -2545,6 +2549,46 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM documents
             ) WHERE rank <= 2 * (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) + 1)
+        """,
+        # temperature-scaled source mixture weights, relative to the
+        # largest source so the only float ops are one exact-int division
+        # and one pow (pipelines/sessions.mixture_weights)
+        "mixture_weights": f"""
+            WITH s AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len({tokens}) END)::BIGINT AS n_tokens
+              FROM documents GROUP BY 1
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(pow(n_tokens * 1.0 / (SELECT max(n_tokens) FROM s),
+                             0.7), 6) AS weight
+            FROM s
+        """,
+        # Efraimidis–Spiraki A-ES length-weighted sample: key = ln(u)/w,
+        # u = (md5_64(doc_id)+1)/2^64; integer-only output, the float key
+        # orders but never leaves (pipelines/sessions.weighted_sample)
+        "weighted_sample": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len({tokens}) END AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+                         AS h
+              FROM documents
+            ),
+            keyed AS (
+              SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                     ln((h::DOUBLE + 1.0) / 18446744073709551616.0)
+                         / n_tokens AS key
+              FROM d WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens, rank FROM (
+              SELECT doc_id, n_tokens,
+                     row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT
+                         AS rank
+              FROM keyed
+            ) WHERE rank <= 50
         """,
     }
     # deterministic seeded shuffle rank (pipelines/sessions.global_shuffle)

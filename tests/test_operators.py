@@ -1103,3 +1103,74 @@ def test_ngram_jaccard_pairs_threshold_boundary(ray_session, tmp_path):
         for r in ngram_jaccard_pairs(str(tmp_path)).to_pandas().itertuples()
     }
     assert got == {(1, 2): 0.8, (4, 5): 0.333333}
+
+
+def test_mixture_weights_matches_sequential(ray_session):
+    """Temperature weights equal a sequential pandas reference; the
+    largest source gets weight 1.0 and weights are monotone in tokens."""
+    import pandas as pd
+
+    from webarchive_discovery_ray.pipelines.sessions import mixture_weights
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    ref = (
+        docs.assign(n_tokens=docs["text"].str.split().str.len())
+        .groupby("source", as_index=False)
+        .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+    )
+    mx = ref["n_tokens"].max()
+    ref["weight"] = ((ref["n_tokens"] / float(mx)) ** 0.7).round(6)
+
+    got = mixture_weights(sf_dir).sort_values("source", ignore_index=True)
+    ref = ref.sort_values("source", ignore_index=True).astype(
+        {"n_docs": "int64", "n_tokens": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, ref[got.columns])
+    assert got.loc[got["n_tokens"].idxmax(), "weight"] == 1.0
+    # monotone: more tokens, >= weight
+    s = got.sort_values("n_tokens")
+    assert (s["weight"].diff().dropna() >= 0).all()
+
+
+def test_weighted_sample_matches_sequential(ray_session):
+    """The distributed A-ES sample equals the brute-force top-k over
+    ln(u)/n_tokens, ranks 1..k, and repeated runs are identical."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from webarchive_discovery_ray.pipelines.sessions import weighted_sample
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_tok = docs["text"].str.split().str.len().to_numpy(np.float64)
+    h = np.array(
+        [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:16], 16)
+            for d in docs["doc_id"]
+        ],
+        dtype=np.uint64,
+    )
+    u = (h.astype(np.float64) + 1.0) / np.float64(2.0**64)
+    key = np.log(u) / n_tok
+    ref = (
+        pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"].astype("int64"),
+                "n_tokens": n_tok.astype(np.int64),
+                "key": key,
+            }
+        )
+        .query("n_tokens > 0")
+        .sort_values(["key", "doc_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    got = weighted_sample(sf_dir, k=20).to_pandas()
+    assert list(got["rank"]) == list(range(1, 21))
+    assert list(got["doc_id"]) == list(ref["doc_id"])
+    assert list(got["n_tokens"]) == list(ref["n_tokens"])
+    again = weighted_sample(sf_dir, k=20).to_pandas()
+    pd.testing.assert_frame_equal(got, again)

@@ -38,6 +38,8 @@ __all__ = [
     "grouped_topk_docs",
     "source_mix",
     "global_shuffle",
+    "mixture_weights",
+    "weighted_sample",
 ]
 
 SESSION_GAP_S = 1800  # classic 30-minute inactivity timeout
@@ -292,3 +294,126 @@ def global_shuffle(sf_dir: str, salt: str = "epoch0"):
     out = [rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
     ray.wait(out, num_returns=len(out), fetch_local=False)
     return rd.from_arrow_refs(out)
+
+
+MIX_TAU = 0.7  # the multilingual-LM sampling temperature (alpha sampling)
+
+
+def mixture_weights(sf_dir: str, tau: float = MIX_TAU):
+    """Temperature-scaled data-mixture weights per source (the alpha
+    sampling of multilingual/multi-source LM training: upweight small
+    sources by flattening the token distribution with ``p^tau``).
+
+    Per-batch partial (source, n_docs, n_tokens) counts — a combiner, so
+    the grouped pass ships at most ``sources × blocks`` rows — then one
+    tiny grouped sum. The driver holds one row per SOURCE (bounded by
+    construction, like the other small-partial sites) to read the max
+    token count; weights are relative to the largest source
+    (``(n_tokens / max_tokens) ** tau``) so the only float ops are one
+    exact-int division and one ``pow`` — no cross-row float summation
+    whose ordering could diverge between engines.
+
+    Columns: source, n_docs, n_tokens, weight (round 6).
+    """
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split().str.len().astype("int64")
+        return (
+            pd.DataFrame({"source": df["source"], "n_tokens": n_tok})
+            .groupby("source", as_index=False)
+            .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+            .astype({"n_docs": "int64", "n_tokens": "int64"})
+        )
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "n_docs": [np.int64(df["n_docs"].sum())],
+                "n_tokens": [np.int64(df["n_tokens"].sum())],
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(finalise, batch_format="pandas")
+        .to_pandas()  # bounded: one row per source
+    )
+    mx = np.float64(int(totals["n_tokens"].max()))
+    w = (totals["n_tokens"].to_numpy(np.float64) / mx) ** np.float64(tau)
+    return pd.DataFrame(
+        {
+            "source": totals["source"].to_numpy(),
+            "n_docs": totals["n_docs"].to_numpy(np.int64),
+            "n_tokens": totals["n_tokens"].to_numpy(np.int64),
+            "weight": np.round(w, 6),
+        }
+    )
+
+
+WSAMPLE_K = 50
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
+    """Efraimidis–Spiraki weighted sampling without replacement (A-ES,
+    "Weighted random sampling with a reservoir", IPL 2006): deterministic
+    uniform ``u = (md5_64(doc_id) + 1) / 2^64`` in (0,1], sort key
+    ``ln(u) / w`` with weight ``w = n_tokens`` — the monotone-log form of
+    ``u^(1/w)``, so the k largest keys ARE the length-weighted sample
+    (the token-budget sampler: inclusion odds scale with token count).
+
+    Per-batch partial top-k bounds every block's shuffle contribution to
+    k rows; a Ray-native range sort + ``limit(k)`` finishes; ranks are
+    assigned over the k-row result. Output is INTEGER-only
+    (doc_id, n_tokens, rank) — the float key orders but never leaves the
+    pipeline, so cross-engine equality is exact (both engines compute the
+    identical IEEE double chain: uint64→double, +1, /2^64, ln, /w).
+
+    Columns: doc_id, n_tokens, rank.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split().str.len().astype("int64")
+        hexes = _md5_rank(df["doc_id"])
+        u = (
+            np.array([int(h[:16], 16) for h in hexes], dtype=np.uint64).astype(
+                np.float64
+            )
+            + 1.0
+        ) / np.float64(2.0**64)
+        with np.errstate(divide="ignore"):
+            key = np.log(u) / n_tok.to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "n_tokens": n_tok.to_numpy(),
+                "key": key,
+            }
+        )
+        out = out[out["n_tokens"] > 0]
+        return out.sort_values(
+            ["key", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["key", "doc_id"], ascending=[False, True], ignore_index=True
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .sort(["key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .repartition(1)
+        .map_batches(add_rank, batch_format="pandas")
+    )
