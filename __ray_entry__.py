@@ -829,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bloom_semi_join,
         heavy_hitters,
         hll_distinct_tokens,
+        kll_quantiles,
     )
     from webarchive_discovery_ray.pipelines.curation import (
         curation_pipeline,
@@ -919,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _warc_extract,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
+        "kll_quantiles": kll_quantiles,
         "fuzzy_hashes": fuzzy_hashes,
         "postcode_geo": _postcodes,
         "annotations": _annotations,

@@ -523,3 +523,49 @@ def test_span_dedup_first_occurrence_rule(ray_session):
     }
     h = hashlib.md5(b"dup").hexdigest()
     assert set(got.loc[got["h"] == h, "keep"]) == {True, False}
+
+
+# --- KLL quantile sketch ------------------------------------------------------
+
+def test_kll_rank_error_bound_and_determinism(ray_session):
+    """Every pipeline estimate sits within 1.5% RANK error of the exact
+    distribution, and repeated runs are byte-identical (deterministic
+    compaction coins)."""
+    import numpy as np
+    import pandas as pd
+
+    from webarchive_discovery_ray.pipelines.sketches import kll_quantiles
+    from webarchive_discovery_ray.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = kll_quantiles(sf)
+    vals = np.sort(read_table(sf, "events").to_pandas()["value"].to_numpy())
+    for q, est in zip(got["q"], got["value"]):
+        rank = np.searchsorted(vals, est, side="right") / len(vals)
+        assert abs(rank - q / 100.0) <= 0.015, (q, est, rank)
+    pd.testing.assert_frame_equal(got, kll_quantiles(sf))
+
+
+def test_kll_total_weight_exact_and_mergeable():
+    """Total weight is exactly n at all times (the odd-item rule), and a
+    levelwise merge of two half-stream sketches keeps the rank bound."""
+    import numpy as np
+
+    from webarchive_discovery_ray.pipelines.sketches import KLLSketch
+
+    rng = np.random.RandomState(42)
+    data = rng.standard_exponential(30000) * 100
+    a, b = KLLSketch(256), KLLSketch(256)
+    for i in range(0, 15000, 500):
+        a.add_many(data[i : i + 500])
+    for i in range(15000, 30000, 500):
+        b.add_many(data[i : i + 500])
+    assert a.total_weight() == 15000 and b.total_weight() == 15000
+    merged = a.merge(b)
+    assert merged.n == 30000 and merged.total_weight() == 30000
+    srt = np.sort(data)
+    for q, est in zip((1, 25, 50, 75, 99), merged.quantiles((1, 25, 50, 75, 99))):
+        rank = np.searchsorted(srt, est, side="right") / len(srt)
+        assert abs(rank - q / 100.0) <= 0.02, (q, rank)
+    # fixed-size invariant: stored items stay O(k), far below n
+    assert sum(len(buf) for buf in merged.levels) < 4 * 256

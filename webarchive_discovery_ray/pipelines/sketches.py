@@ -27,7 +27,7 @@ import pandas as pd
 
 from ..sources.io import read_table
 
-__all__ = ["bloom_semi_join", "heavy_hitters", "hll_distinct_tokens"]
+__all__ = ["bloom_semi_join", "heavy_hitters", "hll_distinct_tokens", "kll_quantiles", "KLLSketch"]
 
 
 # ---------------------------------------------------------------------------
@@ -346,4 +346,155 @@ def hll_distinct_tokens(sf_dir: str):
             "n_distinct_est": pd.Series([int(round(est))], dtype="int64"),
             "n_registers": pd.Series([_HLL_M], dtype="int64"),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin, Lall & Liberty, "Optimal quantile
+# approximation in streams", FOCS'16) — the mergeable-quantile member of
+# the sketch family (HLL: distinct, Bloom: membership, Misra-Gries:
+# frequency, KLL: rank). Same discipline as the others: per-batch
+# partials of FIXED size O(k), driver folds #blocks of them, nothing
+# corpus-sized ever leaves the stream.
+
+_KLL_K = 256
+
+
+class KLLSketch:
+    """Simplified KLL: level-i buffer items carry weight 2^i; when a
+    level overflows its capacity (k * (2/3)^depth-from-top, min 2) it is
+    sorted and every other item promoted one level ("compaction").
+
+    Two deliberate deviations from the paper, both documented:
+
+    * the compaction coin (keep odd- vs even-indexed items) is a
+      deterministic sha1 hash of (level, compaction counter) rather than
+      a random bit — runs are exactly reproducible, and across the many
+      compactions of a large stream the offsets remain balanced (the
+      guarantee degrades from with-high-probability to empirical, which
+      the tests pin);
+    * an odd-sized buffer leaves its ODD item (by the same coin's
+      complement side) at the lower level instead of discarding it, so
+      TOTAL WEIGHT is exactly n at all times — rank queries divide by the
+      true count, never an estimate.
+
+    Mergeable: levelwise concatenation + re-compaction (weights align by
+    construction).
+    """
+
+    def __init__(self, k: int = _KLL_K):
+        self.k = int(k)
+        self.levels: list[list[float]] = [[]]
+        self.n = 0
+        self._compactions = 0
+
+    # -- internals ---------------------------------------------------------
+
+    def _capacity(self, level: int) -> int:
+        depth = len(self.levels) - 1 - level
+        return max(2, int(self.k * (2.0 / 3.0) ** depth))
+
+    def _coin(self, level: int) -> int:
+        h = hashlib.sha1(f"kll-{level}-{self._compactions}".encode()).digest()
+        return h[0] & 1
+
+    def _compress(self) -> None:
+        while True:
+            for lv in range(len(self.levels)):
+                if len(self.levels[lv]) > self._capacity(lv):
+                    break
+            else:
+                return
+            buf = sorted(self.levels[lv])
+            off = self._coin(lv)
+            self._compactions += 1
+            if len(buf) % 2:
+                # keep one item at this level so total weight stays exact
+                keep_low = [buf[-1]] if off == 0 else [buf[0]]
+                buf = buf[:-1] if off == 0 else buf[1:]
+            else:
+                keep_low = []
+            promoted = buf[off::2]
+            self.levels[lv] = keep_low
+            if lv + 1 == len(self.levels):
+                self.levels.append([])
+            self.levels[lv + 1].extend(promoted)
+
+    # -- public API ----------------------------------------------------------
+
+    def add_many(self, values) -> None:
+        vals = np.asarray(values, dtype=np.float64)
+        self.levels[0].extend(vals.tolist())
+        self.n += len(vals)
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for lv, buf in enumerate(other.levels):
+            self.levels[lv].extend(buf)
+        self.n += other.n
+        self._compactions = max(self._compactions, other._compactions)
+        self._compress()
+        return self
+
+    def total_weight(self) -> int:
+        return sum(len(buf) << lv for lv, buf in enumerate(self.levels))
+
+    def quantiles(self, qs_pct) -> list[float]:
+        """Smallest sketch value whose cumulative weight reaches
+        ceil(q/100 * n) — the inverted-CDF rank rule."""
+        items: list[tuple[float, int]] = []
+        for lv, buf in enumerate(self.levels):
+            w = 1 << lv
+            items.extend((v, w) for v in buf)
+        items.sort()
+        vals = np.array([v for v, _ in items], dtype=np.float64)
+        cumw = np.cumsum([w for _, w in items], dtype=np.int64)
+        out = []
+        for q in qs_pct:
+            target = max(1, int(np.ceil(q / 100.0 * self.n)))
+            ix = int(np.searchsorted(cumw, target, side="left"))
+            out.append(float(vals[min(ix, len(vals) - 1)]))
+        return out
+
+
+KLL_QS = (1, 5, 25, 50, 75, 95, 99)
+
+
+def kll_quantiles(sf_dir: str, k: int = _KLL_K, qs_pct=KLL_QS):
+    """Approximate quantiles of ``events.value`` via per-block KLL
+    sketches: each block contributes ONE O(k) sketch (a bounded partial,
+    like the HLL registers / Bloom blooms), the driver folds #blocks of
+    them, and the merged sketch answers every quantile — the two-phase
+    EXACT scan (``aggregates.global_quantiles``) stays the oracle path;
+    this is the one-pass no-shuffle scale path (no range sort at all).
+
+    Columns: q (percent), value (sketch estimate). Rows-only driver
+    check (a sketch estimate is not SQL-expressible); the rank-error
+    bound and mergeability are pinned by pytest against the exact scan.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k)
+        sk.add_many(df["value"].to_numpy(np.float64))
+        import pickle
+
+        return pd.DataFrame({"sketch": [pickle.dumps(sk)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    import pickle
+
+    merged = KLLSketch(k)
+    # canonical content order: take_all returns parts in task-COMPLETION
+    # order, which varies run to run, and KLL merge grouping is order-
+    # sensitive — a fixed order makes the fold byte-reproducible
+    for p in sorted(parts, key=lambda p: p["sketch"]):
+        merged.merge(pickle.loads(p["sketch"]))  # bounded: O(k) per block
+    est = merged.quantiles(qs_pct)
+    return pd.DataFrame(
+        {"q": np.array(qs_pct, dtype=np.int64), "value": np.array(est)}
     )
