@@ -597,7 +597,106 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3):
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
     distinct_pairs = coalesce_blocks(raw_pairs)
-    return _attach_verify_jaccard(ds, distinct_pairs, threshold, n_b)
+
+    # ---- signature attach + vectorized verify ---------------------------
+    # Unlike the LSH chain (few hundred candidates -> text attach +
+    # per-pair re-shingling is fine), the exact chain at a low threshold
+    # can carry 10^5-10^6 candidates, so the verify must not re-tokenize
+    # or re-hash per PAIR: each doc's sorted uint64 gram-hash SIGNATURE is
+    # computed ONCE in-batch (zero-shuffle, same md5-truncation as
+    # `_shingles`), shipped as one binary value through the same two
+    # bucketed attach/verify passes, and each pair costs one
+    # np.intersect1d over two sorted arrays.
+
+    def tag_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        sigs: list[bytes] = []
+        for text in texts:
+            toks = text.split()
+            if len(toks) >= 3:
+                gs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            else:
+                gs = {text}
+            arr = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+                    for g in gs
+                ),
+                dtype=np.uint64,
+                count=len(gs),
+            )
+            arr.sort()
+            sigs.append(arr.tobytes())
+        return pd.DataFrame(
+            {
+                "key": ids,
+                "doc_a": np.full(len(ids), -1, dtype="int64"),
+                "doc_b": np.full(len(ids), -1, dtype="int64"),
+                "side": np.zeros(len(ids), dtype="int64"),
+                "sig": pd.Series(sigs, dtype=object),
+                "bucket": bucket_of(pd.Series(ids), n_b),
+            }
+        )
+
+    def tag_side(col: str, side: int):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            key = df[col].astype("int64")
+            return pd.DataFrame(
+                {
+                    "key": key,
+                    "doc_a": df["doc_a"].astype("int64"),
+                    "doc_b": df["doc_b"].astype("int64"),
+                    "side": np.full(len(df), side, dtype="int64"),
+                    "sig": pd.Series([b""] * len(df), dtype=object, index=df.index),
+                    "bucket": bucket_of(key, n_b),
+                }
+            )
+
+        return tag
+
+    def attach_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        sigs_ = df[df["side"] == 0][["key", "sig"]]
+        # exact cross-bucket pair dedup lives here: every copy of a
+        # (pair, side) row shares this bucket (function of the side doc)
+        sides = df[df["side"] > 0][
+            ["key", "doc_a", "doc_b", "side"]
+        ].drop_duplicates()
+        m = sides.merge(sigs_, on="key", how="inner")
+        out = m[["doc_a", "doc_b", "side", "sig"]].copy()
+        out["bucket"] = bucket_of(out["doc_a"] * 1_000_003 + out["doc_b"], n_b)
+        return out
+
+    def verify_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 1][["doc_a", "doc_b", "sig"]].rename(
+            columns={"sig": "sig_a"}
+        )
+        b = df[df["side"] == 2][["doc_a", "doc_b", "sig"]].rename(
+            columns={"sig": "sig_b"}
+        )
+        m = a.merge(b, on=["doc_a", "doc_b"])
+        out = []
+        for da, db, sa, sb in zip(m["doc_a"], m["doc_b"], m["sig_a"], m["sig_b"]):
+            xa = np.frombuffer(sa, dtype=np.uint64)
+            xb = np.frombuffer(sb, dtype=np.uint64)
+            i = np.intersect1d(xa, xb, assume_unique=True).size
+            u = xa.size + xb.size - i
+            j = i / u if u else 0.0
+            if j >= threshold:
+                out.append({"doc_a": int(da), "doc_b": int(db), "jaccard": round(j, 6)})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+
+    tagged = (
+        coalesce_blocks(ds.map_batches(tag_sigs, batch_format="pandas"))
+        .union(distinct_pairs.map_batches(tag_side("doc_a", 1), batch_format="pandas"))
+        .union(distinct_pairs.map_batches(tag_side("doc_b", 2), batch_format="pandas"))
+    )
+    attached = coalesce_blocks(
+        tagged.groupby("bucket").map_groups(attach_in_bucket, batch_format="pandas")
+    )
+    return attached.groupby("bucket").map_groups(
+        verify_in_bucket, batch_format="pandas"
+    )
 
 
 def simhash_batch(texts) -> list[str]:
