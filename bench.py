@@ -253,6 +253,18 @@ def bench_exact_substring(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": dt, "rows": n}
 
 
+def bench_ngram_jaccard(sf_dir: str, num_cpus: int) -> dict:
+    """Exact n-gram Jaccard pairs (prefix-filtered all-pairs; the
+    synthetic corpus is adversarially dense at t=0.3 — ~5% of all pairs
+    survive the prefix filter — so this bounds the exact path's cost)."""
+    from webarchive_discovery_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    t0 = time.time()
+    n = ngram_jaccard_pairs(sf_dir).count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n}
+
+
 BENCHES = {
     "extract": bench_extract,
     "crawl": bench_crawl,
@@ -264,6 +276,7 @@ BENCHES = {
     "fingerprint": bench_fingerprint,
     "neardup_clusters": bench_neardup_clusters,
     "exact_substring": bench_exact_substring,
+    "ngram_jaccard": bench_ngram_jaccard,
 }
 
 # scaling uses the wide-wave crawl regime (see bench_crawl docstring)
