@@ -226,6 +226,20 @@ def _span_dedup(sf_dir: str):
     return span_dedup(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _span_quality_filter(sf_dir: str):
+    """Span-level quality gate + re-indexing over the SAME materialized
+    interleaved spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_quality_filter
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return span_quality_filter(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _media_context(sf_dir: str):
     """Nearest-text context per media span over the SAME materialized
     interleaved spans base (the MMC4-style image-text pairing step)."""
@@ -895,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_pack": _interleaved_pack,
         "media_context": _media_context,
         "span_dedup": _span_dedup,
+        "span_quality_filter": _span_quality_filter,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -2417,6 +2432,45 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY h ORDER BY doc_id, i
                    ) = 1 AS keep
             FROM s WHERE kind = 'text'
+        """,
+        # span-level quality gate + re-index over the nested spans base
+        # (pipelines/stats.span_quality_filter — keep media spans and
+        # text spans >= 3 tokens; new_idx/new_offset recomputed under the
+        # interleaved_pack cost model: text tokens + 64 per media span)
+        "span_quality_filter": f"""
+            WITH b AS (
+                SELECT filename AS f, file_row_number AS r, doc_id, spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet',
+                                  file_row_number=true, filename=true)
+            ),
+            s AS (
+                -- partition by PHYSICAL row (f, r), not doc_id: the base
+                -- carries duplicate doc_ids (revisits) and the Ray side
+                -- re-indexes each input row independently
+                SELECT f, r, doc_id, i,
+                       spans[i].kind AS kind,
+                       COALESCE(spans[i].text, '') AS text
+                FROM b, unnest(generate_series(1, len(spans))) AS u(i)
+            ),
+            c AS (
+                SELECT f, r, doc_id, i, kind,
+                       CASE WHEN kind = 'media' THEN 64
+                            WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END
+                           AS n_tok
+                FROM s
+            ),
+            k AS (SELECT * FROM c WHERE kind = 'media' OR n_tok >= 3)
+            SELECT doc_id, CAST(i AS BIGINT) AS span_idx, kind,
+                   n_tok::BIGINT AS n_tok,
+                   (row_number() OVER (PARTITION BY f, r ORDER BY i)
+                    - 1)::BIGINT AS new_idx,
+                   COALESCE(sum(n_tok) OVER (
+                       PARTITION BY f, r ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS new_offset
+            FROM k
         """,
         # nearest-text context per media span over the nested spans base
         # (pipelines/stats.media_context — the MMC4-style pairing step)

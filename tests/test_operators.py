@@ -1174,3 +1174,45 @@ def test_weighted_sample_matches_sequential(ray_session):
     assert list(got["n_tokens"]) == list(ref["n_tokens"])
     again = weighted_sample(sf_dir, k=20).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_span_quality_filter_reindex(ray_session):
+    """Short text spans drop, media spans always survive, and new_idx /
+    new_offset re-pack under the interleaved_pack cost model (text tokens
+    + 64 per media span). Row-identity semantics: duplicate doc_ids are
+    re-indexed independently."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_quality_filter
+
+    def span(kind, text="", ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    rows = [
+        {"doc_id": "a", "spans": [span("text", "one two three four"),  # 4 tok
+                                  span("text", "hi"),                   # drop
+                                  span("media", ref="img:1"),
+                                  span("text", "five six seven")]},     # 3 tok
+        {"doc_id": "b", "spans": [span("text", "x"),                    # drop
+                                  span("text", "  ")]},                 # drop
+        {"doc_id": "c", "spans": []},
+        # duplicate doc_id: must re-index per ROW, not merged
+        {"doc_id": "a", "spans": [span("media", ref="img:2")]},
+    ]
+    got = span_quality_filter(rd.from_items(rows)).to_pandas()
+    recs = sorted(
+        got.itertuples(index=False),
+        key=lambda r: (r.doc_id, r.span_idx, r.kind, r.new_idx),
+    )
+    flat = [
+        (r.doc_id, r.span_idx, r.kind, r.n_tok, r.new_idx, r.new_offset)
+        for r in recs
+    ]
+    assert flat == [
+        ("a", 1, "media", 64, 0, 0),        # the duplicate-doc_id row
+        ("a", 1, "text", 4, 0, 0),
+        ("a", 3, "media", 64, 1, 4),
+        ("a", 4, "text", 3, 2, 68),
+    ]
+    # docs b (all dropped) and c (empty) emit nothing
+    assert set(got["doc_id"]) == {"a"}

@@ -43,6 +43,7 @@ __all__ = [
     "heritrix_log_lines",
     "hosts_report",
     "interleaved_pack",
+    "span_quality_filter",
 ]
 
 
@@ -971,3 +972,100 @@ def interleaved_pack(
     if not out_refs:
         return rd.from_arrow(_EMPTY_PACK)
     return rd.from_arrow_refs(out_refs)
+
+
+_SQF_MIN_TOKENS = 3
+
+
+def span_quality_filter(
+    docs,
+    min_tokens: int = _SQF_MIN_TOKENS,
+    media_tokens: int = _IPACK_MEDIA_TOKENS,
+):
+    """Span-level quality gating with re-indexing over INTERLEAVED
+    text+media documents: drop text spans shorter than ``min_tokens``
+    whitespace tokens (the stub/fragment filter — boilerplate crumbs,
+    alt-text shards), keep every media span, and recompute each
+    surviving span's position — ``new_idx`` (0-based among keepers,
+    per doc) and ``new_offset`` (exclusive running token cost under the
+    same text-tokens + fixed ``media_tokens``-per-media model as
+    ``interleaved_pack``) — so the output is directly packable.
+
+    Zero-shuffle: a document's spans are one nested value, so the whole
+    op is a single vectorized flatten pass per batch (list_flatten +
+    per-doc segmented cumsums via np — no per-span Python). Flat output
+    (one row per KEPT span) keeps the oracle hash exact: doc_id,
+    span_idx (1-based original), kind, n_tok, new_idx, new_offset.
+    SQL-oracle-checked via DuckDB window functions over the same
+    materialized spans base."""
+    import pyarrow.compute as pc
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        cols = [
+            "doc_id",
+            "span_idx",
+            "kind",
+            "n_tok",
+            "new_idx",
+            "new_offset",
+        ]
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=str),
+                "span_idx": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype=str),
+                "n_tok": pd.Series([], dtype="int64"),
+                "new_idx": pd.Series([], dtype="int64"),
+                "new_offset": pd.Series([], dtype="int64"),
+            }
+        )[cols]
+        spans = batch["spans"].combine_chunks()
+        lengths = pc.list_value_length(spans).fill_null(0).to_numpy().astype("int64")
+        if not lengths.sum():
+            return empty
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        texts = pc.coalesce(flat.field("text"), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.arange(len(parents), dtype="int64")
+        starts = np.zeros(len(parents), dtype="int64")
+        doc_first = np.flatnonzero(np.diff(parents, prepend=parents[0] - 1))
+        starts[doc_first] = pos[doc_first]
+        starts = np.maximum.accumulate(starts)
+        span_idx = pos - starts + 1  # 1-based original position
+        is_media = kinds == "media"
+        # token cost: unique-text tokenisation (dup spans split once)
+        uniq, inv = np.unique(texts, return_inverse=True)
+        uniq_tok = np.asarray([len(t.split()) for t in uniq], dtype="int64")
+        cost = np.where(is_media, np.int64(media_tokens), uniq_tok[inv])
+        keep = is_media | (cost >= min_tokens)
+        if not keep.any():
+            return empty
+        kp = parents[keep]
+        kcost = cost[keep]
+        kpos = np.arange(keep.sum(), dtype="int64")
+        kstarts = np.zeros(len(kp), dtype="int64")
+        kfirst = np.flatnonzero(np.diff(kp, prepend=kp[0] - 1))
+        kstarts[kfirst] = kpos[kfirst]
+        kstarts = np.maximum.accumulate(kstarts)
+        new_idx = kpos - kstarts
+        excl = np.cumsum(kcost) - kcost  # exclusive global prefix
+        base = np.zeros(len(kp), dtype="int64")
+        base[kfirst] = excl[kfirst]
+        base = np.maximum.accumulate(base)
+        new_offset = excl - base
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[kp]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=str),
+                "span_idx": span_idx[keep],
+                "kind": pd.Series(kinds[keep], dtype=str),
+                "n_tok": kcost,
+                "new_idx": new_idx,
+                "new_offset": new_offset,
+            }
+        )[cols]
+
+    return docs.map_batches(gate, batch_format="pyarrow")
