@@ -810,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_cosine_topk,
         ann_hard_negatives,
         ivf_cosine_topk,
+        lsh_cosine_topk,
         sq8_cosine_topk,
         sq8_quantize,
     )
@@ -893,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": _neardup_clusters,
         "cluster_representatives": _cluster_representatives,
         "ivf_cosine_topk": ivf_cosine_topk,
+        "lsh_cosine_topk": lsh_cosine_topk,
         "language_id": language_id,
         "sessionize_events": sessionize_events,
         "stratified_sample_events": stratified_sample_events,

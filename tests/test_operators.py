@@ -1216,3 +1216,34 @@ def test_span_quality_filter_reindex(ray_session):
     ]
     # docs b (all dropped) and c (empty) emit nothing
     assert set(got["doc_id"]) == {"a"}
+
+
+def test_lsh_cosine_topk_recall_and_self_rank(ray_session):
+    """Multi-table sign-LSH: deterministic, self-vector always rank 1
+    (identical codes collide in every table), and mean recall vs the
+    exact scan clears the measured floor for this corpus's hard regime
+    (true neighbours at cosine ~0.3; see docstring honesty note)."""
+    import pandas as pd
+
+    from webarchive_discovery_ray.pipelines.similarity import (
+        ann_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_cosine_topk(sf).to_pandas()
+    got = lsh_cosine_topk(sf).to_pandas()
+    rec = []
+    for q in exact["query_vec_id"].unique():
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        g = set(got[got.query_vec_id == q].vec_id)
+        rec.append(len(e & g) / len(e))
+        top1 = got[(got.query_vec_id == q) & (got["rank"] == 1)]["vec_id"]
+        assert list(top1) == [q]  # the query vector itself
+    assert sum(rec) / len(rec) >= 0.35
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_vec_id", "rank"], ignore_index=True),
+        lsh_cosine_topk(sf)
+        .to_pandas()
+        .sort_values(["query_vec_id", "rank"], ignore_index=True),
+    )

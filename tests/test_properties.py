@@ -261,3 +261,77 @@ def test_title_offset_anchors_at_first_opening_tag():
 
     f = parse_html_features("<title><title>x</title>", "http://e.com/", IndexConfig())
     assert f.title == (0, "x")
+
+
+# --- KLL sketch invariants ----------------------------------------------------
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=1, max_size=3000),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=50, deadline=None)
+def test_kll_weight_exact_and_rank_bounded(values, n_chunks):
+    """Total weight equals n for ANY add order/chunking, and every
+    quantile estimate is a value from the stream with bounded rank error."""
+    import numpy as np
+
+    from webarchive_discovery_ray.pipelines.sketches import KLLSketch
+
+    sk = KLLSketch(64)
+    arr = np.asarray(values, dtype=np.float64)
+    for chunk in np.array_split(arr, n_chunks):
+        if len(chunk):
+            sk.add_many(chunk)
+    assert sk.n == len(arr)
+    assert sk.total_weight() == len(arr)
+    srt = np.sort(arr)
+    for q, est in zip((25, 50, 75), sk.quantiles((25, 50, 75))):
+        assert est in set(arr.tolist())  # estimates are stream values
+        lo = np.searchsorted(srt, est, side="left") / len(srt)
+        hi = np.searchsorted(srt, est, side="right") / len(srt)
+        # rank interval of the estimate must be within eps of the target
+        # (k=64 -> generous empirical eps; the sf-scale test pins 1.5%)
+        eps = 0.12
+        assert lo - eps <= q / 100.0 <= hi + eps
+
+
+# --- Bayardo prefix-filter lemma (ngram_jaccard_pairs candidate rule) ---------
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([(3, 10), (1, 2), (7, 10), (9, 10)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_candidates_complete(doc_items, tfrac):
+    """For every pair with Jaccard >= t, BOTH docs index a shared gram in
+    their df-ordered prefix of length sz - ceil(t*sz) + 1 — the exact-int
+    ceil used by ngram_jaccard_pairs (sz - (-(((-num) * sz) // den)) + 1)."""
+    import itertools
+    from collections import Counter
+
+    num, den = tfrac
+    t = num / den
+    sets = [frozenset(items) for items in doc_items]
+    df = Counter()
+    for s_ in sets:
+        df.update(s_)
+    prefixes = []
+    for s_ in sets:
+        sz = len(s_)
+        keep_len = sz - (-(((-num) * sz) // den)) + 1
+        order = sorted(s_, key=lambda g: (df[g], g))
+        prefixes.append(frozenset(order[: max(keep_len, 0)]))
+    for (i, a), (j, b) in itertools.combinations(enumerate(sets), 2):
+        inter = len(a & b)
+        union = len(a | b)
+        if union and inter / union >= t:
+            shared_pref = prefixes[i] & prefixes[j] & a & b
+            assert shared_pref, (
+                f"qualifying pair ({i},{j}) shares no prefix gram: "
+                f"J={inter}/{union}, prefixes {prefixes[i]} {prefixes[j]}"
+            )

@@ -18,7 +18,8 @@ import pandas as pd
 from ..sources.io import read_table
 
 __all__ = ["ann_cosine_topk",
-    "ann_hard_negatives", "ivf_cosine_topk", "sq8_quantize", "sq8_cosine_topk"]
+    "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
+    "sq8_quantize", "sq8_cosine_topk"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -366,3 +367,131 @@ def sq8_cosine_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
         )
 
     return partials.groupby("query_vec_id").map_groups(final_topk, batch_format="pandas")
+
+
+_LSH_BITS = 10        # bits per table (bucket granularity)
+_LSH_TABLES = 8       # OR-amplification: tables unioned
+_LSH_MAX_HAMMING = 1  # multiprobe radius within each table
+
+
+def _lsh_planes(dim: int, n_bits: int = _LSH_BITS, n_tables: int = _LSH_TABLES) -> np.ndarray:
+    """Deterministic random-hyperplane bank (Charikar, STOC'02 sign LSH):
+    one Gaussian matrix of n_tables x n_bits rows — no global RNG state
+    touched."""
+    rng = np.random.RandomState(0x5175)
+    return rng.standard_normal((n_tables * n_bits, dim))
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray, n_bits: int) -> np.ndarray:
+    """(n, n_tables) per-table sign-bit codes."""
+    bits = (mat @ planes.T) > 0  # (n, n_tables*n_bits)
+    n_tables = planes.shape[0] // n_bits
+    codes = np.zeros((mat.shape[0], n_tables), dtype=np.uint32)
+    w = (np.uint32(1) << np.arange(n_bits, dtype=np.uint32))
+    for t in range(n_tables):
+        codes[:, t] = (bits[:, t * n_bits : (t + 1) * n_bits].astype(np.uint32) * w).sum(axis=1)
+    return codes
+
+
+def lsh_cosine_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    n_bits: int = _LSH_BITS,
+    n_tables: int = _LSH_TABLES,
+    max_hamming: int = _LSH_MAX_HAMMING,
+):
+    """LSH-bucketed approximate cosine top-k — the hash-bucket scale path
+    beside ``ivf_cosine_topk``'s centroid-probe one: ``n_tables``
+    independent sign-random-projection tables of ``n_bits`` each
+    (OR-amplification), each query multiprobing codes within Hamming
+    ``max_hamming`` per table; only rows colliding in >= 1 table get
+    exact dot products.
+
+    Scale shape: the plane bank + per-(query, table) probe-code sets
+    broadcast once (``ray.put``); each batch computes codes with ONE
+    small matmul and prunes before the expensive similarity; per-batch
+    partial top-k bounds the shuffle to queries x k rows per block. At
+    corpus scale table-0 codes become the hash-partition key so a
+    bucket's rows co-locate.
+
+    Honesty note (measured, see the pytest pin): this synthetic corpus
+    is near-worst-case for angle LSH — true top-k neighbours sit at
+    cosine ~0.3 against a ~0 median, where the per-bit collision
+    probability is only ~0.6 — so the default bank reaches ~0.4-0.6
+    recall while scanning ~10%% of the corpus. ``ivf_cosine_topk``
+    is the better scale path on such weakly-clustered embeddings; LSH
+    wins when neighbours are tight (cos >= 0.7). Columns: query_vec_id,
+    vec_id, rank. Approximate by construction -> rows-only check."""
+    import itertools
+
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    planes = _lsh_planes(qmat.shape[1], n_bits, n_tables)
+    qcodes = _lsh_codes(qmat, planes, n_bits)  # (n_queries, n_tables)
+    flips = [np.uint32(0)]
+    for r in range(1, max_hamming + 1):
+        for combo in itertools.combinations(range(n_bits), r):
+            m = np.uint32(0)
+            for b in combo:
+                m |= np.uint32(1) << np.uint32(b)
+            flips.append(m)
+    probe = {
+        int(qid): [
+            {int(qcodes[qi, t] ^ f) for f in flips} for t in range(n_tables)
+        ]
+        for qi, qid in enumerate(qids)
+    }
+    probe_ref = ray.put((qids, qmat, planes, n_bits, probe))
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bqids, bqmat, bplanes, bbits, bprobe = get_broadcast(probe_ref)
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        codes = _lsh_codes(mat, bplanes, bbits)
+        out = []
+        for qi, qid in enumerate(bqids):
+            tables = bprobe[int(qid)]
+            mask = np.zeros(len(ids), dtype=bool)
+            for t, pset in enumerate(tables):
+                mask |= np.isin(codes[:, t], list(pset))
+            if not mask.any():
+                continue
+            col = np.round(mat[mask] @ bqmat[qi], 6)
+            sel_ids = ids[mask]
+            order = np.lexsort((sel_ids, -col))[: min(k, len(sel_ids))]
+            for i in order:
+                out.append(
+                    {
+                        "query_vec_id": int(qid),
+                        "vec_id": int(sel_ids[i]),
+                        "cos_r": float(col[i]),
+                    }
+                )
+        return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "cos_r"])
+
+    partials = ds.map_batches(bucket_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cos_r", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        df = df.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_vec_id": df["query_vec_id"],
+                "vec_id": df["vec_id"],
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
