@@ -425,6 +425,20 @@ def _capture_intervals(sf_dir: str):
     return capture_intervals(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
 
 
+def _capture_diff(sf_dir: str):
+    """Consecutive-capture change detection over the SAME materialized
+    captures table the cdx oracle reads."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import capture_diff
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+    return capture_diff(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
+
+
 def _neardup_clusters(sf_dir: str):
     """Connected components over the MinHash-LSH pair graph. The verified
     pair list materializes to parquet so the DuckDB oracle can recompute
@@ -905,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _host_pagerank,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
+        "capture_diff": _capture_diff,
         "recrawl_schedule": _recrawl_schedule,
         "recrawl_seed_list": _recrawl_seed_list,
         "span_stats": _span_stats,
@@ -2383,6 +2398,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT digest) AS BIGINT) AS n_versions
             FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
             GROUP BY surt_key
+        """,
+        # consecutive-capture change detection per SURT
+        # (pipelines/cdx.capture_diff — lag() window mirror)
+        "capture_diff": f"""
+            WITH o AS (
+                SELECT surt_key, timestamp14, digest,
+                       lag(digest) OVER (
+                           PARTITION BY surt_key
+                           ORDER BY timestamp14, digest
+                       ) AS prev
+                FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+            )
+            SELECT surt_key, count(*)::BIGINT AS n_captures,
+                   sum(CASE WHEN prev IS NOT NULL AND digest <> prev
+                            THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                   sum(CASE WHEN prev IS NOT NULL AND digest = prev
+                            THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+                   COALESCE(max(CASE WHEN prev IS NOT NULL
+                                      AND digest <> prev
+                                     THEN timestamp14 END), '')
+                       AS last_change_ts14
+            FROM o GROUP BY surt_key
         """,
         # token-budget packing over the interleaved spans column: text
         # tokens + 64 vision tokens per media span, GPT-style

@@ -1247,3 +1247,40 @@ def test_lsh_cosine_topk_recall_and_self_rank(ray_session):
         .to_pandas()
         .sort_values(["query_vec_id", "rank"], ignore_index=True),
     )
+
+
+def test_capture_diff_change_detection(ray_session):
+    """Consecutive-digest comparison per SURT: changes counted in
+    (timestamp14, digest) order, last_change_ts14 is the newest changed
+    capture, never-changed and single-capture SURTs report ''."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import capture_diff
+
+    def cap(surt, ts, dig):
+        return {"surt_key": surt, "timestamp14": ts, "digest": dig}
+
+    rows = [
+        # a: v1 -> v1 (unchanged) -> v2 (change) -> v2 -> v3 (change)
+        cap("com,a)/", "20200101000000", "v1"),
+        cap("com,a)/", "20200201000000", "v1"),
+        cap("com,a)/", "20200301000000", "v2"),
+        cap("com,a)/", "20200401000000", "v2"),
+        cap("com,a)/", "20200501000000", "v3"),
+        # b: static
+        cap("com,b)/", "20200101000000", "s"),
+        cap("com,b)/", "20210101000000", "s"),
+        # c: single capture
+        cap("com,c)/", "20200101000000", "x"),
+    ]
+    got = {
+        r["surt_key"]: r
+        for r in capture_diff(rd.from_items(rows)).take_all()
+    }
+    a, b, c = got["com,a)/"], got["com,b)/"], got["com,c)/"]
+    assert (a["n_captures"], a["n_changes"], a["n_unchanged"]) == (5, 2, 2)
+    assert a["last_change_ts14"] == "20200501000000"
+    assert (b["n_captures"], b["n_changes"], b["n_unchanged"]) == (2, 0, 1)
+    assert b["last_change_ts14"] == ""
+    assert (c["n_captures"], c["n_changes"], c["n_unchanged"]) == (1, 0, 0)
+    assert c["last_change_ts14"] == ""

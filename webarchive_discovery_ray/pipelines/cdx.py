@@ -23,6 +23,7 @@ __all__ = [
     "cdx_sorted",
     "revisit_captures",
     "capture_intervals",
+    "capture_diff",
     "recrawl_schedule",
     "recrawl_seed_list",
 ]
@@ -365,3 +366,69 @@ def recrawl_seed_list(captures, ranks):
             )
         )
     return rd.from_arrow_refs(ranked)
+
+
+def capture_diff(captures):
+    """Consecutive-capture change detection per SURT — the year-over-year
+    "did this page change" signal web-archive QA reads off the CDX
+    timeline (the reference surfaces the same comparison through CDX
+    digest columns; ``recrawl_schedule`` consumes its rate form): order
+    each SURT's captures by (timestamp14, digest) and compare every
+    capture's digest to its predecessor.
+
+    ONE bucketed grouped pass (``functions/bucketing.py``), fully
+    vectorized in-bucket: a single sort + shifted equality over EVERY
+    SURT at once (no per-URL Python). Columns: surt_key, n_captures,
+    n_changes, n_unchanged, last_change_ts14 ('' when the content never
+    changed — timestamp14 strings order lexicographically so the masked
+    max is exact). SQL-oracle-checked via a lag() window mirror."""
+    import pandas as pd
+
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["surt_key"], n_b))
+
+    def diff_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["surt_key", "timestamp14", "digest"], kind="mergesort", ignore_index=True
+        )
+        surt = df["surt_key"].to_numpy()
+        dig = df["digest"].to_numpy()
+        ts = df["timestamp14"].to_numpy()
+        has_prev = np.zeros(len(df), dtype=bool)
+        same_dig = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            has_prev[1:] = surt[1:] == surt[:-1]
+            same_dig[1:] = dig[1:] == dig[:-1]
+        changed = has_prev & ~same_dig
+        unchanged = has_prev & same_dig
+        g = (
+            pd.DataFrame(
+                {
+                    "surt_key": surt,
+                    "changed": changed.astype("int64"),
+                    "unchanged": unchanged.astype("int64"),
+                    "change_ts": np.where(changed, ts, ""),
+                }
+            )
+            .groupby("surt_key", sort=False)
+            .agg(
+                n_captures=("changed", "size"),
+                n_changes=("changed", "sum"),
+                n_unchanged=("unchanged", "sum"),
+                last_change_ts14=("change_ts", "max"),
+            )
+            .reset_index()
+        )
+        g["n_captures"] = g["n_captures"].astype("int64")
+        return g
+
+    return (
+        captures.select_columns(["surt_key", "timestamp14", "digest"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(diff_in_bucket, batch_format="pandas")
+    )
