@@ -845,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bm25_topk,
         cdc_chunks,
         doc_fingerprint,
+        doc_length_histogram,
         inverted_index,
         language_id,
         ngram_topk,
@@ -858,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bloom_semi_join,
         heavy_hitters,
         hll_distinct_tokens,
+        hll_users_per_event_type,
         kll_quantiles,
     )
     from webarchive_discovery_ray.pipelines.curation import (
@@ -940,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": heavy_hitters,
         "cdc_chunks": cdc_chunks,
         "bm25_topk": bm25_topk,
+        "doc_length_histogram": doc_length_histogram,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "simhash_signatures": simhash_signatures,
@@ -952,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _warc_extract,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
+        "hll_users_per_event_type": hll_users_per_event_type,
         "kll_quantiles": kll_quantiles,
         "fuzzy_hashes": fuzzy_hashes,
         "postcode_geo": _postcodes,
@@ -1157,6 +1161,31 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # fixed-bin token-length histogram with stable zero bins
+        # (pipelines/textops.doc_length_histogram)
+        "doc_length_histogram": f"""
+            WITH n AS (
+              SELECT CASE WHEN trim(text) = '' THEN 0
+                          ELSE len({tokens}) END AS n_tok
+              FROM documents
+            ),
+            bins(bin_ix, lo, hi) AS (VALUES
+              (0, 0, 16), (1, 16, 32), (2, 32, 64), (3, 64, 128),
+              (4, 128, 256), (5, 256, 512), (6, 512, -1)),
+            c AS (
+              SELECT CASE WHEN n_tok < 16 THEN 0 WHEN n_tok < 32 THEN 1
+                          WHEN n_tok < 64 THEN 2 WHEN n_tok < 128 THEN 3
+                          WHEN n_tok < 256 THEN 4 WHEN n_tok < 512 THEN 5
+                          ELSE 6 END AS bin_ix
+              FROM n
+            )
+            SELECT b.bin_ix::BIGINT AS bin_ix, b.lo::BIGINT AS lo,
+                   b.hi::BIGINT AS hi,
+                   COALESCE(cnt.n, 0)::BIGINT AS n_docs
+            FROM bins b LEFT JOIN
+                 (SELECT bin_ix, count(*) AS n FROM c GROUP BY 1) cnt
+                 USING (bin_ix)
         """,
         "token_stats": f"""
             SELECT doc_id,

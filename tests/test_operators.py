@@ -1284,3 +1284,29 @@ def test_capture_diff_change_detection(ray_session):
     assert b["last_change_ts14"] == ""
     assert (c["n_captures"], c["n_changes"], c["n_unchanged"]) == (1, 0, 0)
     assert c["last_change_ts14"] == ""
+
+
+def test_doc_length_histogram_bins(ray_session, tmp_path):
+    """Boundary tokens land in the right-open bins, zero bins are
+    emitted, and counts sum to the corpus size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import doc_length_histogram
+
+    texts = [
+        " ".join(["w"] * n)
+        for n in (0, 1, 15, 16, 31, 32, 511, 512, 600)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = doc_length_histogram(str(tmp_path))
+    assert list(got["bin_ix"]) == [0, 1, 2, 3, 4, 5, 6]
+    assert list(got["lo"]) == [0, 16, 32, 64, 128, 256, 512]
+    assert list(got["hi"]) == [16, 32, 64, 128, 256, 512, -1]
+    # n: 0,1,15 -> bin0; 16,31 -> bin1; 32 -> bin2; zero bins 3-5; 511 -> bin5; 512,600 -> bin6
+    assert list(got["n_docs"]) == [3, 2, 1, 0, 0, 1, 2]
+    assert got["n_docs"].sum() == len(texts)

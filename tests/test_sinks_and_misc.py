@@ -506,3 +506,74 @@ def test_audio_metadata_from_real_fixtures():
     assert mp3["container"] == "mp3" and mp3["sample_rate"] == 44100
     assert abs(mp3["duration_s"] - 7.41) < 0.1  # lame delay/padding jitter
     assert audio_metadata(b"\x00\x01") is None
+
+
+# --- resumable partitioned export --------------------------------------------
+
+def test_export_partitioned_atomic_and_resumable(ray_session, tmp_path):
+    """First export writes every partition; a re-run skips all of them
+    (manifests present); deleting one partition re-writes ONLY it; the
+    read-back equals the source rows exactly."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from webarchive_discovery_ray.sources.sinks import export_partitioned
+    from webarchive_discovery_ray.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "documents", columns=["doc_id", "text", "source"])
+    out = str(tmp_path / "export")
+    r1 = export_partitioned(ds, out, "doc_id", n_partitions=8)
+    assert r1["written"] == 8 and r1["skipped"] == 0 and r1["rows"] == 500
+
+    r2 = export_partitioned(ds, out, "doc_id", n_partitions=8)
+    assert r2 == {"written": 0, "skipped": 8, "rows": 0}
+
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, p, "data.parquet"))
+        for p in os.listdir(out)
+    }
+    victim = sorted(os.listdir(out))[3]
+    shutil.rmtree(os.path.join(out, victim))
+    r3 = export_partitioned(ds, out, "doc_id", n_partitions=8)
+    assert r3["written"] == 1 and r3["skipped"] == 7
+    for p, m in mtimes.items():
+        if p != victim:
+            assert os.path.getmtime(os.path.join(out, p, "data.parquet")) == m
+
+    back = (
+        rd.read_parquet(
+            [os.path.join(out, p, "data.parquet") for p in sorted(os.listdir(out))]
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    src = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(back[src.columns.tolist()], src)
+
+
+def test_export_partitioned_crash_leaves_whole_partitions(ray_session, tmp_path):
+    """A stale .tmp dir from a crashed run is cleaned and replaced; no
+    partition directory ever holds data without its manifest."""
+    import json
+    import os
+
+    from webarchive_discovery_ray.sources.sinks import export_partitioned
+    from webarchive_discovery_ray.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "documents", columns=["doc_id", "text"])
+    out = str(tmp_path / "export")
+    # simulate a crash: stale tmp dir with garbage
+    os.makedirs(os.path.join(out, "part=00002.tmp"))
+    with open(os.path.join(out, "part=00002.tmp", "junk"), "w") as f:
+        f.write("partial")
+    export_partitioned(ds, out, "doc_id", n_partitions=4)
+    names = sorted(os.listdir(out))
+    assert names == [f"part={i:05d}" for i in range(4)]
+    for p in names:
+        man = json.load(open(os.path.join(out, p, "MANIFEST.json")))
+        assert man["rows"] > 0 and len(man["md5"]) == 32

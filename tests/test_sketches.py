@@ -569,3 +569,24 @@ def test_kll_total_weight_exact_and_mergeable():
         assert abs(rank - q / 100.0) <= 0.02, (q, rank)
     # fixed-size invariant: stored items stay O(k), far below n
     assert sum(len(buf) for buf in merged.levels) < 4 * 256
+
+
+def test_hll_users_per_event_type_error_and_determinism(ray_session):
+    """Each per-group estimate lands within 5% of the exact distinct
+    count, groups are complete, and runs are identical."""
+    import pandas as pd
+
+    from webarchive_discovery_ray.pipelines.sketches import (
+        hll_users_per_event_type,
+    )
+    from webarchive_discovery_ray.sources.io import read_table
+
+    sf = "/root/testdata/sf0.01"
+    got = hll_users_per_event_type(sf)
+    ev = read_table(sf, "events").to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert set(got["event_type"]) == set(exact.index)
+    for etype, est in zip(got["event_type"], got["n_users_est"]):
+        true = exact[etype]
+        assert abs(est - true) / true <= 0.05, (etype, est, true)
+    pd.testing.assert_frame_equal(got, hll_users_per_event_type(sf))

@@ -27,7 +27,8 @@ import pandas as pd
 
 from ..sources.io import read_table
 
-__all__ = ["bloom_semi_join", "heavy_hitters", "hll_distinct_tokens", "kll_quantiles", "KLLSketch"]
+__all__ = ["bloom_semi_join", "heavy_hitters", "hll_distinct_tokens",
+           "hll_users_per_event_type", "kll_quantiles", "KLLSketch"]
 
 
 # ---------------------------------------------------------------------------
@@ -497,4 +498,59 @@ def kll_quantiles(sf_dir: str, k: int = _KLL_K, qs_pct=KLL_QS):
     est = merged.quantiles(qs_pct)
     return pd.DataFrame(
         {"q": np.array(qs_pct, dtype=np.int64), "value": np.array(est)}
+    )
+
+
+def hll_users_per_event_type(sf_dir: str):
+    """GROUPED HyperLogLog: approximate distinct users per event_type —
+    the sketch-inside-a-grouped-pass composition (HostsReport-style
+    per-host distinct-URL counting at corpus scale runs exactly this
+    shape: per-batch per-group max-registers, elementwise-max fold per
+    group, no exact distinct exchange).
+
+    Each block ships at most ``groups x 4 KiB``; the driver folds
+    ``groups x blocks`` register rows (bounded partials — the group key
+    is the low-cardinality event_type). Deterministic (md5 hashes).
+    Columns: event_type, n_users_est (int64). Rows-only driver check;
+    pytest pins each estimate within 5% of the exact per-group count and
+    the fold's mergeability."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial_regs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, grp in df.groupby("event_type", sort=False):
+            uniq = grp["user_id"].unique()
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(u).encode()).digest()[:8], "big"
+                    )
+                    for u in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            rows.append(
+                {"event_type": etype, "regs": hll_registers(h).tobytes()}
+            )
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    folded: dict[str, np.ndarray] = {}
+    for r in (
+        ds.map_batches(partial_regs, batch_format="pandas").take_all()
+    ):  # bounded: one 4 KiB row per (block, group)
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        key = r["event_type"]
+        folded[key] = (
+            np.maximum(folded[key], regs) if key in folded else regs.copy()
+        )
+    types = sorted(folded)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "n_users_est": np.array(
+                [int(round(hll_estimate(folded[t]))) for t in types],
+                dtype=np.int64,
+            ),
+        }
     )

@@ -34,6 +34,7 @@ __all__ = [
     "tfidf_top_terms",
     "cdc_chunks",
     "bm25_topk",
+    "doc_length_histogram",
 ]
 
 
@@ -787,4 +788,46 @@ def bm25_topk(sf_dir: str, terms=BM25_TERMS, k: int = 10):
 
     return partials.repartition(1).map_batches(
         final_topk, batch_format="pandas"
+    )
+
+
+HIST_BIN_EDGES = (16, 32, 64, 128, 256, 512)
+
+
+def doc_length_histogram(sf_dir: str, edges: tuple = HIST_BIN_EDGES):
+    """Token-length histogram of the corpus — the curation diagnostic
+    behind min/max-length filter choices (Gopher/C4 pick their length
+    gates off exactly this distribution). Fixed bins
+    [0,16) [16,32) ... [512,inf).
+
+    Per-batch partial counts (ONE np.searchsorted + bincount per batch —
+    a combiner: each block ships at most ``len(edges)+1`` rows), tiny
+    driver fold. Columns: bin_ix, lo, hi (-1 = unbounded), n_docs; bins
+    with zero documents are still emitted so the histogram shape is
+    stable. SQL-oracle-checked."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    edge_arr = np.asarray(edges, dtype=np.int64)
+    n_bins = len(edges) + 1
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split().str.len().to_numpy(np.int64)
+        ix = np.searchsorted(edge_arr, n_tok, side="right")
+        counts = np.bincount(ix, minlength=n_bins).astype(np.int64)
+        return pd.DataFrame(
+            {"bin_ix": np.arange(n_bins, dtype=np.int64), "n": counts}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    total = np.zeros(n_bins, dtype=np.int64)
+    for p in parts:  # bounded: n_bins rows per block
+        total[p["bin_ix"]] += p["n"]
+    lo = np.concatenate(([0], edge_arr))
+    hi = np.concatenate((edge_arr, [-1]))
+    return pd.DataFrame(
+        {
+            "bin_ix": np.arange(n_bins, dtype=np.int64),
+            "lo": lo,
+            "hi": hi,
+            "n_docs": total,
+        }
     )

@@ -34,6 +34,7 @@ __all__ = [
     "BufferedSinkStage",
     "RetrySender",
     "run_buffered_sink",
+    "export_partitioned",
 ]
 
 
@@ -280,3 +281,94 @@ class RetrySender:
                 if attempt + 1 < self.max_attempts and self.sleep_s:
                     time.sleep(self.sleep_s)
         self.dropped += len(rows)
+
+
+def export_partitioned(
+    ds,
+    out_dir: str,
+    key_col: str,
+    n_partitions: int = 64,
+) -> dict:
+    """Resumable hash-partitioned Parquet export — the general form of the
+    crawl plane's per-(wave, partition) fragment discipline
+    (``pipelines/crawl.py`` checkpoints; brief: "write partitioned
+    Parquet so a failed run can skip finished partitions"; cf. the
+    reference's one-output-per-reducer layout).
+
+    Layout: ``out_dir/part=NNNNN/data.parquet`` plus a ``MANIFEST.json``
+    per partition recording row count and a value hash. Each partition is
+    written ATOMICALLY (tmp dir + ``os.replace``) by its own grouped
+    task, so a crashed run leaves only whole partitions; a re-run SKIPS
+    every partition whose manifest already exists and rewrites the rest
+    — no coordination state beyond the filesystem.
+
+    One bucketed grouped pass (rows hash-route by md5(key) — same
+    discipline as ``functions/bucketing``); rows are sorted by key
+    within a partition so content is deterministic. Returns
+    ``{"written": k, "skipped": m, "rows": n}`` (driver holds counts
+    only)."""
+    import hashlib as _hl
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def part_of(vals: pd.Series) -> np.ndarray:
+        md5 = _hl.md5
+        return np.fromiter(
+            (
+                int.from_bytes(md5(str(v).encode()).digest()[:8], "big")
+                % n_partitions
+                for v in vals.to_numpy()
+            ),
+            dtype=np.int64,
+            count=len(vals),
+        )
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_part=part_of(df[key_col]))
+
+    def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df["_part"].iloc[0])
+        pdir = os.path.join(out_dir, f"part={part:05d}")
+        manifest = os.path.join(pdir, "MANIFEST.json")
+        if os.path.exists(manifest):
+            return pd.DataFrame(
+                {"part": [part], "rows": [0], "skipped": [True]}
+            )
+        body = df.drop(columns=["_part"]).sort_values(
+            key_col, kind="mergesort", ignore_index=True
+        )
+        digest = _hl.md5(
+            pd.util.hash_pandas_object(body.astype(str), index=False)
+            .values.tobytes()
+        ).hexdigest()
+        tmp = pdir + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.Table.from_pandas(body, preserve_index=False),
+            os.path.join(tmp, "data.parquet"),
+        )
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+            _json.dump({"part": part, "rows": len(body), "md5": digest}, f)
+        shutil.rmtree(pdir, ignore_errors=True)  # stale partial from a crash
+        os.replace(tmp, pdir)
+        return pd.DataFrame({"part": [part], "rows": [len(body)], "skipped": [False]})
+
+    results = (
+        ds.map_batches(route, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(write_partition, batch_format="pandas")
+        .take_all()  # bounded: one row per partition
+    )
+    return {
+        "written": sum(1 for r in results if not r["skipped"]),
+        "skipped": sum(1 for r in results if r["skipped"]),
+        "rows": int(sum(r["rows"] for r in results)),
+    }
