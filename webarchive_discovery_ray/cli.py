@@ -126,6 +126,18 @@ def _cmd_cdx(args: argparse.Namespace) -> dict:
     return {"cmd": "cdx", "output": args.output}
 
 
+def _cmd_export(args: argparse.Namespace) -> dict:
+    import ray.data as rd
+
+    from .sources.sinks import export_partitioned
+
+    ds = rd.read_parquet(args.input)
+    res = export_partitioned(
+        ds, args.output, args.key, n_partitions=args.partitions
+    )
+    return {"cmd": "export", "output": args.output, **res}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="webarchive_discovery_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -160,6 +172,15 @@ def main(argv: list[str] | None = None) -> int:
     cx.add_argument("input")
     cx.add_argument("output")
     cx.set_defaults(fn=_cmd_cdx)
+
+    xp = sub.add_parser(
+        "export", help="table -> resumable hash-partitioned parquet"
+    )
+    xp.add_argument("input")
+    xp.add_argument("output")
+    xp.add_argument("--key", required=True, help="partition key column")
+    xp.add_argument("--partitions", type=int, default=64)
+    xp.set_defaults(fn=_cmd_export)
 
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)
