@@ -784,6 +784,17 @@ def _host_link_graph(sf_dir: str):
     return host_link_graph(docs=rd.read_parquet(out))
 
 
+def _host_components(sf_dir: str):
+    """Connected components of the host link graph over the SAME
+    materialized link base the graph/pagerank oracles read."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_components
+
+    _host_link_graph_base()
+    return host_components(rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.aggregates import (
         distinct_event_types,
@@ -918,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_fraction": dup_span_fraction,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
+        "host_components": _host_components,
         "host_pagerank": _host_pagerank,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
@@ -2363,6 +2375,48 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
                  unnest(links_hosts) AS l(dst)
             GROUP BY 1, 2
+        """,
+        # connected components of the host link graph: the same
+        # recursive-CTE reachability mirror as neardup_clusters over
+        # 60-bit md5 host ids (pipelines/stats.host_components)
+        "host_components": f"""
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT host AS src_host, l.dst AS dst_host
+                FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                     unnest(links_hosts) AS l(dst)
+            ),
+            hosts AS (
+                SELECT DISTINCT h AS host FROM (
+                    SELECT host AS h
+                    FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet')
+                    UNION SELECT dst_host FROM base
+                )
+            ),
+            ids AS (
+                SELECT host,
+                       CAST(('0x' || substr(md5(host), 1, 15))::UBIGINT
+                            AS BIGINT) AS hid
+                FROM hosts
+            ),
+            edges AS (
+                SELECT a.hid AS src, b2.hid AS dst
+                FROM base JOIN ids a ON a.host = base.src_host
+                          JOIN ids b2 ON b2.host = base.dst_host
+                WHERE a.hid <> b2.hid
+                UNION
+                SELECT b2.hid, a.hid
+                FROM base JOIN ids a ON a.host = base.src_host
+                          JOIN ids b2 ON b2.host = base.dst_host
+                WHERE a.hid <> b2.hid
+            ),
+            reach(a, b) AS (
+                SELECT hid, hid FROM ids
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT i.host, min(r.b) AS component_id
+            FROM reach r JOIN ids i ON i.hid = r.a
+            GROUP BY 1
         """,
         # PageRank over the host link graph, 5 fixed iterations, no
         # dangling redistribution (pipelines/stats.host_pagerank); the

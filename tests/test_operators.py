@@ -1310,3 +1310,42 @@ def test_doc_length_histogram_bins(ray_session, tmp_path):
     # n: 0,1,15 -> bin0; 16,31 -> bin1; 32 -> bin2; zero bins 3-5; 511 -> bin5; 512,600 -> bin6
     assert list(got["n_docs"]) == [3, 2, 1, 0, 0, 1, 2]
     assert got["n_docs"].sum() == len(texts)
+
+
+def test_host_components_crafted_graph(ray_session):
+    """Two link chains and an isolated host resolve to three components,
+    each labelled by its minimum hashed host id; direction is ignored."""
+    import hashlib
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_components
+
+    rows = [
+        # component 1: a -> b -> c (chain, directed edges only one way)
+        {"host": "a.example", "links_hosts": ["b.example"]},
+        {"host": "b.example", "links_hosts": ["c.example"]},
+        # component 2: x <-> y (cycle) + self-loop noise
+        {"host": "x.example", "links_hosts": ["y.example", "x.example"]},
+        {"host": "y.example", "links_hosts": ["x.example"]},
+        # isolated: never linked, links nowhere
+        {"host": "lonely.example", "links_hosts": []},
+    ]
+    got = {
+        r["host"]: r["component_id"]
+        for r in host_components(rd.from_items(rows)).take_all()
+    }
+
+    def hid(h):
+        return int(hashlib.md5(h.encode()).hexdigest()[:15], 16)
+
+    c1 = min(hid(h) for h in ("a.example", "b.example", "c.example"))
+    c2 = min(hid(h) for h in ("x.example", "y.example"))
+    assert got == {
+        "a.example": c1,
+        "b.example": c1,
+        "c.example": c1,
+        "x.example": c2,
+        "y.example": c2,
+        "lonely.example": hid("lonely.example"),
+    }

@@ -44,6 +44,7 @@ __all__ = [
     "hosts_report",
     "interleaved_pack",
     "span_quality_filter",
+    "host_components",
 ]
 
 
@@ -1069,3 +1070,112 @@ def span_quality_filter(
         )[cols]
 
     return docs.map_batches(gate, batch_format="pyarrow")
+
+
+def _host_id(hosts: pd.Series) -> np.ndarray:
+    """60-bit md5 host ids — int64-safe and SQL-mirrorable as
+    ``('0x' || substr(md5(host), 1, 15))::UBIGINT``."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int(md5(h.encode()).hexdigest()[:15], 16) for h in hosts.to_numpy()),
+        dtype=np.int64,
+        count=len(hosts),
+    )
+
+
+def host_components(docs):
+    """Connected components of the host->host link graph — the domain-
+    cluster signal (site families, mirror groups) crawl scoping reads off
+    the link structure. REUSES the pointer-doubling O(log n) CC machinery
+    (``dedup.neardup_clusters``) unchanged: hosts map to 60-bit md5 ids,
+    the distinct (src, dst) link pairs become the edge list, and one
+    final bucketed co-group maps component labels back to host names.
+    Columns: host, component_id (the component's minimum hashed id —
+    deterministic and SQL-mirrorable). SQL-oracle-checked via the same
+    recursive-CTE reachability mirror as ``neardup_clusters``."""
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets
+    from .dedup import neardup_clusters  # type: ignore[attr-defined]
+
+    n_b = default_buckets()
+
+    def page_edges(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["host", "links_hosts"]).to_pandas()
+        ex = (
+            df.rename(columns={"host": "src"})
+            .assign(dst=df["links_hosts"])
+            .drop(columns=["links_hosts"])
+            .explode("dst")
+            .dropna(subset=["dst"])
+        )
+        a = _host_id(ex["src"])
+        b = _host_id(ex["dst"])
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"doc_a": lo, "doc_b": hi})
+        return out[out["doc_a"] != out["doc_b"]].drop_duplicates()
+
+    def page_nodes(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["host", "links_hosts"]).to_pandas()
+        hosts = pd.concat(
+            [df["host"], df["links_hosts"].explode().dropna()],
+            ignore_index=True,
+        ).drop_duplicates()
+        return pd.DataFrame({"host": hosts.to_numpy()})
+
+    edges = coalesce_blocks(docs.map_batches(page_edges, batch_format="pyarrow"))
+    host_rows = coalesce_blocks(
+        docs.map_batches(page_nodes, batch_format="pyarrow")
+    )
+
+    def dedup_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["host"]].drop_duplicates()
+        return out.assign(doc_id=_host_id(out["host"]))
+
+    # distinct hosts + their ids: one bucketed pass (all copies of a host
+    # share its bucket)
+    mapping = (
+        host_rows.map_batches(
+            lambda df: df.assign(b=bucket_of(df["host"], n_b)),
+            batch_format="pandas",
+        )
+        .groupby("b")
+        .map_groups(dedup_hosts, batch_format="pandas")
+    )
+    mapping = coalesce_blocks(mapping)
+
+    clusters = neardup_clusters(
+        edges, mapping.map_batches(lambda df: df[["doc_id"]], batch_format="pandas")
+    )
+
+    # label -> host-name attach: co-group on bucket(id)
+    def tag_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["doc_id"].astype("int64"),
+                "host": pd.Series([""] * len(df), dtype=object, index=df.index),
+                "component_id": df["cluster_id"].astype("int64"),
+                "side": np.zeros(len(df), dtype="int64"),
+                "b": bucket_of(df["doc_id"], n_b),
+            }
+        )
+
+    def tag_host(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["doc_id"].astype("int64"),
+                "host": df["host"],
+                "component_id": np.full(len(df), -1, dtype="int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "b": bucket_of(df["doc_id"], n_b),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == 0][["key", "component_id"]]
+        h = df[df["side"] == 1][["key", "host"]]
+        m = h.merge(c, on="key", how="inner")
+        return m[["host", "component_id"]]
+
+    tagged = clusters.map_batches(tag_cluster, batch_format="pandas").union(
+        mapping.map_batches(tag_host, batch_format="pandas")
+    )
+    return tagged.groupby("b").map_groups(attach, batch_format="pandas")
