@@ -335,3 +335,112 @@ def test_prefix_filter_candidates_complete(doc_items, tfrac):
                 f"qualifying pair ({i},{j}) shares no prefix gram: "
                 f"J={inter}/{union}, prefixes {prefixes[i]} {prefixes[j]}"
             )
+
+
+# --- capture_diff vs brute-force pandas reference ------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # surt index
+            st.integers(min_value=0, max_value=30),   # ts offset
+            st.integers(min_value=0, max_value=3),    # digest index
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_capture_diff_matches_bruteforce(ray_session, caps):
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import capture_diff
+
+    rows = [
+        {
+            "surt_key": f"com,s{s})/",
+            "timestamp14": f"2020010100{t:04d}",
+            "digest": f"d{d}",
+        }
+        for s, t, d in caps
+    ]
+    got = {
+        r["surt_key"]: (
+            r["n_captures"], r["n_changes"], r["n_unchanged"], r["last_change_ts14"]
+        )
+        for r in capture_diff(rd.from_items(rows)).take_all()
+    }
+    # brute force
+    from collections import defaultdict
+
+    by_surt = defaultdict(list)
+    for r in rows:
+        by_surt[r["surt_key"]].append((r["timestamp14"], r["digest"]))
+    expected = {}
+    for surt, lst in by_surt.items():
+        lst.sort()
+        ch = un = 0
+        last = ""
+        for (pt, pd_), (t, d) in zip(lst, lst[1:]):
+            if d != pd_:
+                ch += 1
+                last = t
+            else:
+                un += 1
+        expected[surt] = (len(lst), ch, un, last)
+    assert got == expected
+
+
+# --- span_quality_filter vs sequential reference --------------------------------
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["text", "media"]),
+                st.integers(min_value=0, max_value=6),  # token count for text
+            ),
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_span_quality_filter_matches_bruteforce(ray_session, docs):
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_quality_filter
+
+    rows = []
+    for di, spans in enumerate(docs):
+        rows.append(
+            {
+                "doc_id": f"doc{di}",
+                "spans": [
+                    {
+                        "kind": k,
+                        "text": " ".join(["w"] * n) if k == "text" else "",
+                        "media_ref": f"m{j}" if k == "media" else "",
+                        "offset": 0,
+                    }
+                    for j, (k, n) in enumerate(spans)
+                ],
+            }
+        )
+    got = sorted(
+        (r["doc_id"], r["span_idx"], r["kind"], r["n_tok"], r["new_idx"], r["new_offset"])
+        for r in span_quality_filter(rd.from_items(rows)).take_all()
+    )
+    expected = []
+    for di, spans in enumerate(docs):
+        new_idx = 0
+        off = 0
+        for j, (k, n) in enumerate(spans):
+            cost = 64 if k == "media" else n
+            keep = k == "media" or cost >= 3
+            if keep:
+                expected.append((f"doc{di}", j + 1, k, cost, new_idx, off))
+                new_idx += 1
+                off += cost
+    assert got == sorted(expected)
