@@ -34,6 +34,30 @@ def entry() -> Any:
     )
 
 
+def _crawl_lineage(sf_dir: str):
+    """Per-wave lineage/metrics of a checkpointed crawl run (north rule:
+    "resumable from checkpoint with per-partition lineage + metrics").
+    Non-SQL (the crawl is stateful); checkpoint/resume semantics are
+    pinned by the pytest checkpoint suite."""
+    import tempfile
+
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.crawl import run_crawl
+    from webarchive_discovery_ray.sources.synthetic import seed_urls
+    from webarchive_discovery_ray.state.checkpoint import crawl_lineage
+
+    syn = SyntheticConfig(n_hosts=12, pages_per_host=80)
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_crawl(
+            seed_urls(syn, 8),
+            CrawlConfig(politeness_budget=4, max_waves=3),
+            syn,
+            fetch_concurrency=2,
+            checkpoint_dir=ckpt,
+        )
+        return crawl_lineage(ckpt)
+
+
 def _crawl_frontier(sf_dir: str):
     """Crawl-plane drain over the synthetic pseudo-web (non-SQL; the
     sequential oracle in oracle/crawl_oracle.py is its conformance check,
@@ -968,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "hll_users_per_event_type": hll_users_per_event_type,
+        "crawl_lineage": _crawl_lineage,
         "kll_quantiles": kll_quantiles,
         "fuzzy_hashes": fuzzy_hashes,
         "postcode_geo": _postcodes,

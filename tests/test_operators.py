@@ -1349,3 +1349,37 @@ def test_host_components_crafted_graph(ray_session):
         "y.example": c2,
         "lonely.example": hid("lonely.example"),
     }
+
+
+def test_crawl_lineage_table(ray_session, tmp_path):
+    """The lineage table carries one row per complete wave with monotone
+    seq watermarks and fetch counts matching the manifests."""
+    import json
+    import os
+
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.crawl import run_crawl
+    from webarchive_discovery_ray.sources.synthetic import seed_urls
+    from webarchive_discovery_ray.state.checkpoint import crawl_lineage
+
+    syn = SyntheticConfig(n_hosts=8, pages_per_host=40)
+    ckpt = str(tmp_path / "ckpt")
+    run_crawl(
+        seed_urls(syn, 6),
+        CrawlConfig(politeness_budget=3, max_waves=3),
+        syn,
+        fetch_concurrency=2,
+        checkpoint_dir=ckpt,
+    )
+    df = crawl_lineage(ckpt)
+    waves = sorted(
+        int(n.split("_")[1]) for n in os.listdir(ckpt) if n.startswith("wave_")
+    )
+    assert list(df["wave"]) == waves
+    assert (df["seq"].diff().dropna() >= 0).all()  # monotone watermark
+    for _, row in df.iterrows():
+        m = json.load(
+            open(os.path.join(ckpt, f"wave_{row['wave']:04d}", "manifest.json"))
+        )
+        assert row["n_fetched"] == m["n_fetched"]
+    assert df["n_fetched"].sum() > 0

@@ -150,3 +150,42 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         "fetch_log": fetch_log,
         "seq": manifest["seq"],
     }
+
+
+def crawl_lineage(base: str):
+    """Per-wave lineage + metrics table from a checkpointed crawl run —
+    the north rule's "per-partition lineage + metrics" surfaced as a
+    queryable table: one row per COMPLETE wave (manifest present), with
+    the manifest's row counts, the global seq watermark, and the wave's
+    recorded stats. Driver-side file scan of #waves manifests (bounded:
+    one small JSON per wave). Columns: wave, seq, n_fetched,
+    n_frontier_next, n_seen_delta, plus flattened integer stats."""
+    import pandas as pd
+
+    rows = []
+    if os.path.isdir(base):
+        for name in sorted(os.listdir(base)):
+            mpath = os.path.join(base, name, "manifest.json")
+            if not name.startswith("wave_") or not os.path.exists(mpath):
+                continue
+            with open(mpath) as f:
+                m = json.load(f)
+            row = {
+                "wave": int(m["wave"]),
+                "seq": int(m["seq"]),
+                "n_fetched": int(m["n_fetched"]),
+                "n_frontier_next": int(m["n_frontier_next"]),
+                "n_seen_delta": int(m["n_seen_delta"]),
+            }
+            for k, v in sorted((m.get("stats") or {}).items()):
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    row[f"stat_{k}"] = v
+            rows.append(row)
+    return pd.DataFrame(
+        rows,
+        columns=(
+            rows[0].keys()
+            if rows
+            else ["wave", "seq", "n_fetched", "n_frontier_next", "n_seen_delta"]
+        ),
+    )
