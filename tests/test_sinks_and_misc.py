@@ -535,8 +535,9 @@ def test_export_partitioned_atomic_and_resumable(ray_session, tmp_path):
     mtimes = {
         p: os.path.getmtime(os.path.join(out, p, "data.parquet"))
         for p in os.listdir(out)
+        if p.startswith("part=")
     }
-    victim = sorted(os.listdir(out))[3]
+    victim = sorted(p for p in os.listdir(out) if p.startswith("part="))[3]
     shutil.rmtree(os.path.join(out, victim))
     r3 = export_partitioned(ds, out, "doc_id", n_partitions=8)
     assert r3["written"] == 1 and r3["skipped"] == 7
@@ -546,7 +547,11 @@ def test_export_partitioned_atomic_and_resumable(ray_session, tmp_path):
 
     back = (
         rd.read_parquet(
-            [os.path.join(out, p, "data.parquet") for p in sorted(os.listdir(out))]
+            [
+                os.path.join(out, p, "data.parquet")
+                for p in sorted(os.listdir(out))
+                if p.startswith("part=")
+            ]
         )
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
@@ -572,8 +577,26 @@ def test_export_partitioned_crash_leaves_whole_partitions(ray_session, tmp_path)
     with open(os.path.join(out, "part=00002.tmp", "junk"), "w") as f:
         f.write("partial")
     export_partitioned(ds, out, "doc_id", n_partitions=4)
-    names = sorted(os.listdir(out))
+    names = sorted(n for n in os.listdir(out) if n.startswith("part="))
     assert names == [f"part={i:05d}" for i in range(4)]
+    assert os.path.exists(os.path.join(out, "_LAYOUT.json"))
     for p in names:
         man = json.load(open(os.path.join(out, p, "MANIFEST.json")))
         assert man["rows"] > 0 and len(man["md5"]) == 32
+
+
+def test_export_partitioned_layout_mismatch_rejected(ray_session, tmp_path):
+    """Re-running against an existing export with a different key or
+    partition count must fail loudly instead of mixing hash domains."""
+    import pytest
+
+    from webarchive_discovery_ray.sources.sinks import export_partitioned
+    from webarchive_discovery_ray.sources.io import read_table
+
+    ds = read_table("/root/testdata/sf0.001", "documents", columns=["doc_id", "text"])
+    out = str(tmp_path / "export")
+    export_partitioned(ds, out, "doc_id", n_partitions=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        export_partitioned(ds, out, "doc_id", n_partitions=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        export_partitioned(ds, out, "text", n_partitions=4)

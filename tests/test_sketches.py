@@ -590,3 +590,13 @@ def test_hll_users_per_event_type_error_and_determinism(ray_session):
         true = exact[etype]
         assert abs(est - true) / true <= 0.05, (etype, est, true)
     pd.testing.assert_frame_equal(got, hll_users_per_event_type(sf))
+
+
+def test_kll_empty_sketch_returns_nan():
+    import math
+
+    from webarchive_discovery_ray.pipelines.sketches import KLLSketch
+
+    sk = KLLSketch(64)
+    assert sk.n == 0 and sk.total_weight() == 0
+    assert all(math.isnan(v) for v in sk.quantiles((1, 50, 99)))

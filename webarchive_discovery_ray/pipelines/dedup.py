@@ -232,11 +232,21 @@ def _perm_seeds(n_perm: int = _N_PERM) -> np.ndarray:
     )
 
 
-def _shingles(text: str, k: int = 3) -> set[int]:
+def _gram_list(text: str, k: int = 3) -> list[str]:
+    """The ONE word-k-gram rule every Jaccard-family op shares (incl. the
+    ``or [text]`` short-doc fallback) — the prefix-filter proof, the
+    MinHash banding, and both DuckDB oracles all assume byte-identical
+    gram lists, so keep this the single definition."""
     toks = text.split()
-    grams = [" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))] or [text]
+    return [" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))] or [
+        text
+    ]
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
     return {
-        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") for g in grams
+        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+        for g in _gram_list(text, k)
     }
 
 
@@ -309,11 +319,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
         starts = np.empty(len(texts), dtype=np.int64)
         for j, text in enumerate(texts):
             starts[j] = len(grams)
-            toks = text.split()
-            if len(toks) >= 3:
-                grams.extend(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
-            else:
-                grams.append(text)  # _shingles' `or [text]` fallback
+            grams.extend(_gram_list(text))
         uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
         uniq_h = np.fromiter(
             (
@@ -389,9 +395,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
 
 
 def _attach_verify_jaccard(ds, distinct_pairs, threshold: float, n_b: int):
-    """Shared tag-join exact-Jaccard verify (no driver/corpus
-    materialization) — consumed by ``minhash_lsh_pairs`` and
-    ``ngram_jaccard_pairs``.
+    """Tag-join exact-Jaccard verify (no driver/corpus materialization)
+    — consumed by ``minhash_lsh_pairs``; ``ngram_jaccard_pairs`` uses the
+    same two-pass tag-join SHAPE but attaches precomputed gram-hash
+    signatures instead of text (its candidate count makes per-pair
+    re-shingling the hot loop).
 
     Two bucketed co-group passes replace three hash joins with the SAME
     shuffle discipline: pass A keys corpus texts by bucket(doc_id) and
@@ -498,8 +506,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3):
        <= |A| - ceil(t|A|) + 1 in both docs, so it lies in both
        prefixes — a self-join on prefix grams is complete;
     4. in-bucket self-merge on prefix grams -> candidate pairs (the
-       shared attach pass dedups rediscovered pairs in-bucket);
-    5. shared exact-Jaccard tag-join verify (``_attach_verify_jaccard``).
+       attach pass dedups rediscovered pairs in-bucket);
+    5. signature-based exact-Jaccard verify: per-doc sorted-unique
+       uint64 signatures derived from the SAME gram table (no second
+       tokenize/md5 pass), attached through the minhash-style tag-join
+       shape, one ``np.intersect1d`` per candidate pair.
 
     100-TB skew note: this never self-joins on hot grams — a stop-gram
     (high df) sorts to the END of every doc's order and falls out of the
@@ -527,13 +538,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3):
         grams: list[str] = []
         counts = np.empty(len(texts), dtype=np.int64)
         for j, text in enumerate(texts):
-            toks = text.split()
-            before = len(grams)
-            if len(toks) >= 3:
-                grams.extend(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
-            else:
-                grams.append(text)  # _shingles' `or [text]` fallback
-            counts[j] = len(grams) - before
+            gl = _gram_list(text)
+            grams.extend(gl)
+            counts[j] = len(gl)
         uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
         hexes = np.asarray(
             [hashlib.md5(g.encode()).hexdigest()[:16] for g in uniq], dtype=object
@@ -602,42 +609,51 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3):
     # Unlike the LSH chain (few hundred candidates -> text attach +
     # per-pair re-shingling is fine), the exact chain at a low threshold
     # can carry 10^5-10^6 candidates, so the verify must not re-tokenize
-    # or re-hash per PAIR: each doc's sorted uint64 gram-hash SIGNATURE is
-    # computed ONCE in-batch (zero-shuffle, same md5-truncation as
-    # `_shingles`), shipped as one binary value through the same two
-    # bucketed attach/verify passes, and each pair costs one
-    # np.intersect1d over two sorted arrays.
+    # or re-hash per PAIR — or at all: each doc's sorted-unique uint64
+    # gram-hash SIGNATURE is derived from the gram table the chain has
+    # ALREADY built (hex16 == the first 8 md5 bytes, so int(hex, 16)
+    # reproduces `_shingles`'s values without a second md5 pass over the
+    # corpus), shipped as one binary value through the same two bucketed
+    # attach/verify passes, and each pair costs one np.intersect1d over
+    # two sorted arrays. np.unique (not just sort) because uniqueness
+    # must hold POST-hash — a 64-bit gram collision inside a doc would
+    # otherwise violate intersect1d's assume_unique and diverge from the
+    # oracle's DISTINCT-on-hash semantics.
 
-    def tag_sigs(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].tolist()
-        ids = df["doc_id"].to_numpy().astype(np.int64)
-        sigs: list[bytes] = []
-        for text in texts:
-            toks = text.split()
-            if len(toks) >= 3:
-                gs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-            else:
-                gs = {text}
-            arr = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
-                    for g in gs
-                ),
-                dtype=np.uint64,
-                count=len(gs),
-            )
-            arr.sort()
-            sigs.append(arr.tobytes())
+    def sigs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort", ignore_index=True)
+        ids = df["doc_id"].to_numpy()
+        h = np.fromiter(
+            (int(x, 16) for x in df["g"].to_numpy()),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        first = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))
+        bounds = np.append(first, len(ids))
+        out_ids = ids[first].astype(np.int64)
+        sigs = [
+            np.unique(h[s:e2]).tobytes()
+            for s, e2 in zip(bounds[:-1], bounds[1:])
+        ]
         return pd.DataFrame(
             {
-                "key": ids,
-                "doc_a": np.full(len(ids), -1, dtype="int64"),
-                "doc_b": np.full(len(ids), -1, dtype="int64"),
-                "side": np.zeros(len(ids), dtype="int64"),
+                "key": out_ids,
+                "doc_a": np.full(len(out_ids), -1, dtype="int64"),
+                "doc_b": np.full(len(out_ids), -1, dtype="int64"),
+                "side": np.zeros(len(out_ids), dtype="int64"),
                 "sig": pd.Series(sigs, dtype=object),
-                "bucket": bucket_of(pd.Series(ids), n_b),
+                "bucket": bucket_of(pd.Series(out_ids), n_b),
             }
         )
+
+    sig_rows = (
+        grams.map_batches(
+            lambda df: df.assign(b=bucket_of(df["doc_id"], n_b)),
+            batch_format="pandas",
+        )
+        .groupby("b")
+        .map_groups(sigs_in_bucket, batch_format="pandas")
+    )
 
     def tag_side(col: str, side: int):
         def tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -687,7 +703,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3):
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
     tagged = (
-        coalesce_blocks(ds.map_batches(tag_sigs, batch_format="pandas"))
+        coalesce_blocks(sig_rows)
         .union(distinct_pairs.map_batches(tag_side("doc_a", 1), batch_format="pandas"))
         .union(distinct_pairs.map_batches(tag_side("doc_b", 2), batch_format="pandas"))
     )

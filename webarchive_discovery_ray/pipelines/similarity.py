@@ -419,7 +419,7 @@ def lsh_cosine_topk(
     is near-worst-case for angle LSH — true top-k neighbours sit at
     cosine ~0.3 against a ~0 median, where the per-bit collision
     probability is only ~0.6 — so the default bank reaches ~0.4-0.6
-    recall while scanning ~10%% of the corpus. ``ivf_cosine_topk``
+    recall while scanning ~10% of the corpus. ``ivf_cosine_topk``
     is the better scale path on such weakly-clustered embeddings; LSH
     wins when neighbours are tight (cos >= 0.7). Columns: query_vec_id,
     vec_id, rank. Approximate by construction -> rows-only check."""

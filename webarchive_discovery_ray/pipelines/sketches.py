@@ -444,7 +444,10 @@ class KLLSketch:
 
     def quantiles(self, qs_pct) -> list[float]:
         """Smallest sketch value whose cumulative weight reaches
-        ceil(q/100 * n) — the inverted-CDF rank rule."""
+        ceil(q/100 * n) — the inverted-CDF rank rule. An empty sketch
+        answers NaN for every quantile (no value to return)."""
+        if self.n == 0:
+            return [float("nan")] * len(qs_pct)
         items: list[tuple[float, int]] = []
         for lv, buf in enumerate(self.levels):
             w = 1 << lv

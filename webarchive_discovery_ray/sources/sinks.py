@@ -315,6 +315,24 @@ def export_partitioned(
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    # resume guard: manifests are only trustworthy under the SAME layout —
+    # a re-run with a different key or partition count would skip
+    # partitions from a different hash domain and duplicate/drop rows
+    layout_path = os.path.join(out_dir, "_LAYOUT.json")
+    layout = {"key": key_col, "n_partitions": int(n_partitions)}
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            existing = _json.load(f)
+        if existing != layout:
+            raise ValueError(
+                f"export layout mismatch: {out_dir} was written with "
+                f"{existing}, requested {layout}"
+            )
+    else:
+        tmp_layout = layout_path + ".tmp"
+        with open(tmp_layout, "w") as f:
+            _json.dump(layout, f)
+        os.replace(tmp_layout, layout_path)
 
     def part_of(vals: pd.Series) -> np.ndarray:
         md5 = _hl.md5

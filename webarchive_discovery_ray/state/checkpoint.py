@@ -181,11 +181,10 @@ def crawl_lineage(base: str):
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     row[f"stat_{k}"] = v
             rows.append(row)
+    if rows:
+        # no columns= pin: take the key UNION so a stat that first
+        # appears after wave 0 still gets its column
+        return pd.DataFrame(rows)
     return pd.DataFrame(
-        rows,
-        columns=(
-            rows[0].keys()
-            if rows
-            else ["wave", "seq", "n_fetched", "n_frontier_next", "n_seen_delta"]
-        ),
+        columns=["wave", "seq", "n_fetched", "n_frontier_next", "n_seen_delta"]
     )
