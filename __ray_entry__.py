@@ -898,6 +898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kll_quantiles,
     )
     from webarchive_discovery_ray.pipelines.curation import (
+        blocklist_filter,
+        compression_ratio,
         curation_pipeline,
         decontaminate,
         dsir_weights,
@@ -935,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "repetition_score": repetition_score,
         "gopher_rules": gopher_rules,
+        "blocklist_filter": blocklist_filter,
         "dsir_weights": dsir_weights,
         "pii_scrub": pii_scrub,
         "global_quantiles": global_quantiles,
@@ -992,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "hll_users_per_event_type": hll_users_per_event_type,
+        "compression_ratio": compression_ratio,
         "crawl_lineage": _crawl_lineage,
         "kll_quantiles": kll_quantiles,
         "fuzzy_hashes": fuzzy_hashes,
@@ -1066,6 +1070,15 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(_perm_seeds())
     )
     u64_mod = "18446744073709551616::UHUGEINT"
+
+    from webarchive_discovery_ray.pipelines.curation import (
+        BLOCKLIST_HARD as _BL_HARD,
+        BLOCKLIST_PCT as _BL_PCT,
+        BLOCKLIST_SOFT as _BL_SOFT,
+    )
+
+    bl_soft = ", ".join(f"'{t}'" for t in _BL_SOFT)
+    bl_hard = ", ".join(f"'{t}'" for t in _BL_HARD)
 
     from webarchive_discovery_ray.pipelines.sketches import BLOOM_PRICE_THR as _BLOOM_THR
     from webarchive_discovery_ray.pipelines.textops import BM25_TERMS
@@ -1867,6 +1880,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
                    round(COALESCE(s.lw, 0.0), 6) AS logweight
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # UT1-style blocklist stage: soft/hard lists + integer-exact ratio
+        # verdict mirror pipelines/curation.blocklist_filter (constants
+        # rendered from the same module so the two can't drift)
+        "blocklist_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            stat AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_tokens,
+                     len(list_filter(w, x -> list_contains([{bl_soft}], x)))
+                         ::BIGINT AS n_bad,
+                     len(list_filter(w, x -> list_contains([{bl_hard}], x)))
+                         > 0 AS hard_hit
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, n_bad,
+                   CAST(n_bad AS DOUBLE) / n_tokens AS bad_ratio,
+                   hard_hit,
+                   (hard_hit OR 100 * n_bad >= {int(_BL_PCT)} * n_tokens)
+                       AS blocked
+            FROM stat
         """,
         # Gopher quality rules (Rae et al. 2021 A1.1): exact-integer
         # cross-multiplied verdicts mirror pipelines/curation.gopher_rules

@@ -429,3 +429,92 @@ def test_bucket_batches_layout_invariants(ray_session):
         # dense 0..n-1 ranks in doc_id order within the bucket
         assert list(rk) == list(range(len(grp))), b
     assert got["len_bucket"].nunique() > 1  # non-degenerate bucketing
+
+
+def test_blocklist_filter_boundary_verdicts(ray_session, tmp_path):
+    """Hand-authored docs pin the exact-integer ratio threshold
+    (100*n_bad >= pct*n_tokens), the hard-hit override, and the
+    empty-text tokenization convention ('' -> one '' token)."""
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.pipelines.curation import blocklist_filter
+
+    docs = [
+        (0, "big " + "x " * 8 + "y"),          # 1 bad / 10 toks == 10% -> blocked (tie)
+        (1, "big " + "x " * 9 + "y"),          # 1 bad / 11 toks < 10%  -> kept
+        (2, "clean text only here"),           # no hits -> kept
+        (3, "spark"),                          # hard hit -> blocked regardless of ratio
+        (4, "x " * 99 + "spark"),              # hard hit at 1% soft ratio -> blocked
+        (5, ""),                               # '' -> one '' token, 0 bad -> kept
+        (6, "big dup slow"),                   # 3/3 -> blocked
+        (7, "bigger duplicate slowly"),        # substrings are NOT matches -> kept
+    ]
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        blocklist_filter(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["blocked"]) == [True, False, False, True, True, False, True, False]
+    assert list(got["hard_hit"]) == [False, False, False, True, True, False, False, False]
+    assert list(got["n_tokens"]) == [10, 11, 4, 1, 100, 1, 3, 3]
+    assert list(got["n_bad"]) == [1, 1, 0, 0, 0, 0, 3, 0]
+    np.testing.assert_allclose(
+        got["bad_ratio"], got["n_bad"] / got["n_tokens"], rtol=0, atol=0
+    )
+
+
+def test_blocklist_filter_corpus_nondegenerate(ray_session):
+    """Over the synthetic corpus both verdicts occur and the ratio
+    verdict is internally consistent with the counted columns."""
+    from webarchive_discovery_ray.pipelines.curation import (
+        BLOCKLIST_PCT,
+        blocklist_filter,
+    )
+
+    got = blocklist_filter(SF).to_pandas()
+    assert len(got) == 500
+    assert got["blocked"].any() and (~got["blocked"]).any()
+    want = got["hard_hit"] | (100 * got["n_bad"] >= BLOCKLIST_PCT * got["n_tokens"])
+    assert (got["blocked"] == want).all()
+
+
+def test_compression_ratio_matches_zlib(ray_session):
+    """n_compressed must equal a direct zlib.compress(level=6) call per
+    document, and the keep band must be the exact integer test."""
+    import zlib
+
+    from webarchive_discovery_ray.pipelines.curation import (
+        COMPRESS_HI,
+        COMPRESS_LO,
+        compression_ratio,
+    )
+
+    got = (
+        compression_ratio(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = sorted(_docs(), key=lambda r: r["doc_id"])
+    assert len(got) == len(docs)
+    for row, doc in zip(got.itertuples(), docs):
+        raw = doc["text"].encode("utf-8")
+        assert row.n_raw == len(raw)
+        assert row.n_compressed == len(zlib.compress(raw, 6))
+        want_keep = (
+            row.n_raw > 0
+            and 100 * row.n_compressed >= COMPRESS_LO * row.n_raw
+            and 100 * row.n_compressed <= COMPRESS_HI * row.n_raw
+        )
+        assert bool(row.keep) == want_keep
+    assert got["keep"].any()

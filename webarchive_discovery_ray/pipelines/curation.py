@@ -42,6 +42,8 @@ __all__ = [
     "dsir_weights",
     "unigram_logloss",
     "gopher_rules",
+    "blocklist_filter",
+    "compression_ratio",
     "curation_pipeline",
 ]
 
@@ -649,6 +651,111 @@ def gopher_rules(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# blocklist filtering (UT1-style domain/word blocklists, as used by the
+# RefinedWeb / CCNet curation recipes: a small curated list of banned terms
+# is broadcast and every document is scored against it)
+
+BLOCKLIST_SOFT = ("big", "dup", "slow")  # counted; ratio-thresholded
+BLOCKLIST_HARD = ("spark",)  # any single occurrence blocks outright
+BLOCKLIST_PCT = 10  # blocked when 100 * n_bad >= PCT * n_tokens
+
+
+def blocklist_filter(
+    sf_dir: str,
+    soft: tuple[str, ...] = BLOCKLIST_SOFT,
+    hard: tuple[str, ...] = BLOCKLIST_HARD,
+    pct: int = BLOCKLIST_PCT,
+):
+    """Score every document against a broadcast term blocklist.
+
+    The standard UT1-blocklist curation stage: a soft list is counted per
+    document (occurrences, not distinct) and thresholded as a token
+    ratio; a hard list blocks on any occurrence. The verdict uses integer
+    cross-multiplication (``100*n_bad >= pct*n_tokens``) so the kept set
+    is bit-identical across engines; ``bad_ratio`` is one double division
+    of two exact integers. Tokens are single-space splits (mirrors the
+    oracle's ``string_split(text, ' ')``, empty text => one '' token).
+
+    100-TB shape: blocklists are KBs — pure per-batch ``map_batches``
+    with the frozensets captured in the closure, zero shuffle. Columns:
+    doc_id, n_tokens, n_bad, bad_ratio, hard_hit, blocked.
+    SQL-oracle-checked."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    soft_set, hard_set = frozenset(soft), frozenset(hard)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n_tokens = toks.str.len().astype("int64")
+        ex = toks.explode()
+        by_doc = ex.isin(soft_set).groupby(level=0)
+        n_bad = by_doc.sum().reindex(df.index, fill_value=0).astype("int64")
+        hard_hit = (
+            ex.isin(hard_set)
+            .groupby(level=0)
+            .any()
+            .reindex(df.index, fill_value=False)
+            .astype(bool)
+        )
+        blocked = hard_hit | (100 * n_bad >= pct * n_tokens)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tokens,
+                "n_bad": n_bad,
+                "bad_ratio": n_bad.to_numpy() / n_tokens.to_numpy(),
+                "hard_hit": hard_hit,
+                "blocked": blocked.astype(bool),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (the zlib-entropy proxy used by the
+# Gopher/RefinedWeb family to catch boilerplate and generated spam: highly
+# compressible text is repetitive, barely compressible text is noise)
+
+COMPRESS_LO = 30  # keep when 100*compressed >= LO*raw  (too repetitive below)
+COMPRESS_HI = 95  # ... and 100*compressed <= HI*raw   (near-random above)
+
+
+def compression_ratio(sf_dir: str, lo: int = COMPRESS_LO, hi: int = COMPRESS_HI):
+    """Per-document zlib compression ratio with integer-exact verdicts.
+
+    ``zlib.compress(text_utf8, level=6)`` is fully deterministic for a
+    given input (RFC 1950 stream, fixed strategy), so ``n_compressed`` is
+    reproducible across engines and runs. The keep band is evaluated by
+    integer cross-multiplication. Rows-only (no SQL zlib); pinned by a
+    pytest parity test against direct ``zlib`` calls.
+
+    100-TB shape: embarrassingly parallel ``map_batches``; zlib level 6 at
+    ~50-100 MB/s/core makes this compute-bound per batch with zero
+    shuffle. Columns: doc_id, n_raw, n_compressed, ratio, keep."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df["text"].str.encode("utf-8")
+        n_raw = raw.str.len().astype("int64")
+        n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+        safe = n_raw.replace(0, 1)
+        keep = (n_raw > 0) & (100 * n_comp >= lo * n_raw) & (100 * n_comp <= hi * n_raw)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_raw": n_raw,
+                "n_compressed": n_comp,
+                "ratio": np.where(n_raw > 0, n_comp / safe, 0.0),
+                "keep": keep.astype(bool),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def curation_pipeline(sf_dir: str):
