@@ -569,14 +569,40 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3):
         rank = df.groupby("doc_id").cumcount().to_numpy()
         # sz - ceil(t*sz) + 1, with ceil(a/b) = -((-a)//b) in exact ints
         keep_len = sz - (-(((-num) * sz) // den)) + 1
-        return df.loc[rank < keep_len, ["doc_id", "g"]]
+        keep = rank < keep_len
+        # rank + sz ride along for the PPJoin length/positional filters
+        out = df.loc[keep, ["doc_id", "g"]].copy()
+        out["pos"] = rank[keep]
+        out["sz"] = sz[keep]
+        return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Self-merge on prefix grams + the two PPJoin candidate filters
+        (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+        Detection", WWW'08) — both provably output-preserving:
+
+        * length filter: J >= t needs min(|A|,|B|) >= t*max(|A|,|B|)
+          (exact ints: min*den >= max*num);
+        * positional filter: every shared gram of a qualifying pair sits
+          at rank >= the match's rank in BOTH df-orders, so the overlap
+          I <= min(|A|-pa, |B|-pb); J >= t needs
+          I >= alpha = ceil(t/(1+t)*(|A|+|B|)). For the pair's SMALLEST
+          shared gram (which the prefix lemma puts in both prefixes) the
+          bound is tight-enough by construction, so at least one bucket
+          keeps every qualifying pair while non-qualifying matches drop
+          at generation time instead of riding two more exchanges."""
         m = df.merge(df, on="g")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
+        sx = m["sz_x"].to_numpy()
+        sy = m["sz_y"].to_numpy()
+        lo = np.minimum(sx, sy)
+        hi = np.maximum(sx, sy)
+        alpha = -((-(num * (sx + sy))) // (num + den))
+        ub = np.minimum(sx - m["pos_x"].to_numpy(), sy - m["pos_y"].to_numpy())
+        m = m[(lo * den >= hi * num) & (ub >= alpha)]
         return pd.DataFrame(
             {"doc_a": m["doc_id_x"].to_numpy(), "doc_b": m["doc_id_y"].to_numpy()}
-        )
+        ).drop_duplicates(ignore_index=True)
 
     grams = coalesce_blocks(ds.map_batches(to_grams, batch_format="pyarrow"))
     with_df = (
