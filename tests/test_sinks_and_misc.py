@@ -600,3 +600,130 @@ def test_export_partitioned_layout_mismatch_rejected(ray_session, tmp_path):
         export_partitioned(ds, out, "doc_id", n_partitions=8)
     with pytest.raises(ValueError, match="layout mismatch"):
         export_partitioned(ds, out, "text", n_partitions=4)
+
+
+# --- fragment compaction ------------------------------------------------------
+
+def _make_fragments(base, n_waves=3, n_parts=4, rows_per=20):
+    """Simulate the crawl plane's per-(wave, partition) fragment layout."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    k = 0
+    total = 0
+    for w in range(n_waves):
+        d = os.path.join(base, f"wave_{w:04d}")
+        os.makedirs(d, exist_ok=True)
+        for p in range(n_parts):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(k, k + rows_per), pa.int64()),
+                    "wave": pa.array([w] * rows_per, pa.int64()),
+                }
+            )
+            pq.write_table(t, os.path.join(d, f"part_{p:05d}.parquet"))
+            k += rows_per
+            total += rows_per
+    return total
+
+
+def test_compact_parquet_dir_roundtrip_and_grouping(ray_session, tmp_path):
+    """Compaction preserves every row, groups respect the size target
+    (multiple groups at a small target), and file order is the sorted
+    fragment listing so output content is deterministic."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.sources.sinks import compact_parquet_dir
+
+    frag = str(tmp_path / "frags")
+    total = _make_fragments(frag)
+    out = str(tmp_path / "compact")
+    sizes = sum(
+        os.path.getsize(os.path.join(r, n))
+        for r, _, ns in os.walk(frag)
+        for n in ns
+    )
+    res = compact_parquet_dir(frag, out, target_bytes=sizes // 3)
+    assert res["rows"] == total and res["skipped"] == 0
+    assert 2 <= res["groups"] <= 12 and res["written"] == res["groups"]
+    names = sorted(n for n in os.listdir(out) if n.endswith(".parquet"))
+    assert names == [f"compact_{i:05d}.parquet" for i in range(res["groups"])]
+    back = pq.read_table([os.path.join(out, n) for n in names])
+    assert back.num_rows == total
+    assert sorted(back["doc_id"].to_pylist()) == list(range(total))
+    # deterministic order: first output file starts at the first sorted
+    # fragment (wave_0000/part_00000 holds doc_ids 0..19)
+    first = pq.read_table(os.path.join(out, names[0]))
+    assert first["doc_id"][0].as_py() == 0
+
+
+def test_compact_parquet_dir_resumable_and_plan_guard(ray_session, tmp_path):
+    """A re-run skips every finished group; deleting one group's output
+    rewrites only it; adding a fragment after planning fails loudly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from webarchive_discovery_ray.sources.sinks import compact_parquet_dir
+
+    frag = str(tmp_path / "frags")
+    _make_fragments(frag)
+    out = str(tmp_path / "compact")
+    r1 = compact_parquet_dir(frag, out, target_bytes=1)  # one group per file
+    assert r1["groups"] == 12 and r1["written"] == 12
+
+    r2 = compact_parquet_dir(frag, out, target_bytes=1)
+    assert r2["written"] == 0 and r2["skipped"] == 12 and r2["rows"] == 0
+
+    mtimes = {
+        n: os.path.getmtime(os.path.join(out, n))
+        for n in os.listdir(out)
+        if n.endswith(".parquet")
+    }
+    os.remove(os.path.join(out, "compact_00005.parquet"))
+    os.remove(os.path.join(out, "compact_00005.json"))
+    r3 = compact_parquet_dir(frag, out, target_bytes=1)
+    assert r3["written"] == 1 and r3["skipped"] == 11
+    for n, m in mtimes.items():
+        if n != "compact_00005.parquet":
+            assert os.path.getmtime(os.path.join(out, n)) == m
+
+    # plan drift: a new fragment appears after planning
+    pq.write_table(
+        pa.table({"doc_id": pa.array([999], pa.int64()), "wave": pa.array([9], pa.int64())}),
+        os.path.join(frag, "wave_0000", "part_99999.parquet"),
+    )
+    with pytest.raises(ValueError, match="plan mismatch"):
+        compact_parquet_dir(frag, out, target_bytes=1)
+
+
+def test_compact_parquet_dir_crash_recovery(ray_session, tmp_path):
+    """Data written without its manifest (crash between the two atomic
+    replaces) is rewritten on resume; a stale .tmp never surfaces.
+    Nested output under the input tree is excluded from planning."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.sources.sinks import compact_parquet_dir
+
+    frag = str(tmp_path / "frags")
+    total = _make_fragments(frag, n_waves=1, n_parts=3)
+    out = os.path.join(frag, "_compacted")  # nested under the input
+    r1 = compact_parquet_dir(frag, out, target_bytes=1 << 30)
+    assert r1["groups"] == 1 and r1["rows"] == total
+
+    # simulate crash: manifest missing, stale tmp beside it
+    os.remove(os.path.join(out, "compact_00000.json"))
+    with open(os.path.join(out, "compact_00000.parquet.tmp"), "w") as f:
+        f.write("junk")
+    r2 = compact_parquet_dir(frag, out, target_bytes=1 << 30)
+    assert r2["written"] == 1 and r2["rows"] == total
+    back = pq.read_table(os.path.join(out, "compact_00000.parquet"))
+    assert back.num_rows == total

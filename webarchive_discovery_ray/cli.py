@@ -138,6 +138,15 @@ def _cmd_export(args: argparse.Namespace) -> dict:
     return {"cmd": "export", "output": args.output, **res}
 
 
+def _cmd_compact(args: argparse.Namespace) -> dict:
+    from .sources.sinks import compact_parquet_dir
+
+    res = compact_parquet_dir(
+        args.input, args.output, target_bytes=args.target_mb << 20
+    )
+    return {"cmd": "compact", "output": args.output, **res}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="webarchive_discovery_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -181,6 +190,14 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--key", required=True, help="partition key column")
     xp.add_argument("--partitions", type=int, default=64)
     xp.set_defaults(fn=_cmd_export)
+
+    cp = sub.add_parser(
+        "compact", help="fragment dir -> few large parquet files (resumable)"
+    )
+    cp.add_argument("input")
+    cp.add_argument("output")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.set_defaults(fn=_cmd_compact)
 
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)

@@ -35,6 +35,7 @@ __all__ = [
     "RetrySender",
     "run_buffered_sink",
     "export_partitioned",
+    "compact_parquet_dir",
 ]
 
 
@@ -389,4 +390,144 @@ def export_partitioned(
         "written": sum(1 for r in results if not r["skipped"]),
         "skipped": sum(1 for r in results if r["skipped"]),
         "rows": int(sum(r["rows"] for r in results)),
+    }
+
+
+def compact_parquet_dir(
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Compact a tree of small parquet fragments into few large files —
+    the post-pass for the crawl plane's per-(wave, partition) fragment
+    layout (``pipelines/crawl.py``) and any long-lived export that has
+    accumulated small files (the reference's small-output problem: one
+    file per reducer per run, ``HostsReportReducer`` et al.).
+
+    Planning is metadata-only on the driver: a recursive SORTED listing
+    of ``*.parquet`` fragments with their on-disk sizes, greedy-binned
+    in listing order into groups summing to <= ``target_bytes`` (every
+    group holds >= 1 file; an oversized file forms its own group). The
+    plan is pinned atomically to ``out_dir/_PLAN.json`` on first run; a
+    re-run must see the identical fragment listing or it fails loudly —
+    a changed input set would make manifest-based skipping silently
+    drop or duplicate rows.
+
+    One Ray task per group (``from_items`` with one block per group):
+    read the group's fragments in listed order, concat, write
+    ``out_dir/compact_NNNNN.parquet`` atomically (tmp + ``os.replace``),
+    then its ``compact_NNNNN.json`` manifest (sources, rows, bytes).
+    A crash between the two leaves data without a manifest, which a
+    re-run rewrites; a group whose manifest exists is SKIPPED, so
+    resume cost is proportional to the unfinished tail only. Returns
+    ``{"groups", "written", "skipped", "rows", "bytes_in"}`` (driver
+    holds counts only).
+    """
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    import ray.data as _rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_abs = os.path.abspath(out_dir)
+
+    files: list[tuple[str, int]] = []
+    for root, dirs, names in os.walk(in_dir):
+        # never re-compact our own output when it nests under in_dir
+        dirs[:] = sorted(
+            d for d in dirs if os.path.abspath(os.path.join(root, d)) != out_abs
+        )
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                files.append((os.path.relpath(p, in_dir), os.path.getsize(p)))
+    files.sort()
+
+    groups: list[list[int]] = []
+    acc = 0
+    for i, (_, sz) in enumerate(files):
+        if not groups or acc + sz > target_bytes and acc > 0:
+            groups.append([i, i + 1])
+            acc = sz
+        else:
+            groups[-1][1] = i + 1
+            acc += sz
+
+    plan = {
+        "target_bytes": int(target_bytes),
+        "files": [[p, int(s)] for p, s in files],
+        "groups": groups,
+    }
+    plan_path = os.path.join(out_dir, "_PLAN.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            existing = _json.load(f)
+        if existing != plan:
+            raise ValueError(
+                f"compaction plan mismatch: {out_dir} was planned over a "
+                "different fragment listing or target size; compact into "
+                "a fresh directory instead of resuming this one"
+            )
+    else:
+        tmp_plan = plan_path + ".tmp"
+        with open(tmp_plan, "w") as f:
+            _json.dump(plan, f)
+        os.replace(tmp_plan, plan_path)
+
+    if not files:
+        return {"groups": 0, "written": 0, "skipped": 0, "rows": 0, "bytes_in": 0}
+
+    items = [
+        {
+            "gid": gi,
+            "paths": [files[i][0] for i in range(lo, hi)],
+            "bytes": sum(files[i][1] for i in range(lo, hi)),
+        }
+        for gi, (lo, hi) in enumerate(groups)
+    ]
+
+    def compact_group(row: dict) -> dict:
+        gid = int(row["gid"])
+        final = os.path.join(out_dir, f"compact_{gid:05d}.parquet")
+        manifest = os.path.join(out_dir, f"compact_{gid:05d}.json")
+        if os.path.exists(manifest):
+            return {"gid": gid, "rows": 0, "bytes_in": 0, "skipped": True}
+        tables = [
+            _pq.read_table(os.path.join(in_dir, rel)) for rel in row["paths"]
+        ]
+        body = pa.concat_tables(tables, promote_options="default")
+        tmp = final + ".tmp"
+        _pq.write_table(body, tmp)
+        os.replace(tmp, final)
+        tmp_m = manifest + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(
+                {
+                    "gid": gid,
+                    "sources": list(row["paths"]),
+                    "rows": body.num_rows,
+                    "bytes_in": int(row["bytes"]),
+                },
+                f,
+            )
+        os.replace(tmp_m, manifest)
+        return {
+            "gid": gid,
+            "rows": body.num_rows,
+            "bytes_in": int(row["bytes"]),
+            "skipped": False,
+        }
+
+    results = (
+        _rd.from_items(items, override_num_blocks=len(items))
+        .map(compact_group)  # one row == one whole compaction group (coarse task)
+        .take_all()  # bounded: one row per group
+    )
+    return {
+        "groups": len(groups),
+        "written": sum(1 for r in results if not r["skipped"]),
+        "skipped": sum(1 for r in results if r["skipped"]),
+        "rows": int(sum(r["rows"] for r in results)),
+        "bytes_in": int(sum(r["bytes_in"] for r in results)),
     }
