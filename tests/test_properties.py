@@ -444,3 +444,88 @@ def test_span_quality_filter_matches_bruteforce(ray_session, docs):
                 new_idx += 1
                 off += cost
     assert got == sorted(expected)
+
+
+# --- WARC parser fuzzing -------------------------------------------------------
+
+from webarchive_discovery_ray.oracle.warc_oracle import (
+    build_synthetic_warc_gz,
+    oracle_parse_archive,
+)
+from webarchive_discovery_ray.schema import PAGES_SCHEMA
+from webarchive_discovery_ray.sources.warc import parse_archive_bytes
+
+_rec_payloads = st.binary(max_size=200) | st.sampled_from(
+    [
+        # adversarial blocks: header-lookalikes, bare CR/LF runs, an HTTP
+        # head with no body, a block containing a fake record boundary
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",
+        b"\r\n\r\n\r\n\r\n",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        b"x" * 10 + b"\r\n\r\nWARC/1.0\r\n",
+        b"HTTP/1.1 301 Moved\r\nLocation: http://a/\r\n\r\n<html>",
+    ]
+)
+_rec_types = st.sampled_from(["response", "request", "revisit", "resource", "metadata"])
+_rec_urls = st.builds(lambda h, p: f"http://{h}/{p}", _host, _url_path)
+
+
+def _build_warc(records: list[tuple[str, str, bytes]], gz: bool) -> bytes:
+    """Well-formed WARC from (type, url, block) triples — format knowledge
+    only (ISO 28500): exact Content-Length, CRLF discipline, one gzip
+    member per record when gz."""
+    import gzip as _gz
+
+    out = []
+    for rtype, url, block in records:
+        head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+        if url:
+            head.append(b"WARC-Target-URI: " + url.encode())
+        head.append(b"WARC-Date: 2016-01-02T03:04:05Z")
+        head.append(b"Content-Length: " + str(len(block)).encode())
+        raw = b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+        out.append(_gz.compress(raw, mtime=0) if gz else raw)
+    return b"".join(out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(_rec_types, _rec_urls, _rec_payloads), min_size=1, max_size=6),
+    st.booleans(),
+)
+def test_warc_parser_differential_on_generated_records(recs, gz):
+    """Generated well-formed archives: the production parser and the
+    independent sequential oracle must agree row-for-row, and rows must
+    fit PAGES_SCHEMA (the Ray read path's contract)."""
+    data = _build_warc(list(recs), gz)
+    got = parse_archive_bytes(data, "fuzz.warc" + (".gz" if gz else ""))
+    want = oracle_parse_archive(data, "fuzz.warc" + (".gz" if gz else ""))
+    assert got == want
+    # every row materialises under the schema the read path promises
+    pa.Table.from_pylist(got, schema=PAGES_SCHEMA)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=400))
+def test_warc_parser_never_raises_on_garbage(blob):
+    rows = parse_archive_bytes(blob, "garbage.warc")
+    assert isinstance(rows, list)
+    pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_warc_parser_never_raises_on_mutations(data):
+    """Byte flips and truncations of a valid multi-member WARC.gz must
+    never raise, and must never fabricate rows beyond the valid parse's
+    record count + 1 (a corrupted tail can at most garble one record)."""
+    base = build_synthetic_warc_gz(n_pages=4, seed=7)
+    n_valid = len(parse_archive_bytes(base, "m.warc.gz"))
+    cut = data.draw(st.integers(min_value=0, max_value=len(base)))
+    blob = bytearray(base[:cut] or b"\x00")
+    for _ in range(data.draw(st.integers(min_value=0, max_value=4))):
+        i = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        blob[i] = data.draw(st.integers(min_value=0, max_value=255))
+    rows = parse_archive_bytes(bytes(blob), "m.warc.gz")
+    assert isinstance(rows, list) and len(rows) <= n_valid + 1
+    pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)

@@ -287,11 +287,28 @@ def _sniff_is_arc(head: bytes) -> bool:
     return head.startswith(b"filedesc://")
 
 
+def _safe_members(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """``split_gzip_members`` that treats a corrupt member as EOF: once a
+    member fails to decompress, the following byte ranges are not
+    addressable as records (the next member boundary is unknown), so the
+    file ends there — everything parsed before it survives, mirroring
+    the truncated-final-record behaviour."""
+    it = split_gzip_members(data)
+    while True:
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        except (ValueError, zlib.error):
+            return
+        yield item
+
+
 def _iter_archive(data: bytes, source_file: str) -> Iterator[dict]:
     """Iterate PAGES rows from raw (possibly gzip) archive file bytes,
     applying the 2-consecutive-failure skip rule per segment stream."""
     if data[:2] == GZIP_MAGIC:
-        segments: Iterable[tuple[int, bytes]] = split_gzip_members(data)
+        segments: Iterable[tuple[int, bytes]] = _safe_members(data)
     else:
         segments = [(0, data)]
     is_arc: bool | None = None
