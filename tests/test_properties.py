@@ -83,6 +83,49 @@ def test_gzip_roundtrips_any_payload(data):
     assert maybe_decompress(gz, "") == (gz, "")  # explicit empty hint wins
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=512), min_size=1, max_size=4))
+def test_gzip_multi_member_and_bomb_cap(parts):
+    import gzip
+
+    # concatenated members decode to concatenated output (gzip.decompress
+    # semantics), and the in-decode cap turns an over-limit stream into a
+    # verbatim passthrough instead of an allocation
+    gz = b"".join(gzip.compress(p, mtime=0) for p in parts)
+    want = b"".join(parts)
+    assert maybe_decompress(gz, "gzip") == (want, "gzip")
+    assert maybe_decompress(gz, None) == (want, "gzip")
+    if want:
+        capped = maybe_decompress(gz, "gzip", max_output=len(want) - 1)
+        assert capped == (gz, "")
+
+
+def test_decompression_bomb_passthrough():
+    """A 1000000:1 gzip bomb and an over-cap brotli stream both pass
+    through unchanged under the cap, with bounded memory DURING decode."""
+    import gzip
+
+    bomb = gzip.compress(b"\x00" * (4 << 20), mtime=0)  # ~4 KiB compressed
+    out, enc = maybe_decompress(bomb, "gzip", max_output=1 << 20)
+    assert (out, enc) == (bomb, "")
+    out, enc = maybe_decompress(bomb, None, max_output=1 << 20)
+    assert (out, enc) == (bomb, "")
+    # brotli: an UNCOMPRESSED-metablock stream over the cap hits the
+    # decoder's own max_output gate and passes through
+    from tests.test_brotli import BitWriter, _header16
+
+    body = b"x" * 64
+    # MNIBBLES=4 -> w(0,2); MLEN-1 in 16 bits; ISUNCOMPRESSED=1
+    bw = _header16(BitWriter())
+    bw.w(0, 1).w(0, 2).w(len(body) - 1, 16).w(1, 1).align().raw(body)
+    bw.w(1, 1).w(1, 1)  # ISLAST + ISLASTEMPTY
+    data = bw.bytes()
+    full, enc = maybe_decompress(data, "br")
+    assert (full, enc) == (body, "br")
+    capped, enc = maybe_decompress(data, "br", max_output=32)
+    assert (capped, enc) == (data, "")
+
+
 # --- field policy ------------------------------------------------------------
 
 from webarchive_discovery_ray.functions.fieldpolicy import DEFAULT_POLICY

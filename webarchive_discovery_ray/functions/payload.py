@@ -12,8 +12,9 @@ then analyse the decompressed bytes.
 
 from __future__ import annotations
 
-import gzip as _gzip
+import gzip as _gzip  # noqa: F401 - magic constant parity with stdlib path
 import re
+import zlib as _zlib
 
 __all__ = ["maybe_dechunk", "maybe_decompress", "chunk_encode"]
 
@@ -65,7 +66,39 @@ def maybe_dechunk(data: bytes, hint: object = _PROBE) -> tuple[bytes, bool]:
             return bytes(data), False
 
 
-def maybe_decompress(data: bytes, content_encoding: str | None = None) -> tuple[bytes, str]:
+# decompression-bomb guard: the reference tiers payloads at 50 MB RAM /
+# 1000 MB disk and truncates beyond (HashedCachedInputStream.java:129-147);
+# an in-task Arrow payload gets one bounded heap allowance and a hostile
+# high-ratio stream passes through UNCHANGED like any other decode failure
+_MAX_DECODED = 256 << 20
+
+
+def _gunzip_capped(data: bytes, max_output: int) -> bytes:
+    """Multi-member gunzip (``gzip.decompress`` semantics: concatenated
+    members decode to concatenated output, incomplete/garbled input
+    raises) that enforces ``max_output`` DURING decode."""
+    out = bytearray()
+    buf = data
+    while True:
+        d = _zlib.decompressobj(wbits=31)
+        chunk = d.decompress(buf, max_output - len(out) + 1)
+        if d.unconsumed_tail:
+            raise ValueError("gzip output limit exceeded")
+        out += chunk + d.flush()
+        if len(out) > max_output:
+            raise ValueError("gzip output limit exceeded")
+        if not d.eof:
+            raise EOFError("incomplete gzip member")
+        buf = d.unused_data
+        if not buf:
+            return bytes(out)
+
+
+def maybe_decompress(
+    data: bytes,
+    content_encoding: str | None = None,
+    max_output: int = _MAX_DECODED,
+) -> tuple[bytes, str]:
     """Return ``(payload, encoding_applied)``.
 
     A present Content-Encoding hint takes precedence over magic sniffing
@@ -77,27 +110,30 @@ def maybe_decompress(data: bytes, content_encoding: str | None = None) -> tuple[
     decoder (``functions/brotli_dec.py``); streams that reference the
     appendix-A static dictionary (data unavailable in this container)
     pass through unchanged via its documented gate, as do corrupt
-    streams."""
+    streams and streams whose decoded size exceeds ``max_output``
+    (decompression bombs — both codecs enforce the cap DURING decode,
+    so a hostile ratio costs bounded memory, not post-hoc discovery)."""
     if content_encoding is None:
         if data[:2] == _GZIP_MAGIC:
             try:
-                return _gzip.decompress(data), "gzip"
+                return _gunzip_capped(data, max_output), "gzip"
             except Exception:
                 return data, ""
         return data, ""
     hint = content_encoding.strip().lower()
     if hint == "gzip":
         try:
-            return _gzip.decompress(data), "gzip"
+            return _gunzip_capped(data, max_output), "gzip"
         except Exception:
             return data, ""
     if hint == "br":
         from .brotli_dec import BrotliError, brotli_decompress
 
         try:
-            return brotli_decompress(data), "br"
+            return brotli_decompress(data, max_output=max_output), "br"
         except BrotliError:
-            # incl. the static-dictionary gate: pass through unchanged
+            # incl. the static-dictionary gate and the output cap: pass
+            # through unchanged
             return data, ""
     return data, ""
 
