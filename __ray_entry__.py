@@ -833,6 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from webarchive_discovery_ray.pipelines.dedup import (
         dup_span_fraction,
+        paragraph_dedup,
+        incremental_dedup,
         exact_substring_spans,
         embedding_neardup_pairs,
         semdedup_keep,
@@ -954,6 +956,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": stratified_sample_events,
         "grouped_topk_docs": grouped_topk_docs,
         "dup_span_fraction": dup_span_fraction,
+        "paragraph_dedup": paragraph_dedup,
+        "incremental_dedup": incremental_dedup,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
         "host_components": _host_components,
@@ -2381,6 +2385,58 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(t.n_tokens AS DOUBLE)
                         ELSE 0.0 END AS dup_fraction
             FROM t LEFT JOIN nd USING (doc_id)
+        """,
+        # RefinedWeb/CCNet exact paragraph dedup with reassembly: paragraph
+        # = non-overlapping 16-token window, keep first occurrence
+        # corpus-wide by (doc_id, para_idx), docs rebuilt from survivors
+        "paragraph_dedup": f"""
+            WITH t AS (
+                SELECT doc_id, {tokens} AS wr,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n_tokens
+                FROM documents
+            ),
+            paras AS (
+                SELECT doc_id, CAST(p AS BIGINT) AS para_idx,
+                       array_to_string(
+                           wr[CAST(p * 16 + 1 AS BIGINT):CAST(p * 16 + 16 AS BIGINT)],
+                           ' '
+                       ) AS ptext
+                FROM t, unnest(range(0, (n_tokens + 15) // 16)) AS r(p)
+                WHERE n_tokens > 0
+            ),
+            ranked AS (
+                SELECT doc_id, para_idx, ptext,
+                       row_number() OVER (PARTITION BY md5(ptext)
+                                          ORDER BY doc_id, para_idx) AS rk
+                FROM paras
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(ptext, ' ' ORDER BY para_idx) AS text
+                FROM ranked WHERE rk = 1 GROUP BY doc_id
+            )
+            SELECT a.doc_id, t.n_paras, a.n_kept, a.text
+            FROM agg a JOIN tot t USING (doc_id)
+        """,
+        # increment-vs-snapshot dedup: odd doc_ids are the new crawl,
+        # even doc_ids the indexed snapshot; content key = md5 of the
+        # first-16-token fingerprint; keep first-in-increment docs whose
+        # fingerprint is absent from the snapshot (the Bloom prefilter
+        # in the Ray op must not change the exact anti-join answer)
+        "incremental_dedup": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       md5(array_to_string(({tokens})[1:16], ' ')) AS h
+                FROM documents WHERE trim(text) <> ''
+            ),
+            d AS (SELECT doc_id, h FROM f WHERE doc_id % 2 = 1),
+            b AS (SELECT DISTINCT h FROM f WHERE doc_id % 2 = 0)
+            SELECT min(d.doc_id) AS doc_id, d.h
+            FROM d LEFT JOIN b USING (h)
+            WHERE b.h IS NULL
+            GROUP BY d.h
         """,
         # year-keyed outlink frequencies: response records with http(s)
         # URLs, per (year, src_host) distinct link-host counts

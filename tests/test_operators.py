@@ -683,6 +683,76 @@ def test_dup_span_fraction_matches_sequential_reference(ray_session):
         assert df.loc[did, "dup_fraction"] == frac
 
 
+def test_paragraph_dedup_matches_sequential_reference(ray_session):
+    """Distributed paragraph dedup + reassembly == a brute-force first-
+    occurrence pass over the corpus in (doc_id, para_idx) order."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import paragraph_dedup
+
+    sf = "/root/testdata/sf0.001"
+    w = 16
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id", kind="mergesort")
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int, str]] = {}
+    n_dropped_paras = 0
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        if not toks:
+            continue
+        paras = [" ".join(toks[p * w : (p + 1) * w]) for p in range((len(toks) + w - 1) // w)]
+        kept = []
+        for p in paras:
+            if p in seen:
+                n_dropped_paras += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            want[did] = (len(paras), len(kept), " ".join(kept))
+    assert n_dropped_paras > 0, "fixture has no duplicated paragraphs"
+    got = paragraph_dedup(sf, w=w).to_pandas().set_index("doc_id")
+    assert len(got) == len(want)
+    for did, (n_paras, n_kept, text) in want.items():
+        assert got.loc[did, "n_paras"] == n_paras
+        assert got.loc[did, "n_kept"] == n_kept
+        assert got.loc[did, "text"] == text
+
+
+def test_incremental_dedup_matches_sequential_reference(ray_session):
+    """Bloom-prefiltered increment-vs-snapshot dedup == brute force: keep
+    the min-doc_id occurrence of each delta hash absent from the base."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["text"].str.strip() != ""]
+    h = docs["text"].map(
+        lambda t: hashlib.md5(" ".join(t.split()[:16]).encode()).hexdigest()
+    )
+    base_h = set(h[docs["doc_id"] % 2 == 0])
+    delta = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "h": h})[docs["doc_id"] % 2 == 1]
+        .sort_values("doc_id", kind="mergesort")
+    )
+    want: dict[str, int] = {}
+    n_base_hits = 0
+    for did, hh in zip(delta["doc_id"], delta["h"]):
+        if hh in base_h:
+            n_base_hits += 1
+        elif hh not in want:
+            want[hh] = did
+    assert n_base_hits > 0, "fixture increment never collides with snapshot"
+    got = incremental_dedup(sf).to_pandas()
+    assert len(got) == len(want)
+    assert dict(zip(got["h"], got["doc_id"])) == want
+
+
 def test_host_link_graph_totals(ray_session):
     """Edge weights sum to the total outlink-host mentions of the base."""
     from webarchive_discovery_ray.pipelines.stats import _docs_ds, host_link_graph

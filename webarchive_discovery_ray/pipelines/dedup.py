@@ -35,6 +35,8 @@ __all__ = [
     "cluster_representatives",
     "reduplicate",
     "dup_span_fraction",
+    "paragraph_dedup",
+    "incremental_dedup",
     "simhash_neardup_pairs",
     "exact_substring_spans",
 ]
@@ -213,6 +215,232 @@ def dup_span_fraction(sf_dir: str, w: int = _SPAN_W):
         .map_batches(add_doc_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(coverage_bucket, batch_format="pandas")
+    )
+
+
+_PARA_W = 16  # paragraph width in whitespace tokens
+
+
+def paragraph_dedup(sf_dir: str, w: int = _PARA_W):
+    """Corpus-wide exact paragraph dedup with document reassembly — the
+    RefinedWeb / CCNet "exact line dedup" shape over fixed token windows
+    (the synthetic corpus has no newlines, so a paragraph is a
+    NON-overlapping w-token window of the whitespace token stream,
+    trailing partial window included). An occurrence survives iff it is
+    the first occurrence of its text corpus-wide (lexicographic min
+    (doc_id, para_idx) per md5); each document is re-assembled from its
+    surviving paragraphs in order; documents that lose every paragraph
+    drop from the output.
+
+    Shape — two bucketed exchanges, text shuffles once:
+    (1) winners pass keyed by ``bucket(h)``: per-batch paragraph hashing
+        (md5 once per unique paragraph per batch), only
+        (h, doc_id, para_idx) triples move; each bucket emits the LOSER
+        occurrences only (duplicated hashes minus their argmin), so the
+        reassembly side-table is proportional to duplication, not corpus
+        size;
+    (2) reassembly pass keyed by ``bucket(doc_id)``: documents union the
+        loser markers; one vectorized in-bucket anti-join (merge
+        indicator) + ordered join rebuilds the text.
+
+    Columns: doc_id, n_paras, n_kept, text."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def para_rows(df: pd.DataFrame) -> list[np.ndarray | list]:
+        """Shared explode: per-doc non-overlapping windows → flat
+        (ptext, doc_id, para_idx) arrays."""
+        texts: list[str] = []
+        ids: list[np.ndarray] = []
+        idxs: list[np.ndarray] = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            if not toks:
+                continue
+            n_p = (len(toks) + w - 1) // w
+            texts.extend(" ".join(toks[p * w : (p + 1) * w]) for p in range(n_p))
+            ids.append(np.full(n_p, did, dtype=np.int64))
+            idxs.append(np.arange(n_p, dtype=np.int64))
+        if not texts:
+            return [[], np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)]
+        return [texts, np.concatenate(ids), np.concatenate(idxs)]
+
+    def para_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        texts, ids, idxs = para_rows(df)
+        if len(texts):
+            # md5 once per unique paragraph per batch (templated corpora
+            # repeat paragraphs within a batch)
+            uniq, inv = np.unique(np.asarray(texts, dtype=object), return_inverse=True)
+            uniq_h = np.asarray(
+                [md5(t.encode("utf-8")).hexdigest() for t in uniq], dtype=object
+            )
+            hs = pd.Series(uniq_h[inv], dtype=str)
+        else:
+            hs = pd.Series([], dtype=str)
+        out = pd.DataFrame({"h": hs, "doc_id": ids, "para_idx": idxs})
+        out["bucket"] = bucket_of(out["h"], n_b)
+        return out
+
+    def losers_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["h", "doc_id", "para_idx"], kind="mergesort")
+        lose = d.loc[d["h"].duplicated(), ["doc_id", "para_idx"]]
+        lose = lose.assign(text="", bucket=bucket_of(lose["doc_id"], n_b))
+        return lose[["doc_id", "para_idx", "text", "bucket"]]
+
+    losers = (
+        ds.map_batches(para_hashes, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(losers_in_bucket, batch_format="pandas")
+    )
+
+    def doc_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "para_idx": np.full(len(df), -1, dtype="int64"),
+                "text": df["text"],
+                "bucket": bucket_of(df["doc_id"], n_b),
+            }
+        )
+
+    docs = ds.map_batches(doc_markers, batch_format="pandas")
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        lost = df.loc[df["para_idx"] >= 0, ["doc_id", "para_idx"]]
+        texts, ids, idxs = para_rows(df[df["para_idx"] < 0])
+        paras = pd.DataFrame(
+            {"doc_id": ids, "para_idx": idxs, "ptext": pd.Series(texts, dtype=str)}
+        )
+        if len(lost):
+            m = paras.merge(lost, on=["doc_id", "para_idx"], how="left", indicator=True)
+            kept = m[m["_merge"] == "left_only"]
+        else:
+            kept = paras
+        if not len(kept):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_paras": pd.Series([], dtype="int64"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                    "text": pd.Series([], dtype=str),
+                }
+            )
+        tot = paras.groupby("doc_id", sort=False).size()
+        kept = kept.sort_values(["doc_id", "para_idx"], kind="mergesort")
+        agg = kept.groupby("doc_id", sort=False)["ptext"].agg(" ".join)
+        n_kept = kept.groupby("doc_id", sort=False).size()
+        return pd.DataFrame(
+            {
+                "doc_id": agg.index.to_numpy(),
+                "n_paras": tot.reindex(agg.index).to_numpy(),
+                "n_kept": n_kept.to_numpy(),
+                "text": agg.to_numpy(),
+            }
+        )
+
+    return (
+        docs.union(losers)
+        .groupby("bucket")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def incremental_dedup(sf_dir: str):
+    """Dedup a crawl INCREMENT against an existing snapshot — the
+    recurring-crawl shape (the reference dedups revisits against the
+    prior index via digest lookups, MDXReduplicatingReducer.java:72-153;
+    here the whole increment is deduped against the whole snapshot).
+    Base = even doc_ids (the already-indexed snapshot), delta = odd
+    doc_ids (the new increment). The content key is a FINGERPRINT —
+    md5 of the first 16 whitespace tokens (the reference keys revisit
+    dedup on a payload digest; the synthetic corpus has unique full
+    texts but templated openings, so the prefix window is the digest
+    analogue that actually collides). Empty docs are skipped. A delta
+    doc survives iff its fingerprint appears nowhere in the snapshot
+    AND it is the first occurrence (min doc_id) within the increment.
+
+    Scale asymmetry this encodes: snapshot >> increment at 100 TB, so
+    the 16 KiB Bloom is built over the DELTA hashes and broadcast; the
+    snapshot stream ships ONLY hashes that hit the increment's Bloom
+    (false positives ship harmlessly and die in the exact verify — they
+    can never drop a surviving doc). One bucketed exchange keyed by
+    bucket(h) resolves base-markers and within-delta min together.
+
+    Columns: doc_id, h."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import bucket_of, default_buckets
+    from .sketches import _BLOOM_BITS, bloom_add, bloom_contains
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _hash_side(df: pd.DataFrame, parity: int) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        nonempty = np.asarray([t.strip() != "" for t in df["text"]], dtype=bool)
+        sub = df[(ids % 2 == parity) & nonempty]
+        if len(sub):
+            fps = np.asarray(
+                [" ".join(t.split()[:16]) for t in sub["text"]], dtype=object
+            )
+            uniq, inv = np.unique(fps, return_inverse=True)
+            uniq_h = np.asarray(
+                [_md5_hex(t) for t in uniq], dtype=object
+            )
+            hs = pd.Series(uniq_h[inv], dtype=str, index=sub.index)
+        else:
+            hs = pd.Series([], dtype=str)
+        return pd.DataFrame(
+            {"h": hs.to_numpy(), "doc_id": sub["doc_id"].to_numpy()}
+        )
+
+    def _key64(hs: pd.Series) -> np.ndarray:
+        return np.array([int(h[:16], 16) for h in hs], dtype=np.uint64)
+
+    def delta_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        d = _hash_side(df, 1)
+        bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+        if len(d):
+            bloom_add(bits, _key64(d["h"]))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = ds.map_batches(delta_bloom, batch_format="pandas").take_all()
+    bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+    for p in parts:
+        bits |= np.frombuffer(p["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(bits)
+
+    def base_markers(df: pd.DataFrame) -> pd.DataFrame:
+        b = _hash_side(df, 0)
+        if len(b):
+            b = b[bloom_contains(get_broadcast(bloom_ref), _key64(b["h"]))]
+        out = pd.DataFrame(
+            {"h": b["h"].to_numpy(), "doc_id": np.full(len(b), -1, dtype=np.int64)}
+        )
+        out["bucket"] = bucket_of(out["h"], n_b)
+        return out
+
+    def delta_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = _hash_side(df, 1)
+        out["bucket"] = bucket_of(out["h"], n_b)
+        return out
+
+    def keep_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        in_base = set(df.loc[df["doc_id"].to_numpy() < 0, "h"])
+        d = df[df["doc_id"].to_numpy() >= 0]
+        d = d[~d["h"].isin(in_base)]
+        g = d.groupby("h", sort=False)["doc_id"].min().reset_index()
+        return g[["doc_id", "h"]]
+
+    return (
+        ds.map_batches(base_markers, batch_format="pandas")
+        .union(ds.map_batches(delta_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(keep_in_bucket, batch_format="pandas")
     )
 
 
