@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dup_span_fraction,
         paragraph_dedup,
         incremental_dedup,
+        gram_novelty,
         exact_substring_spans,
         embedding_neardup_pairs,
         semdedup_keep,
@@ -902,6 +903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.curation import (
         blocklist_filter,
         compression_ratio,
+        softdedup_weights,
+        pca_embeddings,
         curation_pipeline,
         decontaminate,
         dsir_weights,
@@ -958,6 +961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_fraction": dup_span_fraction,
         "paragraph_dedup": paragraph_dedup,
         "incremental_dedup": incremental_dedup,
+        "gram_novelty": gram_novelty,
+        "softdedup_weights": softdedup_weights,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
         "host_components": _host_components,
@@ -1021,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "pdf_preflight": _pdf_preflight,
         "kmeans_embeddings": kmeans_embeddings,
+        "pca_embeddings": pca_embeddings,
     }
 
 
@@ -2437,6 +2443,62 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN b USING (h)
             WHERE b.h IS NULL
             GROUP BY d.h
+        """,
+        # per-doc n-gram novelty: fraction of a doc's overlapping
+        # 8-token windows whose first corpus occurrence (min doc_id,pos)
+        # is in this doc; docs with <8 tokens drop
+        "gram_novelty": f"""
+            WITH t AS (
+                SELECT doc_id, {tokens} AS wr,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n_tokens
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                       array_to_string(
+                           wr[CAST(p + 1 AS BIGINT):CAST(p + 8 AS BIGINT)], ' '
+                       ) AS gram
+                FROM t, unnest(range(0, n_tokens - 8 + 1)) AS r(p)
+                WHERE n_tokens >= 8
+            ),
+            rk AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, pos) AS rn
+                FROM g
+            )
+            SELECT doc_id, count(*) AS n_windows,
+                   count(*) FILTER (WHERE rn = 1) AS n_novel,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS DOUBLE) / count(*)
+                       AS novelty
+            FROM rk GROUP BY doc_id
+        """,
+        # soft dedup: weight = n_paras / sum(corpus frequency of each
+        # paragraph), paragraphs = non-overlapping 16-token windows
+        "softdedup_weights": f"""
+            WITH t AS (
+                SELECT doc_id, {tokens} AS wr,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n_tokens
+                FROM documents
+            ),
+            paras AS (
+                SELECT doc_id,
+                       array_to_string(
+                           wr[CAST(p * 16 + 1 AS BIGINT):CAST(p * 16 + 16 AS BIGINT)],
+                           ' '
+                       ) AS ptext
+                FROM t, unnest(range(0, (n_tokens + 15) // 16)) AS r(p)
+                WHERE n_tokens > 0
+            ),
+            c AS (SELECT ptext, count(*) AS cnt FROM paras GROUP BY 1)
+            SELECT doc_id, count(*) AS n_paras,
+                   CAST(sum(cnt) AS BIGINT) AS c_sum,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT)
+                       AS weight
+            FROM paras JOIN c USING (ptext)
+            GROUP BY doc_id
         """,
         # year-keyed outlink frequencies: response records with http(s)
         # URLs, per (year, src_host) distinct link-host counts

@@ -518,3 +518,67 @@ def test_compression_ratio_matches_zlib(ray_session):
         )
         assert bool(row.keep) == want_keep
     assert got["keep"].any()
+
+
+def test_softdedup_weights_matches_sequential(ray_session):
+    """Distributed soft-dedup weights == a brute-force corpus frequency
+    count over non-overlapping 16-token paragraphs."""
+    from collections import Counter
+
+    from webarchive_discovery_ray.pipelines.curation import softdedup_weights
+
+    w = 16
+    docs = sorted(_docs(), key=lambda r: r["doc_id"])
+    per_doc: dict[int, list[str]] = {}
+    freq: Counter = Counter()
+    for r in docs:
+        toks = r["text"].split()
+        if not toks:
+            continue
+        paras = [
+            " ".join(toks[p * w : (p + 1) * w])
+            for p in range((len(toks) + w - 1) // w)
+        ]
+        per_doc[r["doc_id"]] = paras
+        freq.update(paras)
+    got = softdedup_weights(SF).to_pandas().set_index("doc_id")
+    assert len(got) == len(per_doc)
+    saw_downweight = False
+    for did, paras in per_doc.items():
+        c_sum = sum(freq[p] for p in paras)
+        assert got.loc[did, "n_paras"] == len(paras)
+        assert got.loc[did, "c_sum"] == c_sum
+        assert got.loc[did, "weight"] == len(paras) / c_sum
+        saw_downweight = saw_downweight or c_sum > len(paras)
+    assert saw_downweight, "fixture has no duplicated paragraphs"
+
+
+def test_pca_embeddings_matches_numpy_reference(ray_session):
+    """Distributed moment-fold PCA == sequential numpy PCA with the same
+    sign convention; projections orthogonal in expectation."""
+    from webarchive_discovery_ray.pipelines.curation import pca_embeddings
+
+    tbl = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    mean = mat.mean(axis=0)
+    centred = mat - mean
+    cov = centred.T @ centred / (len(mat) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :2]
+    for j in range(2):
+        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
+            comps[:, j] = -comps[:, j]
+    want = centred @ comps
+
+    got = pca_embeddings(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (got["vec_id"].to_numpy() == tbl["vec_id"].to_numpy()).all()
+    np.testing.assert_allclose(got["pc1"].to_numpy(), want[:, 0], atol=1e-8)
+    np.testing.assert_allclose(got["pc2"].to_numpy(), want[:, 1], atol=1e-8)
+    # PCA contract: projected components are uncorrelated, pc1 carries
+    # the larger variance
+    g = np.stack([got["pc1"].to_numpy(), got["pc2"].to_numpy()])
+    assert abs(np.corrcoef(g)[0, 1]) < 1e-6
+    assert g[0].var() >= g[1].var()

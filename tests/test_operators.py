@@ -1453,3 +1453,39 @@ def test_crawl_lineage_table(ray_session, tmp_path):
         )
         assert row["n_fetched"] == m["n_fetched"]
     assert df["n_fetched"].sum() > 0
+
+
+def test_gram_novelty_matches_sequential_reference(ray_session):
+    """Distributed novelty == a brute-force first-occurrence scan over
+    overlapping 8-token windows in (doc_id, pos) order."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import gram_novelty
+
+    sf = "/root/testdata/sf0.001"
+    w = 8
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id", kind="mergesort")
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int]] = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        n = len(toks) - w + 1
+        if n <= 0:
+            continue
+        novel = 0
+        for i in range(n):
+            g = " ".join(toks[i : i + w])
+            if g not in seen:
+                seen.add(g)
+                novel += 1
+        want[did] = (n, novel)
+    got = gram_novelty(sf, w=w).to_pandas().set_index("doc_id")
+    assert len(got) == len(want)
+    saw_nonnovel = False
+    for did, (n, novel) in want.items():
+        assert got.loc[did, "n_windows"] == n
+        assert got.loc[did, "n_novel"] == novel
+        assert got.loc[did, "novelty"] == novel / n
+        saw_nonnovel = saw_nonnovel or novel < n
+    assert saw_nonnovel, "fixture has no repeated windows"

@@ -44,6 +44,8 @@ __all__ = [
     "gopher_rules",
     "blocklist_filter",
     "compression_ratio",
+    "softdedup_weights",
+    "pca_embeddings",
     "curation_pipeline",
 ]
 
@@ -756,6 +758,158 @@ def compression_ratio(sf_dir: str, lo: int = COMPRESS_LO, hi: int = COMPRESS_HI)
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+_SOFT_W = 16  # soft-dedup paragraph width in whitespace tokens
+
+
+def softdedup_weights(sf_dir: str, w: int = _SOFT_W):
+    """Soft deduplication — instead of DROPPING duplicated documents,
+    down-weight them for sampling (the SoftDeDup idea: reweight by data
+    commonness rather than hard-delete). Commonness of a document is the
+    mean corpus-wide frequency of its paragraphs (non-overlapping
+    w-token windows, trailing partial included; empty docs drop); the
+    sampling weight is its reciprocal: n_paras / sum(freq(para)). A doc
+    of all-unique paragraphs weighs 1.0; one whose every paragraph
+    appears c times weighs 1/c.
+
+    Shape — two bucketed counter exchanges, paragraph text never
+    shuffles: (md5, doc_id) pairs bucket by hash (all occurrences of a
+    paragraph co-locate, so the in-bucket ``value_counts`` IS the exact
+    corpus frequency); each bucket emits one (n_paras, c_sum) partial
+    per doc; a second exchange keyed by bucket(doc_id) folds partials
+    and performs the single int/int double division (bit-identical to
+    the SQL oracle's).
+
+    Columns: doc_id, n_paras, c_sum, weight."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def para_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        texts: list[str] = []
+        ids: list[np.ndarray] = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            if not toks:
+                continue
+            n_p = (len(toks) + w - 1) // w
+            texts.extend(" ".join(toks[p * w : (p + 1) * w]) for p in range(n_p))
+            ids.append(np.full(n_p, did, dtype=np.int64))
+        if texts:
+            uniq, inv = np.unique(np.asarray(texts, dtype=object), return_inverse=True)
+            uniq_h = np.asarray(
+                [md5(t.encode("utf-8")).hexdigest() for t in uniq], dtype=object
+            )
+            out = pd.DataFrame(
+                {"h": pd.Series(uniq_h[inv], dtype=str), "doc_id": np.concatenate(ids)}
+            )
+        else:
+            out = pd.DataFrame(
+                {"h": pd.Series([], dtype=str), "doc_id": pd.Series([], dtype="int64")}
+            )
+        out["bucket"] = bucket_of(out["h"], n_b)
+        return out
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["h"].value_counts()
+        g = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "cnt": df["h"].map(vc).to_numpy().astype("int64"),
+            }
+        )
+        agg = (
+            g.groupby("doc_id", sort=False)["cnt"]
+            .agg(n_paras="size", c_sum="sum")
+            .reset_index()
+        )
+        agg["bucket"] = bucket_of(agg["doc_id"], n_b)
+        return agg
+
+    def fold_doc(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby("doc_id", sort=False)[["n_paras", "c_sum"]].sum().reset_index()
+        )
+        agg["weight"] = agg["n_paras"].to_numpy() / agg["c_sum"].to_numpy().astype(
+            "float64"
+        )
+        return agg[["doc_id", "n_paras", "c_sum", "weight"]]
+
+    return (
+        ds.map_batches(para_hashes, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_doc, batch_format="pandas")
+    )
+
+
+def pca_embeddings(sf_dir: str, n_components: int = 2):
+    """Distributed PCA over the embedding column — the standard
+    dimensionality-reduction / visualization / whitening front-end for
+    embedding-space curation (cluster plots, density filtering).
+
+    Shape: one streaming pass emits per-batch moment partials
+    (n, sum vector, d x d Gram matrix — tiny, corpus-size independent);
+    the driver folds them in a CONTENT-ordered sequence (sorted by each
+    batch's min vec_id, so the float fold is reproducible across runs
+    regardless of task completion order), forms the covariance, takes
+    the top eigenvectors via ``eigh``, fixes each component's sign
+    (largest-|coordinate| entry made positive) and broadcasts the d x k
+    projection; a second pass projects every centred vector. The corpus
+    itself never leaves the object store.
+
+    Columns: vec_id, pc1..pc{k}. No SQL oracle (eigendecomposition);
+    pinned by a pytest parity test against a sequential numpy reference.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch)
+        key = int(pc.min(batch["vec_id"]).as_py())
+        return pa.table(
+            {
+                "key": pa.array([key], pa.int64()),
+                "n": pa.array([mat.shape[0]], pa.int64()),
+                "s": pa.array([mat.sum(axis=0).tobytes()]),
+                "g": pa.array([(mat.T @ mat).tobytes()]),
+            }
+        )
+
+    parts = ds.map_batches(moment_partials, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r["key"])
+    d = len(np.frombuffer(parts[0]["s"], dtype=np.float64))
+    n = 0
+    s = np.zeros(d)
+    gram = np.zeros((d, d))
+    for p in parts:
+        n += p["n"]
+        s += np.frombuffer(p["s"], dtype=np.float64)
+        gram += np.frombuffer(p["g"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :n_components]  # eigh is ascending
+    for j in range(comps.shape[1]):  # deterministic sign
+        if comps[np.argmax(np.abs(comps[:, j])), j] < 0:
+            comps[:, j] = -comps[:, j]
+    wref = ray.put((mean, np.ascontiguousarray(comps)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, comp = ray.get(wref)
+        proj = (_batch_matrix(batch) - mu) @ comp
+        cols = {"vec_id": batch["vec_id"]}
+        for j in range(comp.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(proj[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def curation_pipeline(sf_dir: str):

@@ -37,6 +37,7 @@ __all__ = [
     "dup_span_fraction",
     "paragraph_dedup",
     "incremental_dedup",
+    "gram_novelty",
     "simhash_neardup_pairs",
     "exact_substring_spans",
 ]
@@ -441,6 +442,102 @@ def incremental_dedup(sf_dir: str):
         .union(ds.map_batches(delta_rows, batch_format="pandas"))
         .groupby("bucket")
         .map_groups(keep_in_bucket, batch_format="pandas")
+    )
+
+
+_NOVELTY_W = 8  # novelty window width in whitespace tokens
+
+
+def gram_novelty(sf_dir: str, w: int = _NOVELTY_W):
+    """Per-document n-gram NOVELTY — the marginal-data-value signal used
+    to order/curate pretraining corpora: the fraction of a document's
+    overlapping w-token windows whose FIRST corpus-wide occurrence
+    (lexicographic min (doc_id, pos)) lies in this document. A fully
+    templated doc scores ~0, a fully original doc scores 1. Docs with
+    fewer than w tokens have no windows and drop from the output.
+
+    Shape — the dup_span_fraction exchange plan reused with per-doc
+    partial counters instead of positions: (md5, doc_id, pos) triples
+    bucket by gram hash (all occurrences of a gram co-locate, so the
+    in-bucket sort + ``duplicated()`` scan finds the exact global first
+    occurrence); each bucket emits one (n_windows, n_novel) partial per
+    doc, and a second exchange keyed by bucket(doc_id) folds the
+    partials. Window text never shuffles — only hashes and counters.
+
+    Columns: doc_id, n_windows, n_novel, novelty (one double division
+    of two exact ints — bit-identical to the SQL oracle's)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def window_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        grams: list[str] = []
+        ids: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            n = len(toks) - w + 1
+            if n <= 0:
+                continue
+            grams.extend(" ".join(toks[i : i + w]) for i in range(n))
+            ids.append(np.full(n, did, dtype=np.int64))
+            poss.append(np.arange(n, dtype=np.int64))
+        if grams:
+            # md5 once per unique window per batch (templated corpora
+            # repeat windows within a batch)
+            uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
+            uniq_h = np.asarray(
+                [md5(g.encode("utf-8")).hexdigest() for g in uniq], dtype=object
+            )
+            out = pd.DataFrame(
+                {
+                    "sh": pd.Series(uniq_h[inv], dtype=str),
+                    "doc_id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                }
+            )
+        else:
+            out = pd.DataFrame(
+                {
+                    "sh": pd.Series([], dtype=str),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                }
+            )
+        out["bucket"] = bucket_of(out["sh"], n_b)
+        return out
+
+    def novel_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["sh", "doc_id", "pos"], kind="mergesort")
+        novel = (~d["sh"].duplicated()).to_numpy().astype("int64")
+        g = pd.DataFrame({"doc_id": d["doc_id"].to_numpy(), "novel": novel})
+        agg = (
+            g.groupby("doc_id", sort=False)["novel"]
+            .agg(n_windows="size", n_novel="sum")
+            .reset_index()
+        )
+        agg["bucket"] = bucket_of(agg["doc_id"], n_b)
+        return agg
+
+    def fold_doc(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby("doc_id", sort=False)[["n_windows", "n_novel"]]
+            .sum()
+            .reset_index()
+        )
+        agg["novelty"] = agg["n_novel"].to_numpy() / agg["n_windows"].to_numpy().astype(
+            "float64"
+        )
+        return agg[["doc_id", "n_windows", "n_novel", "novelty"]]
+
+    return (
+        ds.map_batches(window_hashes, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(novel_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_doc, batch_format="pandas")
     )
 
 
