@@ -887,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         inverted_index,
         language_id,
         ngram_topk,
+        vocab_coverage,
         pack_sequences,
         bucket_batches,
         quality_score,
@@ -904,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         blocklist_filter,
         compression_ratio,
         softdedup_weights,
+        source_overlap,
         pca_embeddings,
         curation_pipeline,
         decontaminate,
@@ -947,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_scrub,
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
+        "vocab_coverage": vocab_coverage,
         "inverted_index": inverted_index,
         "pack_sequences": pack_sequences,
         "bucket_batches": bucket_batches,
@@ -963,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": incremental_dedup,
         "gram_novelty": gram_novelty,
         "softdedup_weights": softdedup_weights,
+        "source_overlap": source_overlap,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
         "host_components": _host_components,
@@ -2443,6 +2447,48 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN b USING (h)
             WHERE b.h IS NULL
             GROUP BY d.h
+        """,
+        # cross-source distinct-paragraph overlap matrix (s1 < s2)
+        "source_overlap": f"""
+            WITH t AS (
+                SELECT source, {tokens} AS wr,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n_tokens
+                FROM documents
+            ),
+            paras AS (
+                SELECT DISTINCT source,
+                       array_to_string(
+                           wr[CAST(p * 16 + 1 AS BIGINT):CAST(p * 16 + 16 AS BIGINT)],
+                           ' '
+                       ) AS ptext
+                FROM t, unnest(range(0, (n_tokens + 15) // 16)) AS r(p)
+                WHERE n_tokens > 0
+            )
+            SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+            FROM paras a JOIN paras b
+              ON a.ptext = b.ptext AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # top-k vocabulary by corpus token count with exact running
+        # coverage of total token mass (ties break token asc)
+        "vocab_coverage": f"""
+            WITH tok AS (
+                SELECT unnest({tokens}) AS token
+                FROM documents WHERE trim(text) <> ''
+            ),
+            c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+            r AS (
+                SELECT token, n,
+                       row_number() OVER (ORDER BY n DESC, token) AS rank,
+                       CAST(sum(n) OVER (ORDER BY n DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+                FROM c
+            )
+            SELECT token, n, CAST(rank AS BIGINT) AS rank, cum_n,
+                   CAST(cum_n AS DOUBLE) / (SELECT t FROM tot) AS coverage
+            FROM r WHERE rank <= 100
         """,
         # per-doc n-gram novelty: fraction of a doc's overlapping
         # 8-token windows whose first corpus occurrence (min doc_id,pos)

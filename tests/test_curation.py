@@ -582,3 +582,34 @@ def test_pca_embeddings_matches_numpy_reference(ray_session):
     g = np.stack([got["pc1"].to_numpy(), got["pc2"].to_numpy()])
     assert abs(np.corrcoef(g)[0, 1]) < 1e-6
     assert g[0].var() >= g[1].var()
+
+
+def test_source_overlap_matches_sequential(ray_session):
+    """Distributed cross-source overlap == brute-force distinct-paragraph
+    set intersections per source pair."""
+    from itertools import combinations
+
+    from webarchive_discovery_ray.pipelines.curation import source_overlap
+
+    w = 16
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    ).to_pylist()
+    per_src: dict[str, set[str]] = {}
+    for r in docs:
+        toks = r["text"].split()
+        if not toks:
+            continue
+        paras = {
+            " ".join(toks[p * w : (p + 1) * w])
+            for p in range((len(toks) + w - 1) // w)
+        }
+        per_src.setdefault(r["source"], set()).update(paras)
+    want = {}
+    for s1, s2 in combinations(sorted(per_src), 2):
+        n = len(per_src[s1] & per_src[s2])
+        if n:
+            want[(s1, s2)] = n
+    assert want, "fixture has no cross-source duplicated paragraphs"
+    got = source_overlap(SF).to_pandas()
+    assert {(r.s1, r.s2): r.n_shared for r in got.itertuples()} == want

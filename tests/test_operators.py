@@ -1489,3 +1489,31 @@ def test_gram_novelty_matches_sequential_reference(ray_session):
         assert got.loc[did, "novelty"] == novel / n
         saw_nonnovel = saw_nonnovel or novel < n
     assert saw_nonnovel, "fixture has no repeated windows"
+
+
+def test_vocab_coverage_matches_sequential(ray_session):
+    """Distributed vocab build == a Counter over all tokens: same order
+    (count desc, token asc), exact integer running mass."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import vocab_coverage
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    c: Counter = Counter()
+    for t in texts:
+        c.update(t.split())
+    total = sum(c.values())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = vocab_coverage(sf, k=100)
+    assert len(got) == len(want)
+    cum = 0
+    for row, (tok, n) in zip(got.itertuples(), want):
+        cum += n
+        assert row.token == tok
+        assert row.n == n
+        assert row.cum_n == cum
+        assert row.coverage == cum / total
+    assert got["coverage"].iloc[-1] == 1.0 or len(c) > 100

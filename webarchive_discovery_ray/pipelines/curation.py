@@ -46,6 +46,7 @@ __all__ = [
     "compression_ratio",
     "softdedup_weights",
     "pca_embeddings",
+    "source_overlap",
     "curation_pipeline",
 ]
 
@@ -844,6 +845,93 @@ def softdedup_weights(sf_dir: str, w: int = _SOFT_W):
         .map_groups(count_partials, batch_format="pandas")
         .groupby("bucket")
         .map_groups(fold_doc, batch_format="pandas")
+    )
+
+
+def source_overlap(sf_dir: str, w: int = _SOFT_W):
+    """Cross-source content-overlap matrix — for each pair of corpus
+    sources, how many DISTINCT paragraphs (non-overlapping w-token
+    windows) they share. This is the signal behind cross-corpus dedup
+    decisions when mixing data sources: a high-overlap pair needs a
+    cross-dedup pass before both enter the training mix.
+
+    Shape: (md5, source) pairs (batch-deduped) bucket by paragraph
+    hash; all occurrences of a paragraph co-locate, so the in-bucket
+    self-merge on hash enumerates exactly the cross-source pairs of
+    each shared paragraph (bounded: #sources per paragraph <= #sources
+    total); per-bucket pair counts then fold in one tiny keyed pass.
+    Paragraph text never shuffles.
+
+    Columns: s1, s2 (s1 < s2), n_shared."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def para_source(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        texts: list[str] = []
+        srcs: list[str] = []
+        for src, text in zip(df["source"], df["text"]):
+            toks = text.split()
+            if not toks:
+                continue
+            n_p = (len(toks) + w - 1) // w
+            texts.extend(" ".join(toks[p * w : (p + 1) * w]) for p in range(n_p))
+            srcs.extend([src] * n_p)
+        if texts:
+            uniq, inv = np.unique(np.asarray(texts, dtype=object), return_inverse=True)
+            uniq_h = np.asarray(
+                [md5(t.encode("utf-8")).hexdigest() for t in uniq], dtype=object
+            )
+            out = pd.DataFrame(
+                {"h": pd.Series(uniq_h[inv], dtype=str), "source": pd.Series(srcs, dtype=str)}
+            ).drop_duplicates()
+        else:
+            out = pd.DataFrame(
+                {"h": pd.Series([], dtype=str), "source": pd.Series([], dtype=str)}
+            )
+        out["bucket"] = bucket_of(out["h"], n_b)
+        return out
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["h", "source"])
+        # keep only hashes seen in >=2 sources before the self-merge
+        multi = d["h"].map(d["h"].value_counts()) >= 2
+        d = d[multi.to_numpy()]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "s1": pd.Series([], dtype=str),
+                    "s2": pd.Series([], dtype=str),
+                    "n_shared": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        m = d.merge(d, on="h", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        vc = m.groupby(["source_a", "source_b"], sort=False).size().reset_index(name="n_shared")
+        out = pd.DataFrame(
+            {
+                "s1": vc["source_a"].astype(str),
+                "s2": vc["source_b"].astype(str),
+                "n_shared": vc["n_shared"].astype("int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["s1"] + "|" + out["s2"], n_b)
+        return out
+
+    def fold_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["s1", "s2"], sort=False)["n_shared"].sum().reset_index()
+        )
+
+    return (
+        ds.map_batches(para_source, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_pairs, batch_format="pandas")
     )
 
 

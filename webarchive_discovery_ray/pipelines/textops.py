@@ -28,6 +28,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "ngram_topk",
+    "vocab_coverage",
     "inverted_index",
     "pack_sequences",
     "bucket_batches",
@@ -313,6 +314,80 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
         .map_groups(sum_topk_in_bucket, batch_format="pandas")
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
+    )
+
+
+_VOCAB_K = 100
+
+
+def vocab_coverage(sf_dir: str, k: int = _VOCAB_K):
+    """Frequency-ordered vocabulary with exact cumulative token-mass
+    coverage — the standard first step of building a tokenizer vocab /
+    deciding a vocab cutoff: the top-k tokens by corpus count, each with
+    its running share of total token mass.
+
+    Shape: per-batch partial counts (combiner), ONE bucketed grouped
+    pass fusing exact sums with per-bucket top-k truncation PLUS one
+    token-mass marker row per bucket (empty-string token — ``split()``
+    can never produce it); the driver folds at most (k+1) x buckets
+    bounded rows: exact integer total, global top-k (ties by token asc),
+    integer running sum. Completeness: every occurrence of a token
+    co-locates, so a global top-k token is in its bucket's top-k.
+
+    Columns: token, n, rank, cum_n, coverage (cum_n/total — one double
+    division of two exact ints per row, bit-identical to the SQL
+    oracle's)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split().explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        vc = ex.value_counts()
+        out = pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")})
+        out["bucket"] = bucket_of(out["token"], n_b)
+        return out
+
+    def topk_mass_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum()
+        top = (
+            g.reset_index()
+            .sort_values(["n", "token"], ascending=[False, True])
+            .head(k)
+        )
+        mass = pd.DataFrame({"token": [""], "n": [int(g.sum())]})
+        return pd.concat([top, mass], ignore_index=True)
+
+    rows = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(topk_mass_in_bucket, batch_format="pandas")
+        .take_all()
+    )
+    total = sum(int(r["n"]) for r in rows if r["token"] == "")
+    cand = sorted(
+        ((r["token"], int(r["n"])) for r in rows if r["token"] != ""),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    n_arr = np.asarray([c[1] for c in cand], dtype=np.int64)
+    cum = np.cumsum(n_arr)
+    return pd.DataFrame(
+        {
+            "token": [c[0] for c in cand],
+            "n": n_arr,
+            "rank": np.arange(1, len(cand) + 1, dtype=np.int64),
+            "cum_n": cum,
+            "coverage": cum / np.float64(total),
+        }
     )
 
 
