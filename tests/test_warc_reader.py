@@ -154,6 +154,39 @@ def test_warcindexer_filter_ladder():
     assert _null_count(tbl, IndexConfig(surt_exclusions=(excl,))) == 32
 
 
+@needs_fixtures
+def test_warcindexer_ip_host_survivors():
+    """WARCIndexerTest.testIPHost: over ip-host-testcase.warc.gz with
+    response_include=[2,4], 6 records are read and exactly 1 survives
+    extraction (5 null)."""
+    rows = parse_archive_bytes(
+        _read("ip-host-testcase.warc.gz"), "ip-host-testcase.warc.gz"
+    )
+    assert len(rows) == 6
+    tbl = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    assert _null_count(tbl, IndexConfig(response_include=("2", "4"))) == 5
+
+
+@needs_fixtures
+def test_warcindexer_truncated_datetime():
+    """WARCIndexerTest.testTruncatedTime: the record whose id carries the
+    12-digit (seconds-truncated) wayback prefix
+    201908150102/+BV/tmv/tASHANg2c3/2MA== must yield crawl_date digits
+    identical to its (zero-padded 14-digit) wayback_date."""
+    import re
+
+    rows = parse_archive_bytes(
+        _read("truncated_datetime.warc"), "truncated_datetime.warc"
+    )
+    tbl = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    docs = ExtractStage(IndexConfig())(tbl).to_pylist()
+    rec_id = "201908150102/+BV/tmv/tASHANg2c3/2MA=="
+    match = [d for d in docs if d["doc_id"] == rec_id]
+    assert match, f"record {rec_id} not extracted"
+    d = match[0]
+    assert re.sub(r"[^0-9]", "", d["crawl_date"]) == d["wayback_date"]
+
+
 # --------------------------------------------------------------------------
 # 2-consecutive-failure skip rule (WARCIndexerCommand.java:211-236)
 # --------------------------------------------------------------------------
