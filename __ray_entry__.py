@@ -405,6 +405,90 @@ def _warc_oracle_values_sql() -> str:
     )
 
 
+def _warc_cdx(sf_dir: str):
+    """Globally sorted CDX generation over the real fixture (W)ARCs
+    (ArchiveCDXGenerator end to end on the binary input path)."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_cdx
+
+    return warc_cdx(_warc_input_paths())
+
+
+def _warc_stats(sf_dir: str):
+    """WARCStatsTool raw-record census over the real fixture (W)ARCs."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_stats
+
+    return warc_stats(_warc_input_paths())
+
+
+def _warc_cdx_oracle_values_sql() -> str:
+    """Sequential-oracle captures rendered as a VALUES table (same
+    independent parse/extract chain as warc_extract, projected onto the
+    CDX capture columns with the all-statuses CDX config)."""
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: object) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    cfg = IndexConfig(response_include=())
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None:
+                continue
+            rows.append(
+                "({}, {}, {}, {}, {}::INTEGER, {}, {}::BIGINT, {}::BIGINT, {}, {})".format(
+                    lit(doc["surt"]),
+                    lit(doc["wayback_date"] or ""),
+                    lit(doc["url"]),
+                    lit(doc["content_type"] or "-"),
+                    "NULL" if doc["status"] is None else doc["status"],
+                    lit(doc["hash"] or "-"),
+                    "NULL" if doc["content_length"] is None else doc["content_length"],
+                    doc["source_offset"],
+                    lit(doc["source_file"]),
+                    lit(doc["record_type"]),
+                )
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(surt_key, timestamp14, url, mime, status, digest,'
+        + ' "length", "offset", filename, record_type)'
+    )
+
+
+def _warc_stats_oracle_values_sql() -> str:
+    """Sequential-oracle WARCStatsMapper emissions as VALUES; the SQL
+    GROUP BY plays the FrequencyCountingReducer."""
+    import os
+
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_stats_items
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for cat, item in oracle_stats_items(data, os.path.basename(path)):
+            rows.append(f"({lit(cat)}, {lit(item)})")
+    return (
+        "SELECT category, item, count(*) AS n FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(category, item) GROUP BY 1, 2"
+    )
+
+
 def _recrawl_schedule(sf_dir: str):
     """Per-SURT recrawl schedule over the same materialized captures."""
     import os
@@ -1005,6 +1089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_embeddings": sq8_quantize,
         "sq8_cosine_topk": sq8_cosine_topk,
         "warc_extract": _warc_extract,
+        "warc_cdx": _warc_cdx,
+        "warc_stats": _warc_stats,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "hll_users_per_event_type": hll_users_per_event_type,
@@ -3027,6 +3113,8 @@ def oracle_sql() -> dict[str, str]:
     # extraction oracle, rendered as a VALUES table (DuckDB cannot read
     # WARC, so the independent implementation IS the SQL)
     out["warc_extract"] = _warc_oracle_values_sql()
+    out["warc_cdx"] = _warc_cdx_oracle_values_sql()
+    out["warc_stats"] = _warc_stats_oracle_values_sql()
     # closed crawl loop: recrawl intervals (sched) x host PageRank (ranks)
     # -> the follow-up crawl's seed list; composes the two already-oracled
     # CTEs, the latest-capture URL arg-max and the integer priority rule

@@ -329,3 +329,55 @@ def test_mona_lisa_embedded_solr_parity(ray_session):
         batch_format="pyarrow",
     ).count()
     assert hits > 0
+
+
+# --------------------------------------------------------------------------
+# WARCStatsTool census + ArchiveCDXGenerator over the real fixtures
+# --------------------------------------------------------------------------
+
+
+@needs_fixtures
+def test_warc_stats_matches_mapper_semantics(ray_session):
+    """Distributed warc_stats == the independent sequential mapper
+    emission counts; plus absolute pins on IAH-urls-wget.warc.gz."""
+    from collections import Counter
+
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_stats_items
+    from webarchive_discovery_ray.pipelines.cdx import warc_stats
+
+    paths = [os.path.join(FIXTURE_DIR, n) for n in FIXTURES]
+    want: Counter = Counter()
+    for p in paths:
+        with open(p, "rb") as fh:
+            want.update(oracle_stats_items(fh.read(), os.path.basename(p)))
+    got = warc_stats(paths).to_pandas()
+    assert {(r.category, r.item): r.n for r in got.itertuples()} == dict(want)
+    # absolute pins for the wget fixture alone (36 records, all WARC)
+    solo = warc_stats([IAH_WGET]).to_pandas()
+    m = {(r.category, r.item): r.n for r in solo.itertuples()}
+    assert m[("record-total", "RECORD-TOTAL")] == 36
+    assert m[("record-type", "RECORD-TYPE-WARC")] == 36
+    assert m[("content-types", "YEAR\t2013")] == 36
+
+
+@needs_fixtures
+def test_warc_cdx_sorted_matches_sequential(ray_session):
+    """warc_cdx over the real fixtures == sequential parse -> capture
+    projection -> python sort; global (surt_key, timestamp14) order."""
+    from webarchive_discovery_ray.pipelines.cdx import (
+        captures_from_pages_batch,
+        warc_cdx,
+    )
+
+    paths = [os.path.join(FIXTURE_DIR, n) for n in FIXTURES]
+    cfg = IndexConfig(response_include=())
+    want_rows = []
+    for p in paths:
+        rows = parse_archive_bytes(_read(os.path.relpath(p, FIXTURE_DIR)), os.path.basename(p))
+        tbl = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        want_rows.extend(captures_from_pages_batch(tbl, cfg).to_pylist())
+    want_keys = sorted((r["surt_key"], r["timestamp14"]) for r in want_rows)
+    got = warc_cdx(paths).to_pandas()
+    assert len(got) == len(want_rows)
+    got_keys = list(zip(got["surt_key"], got["timestamp14"]))
+    assert got_keys == want_keys

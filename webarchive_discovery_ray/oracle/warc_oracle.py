@@ -161,6 +161,50 @@ def oracle_parse_archive(data: bytes, source_file: str) -> list[dict]:
     return rows
 
 
+def oracle_stats_items(data: bytes, source_file: str) -> list[tuple[str, str]]:
+    """Independent WARCStatsMapper emission sequence (category, item) per
+    record — transcribed straight from WARCStatsMapper.java:57-104,
+    including the Java quirks (missing WARC-Type concats as "null";
+    the host row fires when ``"https".contains(scheme)``)."""
+    from urllib.parse import urlsplit
+
+    segments = _members(data)
+    is_arc = segments[0][1].startswith(b"filedesc://")
+    out: list[tuple[str, str]] = []
+    for base, plain in segments:
+        recs = _arc_records(plain, base) if is_arc else _warc_records(plain, base)
+        for _, headers, _ in recs:
+            arc = "arc" in headers
+            wt = None if arc else headers.get("warc-type")
+            out.append(("record-total", "RECORD-TOTAL"))
+            out.append(
+                ("record-type", "WARC-RECORD-TYPE\t" + ("null" if wt is None else wt))
+            )
+            out.append(
+                ("record-type", "RECORD-TYPE-ARC" if arc else "RECORD-TYPE-WARC")
+            )
+            out.append(
+                ("content-types", "CONTENT-TYPE\t" + (headers.get("content-type") or "null"))
+            )
+            date = headers.get("warc-date")
+            if date is not None and len(date) > 4:
+                out.append(("content-types", "YEAR\t" + date[:4]))
+            else:
+                out.append(("malformed-date", "MALFORMED-DATE"))
+            url = headers.get("warc-target-uri")
+            if url is None:
+                out.append(("record-hosts", "NULL-URI-TOTAL"))
+            else:
+                try:
+                    parts = urlsplit(url)
+                    scheme, authority = parts.scheme, parts.netloc
+                except ValueError:
+                    scheme, authority = "", ""
+                if scheme and scheme in "https":
+                    out.append(("record-hosts", "HOSTS\t" + authority))
+    return out
+
+
 def build_synthetic_warc_gz(n_pages: int = 12, seed: int = 42) -> bytes:
     """Deterministic multi-member WARC.gz for environments without the
     reference fixture tree: n_pages response records (HTML with title,

@@ -21,6 +21,8 @@ from ..stages.extract import extract_batch
 __all__ = [
     "captures_from_pages_batch",
     "cdx_sorted",
+    "warc_cdx",
+    "warc_stats",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -75,6 +77,82 @@ def cdx_sorted(
             batch_size=None,
         )
         .sort(["surt_key", "timestamp14"])
+    )
+
+
+def warc_cdx(paths: list[str], icfg: IndexConfig | None = None):
+    """Globally sorted CDX over REAL (W)ARC files — ArchiveCDXGenerator
+    end to end (ArchiveCDXGenerator.java:185-243): one file per task
+    (the gzip member stream is the split unit), capture projection per
+    batch, Ray's range-sampled sort in place of the TotalOrderPartitioner
+    + InputSampler. Columns: CAPTURES_SCHEMA, (surt_key, timestamp14)
+    order."""
+    from ..sources.warc import read_archive_pages
+
+    icfg = icfg or IndexConfig(response_include=())  # CDX keeps all statuses
+    return (
+        read_archive_pages(paths)
+        .map_batches(
+            lambda b: captures_from_pages_batch(b, icfg),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .sort(["surt_key", "timestamp14"])
+    )
+
+
+def warc_stats(paths: list[str]):
+    """WARCStatsTool raw-record census over REAL (W)ARC files
+    (WARCStatsTool.java:87-95 → WARCStatsMapper.java:57-104 →
+    FrequencyCountingReducer): header-level parse only (payloads are
+    never touched), one file per task, per-file partial counts
+    (combiner), ONE bucketed grouped sum. Columns: category, item, n."""
+    import os
+
+    import ray
+
+    from ..functions.bucketing import bucket_of, default_buckets
+    from ..sources.warc import parse_archive_stats
+
+    n_b = default_buckets()
+    items = [
+        {"path": os.path.abspath(p) if "://" not in p else p} for p in paths
+    ]
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+    def partial_counts(batch: pa.Table) -> pd.DataFrame:
+        from pyarrow import fs as pafs
+
+        pairs: list[tuple[str, str]] = []
+        for path in batch["path"].to_pylist():
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            with filesystem.open_input_stream(fs_path, compression=None) as fh:
+                blob = fh.read()
+            pairs.extend(parse_archive_stats(blob, path.rsplit("/", 1)[-1]))
+        if not pairs:
+            return pd.DataFrame(
+                {
+                    "category": pd.Series([], dtype=str),
+                    "item": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        df = pd.DataFrame(pairs, columns=["category", "item"])
+        vc = df.value_counts(["category", "item"]).reset_index(name="n")
+        vc["n"] = vc["n"].astype("int64")
+        vc["bucket"] = bucket_of(vc["category"] + "\x00" + vc["item"], n_b)
+        return vc
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["category", "item"], sort=False)["n"].sum().reset_index()
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
 
 

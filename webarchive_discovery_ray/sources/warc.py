@@ -50,6 +50,8 @@ __all__ = [
     "iter_warc_records",
     "iter_arc_records",
     "parse_archive_bytes",
+    "parse_archive_stats",
+    "record_stats_items",
     "read_archive_pages",
 ]
 
@@ -307,6 +309,14 @@ def _safe_members(data: bytes) -> Iterator[tuple[int, bytes]]:
 def _iter_archive(data: bytes, source_file: str) -> Iterator[dict]:
     """Iterate PAGES rows from raw (possibly gzip) archive file bytes,
     applying the 2-consecutive-failure skip rule per segment stream."""
+    for rec_offset, headers, block in _iter_archive_records(data):
+        yield warc_record_to_page(rec_offset, headers, block, source_file)
+
+
+def _iter_archive_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes]]:
+    """Iterate raw (offset, headers, block) records from raw (possibly
+    gzip) archive file bytes, applying the 2-consecutive-failure skip
+    rule per segment stream."""
     if data[:2] == GZIP_MAGIC:
         segments: Iterable[tuple[int, bytes]] = _safe_members(data)
     else:
@@ -335,13 +345,63 @@ def _iter_archive(data: bytes, source_file: str) -> Iterator[dict]:
                 return
             if item is None:
                 break
-            rec_offset, headers, block = item
-            yield warc_record_to_page(rec_offset, headers, block, source_file)
+            yield item
 
 
 def parse_archive_bytes(data: bytes, source_file: str) -> list[dict]:
     """Parse one (W)ARC file's bytes into PAGES rows (file order)."""
     return list(_iter_archive(data, source_file))
+
+
+def record_stats_items(headers: dict[str, str]) -> list[tuple[str, str]]:
+    """One archive record's raw-stats (category, item) emissions — the
+    WARCStatsTool mapper semantics
+    (warc-hadoop-recordreaders/.../warcstats/WARCStatsMapper.java:57-104),
+    including its quirks:
+
+    * ``WARC-RECORD-TYPE`` concatenates the raw WARC-Type header value;
+      ARC records have none, which Java string-concats as ``"null"``;
+    * the host row fires when the scheme is a SUBSTRING of ``"https"``
+      (the mapper tests ``"https".contains(scheme)``, not membership in
+      {http, https});
+    * a record with no URL at all counts ``NULL-URI-TOTAL`` instead.
+    """
+    from urllib.parse import urlsplit
+
+    is_arc = "arc" in headers
+    wt = None if is_arc else headers.get("warc-type")
+    items = [
+        ("record-total", "RECORD-TOTAL"),
+        ("record-type", "WARC-RECORD-TYPE\t" + (wt if wt is not None else "null")),
+        ("record-type", "RECORD-TYPE-ARC" if is_arc else "RECORD-TYPE-WARC"),
+        ("content-types", "CONTENT-TYPE\t" + (headers.get("content-type") or "null")),
+    ]
+    date = headers.get("warc-date")
+    if date is not None and len(date) > 4:
+        items.append(("content-types", "YEAR\t" + date[:4]))
+    else:
+        items.append(("malformed-date", "MALFORMED-DATE"))
+    url = headers.get("warc-target-uri")
+    if url is not None:
+        try:
+            parts = urlsplit(url)
+            scheme, authority = parts.scheme, parts.netloc
+        except ValueError:
+            scheme, authority = "", ""
+        if scheme and scheme in "https":
+            items.append(("record-hosts", "HOSTS\t" + authority))
+    else:
+        items.append(("record-hosts", "NULL-URI-TOTAL"))
+    return items
+
+
+def parse_archive_stats(data: bytes, source_file: str) -> list[tuple[str, str]]:
+    """Header-level raw-stats emissions for one (W)ARC file (payloads
+    are never inspected — this is the cheap whole-collection census)."""
+    out: list[tuple[str, str]] = []
+    for _, headers, _ in _iter_archive_records(data):
+        out.extend(record_stats_items(headers))
+    return out
 
 
 def _basename(path: str) -> str:
