@@ -405,6 +405,13 @@ def _warc_oracle_values_sql() -> str:
     )
 
 
+def _warc_file_hash(sf_dir: str):
+    """HdfsFileHasher over the real fixture (W)ARCs (chunked SHA-512)."""
+    from webarchive_discovery_ray.pipelines.stats import warc_file_hash
+
+    return warc_file_hash(_warc_input_paths())
+
+
 def _warc_cdx(sf_dir: str):
     """Globally sorted CDX generation over the real fixture (W)ARCs
     (ArchiveCDXGenerator end to end on the binary input path)."""
@@ -1091,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _warc_extract,
         "warc_cdx": _warc_cdx,
         "warc_stats": _warc_stats,
+        "warc_file_hash": _warc_file_hash,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "hll_users_per_event_type": hll_users_per_event_type,

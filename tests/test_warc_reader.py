@@ -381,3 +381,25 @@ def test_warc_cdx_sorted_matches_sequential(ray_session):
     assert len(got) == len(want_rows)
     got_keys = list(zip(got["surt_key"], got["timestamp14"]))
     assert got_keys == want_keys
+
+
+@needs_fixtures
+def test_warc_file_hash_matches_hashlib(ray_session):
+    """Chunked streaming SHA-512 == one-shot hashlib over the whole file;
+    line format '<hex> <bytes> <path>' (MessageDigestMapper.java:123-128)."""
+    import hashlib
+
+    from webarchive_discovery_ray.pipelines.stats import warc_file_hash
+
+    paths = [IAH_WGET, os.path.join(FIXTURE_DIR, "truncated_datetime.warc")]
+    # tiny chunk size forces the multi-chunk path
+    got = warc_file_hash(paths, chunk=4096).to_pandas().set_index("path")
+    assert len(got) == 2
+    for p in paths:
+        data = open(p, "rb").read()
+        row = got.loc[os.path.abspath(p)]
+        assert row["hex"] == hashlib.sha512(data).hexdigest()
+        assert row["bytes"] == len(data)
+        assert row["line"] == f"{row['hex']} {len(data)} {os.path.abspath(p)}"
+    md5 = warc_file_hash([IAH_WGET], algorithm="md5").to_pandas()
+    assert md5["hex"][0] == hashlib.md5(open(IAH_WGET, "rb").read()).hexdigest()

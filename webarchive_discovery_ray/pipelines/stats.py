@@ -19,6 +19,7 @@ Reference parity targets:
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -34,6 +35,7 @@ __all__ = [
     "persist_log_docs",
     "dataset_summaries",
     "file_digest",
+    "warc_file_hash",
     "host_link_graph",
     "host_pagerank",
     "span_stats",
@@ -285,6 +287,54 @@ def file_digest(paths: list[str]):
                 "path": pa.array(paths_, pa.string()),
                 "sha1": pa.array(shas, pa.string()),
                 "bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
+def warc_file_hash(paths: list[str], algorithm: str = "sha512", chunk: int = 8 << 20):
+    """HdfsFileHasher: whole-file message digest per archive file
+    (MessageDigestMapper.java:103-128 — SHA-512 default, MD5 via flag;
+    output line ``<hex> <bytes> <path>`` keyed by path). One file per
+    task; the digest is fed in bounded ``chunk``-byte reads so a
+    100 GB archive never materializes in worker memory (the reference
+    streams per-HDFS-block for the same reason).
+
+    Columns: path, hex, bytes, line."""
+    import ray
+
+    items = [
+        {"path": os.path.abspath(p) if "://" not in p else p} for p in paths
+    ]
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        from pyarrow import fs as pafs
+
+        names, hexes, sizes, lines = [], [], [], []
+        for path in batch["path"].to_pylist():
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            md = hashlib.new(algorithm)
+            n = 0
+            with filesystem.open_input_stream(fs_path, compression=None) as fh:
+                while True:
+                    buf = fh.read(chunk)
+                    if not buf:
+                        break
+                    md.update(buf)
+                    n += len(buf)
+            hx = md.hexdigest()
+            names.append(fs_path)
+            hexes.append(hx)
+            sizes.append(n)
+            lines.append(f"{hx} {n} {fs_path}")
+        return pa.table(
+            {
+                "path": pa.array(names, pa.string()),
+                "hex": pa.array(hexes, pa.string()),
+                "bytes": pa.array(sizes, pa.int64()),
+                "line": pa.array(lines, pa.string()),
             }
         )
 
