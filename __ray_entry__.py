@@ -427,6 +427,59 @@ def _warc_stats(sf_dir: str):
     return warc_stats(_warc_input_paths())
 
 
+def _warc_datasets(sf_dir: str):
+    """WARCDatasetGenerator multi-facet datasets over the real fixtures."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_datasets
+
+    return warc_datasets(_warc_input_paths())
+
+
+def _warc_datasets_oracle_values_sql() -> str:
+    """Sequential-oracle facet emissions as VALUES; GROUP BY plays the
+    FrequencyCountingReducer."""
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    cfg = IndexConfig()
+    rows: list[str] = []
+
+    def emit(dataset: str, item: str) -> None:
+        rows.append(f"({lit(dataset)}, {lit(item)})")
+
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None:
+                continue
+            year = (doc["wayback_date"] or "")[:4]
+            emit(f"hosts__{year}", doc["host"] or "")
+            emit(
+                f"formats__{year}",
+                "\t".join(
+                    (doc["content_type_served"] or "",
+                     doc["content_type_tika"] or "",
+                     doc["content_type"] or "")
+                ),
+            )
+            for dst in doc["links_hosts"] or []:
+                emit(f"host_links__{year}", (doc["host"] or "") + "\t" + dst)
+    return (
+        "SELECT dataset, item, count(*) AS n FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(dataset, item) GROUP BY 1, 2"
+    )
+
+
 def _warc_cdx_oracle_values_sql() -> str:
     """Sequential-oracle captures rendered as a VALUES table (same
     independent parse/extract chain as warc_extract, projected onto the
@@ -1099,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_cdx": _warc_cdx,
         "warc_stats": _warc_stats,
         "warc_file_hash": _warc_file_hash,
+        "warc_datasets": _warc_datasets,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "hll_users_per_event_type": hll_users_per_event_type,
@@ -3123,6 +3177,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_extract"] = _warc_oracle_values_sql()
     out["warc_cdx"] = _warc_cdx_oracle_values_sql()
     out["warc_stats"] = _warc_stats_oracle_values_sql()
+    out["warc_datasets"] = _warc_datasets_oracle_values_sql()
     # closed crawl loop: recrawl intervals (sched) x host PageRank (ranks)
     # -> the follow-up crawl's seed list; composes the two already-oracled
     # CTEs, the latest-capture URL arg-max and the integer priority rule

@@ -403,3 +403,24 @@ def test_warc_file_hash_matches_hashlib(ray_session):
         assert row["line"] == f"{row['hex']} {len(data)} {os.path.abspath(p)}"
     md5 = warc_file_hash([IAH_WGET], algorithm="md5").to_pandas()
     assert md5["hex"][0] == hashlib.md5(open(IAH_WGET, "rb").read()).hexdigest()
+
+
+@needs_fixtures
+def test_warc_datasets_facets(ray_session):
+    """Multi-facet dataset counts over the wget fixture: hosts facet mass
+    equals the survivor count, every host_links item is 'src\\tdst', and
+    the formats facet is the three-slot tab string."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_datasets
+
+    got = warc_datasets([IAH_WGET]).to_pandas()
+    facets = got["dataset"].str.rsplit("__", n=1).str[0]
+    years = set(got["dataset"].str.rsplit("__", n=1).str[1])
+    assert years == {"2013"}
+    # 7 survivors with the default config (36 records - 29 nulls,
+    # the filter-ladder pin)
+    assert got.loc[facets == "hosts", "n"].sum() == 7
+    assert got.loc[facets == "formats", "n"].sum() == 7
+    fmt_items = got.loc[facets == "formats", "item"]
+    assert (fmt_items.str.count("\t") == 2).all()
+    hl = got.loc[facets == "host_links", "item"]
+    assert len(hl) > 0 and (hl.str.count("\t") == 1).all()

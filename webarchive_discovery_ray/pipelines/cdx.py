@@ -23,6 +23,7 @@ __all__ = [
     "cdx_sorted",
     "warc_cdx",
     "warc_stats",
+    "warc_datasets",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -151,6 +152,78 @@ def warc_stats(paths: list[str]):
 
     return (
         ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def warc_datasets(paths: list[str], icfg: IndexConfig | None = None):
+    """WARCDatasetGenerator multi-facet datasets over REAL (W)ARC files
+    (WARCDatasetMapper.java:182-222 → FrequencyCountingReducer): per
+    surviving extracted record, facet rows keyed ``{facet}__{year}``:
+
+    * ``hosts__Y`` → the record's host;
+    * ``formats__Y`` → ``served \\t tika \\t detected`` (SolrRecord
+      .getFormatResults — the table-driven detected type plays DROID's
+      third slot here, M17/M29 sharing one signature table);
+    * ``host_links__Y`` → one ``src \\t dst`` row per distinct outlink
+      host (SolrRecord.getHostLinks).
+
+    Faces (``faces__Y``, OpenIMAJ) are descoped with the library. Full
+    extraction per file task, per-batch partial counts, ONE bucketed
+    grouped sum. Columns: dataset, item, n."""
+    from ..functions.bucketing import bucket_of, default_buckets
+    from ..sources.warc import read_archive_pages
+    from ..stages.extract import ExtractStage
+
+    n_b = default_buckets()
+    icfg = icfg or IndexConfig()
+    docs = read_archive_pages(paths).map_batches(
+        ExtractStage(icfg), batch_format="pyarrow", batch_size=64
+    )
+
+    def facet_counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(
+            [
+                "wayback_date",
+                "host",
+                "content_type_served",
+                "content_type_tika",
+                "content_type",
+                "links_hosts",
+            ]
+        ).to_pandas()
+        year = df["wayback_date"].fillna("").str[:4]
+        pairs: list[tuple[str, str]] = []
+        pairs.extend(zip("hosts__" + year, df["host"].fillna("")))
+        fmt = (
+            df["content_type_served"].fillna("")
+            + "\t"
+            + df["content_type_tika"].fillna("")
+            + "\t"
+            + df["content_type"].fillna("")
+        )
+        pairs.extend(zip("formats__" + year, fmt))
+        link_rows = pd.DataFrame(
+            {"key": "host_links__" + year, "src": df["host"].fillna(""), "dst": df["links_hosts"]}
+        ).explode("dst")
+        link_rows = link_rows[link_rows["dst"].notna()]
+        pairs.extend(
+            zip(link_rows["key"], link_rows["src"] + "\t" + link_rows["dst"])
+        )
+        out = pd.DataFrame(pairs, columns=["dataset", "item"])
+        vc = out.value_counts(["dataset", "item"]).reset_index(name="n")
+        vc["n"] = vc["n"].astype("int64")
+        vc["bucket"] = bucket_of(vc["dataset"] + "\x00" + vc["item"], n_b)
+        return vc
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["dataset", "item"], sort=False)["n"].sum().reset_index()
+        )
+
+    return (
+        docs.map_batches(facet_counts, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
