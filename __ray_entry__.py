@@ -427,6 +427,46 @@ def _warc_stats(sf_dir: str):
     return warc_stats(_warc_input_paths())
 
 
+def _warc_regex(sf_dir: str):
+    """WARCRegexIndexer URL-pattern grep over the real fixtures."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_regex
+
+    return warc_regex(_warc_input_paths())
+
+
+def _warc_regex_oracle_values_sql() -> str:
+    """Sequential-oracle regex emissions as VALUES; SELECT DISTINCT plays
+    the WARCRegexReducer's set semantics."""
+    import os
+    import re as _re
+
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+    from webarchive_discovery_ray.pipelines.cdx import WARC_REGEX_PATTERN
+
+    def lit(v: str) -> str:
+        # matches can contain control bytes / replacement chars that no
+        # quoting style survives — ship hex, decode in SQL
+        return "decode(from_hex('" + v.encode("utf-8").hex() + "'))"
+
+    rx = _re.compile(WARC_REGEX_PATTERN)
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            key = rec["timestamp14"] + "/" + (
+                rec["url"] if rec["url"] is not None else "null"
+            )
+            text = bytes(rec["payload"])[: 1 << 20].decode("utf-8", errors="replace")
+            for m in set(rx.findall(text)):
+                rows.append(f"({lit(key)}, {lit(m)})")
+    return (
+        'SELECT DISTINCT "key", "match" FROM (VALUES '
+        + ", ".join(rows)
+        + ') AS t("key", "match")'
+    )
+
+
 def _warc_datasets(sf_dir: str):
     """WARCDatasetGenerator multi-facet datasets over the real fixtures."""
     from webarchive_discovery_ray.pipelines.cdx import warc_datasets
@@ -1153,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_stats": _warc_stats,
         "warc_file_hash": _warc_file_hash,
         "warc_datasets": _warc_datasets,
+        "warc_regex": _warc_regex,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "hll_users_per_event_type": hll_users_per_event_type,
@@ -3178,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_cdx"] = _warc_cdx_oracle_values_sql()
     out["warc_stats"] = _warc_stats_oracle_values_sql()
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
+    out["warc_regex"] = _warc_regex_oracle_values_sql()
     # closed crawl loop: recrawl intervals (sched) x host PageRank (ranks)
     # -> the follow-up crawl's seed list; composes the two already-oracled
     # CTEs, the latest-capture URL arg-max and the integer priority rule

@@ -424,3 +424,31 @@ def test_warc_datasets_facets(ray_session):
     assert (fmt_items.str.count("\t") == 2).all()
     hl = got.loc[facets == "host_links", "item"]
     assert len(hl) > 0 and (hl.str.count("\t") == 1).all()
+
+
+@needs_fixtures
+def test_warc_regex_distinct_matches(ray_session):
+    """warc_regex == sequential findall + per-(key,match) distinct; EXIF
+    matches differing only in trailing NULs must stay distinct (pandas
+    C-string-hash dedup regression)."""
+    import re
+
+    from webarchive_discovery_ray.pipelines.cdx import WARC_REGEX_PATTERN, warc_regex
+
+    path = os.path.join(
+        FIXTURE_DIR, "wikipedia-mona-lisa/flashfrozen-jwat-recompressed.warc.gz"
+    )
+    rx = re.compile(WARC_REGEX_PATTERN)
+    want: set[tuple[str, str]] = set()
+    for r in parse_archive_bytes(open(path, "rb").read(), os.path.basename(path)):
+        key = r["timestamp14"] + "/" + (r["url"] if r["url"] is not None else "null")
+        text = bytes(r["payload"])[: 1 << 20].decode("utf-8", errors="replace")
+        for m in rx.findall(text):
+            want.add((key, m))
+    got = warc_regex([path]).to_pandas()
+    assert set(zip(got["key"], got["match"])) == want
+    assert len(got) == len(want)
+    # the JPEG EXIF blocks carry the same URL with different NUL tails —
+    # both lengths must survive as distinct matches
+    iec = got.loc[got["match"].str.startswith("http://www.iec.ch"), "match"]
+    assert len(set(iec.map(len))) >= 2

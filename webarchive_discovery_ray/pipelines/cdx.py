@@ -24,6 +24,7 @@ __all__ = [
     "warc_cdx",
     "warc_stats",
     "warc_datasets",
+    "warc_regex",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -154,6 +155,64 @@ def warc_stats(paths: list[str]):
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
+    )
+
+
+WARC_REGEX_PATTERN = r"https?://[^\s\"'<>]+"
+
+
+def warc_regex(paths: list[str], pattern: str = WARC_REGEX_PATTERN):
+    """WARCRegexIndexer grep over REAL (W)ARC files
+    (WARCRegexMapper.java:60-92 → WARCRegexReducer distinct-set reduce):
+    key = ``digits(record date) + "/" + url`` (a missing URL Java-concats
+    as ``"null"``), value = every ``pattern`` match over the first 1 MB
+    of the record payload decoded UTF-8-with-replacement; the reduce
+    keeps the DISTINCT matches per key. Per-batch distinct (combiner),
+    ONE bucketed exchange keyed by bucket(key). Columns: key, match."""
+    import re as _re
+
+    from ..functions.bucketing import bucket_of, default_buckets
+    from ..sources.warc import read_archive_pages
+
+    n_b = default_buckets()
+    rx = _re.compile(pattern)
+    pages = read_archive_pages(paths)
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["timestamp14", "url", "payload"]).to_pandas()
+        # dedup with a python set, NOT pandas drop_duplicates: binary
+        # payloads yield matches with embedded NULs, and pandas'
+        # multi-column dedup hashes strings with C-string semantics
+        # (``"x\0"`` == ``"x\0\0"``), silently merging distinct matches
+        pairs: set[tuple[str, str]] = set()
+        for ts, url, payload in zip(df["timestamp14"], df["url"], df["payload"]):
+            key = ts + "/" + (url if url is not None else "null")
+            text = bytes(payload)[: 1 << 20].decode("utf-8", errors="replace")
+            for m in rx.findall(text):
+                pairs.add((key, m))
+        ordered = sorted(pairs)
+        out = pd.DataFrame(
+            {
+                "key": pd.Series([p[0] for p in ordered], dtype=str),
+                "match": pd.Series([p[1] for p in ordered], dtype=str),
+            }
+        )
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out
+
+    def distinct_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ordered = sorted(set(zip(df["key"], df["match"])))
+        return pd.DataFrame(
+            {
+                "key": pd.Series([p[0] for p in ordered], dtype=str),
+                "match": pd.Series([p[1] for p in ordered], dtype=str),
+            }
+        )
+
+    return (
+        pages.map_batches(scan, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pandas")
     )
 
 
