@@ -37,8 +37,25 @@ def _to_pandas(result) -> pd.DataFrame:
 
 def _normalise(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    # multi-column sort_values factorizes object columns with a
+    # C-string hash: strings differing only past an embedded NUL get the
+    # SAME code, so their relative order is input order and the two
+    # frames misalign (seen on warc_regex EXIF matches). Sort on
+    # NUL-free proxies instead (U+E000 keeps distinctness and gives
+    # both frames the identical total order).
+    keys = []
+    tmp = df
+    for c in df.columns:
+        if df[c].dtype == object:
+            proxy = df[c].map(
+                lambda v: v.replace("\x00", "\ue000") if isinstance(v, str) else v
+            )
+            tmp = tmp.assign(**{f"_sort_{c}": proxy})
+            keys.append(f"_sort_{c}")
+        else:
+            keys.append(c)
+    tmp = tmp.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    return tmp[list(df.columns)]
 
 
 def _compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
