@@ -727,3 +727,26 @@ def test_compact_parquet_dir_crash_recovery(ray_session, tmp_path):
     assert r2["written"] == 1 and r2["rows"] == total
     back = pq.read_table(os.path.join(out, "compact_00000.parquet"))
     assert back.num_rows == total
+
+
+def test_cli_warc_and_warc_cdx(ray_session, tmp_path):
+    """warc / warc-cdx subcommands: real fixture (W)ARC -> extracted
+    parquet (7 wget survivors) and globally sorted captures."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.cli import main
+
+    fx = "/root/reference/warc-indexer/src/test/resources"
+    if not os.path.exists(f"{fx}/IAH-urls-wget.warc.gz"):
+        pytest.skip("reference fixture tree absent")
+    out1 = str(tmp_path / "docs")
+    assert main(["warc", f"{fx}/IAH-urls-wget.warc.gz", out1]) == 0
+    docs = pq.read_table(out1)
+    assert docs.num_rows == 7  # 36 records - 29 nulls (filter-ladder pin)
+    out2 = str(tmp_path / "cdx")
+    assert main(["warc-cdx", f"{fx}/gov.uk-revisit-warcs/*.warc.gz", out2]) == 0
+    caps = pq.read_table(out2)
+    keys = list(zip(caps["surt_key"].to_pylist(), caps["timestamp14"].to_pylist()))
+    assert caps.num_rows > 0 and keys == sorted(keys)

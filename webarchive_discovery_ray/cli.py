@@ -65,6 +65,64 @@ def _cmd_extract(args: argparse.Namespace) -> dict:
             "rows": n}
 
 
+def _expand_inputs(patterns: list[str]) -> list[str]:
+    import glob as _glob
+    import os
+
+    paths: list[str] = []
+    for pat in patterns:
+        hits = sorted(_glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    return [os.path.abspath(p) if "://" not in p else p for p in paths]
+
+
+def _cmd_warc(args: argparse.Namespace) -> dict:
+    """(W)ARC files -> extracted documents — the WARCIndexerCommand
+    one-liner a warc-indexer user reaches for first (``-i <warcs> -o
+    <out>``), on the binary read path (one file per task)."""
+    from .config import IndexConfig
+    from .sources.warc import read_archive_pages
+    from .stages.extract import ExtractStage
+
+    paths = _expand_inputs(args.inputs)
+    cfg = IndexConfig(
+        store_content=not args.no_store_content,
+        extract_content_first_bytes=not args.no_first_bytes,
+    )
+    docs = read_archive_pages(paths).map_batches(
+        ExtractStage(cfg), batch_format="pyarrow", batch_size=args.batch_size
+    )
+    if args.format == "parquet":
+        docs.write_parquet(args.output)
+        n = None
+    elif args.format == "jsonl":
+        from .sources.sinks import write_jsonl
+
+        n = write_jsonl(docs, args.output, compress=args.gzip)
+    else:  # xml
+        from .sources.sinks import write_xml
+
+        n = write_xml(docs, args.output, compress=args.gzip)
+    return {
+        "cmd": "warc",
+        "inputs": len(paths),
+        "output": args.output,
+        "format": args.format,
+        "rows": n,
+    }
+
+
+def _cmd_warc_cdx(args: argparse.Namespace) -> dict:
+    """(W)ARC files -> globally sorted CDX captures (ArchiveCDXGenerator
+    end to end on the binary read path)."""
+    from .pipelines.cdx import warc_cdx
+
+    paths = _expand_inputs(args.inputs)
+    caps = warc_cdx(paths)
+    caps.write_parquet(args.output)
+    return {"cmd": "warc-cdx", "inputs": len(paths), "output": args.output}
+
+
 def _cmd_crawl(args: argparse.Namespace) -> dict:
     from .config import CrawlConfig, SyntheticConfig
     from .pipelines.crawl import run_crawl
@@ -161,6 +219,21 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--no-store-content", action="store_true")
     ex.add_argument("--no-first-bytes", action="store_true")
     ex.set_defaults(fn=_cmd_extract)
+
+    wa = sub.add_parser("warc", help="(W)ARC files -> extracted documents")
+    wa.add_argument("inputs", nargs="+", help="(W)ARC paths or globs")
+    wa.add_argument("output", help="output dir")
+    wa.add_argument("--format", choices=("parquet", "jsonl", "xml"), default="parquet")
+    wa.add_argument("--gzip", action="store_true")
+    wa.add_argument("--batch-size", type=int, default=64)
+    wa.add_argument("--no-store-content", action="store_true")
+    wa.add_argument("--no-first-bytes", action="store_true")
+    wa.set_defaults(fn=_cmd_warc)
+
+    wc = sub.add_parser("warc-cdx", help="(W)ARC files -> globally sorted CDX")
+    wc.add_argument("inputs", nargs="+", help="(W)ARC paths or globs")
+    wc.add_argument("output", help="output dir")
+    wc.set_defaults(fn=_cmd_warc_cdx)
 
     cr = sub.add_parser("crawl", help="seed list -> resumable crawl run")
     cr.add_argument("--seeds", help="file with one URL per line (default: synthetic)")
