@@ -250,6 +250,19 @@ def _span_dedup(sf_dir: str):
     return span_dedup(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _media_dedup(sf_dir: str):
+    """Media-span exact dedup over the SAME materialized spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import media_dedup
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return media_dedup(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _span_quality_filter(sf_dir: str):
     """Span-level quality gate + re-indexing over the SAME materialized
     interleaved spans base."""
@@ -1164,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_pack": _interleaved_pack,
         "media_context": _media_context,
         "span_dedup": _span_dedup,
+        "media_dedup": _media_dedup,
         "span_quality_filter": _span_quality_filter,
         "anti_join_orders": anti_join_orders,
         "grouped_quantiles": grouped_quantiles,
@@ -2968,6 +2982,23 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY h ORDER BY doc_id, i
                    ) = 1 AS keep
             FROM s WHERE kind = 'text'
+        """,
+        # media twin of span_dedup: first occurrence per media_ref over
+        # the image/media spans of the interleaved base
+        "media_dedup": f"""
+            WITH s AS (
+                SELECT doc_id, i,
+                       spans[i].kind AS kind,
+                       COALESCE(spans[i].media_ref, '') AS media_ref
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet'),
+                     unnest(generate_series(1, len(spans))) AS u(i)
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS span_idx, media_ref,
+                   row_number() OVER (
+                       PARTITION BY media_ref ORDER BY doc_id, i
+                   ) = 1 AS keep
+            FROM s
+            WHERE kind IN ('image', 'media') AND media_ref <> ''
         """,
         # span-level quality gate + re-index over the nested spans base
         # (pipelines/stats.span_quality_filter — keep media spans and

@@ -572,3 +572,92 @@ def test_warc_parser_never_raises_on_mutations(data):
     rows = parse_archive_bytes(bytes(blob), "m.warc.gz")
     assert isinstance(rows, list) and len(rows) <= n_valid + 1
     pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+# --- ARC parser fuzzing --------------------------------------------------------
+
+_arc_mimes = st.sampled_from(["text/html", "image/png", "text/plain", "no-type"])
+_arc_bodies = st.binary(max_size=150) | st.sampled_from(
+    [
+        # adversarial: ARC-header lookalike inside a body, bare newlines,
+        # a body whose first line parses as "url ip date mime len"
+        b"http://x.org/ 1.2.3.4 20080430204825 text/html 5\nhello",
+        b"\n\n\n",
+        b"filedesc://fake 0.0.0.0 20080430204825 text/plain 0\n",
+    ]
+)
+
+
+def _build_arc(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Well-formed ARC v1 from (url, mime, body) triples — format
+    knowledge only (the published ARC spec): version record first, then
+    'url ip date mime length\\n' + body per record."""
+    head_body = b"1 0 fuzz\nURL IP-address Archive-date Content-type Archive-length"
+    out = [
+        b"filedesc://fuzz.arc 0.0.0.0 20080430204825 text/plain "
+        + str(len(head_body)).encode()
+        + b"\n"
+        + head_body
+        + b"\n"
+    ]
+    for url, mime, body in records:
+        out.append(
+            f"{url} 1.2.3.4 20080430204825 {mime} {len(body)}\n".encode()
+            + body
+            + b"\n"
+        )
+    return b"".join(out)
+
+
+@given(
+    recs=st.lists(
+        st.tuples(_rec_urls, _arc_mimes, _arc_bodies), min_size=1, max_size=6
+    ),
+    gz=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_arc_parser_differential_on_generated_records(recs, gz):
+    """Generated well-formed ARC (plain / gzip): parser == independent
+    oracle, response rows for every record, URLs in file order."""
+    import gzip as _gz
+
+    # ARC header lines are space-delimited: keep URLs space-free
+    recs = [(u.replace(" ", "%20"), m, b) for u, m, b in recs]
+    data = _build_arc(recs)
+    if gz:
+        data = _gz.compress(data, mtime=0)
+    rows = parse_archive_bytes(data, "f.arc")
+    assert rows == oracle_parse_archive(data, "f.arc")
+    urls = [r["url"] for r in rows]
+    assert urls[0].startswith("filedesc://")
+    assert urls[1:] == [u for u, _, _ in recs]
+    pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)  # schema-stable
+
+
+@given(data=st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_arc_parser_never_raises_on_garbage(data):
+    """Arbitrary bytes prefixed with the ARC magic must never raise."""
+    blob = b"filedesc://g.arc 0.0.0.0 20080430204825 text/plain 0\n" + data
+    rows = parse_archive_bytes(blob, "g.arc")
+    assert isinstance(rows, list)
+
+
+@given(
+    flips=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(0, 255)),
+        max_size=4,
+    ),
+    cut=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_arc_parser_never_raises_on_mutations(flips, cut):
+    """Byte flips / truncations of a valid ARC: no raise, bounded rows."""
+    base = bytearray(
+        _build_arc([(f"http://h{i}.org/p", "text/html", b"x" * i) for i in range(6)])
+    )
+    for pos, val in flips:
+        base[pos % len(base)] = val
+    blob = bytes(base)[: max(1, cut % (len(base) + 1))]
+    rows = parse_archive_bytes(blob, "m.arc")
+    assert isinstance(rows, list) and len(rows) <= 7

@@ -600,3 +600,40 @@ def test_kll_empty_sketch_returns_nan():
     sk = KLLSketch(64)
     assert sk.n == 0 and sk.total_weight() == 0
     assert all(math.isnan(v) for v in sk.quantiles((1, 50, 99)))
+
+
+def test_media_dedup_first_occurrence_rule(ray_session):
+    """media_dedup keeps the first (doc_id, span_idx) occurrence of each
+    media_ref among image/media spans; link and text spans never appear."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import media_dedup
+
+    def mk(kind, text=None, ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    hand = [
+        ("a", [mk("image", ref="logo"), mk("link", ref="logo"),
+               mk("media", ref="clip"), mk("image", ref="logo")]),
+        ("b", [mk("text", "t"), mk("image", ref="logo"), mk("media", ref="")]),
+    ]
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hand]),
+            "spans": pa.array([s for _, s in hand], pa.list_(span_t)),
+        }
+    )
+    got = media_dedup(rd.from_arrow(tbl)).to_pandas()
+    key = {(r.doc_id, int(r.span_idx)): bool(r.keep) for r in got.itertuples()}
+    # link span ("a",2), text span ("b",1) and empty-ref ("b",3) excluded
+    assert key == {
+        ("a", 1): True,   # first "logo"
+        ("a", 3): True,   # "clip"
+        ("a", 4): False,  # same-doc repeat of "logo"
+        ("b", 2): False,  # cross-doc repeat of "logo"
+    }

@@ -41,6 +41,7 @@ __all__ = [
     "span_stats",
     "media_context",
     "span_dedup",
+    "media_dedup",
     "year_host_outlinks",
     "heritrix_log_lines",
     "hosts_report",
@@ -729,6 +730,87 @@ def span_dedup(docs):
 
     return (
         docs.map_batches(span_hashes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_in_bucket, batch_format="pandas")
+    )
+
+
+def media_dedup(docs):
+    """Exact MEDIA dedup over interleaved documents — the media-side
+    twin of :func:`span_dedup`: a crawl's images are dominated by
+    repeated assets (logos, icons, tracking pixels), so every media span
+    (kind ``image`` / ``media``) keeps only the FIRST occurrence of its
+    ``media_ref`` content handle in (doc_id, span_idx) order (at real
+    scale the handle is the payload digest — the synthetic corpus keys
+    media by ref; ``link`` spans also carry refs but are link targets,
+    not content, and are excluded).
+
+    Shape: same vectorized flatten + ONE bucketed grouped pass as
+    span_dedup, keyed on the ref itself (already a compact handle — no
+    hashing pass needed). Only (ref, doc_id, span_idx) rows ride the
+    exchange. Columns: doc_id, span_idx (1-based), media_ref, keep.
+    SQL-oracle-checked."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def media_rows(batch: pa.Table) -> pd.DataFrame:
+        spans = batch["spans"].combine_chunks()
+        lengths = pc.list_value_length(spans).fill_null(0).to_numpy().astype("int64")
+        empty = pd.DataFrame(
+            {
+                "media_ref": pd.Series([], dtype=str),
+                "doc_id": pd.Series([], dtype=str),
+                "span_idx": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+            }
+        )
+        if not lengths.sum():
+            return empty
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        refs = pc.coalesce(flat.field("media_ref"), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.arange(len(parents), dtype="int64")
+        starts = np.zeros(len(parents), dtype="int64")
+        doc_first = np.flatnonzero(np.diff(parents, prepend=parents[0] - 1))
+        starts[doc_first] = pos[doc_first]
+        starts = np.maximum.accumulate(starts)
+        span_idx = pos - starts + 1
+        m = ((kinds == "image") | (kinds == "media")) & (refs != "")
+        if not m.any():
+            return empty
+        r = pd.Series(refs[m], dtype=str)
+        return pd.DataFrame(
+            {
+                "media_ref": r,
+                "doc_id": pd.Series(
+                    batch["doc_id"].to_numpy(zero_copy_only=False)[parents[m]],
+                    dtype=str,
+                ),
+                "span_idx": span_idx[m],
+                "bucket": bucket_of(r, n_b),
+            }
+        )
+
+    def first_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["media_ref", "doc_id", "span_idx"], kind="mergesort")
+        keep = ~d["media_ref"].duplicated()
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(),
+                "span_idx": d["span_idx"].to_numpy(),
+                "media_ref": d["media_ref"].to_numpy(),
+                "keep": keep.to_numpy(),
+            }
+        )
+
+    return (
+        docs.map_batches(media_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(first_in_bucket, batch_format="pandas")
     )
