@@ -457,9 +457,7 @@ def _warc_regex_oracle_values_sql() -> str:
     from webarchive_discovery_ray.pipelines.cdx import WARC_REGEX_PATTERN
 
     def lit(v: str) -> str:
-        # matches can contain control bytes / replacement chars that no
-        # quoting style survives — ship hex, decode in SQL
-        return "decode(from_hex('" + v.encode("utf-8").hex() + "'))"
+        return "'" + v.replace("'", "''") + "'"
 
     rx = _re.compile(WARC_REGEX_PATTERN)
     rows: list[str] = []
@@ -472,7 +470,10 @@ def _warc_regex_oracle_values_sql() -> str:
             )
             text = bytes(rec["payload"])[: 1 << 20].decode("utf-8", errors="replace")
             for m in set(rx.findall(text)):
-                rows.append(f"({lit(key)}, {lit(m)})")
+                # same unicode_escape emission contract as the Ray op
+                rows.append(
+                    f"({lit(key)}, {lit(m.encode('unicode_escape').decode('ascii'))})"
+                )
     return (
         'SELECT DISTINCT "key", "match" FROM (VALUES '
         + ", ".join(rows)

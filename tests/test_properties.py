@@ -661,3 +661,51 @@ def test_arc_parser_never_raises_on_mutations(flips, cut):
     blob = bytes(base)[: max(1, cut % (len(base) + 1))]
     rows = parse_archive_bytes(blob, "m.arc")
     assert isinstance(rows, list) and len(rows) <= 7
+
+
+# --- paragraph_dedup reassembly invariants --------------------------------------
+
+_para_tokens = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=0, max_size=40
+)
+
+
+@given(docs=st.lists(_para_tokens, min_size=1, max_size=8), w=st.sampled_from([2, 4]))
+@settings(max_examples=25, deadline=None)
+def test_paragraph_dedup_matches_bruteforce(ray_session, docs, w):
+    """Distributed paragraph dedup + reassembly == first-occurrence scan
+    over generated corpora, including all-dup docs that drop entirely and
+    whitespace-only docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from webarchive_discovery_ray.pipelines.dedup import paragraph_dedup
+
+    texts = [" ".join(toks) for toks in docs]
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        os.path.join(d, "documents.parquet"),
+    )
+    seen: set[str] = set()
+    want = {}
+    for did, toks in enumerate(docs):
+        if not toks:
+            continue
+        paras = [
+            " ".join(toks[p * w : (p + 1) * w])
+            for p in range((len(toks) + w - 1) // w)
+        ]
+        kept = [p for p in paras if p not in seen and not seen.add(p)]
+        if kept:
+            want[did] = (len(paras), len(kept), " ".join(kept))
+    got = paragraph_dedup(d, w=w).to_pandas()
+    assert len(got) == len(want)
+    if not want:
+        return
+    got = got.set_index("doc_id")
+    for did, (n_paras, n_kept, text) in want.items():
+        assert got.loc[did, "n_paras"] == n_paras
+        assert got.loc[did, "n_kept"] == n_kept
+        assert got.loc[did, "text"] == text

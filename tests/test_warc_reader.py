@@ -444,11 +444,12 @@ def test_warc_regex_distinct_matches(ray_session):
         key = r["timestamp14"] + "/" + (r["url"] if r["url"] is not None else "null")
         text = bytes(r["payload"])[: 1 << 20].decode("utf-8", errors="replace")
         for m in rx.findall(text):
-            want.add((key, m))
+            want.add((key, m.encode("unicode_escape").decode("ascii")))
     got = warc_regex([path]).to_pandas()
     assert set(zip(got["key"], got["match"])) == want
     assert len(got) == len(want)
     # the JPEG EXIF blocks carry the same URL with different NUL tails —
-    # both lengths must survive as distinct matches
+    # both must survive as distinct (escaped) matches
     iec = got.loc[got["match"].str.startswith("http://www.iec.ch"), "match"]
     assert len(set(iec.map(len))) >= 2
+    assert iec.str.contains("\\x00", regex=False).any()

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["bucket_of", "default_buckets", "coalesce_blocks"]
+__all__ = ["bucket_of", "default_buckets", "coalesce_blocks", "typed_empty"]
 
 _KNUTH = np.uint64(2654435761)
 
@@ -62,6 +62,17 @@ def coalesce_blocks(ds, target_block_bytes: int = 16 << 20):
     if target < nb:
         m = m.repartition(target).materialize()
     return m
+
+
+def typed_empty(**cols: str) -> pd.DataFrame:
+    """Empty frame with declared dtypes.
+
+    When a grouped pass's upstream is completely empty, Ray hands the
+    ``map_groups`` fn a ZERO-COLUMN empty block — a fn that immediately
+    sorts/groups by name then raises KeyError. Grouped fns guard with
+    ``if not len(df): return typed_empty(col=dtype, ...)`` so the empty
+    pipeline stays schema-stable end to end."""
+    return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in cols.items()})
 
 
 def default_buckets(min_b: int = 16, per_cpu: int = 2, cap: int = 128) -> int:

@@ -147,6 +147,8 @@ def warc_stats(paths: list[str]):
         return vc
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(category=str, item=str, n="int64")
         return (
             df.groupby(["category", "item"], sort=False)["n"].sum().reset_index()
         )
@@ -167,8 +169,14 @@ def warc_regex(paths: list[str], pattern: str = WARC_REGEX_PATTERN):
     key = ``digits(record date) + "/" + url`` (a missing URL Java-concats
     as ``"null"``), value = every ``pattern`` match over the first 1 MB
     of the record payload decoded UTF-8-with-replacement; the reduce
-    keeps the DISTINCT matches per key. Per-batch distinct (combiner),
-    ONE bucketed exchange keyed by bucket(key). Columns: key, match."""
+    keeps the DISTINCT matches per key. Matches are emitted
+    ``unicode_escape``-encoded: binary payloads (JPEG EXIF) yield
+    matches with embedded NULs/control bytes, which the reference's
+    TextOutputFormat lines cannot represent either, and which pandas'
+    C-string string hashing handles nondeterministically downstream.
+    Distinctness is preserved (the escape is injective). Per-batch
+    distinct (combiner), ONE bucketed exchange keyed by bucket(key).
+    Columns: key, match."""
     import re as _re
 
     from ..functions.bucketing import bucket_of, default_buckets
@@ -189,7 +197,7 @@ def warc_regex(paths: list[str], pattern: str = WARC_REGEX_PATTERN):
             key = ts + "/" + (url if url is not None else "null")
             text = bytes(payload)[: 1 << 20].decode("utf-8", errors="replace")
             for m in rx.findall(text):
-                pairs.add((key, m))
+                pairs.add((key, m.encode("unicode_escape").decode("ascii")))
         ordered = sorted(pairs)
         out = pd.DataFrame(
             {
@@ -201,6 +209,8 @@ def warc_regex(paths: list[str], pattern: str = WARC_REGEX_PATTERN):
         return out
 
     def distinct_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(key=str, match=str)
         ordered = sorted(set(zip(df["key"], df["match"])))
         return pd.DataFrame(
             {
@@ -277,6 +287,8 @@ def warc_datasets(paths: list[str], icfg: IndexConfig | None = None):
         return vc
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(dataset=str, item=str, n="int64")
         return (
             df.groupby(["dataset", "item"], sort=False)["n"].sum().reset_index()
         )

@@ -783,7 +783,7 @@ def softdedup_weights(sf_dir: str, w: int = _SOFT_W):
     the SQL oracle's).
 
     Columns: doc_id, n_paras, c_sum, weight."""
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
 
     n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -815,6 +815,10 @@ def softdedup_weights(sf_dir: str, w: int = _SOFT_W):
         return out
 
     def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", n_paras="int64", c_sum="int64", bucket="int32"
+            )
         vc = df["h"].value_counts()
         g = pd.DataFrame(
             {
@@ -831,6 +835,10 @@ def softdedup_weights(sf_dir: str, w: int = _SOFT_W):
         return agg
 
     def fold_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", n_paras="int64", c_sum="int64", weight="float64"
+            )
         agg = (
             df.groupby("doc_id", sort=False)[["n_paras", "c_sum"]].sum().reset_index()
         )
@@ -863,7 +871,7 @@ def source_overlap(sf_dir: str, w: int = _SOFT_W):
     Paragraph text never shuffles.
 
     Columns: s1, s2 (s1 < s2), n_shared."""
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
 
     n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["source", "text"])
@@ -922,6 +930,8 @@ def source_overlap(sf_dir: str, w: int = _SOFT_W):
         return out
 
     def fold_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(s1=str, s2=str, n_shared="int64")
         return (
             df.groupby(["s1", "s2"], sort=False)["n_shared"].sum().reset_index()
         )

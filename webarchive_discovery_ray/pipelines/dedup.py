@@ -245,7 +245,7 @@ def paragraph_dedup(sf_dir: str, w: int = _PARA_W):
         indicator) + ordered join rebuilds the text.
 
     Columns: doc_id, n_paras, n_kept, text."""
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
 
     n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -286,6 +286,10 @@ def paragraph_dedup(sf_dir: str, w: int = _PARA_W):
         return out
 
     def losers_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", para_idx="int64", text=str, bucket="int32"
+            )
         d = df.sort_values(["h", "doc_id", "para_idx"], kind="mergesort")
         lose = d.loc[d["h"].duplicated(), ["doc_id", "para_idx"]]
         lose = lose.assign(text="", bucket=bucket_of(lose["doc_id"], n_b))
@@ -310,6 +314,10 @@ def paragraph_dedup(sf_dir: str, w: int = _PARA_W):
     docs = ds.map_batches(doc_markers, batch_format="pandas")
 
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", n_paras="int64", n_kept="int64", text=str
+            )
         lost = df.loc[df["para_idx"] >= 0, ["doc_id", "para_idx"]]
         texts, ids, idxs = para_rows(df[df["para_idx"] < 0])
         paras = pd.DataFrame(
@@ -374,7 +382,7 @@ def incremental_dedup(sf_dir: str):
     import ray
 
     from ..functions.broadcast import get_broadcast
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
     from .sketches import _BLOOM_BITS, bloom_add, bloom_contains
 
     n_b = default_buckets()
@@ -431,6 +439,8 @@ def incremental_dedup(sf_dir: str):
         return out
 
     def keep_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(doc_id="int64", h=str)
         in_base = set(df.loc[df["doc_id"].to_numpy() < 0, "h"])
         d = df[df["doc_id"].to_numpy() >= 0]
         d = d[~d["h"].isin(in_base)]
@@ -466,7 +476,7 @@ def gram_novelty(sf_dir: str, w: int = _NOVELTY_W):
 
     Columns: doc_id, n_windows, n_novel, novelty (one double division
     of two exact ints — bit-identical to the SQL oracle's)."""
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
 
     n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -510,6 +520,10 @@ def gram_novelty(sf_dir: str, w: int = _NOVELTY_W):
         return out
 
     def novel_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", n_windows="int64", n_novel="int64", bucket="int32"
+            )
         d = df.sort_values(["sh", "doc_id", "pos"], kind="mergesort")
         novel = (~d["sh"].duplicated()).to_numpy().astype("int64")
         g = pd.DataFrame({"doc_id": d["doc_id"].to_numpy(), "novel": novel})
@@ -522,6 +536,10 @@ def gram_novelty(sf_dir: str, w: int = _NOVELTY_W):
         return agg
 
     def fold_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", n_windows="int64", n_novel="int64", novelty="float64"
+            )
         agg = (
             df.groupby("doc_id", sort=False)[["n_windows", "n_novel"]]
             .sum()

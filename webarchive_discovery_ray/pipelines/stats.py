@@ -752,7 +752,7 @@ def media_dedup(docs):
     SQL-oracle-checked."""
     import pyarrow.compute as pc
 
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
 
     n_b = default_buckets()
 
@@ -798,6 +798,10 @@ def media_dedup(docs):
         )
 
     def first_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id=str, span_idx="int64", media_ref=str, keep="bool"
+            )
         d = df.sort_values(["media_ref", "doc_id", "span_idx"], kind="mergesort")
         keep = ~d["media_ref"].duplicated()
         return pd.DataFrame(

@@ -337,7 +337,7 @@ def vocab_coverage(sf_dir: str, k: int = _VOCAB_K):
     Columns: token, n, rank, cum_n, coverage (cum_n/total — one double
     division of two exact ints per row, bit-identical to the SQL
     oracle's)."""
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
 
     n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -358,6 +358,8 @@ def vocab_coverage(sf_dir: str, k: int = _VOCAB_K):
         return out
 
     def topk_mass_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(token=str, n="int64")
         g = df.groupby("token", sort=False)["n"].sum()
         top = (
             g.reset_index()
