@@ -1517,3 +1517,15 @@ def test_vocab_coverage_matches_sequential(ray_session):
         assert row.cum_n == cum
         assert row.coverage == cum / total
     assert got["coverage"].iloc[-1] == 1.0 or len(c) > 100
+
+
+def test_incremental_dedup_bloom_fp_safe(ray_session):
+    """A deliberately tiny (64-bit) Bloom forces heavy false positives;
+    the exact anti-join answer must not change — FPs only ship extra
+    snapshot hashes into the verify."""
+    from webarchive_discovery_ray.pipelines.dedup import incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    big = incremental_dedup(sf).to_pandas()
+    tiny = incremental_dedup(sf, bloom_bits=64).to_pandas()
+    assert dict(zip(tiny["h"], tiny["doc_id"])) == dict(zip(big["h"], big["doc_id"]))

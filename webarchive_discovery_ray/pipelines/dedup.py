@@ -357,7 +357,7 @@ def paragraph_dedup(sf_dir: str, w: int = _PARA_W):
     )
 
 
-def incremental_dedup(sf_dir: str):
+def incremental_dedup(sf_dir: str, bloom_bits: int | None = None):
     """Dedup a crawl INCREMENT against an existing snapshot — the
     recurring-crawl shape (the reference dedups revisits against the
     prior index via digest lookups, MDXReduplicatingReducer.java:72-153;
@@ -385,6 +385,10 @@ def incremental_dedup(sf_dir: str):
     from ..functions.bucketing import bucket_of, default_buckets, typed_empty
     from .sketches import _BLOOM_BITS, bloom_add, bloom_contains
 
+    # bloom_bits is a TEST KNOB: a tiny filter forces heavy false
+    # positives, pinning that FPs only ship extra snapshot hashes and can
+    # never change the exact anti-join answer
+    nbits = bloom_bits if bloom_bits is not None else _BLOOM_BITS
     n_b = default_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -412,13 +416,13 @@ def incremental_dedup(sf_dir: str):
 
     def delta_bloom(df: pd.DataFrame) -> pd.DataFrame:
         d = _hash_side(df, 1)
-        bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+        bits = np.zeros(nbits >> 3, dtype=np.uint8)
         if len(d):
             bloom_add(bits, _key64(d["h"]))
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
     parts = ds.map_batches(delta_bloom, batch_format="pandas").take_all()
-    bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+    bits = np.zeros(nbits >> 3, dtype=np.uint8)
     for p in parts:
         bits |= np.frombuffer(p["bits"], dtype=np.uint8)
     bloom_ref = ray.put(bits)

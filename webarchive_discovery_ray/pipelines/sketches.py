@@ -46,16 +46,16 @@ _BLOOM_SEEDS = np.array(
 )
 
 
-def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+def _bloom_positions(keys: np.ndarray, nbits: int = _BLOOM_BITS) -> np.ndarray:
     """(len(keys), k) bit positions via splitmix64(key ^ seed_j)."""
     from .dedup import _splitmix64
 
     h = _splitmix64(keys.astype(np.uint64)[:, None] ^ _BLOOM_SEEDS[None, :])
-    return (h % np.uint64(_BLOOM_BITS)).astype(np.int64)
+    return (h % np.uint64(nbits)).astype(np.int64)
 
 
 def bloom_add(bits: np.ndarray, keys: np.ndarray) -> None:
-    pos = _bloom_positions(keys)
+    pos = _bloom_positions(keys, len(bits) << 3)
     byte, bit = pos >> 3, pos & 7
     np.bitwise_or.at(bits, byte.ravel(), (1 << bit.ravel()).astype(np.uint8))
 
@@ -63,7 +63,7 @@ def bloom_add(bits: np.ndarray, keys: np.ndarray) -> None:
 def bloom_contains(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
     """Vectorized membership: True iff ALL k bits are set (may false-
     positive, never false-negative)."""
-    pos = _bloom_positions(keys)
+    pos = _bloom_positions(keys, len(bits) << 3)
     byte, bit = pos >> 3, pos & 7
     return ((bits[byte] >> bit) & 1).all(axis=1)
 
