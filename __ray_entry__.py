@@ -440,6 +440,13 @@ def _warc_stats(sf_dir: str):
     return warc_stats(_warc_input_paths())
 
 
+def _warc_corpus(sf_dir: str):
+    """Real (W)ARCs -> interleaved docs -> packed training sequences."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_corpus
+
+    return warc_corpus(_warc_input_paths())
+
+
 def _warc_regex(sf_dir: str):
     """WARCRegexIndexer URL-pattern grep over the real fixtures."""
     from webarchive_discovery_ray.pipelines.cdx import warc_regex
@@ -1209,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_file_hash": _warc_file_hash,
         "warc_datasets": _warc_datasets,
         "warc_regex": _warc_regex,
+        "warc_corpus": _warc_corpus,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
         "hll_users_per_event_type": hll_users_per_event_type,

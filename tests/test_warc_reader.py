@@ -453,3 +453,47 @@ def test_warc_regex_distinct_matches(ray_session):
     iec = got.loc[got["match"].str.startswith("http://www.iec.ch"), "match"]
     assert len(set(iec.map(len))) >= 2
     assert iec.str.contains("\\x00", regex=False).any()
+
+
+@needs_fixtures
+def test_warc_corpus_packing_matches_sequential(ray_session):
+    """warc_corpus == the sequential composition: independent parse ->
+    independent extract -> cost model -> concat-and-chunk in doc_id
+    order. Every bin offset and boundary must match exactly."""
+    from webarchive_discovery_ray.oracle.extract_oracle import oracle_extract_record
+    from webarchive_discovery_ray.pipelines.cdx import warc_corpus
+
+    context, media_tokens = 64, 16
+    paths = [IAH_WGET, os.path.join(FIXTURE_DIR, "truncated_datetime.warc")]
+    docs = []
+    cfg = IndexConfig()
+    for p in paths:
+        for rec in oracle_parse_archive(open(p, "rb").read(), os.path.basename(p)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is not None:
+                docs.append(doc)
+    ids = [d["doc_id"] for d in docs]
+    assert len(ids) == len(set(ids)), "fixture pair must have unique doc ids"
+    docs.sort(key=lambda d: d["doc_id"])
+    want = {}
+    off = 0
+    n_media_total = 0
+    for d in docs:
+        text_tok = sum(
+            len(s["text"].split()) if s["text"] else 0
+            for s in d["spans"] if s["kind"] == "text"
+        )
+        n_media = sum(1 for s in d["spans"] if s["kind"] == "media")
+        n_media_total += n_media
+        n = text_tok + media_tokens * n_media
+        end = (off + n - 1) // context if n > 0 else off // context
+        want[d["doc_id"]] = (text_tok, n_media, n, off, off // context, end)
+        off += n
+    got = warc_corpus(paths, context=context, media_tokens=media_tokens).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.doc_id] == (
+            r.n_text_tokens, r.n_media_spans, r.n_tokens,
+            r.tok_offset, r.bin_start, r.bin_end,
+        )
+    assert off > context, "fixture corpus spans multiple bins"

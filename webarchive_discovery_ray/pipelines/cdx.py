@@ -25,6 +25,7 @@ __all__ = [
     "warc_stats",
     "warc_datasets",
     "warc_regex",
+    "warc_corpus",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -298,6 +299,34 @@ def warc_datasets(paths: list[str], icfg: IndexConfig | None = None):
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def warc_corpus(
+    paths: list[str],
+    context: int = 512,
+    media_tokens: int = 64,
+    icfg: IndexConfig | None = None,
+):
+    """The north-star composition end to end over REAL (W)ARC files:
+    binary archive read (one file per task) → zero-copy Arrow extraction
+    → interleaved text+media span documents → GPT-style concat-and-chunk
+    token-budget packing (``stats.interleaved_pack``: text tokens + a
+    fixed vision-token charge per media span, two-phase prefix sum).
+    The output maps every document onto its training-sequence bins.
+
+    Columns: doc_id, n_text_tokens, n_media_spans, n_tokens, tok_offset,
+    bin_start, bin_end."""
+    from ..sources.warc import read_archive_pages
+    from ..stages.extract import ExtractStage
+    from .stats import interleaved_pack
+
+    icfg = icfg or IndexConfig()
+    docs = (
+        read_archive_pages(paths)
+        .map_batches(ExtractStage(icfg), batch_format="pyarrow", batch_size=64)
+        .select_columns(["doc_id", "spans"])
+    )
+    return interleaved_pack(docs, context=context, media_tokens=media_tokens)
 
 
 def revisit_captures(n_pages: int = 400, scfg: SyntheticConfig | None = None):
