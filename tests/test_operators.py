@@ -1529,3 +1529,87 @@ def test_incremental_dedup_bloom_fp_safe(ray_session):
     big = incremental_dedup(sf).to_pandas()
     tiny = incremental_dedup(sf, bloom_bits=64).to_pandas()
     assert dict(zip(tiny["h"], tiny["doc_id"])) == dict(zip(big["h"], big["doc_id"]))
+
+
+def test_arcname_conf_rules_reference_vectors():
+    """WARCPayloadAnalysersTest.java:49-128 — the production rule set:
+    the sample job-rule vector and every Statsbiblioteket/KB vector must
+    produce exactly the reference's field bags."""
+    from webarchive_discovery_ray.pipelines.enrich import arcname_analyse
+
+    # testSampleRule
+    got = arcname_analyse("whatever/localrun-job87-20150219-133227.warc")
+    assert got["harvest_job"] == "job87"
+    assert got["harvest_year"] == "2015"
+
+    # testSBRules: (expected field bag, input name)
+    vectors = [
+        ({"arc_orig": "sb", "arc_harvesttime": "2008-02-21T00:35:33.000Z",
+          "arc_job": "25666", "arc_harvest": "33",
+          "arc_name": "25666-33-20080221003533-00046-sb-prod-har-004.arc",
+          "arc_full": "25666-33-20080221003533-00046-sb-prod-har-004.arc"},
+         "25666-33-20080221003533-00046-sb-prod-har-004.arc"),
+        ({"arc_orig": "sb", "arc_harvesttime": "2007-04-18T02:46:37.000Z",
+          "arc_job": "15626", "arc_harvest": "38",
+          "arc_name": "15626-38-20070418024637-00385-sb-prod-har-001.statsbiblioteket.dk.arc",
+          "arc_full": "/netarkiv/0101/filedir/15626-38-20070418024637-00385-sb-prod-har-001.statsbiblioteket.dk.arc"},
+         "/netarkiv/0101/filedir/15626-38-20070418024637-00385-sb-prod-har-001.statsbiblioteket.dk.arc"),
+        ({"arc_orig": "kb", "arc_harvesttime": "2007-04-18T16:37:59.000Z",
+          "arc_job": "15638", "arc_harvest": "38",
+          "arc_name": "15638-38-20070418163759-00235-kb-prod-har-002.kb.dk.arc",
+          "arc_full": "somepath/15638-38-20070418163759-00235-kb-prod-har-002.kb.dk.arc"},
+         "somepath/15638-38-20070418163759-00235-kb-prod-har-002.kb.dk.arc"),
+        ({"arc_orig": "kb", "arc_harvesttime": "2013-11-11T17:55:47.000Z",
+          "arc_job": "193305", "arc_harvest": "197",
+          "arc_name": "193305-197-20131111175547-00001-kb228081.kb.dk.warc",
+          "arc_full": "193305-197-20131111175547-00001-kb228081.kb.dk.warc"},
+         "193305-197-20131111175547-00001-kb228081.kb.dk.warc"),
+        ({"arc_orig": "kb", "arc_harvesttime": "2012-10-18T21:02:45.000Z",
+          "arc_job": "36861",
+          "arc_name": "kb-pligtsystem-36861-20121018210245-00000.warc",
+          "arc_full": "kb-pligtsystem-36861-20121018210245-00000.warc"},
+         "kb-pligtsystem-36861-20121018210245-00000.warc"),
+        ({"arc_orig": "metadata",
+          "arc_name": "1298-metadata-2.arc",
+          "arc_full": "anotherpath/1298-metadata-2.arc"},
+         "anotherpath/1298-metadata-2.arc"),
+        ({"arc_orig": "unknown",
+          "arc_name": "ksjvksjfvsk",
+          "arc_full": "ksjvksjfvsk"},
+         "ksjvksjfvsk"),
+        ({"arc_orig": "kb", "arc_harvesttime": "2017-06-22T19:31:08.196Z",
+          "arc_job": "276809", "arc_harvest": "272",
+          "arc_name": "276809-272-20170622193108196-00004-kb-prod-har-001.kb.dk.warc.gz",
+          "arc_full": "/netarkiv/0116/filedir/276809-272-20170622193108196-00004-kb-prod-har-001.kb.dk.warc.gz"},
+         "/netarkiv/0116/filedir/276809-272-20170622193108196-00004-kb-prod-har-001.kb.dk.warc.gz"),
+    ]
+    for expected, name in vectors:
+        got = arcname_analyse(name)
+        for field, value in expected.items():
+            assert got.get(field) == value, (name, field, got.get(field))
+
+
+def test_arcname_conf_fields_batch_schema(ray_session):
+    """Batch wrapper: fixed nullable schema, per-file name cache."""
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.pipelines.enrich import (
+        ARCNAME_CONF_FIELDS,
+        arcname_conf_fields_batch,
+    )
+
+    batch = pa.table(
+        {
+            "source_file": [
+                "25666-33-20080221003533-00046-sb-prod-har-004.arc",
+                "25666-33-20080221003533-00046-sb-prod-har-004.arc",
+                "whatever/localrun-job87-20150219-133227.warc",
+            ]
+        }
+    )
+    out = arcname_conf_fields_batch(batch)
+    for f in ARCNAME_CONF_FIELDS:
+        assert f in out.column_names
+    rows = out.to_pylist()
+    assert rows[0]["arc_orig"] == rows[1]["arc_orig"] == "sb"
+    assert rows[2]["harvest_job"] == "job87" and rows[2]["arc_orig"] is None

@@ -35,6 +35,9 @@ __all__ = [
     "annotate_batch",
     "ark_lookup_batch",
     "arcname_fields_batch",
+    "arcname_analyse",
+    "arcname_conf_fields_batch",
+    "ARCNAME_CONF_RULES",
 ]
 
 # --- M37: regex grep over text ---------------------------------------------
@@ -243,6 +246,91 @@ ARCNAME_RULES: list[tuple[str, dict[str, str]]] = [
     (r"^(?P<job>[a-z]+)-(?P<harvest>\d+)-", {"institution": "synthetic"}),
     (r"^crawl", {"institution": "fallback", "job": "crawl"}),
 ]
+
+# The FULL rule engine + the production (Statsbiblioteket/KB) rule set
+# shipped as the reference's test config (ARCNameAnalyser.java rule
+# semantics; rule data from warc-indexer/src/test/resources/
+# arcnameanalyser.conf — ordered, first ENTIRE-name match wins, each
+# template value substitutes $N with the match's group N, $0 = the whole
+# name; WARCPayloadAnalysersTest.java:39-128 pins the behaviour).
+ARCNAME_CONF_RULES: list[tuple[str, dict[str, str]]] = [
+    (r".*(job\d+)-(\d{4})(\d{2})(\d{2})-(\d{2})(\d{2})(\d{2}).warc",
+     {"harvest_job": "$1", "harvest_year": "$2"}),
+    (r"(?:.*[^\d])?((\d+)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})-(\d+)-(sb-prod-har)-(\d{1,3}).(statsbiblioteket.dk.warc|statsbiblioteket.dk.arc|arc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "sb", "arc_job": "$2",
+      "arc_harvest": "$3", "arc_harvesttime": "$4-$5-$6T$7:$8:$9.000Z"}),
+    (r"(?:.*[^\d])?((\d+)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})(\d{3})-(\d+)-(sb-prod-har)-(\d{1,3}).(statsbiblioteket.dk.warc.gz|statsbiblioteket.dk.warc|statsbiblioteket.dk.arc.gz|statsbiblioteket.dk.arc|arc.gz|arc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "sb", "arc_job": "$2",
+      "arc_harvest": "$3", "arc_harvesttime": "$4-$5-$6T$7:$8:$9.$10Z"}),
+    (r"(?:.*[^\d])?((\d+)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})-(\d+)-(kb-prod-har|kb-prod-wb)-(\d{1,3}).(arc|kb.dk.arc|kb.dk.warc|kb228081.kb.dk.warc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "kb", "arc_job": "$2",
+      "arc_harvest": "$3", "arc_harvesttime": "$4-$5-$6T$7:$8:$9.000Z"}),
+    (r"(?:.*[^\d])?((\d+)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})(\d{3})-(\d+)-(kb-prod-har|kb-prod-wb)-(\d{1,3}).(kb.dk.arc.gz|kb.dk.arc|kb.dk.warc.gz|kb.dk.warc|kb228081.kb.dk.warc.gz|kb228081.kb.dk.warc|arc.gz|arc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "kb", "arc_job": "$2",
+      "arc_harvest": "$3", "arc_harvesttime": "$4-$5-$6T$7:$8:$9.$10Z"}),
+    (r"(?:.*[^\d])?((\d+)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})-(\d+)-(kb228081.kb.dk.warc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "kb", "arc_job": "$2",
+      "arc_harvest": "$3", "arc_harvesttime": "$4-$5-$6T$7:$8:$9.000Z"}),
+    (r"(?:.*[^\d])?((\d+)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})(\d{3})-(\d+)-(kb228081.kb.dk.warc.gz|kb228081.kb.dk.warc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "kb", "arc_job": "$2",
+      "arc_harvest": "$3", "arc_harvesttime": "$4-$5-$6T$7:$8:$9.$10Z"}),
+    (r"(?:.*[^\d])?((kb-pligtsystem)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})-(\d{1,5}).(warc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "kb", "arc_job": "$3",
+      "arc_harvesttime": "$4-$5-$6T$7:$8:$9.000Z"}),
+    (r"(?:.*[^\d])?((kb-pligtsystem)-(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})(\d{3})-(\d{1,5}).(warc.gz|warc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "kb", "arc_job": "$3",
+      "arc_harvesttime": "$4-$5-$6T$7:$8:$9.$10Z"}),
+    (r"(?:.*)(ARCHIVEIT-(\d+)-[A-Z_]+-JOB(\d+)-(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})(\d{3})-(\d+).(arc.gz|arc|warc.gz|warc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "ai", "arc_harvest": "$2",
+      "arc_job": "$3", "arc_harvesttime": ":$4-$5-$6T$7:$8:$9.$10Z"}),
+    (r"(?:.*[^\d])?((\d+)-(metadata)-(\d+).(warc|arc))",
+     {"arc_full": "$0", "arc_name": "$1", "arc_orig": "metadata"}),
+    (r"^.*$",
+     {"arc_full": "$0", "arc_name": "$0", "arc_orig": "unknown"}),
+]
+
+_GROUP_REF = re.compile(r"\$(\d+)")
+
+
+def arcname_analyse(name: str, rules=None) -> dict[str, str]:
+    """Apply the ordered rule set to one archive name: the first rule
+    whose pattern matches the ENTIRE name wins, and every one of its
+    template fields is emitted with ``$N`` group substitution. Returns
+    an empty dict when nothing matches (cannot happen with the default
+    set — its last rule is the ``unknown`` catch-all)."""
+    for pattern, templates in rules or ARCNAME_CONF_RULES:
+        m = re.fullmatch(pattern, name)
+        if m:
+            def sub(t: str) -> str:
+                return _GROUP_REF.sub(lambda g: m.group(int(g.group(1))) or "", t)
+
+            return {field: sub(tmpl) for field, tmpl in templates.items()}
+    return {}
+
+
+ARCNAME_CONF_FIELDS = (
+    "harvest_job", "harvest_year", "arc_full", "arc_name",
+    "arc_orig", "arc_job", "arc_harvest", "arc_harvesttime",
+)
+
+
+def arcname_conf_fields_batch(batch: pa.Table, rules=None) -> pa.Table:
+    """Batch form of :func:`arcname_analyse` over ``source_file`` with
+    the fixed nullable output schema (absent fields stay null); a
+    per-batch cache collapses repeated names (every record of a file
+    shares one)."""
+    cache: dict[str, dict[str, str]] = {}
+    cols: dict[str, list] = {f: [] for f in ARCNAME_CONF_FIELDS}
+    for name in batch["source_file"].to_pylist():
+        fields = cache.get(name)
+        if fields is None:
+            fields = cache[name] = arcname_analyse(name or "", rules)
+        for f in ARCNAME_CONF_FIELDS:
+            cols[f].append(fields.get(f))
+    out = batch
+    for f in ARCNAME_CONF_FIELDS:
+        out = out.append_column(f, pa.array(cols[f], pa.string()))
+    return out
 
 
 def arcname_fields_batch(batch: pa.Table, rules=None) -> pa.Table:
