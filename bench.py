@@ -265,6 +265,17 @@ def bench_ngram_jaccard(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": dt, "rows": n}
 
 
+def bench_paragraph_dedup(sf_dir: str, num_cpus: int) -> dict:
+    """Corpus-wide exact paragraph dedup with document reassembly (the
+    RefinedWeb shape — text rides one exchange, hashes ride another)."""
+    from webarchive_discovery_ray.pipelines.dedup import paragraph_dedup
+
+    t0 = time.time()
+    n = paragraph_dedup(sf_dir).count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n}
+
+
 BENCHES = {
     "extract": bench_extract,
     "crawl": bench_crawl,
@@ -277,6 +288,7 @@ BENCHES = {
     "neardup_clusters": bench_neardup_clusters,
     "exact_substring": bench_exact_substring,
     "ngram_jaccard": bench_ngram_jaccard,
+    "paragraph_dedup": bench_paragraph_dedup,
 }
 
 # scaling uses the wide-wave crawl regime (see bench_crawl docstring)
