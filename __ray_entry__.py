@@ -447,6 +447,67 @@ def _warc_corpus(sf_dir: str):
     return warc_corpus(_warc_input_paths())
 
 
+def _warc_corpus_oracle_values_sql() -> str:
+    """Per-doc span costs from the INDEPENDENT parse+extract oracle as
+    VALUES; the concat-and-chunk packing (doc_id-ordered prefix sum +
+    context binning) is recomputed by SQL window functions."""
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    cfg = IndexConfig()
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None:
+                continue
+            text_tok = sum(
+                len(s["text"].split()) if s["text"] else 0
+                for s in doc["spans"]
+                if s["kind"] == "text"
+            )
+            n_media = sum(1 for s in doc["spans"] if s["kind"] == "media")
+            key = (
+                f"{doc['doc_id']}@{doc['source_file']}:{doc['source_offset']}"
+            )
+            rows.append(f"({lit(key)}, {text_tok}::BIGINT, {n_media}::BIGINT)")
+    return (
+        "WITH base AS (SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, n_text_tokens, n_media_spans)),"
+        + """
+        w AS (
+            SELECT doc_id, n_text_tokens, n_media_spans,
+                   n_text_tokens + 64 * n_media_spans AS n_tokens
+            FROM base
+        ),
+        o AS (
+            SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tok_offset
+            FROM w
+        )
+        SELECT doc_id, n_text_tokens, n_media_spans, n_tokens, tok_offset,
+               tok_offset // 512 AS bin_start,
+               CASE WHEN n_tokens > 0
+                    THEN (tok_offset + n_tokens - 1) // 512
+                    ELSE tok_offset // 512 END AS bin_end
+        FROM o
+        """
+    )
+
+
 def _warc_regex(sf_dir: str):
     """WARCRegexIndexer URL-pattern grep over the real fixtures."""
     from webarchive_discovery_ray.pipelines.cdx import warc_regex
@@ -3260,6 +3321,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_stats"] = _warc_stats_oracle_values_sql()
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
     out["warc_regex"] = _warc_regex_oracle_values_sql()
+    out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     # closed crawl loop: recrawl intervals (sched) x host PageRank (ranks)
     # -> the follow-up crawl's seed list; composes the two already-oracled
     # CTEs, the latest-capture URL arg-max and the integer priority rule

@@ -472,9 +472,11 @@ def test_warc_corpus_packing_matches_sequential(ray_session):
             doc = oracle_extract_record(rec, cfg)
             if doc is not None:
                 docs.append(doc)
-    ids = [d["doc_id"] for d in docs]
-    assert len(ids) == len(set(ids)), "fixture pair must have unique doc ids"
-    docs.sort(key=lambda d: d["doc_id"])
+    for d in docs:
+        d["pack_key"] = f"{d['doc_id']}@{d['source_file']}:{d['source_offset']}"
+    ids = [d["pack_key"] for d in docs]
+    assert len(ids) == len(set(ids))
+    docs.sort(key=lambda d: d["pack_key"])
     want = {}
     off = 0
     n_media_total = 0
@@ -487,7 +489,7 @@ def test_warc_corpus_packing_matches_sequential(ray_session):
         n_media_total += n_media
         n = text_tok + media_tokens * n_media
         end = (off + n - 1) // context if n > 0 else off // context
-        want[d["doc_id"]] = (text_tok, n_media, n, off, off // context, end)
+        want[d["pack_key"]] = (text_tok, n_media, n, off, off // context, end)
         off += n
     got = warc_corpus(paths, context=context, media_tokens=media_tokens).to_pandas()
     assert len(got) == len(want)

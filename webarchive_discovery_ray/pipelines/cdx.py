@@ -314,6 +314,12 @@ def warc_corpus(
     fixed vision-token charge per media span, two-phase prefix sum).
     The output maps every document onto its training-sequence bins.
 
+    Packing needs a TOTAL order, but the reference's id rule
+    (wayback + md5(url)) collides across captures of the same URL at the
+    same second and across .warc/.arc copies of one crawl — so the pack
+    key is ``doc_id@source_file:offset`` (unique per record by
+    construction; lexicographic order stays doc_id-major).
+
     Columns: doc_id, n_text_tokens, n_media_spans, n_tokens, tok_offset,
     bin_start, bin_end."""
     from ..sources.warc import read_archive_pages
@@ -321,10 +327,25 @@ def warc_corpus(
     from .stats import interleaved_pack
 
     icfg = icfg or IndexConfig()
+
+    def pack_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            batch["doc_id"],
+            batch["source_file"],
+            pc.cast(pc.cast(batch["source_offset"], pa.int64()), pa.string()),
+            "\x00",
+        )
+        # "@"/":" separators read better but NUL cannot occur in any part
+        key = pc.replace_substring(key, "\x00", "@", max_replacements=1)
+        key = pc.replace_substring(key, "\x00", ":", max_replacements=1)
+        return pa.table({"doc_id": key, "spans": batch["spans"]})
+
     docs = (
         read_archive_pages(paths)
         .map_batches(ExtractStage(icfg), batch_format="pyarrow", batch_size=64)
-        .select_columns(["doc_id", "spans"])
+        .map_batches(pack_key, batch_format="pyarrow")
     )
     return interleaved_pack(docs, context=context, media_tokens=media_tokens)
 
