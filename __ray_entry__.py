@@ -447,6 +447,47 @@ def _warc_corpus(sf_dir: str):
     return warc_corpus(_warc_input_paths())
 
 
+def _file_digest_oracle_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Whole-file digests recomputed directly with hashlib (one-shot,
+    driver-side) as VALUES — verifies the distributed per-file read path
+    end to end. sf0.01 is the driver's correctness scale (same assumption
+    as _ensure_oracle_materializations)."""
+    import hashlib
+    import os
+
+    rows = []
+    for f in sorted(os.listdir(sf_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        data = open(os.path.join(sf_dir, f), "rb").read()
+        rows.append(
+            f"('{f}', '{hashlib.sha1(data).hexdigest()}', {len(data)}::BIGINT)"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(path, sha1, bytes)"
+    )
+
+
+def _warc_file_hash_oracle_values_sql() -> str:
+    """HdfsFileHasher lines recomputed one-shot with hashlib as VALUES —
+    verifies the chunked streaming digest + line format."""
+    import hashlib
+
+    rows = []
+    for p in _warc_input_paths():
+        data = open(p, "rb").read()
+        hx = hashlib.sha512(data).hexdigest()
+        line = f"{hx} {len(data)} {p}"
+        rows.append(
+            f"('{p}', '{hx}', {len(data)}::BIGINT, '{line}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(path, hex, bytes, "line")'
+    )
+
+
 def _warc_corpus_oracle_values_sql() -> str:
     """Per-doc span costs from the INDEPENDENT parse+extract oracle as
     VALUES; the concat-and-chunk packing (doc_id-ordered prefix sum +
@@ -3322,6 +3363,46 @@ def oracle_sql() -> dict[str, str]:
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
     out["warc_regex"] = _warc_regex_oracle_values_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
+    out["file_digest"] = _file_digest_oracle_values_sql()
+    out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()
+
+    # zlib byte counts come from a one-shot driver-side zlib pass rendered
+    # as VALUES; n_raw, the ratio division and the integer keep band are
+    # recomputed by SQL over the documents view
+    import zlib as _zlib
+
+    from webarchive_discovery_ray.pipelines.curation import (
+        COMPRESS_HI as _C_HI,
+        COMPRESS_LO as _C_LO,
+    )
+
+    _doc_rows = []
+    import pyarrow.parquet as _pq
+
+    _docs = _pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    for _did, _t in zip(_docs["doc_id"].to_pylist(), _docs["text"].to_pylist()):
+        _doc_rows.append(
+            f"({_did}, {len(_zlib.compress(_t.encode('utf-8'), 6))}::BIGINT)"
+        )
+    out["compression_ratio"] = f"""
+        WITH z AS (SELECT * FROM (VALUES {", ".join(_doc_rows)})
+                   AS t(doc_id, n_compressed)),
+        r AS (
+            SELECT d.doc_id,
+                   CAST(octet_length(encode(d.text)) AS BIGINT) AS n_raw,
+                   z.n_compressed
+            FROM documents d JOIN z USING (doc_id)
+        )
+        SELECT doc_id, n_raw, n_compressed,
+               CASE WHEN n_raw > 0
+                    THEN CAST(n_compressed AS DOUBLE) / n_raw
+                    ELSE 0.0 END AS ratio,
+               (n_raw > 0 AND 100 * n_compressed >= {_C_LO} * n_raw
+                          AND 100 * n_compressed <= {_C_HI} * n_raw) AS keep
+        FROM r
+    """
     # closed crawl loop: recrawl intervals (sched) x host PageRank (ranks)
     # -> the follow-up crawl's seed list; composes the two already-oracled
     # CTEs, the latest-capture URL arg-max and the integer priority rule
