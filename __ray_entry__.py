@@ -3366,6 +3366,27 @@ def oracle_sql() -> dict[str, str]:
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()
 
+    # spamsum recomputed one-shot on the driver as VALUES — verifies the
+    # distributed map plumbing (blocksize selection + both digests) at
+    # the driver's correctness scale
+    from webarchive_discovery_ray.functions.fuzzy import spamsum as _spamsum
+
+    import pyarrow.parquet as _pq2
+
+    _fz_docs = _pq2.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    _fz_rows = []
+    for _did, _t in zip(_fz_docs["doc_id"].to_pylist(), _fz_docs["text"].to_pylist()):
+        _bs, _h1, _h2 = _spamsum(_t)
+        _q = lambda v: "'" + str(v).replace("'", "''") + "'"
+        _fz_rows.append(f"({_did}, {_bs}::BIGINT, {_q(_h1)}, {_q(_h2)})")
+    out["fuzzy_hashes"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_fz_rows)
+        + ") AS t(doc_id, blocksize, ssdeep_bs, ssdeep_bs2)"
+    )
+
     # zlib byte counts come from a one-shot driver-side zlib pass rendered
     # as VALUES; n_raw, the ratio division and the integer keep band are
     # recomputed by SQL over the documents view
