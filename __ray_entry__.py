@@ -447,7 +447,16 @@ def _warc_corpus(sf_dir: str):
     return warc_corpus(_warc_input_paths())
 
 
-def _file_digest_oracle_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _oracle_sf_dir() -> str:
+    """Scale for driver-side VALUES oracles: the driver's correctness run
+    is sf0.01; the in-repo contract test overrides via WDR_ORACLE_SF_DIR
+    to compare both sides at its own (smaller) scale."""
+    import os
+
+    return os.environ.get("WDR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _file_digest_oracle_values_sql(sf_dir: str | None = None) -> str:
     """Whole-file digests recomputed directly with hashlib (one-shot,
     driver-side) as VALUES — verifies the distributed per-file read path
     end to end. sf0.01 is the driver's correctness scale (same assumption
@@ -455,6 +464,7 @@ def _file_digest_oracle_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str
     import hashlib
     import os
 
+    sf_dir = sf_dir or _oracle_sf_dir()
     rows = []
     for f in sorted(os.listdir(sf_dir)):
         if not f.endswith(".parquet"):
@@ -3374,7 +3384,7 @@ def oracle_sql() -> dict[str, str]:
     import pyarrow.parquet as _pq2
 
     _fz_docs = _pq2.read_table(
-        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
     )
     _fz_rows = []
     for _did, _t in zip(_fz_docs["doc_id"].to_pylist(), _fz_docs["text"].to_pylist()):
@@ -3401,7 +3411,7 @@ def oracle_sql() -> dict[str, str]:
     import pyarrow.parquet as _pq
 
     _docs = _pq.read_table(
-        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
     )
     for _did, _t in zip(_docs["doc_id"].to_pylist(), _docs["text"].to_pylist()):
         _doc_rows.append(

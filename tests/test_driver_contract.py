@@ -5,6 +5,8 @@ for non-emptiness and determinism."""
 
 import math
 
+import os
+
 import duckdb
 import pandas as pd
 import pyarrow as pa
@@ -13,6 +15,9 @@ import pytest
 import __ray_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
+# driver-side VALUES oracles (zlib / spamsum / file digests) must be
+# generated at the SAME scale this test compares at
+os.environ["WDR_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
