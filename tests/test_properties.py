@@ -709,3 +709,81 @@ def test_paragraph_dedup_matches_bruteforce(ray_session, docs, w):
         assert got.loc[did, "n_paras"] == n_paras
         assert got.loc[did, "n_kept"] == n_kept
         assert got.loc[did, "text"] == text
+
+
+@given(docs=st.lists(_para_tokens, min_size=1, max_size=8), w=st.sampled_from([2, 4]))
+@settings(max_examples=20, deadline=None)
+def test_gram_novelty_matches_bruteforce(ray_session, docs, w):
+    """Distributed novelty == first-occurrence scan over generated
+    corpora (all-dup docs, sub-window docs, empty corpora)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.dedup import gram_novelty
+
+    texts = [" ".join(toks) for toks in docs]
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        os.path.join(d, "documents.parquet"),
+    )
+    seen: set[str] = set()
+    want = {}
+    for did, toks in enumerate(docs):
+        n = len(toks) - w + 1
+        if n <= 0:
+            continue
+        novel = 0
+        for i in range(n):
+            g = " ".join(toks[i : i + w])
+            if g not in seen:
+                seen.add(g)
+                novel += 1
+        want[did] = (n, novel)
+    got = gram_novelty(d, w=w).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, novel = want[r.doc_id]
+        assert (r.n_windows, r.n_novel, r.novelty) == (n, novel, novel / n)
+
+
+@given(docs=st.lists(_para_tokens, min_size=1, max_size=8), w=st.sampled_from([2, 4]))
+@settings(max_examples=20, deadline=None)
+def test_softdedup_weights_matches_bruteforce(ray_session, docs, w):
+    """Distributed soft-dedup weights == corpus paragraph-frequency
+    counting over generated corpora."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import softdedup_weights
+
+    texts = [" ".join(toks) for toks in docs]
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        os.path.join(d, "documents.parquet"),
+    )
+    per_doc = {}
+    freq: Counter = Counter()
+    for did, toks in enumerate(docs):
+        if not toks:
+            continue
+        paras = [
+            " ".join(toks[p * w : (p + 1) * w])
+            for p in range((len(toks) + w - 1) // w)
+        ]
+        per_doc[did] = paras
+        freq.update(paras)
+    got = softdedup_weights(d, w=w).to_pandas()
+    assert len(got) == len(per_doc)
+    for r in got.itertuples():
+        paras = per_doc[r.doc_id]
+        c_sum = sum(freq[p] for p in paras)
+        assert (r.n_paras, r.c_sum, r.weight) == (len(paras), c_sum, len(paras) / c_sum)
