@@ -787,3 +787,90 @@ def test_softdedup_weights_matches_bruteforce(ray_session, docs, w):
         paras = per_doc[r.doc_id]
         c_sum = sum(freq[p] for p in paras)
         assert (r.n_paras, r.c_sum, r.weight) == (len(paras), c_sum, len(paras) / c_sum)
+
+
+@given(
+    docs=st.lists(_para_tokens, min_size=1, max_size=8),
+    k=st.sampled_from([1, 3, 100]),
+)
+@settings(max_examples=20, deadline=None)
+def test_vocab_coverage_matches_bruteforce(ray_session, docs, k):
+    """Distributed vocab build == Counter ordering (count desc, token
+    asc) incl. ties at the k-th slot; exact integer running mass."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import vocab_coverage
+
+    texts = [" ".join(toks) for toks in docs]
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        os.path.join(d, "documents.parquet"),
+    )
+    c: Counter = Counter()
+    for toks in docs:
+        c.update(toks)
+    total = sum(c.values())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = vocab_coverage(d, k=k)
+    assert len(got) == len(want)
+    cum = 0
+    for row, (tok, n) in zip(got.itertuples(), want):
+        cum += n
+        assert (row.token, row.n, row.cum_n) == (tok, n, cum)
+        assert row.coverage == cum / total
+
+
+@given(
+    srcs=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), _para_tokens),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_source_overlap_matches_bruteforce(ray_session, srcs):
+    """Distributed source-overlap matrix == per-pair distinct-paragraph
+    set intersections over generated multi-source corpora."""
+    import os
+    import tempfile
+    from itertools import combinations
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import source_overlap
+
+    w = 2
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(srcs))),
+                "source": [s for s, _ in srcs],
+                "text": [" ".join(t) for _, t in srcs],
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    per_src: dict[str, set] = {}
+    for s, toks in srcs:
+        if not toks:
+            continue
+        paras = {
+            " ".join(toks[p * w : (p + 1) * w])
+            for p in range((len(toks) + w - 1) // w)
+        }
+        per_src.setdefault(s, set()).update(paras)
+    want = {
+        (s1, s2): len(per_src[s1] & per_src[s2])
+        for s1, s2 in combinations(sorted(per_src), 2)
+        if per_src[s1] & per_src[s2]
+    }
+    got = source_overlap(d, w=w).to_pandas()
+    assert {(r.s1, r.s2): r.n_shared for r in got.itertuples()} == want
