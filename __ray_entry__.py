@@ -1205,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         language_id,
         ngram_topk,
         vocab_coverage,
+        winnow_positions,
         pack_sequences,
         bucket_batches,
         quality_score,
@@ -1267,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
         "vocab_coverage": vocab_coverage,
+        "winnow_positions": winnow_positions,
         "inverted_index": inverted_index,
         "pack_sequences": pack_sequences,
         "bucket_batches": bucket_batches,
@@ -2771,6 +2773,45 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN b USING (h)
             WHERE b.h IS NULL
             GROUP BY d.h
+        """,
+        # robust winnowing (rightmost min per 4-window of 3-shingle
+        # hashes): distinct selected (pos, hash) fingerprints per doc;
+        # the window min comes from a frame over ALL shingles, full
+        # windows only; the rightmost carrier is recovered by a ranged
+        # self-join on the window min
+        "winnow_positions": f"""
+            WITH t AS (
+                SELECT doc_id, {tokens} AS wr,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n_tokens
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                       ('0x' || substr(md5(array_to_string(
+                           wr[CAST(p + 1 AS BIGINT):CAST(p + 3 AS BIGINT)],
+                           ' ')), 1, 16))::UBIGINT AS h
+                FROM t, unnest(range(0, n_tokens - 3 + 1)) AS r(p)
+                WHERE n_tokens - 3 + 1 >= 4
+            ),
+            m AS (
+                SELECT doc_id, pos AS wend,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS mn
+                FROM g
+            ),
+            sel AS (
+                SELECT f.doc_id, max(g2.pos) AS pos
+                FROM (SELECT * FROM m WHERE wend >= 3) f
+                JOIN g g2 ON g2.doc_id = f.doc_id
+                         AND g2.pos BETWEEN f.wend - 3 AND f.wend
+                         AND g2.h = f.mn
+                GROUP BY f.doc_id, f.wend
+            )
+            SELECT DISTINCT s.doc_id, s.pos, g3.h
+            FROM sel s JOIN g g3
+              ON g3.doc_id = s.doc_id AND g3.pos = s.pos
         """,
         # cross-source distinct-paragraph overlap matrix (s1 < s2)
         "source_overlap": f"""

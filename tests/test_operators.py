@@ -1613,3 +1613,64 @@ def test_arcname_conf_fields_batch_schema(ray_session):
     rows = out.to_pylist()
     assert rows[0]["arc_orig"] == rows[1]["arc_orig"] == "sb"
     assert rows[2]["harvest_job"] == "job87" and rows[2]["arc_orig"] is None
+
+
+def test_winnow_positions_matches_sequential_and_guarantee(ray_session):
+    """Distributed robust winnowing == brute-force rightmost-min scan;
+    plus the scheme's guarantees: gaps between consecutive selections
+    are <= w, and two docs sharing a >= w+k-1-token run share a
+    fingerprint hash."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import winnow_positions
+
+    sf = "/root/testdata/sf0.001"
+    k, w = 3, 4
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    want: set[tuple[int, int, int]] = set()
+    per_doc_pos: dict[int, list[int]] = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        n = len(toks) - k + 1
+        if n < w:
+            continue
+        hashes = [
+            int.from_bytes(hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[:8], "big")
+            for i in range(n)
+        ]
+        sel = set()
+        for end in range(w - 1, n):
+            window = hashes[end - w + 1 : end + 1]
+            mn = min(window)
+            # rightmost minimal position
+            off = max(j for j in range(w) if window[j] == mn)
+            sel.add(end - w + 1 + off)
+        per_doc_pos[did] = sorted(sel)
+        for p in sel:
+            want.add((did, p, hashes[p]))
+    got = winnow_positions(sf).to_pandas()
+    assert {(r.doc_id, r.pos, int(r.h)) for r in got.itertuples()} == want
+    # guarantee 1: selection density — consecutive selections <= w apart
+    for did, ps in per_doc_pos.items():
+        gaps = [b - a for a, b in zip(ps, ps[1:])]
+        assert all(g <= w for g in gaps), did
+    # guarantee 2: find two docs sharing a long token run; they must
+    # share at least one fingerprint hash
+    by_doc = got.groupby("doc_id")["h"].agg(set)
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    found = False
+    for a in per_doc_pos:
+        ta = texts[a].split()
+        for b in per_doc_pos:
+            if b <= a:
+                continue
+            tb = texts[b].split()
+            run = " ".join(ta[: w + k - 1])
+            if len(ta) >= w + k - 1 and run in " ".join(tb):
+                assert by_doc[a] & by_doc[b], (a, b)
+                found = True
+                break
+        if found:
+            break

@@ -27,6 +27,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "doc_fingerprint",
+    "winnow_positions",
     "ngram_topk",
     "vocab_coverage",
     "inverted_index",
@@ -271,6 +272,73 @@ def doc_fingerprint(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": out})
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+_WINNOW_K = 3  # tokens per shingle
+_WINNOW_W = 4  # shingle hashes per winnowing window
+
+
+def winnow_positions(sf_dir: str, k: int = _WINNOW_K, w: int = _WINNOW_W):
+    """ROBUST winnowing positional fingerprint index (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS scheme): from each window of
+    ``w`` consecutive k-token-shingle hashes select the RIGHTMOST
+    minimal hash; the distinct selected (pos, hash) pairs are the
+    document's fingerprints. Unlike :func:`doc_fingerprint` (per-doc
+    digest of min-per-window), this keeps POSITIONS, so fingerprints are
+    joinable across documents to locate matching regions; the scheme
+    guarantees any shared run of >= w+k-1 tokens shares a fingerprint.
+    Docs with fewer than ``w`` shingles emit nothing.
+
+    Hash = big-endian first 8 md5 bytes of the shingle text (the SQL
+    mirror's ``('0x'||substr(md5(s),1,16))::UBIGINT``). Per-doc
+    selection is one strided-view argmin over the reversed windows (the
+    reversed first-minimum IS the rightmost minimum) — no per-window
+    Python. Stateless map, no shuffle. Columns: doc_id, pos, h."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        ids: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            n = len(toks) - k + 1
+            if n < w:
+                continue
+            shingles = [" ".join(toks[i : i + k]) for i in range(n)]
+            uniq, inv = np.unique(np.asarray(shingles, dtype=object), return_inverse=True)
+            uniq_h = np.fromiter(
+                (int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big") for s in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            hashes = uniq_h[inv]
+            win = sliding_window_view(hashes, w)
+            idx = (w - 1) - win[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(len(win), dtype=np.int64) + idx)
+            ids.append(np.full(len(sel), did, dtype=np.int64))
+            poss.append(sel)
+            hs.append(hashes[sel])
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="uint64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(poss),
+                "h": np.concatenate(hs),
+            }
+        )
+
+    return ds.map_batches(select, batch_format="pandas")
 
 
 def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
