@@ -1206,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ngram_topk,
         vocab_coverage,
         winnow_positions,
+        winnow_neardup_pairs,
         pack_sequences,
         bucket_batches,
         quality_score,
@@ -1269,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": ngram_topk,
         "vocab_coverage": vocab_coverage,
         "winnow_positions": winnow_positions,
+        "winnow_neardup_pairs": winnow_neardup_pairs,
         "inverted_index": inverted_index,
         "pack_sequences": pack_sequences,
         "bucket_batches": bucket_batches,
@@ -1400,6 +1402,41 @@ def _ensure_oracle_materializations() -> None:
 def oracle_sql() -> dict[str, str]:
     ws = r"\s+"
     tokens = f"regexp_split_to_array(trim(text), '{ws}')"
+    winnow_core = f"""
+            WITH t AS (
+                SELECT doc_id, {tokens} AS wr,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({tokens}) END AS n_tokens
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                       ('0x' || substr(md5(array_to_string(
+                           wr[CAST(p + 1 AS BIGINT):CAST(p + 3 AS BIGINT)],
+                           ' ')), 1, 16))::UBIGINT AS h
+                FROM t, unnest(range(0, n_tokens - 3 + 1)) AS r(p)
+                WHERE n_tokens - 3 + 1 >= 4
+            ),
+            m AS (
+                SELECT doc_id, pos AS wend,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS mn
+                FROM g
+            ),
+            sel AS (
+                SELECT f.doc_id, max(g2.pos) AS pos
+                FROM (SELECT * FROM m WHERE wend >= 3) f
+                JOIN g g2 ON g2.doc_id = f.doc_id
+                         AND g2.pos BETWEEN f.wend - 3 AND f.wend
+                         AND g2.h = f.mn
+                GROUP BY f.doc_id, f.wend
+            )
+            SELECT DISTINCT s.doc_id, s.pos, g3.h
+            FROM sel s JOIN g g3
+              ON g3.doc_id = s.doc_id AND g3.pos = s.pos
+        """
+
     _ensure_oracle_materializations()
 
     # MinHash permutation seeds shared with pipelines/dedup (deterministic,
@@ -2779,39 +2816,21 @@ def oracle_sql() -> dict[str, str]:
         # the window min comes from a frame over ALL shingles, full
         # windows only; the rightmost carrier is recovered by a ranged
         # self-join on the window min
-        "winnow_positions": f"""
-            WITH t AS (
-                SELECT doc_id, {tokens} AS wr,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len({tokens}) END AS n_tokens
-                FROM documents
-            ),
-            g AS (
-                SELECT doc_id, CAST(p AS BIGINT) AS pos,
-                       ('0x' || substr(md5(array_to_string(
-                           wr[CAST(p + 1 AS BIGINT):CAST(p + 3 AS BIGINT)],
-                           ' ')), 1, 16))::UBIGINT AS h
-                FROM t, unnest(range(0, n_tokens - 3 + 1)) AS r(p)
-                WHERE n_tokens - 3 + 1 >= 4
-            ),
-            m AS (
-                SELECT doc_id, pos AS wend,
-                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN 3 PRECEDING
-                                    AND CURRENT ROW) AS mn
-                FROM g
-            ),
-            sel AS (
-                SELECT f.doc_id, max(g2.pos) AS pos
-                FROM (SELECT * FROM m WHERE wend >= 3) f
-                JOIN g g2 ON g2.doc_id = f.doc_id
-                         AND g2.pos BETWEEN f.wend - 3 AND f.wend
-                         AND g2.h = f.mn
-                GROUP BY f.doc_id, f.wend
+        "winnow_positions": winnow_core,
+        # MOSS match step: pairs sharing >= 2 distinct fingerprints,
+        # fingerprints held by > 50 docs dropped first (stop-band cap)
+        "winnow_neardup_pairs": f"""
+            WITH wp AS ({winnow_core}),
+            d AS (SELECT DISTINCT doc_id, h FROM wp),
+            freq AS (SELECT h, count(*) AS c FROM d GROUP BY 1),
+            p AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM d x JOIN d y ON x.h = y.h AND x.doc_id < y.doc_id
+                JOIN freq f ON f.h = x.h
+                WHERE f.c <= 50
             )
-            SELECT DISTINCT s.doc_id, s.pos, g3.h
-            FROM sel s JOIN g g3
-              ON g3.doc_id = s.doc_id AND g3.pos = s.pos
+            SELECT a, b, count(*) AS n_shared
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # cross-source distinct-paragraph overlap matrix (s1 < s2)
         "source_overlap": f"""

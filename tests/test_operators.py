@@ -1674,3 +1674,47 @@ def test_winnow_positions_matches_sequential_and_guarantee(ray_session):
                 break
         if found:
             break
+
+
+def test_winnow_neardup_pairs_matches_sequential(ray_session):
+    """Distributed MOSS match step == brute force over the sequential
+    winnowing index, incl. the document-frequency stop-band cap."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import winnow_neardup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    k, w, min_shared, max_df = 3, 4, 2, 50
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    holders: dict[int, set[int]] = defaultdict(set)
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split()
+        n = len(toks) - k + 1
+        if n < w:
+            continue
+        hashes = [
+            int.from_bytes(hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[:8], "big")
+            for i in range(n)
+        ]
+        for end in range(w - 1, n):
+            window = hashes[end - w + 1 : end + 1]
+            mn = min(window)
+            off = max(j for j in range(w) if window[j] == mn)
+            holders[hashes[end - w + 1 + off]].add(did)
+    pair_counts: Counter = Counter()
+    saw_capped = False
+    for h, ds_ in holders.items():
+        if len(ds_) > max_df:
+            saw_capped = True
+            continue
+        ds_sorted = sorted(ds_)
+        for i, a in enumerate(ds_sorted):
+            for b in ds_sorted[i + 1 :]:
+                pair_counts[(a, b)] += 1
+    want = {p: c for p, c in pair_counts.items() if c >= min_shared}
+    got = winnow_neardup_pairs(sf).to_pandas()
+    assert {(r.a, r.b): r.n_shared for r in got.itertuples()} == want
+    assert want, "fixture has no winnow near-dup pairs"

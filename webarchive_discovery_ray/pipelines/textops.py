@@ -28,6 +28,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "winnow_positions",
+    "winnow_neardup_pairs",
     "ngram_topk",
     "vocab_coverage",
     "inverted_index",
@@ -339,6 +340,80 @@ def winnow_positions(sf_dir: str, k: int = _WINNOW_K, w: int = _WINNOW_W):
         )
 
     return ds.map_batches(select, batch_format="pandas")
+
+
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_DF = 50
+
+
+def winnow_neardup_pairs(
+    sf_dir: str,
+    k: int = _WINNOW_K,
+    w: int = _WINNOW_W,
+    min_shared: int = _WINNOW_MIN_SHARED,
+    max_df: int = _WINNOW_MAX_DF,
+):
+    """MOSS-style near-dup candidate pairs from the winnowing index:
+    document pairs sharing >= ``min_shared`` distinct fingerprint hashes.
+    Fingerprints held by more than ``max_df`` documents are dropped first
+    (the winnowing analogue of LSH stop-bands — boilerplate shingles
+    would otherwise quadratically explode the pair stream; the cap makes
+    per-hash pair fan-out <= max_df^2 by construction).
+
+    Shape: the positional index streams into ONE bucketed exchange keyed
+    by fingerprint hash (all holders of a hash co-locate, so both the
+    document-frequency cap and the pair emission are exact in-bucket);
+    per-pair counts fold in a second tiny keyed pass. Columns: a, b
+    (doc ids, a < b), n_shared."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    index = winnow_positions(sf_dir, k=k, w=w)
+
+    def doc_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["doc_id", "h"]].drop_duplicates()
+        out = pd.DataFrame({"doc_id": d["doc_id"].to_numpy(), "h": d["h"].to_numpy()})
+        out["bucket"] = bucket_of(out["h"], n_b)  # bucket_of handles uint64
+        return out
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(a="int64", b="int64", n="int64", bucket="int32")
+        d = df.drop_duplicates(["doc_id", "h"])
+        dfreq = d["h"].map(d["h"].value_counts())
+        d = d[(dfreq >= 2) & (dfreq <= max_df)]
+        if not len(d):
+            return typed_empty(a="int64", b="int64", n="int64", bucket="int32")
+        m = d.merge(d, on="h", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        g = (
+            m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out = pd.DataFrame(
+            {
+                "a": g["doc_id_a"].astype("int64"),
+                "b": g["doc_id_b"].astype("int64"),
+                "n": g["n"].astype("int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["a"] * np.int64(1_000_003) + out["b"], n_b)
+        return out
+
+    def fold_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(a="int64", b="int64", n_shared="int64")
+        g = df.groupby(["a", "b"], sort=False)["n"].sum().reset_index(name="n_shared")
+        return g[g["n_shared"] >= min_shared]
+
+    return (
+        index.map_batches(doc_hashes, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_pairs, batch_format="pandas")
+    )
 
 
 def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
