@@ -613,3 +613,73 @@ def test_source_overlap_matches_sequential(ray_session):
     assert want, "fixture has no cross-source duplicated paragraphs"
     got = source_overlap(SF).to_pandas()
     assert {(r.s1, r.s2): r.n_shared for r in got.itertuples()} == want
+
+
+def _empty_sf(tmp_path):
+    """A scale-factor dir with schema-correct but EMPTY documents and
+    embeddings tables, for driving the zero-column empty-block guards."""
+    import pyarrow as pa
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_source_overlap_empty_input(ray_session, tmp_path):
+    """Empty documents table -> pair_partials receives a zero-column
+    block; the typed_empty guard must return a schema-stable empty frame
+    instead of raising KeyError."""
+    from webarchive_discovery_ray.pipelines.curation import source_overlap
+
+    got = source_overlap(_empty_sf(tmp_path)).to_pandas()
+    assert len(got) == 0
+    # a fully-empty dataset may surface with zero columns (no blocks
+    # survive); the contract here is "no crash, no rows" — when blocks do
+    # survive the guard keeps the schema stable
+    assert set(got.columns) in (set(), {"s1", "s2", "n_shared", "bucket"}, {"s1", "s2", "n_shared"})
+
+
+def test_pca_embeddings_empty_input(ray_session, tmp_path):
+    """Empty embeddings table -> typed empty result, not IndexError."""
+    from webarchive_discovery_ray.pipelines.curation import pca_embeddings
+
+    got = pca_embeddings(_empty_sf(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert set(got.columns) in (set(), {"vec_id", "pc1", "pc2"})
+
+
+def test_pca_embeddings_single_row(ray_session, tmp_path):
+    """Single-row table: covariance undefined -> zero matrix, projection
+    degenerates to zeros instead of dividing by zero."""
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.pipelines.curation import pca_embeddings
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([7], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0, 3.0, 4.0]], pa.list_(pa.float32())),
+            "label": pa.array([0], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    got = pca_embeddings(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got["vec_id"].iloc[0] == 7
+    np.testing.assert_allclose(got[["pc1", "pc2"]].to_numpy(), 0.0)

@@ -499,3 +499,18 @@ def test_warc_corpus_packing_matches_sequential(ray_session):
             r.tok_offset, r.bin_start, r.bin_end,
         )
     assert off > context, "fixture corpus spans multiple bins"
+
+
+def test_warc_stats_empty_archive_drives_typed_empty_guard(ray_session, tmp_path):
+    """An archive file yielding zero records sends a zero-column block
+    into the grouped fold; the typed_empty guard (imported per ADVICE
+    r3) must return a schema-stable empty frame, not die with NameError."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_stats
+
+    p = tmp_path / "empty.warc"
+    p.write_bytes(b"")
+    got = warc_stats([str(p)]).to_pandas()
+    assert len(got) == 0
+    # zero-column on a fully-empty dataset is a Ray Data artifact; the
+    # contract is "guard fires, no NameError/KeyError, zero rows"
+    assert set(got.columns) in (set(), {"category", "item", "n"})

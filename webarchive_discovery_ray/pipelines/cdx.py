@@ -114,7 +114,7 @@ def warc_stats(paths: list[str]):
 
     import ray
 
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
     from ..sources.warc import parse_archive_stats
 
     n_b = default_buckets()
@@ -180,7 +180,7 @@ def warc_regex(paths: list[str], pattern: str = WARC_REGEX_PATTERN):
     Columns: key, match."""
     import re as _re
 
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
     from ..sources.warc import read_archive_pages
 
     n_b = default_buckets()
@@ -242,7 +242,7 @@ def warc_datasets(paths: list[str], icfg: IndexConfig | None = None):
     Faces (``faces__Y``, OpenIMAJ) are descoped with the library. Full
     extraction per file task, per-batch partial counts, ONE bucketed
     grouped sum. Columns: dataset, item, n."""
-    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
     from ..sources.warc import read_archive_pages
     from ..stages.extract import ExtractStage
 

@@ -903,6 +903,8 @@ def source_overlap(sf_dir: str, w: int = _SOFT_W):
         return out
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # map_groups hands a ZERO-COLUMN block on empty input
+            return typed_empty(s1=str, s2=str, n_shared="int64", bucket="int32")
         d = df.drop_duplicates(["h", "source"])
         # keep only hashes seen in >=2 sources before the self-merge
         multi = d["h"].map(d["h"].value_counts()) >= 2
@@ -969,6 +971,15 @@ def pca_embeddings(sf_dir: str, n_components: int = 2):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def moment_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.binary()),
+                    "g": pa.array([], pa.binary()),
+                }
+            )
         mat = _batch_matrix(batch)
         key = int(pc.min(batch["vec_id"]).as_py())
         return pa.table(
@@ -982,6 +993,13 @@ def pca_embeddings(sf_dir: str, n_components: int = 2):
 
     parts = ds.map_batches(moment_partials, batch_format="pyarrow").take_all()
     parts.sort(key=lambda r: r["key"])
+    if not parts:  # degenerate: empty embeddings table
+        cols = {"vec_id": pa.array([], pa.int64())}
+        for j in range(n_components):
+            cols[f"pc{j + 1}"] = pa.array([], pa.float64())
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(cols))
     d = len(np.frombuffer(parts[0]["s"], dtype=np.float64))
     n = 0
     s = np.zeros(d)
@@ -991,7 +1009,10 @@ def pca_embeddings(sf_dir: str, n_components: int = 2):
         s += np.frombuffer(p["s"], dtype=np.float64)
         gram += np.frombuffer(p["g"], dtype=np.float64).reshape(d, d)
     mean = s / n
-    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    # single-row table: covariance is undefined — use a zero matrix so the
+    # projection degenerates gracefully instead of dividing by zero
+    denom = max(n - 1, 1)
+    cov = (gram - n * np.outer(mean, mean)) / denom
     vals, vecs = np.linalg.eigh(cov)
     comps = vecs[:, ::-1][:, :n_components]  # eigh is ascending
     for j in range(comps.shape[1]):  # deterministic sign
