@@ -478,3 +478,120 @@ def test_closed_loop_crawl_byte_parity(ray_session):
     exp = oracle_crawl(seeds, CRAWL, SYN)
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert got.seen_sorted == exp.seen_sorted
+
+
+# ---------------------------------------------------------------------------
+# round-4: seen-set spill/probe tier + shard-side checkpoint resume
+# ---------------------------------------------------------------------------
+
+
+def test_seen_spill_probe_semantics(tmp_path):
+    """SeenSet with a tiny spill threshold must behave byte-identically to
+    plain-set semantics across many spills: add_if_new masks, contains,
+    snapshot, len — while actually holding only the hot tier in RAM."""
+    import hashlib
+
+    from webarchive_discovery_ray.state.seen import SeenSet
+
+    ss = SeenSet(spill_dir=str(tmp_path / "spill"), spill_threshold=40)
+    ref: set[str] = set()
+    # 12 chunks of 60 keys with heavy cross-chunk duplication -> keys that
+    # were spilled several chunks ago get re-offered and must be rejected
+    for c in range(12):
+        keys = [
+            "com,host)/p%d" % (int(hashlib.sha1(f"{c}:{i}".encode()).hexdigest(), 16) % 250)
+            for i in range(60)
+        ]
+        got = ss.add_if_new(keys)
+        want = []
+        batch_seen: set[str] = set()
+        for k in keys:
+            is_new = k not in ref and k not in batch_seen
+            want.append(is_new)
+            batch_seen.add(k)
+        ref.update(batch_seen)
+        assert got == want, f"chunk {c} mask mismatch"
+    st = ss.spill_stats()
+    assert st["spilled"] > 0, "fixture must actually force spills"
+    assert st["hot"] < len(ref), "hot tier must not hold the full set"
+    assert st["hot"] + st["spilled"] == len(ref)
+    assert len(ss) == len(ref)
+    assert ss.snapshot() == sorted(ref)  # byte-identical representation
+    probe = list(ref)[:50] + ["com,host)/definitely-not-seen-%d" % i for i in range(20)]
+    assert ss.contains(probe) == [k in ref for k in probe]
+
+
+def test_seen_spill_compaction_folds_runs(tmp_path):
+    """Exceeding max_runs triggers tiered compaction; membership and the
+    sorted snapshot survive the fold."""
+    from webarchive_discovery_ray.state.seen import SeenSet
+
+    ss = SeenSet(spill_dir=str(tmp_path / "spill"), spill_threshold=10)
+    ref = []
+    for c in range(20):  # 20 spills > max_runs=8 -> at least one compaction
+        keys = [f"com,h{c:02d})/p{i}" for i in range(10)]
+        ss.add_if_new(keys)
+        ref.extend(keys)
+    st = ss.spill_stats()
+    assert st["runs"] <= 8
+    assert st["spilled"] == len(ref)
+    assert ss.snapshot() == sorted(ref)
+    assert ss.contains(ref[:30]) == [True] * 30
+    assert ss.contains(["com,h99)/nope"]) == [False]
+
+
+def test_forced_spill_crawl_byte_parity(ray_session, seeds, oracle_result, tmp_path_factory):
+    """The VERDICT-r3 done-gate: the crawl byte-parity suite with the
+    spill tier FORCED (tiny per-shard memory cap) — fetch log and final
+    seen set must still match the sequential oracle exactly."""
+    spill_dir = str(tmp_path_factory.mktemp("seen_spill"))
+    cfg = CrawlConfig(
+        politeness_budget=CRAWL.politeness_budget,
+        max_waves=CRAWL.max_waves,
+        seen_shards=CRAWL.seen_shards,
+        seen_spill_threshold=16,
+        seen_spill_dir=spill_dir,
+    )
+    got = run_crawl(seeds, cfg, SYN, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    exp = oracle_result
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+
+
+def test_checkpoint_resume_shard_side_no_driver_keys(
+    ray_session, seeds, oracle_result, tmp_path_factory
+):
+    """Resume ships seen-delta PATHS to the shards (never a key list
+    through the driver) and still reproduces the uninterrupted run —
+    including with the spill tier forced on the resumed pool."""
+    from webarchive_discovery_ray.state.checkpoint import (
+        latest_complete_wave,
+        load_wave_checkpoint,
+    )
+
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt_shard"))
+    partial_cfg = CrawlConfig(
+        politeness_budget=CRAWL.politeness_budget, max_waves=2,
+        seen_shards=CRAWL.seen_shards,
+    )
+    run_crawl(seeds, partial_cfg, SYN, checkpoint_dir=ckpt, fetch_concurrency=2)
+    # the checkpoint loader exposes paths, not materialized keys
+    ck = load_wave_checkpoint(ckpt, latest_complete_wave(ckpt))
+    assert "seen_keys" not in ck
+    assert ck["seen_delta_paths"] and all(
+        p.endswith("seen_delta.parquet") for p in ck["seen_delta_paths"]
+    )
+    spill_dir = str(tmp_path_factory.mktemp("seen_spill_resume"))
+    cfg = CrawlConfig(
+        politeness_budget=CRAWL.politeness_budget, max_waves=CRAWL.max_waves,
+        seen_shards=CRAWL.seen_shards,
+        seen_spill_threshold=16, seen_spill_dir=spill_dir,
+    )
+    resumed = run_crawl(
+        seeds, cfg, SYN, checkpoint_dir=ckpt, resume=True, fetch_concurrency=2,
+        collect_log=True, collect_seen=True,
+    )
+    exp = oracle_result
+    assert [_log_key(e) for e in resumed.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert resumed.seen_sorted == exp.seen_sorted

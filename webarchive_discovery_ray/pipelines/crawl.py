@@ -782,7 +782,11 @@ def run_crawl(
             _marks.append((label, _time.monotonic()))
 
     res = CrawlResult(docs_dir=docs_dir)
-    pool = SeenShardPool(ccfg.seen_shards)
+    pool = SeenShardPool(
+        ccfg.seen_shards,
+        spill_dir=ccfg.seen_spill_dir,
+        spill_threshold=ccfg.seen_spill_threshold,
+    )
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
@@ -800,7 +804,9 @@ def run_crawl(
     if resume and checkpoint_dir is not None and (last := latest_complete_wave(checkpoint_dir)) is not None:
         ck = load_wave_checkpoint(checkpoint_dir, last)
         extras = ck["frontier"]  # carry + winners of the checkpointed wave
-        pool.restore_keys(ck["seen_keys"])
+        # shard-side absorb: driver ships delta PATHS, each shard reads
+        # its own slice (no driver-side key materialization)
+        pool.restore_from_parquet(ck["seen_delta_paths"])
         robots_scheduled = ck["robots_scheduled"]
         robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
         order_base = ck["fetch_log"].num_rows

@@ -128,7 +128,11 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
     with open(os.path.join(d, "robots.json")) as f:
         robots = json.load(f)
     frontier = pq.read_table(os.path.join(d, "frontier_next.parquet"))
-    seen_keys: list[str] = []
+    # the seen set is NOT materialized here (VERDICT r3 #3): the driver
+    # hands the per-wave delta paths to the shard actors, each of which
+    # reads and absorbs only its own slice — resume cost on the driver is
+    # O(#waves) paths, independent of crawl history size
+    seen_delta_paths: list[str] = []
     log_parts = []
     for w in range(wave + 1):
         wd = _wave_dir(base, w)
@@ -137,14 +141,14 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
             log_parts.append(pq.read_table(p))
         sd = os.path.join(wd, "seen_delta.parquet")
         if os.path.exists(sd):
-            seen_keys.extend(pq.read_table(sd)["surt"].to_pylist())
+            seen_delta_paths.append(sd)
     fetch_log = (
         pa.concat_tables(log_parts) if log_parts else FETCHLOG_SCHEMA.empty_table()
     )
     return {
         "manifest": manifest,
         "frontier": frontier,
-        "seen_keys": seen_keys,  # union of per-wave deltas
+        "seen_delta_paths": seen_delta_paths,  # per-wave delta files
         "robots_scheduled": set(robots["scheduled"]),
         "robots_rules": robots["rules"],
         "fetch_log": fetch_log,

@@ -15,20 +15,38 @@ and the north star's sharded cuckoo-filter seen set with Bloom fallback:
   back to a Bloom filter for the overflow — the north star's
   bloom-fallback-for-spill-partitions rule;
 * snapshots serialise the sorted key list (the byte-comparable
-  representation) for checkpoint/resume; at 10^10-URL scale each shard
-  would persist to a Lance/Parquet side table and keep only the filters +
-  hot set in RAM — the actor API is unchanged.
+  representation) for checkpoint/resume;
+* SPILL TIER (round-4): past a configurable hot-set size each shard
+  persists its exact keys to sorted parquet runs on local disk and keeps
+  only the filters + the hot (not-yet-spilled) set in RAM. Membership is
+  an LSM-style probe: filter-negative -> definitely new (no IO);
+  filter-positive and not in the hot set -> binary-search the per-run
+  row-group fence index held in RAM (1/row_group_size of the keys) and
+  read exactly the needed row groups. Runs are disjoint by construction
+  (a key enters the hot set only when globally unseen), and tiered
+  compaction folds runs together when their count crosses a bound, so a
+  probe touches O(log) runs. This is what lets a shard hold its slice of
+  a 10^10-URL seen set with bounded RAM while the byte-identical-seen-set
+  rule still holds (``snapshot`` streams the runs back).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 
 from ..functions.hashing import stable_hash64
 
-__all__ = ["BloomFilter", "CuckooFilter", "SeenSet", "shard_of", "SeenShardPool"]
+__all__ = [
+    "BloomFilter",
+    "CuckooFilter",
+    "SeenSet",
+    "SpilledRuns",
+    "shard_of",
+    "SeenShardPool",
+]
 
 _SHARD_SEED = 7
 
@@ -230,6 +248,130 @@ class CuckooFilter:
         return False
 
 
+class SpilledRuns:
+    """Per-shard on-disk tier of the exact seen set: sorted, mutually
+    disjoint parquet runs with an in-RAM row-group fence index.
+
+    Each run is ONE parquet file holding a single sorted ``surt`` string
+    column written with ``row_group_size = fence_every``; the fences (the
+    first key of every row group) stay in RAM, so a membership probe is
+    ``searchsorted`` over the fences followed by reading exactly the row
+    groups that could contain the queried keys. RAM cost per run is
+    ~len(run)/fence_every keys; probe IO is one row group per hit range.
+
+    Tiered compaction: when the run count exceeds ``max_runs``, all runs
+    merge into one (numpy sorted merge of disjoint sorted arrays =
+    concatenate + sort) — classic LSM amortisation, O(n log n) total
+    write volume over a shard's lifetime."""
+
+    def __init__(self, spill_dir: str, fence_every: int = 4096, max_runs: int = 8):
+        self.spill_dir = spill_dir
+        self.fence_every = fence_every
+        self.max_runs = max_runs
+        self._runs: list[dict] = []  # {path, fences(np object), n}
+        self._next_id = 0
+        os.makedirs(spill_dir, exist_ok=True)
+
+    @property
+    def n_keys(self) -> int:
+        return sum(r["n"] for r in self._runs)
+
+    @property
+    def n_runs(self) -> int:
+        return len(self._runs)
+
+    def _write_run(self, sorted_keys: np.ndarray) -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.spill_dir, f"run_{self._next_id:06d}.parquet")
+        self._next_id += 1
+        pq.write_table(
+            pa.table({"surt": pa.array(sorted_keys, type=pa.string())}),
+            path,
+            row_group_size=self.fence_every,
+        )
+        fences = sorted_keys[:: self.fence_every].copy()
+        return {"path": path, "fences": fences, "n": len(sorted_keys)}
+
+    def spill(self, keys: set[str]) -> None:
+        """Persist ``keys`` (disjoint from every existing run by the
+        caller's invariant) as a new run; compact when over ``max_runs``."""
+        if not keys:
+            return
+        arr = np.sort(np.asarray(list(keys), dtype=object))
+        if len(self._runs) + 1 > self.max_runs:
+            merged = np.sort(
+                np.concatenate([self._read_run(r) for r in self._runs] + [arr])
+            )
+            for r in self._runs:
+                os.unlink(r["path"])
+            self._runs = [self._write_run(merged)]
+        else:
+            self._runs.append(self._write_run(arr))
+
+    def _read_run(self, run: dict) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        return np.asarray(
+            pq.read_table(run["path"], columns=["surt"])["surt"].to_pylist(),
+            dtype=object,
+        )
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership over all runs: per run, route each query
+        key to its row group via the fence index, read only the row groups
+        that received queries, binary-search inside. Returns a bool mask
+        aligned with ``keys``."""
+        import pyarrow.parquet as pq
+
+        found = np.zeros(len(keys), dtype=bool)
+        if not len(keys):
+            return found
+        for run in self._runs:
+            todo = ~found
+            if not todo.any():
+                break
+            q = keys[todo]
+            # row group of each query: rightmost fence <= key
+            rg = np.searchsorted(run["fences"], q, side="right") - 1
+            valid = rg >= 0
+            if not valid.any():
+                continue
+            pf = pq.ParquetFile(run["path"])
+            hit = np.zeros(len(q), dtype=bool)
+            for g in np.unique(rg[valid]):
+                sel = valid & (rg == g)
+                block = np.asarray(
+                    pf.read_row_group(int(g), columns=["surt"])["surt"].to_pylist(),
+                    dtype=object,
+                )
+                pos = np.searchsorted(block, q[sel])
+                pos_ok = pos < len(block)
+                eq = np.zeros(sel.sum(), dtype=bool)
+                if pos_ok.any():
+                    eq[pos_ok] = block[pos[pos_ok]] == q[sel][pos_ok]
+                hit[sel] = eq
+            idx = np.flatnonzero(todo)
+            found[idx[hit]] = True
+        return found
+
+    def all_keys(self) -> list[str]:
+        """Every spilled key (sorted merge across runs) — the snapshot /
+        byte-parity read-back path."""
+        if not self._runs:
+            return []
+        return np.sort(
+            np.concatenate([self._read_run(r) for r in self._runs])
+        ).tolist()
+
+    def clear(self) -> None:
+        for r in self._runs:
+            if os.path.exists(r["path"]):
+                os.unlink(r["path"])
+        self._runs = []
+
+
 class SeenSet:
     """One shard's state: cuckoo accelerator (+ Bloom overflow) + exact
     authoritative set.
@@ -244,15 +386,61 @@ class SeenSet:
     ``seq`` numbers — candidate URL strings never cross the driver except
     as winners."""
 
-    def __init__(self, n_bits: int = 1 << 20):
+    def __init__(
+        self,
+        n_bits: int = 1 << 20,
+        spill_dir: str | None = None,
+        spill_threshold: int | None = None,
+    ):
         self._n_bits = n_bits
         # cuckoo slots sized n_bits/4 (4 slots/bucket = n_bits/16 buckets,
         # ~0.5 MB at the 1M-bit default); Bloom engages only as the
         # overflow fallback once the cuckoo walk first fails
         self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, n_bits >> 4))
         self._bloom: BloomFilter | None = None
+        # HOT tier: keys seen but not yet spilled. The authoritative set
+        # is hot ∪ spilled runs (disjoint: a key enters hot only when the
+        # full probe said unseen, and spilling moves the whole hot set).
         self._exact: set[str] = set()
         self._pending: dict[int, list] = {}
+        # SPILL tier (None threshold = resident-only, the small-crawl mode)
+        self._spill_threshold = spill_threshold
+        self._runs: SpilledRuns | None = None
+        if spill_threshold is not None:
+            if spill_dir is None:
+                import tempfile
+
+                spill_dir = tempfile.mkdtemp(prefix="seen_spill_")
+            self._runs = SpilledRuns(spill_dir)
+
+    def _maybe_spill(self) -> None:
+        if (
+            self._spill_threshold is not None
+            and len(self._exact) >= self._spill_threshold
+        ):
+            self._runs.spill(self._exact)
+            self._exact = set()
+
+    def _seen_mask(self, surts) -> np.ndarray:
+        """Authoritative seen-mask for a pandas Series of keys: one
+        C-speed ``isin`` against the hot set, then — only when a spill
+        tier exists — a filter-gated probe of the on-disk runs (filter
+        negative = definitely never added, no IO; only the filter's false
+        positives and true spilled keys touch parquet)."""
+        seen = surts.isin(self._exact).to_numpy()
+        if self._runs is not None and self._runs.n_keys:
+            cand = np.flatnonzero(~seen)
+            if len(cand):
+                keys = surts.to_numpy(dtype=object)[cand]
+                gate = np.fromiter(
+                    (self._acc_might_contain(k) for k in keys),
+                    dtype=bool,
+                    count=len(keys),
+                )
+                if gate.any():
+                    hit = self._runs.contains_many(keys[gate])
+                    seen[cand[gate]] = hit
+        return seen
 
     def _acc_add(self, key: str) -> None:
         # once the cuckoo saturates, route adds straight to the Bloom
@@ -292,14 +480,19 @@ class SeenSet:
         if not keys:
             return []
         ser = pd.Series(keys, dtype=object)
-        mask = (~ser.duplicated() & ~ser.isin(self._exact)).tolist()
+        mask = (~ser.duplicated().to_numpy() & ~self._seen_mask(ser)).tolist()
         new = [k for k, m in zip(keys, mask) if m]
         self._exact.update(new)
         self._acc_add_many(new)
+        self._maybe_spill()
         return mask
 
     def contains(self, keys: list[str]) -> list[bool]:
-        return [self._acc_might_contain(k) and k in self._exact for k in keys]
+        import pandas as pd
+
+        if not keys:
+            return []
+        return self._seen_mask(pd.Series(keys, dtype=object)).tolist()
 
     def accept(self, wave: int, tbl) -> int:
         """Buffer a candidate table chunk for ``wave``. Columns: url,
@@ -376,10 +569,11 @@ class SeenSet:
         # one batched add — same semantics as the per-key loop, without
         # paying per-key Python on the wave barrier
         surts = pd.Series(t["surt"].to_pylist(), dtype=object)
-        mask = (~surts.duplicated() & ~surts.isin(self._exact)).to_numpy()
+        mask = ~surts.duplicated().to_numpy() & ~self._seen_mask(surts)
         new = [k for k, m in zip(surts, mask) if m]
         self._exact.update(new)
         self._acc_add_many(new)
+        self._maybe_spill()
         w = t.filter(pa.array(mask))
         return w if w.num_rows else None
 
@@ -407,16 +601,62 @@ class SeenSet:
         }
 
     def snapshot(self) -> list[str]:
-        return sorted(self._exact)
+        """Sorted authoritative key list (hot ∪ spilled) — the
+        byte-comparable representation; streams spilled runs back."""
+        if self._runs is None or not self._runs.n_keys:
+            return sorted(self._exact)
+        return sorted(set(self._runs.all_keys()) | self._exact)
 
     def restore(self, keys: list[str]) -> None:
+        if self._runs is not None:
+            self._runs.clear()
         self._exact = set(keys)
         self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, self._n_bits >> 4))
         self._bloom = None
         self._acc_add_many(list(keys))
+        self._maybe_spill()
+
+    def restore_from_parquet(
+        self, paths: list[str], shard_id: int, n_shards: int
+    ) -> int:
+        """Shard-side checkpoint resume (round-4, VERDICT r3 #2): read
+        the checkpoint's ``seen_delta.parquet`` files HERE, keep only the
+        keys this shard owns (same ``shard_of`` routing as live adds),
+        absorb them into filters + hot set, spill as configured. The
+        driver passes paths, never key lists. Returns the number of keys
+        absorbed."""
+        import pyarrow.parquet as pq
+
+        if self._runs is not None:
+            self._runs.clear()
+        self._exact = set()
+        self._cuckoo = CuckooFilter(n_buckets=max(1 << 10, self._n_bits >> 4))
+        self._bloom = None
+        total = 0
+        for p in paths:
+            keys = pq.read_table(p, columns=["surt"])["surt"].to_pylist()
+            mine = [k for k in keys if shard_of(k, n_shards) == shard_id]
+            if not mine:
+                continue
+            self._exact.update(mine)
+            self._acc_add_many(mine)
+            self._maybe_spill()
+            total += len(mine)
+        return total
+
+    def spill_stats(self) -> dict:
+        """Test/observability hook: hot-set size + spill-tier layout."""
+        return {
+            "hot": len(self._exact),
+            "spilled": 0 if self._runs is None else self._runs.n_keys,
+            "runs": 0 if self._runs is None else self._runs.n_runs,
+        }
 
     def __len__(self) -> int:
-        return len(self._exact)
+        n = len(self._exact)
+        if self._runs is not None:
+            n += self._runs.n_keys
+        return n
 
 
 class SeenShardPool:
@@ -426,12 +666,27 @@ class SeenShardPool:
     are re-assembled in input order. Construction is lazy so the module
     imports without Ray initialised (driver contract)."""
 
-    def __init__(self, n_shards: int, n_bits: int = 1 << 20):
+    def __init__(
+        self,
+        n_shards: int,
+        n_bits: int = 1 << 20,
+        spill_dir: str | None = None,
+        spill_threshold: int | None = None,
+    ):
         import ray
 
         self.n_shards = n_shards
         shard_cls = ray.remote(num_cpus=0)(SeenSet)
-        self._shards = [shard_cls.remote(n_bits) for _ in range(n_shards)]
+        self._shards = [
+            shard_cls.remote(
+                n_bits,
+                spill_dir=None
+                if spill_dir is None
+                else os.path.join(spill_dir, f"shard_{i:03d}"),
+                spill_threshold=spill_threshold,
+            )
+            for i in range(n_shards)
+        ]
 
     @property
     def shards(self):
@@ -521,6 +776,25 @@ class SeenShardPool:
         for k in keys:
             by_shard[shard_of(k, self.n_shards)].append(k)
         self.restore([by_shard[i] for i in range(self.n_shards)])
+
+    def restore_from_parquet(self, paths: list[str]) -> list[int]:
+        """Shard-side checkpoint resume: each shard actor reads the delta
+        parquet files itself and keeps only its slice — the driver holds
+        PATHS, never keys, so resume cost on the driver is O(#waves), not
+        O(total seen). Returns per-shard absorbed counts."""
+        import ray
+
+        return ray.get(
+            [
+                s.restore_from_parquet.remote(paths, i, self.n_shards)
+                for i, s in enumerate(self._shards)
+            ]
+        )
+
+    def spill_stats(self) -> list[dict]:
+        import ray
+
+        return ray.get([s.spill_stats.remote() for s in self._shards])
 
     def all_keys_sorted(self) -> list[str]:
         """The byte-comparable global representation: sorted union."""
