@@ -456,6 +456,69 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("WDR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _lsh_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential recompute of lsh_cosine_topk's deterministic output at
+    the driver's correctness scale, rendered as VALUES(query_vec_id,
+    vec_id, rank). Global single-pass version of the same algorithm: one
+    code matrix over the whole corpus, per-query multiprobe mask, exact
+    cosines on survivors, (cos desc, vec_id asc) top-k."""
+    import itertools
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.similarity import (
+        _LSH_BITS,
+        _LSH_MAX_HAMMING,
+        _LSH_TABLES,
+        _lsh_codes,
+        _lsh_planes,
+        _query_matrix,
+    )
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    k, n_queries = 5, 8
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    planes = _lsh_planes(qmat.shape[1], _LSH_BITS, _LSH_TABLES)
+    qcodes = _lsh_codes(qmat, planes, _LSH_BITS)
+    codes = _lsh_codes(mat, planes, _LSH_BITS)
+    flips = [np.uint32(0)]
+    for r in range(1, _LSH_MAX_HAMMING + 1):
+        for combo in itertools.combinations(range(_LSH_BITS), r):
+            m = np.uint32(0)
+            for b in combo:
+                m |= np.uint32(1) << np.uint32(b)
+            flips.append(m)
+    rows = []
+    for qi, qid in enumerate(qids):
+        mask = np.zeros(len(ids), dtype=bool)
+        for t in range(_LSH_TABLES):
+            pset = [int(qcodes[qi, t] ^ f) for f in flips]
+            mask |= np.isin(codes[:, t], pset)
+        if not mask.any():
+            continue
+        col = np.round(mat[mask] @ qmat[qi], 6)
+        sel_ids = ids[mask]
+        order = np.lexsort((sel_ids, -col))[: min(k, len(sel_ids))]
+        for rank, i in enumerate(order, 1):
+            rows.append(f"({int(qid)}, {int(sel_ids[i])}, {rank}::BIGINT)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(query_vec_id, vec_id, rank)"
+    )
+
+
 def _file_digest_oracle_values_sql(sf_dir: str | None = None) -> str:
     """Whole-file digests recomputed directly with hashlib (one-shot,
     driver-side) as VALUES — verifies the distributed per-file read path
@@ -3456,6 +3519,15 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_fz_rows)
         + ") AS t(doc_id, blocksize, ssdeep_bs, ssdeep_bs2)"
     )
+
+    # lsh_cosine_topk is approximate-by-construction but DETERMINISTIC
+    # (fixed-seed plane bank, 6-dp rounded cosines, total-order tie-break
+    # (cos desc, vec_id asc) — per-batch partial top-k provably contains
+    # the global top-k under that order), so the exact expected output is
+    # recomputed here by a one-shot sequential pass and rendered as
+    # VALUES — the oracle verifies the distributed bucketing/multiprobe/
+    # partial-top-k plumbing end to end (same mechanism as fuzzy_hashes).
+    out["lsh_cosine_topk"] = _lsh_cosine_oracle_values_sql()
 
     # zlib byte counts come from a one-shot driver-side zlib pass rendered
     # as VALUES; n_raw, the ratio division and the integer keep band are
