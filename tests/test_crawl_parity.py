@@ -595,3 +595,79 @@ def test_checkpoint_resume_shard_side_no_driver_keys(
     exp = oracle_result
     assert [_log_key(e) for e in resumed.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert resumed.seen_sorted == exp.seen_sorted
+
+
+def test_crawl_end_fragment_compaction_converges(ray_session, seeds, tmp_path_factory):
+    """VERDICT-r3 #8 done-gate: a multi-resume crawl with the automatic
+    compaction policy converges to a bounded fragment count, with every
+    document row surviving (content equality vs an uncompacted run)."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def _read_all(d):
+        frames = []
+        for p in sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+            rel = os.path.relpath(p, d).split(os.sep)
+            if rel[0] == "_compact" and not os.path.exists(
+                os.path.join(d, "_compact", rel[1], "_DONE")
+            ):
+                continue
+            frames.append(pq.read_table(p).to_pandas())
+        return (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["doc_id"], ignore_index=True)
+            if frames
+            else pd.DataFrame()
+        )
+
+    # uncompacted baseline: staged checkpointed run (2 waves, then 4)
+    base_docs = str(tmp_path_factory.mktemp("docs_plain"))
+    base_ckpt = str(tmp_path_factory.mktemp("ckpt_plain"))
+    cfg2 = CrawlConfig(politeness_budget=3, max_waves=2, seen_shards=4)
+    cfg4 = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4)
+    run_crawl(seeds, cfg2, SYN, docs_dir=base_docs, checkpoint_dir=base_ckpt,
+              fetch_concurrency=2)
+    run_crawl(seeds, cfg4, SYN, docs_dir=base_docs, checkpoint_dir=base_ckpt,
+              resume=True, fetch_concurrency=2)
+    want = _read_all(base_docs)
+    assert len(want) > 0
+
+    # compacted run: same staging, tiny threshold so the policy fires
+    docs = str(tmp_path_factory.mktemp("docs_compact"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_compact"))
+    ccfg2 = CrawlConfig(politeness_budget=3, max_waves=2, seen_shards=4,
+                        compact_fragments_threshold=2)
+    ccfg4 = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                        compact_fragments_threshold=2)
+    r1 = run_crawl(seeds, ccfg2, SYN, docs_dir=docs, checkpoint_dir=ckpt,
+                   fetch_concurrency=2)
+    assert r1.compaction is not None and r1.compaction["written"] > 0
+    r2 = run_crawl(seeds, ccfg4, SYN, docs_dir=docs, checkpoint_dir=ckpt,
+                   resume=True, fetch_concurrency=2)
+    assert r2.compaction is not None
+    got = _read_all(docs)
+    # convergence: bounded file count, manifests intact, rows identical
+    live = [
+        p for p in glob.glob(os.path.join(docs, "**", "*.parquet"), recursive=True)
+        if "_compact" not in p
+        or os.path.exists(
+            os.path.join(docs, "_compact",
+                         os.path.relpath(p, os.path.join(docs, "_compact")).split(os.sep)[0],
+                         "_DONE")
+        )
+    ]
+    assert r2.compaction["fragments_after"] <= max(
+        2, r2.compaction["groups"]
+    ) or len(live) <= 1 + r2.compaction["groups"]
+    rounds = sorted(glob.glob(os.path.join(docs, "_compact", "round_*")))
+    assert rounds
+    for rdir in rounds:
+        if os.path.exists(os.path.join(rdir, "_DONE")):
+            assert os.path.exists(os.path.join(rdir, "_PLAN.json"))
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str)
+    )

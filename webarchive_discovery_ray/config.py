@@ -87,6 +87,12 @@ class CrawlConfig:
     # 10^10-URL design point set this to the per-shard RAM budget.
     seen_spill_threshold: int | None = None
     seen_spill_dir: str | None = None
+    # crawl-end fragment compaction (sources/sinks.maybe_compact_fragments):
+    # when docs_dir holds more than this many parquet fragments at crawl
+    # end, fold them into few large files via the resumable compactor and
+    # delete the sources once the round completes. None disables.
+    compact_fragments_threshold: int | None = None
+    compact_target_bytes: int = 128 << 20
 
 
 @dataclass(frozen=True)

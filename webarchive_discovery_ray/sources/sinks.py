@@ -531,3 +531,115 @@ def compact_parquet_dir(
         "rows": int(sum(r["rows"] for r in results)),
         "bytes_in": int(sum(r["bytes_in"] for r in results)),
     }
+
+
+def maybe_compact_fragments(
+    docs_dir: str,
+    max_fragments: int = 64,
+    target_bytes: int = 128 << 20,
+) -> dict | None:
+    """Automatic compaction policy over a fragment tree (VERDICT r3 #8):
+    when the number of parquet fragments under ``docs_dir`` crosses
+    ``max_fragments``, run the resumable compactor into a fresh
+    ``_compact/round_NNN`` directory and — only once EVERY group's
+    manifest exists — delete the source fragments recorded in the pinned
+    plan. Repeated resumed runs therefore converge to a bounded file
+    count: earlier rounds' outputs are ordinary data files and fold into
+    later rounds (tiered, LSM-style).
+
+    Crash safety inherits from :func:`compact_parquet_dir` (atomic
+    per-group outputs, plan pinning) plus the delete-after-complete rule
+    here: a crash mid-delete leaves extra source fragments AND their
+    compacted copies — the next call sees the complete round (every
+    manifest present, the ``_DONE`` marker absent), finishes the
+    deletion idempotently and stamps ``_DONE``. A reader that lists
+    ``**/*.parquet`` under ``docs_dir`` excluding in-flight rounds (no
+    ``_DONE``) always sees exactly one copy of every row."""
+    import glob as _glob
+    import json as _json
+
+    comp_root = os.path.join(docs_dir, "_compact")
+
+    def _live_fragments() -> list[str]:
+        out = []
+        for p in _glob.glob(
+            os.path.join(docs_dir, "**", "*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(p, docs_dir)
+            parts = rel.split(os.sep)
+            if parts[0] == "_compact":
+                # only COMPLETE rounds count as live data
+                rdir = os.path.join(comp_root, parts[1])
+                if not os.path.exists(os.path.join(rdir, "_DONE")):
+                    continue
+            out.append(p)
+        return sorted(out)
+
+    # finish any complete-but-undeleted round first (crash recovery)
+    if os.path.isdir(comp_root):
+        for rname in sorted(os.listdir(comp_root)):
+            rdir = os.path.join(comp_root, rname)
+            plan_path = os.path.join(rdir, "_PLAN.json")
+            done_path = os.path.join(rdir, "_DONE")
+            if not os.path.exists(plan_path) or os.path.exists(done_path):
+                continue
+            with open(plan_path) as f:
+                plan = _json.load(f)
+            n_groups = len(plan["groups"])
+            n_manifests = len(_glob.glob(os.path.join(rdir, "compact_*.json")))
+            if n_manifests == n_groups and n_groups > 0:
+                for rel, _sz in plan["files"]:
+                    src = os.path.join(docs_dir, rel)
+                    if os.path.exists(src):
+                        os.unlink(src)
+                with open(done_path + ".tmp", "w") as f:
+                    f.write("")
+                os.replace(done_path + ".tmp", done_path)
+
+    # an INCOMPLETE round (crash mid-compaction) must be RESUMED, never
+    # bypassed: its partial outputs duplicate still-present sources, so a
+    # fresh round walking the tree would double-count them. The compactor
+    # is resumable by construction (pinned plan + per-group manifests),
+    # and the listing it planned over is unchanged (sources are only
+    # deleted after a round completes).
+    incomplete = None
+    if os.path.isdir(comp_root):
+        for rname in sorted(os.listdir(comp_root)):
+            rdir = os.path.join(comp_root, rname)
+            if os.path.exists(os.path.join(rdir, "_PLAN.json")) and not os.path.exists(
+                os.path.join(rdir, "_DONE")
+            ):
+                incomplete = rname
+                break
+    frags = _live_fragments()
+    if incomplete is None and len(frags) <= max_fragments:
+        return None
+    os.makedirs(comp_root, exist_ok=True)
+    if incomplete is not None:
+        round_id = int(incomplete.split("_")[1])
+    else:
+        existing = [n for n in os.listdir(comp_root) if n.startswith("round_")]
+        round_id = (
+            max((int(n.split("_")[1]) for n in existing), default=-1) + 1
+        )
+    out_dir = os.path.join(comp_root, f"round_{round_id:03d}")
+    res = compact_parquet_dir(docs_dir, out_dir, target_bytes=target_bytes)
+    if res["groups"] and res["written"] + res["skipped"] == res["groups"]:
+        with open(os.path.join(out_dir, "_PLAN.json")) as f:
+            plan = _json.load(f)
+        for rel, _sz in plan["files"]:
+            src = os.path.join(docs_dir, rel)
+            if os.path.exists(src):
+                os.unlink(src)
+        done = os.path.join(out_dir, "_DONE")
+        with open(done + ".tmp", "w") as f:
+            f.write("")
+        os.replace(done + ".tmp", done)
+        # prune now-empty fragment directories (wave_* and stale rounds)
+        for root, dirs, names in os.walk(docs_dir, topdown=False):
+            if root != docs_dir and not dirs and not names:
+                os.rmdir(root)
+    res["round"] = round_id
+    res["fragments_before"] = len(frags)
+    res["fragments_after"] = len(_live_fragments())
+    return res
