@@ -263,6 +263,20 @@ def _media_dedup(sf_dir: str):
     return media_dedup(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _span_transitions(sf_dir: str):
+    """Corpus-level kind->kind transition counts over the SAME
+    materialized interleaved spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_transitions
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return span_transitions(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _span_quality_filter(sf_dir: str):
     """Span-level quality gate + re-indexing over the SAME materialized
     interleaved spans base."""
@@ -454,6 +468,59 @@ def _oracle_sf_dir() -> str:
     import os
 
     return os.environ.get("WDR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _bpe_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential BPE merge-training recompute (plain Counter over the
+    whole corpus — no word-table compression, no distributed exchanges)
+    rendered as VALUES(step, left, right, n). Independent of the Ray
+    path's shape; shares only the spec: merge the most frequent adjacent
+    symbol pair, ties to the lexicographically smallest (left, right),
+    apply left-to-right non-overlapping, 8 rounds."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    word_n: Counter = Counter()
+    for t in texts:
+        word_n.update(t.split())
+    words = {tuple(w) + ("</w>",): n for w, n in word_n.items()}
+    rows = []
+    for step in range(1, 9):
+        pairs: Counter = Counter()
+        for sym, n in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        _q = lambda v: "'" + str(v).replace("'", "''") + "'"
+        rows.append(f"({step}::BIGINT, {_q(left)}, {_q(right)}, {n}::BIGINT)")
+        new_words: dict = {}
+        for sym, wn in words.items():
+            res = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            key = tuple(res)
+            new_words[key] = new_words.get(key, 0) + wn
+        words = new_words
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(step, "left", "right", n)'
+    )
 
 
 def _lsh_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
@@ -1275,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_score,
         tfidf_top_terms,
         token_stats,
+        bpe_train,
     )
     from webarchive_discovery_ray.pipelines.sketches import (
         bloom_semi_join,
@@ -1286,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.curation import (
         blocklist_filter,
         compression_ratio,
+        dataset_split,
         softdedup_weights,
         source_overlap,
         pca_embeddings,
@@ -1351,6 +1420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": gram_novelty,
         "softdedup_weights": softdedup_weights,
         "source_overlap": source_overlap,
+        "dataset_split": dataset_split,
+        "bpe_train": bpe_train,
+        "span_transitions": _span_transitions,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
         "host_components": _host_components,
@@ -2917,6 +2989,48 @@ def oracle_sql() -> dict[str, str]:
               ON a.ptext = b.ptext AND a.source < b.source
             GROUP BY 1, 2
         """,
+        # deterministic hash train/val/test split: md5(doc_id ":split")
+        # first-8-bytes % 1000, <100 test, <200 val, else train — the
+        # same integer rule as pipelines/curation.dataset_split
+        "dataset_split": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(doc_id::VARCHAR || ':split'),
+                                        1, 16))::UBIGINT % 1000 AS BIGINT)
+                       AS bucket,
+                   CASE
+                       WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'),
+                                            1, 16))::UBIGINT % 1000 < 100
+                           THEN 'test'
+                       WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'),
+                                            1, 16))::UBIGINT % 1000 < 200
+                           THEN 'val'
+                       ELSE 'train'
+                   END AS split
+            FROM documents
+        """,
+        # corpus-level kind->kind transition counts inside each physical
+        # row's span sequence (lead() window per (filename, row) — the
+        # spans base carries duplicate doc_ids)
+        "span_transitions": f"""
+            WITH b AS (
+                SELECT filename AS f, file_row_number AS r, spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet',
+                                  file_row_number=true, filename=true)
+            ),
+            s AS (
+                SELECT f, r, i, spans[i].kind AS kind
+                FROM b, unnest(generate_series(1, len(spans))) AS u(i)
+            ),
+            t AS (
+                SELECT kind AS from_kind,
+                       lead(kind) OVER (PARTITION BY f, r ORDER BY i)
+                           AS to_kind
+                FROM s
+            )
+            SELECT from_kind, to_kind, count(*)::BIGINT AS n
+            FROM t WHERE to_kind IS NOT NULL
+            GROUP BY 1, 2
+        """,
         # top-k vocabulary by corpus token count with exact running
         # coverage of total token mass (ties break token asc)
         "vocab_coverage": f"""
@@ -3528,6 +3642,11 @@ def oracle_sql() -> dict[str, str]:
     # VALUES — the oracle verifies the distributed bucketing/multiprobe/
     # partial-top-k plumbing end to end (same mechanism as fuzzy_hashes).
     out["lsh_cosine_topk"] = _lsh_cosine_oracle_values_sql()
+
+    # bpe_train is deterministic (exact integer counts + lexicographic
+    # tie-break); the sequential whole-corpus Counter recompute renders
+    # the expected 8 merge rules as VALUES
+    out["bpe_train"] = _bpe_oracle_values_sql()
 
     # zlib byte counts come from a one-shot driver-side zlib pass rendered
     # as VALUES; n_raw, the ratio division and the integer keep band are

@@ -683,3 +683,25 @@ def test_pca_embeddings_single_row(ray_session, tmp_path):
     assert len(got) == 1
     assert got["vec_id"].iloc[0] == 7
     np.testing.assert_allclose(got[["pc1", "pc2"]].to_numpy(), 0.0)
+
+
+def test_dataset_split_fractions_and_determinism(ray_session):
+    """Hash split: deterministic, content-keyed, fractions near the
+    configured 10/10/80 at corpus size."""
+    from webarchive_discovery_ray.pipelines.curation import dataset_split
+
+    a = dataset_split(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = dataset_split(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.04 < frac.get("test", 0) < 0.18
+    assert 0.04 < frac.get("val", 0) < 0.18
+    assert frac.get("train", 0) > 0.6
+    # rule is pure function of doc_id
+    import hashlib
+
+    r = a.iloc[0]
+    b0 = int.from_bytes(
+        hashlib.md5(f"{r.doc_id}:split".encode()).digest()[:8], "big"
+    ) % 1000
+    assert r.bucket == b0

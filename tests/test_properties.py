@@ -874,3 +874,65 @@ def test_source_overlap_matches_bruteforce(ray_session, srcs):
     }
     got = source_overlap(d, w=w).to_pandas()
     assert {(r.s1, r.s2): r.n_shared for r in got.itertuples()} == want
+
+
+def test_bpe_train_matches_sequential_and_tiebreak(ray_session, tmp_path):
+    """Distributed BPE (word-table compression + bucketed pair folds) ==
+    plain sequential BPE, including the (max n, lexicographically
+    smallest pair) tie rule and left-to-right non-overlapping merges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from webarchive_discovery_ray.pipelines.textops import bpe_train
+
+    # crafted corpus with a pair-count TIE at step 1: "ab" and "ba"
+    # both occur 4 times inside abab x2; tie must pick ('a','b')
+    texts = ["abab abab", "cd cd", "abc"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    def seq_bpe(texts, n_merges):
+        wc = Counter()
+        for t in texts:
+            wc.update(t.split())
+        words = {tuple(w) + ("</w>",): n for w, n in wc.items()}
+        out = []
+        for step in range(1, n_merges + 1):
+            pairs = Counter()
+            for sym, n in words.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += n
+            if not pairs:
+                break
+            (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, l, r, n))
+            nw = {}
+            for sym, wn in words.items():
+                res, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(sym[i])
+                        i += 1
+                nw[tuple(res)] = nw.get(tuple(res), 0) + wn
+            words = nw
+        return out
+
+    want = seq_bpe(texts, 5)
+    got = (
+        bpe_train(str(tmp_path), n_merges=5)
+        .to_pandas()
+        .sort_values("step", ignore_index=True)
+    )
+    assert [
+        (int(r.step), r.left, r.right, int(r.n)) for r in got.itertuples()
+    ] == want
+    assert (want[0][1], want[0][2]) == ("a", "b"), "fixture must exercise the tie"

@@ -48,6 +48,7 @@ __all__ = [
     "pca_embeddings",
     "source_overlap",
     "curation_pipeline",
+    "dataset_split",
 ]
 
 
@@ -1103,3 +1104,48 @@ def curation_pipeline(sf_dir: str):
     return tagged.groupby("bucket").map_groups(
         anti_in_bucket, batch_format="pandas"
     )
+
+
+def dataset_split(
+    sf_dir: str,
+    pct_test: int = 10,
+    pct_val: int = 10,
+    salt: str = "split",
+):
+    """Deterministic hash-based train/val/test assignment — the standard
+    leakage-safe corpus split (content-keyed, so the same document lands
+    in the same split across runs, shards, and re-crawls; never
+    row-position-based, which reshuffles under repartitioning).
+
+    Rule: ``b = md5(doc_id ":" salt) first-8-bytes % 1000``; b < 10*pct_test
+    -> test, next 10*pct_val -> val, else train. Exact integer arithmetic,
+    mirrored verbatim by the SQL oracle's
+    ``('0x'||substr(md5(..),1,16))::UBIGINT % 1000``.
+
+    Scale shape: stateless vectorized map, zero shuffle, zero broadcast.
+    Columns: doc_id, bucket, split."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    lo_test = 10 * pct_test
+    lo_val = lo_test + 10 * pct_val
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        b = np.fromiter(
+            (
+                int.from_bytes(md5(f"{d}:{salt}".encode()).digest()[:8], "big")
+                % 1000
+                for d in df["doc_id"].to_numpy()
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        split = np.where(b < lo_test, "test", np.where(b < lo_val, "val", "train"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "bucket": b,
+                "split": pd.Series(split, dtype=str),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

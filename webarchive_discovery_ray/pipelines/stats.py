@@ -47,6 +47,7 @@ __all__ = [
     "hosts_report",
     "interleaved_pack",
     "span_quality_filter",
+    "span_transitions",
     "host_components",
 ]
 
@@ -1315,3 +1316,57 @@ def host_components(docs):
         mapping.map_batches(tag_host, batch_format="pandas")
     )
     return tagged.groupby("b").map_groups(attach, batch_format="pandas")
+
+
+def span_transitions(docs):
+    """Corpus-level Markov audit of the interleaving structure: counts of
+    adjacent ``kind -> kind`` transitions inside each document's span
+    sequence (text->media, media->text, text->text, ...) — the statistic
+    a multimodal curriculum/packing policy is tuned against (how bursty
+    are media runs? how long are text bridges?).
+
+    Vectorized and batch-local until one tiny exchange: per batch,
+    ``list_flatten`` + ``list_parent_indices`` give the flat kind array;
+    transitions are the positions where the parent index does not change
+    (pure numpy mask — no per-row Python); per-batch partial counts fold
+    through ONE bucketed grouped sum over at most |kinds|^2 distinct
+    keys. Columns: from_kind, to_kind, n. SQL-oracle-checked over the
+    materialized spans base (lead() window per physical row)."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        spans = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        if len(kinds) < 2:
+            return typed_empty(from_kind=str, to_kind=str, n="int64", bucket="int32")
+        same = parents[:-1] == parents[1:]
+        if not same.any():
+            return typed_empty(from_kind=str, to_kind=str, n="int64", bucket="int32")
+        pairs = pd.DataFrame(
+            {"from_kind": kinds[:-1][same], "to_kind": kinds[1:][same]}
+        )
+        vc = pairs.value_counts(["from_kind", "to_kind"]).reset_index(name="n")
+        vc["n"] = vc["n"].astype("int64")
+        vc["bucket"] = bucket_of(vc["from_kind"] + "\x00" + vc["to_kind"], n_b)
+        return vc
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(from_kind=str, to_kind=str, n="int64")
+        return (
+            df.groupby(["from_kind", "to_kind"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "cdc_chunks",
     "bm25_topk",
     "doc_length_histogram",
+    "bpe_train",
 ]
 
 
@@ -1067,3 +1068,129 @@ def doc_length_histogram(sf_dir: str, edges: tuple = HIST_BIN_EDGES):
             "n_docs": total,
         }
     )
+
+BPE_N_MERGES = 8
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Distributed BPE merge-rule training (Sennrich et al., ACL'16 —
+    the tokenizer-building step of an LLM data pipeline): learn the top
+    ``n_merges`` byte-pair merges over the corpus with the classic
+    word-frequency compression.
+
+    Shape: ONE corpus pass builds the (word, n) frequency table
+    (per-batch value_counts combiner + bucketed grouped sum — the table
+    is vocabulary-sized, orders of magnitude smaller than the corpus,
+    which is exactly why textbook BPE trains on word counts); the
+    iteration loop then runs entirely on that small table: each round is
+    a map_batches emitting weighted adjacent-symbol-pair partial counts,
+    a bucketed grouped sum, a bounded sort to pick the winner
+    (tie-break: highest n, then lexicographically smallest (left,
+    right)), and a map_batches applying the merge left-to-right
+    non-overlapping. The corpus is never touched again after pass 1.
+
+    Words are stored as space-joined symbol strings ending in the
+    ``</w>`` marker. Columns: step, left, right, n — deterministic, so
+    the oracle is a sequential recompute rendered as VALUES."""
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def word_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split().explode().dropna()
+        if ex.empty:
+            return typed_empty(word=str, n="int64", bucket="int32")
+        vc = ex.value_counts()
+        out = pd.DataFrame({"word": vc.index.astype(str), "n": vc.to_numpy().astype("int64")})
+        out["bucket"] = bucket_of(out["word"], n_b)
+        return out
+
+    def word_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(word=str, n="int64")
+        g = df.groupby("word", sort=False)["n"].sum().reset_index()
+        g["sym"] = [" ".join(list(w)) + " </w>" for w in g["word"]]
+        return g[["sym", "n"]]
+
+    words = (
+        ds.map_batches(word_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(word_fold, batch_format="pandas")
+    )
+    words = coalesce_blocks(words)
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for sym, n in zip(df["sym"], df["n"]):
+            parts = sym.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                c[(a, b)] += int(n)
+        if not c:
+            return typed_empty(left=str, right=str, n="int64", bucket="int32")
+        out = pd.DataFrame(
+            {
+                "left": [p[0] for p in c],
+                "right": [p[1] for p in c],
+                "n": list(c.values()),
+            }
+        )
+        out["n"] = out["n"].astype("int64")
+        out["bucket"] = bucket_of(out["left"] + "\x00" + out["right"], n_b)
+        return out
+
+    def pair_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(left=str, right=str, n="int64")
+        return df.groupby(["left", "right"], sort=False)["n"].sum().reset_index()
+
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            words.map_batches(pair_partials, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(pair_fold, batch_format="pandas")
+            .sort(["n", "left", "right"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        win = top[0]
+        left, right, n = win["left"], win["right"], int(win["n"])
+        merges.append({"step": step, "left": left, "right": right, "n": n})
+        bigram = f"{left} {right}"
+        merged = f"{left}{right}"
+
+        def apply_merge(df: pd.DataFrame, bigram=bigram, merged=merged) -> pd.DataFrame:
+            # left-to-right non-overlapping: split-scan per word (the
+            # word table is vocab-sized — this loop is NOT on the corpus)
+            out = []
+            for sym in df["sym"]:
+                parts = sym.split(" ")
+                res = []
+                i = 0
+                while i < len(parts):
+                    if (
+                        i + 1 < len(parts)
+                        and parts[i] == left
+                        and parts[i + 1] == right
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(parts[i])
+                        i += 1
+                out.append(" ".join(res))
+            return pd.DataFrame({"sym": pd.Series(out, dtype=str), "n": df["n"]})
+
+        words = coalesce_blocks(words.map_batches(apply_merge, batch_format="pandas"))
+
+    out = pd.DataFrame(
+        merges, columns=["step", "left", "right", "n"]
+    ).astype({"step": "int64", "n": "int64"})
+    import ray.data as rd
+
+    return rd.from_pandas(out)
