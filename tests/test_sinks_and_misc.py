@@ -931,3 +931,24 @@ def test_parquet_fallback_is_the_active_path():
     from webarchive_discovery_ray.sources.io import HAVE_LANCE
 
     assert HAVE_LANCE == (importlib.util.find_spec("lance") is not None)
+
+
+def test_chem_plugin_oscar4_surface_matches():
+    """Oscar4 analogue: distinct OSCAR4:MATCH: tags for formulae and
+    gazetteer compounds; real=True honestly gated."""
+    from webarchive_discovery_ray.stages.analysers import ChemTextAnalyser
+
+    a = ChemTextAnalyser()
+    doc = {}
+    a.analyse_text(
+        "Dissolve C6H12O6 in H2O with a drop of ethanol; avoid CO2.", doc
+    )
+    v = doc["plugin_fields"]["tika_metadata_list"]
+    assert "OSCAR4:MATCH:C6H12O6" in v
+    assert "OSCAR4:MATCH:H2O" in v
+    assert "OSCAR4:MATCH:ethanol" in v
+    assert "OSCAR4:MATCH:CO2" in v
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ChemTextAnalyser(real=True)

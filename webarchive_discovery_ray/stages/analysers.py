@@ -323,3 +323,57 @@ class RealPdfPayloadAdapter:
                 _set(doc, "pdf_pdfa_profile", f"{part}{(conf or '').lower()}")
         except Exception:
             _set(doc, "pdf_parse_error", "1")
+
+
+@text_analyser("chem")
+class ChemTextAnalyser:
+    """Oscar4TextAnalyser analogue (``warc-analysers-oscar4/.../
+    Oscar4TextAnalyser.java:61-82``): surface-form chemical named
+    entities as distinct ``OSCAR4:MATCH:<surface>`` tags (the reference
+    additionally resolves InChI structures through the OSCAR4 model —
+    that resolution layer is gated behind ``real=True`` until a
+    chemistry NER library exists here; the surface-match field surface
+    and the distinct-set semantics are preserved).
+
+    Deterministic proxy recognizer: molecular-formula tokens (element
+    symbols + counts, >= 2 atoms, e.g. ``H2O``, ``C6H12O6``) and a small
+    common-compound gazetteer."""
+
+    _COMPOUNDS = frozenset(
+        (
+            "acetone", "ammonia", "benzene", "caffeine", "ethanol",
+            "glucose", "methane", "methanol", "ozone", "propane",
+            "sucrose", "toluene",
+        )
+    )
+
+    def __init__(self, real: bool = False):
+        import re
+
+        if real:  # pragma: no cover - no chemistry NER library here
+            raise NotImplementedError(
+                "InChI resolution needs a chemistry NER library (OSCAR4 "
+                "equivalent); the proxy emits surface matches only"
+            )
+        # two-plus element-count groups starting uppercase (H2O, CO2,
+        # C6H12O6) — single bare element symbols are NOT matched (too
+        # many false positives on ordinary capitalised words)
+        self._formula_re = re.compile(r"\b(?:[A-Z][a-z]?\d*){2,}\b")
+
+    def analyse_text(self, text: str, doc: dict) -> None:
+        ents: set[str] = set()
+        for m in self._formula_re.finditer(text):
+            tok = m.group(0)
+            # require at least one digit to avoid matching ordinary
+            # CamelCase acronyms (NaCl is admitted via the digit-free
+            # two-element form only when both halves are element-cased)
+            if any(c.isdigit() for c in tok) or (
+                len(tok) <= 6 and tok[0].isupper() and any(c.islower() for c in tok)
+            ):
+                ents.add(f"OSCAR4:MATCH:{tok}")
+        low = text.lower()
+        for name in self._COMPOUNDS:
+            if name in low:
+                ents.add(f"OSCAR4:MATCH:{name}")
+        if ents:
+            _set(doc, "tika_metadata_list", "; ".join(sorted(ents)))
