@@ -1343,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tfidf_top_terms,
         token_stats,
         bpe_train,
+        word_embeddings,
     )
     from webarchive_discovery_ray.pipelines.sketches import (
         bloom_semi_join,
@@ -1422,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": source_overlap,
         "dataset_split": dataset_split,
         "bpe_train": bpe_train,
+        "word_embeddings": word_embeddings,
         "span_transitions": _span_transitions,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,

@@ -936,3 +936,61 @@ def test_bpe_train_matches_sequential_and_tiebreak(ray_session, tmp_path):
         (int(r.step), r.left, r.right, int(r.n)) for r in got.itertuples()
     ] == want
     assert (want[0][1], want[0][2]) == ("a", "b"), "fixture must exercise the tie"
+
+
+def test_word_embeddings_matches_sequential_ppmi_svd(ray_session):
+    """Distributed co-occurrence + driver PPMI/SVD == a fully sequential
+    numpy reference with the same vocabulary/tie/sign rules."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import word_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    vocab_k, window, dim = 32, 2, 6
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.split())
+    terms = [
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]
+    ]
+    vid = {t: i for i, t in enumerate(terms)}
+    V = len(terms)
+    C = np.zeros((V, V))
+    for t in texts:
+        ids = [vid.get(w, -1) for w in t.split()]
+        for i, a in enumerate(ids):
+            if a < 0:
+                continue
+            for off in range(1, window + 1):
+                if i + off < len(ids) and ids[i + off] >= 0:
+                    C[a, ids[i + off]] += 1
+                    C[ids[i + off], a] += 1
+    total = C.sum()
+    row = C.sum(axis=1, keepdims=True)
+    col = C.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((C * total) / (row @ col))
+    ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    u, s, _ = np.linalg.svd(ppmi, full_matrices=False)
+    want = u[:, :dim] * np.sqrt(s[:dim])
+    for j in range(want.shape[1]):
+        if want[np.argmax(np.abs(want[:, j])), j] < 0:
+            want[:, j] = -want[:, j]
+
+    got = (
+        word_embeddings(sf, vocab_k=vocab_k, window=window, dim=dim)
+        .to_pandas()
+        .set_index("term")
+        .loc[terms]
+    )
+    gm = got[[f"e{j}" for j in range(dim)]].to_numpy()
+    np.testing.assert_allclose(gm, want, atol=1e-7)
+    # embeddings are non-degenerate: co-occurring terms correlate
+    norms = np.linalg.norm(gm, axis=1)
+    assert (norms > 0).sum() > V // 2

@@ -39,6 +39,7 @@ __all__ = [
     "bm25_topk",
     "doc_length_histogram",
     "bpe_train",
+    "word_embeddings",
 ]
 
 
@@ -184,11 +185,11 @@ def language_id(sf_dir: str):
         .map_batches(bucketed, batch_format="pandas")
         .groupby("bucket")
         .map_groups(sum_topk_in_bucket, batch_format="pandas")
-        .take_all()
+        .to_pandas()  # frame pull: take_all() on pandas blocks is ~0.7 ms/row
     )
     by_lang: dict[str, list] = {}
-    for r in token_totals:
-        by_lang.setdefault(r["lang"], []).append((r["token"], r["n"]))
+    for r in token_totals.itertuples():
+        by_lang.setdefault(r.lang, []).append((r.token, r.n))
     top_profiles = {
         lang: dict(
             sorted(toks, key=lambda kv: (-kv[1], kv[0]))[:_PROFILE_TOP_K]
@@ -533,11 +534,12 @@ def vocab_coverage(sf_dir: str, k: int = _VOCAB_K):
         ds.map_batches(partial_counts, batch_format="pandas")
         .groupby("bucket")
         .map_groups(topk_mass_in_bucket, batch_format="pandas")
-        .take_all()
+        .to_pandas()  # frame pull: take_all() on pandas blocks is ~0.7 ms/row
     )
-    total = sum(int(r["n"]) for r in rows if r["token"] == "")
+    total = int(rows.loc[rows["token"] == "", "n"].sum())
+    cand_df = rows[rows["token"] != ""]
     cand = sorted(
-        ((r["token"], int(r["n"])) for r in rows if r["token"] != ""),
+        ((t, int(n)) for t, n in zip(cand_df["token"], cand_df["n"])),
         key=lambda t: (-t[1], t[0]),
     )[:k]
     n_arr = np.asarray([c[1] for c in cand], dtype=np.int64)
@@ -1194,3 +1196,132 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_N_MERGES):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def word_embeddings(
+    sf_dir: str, vocab_k: int = 64, window: int = 2, dim: int = 8
+):
+    """Count-based word embeddings — the engine's analogue of the
+    reference's word2vec trainer (``warc-nlp/.../WordvecProcessor.java``,
+    deeplearning4j-bound and out-of-tree there): the classic
+    PPMI + truncated-SVD construction (Levy & Goldberg, NIPS'14 — count
+    factorization approximates SGNS), which is exactly the shape a
+    distributed engine wants: the CORPUS work is one streaming
+    co-occurrence-count pass; the factorization runs on the tiny
+    vocab_k x vocab_k matrix.
+
+    Phases: (1) top-``vocab_k`` vocabulary by corpus count (bucketed
+    per-bucket top-k fold, ties token-asc — same discipline as
+    vocab_coverage); (2) broadcast the term->id map; one corpus pass
+    emits per-batch symmetric co-occurrence partials within ``window``
+    (vectorized: id-mapped token array, one shifted-pair bincount per
+    offset, doc boundaries masked); partials fold by ONE grouped sum
+    bounded by vocab_k^2 rows. (3) driver: PPMI, SVD, embed =
+    U * sqrt(S), per-component deterministic sign (largest-|coord|
+    positive). Columns: term, then e0..e{dim-1}. Float eigenvectors ->
+    no SQL oracle; pinned by a sequential numpy parity test."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split().explode().dropna()
+        if ex.empty:
+            return typed_empty(token=str, n="int64", bucket="int32")
+        vc = ex.value_counts()
+        out = pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+        out["bucket"] = bucket_of(out["token"], n_b)
+        return out
+
+    def top_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(token=str, n="int64")
+        g = df.groupby("token", sort=False)["n"].sum().reset_index()
+        return g.sort_values(["n", "token"], ascending=[False, True]).head(vocab_k)
+
+    vocab_df = (
+        ds.map_batches(count_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(top_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(vocab_k)
+        .reset_index(drop=True)
+    )
+    terms = vocab_df["token"].tolist()
+    vid = {t: i for i, t in enumerate(terms)}
+    V = len(terms)
+    vid_ref = ray.put(vid)
+
+    def cooc_partials(df: pd.DataFrame) -> pd.DataFrame:
+        vmap = get_broadcast(vid_ref)
+        nv = len(vmap)
+        acc = np.zeros(nv * nv, dtype=np.int64)
+        toks = df["text"].str.split().reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return typed_empty(key="int64", n="int64")
+        doc = ex.index.to_numpy(dtype=np.int64)
+        ids = np.fromiter(
+            (vmap.get(t, -1) for t in ex.to_numpy()),
+            dtype=np.int64,
+            count=len(ex),
+        )
+        for off in range(1, window + 1):
+            if len(ids) <= off:
+                break
+            a, b = ids[:-off], ids[off:]
+            ok = (doc[:-off] == doc[off:]) & (a >= 0) & (b >= 0)
+            if not ok.any():
+                continue
+            aa, bb = a[ok], b[ok]
+            np.add.at(acc, aa * nv + bb, 1)  # symmetric: both directions
+            np.add.at(acc, bb * nv + aa, 1)
+        keys = np.flatnonzero(acc)
+        return pd.DataFrame(
+            {"key": keys.astype("int64"), "n": acc[keys].astype("int64")}
+        )
+
+    # driver-side fold of BOUNDED combiner output: every partial is at
+    # most nnz(V^2) rows independent of corpus size (same convention as
+    # the k-means / PCA moment folds) — a Ray groupby here would shuffle
+    # kilobytes and pay seconds of scheduling
+    # driver-side fold of BOUNDED combiner output (<= nnz(V^2) rows per
+    # block regardless of corpus size). NOTE: to_pandas(), NOT take_all()
+    # — row-dict conversion of pandas blocks measured 20 s for 28k rows
+    # vs 0.3 s for the frame pull (same data, same session)
+    C = np.zeros((V, V), dtype=np.float64)
+    parts = ds.map_batches(cooc_partials, batch_format="pandas").to_pandas()
+    if len(parts):
+        k_arr = parts["key"].to_numpy(dtype=np.int64)
+        n_arr = parts["n"].to_numpy(dtype=np.int64)
+        np.add.at(C, (k_arr // V, k_arr % V), n_arr)
+    total = C.sum()
+    if total == 0:
+        cols = {"term": pa.array(terms, pa.string())}
+        for j in range(dim):
+            cols[f"e{j}"] = pa.array(np.zeros(V), pa.float64())
+        return rd.from_arrow(pa.table(cols))
+    row = C.sum(axis=1, keepdims=True)
+    col = C.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((C * total) / (row @ col))
+    ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    u, s, _ = np.linalg.svd(ppmi, full_matrices=False)
+    d_eff = min(dim, V)
+    emb = u[:, :d_eff] * np.sqrt(s[:d_eff])
+    for j in range(emb.shape[1]):  # deterministic sign
+        if emb[np.argmax(np.abs(emb[:, j])), j] < 0:
+            emb[:, j] = -emb[:, j]
+    cols = {"term": pa.array(terms, pa.string())}
+    for j in range(dim):
+        vals = emb[:, j] if j < d_eff else np.zeros(V)
+        cols[f"e{j}"] = pa.array(vals, pa.float64())
+    return rd.from_arrow(pa.table(cols))
