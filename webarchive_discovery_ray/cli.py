@@ -205,6 +205,22 @@ def _cmd_compact(args: argparse.Namespace) -> dict:
     return {"cmd": "compact", "output": args.output, **res}
 
 
+def _cmd_split(args: argparse.Namespace) -> dict:
+    from .pipelines.curation import dataset_split
+
+    ds = dataset_split(args.sf_dir, pct_test=args.pct_test, pct_val=args.pct_val)
+    ds.write_parquet(args.output)
+    return {"cmd": "split", "output": args.output}
+
+
+def _cmd_bpe(args: argparse.Namespace) -> dict:
+    from .pipelines.textops import bpe_train
+
+    df = bpe_train(args.sf_dir, n_merges=args.merges).to_pandas()
+    df.to_json(args.output, orient="records", lines=True)
+    return {"cmd": "bpe", "output": args.output, "merges": len(df)}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="webarchive_discovery_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -271,6 +287,23 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("output")
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=_cmd_compact)
+
+    sp = sub.add_parser(
+        "split", help="documents table -> deterministic train/val/test split"
+    )
+    sp.add_argument("sf_dir")
+    sp.add_argument("output")
+    sp.add_argument("--pct-test", type=int, default=10)
+    sp.add_argument("--pct-val", type=int, default=10)
+    sp.set_defaults(fn=_cmd_split)
+
+    bp = sub.add_parser(
+        "bpe", help="documents table -> learned BPE merge rules (jsonl)"
+    )
+    bp.add_argument("sf_dir")
+    bp.add_argument("output")
+    bp.add_argument("--merges", type=int, default=8)
+    bp.set_defaults(fn=_cmd_bpe)
 
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)
