@@ -88,8 +88,23 @@ def write_wave_checkpoint(
         wave_fetch_log.cast(FETCHLOG_SCHEMA),
         os.path.join(tmp, "fetchlog.parquet"),
     )
+    # store the 64-bit shard-routing hash beside each key: resume-time
+    # shard filtering becomes one vectorized modulo instead of a per-key
+    # sha1 in every shard actor (n_shards x the hashing otherwise)
+    from ..functions.hashing import stable_hash64
+    from .seen import _SHARD_SEED
+
+    delta_sorted = sorted(seen_delta)
     pq.write_table(
-        pa.table({"surt": pa.array(sorted(seen_delta), type=pa.string())}),
+        pa.table(
+            {
+                "surt": pa.array(delta_sorted, type=pa.string()),
+                "h64": pa.array(
+                    [stable_hash64(k, _SHARD_SEED) for k in delta_sorted],
+                    type=pa.uint64(),
+                ),
+            }
+        ),
         os.path.join(tmp, "seen_delta.parquet"),
     )
     with open(os.path.join(tmp, "robots.json"), "w") as f:

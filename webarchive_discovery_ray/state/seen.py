@@ -634,8 +634,15 @@ class SeenSet:
         self._bloom = None
         total = 0
         for p in paths:
-            keys = pq.read_table(p, columns=["surt"])["surt"].to_pylist()
-            mine = [k for k in keys if shard_of(k, n_shards) == shard_id]
+            t = pq.read_table(p)
+            keys = t["surt"].to_pylist()
+            if "h64" in t.schema.names:
+                # vectorized routing off the stored hash (no per-key sha1)
+                h = t["h64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                mask = (h % np.uint64(n_shards)).astype(np.int64) == shard_id
+                mine = [k for k, m in zip(keys, mask) if m]
+            else:  # legacy checkpoints without the hash column
+                mine = [k for k in keys if shard_of(k, n_shards) == shard_id]
             if not mine:
                 continue
             self._exact.update(mine)
