@@ -263,6 +263,20 @@ def _media_dedup(sf_dir: str):
     return media_dedup(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _media_burst_lengths(sf_dir: str):
+    """Consecutive-media run-length distribution over the SAME
+    materialized interleaved spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import media_burst_lengths
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return media_burst_lengths(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _span_transitions(sf_dir: str):
     """Corpus-level kind->kind transition counts over the SAME
     materialized interleaved spans base."""
@@ -520,6 +534,59 @@ def _bpe_oracle_values_sql(sf_dir: str | None = None) -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ') AS t(step, "left", "right", n)'
+    )
+
+
+def _pq_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential recompute of pq_cosine_topk's deterministic output
+    (same codebook-training rule on the bounded slice, whole-corpus
+    encode + ADC scoring in one numpy pass) as VALUES(query_vec_id,
+    vec_id, rank)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.similarity import (
+        _pq_train_codebooks,
+        _query_matrix,
+    )
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    k, n_queries, m, ks, train_max_id, n_iter = 5, 8, 4, 16, 256, 5
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    nn = np.linalg.norm(mat, axis=1)
+    nn[nn == 0] = 1.0
+    mat = mat / nn[:, None]
+    order0 = np.argsort(ids, kind="stable")
+    train = mat[order0][ids[order0] < train_max_id]
+    books = _pq_train_codebooks(train, m, ks, n_iter)
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    sub = mat.shape[1] // m
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * x @ books[s].T
+            + (books[s] * books[s]).sum(axis=1)
+        )
+        codes[:, s] = d2.argmin(axis=1)
+    rows = []
+    for qi, qid in enumerate(qids):
+        lut = np.einsum("mkd,md->mk", books, qmat[qi].reshape(m, sub))
+        score = np.round(lut[np.arange(m)[None, :], codes].sum(axis=1), 6)
+        order = np.lexsort((ids, -score))[: min(k, len(ids))]
+        for rank, i in enumerate(order, 1):
+            rows.append(f"({int(qid)}, {int(ids[i])}, {rank}::BIGINT)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(query_vec_id, vec_id, rank)"
     )
 
 
@@ -1310,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_hard_negatives,
         ivf_cosine_topk,
         lsh_cosine_topk,
+        pq_cosine_topk,
         sq8_cosine_topk,
         sq8_quantize,
     )
@@ -1425,6 +1493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": bpe_train,
         "word_embeddings": word_embeddings,
         "span_transitions": _span_transitions,
+        "media_burst_lengths": _media_burst_lengths,
+        "pq_cosine_topk": pq_cosine_topk,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
         "host_components": _host_components,
@@ -3033,6 +3103,31 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE to_kind IS NOT NULL
             GROUP BY 1, 2
         """,
+        # consecutive-media run lengths: row_number-difference islands
+        # per physical row over the spans base
+        "media_burst_lengths": f"""
+            WITH b AS (
+                SELECT filename AS f, file_row_number AS r, spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet',
+                                  file_row_number=true, filename=true)
+            ),
+            s AS (
+                SELECT f, r, i, (spans[i].kind <> 'text') AS is_m
+                FROM b, unnest(generate_series(1, len(spans))) AS u(i)
+            ),
+            g AS (
+                SELECT f, r, i, is_m,
+                       row_number() OVER (PARTITION BY f, r ORDER BY i)
+                       - row_number() OVER (PARTITION BY f, r, is_m
+                                            ORDER BY i) AS grp
+                FROM s
+            ),
+            runs AS (
+                SELECT count(*)::BIGINT AS run_len
+                FROM g WHERE is_m GROUP BY f, r, grp
+            )
+            SELECT run_len, count(*)::BIGINT AS n FROM runs GROUP BY 1
+        """,
         # top-k vocabulary by corpus token count with exact running
         # coverage of total token mass (ties break token asc)
         "vocab_coverage": f"""
@@ -3649,6 +3744,10 @@ def oracle_sql() -> dict[str, str]:
     # tie-break); the sequential whole-corpus Counter recompute renders
     # the expected 8 merge rules as VALUES
     out["bpe_train"] = _bpe_oracle_values_sql()
+
+    # pq_cosine_topk: deterministic (fixed codebook init, 6-dp rounding,
+    # total-order tie-break) -> sequential ADC recompute as VALUES
+    out["pq_cosine_topk"] = _pq_cosine_oracle_values_sql()
 
     # zlib byte counts come from a one-shot driver-side zlib pass rendered
     # as VALUES; n_raw, the ratio division and the integer keep band are

@@ -19,7 +19,7 @@ from ..sources.io import read_table
 
 __all__ = ["ann_cosine_topk",
     "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
-    "sq8_quantize", "sq8_cosine_topk"]
+    "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -488,6 +488,130 @@ def lsh_cosine_topk(
             {
                 "query_vec_id": df["query_vec_id"],
                 "vec_id": df["vec_id"],
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+def _pq_train_codebooks(
+    train: np.ndarray, m: int, ks: int, n_iter: int
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means with deterministic init (first ``ks``
+    training subvectors) — (m, ks, d/m) codebooks. The training slice is
+    bounded, so this runs driver-side in milliseconds; at corpus scale
+    the train sample stays a fixed-size slice exactly like SQ8's
+    parameter reduce."""
+    d = train.shape[1]
+    sub = d // m
+    books = np.empty((m, ks, sub), dtype=np.float64)
+    for s in range(m):
+        x = train[:, s * sub : (s + 1) * sub]
+        c = x[:ks].copy()
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(ks):
+                pts = x[a == j]
+                if len(pts):
+                    c[j] = pts.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def pq_cosine_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    m: int = 4,
+    ks: int = 16,
+    train_max_id: int = 256,
+    n_iter: int = 5,
+):
+    """Product-quantized approximate cosine top-k (Jégou et al., TPAMI'11)
+    — the third quantized scale path beside SQ8 (scalar) and IVF
+    (coarse-bucketed): vectors are L2-normalized, each of ``m`` subspaces
+    encodes to one of ``ks`` codebook centroids (here 4x16 = one byte of
+    code per 16 floats), and query scoring is ADC — per query, one
+    (m, ks) lookup table of subspace dot products; a candidate's score is
+    m table lookups + a sum, never a full-dimension dot product.
+
+    Scale shape: codebooks train on the bounded ``vec_id < train_max_id``
+    slice (filter pushed into the read, driver-side Lloyd's on the tiny
+    sample); (codebooks, queries) broadcast once; per-batch encode +
+    LUT-score + partial top-k keeps the exchange at queries x k rows per
+    block. Deterministic (fixed init, 6-dp rounding, (score desc, vec_id
+    asc) order) -> the exact output is VALUES-oracled via a sequential
+    recompute. Columns: query_vec_id, vec_id, rank."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    train_rows = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {train_max_id}")
+        .take_all()
+    )
+    train_rows.sort(key=lambda r: r["vec_id"])
+    train = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in train_rows]
+    )
+    norms = np.linalg.norm(train, axis=1)
+    norms[norms == 0] = 1.0
+    train = train / norms[:, None]
+    books = _pq_train_codebooks(train, m, ks, n_iter)
+    ref = ray.put((qids, qmat, books))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        bqids, bqmat, bbooks = get_broadcast(ref)
+        mm, kks, sub = bbooks.shape
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        nn = np.linalg.norm(mat, axis=1)
+        nn[nn == 0] = 1.0
+        mat = mat / nn[:, None]
+        # encode: per subspace argmin ||x_s - c||^2
+        codes = np.empty((len(ids), mm), dtype=np.int64)
+        for s in range(mm):
+            x = mat[:, s * sub : (s + 1) * sub]
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * x @ bbooks[s].T
+                + (bbooks[s] * bbooks[s]).sum(axis=1)
+            )
+            codes[:, s] = d2.argmin(axis=1)
+        out = []
+        for qi, qid in enumerate(bqids):
+            # ADC lookup tables: (m, ks) of q_s . c
+            lut = np.einsum("mkd,md->mk", bbooks, bqmat[qi].reshape(mm, sub))
+            score = np.round(lut[np.arange(mm)[None, :], codes].sum(axis=1), 6)
+            order = np.lexsort((ids, -score))[: min(k, len(ids))]
+            for i in order:
+                out.append(
+                    {
+                        "query_vec_id": int(qid),
+                        "vec_id": int(ids[i]),
+                        "score": float(score[i]),
+                    }
+                )
+        return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "score"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_vec_id": df["query_vec_id"].astype("int64"),
+                "vec_id": df["vec_id"].astype("int64"),
                 "rank": np.arange(1, len(df) + 1, dtype=np.int64),
             }
         )

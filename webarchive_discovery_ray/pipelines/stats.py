@@ -48,6 +48,7 @@ __all__ = [
     "interleaved_pack",
     "span_quality_filter",
     "span_transitions",
+    "media_burst_lengths",
     "host_components",
 ]
 
@@ -1364,6 +1365,59 @@ def span_transitions(docs):
             .sum()
             .reset_index()
         )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def media_burst_lengths(docs):
+    """Distribution of consecutive-media run lengths across the corpus —
+    the burstiness statistic that sizes an interleaved pipeline's media
+    decode batches (a corpus of isolated images packs differently from
+    one with 10-image galleries). A run is a maximal stretch of adjacent
+    non-text spans within one document.
+
+    Vectorized gaps-and-islands: flat kinds + parent indices; run breaks
+    where the parent or the is-media flag changes; one bincount over the
+    media runs' lengths per batch; ONE bucketed grouped sum over at most
+    max_run_len keys. Columns: run_len, n. SQL-oracle-checked
+    (row_number-difference islands over the spans base)."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        spans = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        if not len(kinds):
+            return typed_empty(run_len="int64", n="int64", bucket="int32")
+        is_m = kinds != "text"
+        breaks = np.ones(len(kinds), dtype=bool)
+        breaks[1:] = (parents[1:] != parents[:-1]) | (is_m[1:] != is_m[:-1])
+        run_id = np.cumsum(breaks) - 1
+        run_lens = np.bincount(run_id)
+        run_is_media = is_m[breaks]
+        media_lens = run_lens[run_is_media]
+        if not len(media_lens):
+            return typed_empty(run_len="int64", n="int64", bucket="int32")
+        vals, counts = np.unique(media_lens, return_counts=True)
+        out = pd.DataFrame(
+            {"run_len": vals.astype("int64"), "n": counts.astype("int64")}
+        )
+        out["bucket"] = bucket_of(out["run_len"].astype(str), n_b)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(run_len="int64", n="int64")
+        return df.groupby("run_len", sort=False)["n"].sum().reset_index()
 
     return (
         docs.map_batches(partials, batch_format="pyarrow")
