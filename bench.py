@@ -276,6 +276,28 @@ def bench_paragraph_dedup(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": dt, "rows": n}
 
 
+def bench_bpe_train(sf_dir: str, num_cpus: int) -> dict:
+    """Distributed BPE merge training (8 rounds of pair-count folds over
+    the compressed word table)."""
+    from webarchive_discovery_ray.pipelines.textops import bpe_train
+
+    t0 = time.time()
+    n = bpe_train(sf_dir).count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n}
+
+
+def bench_pq_ann(sf_dir: str, num_cpus: int) -> dict:
+    """PQ-ADC approximate cosine top-k (codebook train + encode + LUT
+    partial top-k)."""
+    from webarchive_discovery_ray.pipelines.similarity import pq_cosine_topk
+
+    t0 = time.time()
+    n = pq_cosine_topk(sf_dir).count()
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n}
+
+
 BENCHES = {
     "extract": bench_extract,
     "crawl": bench_crawl,
@@ -289,6 +311,8 @@ BENCHES = {
     "exact_substring": bench_exact_substring,
     "ngram_jaccard": bench_ngram_jaccard,
     "paragraph_dedup": bench_paragraph_dedup,
+    "bpe_train": bench_bpe_train,
+    "pq_ann": bench_pq_ann,
 }
 
 # scaling uses the wide-wave crawl regime (see bench_crawl docstring)
