@@ -61,7 +61,11 @@ class CrawlConfig:
       lexicographically by canonical URL before enqueue (pinned ordering,
       SURVEY.md §7.0);
     * hop limit on link depth; robots.txt disallow prefixes apply to hosts
-      from the wave after the robots fetch.
+      from the wave after the robots fetch;
+    * robots ``Crawl-delay: d`` (d > 1) shrinks that host's per-wave
+      budget to ``max(1, politeness_budget // d)`` (the token bucket
+      refills d-times slower), same effective-from-next-wave timing as
+      the Disallow prefixes (state/robots.effective_budget).
     """
 
     politeness_budget: int = 4  # fetch tokens per host per wave
@@ -109,5 +113,8 @@ class SyntheticConfig:
     max_fanout: int = 8
     media_ratio: float = 0.25  # fraction of URLs that are media objects
     robots_disallow_ratio: float = 0.5  # hosts with a /private/ disallow
+    # fraction of hosts whose robots.txt serves a Crawl-delay line
+    # (default 0.0: every pre-existing fixture stays byte-identical)
+    robots_crawl_delay_ratio: float = 0.0
     pages_per_host: int = 400  # URL id space per host
     uk_host_ratio: float = 0.3

@@ -38,7 +38,12 @@ from ..functions.suffix import MALFORMED_HOST, extract_host
 from ..functions.surt import surt_key
 from ..functions.urls import url_path
 from ..sources.synthetic import page_for_url
-from ..state.robots import is_disallowed, parse_robots, robots_url_for_host
+from ..state.robots import (
+    effective_budget,
+    is_disallowed,
+    parse_robots,
+    robots_url_for_host,
+)
 from .extract_oracle import oracle_extract_record
 
 __all__ = ["oracle_crawl", "crawl_index_config", "OracleCrawlResult"]
@@ -138,12 +143,13 @@ def oracle_crawl(
         for host in sorted(by_host):
             queue = sorted(by_host[host], key=lambda e: (e.priority, e.seq))
             rules = robots_rules.get(host, [])
+            host_budget = effective_budget(ccfg.politeness_budget, rules)
             slot = 0
             for e in queue:
                 if e.priority != -1 and rules and is_disallowed(url_path(e.url), rules):
                     dropped += 1
                     continue
-                if slot < ccfg.politeness_budget:
+                if slot < host_budget:
                     selected.append((host, slot, e))
                     slot += 1
                 else:

@@ -75,7 +75,12 @@ from ..state.checkpoint import (
     load_wave_checkpoint,
     write_wave_checkpoint,
 )
-from ..state.robots import is_disallowed, parse_robots, robots_url_for_host
+from ..state.robots import (
+    effective_budget,
+    is_disallowed,
+    parse_robots,
+    robots_url_for_host,
+)
 from ..state.seen import SeenShardPool, shard_of
 from ..stages.extract import extract_record
 
@@ -292,12 +297,27 @@ def _make_drain_fn(budget: int, rules_ref):
         df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
         df = _robots_drop(df, robots_rules)
         slots = df.groupby("host", sort=False).cumcount().to_numpy()
+        budgets = _host_budgets(df["host"], budget, robots_rules)
         return df.assign(
-            slot=np.where(slots < budget, slots, -1).astype("int32"),
-            selected=slots < budget,
+            slot=np.where(slots < budgets, slots, -1).astype("int32"),
+            selected=slots < budgets,
         )
 
     return drain
+
+
+def _host_budgets(hosts: pd.Series, budget: int, robots_rules: dict) -> np.ndarray:
+    """Per-row effective politeness budget (Crawl-delay rule, pinned in
+    state/robots.effective_budget) — computed once per UNIQUE host in the
+    block, then broadcast to rows."""
+    if not robots_rules:
+        return np.full(len(hosts), budget, dtype=np.int64)
+    uniq = hosts.unique()
+    m = {
+        h: effective_budget(budget, robots_rules.get(h))
+        for h in uniq
+    }
+    return hosts.map(m).to_numpy(dtype=np.int64)
 
 
 def _partition_by_host(tbl: pa.Table, n_parts: int) -> list[pa.Table]:
@@ -574,7 +594,7 @@ def _pre_drain(tbl: pa.Table, budget: int, rules_boxed):
     df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
     df = _robots_drop(df, robots_rules)
     ranks = df.groupby("host", sort=False).cumcount().to_numpy()
-    survive = ranks < budget
+    survive = ranks < _host_budgets(df["host"], budget, robots_rules)
     cols = ["url", "surt", "host", "priority", "hop", "seq", "part"]
     sv = pa.Table.from_pandas(df.loc[survive, cols], preserve_index=False)
     cr = pa.Table.from_pandas(df.loc[~survive, cols], preserve_index=False)

@@ -153,6 +153,18 @@ def robots_disallows(host: str, cfg: SyntheticConfig) -> list[str]:
     return []
 
 
+def robots_crawl_delay(host: str, cfg: SyntheticConfig) -> int | None:
+    """Crawl-delay served by http://host/robots.txt (None = no line).
+    Opt-in via ``robots_crawl_delay_ratio`` (default 0.0 keeps every
+    pre-existing fixture byte-identical)."""
+    if cfg.robots_crawl_delay_ratio <= 0.0:
+        return None
+    h = stable_hash64(f"cdelay:{host}", cfg.seed)
+    if (h % 100) / 100.0 < cfg.robots_crawl_delay_ratio:
+        return 2 + h % 3  # 2..4 seconds
+    return None
+
+
 def _html_payload(url: str, cfg: SyntheticConfig) -> bytes:
     h = stable_hash64(f"page:{url}", cfg.seed)
     host = _host_of(url)
@@ -221,6 +233,8 @@ def page_for_url(url: str, cfg: SyntheticConfig) -> dict:
     is_robots = url.endswith("/robots.txt")
     if is_robots:
         lines = ["User-agent: *"] + [f"Disallow: {p}" for p in robots_disallows(_host_of(url), cfg)]
+        if (cd := robots_crawl_delay(_host_of(url), cfg)) is not None:
+            lines.append(f"Crawl-delay: {cd}")
         payload, mime = ("\n".join(lines) + "\n").encode("ascii"), "text/plain"
         status = 200
     elif _is_media(url):

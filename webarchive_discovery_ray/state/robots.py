@@ -13,7 +13,21 @@ appears; its Disallow prefixes take effect for drains in *later* waves.
 
 from __future__ import annotations
 
-__all__ = ["parse_robots", "is_disallowed", "robots_url_for_host"]
+__all__ = [
+    "parse_robots",
+    "is_disallowed",
+    "robots_url_for_host",
+    "crawl_delay_of",
+    "effective_budget",
+    "CRAWL_DELAY_PREFIX",
+]
+
+# Crawl-delay rides the same rules list as the Disallow prefixes (one
+# sentinel entry) so every existing transport — checkpoint robots.json,
+# the broadcast rules dict, the oracle's dict — carries it unchanged.
+# The sentinel can never collide with a Disallow prefix match: URL paths
+# always start with "/".
+CRAWL_DELAY_PREFIX = "crawl-delay:"
 
 
 def robots_url_for_host(host: str) -> str:
@@ -21,12 +35,16 @@ def robots_url_for_host(host: str) -> str:
 
 
 def parse_robots(text: str) -> list[str]:
-    """Disallow prefixes from the ``User-agent: *`` group(s).
+    """Disallow prefixes + optional Crawl-delay from the
+    ``User-agent: *`` group(s).
 
     Minimal deterministic subset of the robots exclusion protocol: groups
     start at ``User-agent:`` lines; only ``*`` groups contribute; empty
-    ``Disallow:`` means allow-all and contributes nothing."""
+    ``Disallow:`` means allow-all and contributes nothing; the FIRST
+    integer ``Crawl-delay:`` in a ``*`` group is recorded as the
+    ``crawl-delay:N`` sentinel entry."""
     disallows: list[str] = []
+    delay: int | None = None
     applies = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -39,7 +57,36 @@ def parse_robots(text: str) -> list[str]:
             applies = value == "*"
         elif field == "disallow" and applies and value:
             disallows.append(value)
+        elif field == "crawl-delay" and applies and delay is None and value.isdigit():
+            delay = int(value)
+    if delay is not None:
+        disallows.append(f"{CRAWL_DELAY_PREFIX}{delay}")
     return disallows
+
+
+def crawl_delay_of(rules: list[str]) -> int | None:
+    """The Crawl-delay sentinel carried in a host's rules list, if any."""
+    for r in rules:
+        if r.startswith(CRAWL_DELAY_PREFIX):
+            try:
+                return int(r[len(CRAWL_DELAY_PREFIX):])
+            except ValueError:
+                return None
+    return None
+
+
+def effective_budget(budget: int, rules: list[str] | None) -> int:
+    """Pinned politeness rule shared by the Ray drain and the sequential
+    oracle: a host with ``Crawl-delay: d`` (d > 1) refills its per-wave
+    token bucket ``d``-times slower — effective budget
+    ``max(1, budget // d)``. Takes effect from the wave after the robots
+    fetch, exactly like the Disallow prefixes."""
+    if not rules:
+        return budget
+    d = crawl_delay_of(rules)
+    if d is None or d <= 1:
+        return budget
+    return max(1, budget // d)
 
 
 def is_disallowed(url_path: str, disallow_prefixes: list[str]) -> bool:
