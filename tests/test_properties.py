@@ -1035,3 +1035,41 @@ def test_pq_cosine_topk_recall_vs_exact(ray_session):
     got8 = pq_cosine_topk(sf, m=8).to_pandas()
     r8 = recall_of(got8)
     assert r8 > r4, f"recall m=8 {r8:.2f} <= m=4 {r4:.2f}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=120), min_size=0, max_size=25
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=4, max_value=20),
+)
+def test_seen_spill_fuzz_matches_model_set(batches, threshold):
+    """Property: a SeenSet with ANY spill threshold behaves exactly like
+    a plain Python set under arbitrary add_if_new/contains sequences —
+    masks, membership, snapshot, and len all agree."""
+    import tempfile
+
+    from webarchive_discovery_ray.state.seen import SeenSet
+
+    ss = SeenSet(spill_dir=tempfile.mkdtemp(), spill_threshold=threshold)
+    model: set[str] = set()
+    for chunk in batches:
+        keys = [f"com,h{i % 7})/p{i}" for i in chunk]
+        got = ss.add_if_new(keys)
+        want = []
+        batch_new: set[str] = set()
+        for k in keys:
+            new = k not in model and k not in batch_new
+            want.append(new)
+            batch_new.add(k)
+        model |= batch_new
+        assert got == want
+        probe = keys + [f"com,never)/x{i}" for i in range(3)]
+        assert ss.contains(probe) == [k in model for k in probe]
+    assert len(ss) == len(model)
+    assert ss.snapshot() == sorted(model)
