@@ -1144,23 +1144,34 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_N_MERGES):
         return out
 
     def pair_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket TOP-1 only: every (left, right) pair co-locates in
+        # one bucket, so in-bucket sums are exact and the global argmax
+        # is among the bucket winners — a valid combiner that removes the
+        # per-iteration global sort (the driver folds <= n_buckets rows)
         if not len(df):
             return typed_empty(left=str, right=str, n="int64")
-        return df.groupby(["left", "right"], sort=False)["n"].sum().reset_index()
+        g = df.groupby(["left", "right"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        return g.head(1)
 
     merges: list[dict] = []
     for step in range(1, n_merges + 1):
-        top = (
+        cand = (
             words.map_batches(pair_partials, batch_format="pandas")
             .groupby("bucket")
             .map_groups(pair_fold, batch_format="pandas")
-            .sort(["n", "left", "right"], descending=[True, False, False])
-            .limit(1)
-            .take_all()
+            .to_pandas()
         )
-        if not top:
+        if not len(cand):
             break
-        win = top[0]
+        cand = cand.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        win = cand.iloc[0]
         left, right, n = win["left"], win["right"], int(win["n"])
         merges.append({"step": step, "left": left, "right": right, "n": n})
         bigram = f"{left} {right}"
