@@ -536,6 +536,9 @@ def vocab_coverage(sf_dir: str, k: int = _VOCAB_K):
         .map_groups(topk_mass_in_bucket, batch_format="pandas")
         .to_pandas()  # frame pull: take_all() on pandas blocks is ~0.7 ms/row
     )
+    if "token" not in rows.columns:  # fully-empty corpus -> zero-column frame
+        rows = pd.DataFrame({"token": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64")})
     total = int(rows.loc[rows["token"] == "", "n"].sum())
     cand_df = rows[rows["token"] != ""]
     cand = sorted(
