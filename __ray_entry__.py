@@ -484,18 +484,18 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("WDR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
-def _bpe_oracle_values_sql(sf_dir: str | None = None) -> str:
+def _bpe_merges_sequential(
+    sf_dir: str, n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
     """Sequential BPE merge-training recompute (plain Counter over the
-    whole corpus — no word-table compression, no distributed exchanges)
-    rendered as VALUES(step, left, right, n). Independent of the Ray
-    path's shape; shares only the spec: merge the most frequent adjacent
-    symbol pair, ties to the lexicographically smallest (left, right),
-    apply left-to-right non-overlapping, 8 rounds."""
+    whole corpus — no word-table compression, no distributed exchanges).
+    Independent of the Ray path's shape; shares only the spec: merge the
+    most frequent adjacent symbol pair, ties to the lexicographically
+    smallest (left, right), apply left-to-right non-overlapping."""
     from collections import Counter
 
     import pyarrow.parquet as pq
 
-    sf_dir = sf_dir or _oracle_sf_dir()
     texts = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )["text"].to_pylist()
@@ -503,8 +503,8 @@ def _bpe_oracle_values_sql(sf_dir: str | None = None) -> str:
     for t in texts:
         word_n.update(t.split())
     words = {tuple(w) + ("</w>",): n for w, n in word_n.items()}
-    rows = []
-    for step in range(1, 9):
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
         pairs: Counter = Counter()
         for sym, n in words.items():
             for a, b in zip(sym, sym[1:]):
@@ -514,8 +514,7 @@ def _bpe_oracle_values_sql(sf_dir: str | None = None) -> str:
         (left, right), n = min(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        _q = lambda v: "'" + str(v).replace("'", "''") + "'"
-        rows.append(f"({step}::BIGINT, {_q(left)}, {_q(right)}, {n}::BIGINT)")
+        out.append((step, left, right, n))
         new_words: dict = {}
         for sym, wn in words.items():
             res = []
@@ -530,10 +529,79 @@ def _bpe_oracle_values_sql(sf_dir: str | None = None) -> str:
             key = tuple(res)
             new_words[key] = new_words.get(key, 0) + wn
         words = new_words
+    return out
+
+
+def _bpe_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential BPE training rendered as VALUES(step, left, right, n)."""
+    sf_dir = sf_dir or _oracle_sf_dir()
+    _q = lambda v: "'" + str(v).replace("'", "''") + "'"
+    rows = [
+        f"({step}::BIGINT, {_q(left)}, {_q(right)}, {n}::BIGINT)"
+        for step, left, right, n in _bpe_merges_sequential(sf_dir)
+    ]
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ') AS t(step, "left", "right", n)'
+    )
+
+
+def _bpe_encode_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential recompute of bpe_encode's deterministic output: train
+    merges sequentially, tokenize every doc word-by-word with the same
+    in-order non-overlapping merge application, render VALUES(doc_id,
+    n_tokens, n_merged)."""
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    merges = [
+        (l, r) for _, l, r, _ in _bpe_merges_sequential(sf_dir)
+    ]
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    memo: dict = {}
+
+    def enc(word: str) -> tuple[int, int]:
+        st = memo.get(word)
+        if st is None:
+            parts = list(word) + ["</w>"]
+            for left, right in merges:
+                res, i = [], 0
+                while i < len(parts):
+                    if (
+                        i + 1 < len(parts)
+                        and parts[i] == left
+                        and parts[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(parts[i])
+                        i += 1
+                parts = res
+            st = (
+                len(parts),
+                sum(1 for p in parts if len(p) > 1 and p != "</w>"),
+            )
+            memo[word] = st
+        return st
+
+    rows = []
+    for doc_id, text in zip(
+        tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        nt = nm = 0
+        for w in text.split():
+            a, b = enc(w)
+            nt += a
+            nm += b
+        rows.append(f"({int(doc_id)}::BIGINT, {nt}::BIGINT, {nm}::BIGINT)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, n_tokens, n_merged)"
     )
 
 
@@ -583,6 +651,58 @@ def _pq_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
         order = np.lexsort((ids, -score))[: min(k, len(ids))]
         for rank, i in enumerate(order, 1):
             rows.append(f"({int(qid)}, {int(ids[i])}, {rank}::BIGINT)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(query_vec_id, vec_id, rank)"
+    )
+
+
+def _ivfpq_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential recompute of ivfpq_cosine_topk's deterministic output:
+    same bounded-slice two-level training (coarse Lloyd's + residual PQ),
+    then ONE whole-corpus assign/encode/ADC-score pass (vs the Ray path's
+    per-batch partial top-k + grouped fold — the partial top-k provably
+    contains the global top-k under the (score desc, vec_id asc) total
+    order). Rendered as VALUES(query_vec_id, vec_id, rank)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.similarity import (
+        _ivfpq_encode_score,
+        _ivfpq_train,
+        _query_matrix,
+    )
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    k, n_queries, n_probe = 5, 8, 3
+    m, ks, n_cells, train_max_id, n_iter = 4, 16, 8, 256, 5
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    nn = np.linalg.norm(mat, axis=1)
+    nn[nn == 0] = 1.0
+    mat = mat / nn[:, None]
+    order0 = np.argsort(ids, kind="stable")
+    train = mat[order0][ids[order0] < train_max_id]
+    cells, books = _ivfpq_train(train, n_cells, m, ks, n_iter)
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    probe: dict[int, set] = {}
+    for qi, qid in enumerate(qids):
+        sims = np.round(cells @ qmat[qi], 6)
+        order = np.lexsort((np.arange(len(cells)), -sims))[:n_probe]
+        probe[int(qid)] = set(int(c) for c in order)
+    scored = _ivfpq_encode_score(mat, ids, cells, books, qids, qmat, probe, k)
+    rows = []
+    rank_by_q: dict[int, int] = {}
+    for r in scored:  # already (score desc, vec_id asc) within each query
+        q = r["query_vec_id"]
+        rank_by_q[q] = rank_by_q.get(q, 0) + 1
+        rows.append(f"({q}, {r['vec_id']}, {rank_by_q[q]}::BIGINT)")
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
@@ -1378,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ivf_cosine_topk,
         lsh_cosine_topk,
         pq_cosine_topk,
+        ivfpq_cosine_topk,
         sq8_cosine_topk,
         sq8_quantize,
     )
@@ -1411,6 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tfidf_top_terms,
         token_stats,
         bpe_train,
+        bpe_encode,
         word_embeddings,
     )
     from webarchive_discovery_ray.pipelines.sketches import (
@@ -1491,10 +1613,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": source_overlap,
         "dataset_split": dataset_split,
         "bpe_train": bpe_train,
+        "bpe_encode": bpe_encode,
         "word_embeddings": word_embeddings,
         "span_transitions": _span_transitions,
         "media_burst_lengths": _media_burst_lengths,
         "pq_cosine_topk": pq_cosine_topk,
+        "ivfpq_cosine_topk": ivfpq_cosine_topk,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
         "host_components": _host_components,
@@ -3745,9 +3869,17 @@ def oracle_sql() -> dict[str, str]:
     # the expected 8 merge rules as VALUES
     out["bpe_train"] = _bpe_oracle_values_sql()
 
+    # bpe_encode composes the same deterministic merges with in-order
+    # word tokenization -> sequential per-doc recompute as VALUES
+    out["bpe_encode"] = _bpe_encode_oracle_values_sql()
+
     # pq_cosine_topk: deterministic (fixed codebook init, 6-dp rounding,
     # total-order tie-break) -> sequential ADC recompute as VALUES
     out["pq_cosine_topk"] = _pq_cosine_oracle_values_sql()
+
+    # ivfpq_cosine_topk: deterministic (bounded-slice two-level training,
+    # 6-dp rounding, total-order tie-break) -> sequential recompute VALUES
+    out["ivfpq_cosine_topk"] = _ivfpq_cosine_oracle_values_sql()
 
     # zlib byte counts come from a one-shot driver-side zlib pass rendered
     # as VALUES; n_raw, the ratio division and the integer keep band are

@@ -938,6 +938,76 @@ def test_bpe_train_matches_sequential_and_tiebreak(ray_session, tmp_path):
     assert (want[0][1], want[0][2]) == ("a", "b"), "fixture must exercise the tie"
 
 
+def test_bpe_encode_matches_sequential_tokenizer(ray_session, tmp_path):
+    """bpe_encode (distributed train → broadcast merges → streaming
+    word-table encode) == a plain sequential tokenizer applying the same
+    merges in training order, per doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from webarchive_discovery_ray.pipelines.textops import (
+        _bpe_encode_word,
+        bpe_encode,
+    )
+
+    texts = ["abab abab cd", "cd cd abc", "abc x yz yz", ""]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    # sequential trainer (same as the bpe_train test's reference)
+    wc = Counter()
+    for t in texts:
+        wc.update(t.split())
+    words = {tuple(w) + ("</w>",): n for w, n in wc.items()}
+    merges = []
+    for _ in range(5):
+        pairs = Counter()
+        for sym, n in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (l, r), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        nw = {}
+        for sym, wn in words.items():
+            res, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            nw[tuple(res)] = nw.get(tuple(res), 0) + wn
+        words = nw
+
+    want = {}
+    for doc_id, t in enumerate(texts):
+        nt = nm = 0
+        for w in t.split():
+            parts = _bpe_encode_word(w, merges)
+            nt += len(parts)
+            nm += sum(1 for p in parts if len(p) > 1 and p != "</w>")
+        want[doc_id] = (nt, nm)
+    # sanity: the fixture must actually exercise merged tokens
+    assert any(nm > 0 for _, nm in want.values())
+
+    got = bpe_encode(str(tmp_path), n_merges=5).to_pandas()
+    assert {
+        int(r.doc_id): (int(r.n_tokens), int(r.n_merged))
+        for r in got.itertuples()
+    } == want
+    # the empty doc must still be emitted with zero counts
+    assert want[3] == (0, 0)
+
+
 def test_word_embeddings_matches_sequential_ppmi_svd(ray_session):
     """Distributed co-occurrence + driver PPMI/SVD == a fully sequential
     numpy reference with the same vocabulary/tie/sign rules."""
@@ -1035,6 +1105,43 @@ def test_pq_cosine_topk_recall_vs_exact(ray_session):
     got8 = pq_cosine_topk(sf, m=8).to_pandas()
     r8 = recall_of(got8)
     assert r8 > r4, f"recall m=8 {r8:.2f} <= m=4 {r4:.2f}"
+
+
+def test_ivfpq_cosine_topk_composition_and_recall(ray_session):
+    """IVFADC (coarse probe × residual PQ): deterministic across runs,
+    and the residual encoding must beat plain PQ at equal code budget
+    (that's the entire point of encoding x − c_cell instead of x) OR at
+    minimum stay above the same far-above-chance floor; with all cells
+    probed the coarse stage becomes a no-op and recall must be >= the
+    probed variant's (pruning can only lose candidates)."""
+    from webarchive_discovery_ray.pipelines.similarity import (
+        ann_cosine_topk,
+        ivfpq_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = ivfpq_cosine_topk(sf).to_pandas()
+    again = ivfpq_cosine_topk(sf).to_pandas()
+    key = ["query_vec_id", "rank"]
+    assert got.sort_values(key, ignore_index=True).equals(
+        again.sort_values(key, ignore_index=True)
+    )
+    exact = ann_cosine_topk(sf).to_pandas()
+
+    def recall_of(df):
+        hits = 0
+        for q in exact["query_vec_id"].unique():
+            e = set(exact.loc[exact["query_vec_id"] == q, "vec_id"])
+            p = set(df.loc[df["query_vec_id"] == q, "vec_id"])
+            hits += len(e & p)
+        return hits / len(exact)
+
+    r_probed = recall_of(got)
+    assert r_probed >= 0.2, f"recall@5 {r_probed:.2f} vs exact"
+    # probe=all cells: coarse pruning off, scan everything through ADC
+    got_all = ivfpq_cosine_topk(sf, n_probe=8).to_pandas()
+    r_all = recall_of(got_all)
+    assert r_all >= r_probed, f"full probe {r_all:.2f} < probed {r_probed:.2f}"
 
 
 @settings(max_examples=30, deadline=None)

@@ -19,7 +19,8 @@ from ..sources.io import read_table
 
 __all__ = ["ann_cosine_topk",
     "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
-    "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk"]
+    "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk",
+    "ivfpq_cosine_topk"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -600,6 +601,190 @@ def pq_cosine_topk(
                         "score": float(score[i]),
                     }
                 )
+        return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "score"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_vec_id": df["query_vec_id"].astype("int64"),
+                "vec_id": df["vec_id"].astype("int64"),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+def _ivfpq_train(
+    train: np.ndarray, n_cells: int, m: int, ks: int, n_iter: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the two-level IVFADC index on the bounded slice: coarse
+    Lloyd's k-means (deterministic init = first ``n_cells`` training
+    vectors) → assign → PQ codebooks on the RESIDUALS (x − c_cell) via
+    the shared per-subspace trainer. Driver-side on the fixed-size
+    sample — the standard Jégou-et-al recipe (train on a sample, encode
+    the full corpus streaming)."""
+    cells = train[:n_cells].copy()
+    for _ in range(n_iter):
+        d2 = (
+            (train * train).sum(axis=1, keepdims=True)
+            - 2.0 * train @ cells.T
+            + (cells * cells).sum(axis=1)
+        )
+        a = d2.argmin(axis=1)
+        for j in range(n_cells):
+            pts = train[a == j]
+            if len(pts):
+                cells[j] = pts.mean(axis=0)
+    d2 = (
+        (train * train).sum(axis=1, keepdims=True)
+        - 2.0 * train @ cells.T
+        + (cells * cells).sum(axis=1)
+    )
+    assign = d2.argmin(axis=1)
+    residuals = train - cells[assign]
+    books = _pq_train_codebooks(residuals, m, ks, n_iter)
+    return cells, books
+
+
+def _ivfpq_encode_score(
+    mat: np.ndarray,
+    ids: np.ndarray,
+    cells: np.ndarray,
+    books: np.ndarray,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    probe: dict,
+    k: int,
+) -> list[dict]:
+    """Shared encode+ADC-score kernel (Ray batch fn AND the sequential
+    oracle run exactly this code on their slices, so parity is
+    structural): assign → residual-encode → per-query probe mask →
+    score = q·c_cell + Σ_s LUT[s, code_s], 6-dp rounded, (score desc,
+    vec_id asc) top-k."""
+    mm, kks, sub = books.shape
+    d2 = (
+        (mat * mat).sum(axis=1, keepdims=True)
+        - 2.0 * mat @ cells.T
+        + (cells * cells).sum(axis=1)
+    )
+    assign = d2.argmin(axis=1)
+    res = mat - cells[assign]
+    codes = np.empty((len(ids), mm), dtype=np.int64)
+    for s in range(mm):
+        x = res[:, s * sub : (s + 1) * sub]
+        dd = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * x @ books[s].T
+            + (books[s] * books[s]).sum(axis=1)
+        )
+        codes[:, s] = dd.argmin(axis=1)
+    out = []
+    for qi, qid in enumerate(qids):
+        mask = np.isin(assign, list(probe[int(qid)]))
+        if not mask.any():
+            continue
+        q = qmat[qi]
+        lut = np.einsum("mkd,md->mk", books, q.reshape(mm, sub))
+        adc = lut[np.arange(mm)[None, :], codes[mask]].sum(axis=1)
+        coarse = cells[assign[mask]] @ q
+        score = np.round(coarse + adc, 6)
+        sel_ids = ids[mask]
+        order = np.lexsort((sel_ids, -score))[: min(k, len(sel_ids))]
+        for i in order:
+            out.append(
+                {
+                    "query_vec_id": int(qid),
+                    "vec_id": int(sel_ids[i]),
+                    "score": float(score[i]),
+                }
+            )
+    return out
+
+
+def ivfpq_cosine_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    n_probe: int = 3,
+    m: int = 4,
+    ks: int = 16,
+    n_cells: int = 8,
+    train_max_id: int = 256,
+    n_iter: int = 5,
+):
+    """IVFADC approximate cosine top-k (Jégou et al., TPAMI'11 §III) —
+    the COMPOSED scale path: IVF coarse cells prune the scan to
+    ``n_probe`` of ``n_cells`` partitions AND product quantization
+    compresses what remains to ``m`` bytes/vector, scored by asymmetric
+    distance (one (m, ks) lookup table per query). This is the shape a
+    10^9-vector corpus actually ships: the inverted lists bound IO, the
+    codes bound memory, and neither the centroids nor the codebooks grow
+    with the corpus.
+
+    Scale shape: all training on the bounded ``vec_id < train_max_id``
+    slice driver-side (fixed-size sample — no distributed float-sum
+    ordering in the model, so the output is bit-deterministic);
+    (cells, books, queries, probe lists) broadcast once via ``ray.put``;
+    one streaming pass assigns/encodes/scores each batch and ships
+    queries × k rows per block; final per-query top-k is a tiny grouped
+    fold. Deterministic (fixed inits, 6-dp rounding, (score desc, vec_id
+    asc)) → sequential-recompute VALUES oracle.
+    Columns: query_vec_id, vec_id, rank."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    train_rows = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {train_max_id}")
+        .take_all()
+    )
+    train_rows.sort(key=lambda r: r["vec_id"])
+    train = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in train_rows]
+    )
+    norms = np.linalg.norm(train, axis=1)
+    norms[norms == 0] = 1.0
+    train = train / norms[:, None]
+    cells, books = _ivfpq_train(train, n_cells, m, ks, n_iter)
+    probe: dict[int, set] = {}
+    for qi, qid in enumerate(qids):
+        sims = np.round(cells @ qmat[qi], 6)
+        order = np.lexsort((np.arange(len(cells)), -sims))[:n_probe]
+        probe[int(qid)] = set(int(c) for c in order)
+    ref = ray.put((qids, qmat, cells, books, probe))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.bucketing import typed_empty
+
+        bqids, bqmat, bcells, bbooks, bprobe = get_broadcast(ref)
+        ids = df["vec_id"].to_numpy()
+        if not len(ids):
+            return typed_empty(
+                query_vec_id="int64", vec_id="int64", score="float64"
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        nn = np.linalg.norm(mat, axis=1)
+        nn[nn == 0] = 1.0
+        mat = mat / nn[:, None]
+        out = _ivfpq_encode_score(
+            mat, ids, bcells, bbooks, bqids, bqmat, bprobe, k
+        )
+        if not out:
+            return typed_empty(
+                query_vec_id="int64", vec_id="int64", score="float64"
+            )
         return pd.DataFrame(out, columns=["query_vec_id", "vec_id", "score"])
 
     partials = ds.map_batches(partial_topk, batch_format="pandas")

@@ -39,6 +39,7 @@ __all__ = [
     "bm25_topk",
     "doc_length_histogram",
     "bpe_train",
+    "bpe_encode",
     "word_embeddings",
 ]
 
@@ -1210,6 +1211,97 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_N_MERGES):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def _bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Tokenise ONE word with trained merge rules: start from characters
+    + the ``</w>`` end marker, apply each merge in training order,
+    left-to-right non-overlapping — exactly the transformation
+    ``bpe_train`` applied to its word table, so encode(train corpus)
+    reproduces the training-end symbol state (Sennrich et al., ACL'16
+    §3.2: apply merges 'in the order they were learned')."""
+    parts = list(word) + ["</w>"]
+    for left, right in merges:
+        res: list[str] = []
+        i = 0
+        n = len(parts)
+        while i < n:
+            if i + 1 < n and parts[i] == left and parts[i + 1] == right:
+                res.append(left + right)
+                i += 2
+            else:
+                res.append(parts[i])
+                i += 1
+        parts = res
+    return parts
+
+
+def bpe_encode(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Apply corpus-trained BPE merge rules to every document — the
+    tokenize step that follows :func:`bpe_train` in an LLM data pipeline
+    (the per-doc token count under the REAL subword vocabulary, vs
+    ``token_stats``'s whitespace proxy).
+
+    Shape: merges come from the distributed trainer (``n_merges`` rows —
+    driver-held by construction) and broadcast via ``ray.put``; encoding
+    is a streaming ``map_batches`` pass with per-batch word-table
+    compression (each distinct word in a batch is encoded once, then
+    per-doc token counts are a vectorized map over the word list) plus a
+    per-worker word→length memo that persists across batches
+    (deterministic: depends only on (word, merges)). No shuffle at all —
+    the corpus is touched exactly twice (train pass 1 + encode).
+
+    Columns: doc_id, n_tokens (symbol count incl. ``</w>`` fusions),
+    n_merged (tokens that underwent ≥1 merge, i.e. neither a single char
+    nor a bare ``</w>`` marker). Deterministic → sequential-recompute
+    VALUES oracle."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast_derived
+
+    merges_df = bpe_train(sf_dir, n_merges).to_pandas()
+    merges = [
+        (str(l), str(r)) for l, r in zip(merges_df["left"], merges_df["right"])
+    ]
+    ref = ray.put(tuple(merges))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode_batch(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = get_broadcast_derived(ref, "bpe_memo", lambda _m: {})
+        bmerges = list(get_broadcast_derived(ref, "bpe_merges", list))
+        tok_lists = df["text"].str.split()
+        n_tokens = np.zeros(len(df), dtype=np.int64)
+        n_merged = np.zeros(len(df), dtype=np.int64)
+        for ix, toks in enumerate(tok_lists):
+            nt = 0
+            nm = 0
+            for w in toks:
+                stats = memo.get(w)
+                if stats is None:
+                    parts = _bpe_encode_word(w, bmerges)
+                    stats = (
+                        len(parts),
+                        sum(
+                            1
+                            for p in parts
+                            if len(p) > 1 and p != "</w>"
+                        ),
+                    )
+                    memo[w] = stats
+                nt += stats[0]
+                nm += stats[1]
+            n_tokens[ix] = nt
+            n_merged[ix] = nm
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tokens,
+                "n_merged": n_merged,
+            }
+        )
+
+    return ds.map_batches(encode_batch, batch_format="pandas")
 
 
 def word_embeddings(
