@@ -446,6 +446,59 @@ def _warc_oracle_values_sql() -> str:
     )
 
 
+def _warc_wet(sf_dir: str):
+    """WET-style conversion-record table over the real fixture (W)ARCs
+    (Common-Crawl *.warc.wet companion job on the binary input path)."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_wet
+
+    return warc_wet(_warc_input_paths())
+
+
+def _warc_wet_oracle_values_sql() -> str:
+    """Sequential-oracle WET recompute: the INDEPENDENT parser +
+    extraction oracle yields each surviving doc's text; rows with
+    non-empty text render as VALUES(source_file, source_offset, url,
+    ts14, text_length, text_sha1)."""
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: object) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    cfg = IndexConfig()
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None or not doc.get("content"):
+                continue
+            text = doc["content"]
+            rows.append(
+                "({}, {}::BIGINT, {}, {}, {}::BIGINT, {})".format(
+                    lit(doc["source_file"]),
+                    doc["source_offset"],
+                    lit(doc["url"]),
+                    lit(doc["wayback_date"] or ""),
+                    len(text),
+                    lit(sha1_b32(text.encode("utf-8"))),
+                )
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(source_file, source_offset, url, ts14, text_length,"
+        + " text_sha1)"
+    )
+
+
 def _warc_file_hash(sf_dir: str):
     """HdfsFileHasher over the real fixture (W)ARCs (chunked SHA-512)."""
     from webarchive_discovery_ray.pipelines.stats import warc_file_hash
@@ -1663,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_file_hash": _warc_file_hash,
         "warc_datasets": _warc_datasets,
         "warc_regex": _warc_regex,
+        "warc_wet": _warc_wet,
         "warc_corpus": _warc_corpus,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
@@ -3830,6 +3884,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_stats"] = _warc_stats_oracle_values_sql()
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
     out["warc_regex"] = _warc_regex_oracle_values_sql()
+    out["warc_wet"] = _warc_wet_oracle_values_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()

@@ -514,3 +514,83 @@ def test_warc_stats_empty_archive_drives_typed_empty_guard(ray_session, tmp_path
     # zero-column on a fully-empty dataset is a Ray Data artifact; the
     # contract is "guard fires, no NameError/KeyError, zero rows"
     assert set(got.columns) in (set(), {"category", "item", "n"})
+
+
+def test_warc_wet_and_write_wet_roundtrip(ray_session, tmp_path):
+    """WET job + sink: the conversion table matches a sequential
+    extraction recompute, and write_wet's .wet.gz bytes parse back
+    through OUR OWN reader (split_gzip_members + iter_warc_records) with
+    matching URIs, dates, digests and text."""
+    import hashlib
+
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.pipelines.cdx import warc_wet
+    from webarchive_discovery_ray.sources.warc import (
+        _ts14_to_iso,
+        iter_warc_records,
+        read_archive_pages,
+        write_wet,
+    )
+    from webarchive_discovery_ray.stages.extract import ExtractStage
+
+    if os.path.exists(IAH_WGET):
+        paths = [IAH_WGET]
+        with open(IAH_WGET, "rb") as fh:
+            data = fh.read()
+        name = os.path.basename(IAH_WGET)
+    else:
+        data = build_synthetic_warc_gz()
+        p = tmp_path / "synthetic.warc.gz"
+        p.write_bytes(data)
+        paths, name = [str(p)], "synthetic.warc.gz"
+
+    cfg = IndexConfig()
+    want = {}
+    for rec in oracle_parse_archive(data, name):
+        doc = oracle_extract_record(rec, cfg)
+        if doc is None or not doc.get("content"):
+            continue
+        want[(doc["source_file"], doc["source_offset"])] = (
+            doc["url"],
+            doc["wayback_date"] or "",
+            len(doc["content"]),
+            sha1_b32(doc["content"].encode("utf-8")),
+            doc["content"],
+        )
+    assert want, "fixture must yield text-bearing docs"
+
+    got = warc_wet(paths).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = want[(r.source_file, r.source_offset)]
+        assert (r.url, r.ts14, r.text_length, r.text_sha1) == w[:4]
+
+    # sink roundtrip through our own parser
+    docs = read_archive_pages(paths).map_batches(
+        ExtractStage(cfg), batch_format="pyarrow", batch_size=64
+    )
+    out_dir = str(tmp_path / "wet")
+    n = write_wet(docs, out_dir)
+    assert n == len(want)
+    seen = {}
+    for f in sorted(glob.glob(os.path.join(out_dir, "*.warc.wet.gz"))):
+        with open(f, "rb") as fh:
+            blob = fh.read()
+        for _off, member in split_gzip_members(blob):
+            for _ro, headers, block in iter_warc_records(member):
+                assert headers["warc-type"] == "conversion"
+                assert headers["content-type"] == "text/plain"
+                text = block.decode("utf-8")
+                assert headers["warc-block-digest"] == sha1_b32(block)
+                assert int(headers["content-length"]) == len(block)
+                seen[
+                    (headers["warc-target-uri"], headers["warc-date"])
+                ] = text
+    assert len(seen) == len(
+        {(u, _ts14_to_iso(t)) for u, t, *_ in want.values()}
+    )
+    for url, ts14, _n, _d, text in want.values():
+        assert seen[(url, _ts14_to_iso(ts14))] == text

@@ -26,6 +26,7 @@ __all__ = [
     "warc_datasets",
     "warc_regex",
     "warc_corpus",
+    "warc_wet",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -299,6 +300,63 @@ def warc_datasets(paths: list[str], icfg: IndexConfig | None = None):
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def warc_wet(paths: list[str], icfg: IndexConfig | None = None):
+    """WET-style text-conversion table over REAL (W)ARC files — the
+    Common-Crawl ``*.warc.wet`` companion job (ISO-28500 §6.8
+    'conversion' records: the re-extracted plain text of each capture).
+    The reference ships the same information through the indexer's
+    ``content`` field (``TikaPayloadAnalyser.java:239-519`` text +
+    ``WARCIndexer.java:471-490`` store/index split); this job emits it
+    as a standalone dataset the way a crawl pipeline feeding an LLM
+    corpus actually consumes it.
+
+    Shape: binary archive read (one file per task) → extraction chain →
+    vectorized non-empty-text filter → flat projection. No shuffle.
+    Columns: source_file, source_offset, url, ts14, text_length,
+    text_sha1 (``sha1:<base32>`` over the UTF-8 text — the digest the
+    conversion record's WARC-Block-Digest carries). Pair with
+    :func:`webarchive_discovery_ray.sources.warc.write_wet` to serialise
+    the actual ``.wet.gz`` members."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import sha1_b32
+    from ..sources.warc import read_archive_pages
+    from ..stages.extract import ExtractStage
+
+    icfg = icfg or IndexConfig()
+    docs = read_archive_pages(paths).map_batches(
+        ExtractStage(icfg), batch_format="pyarrow", batch_size=64
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b["content"]),
+            pc.greater(pc.utf8_length(pc.fill_null(b["content"], "")), 0),
+        )
+        b = b.filter(keep)
+        digests = pa.array(
+            [sha1_b32(t.encode("utf-8")) for t in b["content"].to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "source_file": b["source_file"],
+                "source_offset": pc.cast(b["source_offset"], pa.int64()),
+                "url": b["url"],
+                "ts14": b["wayback_date"],
+                # length of the text actually exported (post-field-policy
+                # — content_text_length keeps the reference's PRE-policy
+                # Tika length, which is a different quantity)
+                "text_length": pc.cast(
+                    pc.utf8_length(b["content"]), pa.int64()
+                ),
+                "text_sha1": digests,
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow")
 
 
 def warc_corpus(

@@ -444,3 +444,99 @@ def read_archive_pages(paths: list[str]) -> "ray.data.Dataset":  # noqa: F821
     return ds.map_batches(
         _ArchiveToPages(), batch_format="pyarrow", batch_size=None
     )
+
+
+def _ts14_to_iso(ts14: str | None) -> str:
+    """14-digit wayback instant -> WARC-Date (ISO-8601 Z)."""
+    if ts14 and len(ts14) == 14 and ts14.isdigit():
+        return (
+            f"{ts14[0:4]}-{ts14[4:6]}-{ts14[6:8]}"
+            f"T{ts14[8:10]}:{ts14[10:12]}:{ts14[12:14]}Z"
+        )
+    return "1970-01-01T00:00:00Z"
+
+
+def build_conversion_member(url: str, ts14: str | None, text: str) -> bytes:
+    """ONE deterministic gzip member holding ONE WARC/1.0 ``conversion``
+    record (ISO-28500 §6.8) — the WET serialisation unit: ``.wet.gz``
+    files are multi-member gzip, one member per record, exactly the
+    layout :func:`split_gzip_members` reads back. Deterministic bytes:
+    record id is a urn:sha1 of (uri, date) — not a uuid — and the gzip
+    header carries mtime=0/no name, so a retried task re-writes
+    identical bytes."""
+    import gzip
+    import hashlib
+    import io
+
+    from ..functions.hashing import sha1_b32
+
+    body = text.encode("utf-8")
+    iso = _ts14_to_iso(ts14)
+    rid = hashlib.sha1(f"{url} {iso}".encode("utf-8")).hexdigest()
+    headers = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso}\r\n"
+        f"WARC-Record-ID: <urn:sha1:{rid}>\r\n"
+        f"WARC-Block-Digest: {sha1_b32(body)}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    raw = headers + body + b"\r\n\r\n"
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def write_wet(
+    ds,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "wayback_date",
+    text_col: str = "content",
+) -> int:
+    """WET sink: serialise a documents Dataset's extracted text as
+    ``part-<digest>.warc.wet.gz`` files (multi-member gzip of
+    ``conversion`` records), one file per block — the write-side
+    complement of the binary reader (S1/S4 family; the reference ships
+    text through Solr docs instead, ``WARCIndexer.java:471-490``).
+    Rows without text are skipped. Deterministic content-hash names +
+    tmp/rename, so retried tasks never duplicate a block. Returns the
+    record count written."""
+    import hashlib
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.is_valid(batch[text_col]),
+            pc.greater(pc.utf8_length(pc.fill_null(batch[text_col], "")), 0),
+        )
+        batch = batch.filter(keep)
+        members = [
+            build_conversion_member(u, t, x)
+            for u, t, x in zip(
+                batch[url_col].to_pylist(),
+                batch[ts_col].to_pylist(),
+                batch[text_col].to_pylist(),
+            )
+        ]
+        blob = b"".join(members)
+        if members:
+            digest = hashlib.md5(blob).hexdigest()[:16]
+            name = os.path.join(path, f"part-{digest}.warc.wet.gz")
+            tmp = name + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, name)
+        return pa.table({"n": pa.array([len(members)], pa.int64())})
+
+    counts = ds.map_batches(dump, batch_format="pyarrow", batch_size=None)
+    return int(counts.sum("n") or 0)
