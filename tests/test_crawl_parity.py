@@ -712,3 +712,78 @@ def test_crawl_delay_budget_byte_parity(ray_session):
     # sentinel parses and never collides with a path prefix
     rules = parse_robots("User-agent: *\nDisallow: /x/\nCrawl-delay: 3\n")
     assert "crawl-delay:3" in rules and "/x/" in rules
+
+
+def test_sitemap_discovery_byte_parity(ray_session):
+    """Sitemap discovery (round 4): robots ``Sitemap:`` URLs inject as
+    priority -1 fetches from the wave after the robots fetch; a 200
+    sitemap's <loc> URLs join its candidate set at default priority —
+    Ray frontier == sequential oracle byte-for-byte, and the rule
+    demonstrably bites (sitemap fetches appear in the log and
+    sitemap-only pages get crawled)."""
+    from webarchive_discovery_ray.sources.synthetic import (
+        host_sitemaps,
+        hosts,
+        sitemap_locs,
+    )
+
+    syn = SyntheticConfig(
+        n_hosts=10, pages_per_host=60, max_fanout=6,
+        robots_sitemap_ratio=0.6,
+    )
+    advertised = {
+        u for h in hosts(syn) for u in host_sitemaps(h, syn)
+    }
+    assert advertised, "fixture must advertise sitemaps"
+    sds = seed_urls(syn, n_seeds=6)
+    cfg = CrawlConfig(politeness_budget=3, max_waves=5, seen_shards=4)
+    exp = oracle_crawl(sds, cfg, syn)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # sensitivity: sitemap fetches happened...
+    sm_fetches = [e for e in got.fetch_log if e["url"] in advertised]
+    assert sm_fetches, "no advertised sitemap was fetched"
+    # ...their discoveries got crawled (URLs only reachable via <loc>)
+    fetched_urls = {e["url"] for e in got.fetch_log}
+    sm_only = {
+        loc
+        for sm in sm_fetches
+        for loc in sitemap_locs(sm["url"], syn)
+        if "/articles/sm" in loc
+    }
+    assert sm_only & fetched_urls, "no sitemap-discovered page was crawled"
+    # a host advertising TWO sitemaps exercises the same-wave injected
+    # tie-break (drain order (priority, seq, surt))
+    two = [h for h in hosts(syn) if len(host_sitemaps(h, syn)) == 2]
+    crawled_hosts = {e["host"] for e in got.fetch_log}
+    assert any(h in crawled_hosts for h in two), (
+        "fixture must crawl a two-sitemap host to exercise the tie-break"
+    )
+
+
+def test_sitemap_checkpoint_resume_identical(ray_session, tmp_path_factory):
+    """Kill-and-resume across the sitemap-pending boundary: pending
+    sitemap URLs are NOT checkpointed — resume recomputes them from the
+    checkpointed rules and the seen-set probe keeps re-offers idempotent.
+    The resumed crawl must equal the uninterrupted one byte-for-byte."""
+    syn = SyntheticConfig(
+        n_hosts=10, pages_per_host=60, max_fanout=6,
+        robots_sitemap_ratio=0.6,
+    )
+    sds = seed_urls(syn, n_seeds=6)
+    cfg = CrawlConfig(politeness_budget=3, max_waves=5, seen_shards=4)
+    full = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                     collect_log=True, collect_seen=True)
+    ckdir = str(tmp_path_factory.mktemp("sitemap_ck"))
+    # phase 1: stop after wave 1 (robots of wave 0 known, sitemaps pending)
+    cfg1 = CrawlConfig(politeness_budget=3, max_waves=2, seen_shards=4)
+    run_crawl(sds, cfg1, syn, fetch_concurrency=2, fetch_batch_size=16,
+              checkpoint_dir=ckdir)
+    # phase 2: resume to completion
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    checkpoint_dir=ckdir, resume=True,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
+    assert got.seen_sorted == full.seen_sorted

@@ -221,6 +221,9 @@ def test_drain_budget_and_order(rows, budget):
             "host": [h for h, _ in rows],
             "priority": np.array([p for _, p in rows], dtype=np.int32),
             "seq": np.arange(len(rows), dtype=np.int64),
+            # real frontier rows always carry a surt (the drain's final
+            # tie-break, only reachable for same-wave injected rows)
+            "surt": [f"{h})/{i}" for i, (h, _) in enumerate(rows)],
         }
     )
     out = _make_drain_fn(budget, None)(df)

@@ -65,7 +65,15 @@ class CrawlConfig:
     * robots ``Crawl-delay: d`` (d > 1) shrinks that host's per-wave
       budget to ``max(1, politeness_budget // d)`` (the token bucket
       refills d-times slower), same effective-from-next-wave timing as
-      the Disallow prefixes (state/robots.effective_budget).
+      the Disallow prefixes (state/robots.effective_budget);
+    * robots ``Sitemap:`` URLs (follow_sitemaps) are injected as
+      implicit priority=-1 fetches from the wave after the robots fetch
+      (first time their SURT is unseen); a 200 sitemap's ``<loc>`` URLs
+      are canonicalised and join that fetch's candidate set; candidates
+      discovered by ANY fetch enqueue at ``max(parent priority, 0)`` so
+      injected (-1) fetches discover at the default priority; within a
+      host queue the drain order is (priority, seq, surt) — the surt
+      tie-break only ever distinguishes same-wave injected rows.
     """
 
     politeness_budget: int = 4  # fetch tokens per host per wave
@@ -73,6 +81,9 @@ class CrawlConfig:
     hop_limit: int = 8
     seen_shards: int = 8
     respect_robots: bool = True
+    # follow robots 'Sitemap:' URLs (injected like robots fetches; only
+    # meaningful when respect_robots is on — rules carry the sitemaps)
+    follow_sitemaps: bool = True
     max_urls: int | None = None  # overall stop condition (None = unbounded)
     # hot-host skew (SURVEY §7.1-7): a frontier partition whose assembled
     # block exceeds salt_threshold rows is split into salt_factor salted
@@ -116,5 +127,8 @@ class SyntheticConfig:
     # fraction of hosts whose robots.txt serves a Crawl-delay line
     # (default 0.0: every pre-existing fixture stays byte-identical)
     robots_crawl_delay_ratio: float = 0.0
+    # fraction of hosts whose robots.txt advertises Sitemap: URLs
+    # (default 0.0: every pre-existing fixture stays byte-identical)
+    robots_sitemap_ratio: float = 0.0
     pages_per_host: int = 400  # URL id space per host
     uk_host_ratio: float = 0.3

@@ -42,7 +42,9 @@ from ..state.robots import (
     effective_budget,
     is_disallowed,
     parse_robots,
+    parse_sitemap_locs,
     robots_url_for_host,
+    sitemap_urls_of,
 )
 from .extract_oracle import oracle_extract_record
 
@@ -133,6 +135,23 @@ def oracle_crawl(
                 if rk not in seen:
                     seen.add(rk)
                     frontier.append(_Entry(rurl, rk, host, -1, 0, -1))
+        # rule 2b: sitemap injection — every Sitemap URL advertised by a
+        # KNOWN host's rules whose SURT is still unseen (idempotent via
+        # the seen set, so scanning all rules every wave is resume-safe)
+        if ccfg.respect_robots and ccfg.follow_sitemaps:
+            pend = sorted(
+                {u for rules in robots_rules.values() for u in sitemap_urls_of(rules)}
+            )
+            for su in pend:
+                u = canonicalise_url(su)
+                k = surt_key(u)
+                if k in seen:
+                    continue
+                host = extract_host(u)
+                if host == MALFORMED_HOST:
+                    continue
+                seen.add(k)
+                frontier.append(_Entry(u, k, host, -1, 0, -1))
         # rule 3: per-host drain
         by_host: dict[str, list[_Entry]] = {}
         for e in frontier:
@@ -141,7 +160,9 @@ def oracle_crawl(
         carryover: list[_Entry] = []
         dropped = 0
         for host in sorted(by_host):
-            queue = sorted(by_host[host], key=lambda e: (e.priority, e.seq))
+            queue = sorted(
+                by_host[host], key=lambda e: (e.priority, e.seq, e.surt)
+            )
             rules = robots_rules.get(host, [])
             host_budget = effective_budget(ccfg.politeness_budget, rules)
             slot = 0
@@ -178,6 +199,19 @@ def oracle_crawl(
             cands: set[str] = set(doc["links"]) if doc else set()
             if doc and doc["redirect_to_norm"]:
                 cands.add(doc["redirect_to_norm"])
+            if (
+                e.priority == -1
+                and not e.url.endswith("/robots.txt")
+                and rec["status"] == 200
+            ):
+                # injected sitemap fetch: its <loc> URLs join the
+                # candidate set, canonicalised like extracted links
+                cands.update(
+                    canonicalise_url(x)
+                    for x in parse_sitemap_locs(
+                        rec["payload"].decode("utf-8", "replace")
+                    )
+                )
             page_candidates.append((host, slot, sorted(cands), e.hop, e.priority))
         # rule 6: discovery (copy: carryover count must stay the drain's)
         next_frontier = list(carryover)
@@ -191,7 +225,9 @@ def oracle_crawl(
                     continue
                 seen.add(k)
                 chost = extract_host(u)
-                next_frontier.append(_Entry(u, k, chost, pri, hop + 1, seq))
+                # candidates enqueue at max(parent priority, 0): injected
+                # (-1) fetches discover at the default priority
+                next_frontier.append(_Entry(u, k, chost, max(pri, 0), hop + 1, seq))
                 seq += 1
                 new_count += 1
         robots_rules.update(new_robots)

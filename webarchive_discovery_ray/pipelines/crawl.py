@@ -79,7 +79,9 @@ from ..state.robots import (
     effective_budget,
     is_disallowed,
     parse_robots,
+    parse_sitemap_locs,
     robots_url_for_host,
+    sitemap_urls_of,
 )
 from ..state.seen import SeenShardPool, shard_of
 from ..stages.extract import extract_record
@@ -188,6 +190,15 @@ class FetchExtractStage:
             cset = set(doc["links"])
             if doc["redirect_to_norm"]:
                 cset.add(doc["redirect_to_norm"])
+            if r["priority"] == -1 and not is_robots and rec["status"] == 200:
+                # injected sitemap fetch (the only non-robots -1 rows):
+                # <loc> URLs join the candidates, canonicalised like links
+                cset.update(
+                    canonicalise_url(x)
+                    for x in parse_sitemap_locs(
+                        rec["payload"].decode("utf-8", "replace")
+                    )
+                )
             cand_urls = [
                 u
                 for u in sorted(cset)
@@ -294,7 +305,9 @@ def _make_drain_fn(budget: int, rules_ref):
 
     def drain(df: pd.DataFrame) -> pd.DataFrame:
         robots_rules = get_broadcast(rules_ref) if rules_ref is not None else {}
-        df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
+        df = df.sort_values(
+            ["host", "priority", "seq", "surt"], kind="mergesort"
+        )
         df = _robots_drop(df, robots_rules)
         slots = df.groupby("host", sort=False).cumcount().to_numpy()
         budgets = _host_budgets(df["host"], budget, robots_rules)
@@ -391,6 +404,26 @@ def _canon_seed_chunk(pairs: list) -> tuple[list, list, list, list]:
         hosts.append(host)
         pris.append(pri)
     return urls, keys, hosts, pris
+
+
+def _sitemap_chunk(urls: list) -> tuple[list, list, list, list]:
+    """(canonical URL, SURT key, host, shard hash64) per advertised
+    sitemap URL chunk — sitemap URLs come from robots payloads, so they
+    canonicalise here (robots URLs are constructed canonical)."""
+    from ..state.seen import _SHARD_SEED
+
+    cu, keys, hs, hashes = [], [], [], []
+    for u0 in urls:
+        u = canonicalise_url(u0)
+        h = extract_host(u)
+        if h == MALFORMED_HOST:
+            continue
+        k = surt_key(u)
+        cu.append(u)
+        keys.append(k)
+        hs.append(h)
+        hashes.append(stable_hash64(k, _SHARD_SEED))
+    return cu, keys, hs, hashes
 
 
 def _robots_chunk(hosts: list) -> tuple[list, list, list]:
@@ -591,7 +624,7 @@ def _pre_drain(tbl: pa.Table, budget: int, rules_boxed):
         return tbl, tbl
     robots_rules = get_broadcast(rules_boxed[0]) if rules_boxed else {}
     df = tbl.to_pandas()
-    df = df.sort_values(["host", "priority", "seq"], kind="mergesort")
+    df = df.sort_values(["host", "priority", "seq", "surt"], kind="mergesort")
     df = _robots_drop(df, robots_rules)
     ranks = df.groupby("host", sort=False).cumcount().to_numpy()
     survive = ranks < _host_budgets(df["host"], budget, robots_rules)
@@ -681,7 +714,12 @@ def _split_block(n_shards: int, tbl: pa.Table):
             "url": pc.list_flatten(cand_col),
             "surt": surts,
             "host": pc.list_flatten(fetched["cand_hosts"].combine_chunks()),
-            "priority": pc.take(fetched["priority"], parents),
+            # max(parent priority, 0): injected (-1) fetches discover at
+            # the default priority (pinned rule, mirrored in the oracle)
+            "priority": pc.max_element_wise(
+                pc.take(fetched["priority"], parents),
+                pa.scalar(0, pa.int32()),
+            ),
             "hop": pc.take(fetched["hop"], parents),
             "order_host": pc.take(fetched["fetch_host"], parents),
             "order_slot": pc.take(fetched["slot"], parents),
@@ -810,6 +848,10 @@ def run_crawl(
     )
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
+    # Sitemap URLs advertised by rules not yet offered to the seen set.
+    # Not checkpointed: resume recomputes from the (checkpointed) rules —
+    # the seen-set probe makes re-offering idempotent.
+    sitemap_pending: list[str] = []
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
     log_flush_refs: list = []  # streamed-log chains joined at crawl end
     # SURTs first seen since the last checkpoint; tracked ONLY when
@@ -830,6 +872,10 @@ def run_crawl(
         pool.restore_from_parquet(ck["seen_delta_paths"])
         robots_scheduled = ck["robots_scheduled"]
         robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
+        if ccfg.follow_sitemaps:
+            sitemap_pending = sorted(
+                {u for r in robots_rules.values() for u in sitemap_urls_of(r)}
+            )
         order_base = ck["fetch_log"].num_rows
         if collect_log and order_base:
             log_tables.append(ck["fetch_log"])
@@ -871,6 +917,23 @@ def run_crawl(
                 rh = [new_hosts[i] for i in idx]
                 if track_delta:
                     pending_delta.extend(rk)
+        # --- sitemap injection (rule 2b): advertised Sitemap URLs enter
+        # as priority -1 fetches the first time their SURT is unseen ----
+        if ccfg.respect_robots and ccfg.follow_sitemaps and sitemap_pending:
+            pend, sitemap_pending = sitemap_pending, []
+            surls, skeys, shosts, shashes = _chunked_remote(
+                _sitemap_chunk, pend, 4
+            )
+            if skeys:
+                smask = np.asarray(
+                    pool.add_if_new_hashed(skeys, shashes), dtype=bool
+                )
+                sidx = np.flatnonzero(smask)
+                ru += [surls[i] for i in sidx]
+                rk += [skeys[i] for i in sidx]
+                rh += [shosts[i] for i in sidx]
+                if track_delta:
+                    pending_delta.extend(skeys[i] for i in sidx)
         robots_tbl = (
             _frontier_table(ru, rk, rh, [-1] * len(ru), [0] * len(ru), [-1] * len(ru))
             if ccfg.respect_robots and ru
@@ -1082,6 +1145,10 @@ def run_crawl(
         extras_rows_per_part = [0] * n_parts
         pending_winner_rows = n_new
         robots_rules.update(new_robots)
+        if ccfg.follow_sitemaps and new_robots:
+            sitemap_pending = sorted(
+                {u for r in new_robots.values() for u in sitemap_urls_of(r)}
+            )
         stats = {
             "wave": wave,
             "frontier": frontier_rows,

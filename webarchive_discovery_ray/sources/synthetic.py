@@ -165,6 +165,35 @@ def robots_crawl_delay(host: str, cfg: SyntheticConfig) -> int | None:
     return None
 
 
+def host_sitemaps(host: str, cfg: SyntheticConfig) -> list[str]:
+    """Sitemap URLs advertised by http://host/robots.txt (possibly none;
+    1-2 when the ``robots_sitemap_ratio`` gate passes — two exercises the
+    multi-Sitemap injection tie-break). Opt-in via the ratio (default 0.0
+    keeps every pre-existing fixture byte-identical)."""
+    if cfg.robots_sitemap_ratio <= 0.0:
+        return []
+    h = stable_hash64(f"sitemap:{host}", cfg.seed)
+    if (h % 100) / 100.0 < cfg.robots_sitemap_ratio:
+        out = [f"http://{host}/sitemap.xml"]
+        if h % 2:
+            out.append(f"http://{host}/sitemap2.xml")
+        return out
+    return []
+
+
+def sitemap_locs(url: str, cfg: SyntheticConfig) -> list[str]:
+    """``<loc>`` URLs served by a sitemap URL: mostly fresh same-host
+    pages outside the organic link space plus one organic page (the
+    dedupe path)."""
+    host = _host_of(url)
+    h = stable_hash64(f"smlocs:{url}", cfg.seed)
+    locs = [make_url(host, (h >> 8) % cfg.pages_per_host, cfg)]
+    for i in range(2 + h % 3):
+        hi = stable_hash64(f"smloc:{url}:{i}", cfg.seed)
+        locs.append(f"http://{host}/articles/sm{(hi >> 4) % 100000}")
+    return locs
+
+
 def _html_payload(url: str, cfg: SyntheticConfig) -> bytes:
     h = stable_hash64(f"page:{url}", cfg.seed)
     host = _host_of(url)
@@ -231,11 +260,24 @@ def page_for_url(url: str, cfg: SyntheticConfig) -> dict:
     h = stable_hash64(f"rec:{url}", cfg.seed)
     path = url.split("://", 1)[1].partition("/")[2]
     is_robots = url.endswith("/robots.txt")
+    is_sitemap = url in host_sitemaps(_host_of(url), cfg)
     if is_robots:
         lines = ["User-agent: *"] + [f"Disallow: {p}" for p in robots_disallows(_host_of(url), cfg)]
         if (cd := robots_crawl_delay(_host_of(url), cfg)) is not None:
             lines.append(f"Crawl-delay: {cd}")
+        lines += [f"Sitemap: {s}" for s in host_sitemaps(_host_of(url), cfg)]
         payload, mime = ("\n".join(lines) + "\n").encode("ascii"), "text/plain"
+        status = 200
+    elif is_sitemap:
+        body = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "".join(
+                f"  <url><loc>{l}</loc></url>\n" for l in sitemap_locs(url, cfg)
+            )
+            + "</urlset>\n"
+        )
+        payload, mime = body.encode("utf-8"), "application/xml"
         status = 200
     elif _is_media(url):
         payload, mime = _media_payload(url, cfg)
@@ -246,7 +288,7 @@ def page_for_url(url: str, cfg: SyntheticConfig) -> dict:
         r = h % 100
         status = 200 if r < 90 else (301 if r < 95 else (404 if r < 98 else 503))
     # Serve wrong/empty/octet-stream content types sometimes (M17/M20 paths):
-    if status == 200 and not is_robots:
+    if status == 200 and not is_robots and not is_sitemap:
         if h % 31 == 0:
             mime = "application/octet-stream"
         elif h % 37 == 0:

@@ -19,7 +19,10 @@ __all__ = [
     "robots_url_for_host",
     "crawl_delay_of",
     "effective_budget",
+    "sitemap_urls_of",
+    "parse_sitemap_locs",
     "CRAWL_DELAY_PREFIX",
+    "SITEMAP_PREFIX",
 ]
 
 # Crawl-delay rides the same rules list as the Disallow prefixes (one
@@ -28,6 +31,11 @@ __all__ = [
 # The sentinel can never collide with a Disallow prefix match: URL paths
 # always start with "/".
 CRAWL_DELAY_PREFIX = "crawl-delay:"
+
+# Sitemap URLs ride the rules list the same way (sentinel entries).
+# Neither sentinel can prefix-match a Disallow check: URL paths always
+# start with "/".
+SITEMAP_PREFIX = "sitemap:"
 
 
 def robots_url_for_host(host: str) -> str:
@@ -42,8 +50,11 @@ def parse_robots(text: str) -> list[str]:
     start at ``User-agent:`` lines; only ``*`` groups contribute; empty
     ``Disallow:`` means allow-all and contributes nothing; the FIRST
     integer ``Crawl-delay:`` in a ``*`` group is recorded as the
-    ``crawl-delay:N`` sentinel entry."""
+    ``crawl-delay:N`` sentinel entry. ``Sitemap:`` lines are GLOBAL per
+    the protocol (not part of any user-agent group) — each is recorded as
+    a ``sitemap:<url>`` sentinel in document order, after the others."""
     disallows: list[str] = []
+    sitemaps: list[str] = []
     delay: int | None = None
     applies = False
     for raw in text.splitlines():
@@ -59,9 +70,11 @@ def parse_robots(text: str) -> list[str]:
             disallows.append(value)
         elif field == "crawl-delay" and applies and delay is None and value.isdigit():
             delay = int(value)
+        elif field == "sitemap" and value:
+            sitemaps.append(f"{SITEMAP_PREFIX}{value}")
     if delay is not None:
         disallows.append(f"{CRAWL_DELAY_PREFIX}{delay}")
-    return disallows
+    return disallows + sitemaps
 
 
 def crawl_delay_of(rules: list[str]) -> int | None:
@@ -92,3 +105,34 @@ def effective_budget(budget: int, rules: list[str] | None) -> int:
 def is_disallowed(url_path: str, disallow_prefixes: list[str]) -> bool:
     """Prefix match of the URL path against the host's Disallow rules."""
     return any(url_path.startswith(p) for p in disallow_prefixes)
+
+
+def sitemap_urls_of(rules: list[str]) -> list[str]:
+    """The Sitemap sentinels carried in a host's rules list, in document
+    order."""
+    return [
+        r[len(SITEMAP_PREFIX):]
+        for r in rules
+        if r.startswith(SITEMAP_PREFIX)
+    ]
+
+
+import re as _re
+
+_LOC_RE = _re.compile(r"<loc>\s*([^<]*?)\s*</loc>")
+
+
+def parse_sitemap_locs(text: str) -> list[str]:
+    """``<loc>`` URLs from a sitemap XML body, in document order
+    (minimal deterministic subset of sitemaps.org: no index recursion,
+    no entity decoding beyond the five XML predefineds)."""
+    out = []
+    for m in _LOC_RE.finditer(text):
+        u = (
+            m.group(1)
+            .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+            .replace("&quot;", '"').replace("&apos;", "'")
+        )
+        if u:
+            out.append(u)
+    return out
