@@ -499,6 +499,81 @@ def _warc_wet_oracle_values_sql() -> str:
     )
 
 
+def _warc_wat(sf_dir: str):
+    """WAT-style metadata-envelope table over the real fixture (W)ARCs
+    (Common-Crawl *.warc.wat companion job on the binary input path)."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_wat
+
+    return warc_wat(_warc_input_paths())
+
+
+def _warc_wat_oracle_values_sql() -> str:
+    """Sequential-oracle WAT recompute: the INDEPENDENT parser +
+    extraction oracle yields each surviving doc's header/link metadata;
+    every survivor renders as VALUES(source_file, source_offset, url,
+    ts14, record_type, status, mime, content_type_norm, title, n_links,
+    links_sha1, wat_json). Only the envelope *formatter* (wat_envelope)
+    is shared — the values feeding it come from the independent path."""
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+    from webarchive_discovery_ray.pipelines.cdx import wat_envelope
+
+    def lit(v: object) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    cfg = IndexConfig()
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None:
+                continue
+            url = doc["url"]
+            ts14 = doc["wayback_date"] or ""
+            rt = doc["record_type"] or ""
+            status = int(doc["status"] or 0)
+            mime = doc["content_type_served"] or ""
+            ctn = doc["content_type_norm"] or ""
+            title = doc["title"] or ""
+            links = doc["links"] or []
+            rows.append(
+                "({}, {}::BIGINT, {}, {}, {}, {}::INTEGER, {}, {}, {},"
+                " {}::BIGINT, {}, {})".format(
+                    lit(doc["source_file"]),
+                    doc["source_offset"],
+                    lit(url),
+                    lit(ts14),
+                    lit(rt),
+                    status,
+                    lit(mime),
+                    lit(ctn),
+                    lit(title),
+                    len(links),
+                    lit(sha1_b32("\n".join(links).encode("utf-8"))),
+                    lit(
+                        wat_envelope(
+                            url, ts14, rt, status, mime, title, len(links)
+                        )
+                    ),
+                )
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(source_file, source_offset, url, ts14, record_type,"
+        + " status, mime, content_type_norm, title, n_links, links_sha1,"
+        + " wat_json)"
+    )
+
+
 def _warc_file_hash(sf_dir: str):
     """HdfsFileHasher over the real fixture (W)ARCs (chunked SHA-512)."""
     from webarchive_discovery_ray.pipelines.stats import warc_file_hash
@@ -1717,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_datasets": _warc_datasets,
         "warc_regex": _warc_regex,
         "warc_wet": _warc_wet,
+        "warc_wat": _warc_wat,
         "warc_corpus": _warc_corpus,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
@@ -3885,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
     out["warc_regex"] = _warc_regex_oracle_values_sql()
     out["warc_wet"] = _warc_wet_oracle_values_sql()
+    out["warc_wat"] = _warc_wat_oracle_values_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()

@@ -763,6 +763,53 @@ def test_sitemap_discovery_byte_parity(ray_session):
     )
 
 
+def test_sitemap_index_recursion_byte_parity(ray_session):
+    """<sitemapindex> recursion (round 4): a fetched priority -1 sitemap
+    whose body is an index emits its child <loc> sitemaps as candidates
+    that KEEP priority -1 (fetched + parsed as sitemaps in turn, riding
+    the normal checkpointed frontier); a <urlset>'s locs stay at default
+    priority. Ray == sequential oracle byte-for-byte, and the recursion
+    demonstrably bites."""
+    from webarchive_discovery_ray.sources.synthetic import (
+        host_sitemaps,
+        hosts,
+        sitemap_children,
+        sitemap_is_index,
+        sitemap_locs,
+    )
+
+    syn = SyntheticConfig(
+        n_hosts=12, pages_per_host=60, max_fanout=6,
+        robots_sitemap_ratio=0.7, sitemap_index_ratio=0.6,
+    )
+    indexes = {
+        sm for h in hosts(syn) for sm in host_sitemaps(h, syn)
+        if sitemap_is_index(sm, syn)
+    }
+    assert indexes, "fixture must advertise at least one index sitemap"
+    children = {c for sm in indexes for c in sitemap_children(sm, syn)}
+    sds = seed_urls(syn, n_seeds=8)
+    cfg = CrawlConfig(politeness_budget=3, max_waves=6, seen_shards=4)
+    exp = oracle_crawl(sds, cfg, syn)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    fetched_urls = {e["url"] for e in got.fetch_log}
+    # sensitivity ladder: an index was fetched -> a child was fetched ->
+    # a child-discovered page (only reachable via the child's <loc>) was
+    # fetched
+    hit_idx = indexes & fetched_urls
+    assert hit_idx, "no advertised index sitemap was fetched"
+    hit_kids = children & fetched_urls
+    assert hit_kids, "no index child sitemap was fetched"
+    kid_locs = {
+        loc for c in hit_kids for loc in sitemap_locs(c, syn)
+        if "/articles/sm" in loc
+    }
+    assert kid_locs & fetched_urls, "no child-discovered page was crawled"
+
+
 def test_sitemap_checkpoint_resume_identical(ray_session, tmp_path_factory):
     """Kill-and-resume across the sitemap-pending boundary: pending
     sitemap URLs are NOT checkpointed — resume recomputes them from the

@@ -130,5 +130,9 @@ class SyntheticConfig:
     # fraction of hosts whose robots.txt advertises Sitemap: URLs
     # (default 0.0: every pre-existing fixture stays byte-identical)
     robots_sitemap_ratio: float = 0.0
+    # fraction of ADVERTISED sitemaps that serve a <sitemapindex> of
+    # child sitemaps instead of a <urlset> (default 0.0: fixtures with
+    # robots_sitemap_ratio set but no index knob stay byte-identical)
+    sitemap_index_ratio: float = 0.0
     pages_per_host: int = 400  # URL id space per host
     uk_host_ratio: float = 0.3

@@ -41,6 +41,7 @@ from ..sources.synthetic import page_for_url
 from ..state.robots import (
     effective_budget,
     is_disallowed,
+    is_sitemap_index,
     parse_robots,
     parse_sitemap_locs,
     robots_url_for_host,
@@ -199,6 +200,7 @@ def oracle_crawl(
             cands: set[str] = set(doc["links"]) if doc else set()
             if doc and doc["redirect_to_norm"]:
                 cands.add(doc["redirect_to_norm"])
+            cand_pri = max(e.priority, 0)
             if (
                 e.priority == -1
                 and not e.url.endswith("/robots.txt")
@@ -206,17 +208,19 @@ def oracle_crawl(
             ):
                 # injected sitemap fetch: its <loc> URLs join the
                 # candidate set, canonicalised like extracted links
+                text = rec["payload"].decode("utf-8", "replace")
                 cands.update(
-                    canonicalise_url(x)
-                    for x in parse_sitemap_locs(
-                        rec["payload"].decode("utf-8", "replace")
-                    )
+                    canonicalise_url(x) for x in parse_sitemap_locs(text)
                 )
-            page_candidates.append((host, slot, sorted(cands), e.hop, e.priority))
+                if is_sitemap_index(text):
+                    # <sitemapindex>: locs are CHILD SITEMAPS — they keep
+                    # priority -1 and recurse through the normal frontier
+                    cand_pri = -1
+            page_candidates.append((host, slot, sorted(cands), e.hop, cand_pri))
         # rule 6: discovery (copy: carryover count must stay the drain's)
         next_frontier = list(carryover)
         new_count = 0
-        for host, slot, cands, hop, pri in page_candidates:
+        for host, slot, cands, hop, cand_pri in page_candidates:
             for u in cands:
                 if not candidate_ok(u, hop, ccfg, icfg.max_url_length):
                     continue
@@ -225,9 +229,10 @@ def oracle_crawl(
                     continue
                 seen.add(k)
                 chost = extract_host(u)
-                # candidates enqueue at max(parent priority, 0): injected
-                # (-1) fetches discover at the default priority
-                next_frontier.append(_Entry(u, k, chost, max(pri, 0), hop + 1, seq))
+                # candidates enqueue at the fetch row's cand_pri: -1 for
+                # index children (recurse as sitemaps), else
+                # max(parent priority, 0) — the pinned discovery rule
+                next_frontier.append(_Entry(u, k, chost, cand_pri, hop + 1, seq))
                 seq += 1
                 new_count += 1
         robots_rules.update(new_robots)

@@ -27,6 +27,8 @@ __all__ = [
     "warc_regex",
     "warc_corpus",
     "warc_wet",
+    "warc_wat",
+    "wat_envelope",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -353,6 +355,117 @@ def warc_wet(paths: list[str], icfg: IndexConfig | None = None):
                     pc.utf8_length(b["content"]), pa.int64()
                 ),
                 "text_sha1": digests,
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow")
+
+
+def wat_envelope(
+    url: str,
+    ts14: str,
+    record_type: str,
+    status: int,
+    mime: str,
+    title: str,
+    n_links: int,
+) -> str:
+    """Canonical WAT metadata envelope (one JSON object per record,
+    Common-Crawl ``*.warc.wat`` shape, simplified to the fields this
+    engine extracts). Rendering is a pure formatting rule — sorted keys,
+    no whitespace — so the Ray pipeline and the sequential VALUES oracle
+    cannot diverge on serialisation; the *values* still come from the two
+    independent extraction paths."""
+    import json
+
+    return json.dumps(
+        {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": url,
+                    "WARC-Date": ts14,
+                    "WARC-Type": record_type,
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "Response-Message-Status": int(status),
+                        "Headers-Content-Type": mime,
+                    },
+                    "HTML-Metadata": {
+                        "Head-Title": title,
+                        "Links-Count": int(n_links),
+                    },
+                },
+            }
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    )
+
+
+def warc_wat(paths: list[str], icfg: IndexConfig | None = None):
+    """WAT-style metadata table over REAL (W)ARC files — the
+    Common-Crawl ``*.warc.wat`` companion job to :func:`warc_wet`
+    (per-record JSON metadata envelopes: WARC header fields + HTTP
+    response metadata + HTML head/link metadata). The reference ships
+    this information through the indexer's header/link Solr fields
+    (``WARCIndexer.java:316-470`` header projection,
+    ``HtmlFeatureParser.java`` links/title) and the MDX stats projection
+    (``MDX.java``); this job emits it as the standalone derived dataset
+    a link-graph or head-metadata consumer actually reads.
+
+    Shape: binary archive read (one file per task) → extraction chain →
+    flat per-survivor projection + canonical JSON envelope. No shuffle.
+    Columns: source_file, source_offset, url, ts14, record_type, status,
+    mime (served, '' when absent), content_type_norm, title ('' when
+    absent), n_links, links_sha1 (``sha1:<base32>`` over the
+    newline-joined link list — the link set verifiable without a nested
+    column), wat_json (the envelope)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import sha1_b32
+    from ..sources.warc import read_archive_pages
+    from ..stages.extract import ExtractStage
+
+    icfg = icfg or IndexConfig()
+    docs = read_archive_pages(paths).map_batches(
+        ExtractStage(icfg), batch_format="pyarrow", batch_size=64
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        # '' (never null) for every optional string — the same rule the
+        # sequential VALUES oracle applies, so the hash gate is exact
+        urls = b["url"].to_pylist()
+        ts = [x or "" for x in b["wayback_date"].to_pylist()]
+        rt = [x or "" for x in b["record_type"].to_pylist()]
+        st = [int(x or 0) for x in b["status"].to_pylist()]
+        mime = [m or "" for m in b["content_type_served"].to_pylist()]
+        ctn = [x or "" for x in b["content_type_norm"].to_pylist()]
+        titles = [t or "" for t in b["title"].to_pylist()]
+        links = b["links"].to_pylist()
+        n_links = [len(l or []) for l in links]
+        links_sha1 = [
+            sha1_b32("\n".join(l or []).encode("utf-8")) for l in links
+        ]
+        wat = [
+            wat_envelope(urls[i], ts[i], rt[i], st[i], mime[i],
+                         titles[i], n_links[i])
+            for i in range(len(urls))
+        ]
+        return pa.table(
+            {
+                "source_file": b["source_file"],
+                "source_offset": pc.cast(b["source_offset"], pa.int64()),
+                "url": b["url"],
+                "ts14": pa.array(ts, pa.string()),
+                "record_type": pa.array(rt, pa.string()),
+                "status": pa.array(st, pa.int32()),
+                "mime": pa.array(mime, pa.string()),
+                "content_type_norm": pa.array(ctn, pa.string()),
+                "title": pa.array(titles, pa.string()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "links_sha1": pa.array(links_sha1, pa.string()),
+                "wat_json": pa.array(wat, pa.string()),
             }
         )
 

@@ -79,6 +79,7 @@ from ..state.robots import (
     effective_budget,
     is_disallowed,
     parse_robots,
+    is_sitemap_index,
     parse_sitemap_locs,
     robots_url_for_host,
     sitemap_urls_of,
@@ -107,6 +108,10 @@ OUT_SCHEMA = pa.schema(
         pa.field("cand_urls", pa.list_(pa.string())),
         pa.field("cand_surts", pa.list_(pa.string())),
         pa.field("cand_hosts", pa.list_(pa.string())),
+        # enqueue priority for THIS row's candidates: -1 when the row is
+        # a fetched <sitemapindex> (children are sitemaps and recurse),
+        # else max(parent priority, 0) — the pinned discovery rule
+        pa.field("cand_pri", pa.int32()),
     ]
 )
 
@@ -190,15 +195,19 @@ class FetchExtractStage:
             cset = set(doc["links"])
             if doc["redirect_to_norm"]:
                 cset.add(doc["redirect_to_norm"])
+            cand_pri = max(r["priority"], 0)
             if r["priority"] == -1 and not is_robots and rec["status"] == 200:
                 # injected sitemap fetch (the only non-robots -1 rows):
                 # <loc> URLs join the candidates, canonicalised like links
+                text = rec["payload"].decode("utf-8", "replace")
                 cset.update(
-                    canonicalise_url(x)
-                    for x in parse_sitemap_locs(
-                        rec["payload"].decode("utf-8", "replace")
-                    )
+                    canonicalise_url(x) for x in parse_sitemap_locs(text)
                 )
+                if is_sitemap_index(text):
+                    # index file: its locs are CHILD SITEMAPS — they keep
+                    # priority -1 (fetched + parsed as sitemaps in turn),
+                    # riding the normal checkpointed frontier
+                    cand_pri = -1
             cand_urls = [
                 u
                 for u in sorted(cset)
@@ -225,6 +234,7 @@ class FetchExtractStage:
                 "cand_urls": cand_urls,
                 "cand_surts": [surt_key(u) for u in cand_urls],
                 "cand_hosts": [extract_host(u) for u in cand_urls],
+                "cand_pri": cand_pri,
             }
             out.append(crawl_cols)
             if docs is not None:
@@ -714,12 +724,10 @@ def _split_block(n_shards: int, tbl: pa.Table):
             "url": pc.list_flatten(cand_col),
             "surt": surts,
             "host": pc.list_flatten(fetched["cand_hosts"].combine_chunks()),
-            # max(parent priority, 0): injected (-1) fetches discover at
-            # the default priority (pinned rule, mirrored in the oracle)
-            "priority": pc.max_element_wise(
-                pc.take(fetched["priority"], parents),
-                pa.scalar(0, pa.int32()),
-            ),
+            # per-row enqueue priority from the fetch stage: -1 for
+            # <sitemapindex> children (recurse as sitemaps), else
+            # max(parent priority, 0) (pinned rule, mirrored in the oracle)
+            "priority": pc.take(fetched["cand_pri"], parents),
             "hop": pc.take(fetched["hop"], parents),
             "order_host": pc.take(fetched["fetch_host"], parents),
             "order_slot": pc.take(fetched["slot"], parents),

@@ -181,6 +181,36 @@ def host_sitemaps(host: str, cfg: SyntheticConfig) -> list[str]:
     return []
 
 
+def sitemap_is_index(url: str, cfg: SyntheticConfig) -> bool:
+    """True when an ADVERTISED sitemap URL serves a ``<sitemapindex>``
+    (children via :func:`sitemap_children`) instead of a ``<urlset>``."""
+    if cfg.sitemap_index_ratio <= 0.0:
+        return False
+    h = stable_hash64(f"smindex:{url}", cfg.seed)
+    return (h % 100) / 100.0 < cfg.sitemap_index_ratio
+
+
+def sitemap_children(url: str, cfg: SyntheticConfig) -> list[str]:
+    """Child sitemap URLs served by an index sitemap (2-3, same host)."""
+    host = _host_of(url)
+    stem = url.rsplit("/", 1)[1].removesuffix(".xml")
+    h = stable_hash64(f"smkids:{url}", cfg.seed)
+    return [
+        f"http://{host}/{stem}_c{i}.xml" for i in range(2 + h % 2)
+    ]
+
+
+def _host_sitemap_urls(host: str, cfg: SyntheticConfig) -> set[str]:
+    """Every URL on this host that serves sitemap XML: the advertised
+    set plus the children of advertised index sitemaps."""
+    out: set[str] = set()
+    for sm in host_sitemaps(host, cfg):
+        out.add(sm)
+        if sitemap_is_index(sm, cfg):
+            out.update(sitemap_children(sm, cfg))
+    return out
+
+
 def sitemap_locs(url: str, cfg: SyntheticConfig) -> list[str]:
     """``<loc>`` URLs served by a sitemap URL: mostly fresh same-host
     pages outside the organic link space plus one organic page (the
@@ -260,7 +290,7 @@ def page_for_url(url: str, cfg: SyntheticConfig) -> dict:
     h = stable_hash64(f"rec:{url}", cfg.seed)
     path = url.split("://", 1)[1].partition("/")[2]
     is_robots = url.endswith("/robots.txt")
-    is_sitemap = url in host_sitemaps(_host_of(url), cfg)
+    is_sitemap = url in _host_sitemap_urls(_host_of(url), cfg)
     if is_robots:
         lines = ["User-agent: *"] + [f"Disallow: {p}" for p in robots_disallows(_host_of(url), cfg)]
         if (cd := robots_crawl_delay(_host_of(url), cfg)) is not None:
@@ -269,14 +299,25 @@ def page_for_url(url: str, cfg: SyntheticConfig) -> dict:
         payload, mime = ("\n".join(lines) + "\n").encode("ascii"), "text/plain"
         status = 200
     elif is_sitemap:
-        body = (
-            '<?xml version="1.0" encoding="UTF-8"?>\n'
-            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
-            + "".join(
-                f"  <url><loc>{l}</loc></url>\n" for l in sitemap_locs(url, cfg)
+        if sitemap_is_index(url, cfg) and url in host_sitemaps(_host_of(url), cfg):
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                + "".join(
+                    f"  <sitemap><loc>{c}</loc></sitemap>\n"
+                    for c in sitemap_children(url, cfg)
+                )
+                + "</sitemapindex>\n"
             )
-            + "</urlset>\n"
-        )
+        else:
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                + "".join(
+                    f"  <url><loc>{l}</loc></url>\n" for l in sitemap_locs(url, cfg)
+                )
+                + "</urlset>\n"
+            )
         payload, mime = body.encode("utf-8"), "application/xml"
         status = 200
     elif _is_media(url):

@@ -21,6 +21,7 @@ __all__ = [
     "effective_budget",
     "sitemap_urls_of",
     "parse_sitemap_locs",
+    "is_sitemap_index",
     "CRAWL_DELAY_PREFIX",
     "SITEMAP_PREFIX",
 ]
@@ -120,6 +121,15 @@ def sitemap_urls_of(rules: list[str]) -> list[str]:
 import re as _re
 
 _LOC_RE = _re.compile(r"<loc>\s*([^<]*?)\s*</loc>")
+
+
+_INDEX_RE = _re.compile(r"<sitemapindex[\s>]")
+
+
+def is_sitemap_index(text: str) -> bool:
+    """True when a sitemap body is a ``<sitemapindex>`` (its ``<loc>``
+    URLs are CHILD SITEMAPS, not pages — sitemaps.org index files)."""
+    return bool(_INDEX_RE.search(text))
 
 
 def parse_sitemap_locs(text: str) -> list[str]:
