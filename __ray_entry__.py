@@ -1677,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         softdedup_weights,
         source_overlap,
         pca_embeddings,
+        c4_filters,
         curation_pipeline,
         decontaminate,
         dsir_weights,
@@ -1714,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "repetition_score": repetition_score,
         "gopher_rules": gopher_rules,
+        "c4_filters": c4_filters,
         "blocklist_filter": blocklist_filter,
         "dsir_weights": dsir_weights,
         "pii_scrub": pii_scrub,
@@ -2803,6 +2805,51 @@ def oracle_sql() -> dict[str, str]:
                     AND (10 * n_ellipsis_lines <= 3 * n_lines)
                     AND (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words)
                     AND (n_stop_distinct >= 2)) AS keep
+            FROM stat
+        """,
+        # C4 line-level cleaning (Raffel et al. 2020 §2.2): per-line
+        # verdicts then page verdicts, mirroring curation.c4_filters
+        # exactly (trim charset = space/tab/CR; words = non-empty
+        # single-space tokens; chr(123) = '{')
+        "c4_filters": """
+            WITH base AS (
+              SELECT doc_id,
+                     text,
+                     list_transform(
+                         string_split(text, chr(10)),
+                         l -> trim(l, ' ' || chr(9) || chr(13))
+                     ) AS tl
+              FROM documents
+            ),
+            lined AS (
+              SELECT doc_id,
+                     text,
+                     len(tl)::BIGINT AS n_lines,
+                     list_filter(
+                         tl,
+                         t -> (ends_with(t, '.') OR ends_with(t, '!')
+                               OR ends_with(t, '?') OR ends_with(t, '"'))
+                              AND len(list_filter(string_split(t, ' '),
+                                                  x -> x <> '')) >= 3
+                              AND NOT contains(lower(t), 'javascript')
+                     ) AS kept
+              FROM base
+            ),
+            stat AS (
+              SELECT doc_id,
+                     n_lines,
+                     len(kept)::BIGINT AS n_kept,
+                     CAST(COALESCE(list_sum(list_transform(kept, x -> len(x))),
+                                   0) AS BIGINT) AS kept_chars,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, chr(123)) AS has_brace,
+                     COALESCE(array_to_string(kept, chr(10)), '')
+                         AS kept_text
+              FROM lined
+            )
+            SELECT doc_id, n_lines, n_kept, kept_chars, has_lorem, has_brace,
+                   (n_kept >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
+                   kept_text
             FROM stat
         """,
         # Gopher-style repetition signals: duplicate word / 2-gram fracs

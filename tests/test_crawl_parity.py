@@ -763,6 +763,59 @@ def test_sitemap_discovery_byte_parity(ray_session):
     )
 
 
+def test_robots_allow_longest_match_byte_parity(ray_session):
+    """RFC 9309 Allow carve-outs (round 4): among matching Allow/Disallow
+    prefixes the longest wins (tie -> Allow). Ray frontier == sequential
+    oracle byte-for-byte, and the rule demonstrably bites (a page under a
+    Disallowed prefix re-admitted by a longer Allow gets fetched while a
+    sibling stays blocked)."""
+    from webarchive_discovery_ray.functions.urls import url_path
+    from webarchive_discovery_ray.sources.synthetic import (
+        hosts,
+        robots_allows,
+        robots_disallows,
+    )
+    from webarchive_discovery_ray.state.robots import is_disallowed, parse_robots
+
+    syn = SyntheticConfig(
+        n_hosts=14, pages_per_host=80, max_fanout=7,
+        robots_disallow_ratio=0.8, robots_allow_ratio=0.8,
+    )
+    allowed_hosts = [h for h in hosts(syn) if robots_allows(h, syn)]
+    assert allowed_hosts, "fixture must serve Allow lines"
+    sds = seed_urls(syn, n_seeds=8)
+    cfg = CrawlConfig(politeness_budget=4, max_waves=5, seen_shards=4)
+    exp = oracle_crawl(sds, cfg, syn)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # sensitivity: some fetched URL sits under a Disallow prefix but is
+    # re-admitted by its host's longer Allow prefix
+    carved = 0
+    for e in got.fetch_log:
+        h = e["host"]
+        dis, alw = robots_disallows(h, syn), robots_allows(h, syn)
+        if not alw:
+            continue
+        p = url_path(e["url"])
+        if any(p.startswith(d) for d in dis) and any(
+            p.startswith(a) for a in alw
+        ):
+            carved += 1
+    assert carved, "no Allow-carved URL was actually fetched"
+    # kernel pins: longest-match + tie->Allow + sentinel immunity
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /a/\nAllow: /a/b\nCrawl-delay: 2\n"
+        "Sitemap: http://x/s.xml\n"
+    )
+    assert is_disallowed("/a/x", rules)
+    assert not is_disallowed("/a/b", rules)  # tie in spirit: allow wins
+    assert not is_disallowed("/a/bc", rules)  # longer allow match
+    assert not is_disallowed("/ok", rules)
+    assert is_disallowed("/a/", rules) and not is_disallowed("/", rules)
+
+
 def test_sitemap_index_recursion_byte_parity(ray_session):
     """<sitemapindex> recursion (round 4): a fetched priority -1 sitemap
     whose body is an index emits its child <loc> sitemaps as candidates

@@ -705,3 +705,110 @@ def test_dataset_split_fractions_and_determinism(ray_session):
         hashlib.md5(f"{r.doc_id}:split".encode()).digest()[:8], "big"
     ) % 1000
     assert r.bucket == b0
+
+
+# --- C4 line-level cleaning ---------------------------------------------------
+
+
+def _c4_py(text: str):
+    """Independent pure-Python recompute of the pinned C4 rules."""
+    lines = text.split("\n")
+    kept = []
+    for raw in lines:
+        t = raw.strip(" \t\r")
+        words = [w for w in t.split(" ") if w]
+        if (
+            t[-1:] in (".", "!", "?", '"')
+            and len(words) >= 3
+            and "javascript" not in t.lower()
+        ):
+            kept.append(t)
+    has_lorem = "lorem ipsum" in text.lower()
+    has_brace = "{" in text
+    return {
+        "n_lines": len(lines),
+        "n_kept": len(kept),
+        "kept_chars": sum(len(t) for t in kept),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "keep": len(kept) >= 3 and not has_lorem and not has_brace,
+        "kept_text": "\n".join(kept),
+    }
+
+
+def test_c4_score_batch_every_rule_fires():
+    """Crafted texts drive each C4 rule both ways; the Arrow kernel must
+    equal an independent pure-Python recompute field by field."""
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.pipelines.curation import c4_score_batch
+
+    texts = [
+        # clean keeper: 3 terminal >=3-word lines
+        "One two three.\nFour five six!\nSeven eight nine?",
+        # quote terminal + trimmed \t\r ends, extra spaces between words
+        '\tHe said "stop now".\r\n  A  b  c.  \nx y z?\nnoise',
+        # line rules: no terminal / <3 words / javascript
+        "one two three\nab cd.\nenable javascript to view this page.\nOne two three.",
+        # page rules: lorem ipsum, brace
+        "Lorem Ipsum dolor sit amet.\nGood line here.\nAnother good one.",
+        "var x = { a: 1 };\nGood line here one.\nGood line here two.\nGood line three.",
+        # degenerate
+        "",
+        "word",
+    ]
+    tbl = pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                    "text": texts})
+    out = c4_score_batch(tbl).to_pylist()
+    for row, text in zip(out, texts):
+        exp = _c4_py(text)
+        for k, v in exp.items():
+            assert row[k] == v, (text, k, row[k], v)
+    verdicts = {r["keep"] for r in out}
+    assert verdicts == {True, False}
+    assert any(r["has_lorem"] for r in out)
+    assert any(r["has_brace"] for r in out)
+
+
+def test_c4_over_real_warc_text_mixed_verdicts():
+    """Real fixture-WARC extracted text (messy unicode, entities, CSS/JS
+    blobs) through the kernel vs the independent recompute — field by
+    field. (Extraction collapses whitespace, so real-WARC text is
+    single-line and keep=False; mixed verdicts incl. keep=True are
+    pinned by the crafted-text test above.)"""
+    import os
+
+    import pyarrow as pa
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+    from webarchive_discovery_ray.pipelines.curation import c4_score_batch
+
+    path = (
+        "/root/reference/warc-indexer/src/test/resources/"
+        "wikipedia-mona-lisa/flashfrozen-jwat-recompressed.warc.gz"
+    )
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference fixture WARC not present")
+    cfg = IndexConfig()
+    texts, ids = [], []
+    with open(path, "rb") as fh:
+        data = fh.read()
+    for rec in oracle_parse_archive(data, os.path.basename(path)):
+        doc = oracle_extract_record(rec, cfg)
+        if doc and doc.get("content"):
+            ids.append(f"{doc['source_file']}:{doc['source_offset']}")
+            texts.append(doc["content"])
+    assert texts
+    out = c4_score_batch(
+        pa.table({"doc_id": ids, "text": texts})
+    ).to_pylist()
+    for row, text in zip(out, texts):
+        exp = _c4_py(text)
+        for k, v in exp.items():
+            assert row[k] == v, (row["doc_id"], k)

@@ -66,6 +66,10 @@ class CrawlConfig:
       budget to ``max(1, politeness_budget // d)`` (the token bucket
       refills d-times slower), same effective-from-next-wave timing as
       the Disallow prefixes (state/robots.effective_budget);
+    * robots ``Allow:`` prefixes (RFC 9309 §2.2.2) participate in a
+      longest-match verdict against the Disallow prefixes (tie → Allow;
+      no match → allowed) — with no Allow lines this is exactly the old
+      any-Disallow-prefix rule (state/robots.is_disallowed);
     * robots ``Sitemap:`` URLs (follow_sitemaps) are injected as
       implicit priority=-1 fetches from the wave after the robots fetch
       (first time their SURT is unseen); a 200 sitemap's ``<loc>`` URLs
@@ -134,5 +138,9 @@ class SyntheticConfig:
     # child sitemaps instead of a <urlset> (default 0.0: fixtures with
     # robots_sitemap_ratio set but no index knob stay byte-identical)
     sitemap_index_ratio: float = 0.0
+    # fraction of Disallow-carrying hosts whose robots.txt also serves an
+    # Allow carve-out under the first Disallow prefix (RFC 9309
+    # longest-match; default 0.0: pre-existing fixtures byte-identical)
+    robots_allow_ratio: float = 0.0
     pages_per_host: int = 400  # URL id space per host
     uk_host_ratio: float = 0.3

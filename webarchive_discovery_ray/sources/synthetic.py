@@ -153,6 +153,24 @@ def robots_disallows(host: str, cfg: SyntheticConfig) -> list[str]:
     return []
 
 
+def robots_allows(host: str, cfg: SyntheticConfig) -> list[str]:
+    """Allow prefixes served by http://host/robots.txt — carve-outs
+    UNDER the host's first Disallow prefix (``Allow: /sectionN/item1``
+    re-admits item1, item1*.html, item10… via RFC 9309 longest-match).
+    Opt-in via ``robots_allow_ratio`` (default 0.0 keeps every
+    pre-existing fixture byte-identical); only hosts WITH disallows can
+    carry allows."""
+    if cfg.robots_allow_ratio <= 0.0:
+        return []
+    dis = robots_disallows(host, cfg)
+    if not dis:
+        return []
+    h = stable_hash64(f"rallow:{host}", cfg.seed)
+    if (h % 100) / 100.0 < cfg.robots_allow_ratio:
+        return [f"{dis[0]}item1"]
+    return []
+
+
 def robots_crawl_delay(host: str, cfg: SyntheticConfig) -> int | None:
     """Crawl-delay served by http://host/robots.txt (None = no line).
     Opt-in via ``robots_crawl_delay_ratio`` (default 0.0 keeps every
@@ -293,6 +311,7 @@ def page_for_url(url: str, cfg: SyntheticConfig) -> dict:
     is_sitemap = url in _host_sitemap_urls(_host_of(url), cfg)
     if is_robots:
         lines = ["User-agent: *"] + [f"Disallow: {p}" for p in robots_disallows(_host_of(url), cfg)]
+        lines += [f"Allow: {p}" for p in robots_allows(_host_of(url), cfg)]
         if (cd := robots_crawl_delay(_host_of(url), cfg)) is not None:
             lines.append(f"Crawl-delay: {cd}")
         lines += [f"Sitemap: {s}" for s in host_sitemaps(_host_of(url), cfg)]

@@ -24,6 +24,7 @@ __all__ = [
     "is_sitemap_index",
     "CRAWL_DELAY_PREFIX",
     "SITEMAP_PREFIX",
+    "ALLOW_PREFIX",
 ]
 
 # Crawl-delay rides the same rules list as the Disallow prefixes (one
@@ -38,6 +39,11 @@ CRAWL_DELAY_PREFIX = "crawl-delay:"
 # start with "/".
 SITEMAP_PREFIX = "sitemap:"
 
+# Allow rules (RFC 9309 §2.2.2) ride as ``allow:/path`` sentinels — the
+# prefix keeps them out of any plain startswith-Disallow scan (paths
+# start with "/", sentinels don't).
+ALLOW_PREFIX = "allow:"
+
 
 def robots_url_for_host(host: str) -> str:
     return f"http://{host}/robots.txt"
@@ -51,10 +57,14 @@ def parse_robots(text: str) -> list[str]:
     start at ``User-agent:`` lines; only ``*`` groups contribute; empty
     ``Disallow:`` means allow-all and contributes nothing; the FIRST
     integer ``Crawl-delay:`` in a ``*`` group is recorded as the
-    ``crawl-delay:N`` sentinel entry. ``Sitemap:`` lines are GLOBAL per
-    the protocol (not part of any user-agent group) — each is recorded as
-    a ``sitemap:<url>`` sentinel in document order, after the others."""
+    ``crawl-delay:N`` sentinel entry. ``Allow:`` lines in a ``*`` group
+    (RFC 9309 §2.2.2) are recorded as ``allow:<path>`` sentinels — they
+    participate in :func:`is_disallowed`'s longest-match rule.
+    ``Sitemap:`` lines are GLOBAL per the protocol (not part of any
+    user-agent group) — each is recorded as a ``sitemap:<url>`` sentinel
+    in document order, after the others."""
     disallows: list[str] = []
+    allows: list[str] = []
     sitemaps: list[str] = []
     delay: int | None = None
     applies = False
@@ -69,13 +79,15 @@ def parse_robots(text: str) -> list[str]:
             applies = value == "*"
         elif field == "disallow" and applies and value:
             disallows.append(value)
+        elif field == "allow" and applies and value:
+            allows.append(f"{ALLOW_PREFIX}{value}")
         elif field == "crawl-delay" and applies and delay is None and value.isdigit():
             delay = int(value)
         elif field == "sitemap" and value:
             sitemaps.append(f"{SITEMAP_PREFIX}{value}")
     if delay is not None:
         disallows.append(f"{CRAWL_DELAY_PREFIX}{delay}")
-    return disallows + sitemaps
+    return disallows + allows + sitemaps
 
 
 def crawl_delay_of(rules: list[str]) -> int | None:
@@ -103,9 +115,23 @@ def effective_budget(budget: int, rules: list[str] | None) -> int:
     return max(1, budget // d)
 
 
-def is_disallowed(url_path: str, disallow_prefixes: list[str]) -> bool:
-    """Prefix match of the URL path against the host's Disallow rules."""
-    return any(url_path.startswith(p) for p in disallow_prefixes)
+def is_disallowed(url_path: str, rules: list[str]) -> bool:
+    """RFC 9309 §2.2.2 longest-match: among all Allow/Disallow prefixes
+    matching the URL path, the longest wins; on a tie Allow wins; no
+    match means allowed. With no Allow rules this reduces to the plain
+    any-Disallow-prefix rule (all pre-Allow fixtures byte-identical).
+    Sentinel entries (``crawl-delay:``/``sitemap:``) never match: paths
+    always start with "/"."""
+    dmax = amax = 0
+    for p in rules:
+        if p.startswith("/"):
+            if url_path.startswith(p) and len(p) > dmax:
+                dmax = len(p)
+        elif p.startswith(ALLOW_PREFIX):
+            q = p[len(ALLOW_PREFIX):]
+            if q and url_path.startswith(q) and len(q) > amax:
+                amax = len(q)
+    return dmax > amax
 
 
 def sitemap_urls_of(rules: list[str]) -> list[str]:
