@@ -499,6 +499,99 @@ def _warc_wet_oracle_values_sql() -> str:
     )
 
 
+def _gopher_repetition_oracle_sql() -> str:
+    """Generated mirror of curation.gopher_repetition: per-n CTEs share
+    the one split word list; verdicts are the same integer
+    cross-multiplications."""
+    from webarchive_discovery_ray.pipelines.curation import (
+        GOPHER_DUP_LINE_CHAR_PCT,
+        GOPHER_DUP_LINE_PCT,
+        GOPHER_DUP_NS,
+        GOPHER_DUP_PCT,
+        GOPHER_TOP_NS,
+        GOPHER_TOP_PCT,
+    )
+
+    ctes = [
+        """base AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w,
+                   string_split(text, chr(10)) AS lines,
+                   len(text)::BIGINT AS len_text
+            FROM documents
+        )"""
+    ]
+    joins, cols, rules = [], [], []
+    for n in GOPHER_TOP_NS + GOPHER_DUP_NS:
+        top = n in GOPHER_TOP_NS
+        agg = (
+            "MAX(cnt * glen)"
+            if top
+            else "SUM(CASE WHEN cnt >= 2 THEN cnt * glen END)"
+        )
+        ctes.append(
+            f"""g{n} AS (
+              SELECT doc_id,
+                     array_to_string(
+                         w[CAST(i AS BIGINT):CAST(i + {n - 1} AS BIGINT)],
+                         ' ') AS g
+              FROM base, UNNEST(range(1, len(w) - {n - 2})) AS t(i)
+              WHERE len(w) >= {n}
+            ),
+            c{n} AS (
+              SELECT doc_id, count(*)::BIGINT AS cnt, len(g)::BIGINT AS glen
+              FROM g{n} GROUP BY doc_id, g
+            ),
+            a{n} AS (
+              SELECT doc_id, {agg} AS v FROM c{n} GROUP BY doc_id
+            )"""
+        )
+        joins.append(f"LEFT JOIN a{n} ON base.doc_id = a{n}.doc_id")
+        name = f"top{n}_chars" if top else f"dup{n}_chars"
+        cols.append(f"COALESCE(a{n}.v, 0)::BIGINT AS {name}")
+        pct = GOPHER_TOP_PCT[n] if top else GOPHER_DUP_PCT[n]
+        rname = f"rule_top{n}" if top else f"rule_dup{n}"
+        rules.append(
+            f"(100 * COALESCE(a{n}.v, 0) <= {pct} * len_text) AS {rname}"
+        )
+    ctes.append(
+        """lc AS (
+          SELECT doc_id, l, count(*)::BIGINT AS cnt, len(l)::BIGINT AS llen
+          FROM (SELECT doc_id, UNNEST(lines) AS l FROM base)
+          GROUP BY doc_id, l
+        ),
+        lstat AS (
+          SELECT doc_id,
+                 SUM(cnt)::BIGINT AS n_lines,
+                 SUM(cnt * llen)::BIGINT AS line_chars,
+                 COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0)::BIGINT
+                     AS dup_lines,
+                 COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * llen END), 0)
+                     ::BIGINT AS dup_line_chars
+          FROM lc GROUP BY doc_id
+        )"""
+    )
+    joins.append("LEFT JOIN lstat ON base.doc_id = lstat.doc_id")
+    keep_terms = [r.rsplit(" AS ", 1)[0] for r in rules] + [
+        f"(100 * lstat.dup_lines <= {GOPHER_DUP_LINE_PCT} * lstat.n_lines)",
+        f"(100 * lstat.dup_line_chars <= {GOPHER_DUP_LINE_CHAR_PCT}"
+        " * lstat.line_chars)",
+    ]
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT base.doc_id, len_text,
+               {", ".join(cols)},
+               lstat.n_lines, lstat.line_chars,
+               lstat.dup_lines, lstat.dup_line_chars,
+               {", ".join(rules)},
+               (100 * lstat.dup_lines <= {GOPHER_DUP_LINE_PCT}
+                * lstat.n_lines) AS rule_dup_lines,
+               (100 * lstat.dup_line_chars <= {GOPHER_DUP_LINE_CHAR_PCT}
+                * lstat.line_chars) AS rule_dup_line_chars,
+               ({" AND ".join(keep_terms)}) AS keep
+        FROM base {" ".join(joins)}
+    """
+
+
 def _warc_wat(sf_dir: str):
     """WAT-style metadata-envelope table over the real fixture (W)ARCs
     (Common-Crawl *.warc.wat companion job on the binary input path)."""
@@ -1681,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation_pipeline,
         decontaminate,
         dsir_weights,
+        gopher_repetition,
         gopher_rules,
         kmeans_embeddings,
         unigram_logloss,
@@ -1715,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "repetition_score": repetition_score,
         "gopher_rules": gopher_rules,
+        "gopher_repetition": gopher_repetition,
         "c4_filters": c4_filters,
         "blocklist_filter": blocklist_filter,
         "dsir_weights": dsir_weights,
@@ -4009,6 +4104,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_regex"] = _warc_regex_oracle_values_sql()
     out["warc_wet"] = _warc_wet_oracle_values_sql()
     out["warc_wat"] = _warc_wat_oracle_values_sql()
+    out["gopher_repetition"] = _gopher_repetition_oracle_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()

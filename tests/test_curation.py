@@ -812,3 +812,62 @@ def test_c4_over_real_warc_text_mixed_verdicts():
         exp = _c4_py(text)
         for k, v in exp.items():
             assert row[k] == v, (row["doc_id"], k)
+
+
+def test_gopher_repetition_crafted(ray_session, tmp_path):
+    """Crafted corpus drives the repetition rules both ways; verdicts
+    and counters match an independent Counter-based recompute."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import (
+        GOPHER_DUP_NS,
+        GOPHER_TOP_NS,
+        gopher_repetition,
+    )
+
+    texts = [
+        "spam spam spam spam spam spam",          # top-2gram dominated
+        " ".join(f"w{i}" for i in range(80)),     # clean (long, distinct)
+        "x y z " * 10 + "tail",                   # dup 5..10-grams
+        "dup line\ndup line\ndup line\nunique",   # duplicate lines
+        "",                                        # degenerate
+    ]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                  "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition(str(d)).to_pandas().to_dict("records")
+    }
+    for i, text in enumerate(texts):
+        w = text.split(" ")
+        lines = text.split("\n")
+        row = out[f"d{i}"]
+        assert row["len_text"] == len(text)
+        for n in GOPHER_TOP_NS + GOPHER_DUP_NS:
+            grams = [
+                " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+            ] if len(w) >= n else []
+            c = Counter(grams)
+            if n in GOPHER_TOP_NS:
+                exp = max((cnt * len(g) for g, cnt in c.items()), default=0)
+                assert row[f"top{n}_chars"] == exp, (i, n)
+            else:
+                exp = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+                assert row[f"dup{n}_chars"] == exp, (i, n)
+        lc = Counter(lines)
+        assert row["n_lines"] == len(lines)
+        assert row["dup_lines"] == sum(c for c in lc.values() if c >= 2)
+        assert row["dup_line_chars"] == sum(
+            c * len(l) for l, c in lc.items() if c >= 2
+        )
+    verdicts = {r["keep"] for r in out.values()}
+    assert verdicts == {True, False}
+    assert not out["d0"]["rule_top2"]
+    assert out["d1"]["keep"]
+    assert not out["d3"]["rule_dup_lines"]

@@ -42,6 +42,7 @@ __all__ = [
     "dsir_weights",
     "unigram_logloss",
     "gopher_rules",
+    "gopher_repetition",
     "c4_filters",
     "c4_score_batch",
     "blocklist_filter",
@@ -147,6 +148,144 @@ def repetition_score(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# full Gopher repetition-signal family (Rae et al. 2021 table A1: the
+# n-gram half of the quality appendix; `gopher_rules` holds the other half)
+
+GOPHER_TOP_NS = (2, 3, 4)  # most-frequent-n-gram char-fraction rules
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)  # duplicate-n-gram char-fraction rules
+# thresholds as integer percents (verdicts are exact cross-multiplications)
+GOPHER_TOP_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+GOPHER_DUP_LINE_PCT = 30  # fraction of lines that are duplicates
+GOPHER_DUP_LINE_CHAR_PCT = 20  # fraction of line chars in duplicate lines
+
+
+def gopher_repetition(sf_dir: str):
+    """Gopher's full repetition-signal battery with exact-integer
+    verdicts (Rae et al. 2021 appendix A1.1; complements
+    :func:`gopher_rules`'s document-shape half):
+
+    - top-n-gram chars, n=2..4: ``max over grams of count*gram_chars``
+      (gram_chars counts the words + single joining spaces), thresholded
+      against 20/18/16% of the raw text's char count;
+    - duplicate-n-gram chars, n=5..10: ``sum of count*gram_chars over
+      grams occurring >= 2 times``, thresholded at 15..10%. (Pinned
+      variant: occurrence-sum, not DeepMind's overlap-deduplicated char
+      coverage — documented divergence, exactly mirrored in SQL.)
+    - duplicate lines / duplicate-line chars over ``\\n`` lines,
+      thresholded at 30% of lines / 20% of line chars.
+
+    Words are single-space splits (empties kept — the same pin as
+    repetition_score). Zero shuffle; per batch the words are factorized
+    ONCE and every n reuses the code array via O(1) prefix-sum window
+    char lengths + np.unique over (doc, code-window) rows — no per-row
+    Python in the gram loop. Columns: doc_id, len_text, top{2,3,4}_chars,
+    dup{5..10}_chars, n_lines, line_chars, dup_lines, dup_line_chars,
+    per-rule booleans, keep. SQL-oracle-checked."""
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nb = batch.num_rows
+        text = pc.cast(batch["text"], pa.string())
+        len_text = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False).astype("int64")
+        )
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy().astype("int64")
+        wlen = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+        )
+        codes = pd.factorize(flat.to_numpy(zero_copy_only=False))[0]
+        m = len(codes)
+        cum = np.concatenate(([0], np.cumsum(wlen)))
+        cols: dict = {"doc_id": batch["doc_id"], "len_text": pa.array(len_text)}
+        for n in GOPHER_TOP_NS + GOPHER_DUP_NS:
+            num = np.zeros(nb, dtype="int64")
+            if m >= n:
+                ok = parents[: m - n + 1] == parents[n - 1 :]
+                idx = np.flatnonzero(ok)
+                if len(idx):
+                    win = np.stack(
+                        [parents[idx]] + [codes[idx + j] for j in range(n)],
+                        axis=1,
+                    )
+                    uniq, inv, cnt = np.unique(
+                        win, axis=0, return_inverse=True, return_counts=True
+                    )
+                    # equal code windows are equal word strings, so any
+                    # occurrence's char length works; first is pinned
+                    first = np.zeros(len(uniq), dtype="int64")
+                    first[inv[::-1]] = idx[::-1]
+                    glen = cum[first + n] - cum[first] + (n - 1)
+                    docs_u = uniq[:, 0]
+                    val = cnt.astype("int64") * glen
+                    if n in GOPHER_TOP_NS:
+                        np.maximum.at(num, docs_u, val)
+                    else:
+                        dup = cnt >= 2
+                        np.add.at(num, docs_u[dup], val[dup])
+            key = f"top{n}_chars" if n in GOPHER_TOP_NS else f"dup{n}_chars"
+            cols[key] = pa.array(num)
+        # duplicate-line statistics
+        lines = pc.split_pattern(text, "\n")
+        lfl = pc.list_flatten(lines)
+        lpar = pc.list_parent_indices(lines).to_numpy().astype("int64")
+        llen = pc.utf8_length(lfl).to_numpy(zero_copy_only=False).astype("int64")
+        lcodes = pd.factorize(lfl.to_numpy(zero_copy_only=False))[0]
+        n_lines = np.zeros(nb, dtype="int64")
+        line_chars = np.zeros(nb, dtype="int64")
+        np.add.at(n_lines, lpar, 1)
+        np.add.at(line_chars, lpar, llen)
+        dup_lines = np.zeros(nb, dtype="int64")
+        dup_line_chars = np.zeros(nb, dtype="int64")
+        if len(lcodes):
+            lw = np.stack([lpar, lcodes], axis=1)
+            uniq, inv, cnt = np.unique(
+                lw, axis=0, return_inverse=True, return_counts=True
+            )
+            first = np.zeros(len(uniq), dtype="int64")
+            first[inv[::-1]] = np.arange(len(lcodes))[::-1]
+            glen = llen[first]
+            dup = cnt >= 2
+            np.add.at(dup_lines, uniq[:, 0][dup], cnt[dup].astype("int64"))
+            np.add.at(
+                dup_line_chars,
+                uniq[:, 0][dup],
+                (cnt.astype("int64") * glen)[dup],
+            )
+        cols["n_lines"] = pa.array(n_lines)
+        cols["line_chars"] = pa.array(line_chars)
+        cols["dup_lines"] = pa.array(dup_lines)
+        cols["dup_line_chars"] = pa.array(dup_line_chars)
+        keep = np.ones(nb, dtype=bool)
+        for n in GOPHER_TOP_NS:
+            r = 100 * cols[f"top{n}_chars"].to_numpy() <= (
+                GOPHER_TOP_PCT[n] * len_text
+            )
+            cols[f"rule_top{n}"] = pa.array(r)
+            keep &= r
+        for n in GOPHER_DUP_NS:
+            r = 100 * cols[f"dup{n}_chars"].to_numpy() <= (
+                GOPHER_DUP_PCT[n] * len_text
+            )
+            cols[f"rule_dup{n}"] = pa.array(r)
+            keep &= r
+        r_l = 100 * dup_lines <= GOPHER_DUP_LINE_PCT * n_lines
+        r_lc = 100 * dup_line_chars <= GOPHER_DUP_LINE_CHAR_PCT * line_chars
+        cols["rule_dup_lines"] = pa.array(r_l)
+        cols["rule_dup_line_chars"] = pa.array(r_lc)
+        keep &= r_l & r_lc
+        cols["keep"] = pa.array(keep)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
