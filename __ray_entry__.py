@@ -1663,6 +1663,25 @@ def _host_link_graph(sf_dir: str):
     return host_link_graph(docs=rd.read_parquet(out))
 
 
+def _anchor_text_index(sf_dir: str):
+    """Anchor-text aggregation per target URL over a materialized
+    (target, text) pairs base (the per-page HTML scan runs once; the SQL
+    oracle aggregates the identical base)."""
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import (
+        anchor_pairs_ds,
+        anchor_text_index,
+    )
+
+    out = f"{_ORACLE_MAT}/anchor_base"
+    shutil.rmtree(out, ignore_errors=True)
+    anchor_pairs_ds(500).write_parquet(out)
+    return anchor_text_index(pairs=rd.read_parquet(out))
+
+
 def _host_components(sf_dir: str):
     """Connected components of the host link graph over the SAME
     materialized link base the graph/pagerank oracles read."""
@@ -1846,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_cosine_topk": ivfpq_cosine_topk,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
+        "anchor_text_index": _anchor_text_index,
         "host_components": _host_components,
         "host_pagerank": _host_pagerank,
         "tfidf_top_terms": tfidf_top_terms,
@@ -3645,6 +3665,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WHERE host <> ''
             GROUP BY host
+        """,
+        # anchor-text aggregation per target URL over the materialized
+        # (target, text) pairs base (stats.anchor_text_index)
+        "anchor_text_index": f"""
+            WITH c AS (
+              SELECT target, text, count(*)::BIGINT AS n
+              FROM read_parquet('{_ORACLE_MAT}/anchor_base/*.parquet')
+              GROUP BY target, text
+            ),
+            agg AS (
+              SELECT target, SUM(n)::BIGINT AS n_anchors,
+                     count(*)::BIGINT AS n_texts
+              FROM c GROUP BY target
+            ),
+            top AS (
+              SELECT target, text AS top_text, n AS top_n,
+                     row_number() OVER (
+                         PARTITION BY target ORDER BY n DESC, text
+                     ) AS rn
+              FROM c
+            )
+            SELECT agg.target, n_anchors, n_texts, top_text, top_n
+            FROM agg JOIN top ON agg.target = top.target
+            WHERE rn = 1
         """,
         # host->host weighted link-graph edges over the materialized
         # extraction base (M22 links_hosts)

@@ -420,3 +420,57 @@ def test_bucket_of_colocates_and_spreads():
     bs = bucket_of(ss, 32)
     assert bs.value_counts().max() < 3 * bs.value_counts().min()
     assert bs.dtype == np.int32 and bi.dtype == np.int32
+
+
+# --- anchor-text assembly (functions/htmlscan.anchor_texts) -------------------
+
+
+def test_anchor_texts_pinned_rules():
+    from webarchive_discovery_ray.functions.htmlscan import anchor_texts
+
+    # whitespace collapse + strip; markup inside contributes its text
+    assert anchor_texts('<a href="/x">hi \t\n there</a>') == [("/x", "hi there")]
+    assert anchor_texts('<a href="/y">b<b>old</b>!</a>') == [("/y", "bold!")]
+    # empty href -> no anchor; empty text -> ''
+    assert anchor_texts('<a href=>skip</a><a href="/e"></a>') == [("/e", "")]
+    # a new start-a closes the open anchor (no nesting)
+    assert anchor_texts('<a href="/1">one<a href="/2">two</a>') == [
+        ("/1", "one"),
+        ("/2", "two"),
+    ]
+    # unclosed at document end emits
+    assert anchor_texts('<a href="/t">tail text') == [("/t", "tail text")]
+    # script/comment content never leaks into anchor text
+    assert anchor_texts(
+        '<a href="/s">a<script>var x = "</a>";</script>b</a>'
+    ) == [("/s", "ab")]
+    assert anchor_texts("no anchors here") == []
+
+
+def test_anchor_pairs_consistent_with_extraction_links(ray_session):
+    """Every resolved anchor target of a 200 html page appears in the
+    extraction chain's links for that page (anchors are a subset of the
+    link rule: same resolve + canonicalise)."""
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.pipelines.stats import anchor_pairs_ds
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages
+
+    scfg = SyntheticConfig()
+    pages = {
+        r["url"]: r for r in fixture_pages(200, scfg)
+    }
+    got = anchor_pairs_ds(200, scfg).to_pandas()
+    assert len(got), "pairs base must be non-empty"
+    icfg = IndexConfig(response_include=())
+    links_by_url: dict[str, set] = {}
+    for u, rec in pages.items():
+        doc = oracle_extract_record(rec, icfg)
+        if doc:
+            links_by_url[u] = set(doc["links"])
+    all_links = set().union(*links_by_url.values())
+    hits = got["target"].isin(all_links)
+    # every anchor target the link rule also keeps is in some page's links
+    assert hits.mean() > 0.9, f"only {hits.mean():.0%} targets in links"

@@ -22,7 +22,7 @@ from __future__ import annotations
 import re
 from typing import Iterator, NamedTuple
 
-__all__ = ["Token", "tokenize_html", "parse_srcset"]
+__all__ = ["Token", "tokenize_html", "parse_srcset", "anchor_texts"]
 
 
 class Token(NamedTuple):
@@ -123,4 +123,45 @@ def parse_srcset(srcset: str) -> list[str]:
         cand = cand.strip()
         if cand:
             out.append(cand.split()[0])
+    return out
+
+
+_WS_RUN = re.compile(r"\s+")
+
+
+def anchor_texts(html: str) -> list[tuple[str, str]]:
+    """(href, anchor text) per ``<a href=...>`` element, in document
+    order — the anchor-text signal web-corpus pipelines aggregate per
+    target URL (the reference exposes the link itself via
+    ``HtmlFeatureParser.java:154-250``; the enclosed text is this
+    engine's addition).
+
+    Pinned assembly rules (deterministic, mirrored by the pytest
+    recompute): a ``start a`` with a non-empty ``href`` opens an anchor;
+    text tokens inside accumulate; ``end a`` emits; a new ``start a``
+    closes any open anchor first (HTML forbids nesting); an anchor still
+    open at document end emits. The emitted text is
+    whitespace-collapsed (runs -> one space) and stripped; empty text
+    emits as ''."""
+    out: list[tuple[str, str]] = []
+    href: str | None = None
+    buf: list[str] = []
+
+    def flush() -> None:
+        nonlocal href, buf
+        if href is not None:
+            out.append((href, _WS_RUN.sub(" ", "".join(buf)).strip()))
+        href, buf = None, []
+
+    for tok in tokenize_html(html):
+        if tok.kind == "start" and tok.name == "a":
+            flush()
+            h = tok.attrs.get("href", "")
+            if h:
+                href = h
+        elif tok.kind == "end" and tok.name == "a":
+            flush()
+        elif tok.kind == "text" and href is not None:
+            buf.append(tok.text)
+    flush()
     return out

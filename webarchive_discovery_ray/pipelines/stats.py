@@ -38,6 +38,8 @@ __all__ = [
     "warc_file_hash",
     "host_link_graph",
     "host_pagerank",
+    "anchor_pairs_ds",
+    "anchor_text_index",
     "span_stats",
     "media_context",
     "span_dedup",
@@ -107,6 +109,117 @@ def host_link_graph(n_pages: int = 600, scfg: SyntheticConfig | None = None, doc
         base.map_batches(partial_edges, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sum_in_bucket, batch_format="pandas")
+    )
+
+
+def anchor_pairs_ds(
+    n_pages: int = 600,
+    scfg: SyntheticConfig | None = None,
+    num_blocks: int = 32,
+):
+    """(target, text) anchor rows over the synthetic pages base: every
+    ``<a href>`` of every 200 text/html page, href resolved against the
+    page URL + canonicalised (the extraction chain's link rule, M23-24),
+    text whitespace-collapsed (functions/htmlscan.anchor_texts pinned
+    assembly). Per-record HTML scan — the honest cost of parsing, same
+    shape as the extract chain."""
+    from ..functions.htmlscan import anchor_texts
+    from ..functions.normalisation import resolve_relative
+    from ..sources.synthetic import fixture_pages_ds
+
+    scfg = scfg or SyntheticConfig()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        targets: list[str] = []
+        texts: list[str] = []
+        for r in batch.select(["url", "status", "mime_served", "payload"]).to_pylist():
+            if r["status"] != 200 or not (r["mime_served"] or "").startswith(
+                "text/html"
+            ):
+                continue
+            html = r["payload"].decode("utf-8", "replace")
+            for href, text in anchor_texts(html):
+                try:
+                    target = resolve_relative(r["url"], href, normalise=True)
+                except Exception:
+                    continue
+                if not target:
+                    continue
+                targets.append(target)
+                texts.append(text)
+        return pa.table(
+            {
+                "target": pa.array(targets, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return fixture_pages_ds(n_pages, scfg, num_blocks).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def anchor_text_index(
+    n_pages: int = 600, scfg: SyntheticConfig | None = None, pairs=None
+):
+    """Anchor-text aggregation per target URL — the classic web-corpus
+    signal (what other pages CALL a page; feeds retrieval corpora and
+    title enrichment). Per batch the (target, text) pairs pre-count into
+    partials (combiner), then ONE bucketed grouped fold by target
+    computes: n_anchors (all references), n_texts (distinct strings),
+    top_text/top_n (most frequent string; ties break lexicographically —
+    the SQL mirror's row_number() ORDER BY n DESC, text). The shuffle
+    moves pre-aggregated (target, text, n) rows, never pages. Columns:
+    target, n_anchors, n_texts, top_text, top_n. SQL-oracle-checked over
+    the materialized pairs base."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["target", "text"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["target"], n_b)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                target=str, n_anchors="int64", n_texts="int64",
+                top_text=str, top_n="int64",
+            )
+        c = (
+            df.groupby(["target", "text"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        agg = c.groupby("target", sort=False).agg(
+            n_anchors=("n", "sum"), n_texts=("text", "size")
+        )
+        top = (
+            c.sort_values(["n", "text"], ascending=[False, True],
+                          kind="mergesort")
+            .groupby("target", sort=False)
+            .head(1)
+            .set_index("target")
+        )
+        out = agg.join(top.rename(columns={"text": "top_text", "n": "top_n"}))
+        out = out.reset_index()
+        out["n_anchors"] = out["n_anchors"].astype("int64")
+        out["n_texts"] = out["n_texts"].astype("int64")
+        out["top_n"] = out["top_n"].astype("int64")
+        return out[["target", "n_anchors", "n_texts", "top_text", "top_n"]]
+
+    base = pairs if pairs is not None else anchor_pairs_ds(n_pages, scfg)
+    return (
+        base.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
 
 
