@@ -667,6 +667,64 @@ def _warc_wat_oracle_values_sql() -> str:
     )
 
 
+def _warc_anchor(sf_dir: str):
+    """Flat anchor-text rows over the real fixture (W)ARCs (binary
+    input path)."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_anchor
+
+    return warc_anchor(_warc_input_paths())
+
+
+def _warc_anchor_oracle_values_sql() -> str:
+    """Sequential-oracle anchor recompute: the INDEPENDENT parser walks
+    every record; 200 text/html payloads go through the same pinned
+    anchor_texts kernel + resolve rule (kernel shared like the WAT
+    formatter — the record set, payloads and URL base come from the
+    independent path)."""
+    import os
+
+    from webarchive_discovery_ray.functions.htmlscan import anchor_texts
+    from webarchive_discovery_ray.functions.normalisation import (
+        resolve_relative,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: object) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            if rec["status"] != 200 or not (
+                rec["mime_served"] or ""
+            ).startswith("text/html"):
+                continue
+            html = rec["payload"].decode("utf-8", "replace")
+            for href, text in anchor_texts(html):
+                try:
+                    target = resolve_relative(rec["url"], href, normalise=True)
+                except Exception:
+                    continue
+                if not target:
+                    continue
+                rows.append(
+                    "({}, {}::BIGINT, {}, {}, {})".format(
+                        lit(rec["source_file"]),
+                        rec["source_offset"],
+                        lit(rec["url"]),
+                        lit(target),
+                        lit(text),
+                    )
+                )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(source_file, source_offset, url, target, text)"
+    )
+
+
 def _warc_file_hash(sf_dir: str):
     """HdfsFileHasher over the real fixture (W)ARCs (chunked SHA-512)."""
     from webarchive_discovery_ray.pipelines.stats import warc_file_hash
@@ -1910,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_regex": _warc_regex,
         "warc_wet": _warc_wet,
         "warc_wat": _warc_wat,
+        "warc_anchor": _warc_anchor,
         "warc_corpus": _warc_corpus,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
@@ -4148,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_regex"] = _warc_regex_oracle_values_sql()
     out["warc_wet"] = _warc_wet_oracle_values_sql()
     out["warc_wat"] = _warc_wat_oracle_values_sql()
+    out["warc_anchor"] = _warc_anchor_oracle_values_sql()
     out["gopher_repetition"] = _gopher_repetition_oracle_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()

@@ -29,6 +29,7 @@ __all__ = [
     "warc_wet",
     "warc_wat",
     "wat_envelope",
+    "warc_anchor",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -470,6 +471,58 @@ def warc_wat(paths: list[str], icfg: IndexConfig | None = None):
         )
 
     return docs.map_batches(project, batch_format="pyarrow")
+
+
+def warc_anchor(paths: list[str], icfg: IndexConfig | None = None):
+    """Flat (source, page, target, anchor-text) rows over REAL (W)ARC
+    files — the raw signal :func:`stats.anchor_text_index` aggregates,
+    here on the binary input path (the reference emits the link itself
+    via ``HtmlFeatureParser.java:154-250``; the enclosed text is this
+    engine's addition). Per 200 text/html record: pinned
+    ``functions/htmlscan.anchor_texts`` assembly, href resolved against
+    the record URL + canonicalised (M23-24 link rule). No shuffle.
+    Columns: source_file, source_offset, url, target, text."""
+    from ..functions.htmlscan import anchor_texts
+    from ..functions.normalisation import resolve_relative
+    from ..sources.warc import read_archive_pages
+
+    def pairs(b: pa.Table) -> pa.Table:
+        sf: list[str] = []
+        so: list[int] = []
+        us: list[str] = []
+        ts: list[str] = []
+        xs: list[str] = []
+        cols = ["url", "status", "mime_served", "payload",
+                "source_file", "source_offset"]
+        for r in b.select(cols).to_pylist():
+            if r["status"] != 200 or not (r["mime_served"] or "").startswith(
+                "text/html"
+            ):
+                continue
+            html = r["payload"].decode("utf-8", "replace")
+            for href, text in anchor_texts(html):
+                try:
+                    target = resolve_relative(r["url"], href, normalise=True)
+                except Exception:
+                    continue
+                if not target:
+                    continue
+                sf.append(r["source_file"])
+                so.append(int(r["source_offset"]))
+                us.append(r["url"])
+                ts.append(target)
+                xs.append(text)
+        return pa.table(
+            {
+                "source_file": pa.array(sf, pa.string()),
+                "source_offset": pa.array(so, pa.int64()),
+                "url": pa.array(us, pa.string()),
+                "target": pa.array(ts, pa.string()),
+                "text": pa.array(xs, pa.string()),
+            }
+        )
+
+    return read_archive_pages(paths).map_batches(pairs, batch_format="pyarrow")
 
 
 def warc_corpus(
