@@ -763,6 +763,69 @@ def test_sitemap_discovery_byte_parity(ray_session):
     )
 
 
+def test_backoff_503_byte_parity_and_sensitivity(ray_session):
+    """5xx backoff (round 4): a host serving any status>=500 response in
+    wave W drains at max(1, budget//2) in wave W+1 only. Ray ==
+    sequential oracle byte-for-byte; the rule demonstrably bites (some
+    host's fetch count drops the wave after its 503); and the rule is a
+    REAL behaviour change (backoff on != backoff off)."""
+    syn = SyntheticConfig(n_hosts=10, pages_per_host=120, max_fanout=8)
+    sds = seed_urls(syn, n_seeds=6)
+    cfg = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
+                      backoff_503=True)
+    exp = oracle_crawl(sds, cfg, syn)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # sensitivity: find a (host, wave) with a 5xx and a full-budget drain
+    # whose next wave drained at most half the budget
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    bad = set()
+    for e in got.fetch_log:
+        per[(e["host"], e["wave"])] += 1
+        if e["status"] >= 500:
+            bad.add((e["host"], e["wave"]))
+    bitten = [
+        (h, w)
+        for (h, w) in bad
+        if per[(h, w)] == cfg.politeness_budget
+        and 0 < per.get((h, w + 1), 0) <= cfg.politeness_budget // 2
+    ]
+    assert bitten, "no host demonstrably halved after a 5xx wave"
+    off = run_crawl(
+        sds, CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4),
+        syn, fetch_concurrency=2, fetch_batch_size=16, collect_log=True,
+    )
+    assert [_log_key(e) for e in off.fetch_log] != [
+        _log_key(e) for e in got.fetch_log
+    ], "backoff_503 must change the schedule on a 5xx-bearing fixture"
+
+
+def test_backoff_503_checkpoint_resume_identical(ray_session, tmp_path_factory):
+    """Kill-and-resume across a backoff boundary: the one-wave offender
+    set is checkpointed, so the resumed crawl equals the uninterrupted
+    one byte-for-byte."""
+    syn = SyntheticConfig(n_hosts=10, pages_per_host=120, max_fanout=8)
+    sds = seed_urls(syn, n_seeds=6)
+    cfg = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
+                      backoff_503=True)
+    full = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                     collect_log=True, collect_seen=True)
+    ckdir = str(tmp_path_factory.mktemp("backoff_ck"))
+    cfg1 = CrawlConfig(politeness_budget=4, max_waves=3, seen_shards=4,
+                       backoff_503=True)
+    run_crawl(sds, cfg1, syn, fetch_concurrency=2, fetch_batch_size=16,
+              checkpoint_dir=ckdir)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    checkpoint_dir=ckdir, resume=True,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
+    assert got.seen_sorted == full.seen_sorted
+
+
 def test_robots_allow_longest_match_byte_parity(ray_session):
     """RFC 9309 Allow carve-outs (round 4): among matching Allow/Disallow
     prefixes the longest wins (tie -> Allow). Ray frontier == sequential

@@ -66,6 +66,11 @@ class CrawlConfig:
       budget to ``max(1, politeness_budget // d)`` (the token bucket
       refills d-times slower), same effective-from-next-wave timing as
       the Disallow prefixes (state/robots.effective_budget);
+    * 5xx backoff (backoff_503): a host serving any status>=500 response
+      in wave W fetches at ``max(1, effective_budget // 2)`` in wave W+1
+      only — the transient-overload half of the token bucket (the
+      backoff host set rides its own small broadcast + checkpoint field,
+      never a robots-rules re-ship);
     * robots ``Allow:`` prefixes (RFC 9309 §2.2.2) participate in a
       longest-match verdict against the Disallow prefixes (tie → Allow;
       no match → allowed) — with no Allow lines this is exactly the old
@@ -88,6 +93,11 @@ class CrawlConfig:
     # follow robots 'Sitemap:' URLs (injected like robots fetches; only
     # meaningful when respect_robots is on — rules carry the sitemaps)
     follow_sitemaps: bool = True
+    # 5xx backoff: a host that served >=1 status>=500 response in wave W
+    # fetches at max(1, effective_budget // 2) in wave W+1 ONLY (recovers
+    # after one clean wave); applied after the Crawl-delay shrink.
+    # Default OFF so pre-existing fixtures stay byte-identical.
+    backoff_503: bool = False
     max_urls: int | None = None  # overall stop condition (None = unbounded)
     # hot-host skew (SURVEY §7.1-7): a frontier partition whose assembled
     # block exceeds salt_threshold rows is split into salt_factor salted

@@ -108,6 +108,7 @@ def oracle_crawl(
     seen: set[str] = set()
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
+    backoff_prev: set[str] = set()  # hosts that served >=500 LAST wave
     seq = 0
     frontier: list[_Entry] = []
     for url, pri in seeds:
@@ -166,6 +167,9 @@ def oracle_crawl(
             )
             rules = robots_rules.get(host, [])
             host_budget = effective_budget(ccfg.politeness_budget, rules)
+            if ccfg.backoff_503 and host in backoff_prev:
+                # one-wave 5xx backoff: half budget after an error wave
+                host_budget = max(1, host_budget // 2)
             slot = 0
             for e in queue:
                 if e.priority != -1 and rules and is_disallowed(url_path(e.url), rules):
@@ -178,9 +182,12 @@ def oracle_crawl(
                     carryover.append(e)
         # rule 4: fetch in (host, slot) order
         new_robots: dict[str, list[str]] = {}
+        wave_backoff: set[str] = set()
         page_candidates: list[tuple[str, int, list[str], int, int]] = []
         for host, slot, e in selected:  # already (host, slot) sorted
             rec = page_for_url(e.url, scfg)
+            if rec["status"] >= 500:
+                wave_backoff.add(host)
             doc = oracle_extract_record(rec, icfg)
             res.fetch_log.append(
                 {
@@ -236,6 +243,7 @@ def oracle_crawl(
                 seq += 1
                 new_count += 1
         robots_rules.update(new_robots)
+        backoff_prev = wave_backoff if ccfg.backoff_503 else set()
         res.wave_stats.append(
             {
                 "wave": wave,

@@ -299,7 +299,7 @@ def _robots_drop(df: pd.DataFrame, robots_rules: dict[str, list[str]]) -> pd.Dat
     return df.drop(index=drop_idx) if len(drop_idx) else df
 
 
-def _make_drain_fn(budget: int, rules_ref):
+def _make_drain_fn(budget: int, rules_ref, backoff_ref=None):
     """Vectorized politeness drain over a host-hash-partitioned block.
 
     The block holds every (surviving) row of each host it contains, so
@@ -315,12 +315,15 @@ def _make_drain_fn(budget: int, rules_ref):
 
     def drain(df: pd.DataFrame) -> pd.DataFrame:
         robots_rules = get_broadcast(rules_ref) if rules_ref is not None else {}
+        backoff = (
+            get_broadcast(backoff_ref) if backoff_ref is not None else None
+        )
         df = df.sort_values(
             ["host", "priority", "seq", "surt"], kind="mergesort"
         )
         df = _robots_drop(df, robots_rules)
         slots = df.groupby("host", sort=False).cumcount().to_numpy()
-        budgets = _host_budgets(df["host"], budget, robots_rules)
+        budgets = _host_budgets(df["host"], budget, robots_rules, backoff)
         return df.assign(
             slot=np.where(slots < budgets, slots, -1).astype("int32"),
             selected=slots < budgets,
@@ -329,17 +332,25 @@ def _make_drain_fn(budget: int, rules_ref):
     return drain
 
 
-def _host_budgets(hosts: pd.Series, budget: int, robots_rules: dict) -> np.ndarray:
+def _host_budgets(
+    hosts: pd.Series,
+    budget: int,
+    robots_rules: dict,
+    backoff=None,
+) -> np.ndarray:
     """Per-row effective politeness budget (Crawl-delay rule, pinned in
-    state/robots.effective_budget) — computed once per UNIQUE host in the
-    block, then broadcast to rows."""
-    if not robots_rules:
+    state/robots.effective_budget, then the one-wave 5xx backoff halving
+    ``max(1, eff // 2)``) — computed once per UNIQUE host in the block,
+    then broadcast to rows."""
+    if not robots_rules and not backoff:
         return np.full(len(hosts), budget, dtype=np.int64)
     uniq = hosts.unique()
-    m = {
-        h: effective_budget(budget, robots_rules.get(h))
-        for h in uniq
-    }
+    m = {}
+    for h in uniq:
+        eff = effective_budget(budget, robots_rules.get(h)) if robots_rules else budget
+        if backoff and h in backoff:
+            eff = max(1, eff // 2)
+        m[h] = eff
     return hosts.map(m).to_numpy(dtype=np.int64)
 
 
@@ -617,7 +628,7 @@ def _salt_split(tbl: pa.Table, n_sub: int) -> list[pa.Table]:
 
 
 @_ray.remote(num_returns=2)
-def _pre_drain(tbl: pa.Table, budget: int, rules_boxed):
+def _pre_drain(tbl: pa.Table, budget: int, rules_boxed, backoff_boxed=None):
     """Salted phase-1 drain over ONE sub-block of a hot partition: apply
     the robots drop (same rule as the main drain — dropped rows leave the
     frontier), then keep each host's top ``budget`` rows by the global
@@ -633,11 +644,12 @@ def _pre_drain(tbl: pa.Table, budget: int, rules_boxed):
     if tbl.num_rows == 0:
         return tbl, tbl
     robots_rules = get_broadcast(rules_boxed[0]) if rules_boxed else {}
+    backoff = get_broadcast(backoff_boxed[0]) if backoff_boxed else None
     df = tbl.to_pandas()
     df = df.sort_values(["host", "priority", "seq", "surt"], kind="mergesort")
     df = _robots_drop(df, robots_rules)
     ranks = df.groupby("host", sort=False).cumcount().to_numpy()
-    survive = ranks < _host_budgets(df["host"], budget, robots_rules)
+    survive = ranks < _host_budgets(df["host"], budget, robots_rules, backoff)
     cols = ["url", "surt", "host", "priority", "hop", "seq", "part"]
     sv = pa.Table.from_pandas(df.loc[survive, cols], preserve_index=False)
     cr = pa.Table.from_pandas(df.loc[~survive, cols], preserve_index=False)
@@ -654,12 +666,14 @@ def _drain_fetch(
     wave: int,
     ccfg: CrawlConfig,
     docs_dir: str | None,
+    backoff_boxed=None,
 ) -> pa.Table:
     """Fused politeness drain + fetch/extract for ONE frontier block (the
     block holds complete host groups, so the drain's per-host queues are
     whole). Robots rules arrive boxed (once-per-worker broadcast)."""
     rules_ref = rules_boxed[0] if rules_boxed else None
-    drained = _make_drain_fn(budget, rules_ref)(tbl.to_pandas())
+    backoff_ref = backoff_boxed[0] if backoff_boxed else None
+    drained = _make_drain_fn(budget, rules_ref, backoff_ref)(tbl.to_pandas())
     stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
     return stage(pa.Table.from_pandas(drained, preserve_index=False))
 
@@ -674,7 +688,13 @@ def _split_block(n_shards: int, tbl: pa.Table):
     import pyarrow.compute as pc
 
     empty = (
-        {"part": -1, "cand_rows": 0, "fetched_rows": 0, "robots": []},
+        {
+            "part": -1,
+            "cand_rows": 0,
+            "fetched_rows": 0,
+            "robots": [],
+            "backoff": [],
+        },
         FRONTIER_SCHEMA.empty_table(),
         OUT_SCHEMA.empty_table().select(_PULL_COLS),
         CAND_SCHEMA.empty_table(),
@@ -696,6 +716,10 @@ def _split_block(n_shards: int, tbl: pa.Table):
     robots_pairs = list(
         zip(hits["fetch_host"].to_pylist(), hits["robots_rules"].to_pylist())
     )
+    # 5xx backoff hosts ride the same tiny meta (unique hosts that served
+    # any status >= 500 this wave in this part)
+    errs = fetched.filter(pc.greater_equal(fetched["fetch_status"], 500))
+    backoff_hosts = sorted(set(errs["fetch_host"].to_pylist()))
     cand_col = fetched["cand_urls"].combine_chunks()
     lengths = pc.list_value_length(cand_col).to_numpy().astype(np.int64)
     total = int(lengths.sum())
@@ -706,6 +730,7 @@ def _split_block(n_shards: int, tbl: pa.Table):
                 "cand_rows": 0,
                 "fetched_rows": fetched.num_rows,
                 "robots": robots_pairs,
+                "backoff": backoff_hosts,
             },
             carry,
             fetched.select(_PULL_COLS),
@@ -752,6 +777,7 @@ def _split_block(n_shards: int, tbl: pa.Table):
             "fetched_rows": fetched.num_rows,
             "shard_bounds": bounds,
             "robots": robots_pairs,
+            "backoff": backoff_hosts,
         },
         carry,
         fetched.select(_PULL_COLS),
@@ -860,6 +886,9 @@ def run_crawl(
     # Not checkpointed: resume recomputes from the (checkpointed) rules —
     # the seen-set probe makes re-offering idempotent.
     sitemap_pending: list[str] = []
+    # hosts that served >=1 status>=500 response LAST wave (one-wave 5xx
+    # backoff state; checkpointed at wave boundaries)
+    backoff_hosts: set[str] = set()
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
     log_flush_refs: list = []  # streamed-log chains joined at crawl end
     # SURTs first seen since the last checkpoint; tracked ONLY when
@@ -884,6 +913,7 @@ def run_crawl(
             sitemap_pending = sorted(
                 {u for r in robots_rules.values() for u in sitemap_urls_of(r)}
             )
+        backoff_hosts = set(ck.get("backoff_hosts", set()))
         order_base = ck["fetch_log"].num_rows
         if collect_log and order_base:
             log_tables.append(ck["fetch_log"])
@@ -964,6 +994,13 @@ def run_crawl(
         # once per task closure; BOXED so tasks resolve them through the
         # per-worker broadcast cache instead of per-task deserialization
         rules_boxed = [ray.put(robots_rules)] if robots_rules else None
+        # 5xx-backoff host set (last wave's offenders): its OWN small
+        # broadcast — transient state never re-ships the rules dict
+        backoff_boxed = (
+            [ray.put(frozenset(backoff_hosts))]
+            if ccfg.backoff_503 and backoff_hosts
+            else None
+        )
         # per-part winner rows from the range tasks (tiny lists, needed
         # for the salt decision; the tables themselves stay remote)
         winners_rows_per_part = [0] * n_parts
@@ -994,7 +1031,9 @@ def run_crawl(
                 if ccfg.salt_factor == 1:
                     subs = [subs]
                 outs = [
-                    _pre_drain.remote(sub, ccfg.politeness_budget, rules_boxed)
+                    _pre_drain.remote(
+                        sub, ccfg.politeness_budget, rules_boxed, backoff_boxed
+                    )
                     for sub in subs
                 ]
                 input_refs.append(
@@ -1024,7 +1063,7 @@ def run_crawl(
         block_refs = [
             _drain_fetch.remote(
                 ref, ccfg.politeness_budget, rules_boxed, scfg, icfg, wave,
-                ccfg, docs_dir,
+                ccfg, docs_dir, backoff_boxed,
             )
             for ref in input_refs
         ]
@@ -1157,6 +1196,9 @@ def run_crawl(
             sitemap_pending = sorted(
                 {u for r in new_robots.values() for u in sitemap_urls_of(r)}
             )
+        if ccfg.backoff_503:
+            # one-wave state: REPLACED each wave (a clean wave recovers)
+            backoff_hosts = {h for m in metas for h in m["backoff"]}
         stats = {
             "wave": wave,
             "frontier": frontier_rows,
@@ -1203,6 +1245,7 @@ def run_crawl(
                 robots_rules,
                 seq,
                 stats,
+                backoff_hosts=backoff_hosts,
             )
             pending_delta = []
         if ccfg.max_urls is not None and order_base >= ccfg.max_urls:

@@ -73,6 +73,7 @@ def write_wave_checkpoint(
     robots_rules: dict[str, list[str]],
     seq: int,
     stats: dict,
+    backoff_hosts: set[str] | None = None,
 ) -> None:
     os.makedirs(base, exist_ok=True)
     final = _wave_dir(base, wave)
@@ -108,7 +109,16 @@ def write_wave_checkpoint(
         os.path.join(tmp, "seen_delta.parquet"),
     )
     with open(os.path.join(tmp, "robots.json"), "w") as f:
-        json.dump({"scheduled": sorted(robots_scheduled), "rules": robots_rules}, f)
+        json.dump(
+            {
+                "scheduled": sorted(robots_scheduled),
+                "rules": robots_rules,
+                # one-wave 5xx-backoff state (absent in pre-backoff
+                # checkpoints; load_wave_checkpoint defaults to empty)
+                "backoff": sorted(backoff_hosts or ()),
+            },
+            f,
+        )
     # manifest LAST: its presence marks the wave complete
     manifest = {
         "wave": wave,
@@ -166,6 +176,7 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         "seen_delta_paths": seen_delta_paths,  # per-wave delta files
         "robots_scheduled": set(robots["scheduled"]),
         "robots_rules": robots["rules"],
+        "backoff_hosts": set(robots.get("backoff", [])),
         "fetch_log": fetch_log,
         "seq": manifest["seq"],
     }
