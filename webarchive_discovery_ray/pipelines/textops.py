@@ -40,6 +40,8 @@ __all__ = [
     "doc_length_histogram",
     "bpe_train",
     "bpe_encode",
+    "unigram_train",
+    "viterbi_segment",
     "word_embeddings",
 ]
 
@@ -1234,6 +1236,226 @@ def _bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         parts = res
     return parts
+
+
+# SentencePiece-style unigram-LM tokenizer training (Kudo, ACL'18),
+# pinned deterministic variant: Viterbi (hard-EM) E-step over the word
+# table, Laplace-smoothed M-step, one final prune. All E-step counts are
+# INTEGERS (exact under any distributed summation order); every float is
+# a log of integers, so the sequential oracle reproduces it bit-for-bit.
+UNI_MAX_PIECE = 6  # max piece length in chars
+UNI_SEED_MULTI = 400  # multi-char seed candidates kept (by score)
+UNI_VOCAB_MULTI = 120  # multi-char pieces kept after EM (plus all chars)
+UNI_EM_ITERS = 2
+
+
+def viterbi_segment(word: str, logp: dict, max_len: int = UNI_MAX_PIECE):
+    """Best unigram segmentation of ``word`` under piece log-probs.
+
+    Pinned DP: positions left to right; candidates ending at ``i`` are
+    scanned by INCREASING start (longest piece first) and replace the
+    incumbent only on a STRICTLY greater score — so score ties keep the
+    longest-piece split. Single chars are always in ``logp`` by
+    construction, so every word segments."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = logp.get(word[j:i])
+            if p is None or best[j] == float("-inf"):
+                continue
+            s = best[j] + p
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    pieces = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
+
+
+def unigram_train(
+    sf_dir: str,
+    n_multi: int = UNI_VOCAB_MULTI,
+    seed_multi: int = UNI_SEED_MULTI,
+    max_len: int = UNI_MAX_PIECE,
+    n_iters: int = UNI_EM_ITERS,
+):
+    """Distributed unigram-LM tokenizer training — the OTHER canonical
+    subword trainer beside :func:`bpe_train` (SentencePiece's default;
+    Kudo ACL'18), as a pinned deterministic Viterbi-EM variant:
+
+    1. ONE corpus pass builds the (word, n) table (combiner + bucketed
+       sum — vocabulary-sized, the corpus is never touched again);
+    2. seed scores: every substring of length 1..max_len of every
+       distinct word scores ``word_freq × occurrences``; bucketed sums,
+       then per-bucket partial top-k so the driver folds <= buckets × k
+       rows (all single chars are always kept — they guarantee every
+       word segments);
+    3. ``n_iters`` hard-EM rounds: E-step = map_batches over the word
+       table (vocab log-probs broadcast once per round) emitting
+       integer piece-count partials, bucketed sum, driver pulls the
+       vocab-sized result; M-step = Laplace log-probs
+       ``log(count+1) - log(total+|V|)``;
+    4. prune to all single chars + top ``n_multi`` multi-char pieces by
+       (final count desc, piece asc).
+
+    Columns: piece, n (final E-step count), logp_r (final log-prob
+    rounded to 6 dp), is_char. Deterministic end to end, so the oracle
+    is an independent sequential recompute rendered as VALUES."""
+    import math
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def word_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split().explode().dropna()
+        if ex.empty:
+            return typed_empty(word=str, n="int64", bucket="int32")
+        vc = ex.value_counts()
+        out = pd.DataFrame(
+            {"word": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+        out["bucket"] = bucket_of(out["word"], n_b)
+        return out
+
+    def word_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(word=str, n="int64")
+        return df.groupby("word", sort=False)["n"].sum().reset_index()
+
+    words = (
+        ds.map_batches(word_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(word_fold, batch_format="pandas")
+    )
+    words = coalesce_blocks(words)
+
+    # --- seed scores ------------------------------------------------------
+    def seed_partials(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for w, n in zip(df["word"], df["n"]):
+            n = int(n)
+            L = len(w)
+            for a in range(L):
+                for b in range(a + 1, min(a + max_len, L) + 1):
+                    c[w[a:b]] += n
+        if not c:
+            return typed_empty(piece=str, score="int64", bucket="int32")
+        out = pd.DataFrame(
+            {"piece": list(c.keys()), "score": list(c.values())}
+        )
+        out["score"] = out["score"].astype("int64")
+        out["bucket"] = bucket_of(out["piece"], n_b)
+        return out
+
+    def seed_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # exact in-bucket sums; singles pass through whole, multis keep
+        # only the bucket's top seed_multi (a valid partial top-k: the
+        # global top-k is a subset of the per-bucket top-k union)
+        if not len(df):
+            return typed_empty(piece=str, score="int64")
+        g = df.groupby("piece", sort=False)["score"].sum().reset_index()
+        singles = g[g["piece"].str.len() == 1]
+        multi = g[g["piece"].str.len() > 1]
+        multi = multi.sort_values(
+            ["score", "piece"], ascending=[False, True], kind="mergesort"
+        ).head(seed_multi)
+        return pd.concat([singles, multi], ignore_index=True)
+
+    seeds = (
+        words.map_batches(seed_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(seed_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    singles = seeds[seeds["piece"].str.len() == 1]
+    multi = (
+        seeds[seeds["piece"].str.len() > 1]
+        .sort_values(["score", "piece"], ascending=[False, True],
+                     kind="mergesort")
+        .head(seed_multi)
+    )
+    vocab = pd.concat([singles, multi], ignore_index=True)
+    counts = dict(zip(vocab["piece"], vocab["score"].astype(int)))
+
+    def logp_of(cnt: dict) -> dict:
+        total = sum(cnt.values())
+        denom = math.log(total + len(cnt))
+        return {s: math.log(c + 1) - denom for s, c in cnt.items()}
+
+    # --- hard-EM rounds ---------------------------------------------------
+    def estep_partials_fn(logp_ref):
+        def estep(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+
+            lp = get_broadcast(logp_ref)
+            c: Counter = Counter()
+            for w, n in zip(df["word"], df["n"]):
+                for piece in viterbi_segment(w, lp, max_len):
+                    c[piece] += int(n)
+            if not c:
+                return typed_empty(piece=str, n="int64", bucket="int32")
+            out = pd.DataFrame({"piece": list(c.keys()), "n": list(c.values())})
+            out["n"] = out["n"].astype("int64")
+            out["bucket"] = bucket_of(out["piece"], n_b)
+            return out
+
+        return estep
+
+    def count_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(piece=str, n="int64")
+        return df.groupby("piece", sort=False)["n"].sum().reset_index()
+
+    import ray
+
+    new_counts: dict = counts
+    for _ in range(n_iters):
+        lp_ref = ray.put(logp_of(new_counts))
+        got = (
+            words.map_batches(estep_partials_fn(lp_ref), batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(count_fold, batch_format="pandas")
+            .to_pandas()
+        )
+        used = dict(zip(got["piece"], got["n"].astype(int)))
+        # unused pieces stay in the vocab at count 0 until the prune
+        new_counts = {s: used.get(s, 0) for s in new_counts}
+
+    # --- prune + final table ----------------------------------------------
+    fin = pd.DataFrame(
+        {"piece": list(new_counts.keys()), "n": list(new_counts.values())}
+    )
+    fin["is_char"] = fin["piece"].str.len() == 1
+    keep_multi = (
+        fin[~fin["is_char"]]
+        .sort_values(["n", "piece"], ascending=[False, True], kind="mergesort")
+        .head(n_multi)
+    )
+    fin = pd.concat([fin[fin["is_char"]], keep_multi], ignore_index=True)
+    final_counts = dict(zip(fin["piece"], fin["n"].astype(int)))
+    lp = logp_of(final_counts)
+    fin["n"] = fin["n"].astype("int64")
+    fin["logp_r"] = [round(lp[s], 6) for s in fin["piece"]]
+    return fin.sort_values("piece", ignore_index=True)[
+        ["piece", "n", "logp_r", "is_char"]
+    ]
 
 
 def bpe_encode(sf_dir: str, n_merges: int = BPE_N_MERGES):
