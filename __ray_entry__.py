@@ -499,12 +499,36 @@ def _warc_wet_oracle_values_sql() -> str:
     )
 
 
-def _unigram_train_oracle_values_sql() -> str:
+def _uni_oracle_segment(word: str, lp: dict, max_len: int) -> list:
+    """The sequential oracle's own Viterbi DP (same pinned spec as
+    pipelines/textops.viterbi_segment, independent code)."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            p = lp.get(word[j:i])
+            if p is None or best[j] == float("-inf"):
+                continue
+            s = best[j] + p
+            if s > best[i]:
+                best[i], back[i] = s, j
+    out = []
+    i = n
+    while i > 0:
+        out.append(word[back[i]:i])
+        i = back[i]
+    out.reverse()
+    return out
+
+
+def _unigram_oracle_model() -> tuple[dict, dict]:
     """INDEPENDENT sequential recompute of unigram_train's pinned
     Viterbi-EM spec (own Counter word table, own substring seeding, own
     DP — no code shared with pipelines/textops beyond the constants):
     every count is an integer and every float is a log of integers, so
-    the two implementations agree bit-for-bit."""
+    the two implementations agree bit-for-bit. Returns (final counts,
+    final log-probs)."""
     import math
     from collections import Counter
 
@@ -543,31 +567,11 @@ def _unigram_train_oracle_values_sql() -> str:
         denom = math.log(total + len(cnt))
         return {s: math.log(c + 1) - denom for s, c in cnt.items()}
 
-    def segment(word: str, lp: dict) -> list:
-        n = len(word)
-        best = [0.0] + [float("-inf")] * n
-        back = [0] * (n + 1)
-        for i in range(1, n + 1):
-            for j in range(max(0, i - UNI_MAX_PIECE), i):
-                p = lp.get(word[j:i])
-                if p is None or best[j] == float("-inf"):
-                    continue
-                s = best[j] + p
-                if s > best[i]:
-                    best[i], back[i] = s, j
-        out = []
-        i = n
-        while i > 0:
-            out.append(word[back[i]:i])
-            i = back[i]
-        out.reverse()
-        return out
-
     for _ in range(UNI_EM_ITERS):
         lp = logp_of(counts)
         used: Counter = Counter()
         for w, n in words.items():
-            for piece in segment(w, lp):
+            for piece in _uni_oracle_segment(w, lp, UNI_MAX_PIECE):
                 used[piece] += n
         counts = {s: used.get(s, 0) for s in counts}
 
@@ -578,7 +582,11 @@ def _unigram_train_oracle_values_sql() -> str:
     )[:UNI_VOCAB_MULTI]
     fin = dict(chars)
     fin.update(dict(keep_multi))
-    lp = logp_of(fin)
+    return fin, logp_of(fin)
+
+
+def _unigram_train_oracle_values_sql() -> str:
+    fin, lp = _unigram_oracle_model()
 
     def lit(v: str) -> str:
         return "'" + v.replace("'", "''") + "'"
@@ -593,6 +601,44 @@ def _unigram_train_oracle_values_sql() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(piece, n, logp_r, is_char)"
+    )
+
+
+def _unigram_encode_oracle_values_sql() -> str:
+    """Sequential unigram-encode recompute: the oracle model's ROUNDED
+    log-probs segment every document word (the same pin theRay encoder
+    uses), rendered as VALUES(doc_id, n_words, n_pieces, pieces_md5)."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from webarchive_discovery_ray.pipelines.textops import UNI_MAX_PIECE
+
+    fin, lp = _unigram_oracle_model()
+    lp_r = {s: round(v, 6) for s, v in lp.items()}
+    tbl = _pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    )
+    memo: dict = {}
+    rows = []
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        ws = text.split()
+        pieces: list[str] = []
+        for w in ws:
+            seg = memo.get(w)
+            if seg is None:
+                seg = memo[w] = _uni_oracle_segment(w, lp_r, UNI_MAX_PIECE)
+            pieces.extend(seg)
+        digest = hashlib.md5("\x1f".join(pieces).encode("utf-8")).hexdigest()
+        rows.append(
+            "({}::BIGINT, {}::BIGINT, {}::BIGINT, '{}')".format(
+                int(did), len(ws), len(pieces), digest
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, n_words, n_pieces, pieces_md5)"
     )
 
 
@@ -1928,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         token_stats,
         bpe_train,
         unigram_train,
+        unigram_encode,
         bpe_encode,
         word_embeddings,
     )
@@ -2014,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": dataset_split,
         "bpe_train": bpe_train,
         "unigram_train": unigram_train,
+        "unigram_encode": unigram_encode,
         "bpe_encode": bpe_encode,
         "word_embeddings": word_embeddings,
         "span_transitions": _span_transitions,
@@ -4309,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_anchor"] = _warc_anchor_oracle_values_sql()
     out["gopher_repetition"] = _gopher_repetition_oracle_sql()
     out["unigram_train"] = _unigram_train_oracle_values_sql()
+    out["unigram_encode"] = _unigram_encode_oracle_values_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()

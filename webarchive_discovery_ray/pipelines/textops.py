@@ -41,6 +41,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "unigram_train",
+    "unigram_encode",
     "viterbi_segment",
     "word_embeddings",
 ]
@@ -1456,6 +1457,62 @@ def unigram_train(
     return fin.sort_values("piece", ignore_index=True)[
         ["piece", "n", "logp_r", "is_char"]
     ]
+
+
+def unigram_encode(sf_dir: str):
+    """Segment every document with the corpus-trained unigram-LM vocab —
+    the tokenize step following :func:`unigram_train` (the counterpart of
+    :func:`bpe_encode` for the SentencePiece-default algorithm).
+
+    Shape: the vocab's ROUNDED log-probs (the trainer's published
+    ``logp_r`` column — the pin that makes encode reproducible from the
+    emitted model alone) broadcast via ``ray.put``; encoding is a
+    streaming ``map_batches`` pass with per-batch word-table compression
+    (each distinct word segments once per batch via the pinned Viterbi
+    DP). No shuffle. Columns: doc_id, n_words, n_pieces, pieces_md5
+    (md5 over the 0x1F-joined piece stream — the full segmentation
+    verifiable without a nested column). Deterministic →
+    sequential-recompute VALUES oracle."""
+    import hashlib
+
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    vocab = unigram_train(sf_dir)
+    lp_ref = ray.put(dict(zip(vocab["piece"], vocab["logp_r"])))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        lp = get_broadcast(lp_ref)
+        memo: dict = {}
+        n_words = np.empty(len(df), dtype="int64")
+        n_pieces = np.empty(len(df), dtype="int64")
+        digests: list[str] = []
+        for i, text in enumerate(df["text"].to_numpy()):
+            ws = text.split()
+            pieces: list[str] = []
+            for w in ws:
+                seg = memo.get(w)
+                if seg is None:
+                    seg = memo[w] = viterbi_segment(w, lp)
+                pieces.extend(seg)
+            n_words[i] = len(ws)
+            n_pieces[i] = len(pieces)
+            digests.append(
+                hashlib.md5("\x1f".join(pieces).encode("utf-8")).hexdigest()
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": n_words,
+                "n_pieces": n_pieces,
+                "pieces_md5": digests,
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pandas")
 
 
 def bpe_encode(sf_dir: str, n_merges: int = BPE_N_MERGES):
