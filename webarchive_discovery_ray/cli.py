@@ -76,6 +76,40 @@ def _expand_inputs(patterns: list[str]) -> list[str]:
     return [os.path.abspath(p) if "://" not in p else p for p in paths]
 
 
+def _cmd_warc_write(args: argparse.Namespace) -> dict:
+    """Pages -> real .warc.gz archives through the from-scratch response
+    writer (the inverse of the ``warc`` subcommand; roundtrips through
+    our own reader)."""
+    import ray.data as rd
+
+    from .config import SyntheticConfig
+    from .sources.warc import write_warc
+
+    if args.input:
+        ds = rd.read_parquet(args.input)
+    else:
+        import pyarrow as pa
+
+        from .schema import PAGES_SCHEMA
+        from .sources.synthetic import fixture_pages
+
+        ds = rd.from_arrow(
+            pa.Table.from_pylist(
+                fixture_pages(args.n_pages, SyntheticConfig()),
+                schema=PAGES_SCHEMA,
+            )
+        )
+    n = write_warc(ds, args.output)
+    import glob as _g
+
+    return {
+        "cmd": "warc-write",
+        "records": n,
+        "files": len(_g.glob(f"{args.output}/part-*.warc.gz")),
+        "output": args.output,
+    }
+
+
 def _cmd_warc(args: argparse.Namespace) -> dict:
     """(W)ARC files -> extracted documents — the WARCIndexerCommand
     one-liner a warc-indexer user reaches for first (``-i <warcs> -o
@@ -245,6 +279,16 @@ def main(argv: list[str] | None = None) -> int:
     wa.add_argument("--no-store-content", action="store_true")
     wa.add_argument("--no-first-bytes", action="store_true")
     wa.set_defaults(fn=_cmd_warc)
+
+    ww = sub.add_parser(
+        "warc-write",
+        help="pages parquet (or synthetic fixture) -> .warc.gz archives",
+    )
+    ww.add_argument("output", help="output dir for part-*.warc.gz")
+    ww.add_argument("--input", help="pages-schema parquet dir/file "
+                                    "(default: synthetic fixture)")
+    ww.add_argument("--n-pages", type=int, default=500)
+    ww.set_defaults(fn=_cmd_warc_write)
 
     wc = sub.add_parser("warc-cdx", help="(W)ARC files -> globally sorted CDX")
     wc.add_argument("inputs", nargs="+", help="(W)ARC paths or globs")

@@ -53,6 +53,8 @@ __all__ = [
     "parse_archive_stats",
     "record_stats_items",
     "read_archive_pages",
+    "build_response_member",
+    "write_warc",
 ]
 
 GZIP_MAGIC = b"\x1f\x8b"
@@ -540,3 +542,126 @@ def write_wet(
 
     counts = ds.map_batches(dump, batch_format="pyarrow", batch_size=None)
     return int(counts.sum("n") or 0)
+
+
+_REASONS = {
+    200: "OK", 301: "Moved Permanently", 302: "Found", 304: "Not Modified",
+    404: "Not Found", 403: "Forbidden", 500: "Internal Server Error",
+    503: "Service Unavailable",
+}
+
+
+def build_response_member(
+    url: str,
+    ts14: str | None,
+    status: int,
+    mime: str | None,
+    payload: bytes,
+    location: str | None = None,
+) -> bytes:
+    """ONE deterministic gzip member holding ONE WARC/1.0 ``response``
+    record (ISO-28500 §6.3: WARC headers + an ``application/http``
+    block re-synthesised from the row's status/mime/payload) — the
+    write-side unit of :func:`write_warc`, exactly the layout
+    :func:`split_gzip_members` + :func:`iter_warc_records` read back.
+    Deterministic bytes: urn:sha1 record id over (uri, date), gzip
+    mtime=0 — a retried task re-writes identical bytes."""
+    import gzip
+    import hashlib
+    import io
+
+    from ..functions.hashing import sha1_b32
+
+    # ARC-style partial/overlong instants: >=8 digits zero-pad/truncate
+    # to exactly 14 — WARC-Date needs seconds (shorter/non-digit falls
+    # back to the epoch inside _ts14_to_iso)
+    if ts14 and len(ts14) >= 8 and ts14.isdigit():
+        ts14 = ts14[:14].ljust(14, "0")
+    iso = _ts14_to_iso(ts14)
+    rid = hashlib.sha1(f"{url} {iso}".encode("utf-8")).hexdigest()
+    if url.startswith("http"):
+        reason = _REASONS.get(int(status), "")
+        body = (
+            f"HTTP/1.1 {int(status)} {reason}\r\n"
+            + (f"Content-Type: {mime}\r\n" if mime else "")
+            + (f"Location: {location}\r\n" if location else "")
+            + f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("utf-8") + payload
+        wtype, ctype = "response", "application/http; msgtype=response"
+    else:
+        # non-http(s) capture: the indexer's rule never parses an HTTP
+        # block for these (WARCIndexer.java:660-663 resource path), so
+        # serialise the raw body as a ``resource`` record
+        body = payload
+        wtype, ctype = "resource", (mime or "application/octet-stream")
+    headers = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso}\r\n"
+        f"WARC-Record-ID: <urn:sha1:{rid}>\r\n"
+        f"WARC-Payload-Digest: {sha1_b32(payload)}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    raw = headers + body + b"\r\n\r\n"
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def write_warc(
+    ds,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "timestamp14",
+    status_col: str = "status",
+    mime_col: str = "mime_served",
+    payload_col: str = "payload",
+    location_col: str | None = "location",
+) -> int:
+    """WARC sink: serialise a PAGES-shaped Dataset as
+    ``part-<digest>.warc.gz`` files (multi-member gzip of ``response``
+    records), one file per block — closes the loop with the from-scratch
+    binary reader (a crawler that can WRITE the archives it indexes;
+    the reference consumes WARCs that Heritrix wrote). Deterministic
+    content-hash names + tmp/rename, so retried tasks never duplicate a
+    block. Returns the record count written."""
+    import hashlib
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batch: "pa.Table") -> "pa.Table":
+        cols = [url_col, ts_col, status_col, mime_col, payload_col]
+        if location_col and location_col in batch.column_names:
+            cols.append(location_col)
+        members = []
+        for r in batch.select(cols).to_pylist():
+            members.append(
+                build_response_member(
+                    r[url_col],
+                    r[ts_col],
+                    int(r[status_col] or 0),
+                    r[mime_col],
+                    r[payload_col] or b"",
+                    r.get(location_col) if location_col else None,
+                )
+            )
+        blob = b"".join(members)
+        if members:
+            digest = hashlib.md5(blob).hexdigest()[:16]
+            name = os.path.join(path, f"part-{digest}.warc.gz")
+            tmp = name + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, name)
+        return pa.table({"n": pa.array([len(members)], pa.int64())})
+
+    import pyarrow.compute as pc  # noqa: F401  (parity with write_wet)
+
+    parts = ds.map_batches(dump, batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum()) if len(parts) else 0
