@@ -291,6 +291,20 @@ def _span_transitions(sf_dir: str):
     return span_transitions(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _span_coalesce(sf_dir: str):
+    """Adjacent-text-span merge over the SAME materialized interleaved
+    spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_coalesce
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return span_coalesce(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _span_quality_filter(sf_dir: str):
     """Span-level quality gate + re-indexing over the SAME materialized
     interleaved spans base."""
@@ -2000,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gopher_rules,
         kmeans_embeddings,
         unigram_logloss,
+        ccnet_buckets,
         pii_scrub,
         quality_filter,
         repetition_score,
@@ -2065,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": bpe_encode,
         "word_embeddings": word_embeddings,
         "span_transitions": _span_transitions,
+        "span_coalesce": _span_coalesce,
         "media_burst_lengths": _media_burst_lengths,
         "pq_cosine_topk": pq_cosine_topk,
         "ivfpq_cosine_topk": ivfpq_cosine_topk,
@@ -2092,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": global_shuffle,
         "quality_filter": quality_filter,
         "unigram_logloss": unigram_logloss,
+        "ccnet_buckets": ccnet_buckets,
         "curation_pipeline": curation_pipeline,
         "bloom_semi_join": bloom_semi_join,
         "heavy_hitters": heavy_hitters,
@@ -2571,6 +2588,51 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len({tokens}) END::BIGINT AS n_tokens,
                    round(COALESCE(s.ll, 0.0), 6) AS logloss_r
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # CCNet perplexity terciles over the unigram_logloss scores:
+        # exact lower-value order statistics at floor(q*(n-1)), ties fall
+        # to the cleaner bucket (pipelines/curation.ccnet_buckets)
+        "ccnet_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, tok FROM documents,
+                   unnest({tokens}) AS t(tok)
+              WHERE tok <> ''
+            ),
+            cnt AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+            vocab AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT 128),
+            tot AS (SELECT (SELECT count(*) FROM toks)::DOUBLE AS N,
+                           (SELECT count(*) FROM vocab)::DOUBLE AS V),
+            scored AS (
+              SELECT t.doc_id,
+                     avg(-ln((COALESCE(v.n, 0) + 1) / (s.N + s.V + 1))) AS ll
+              FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN tot s
+              GROUP BY t.doc_id
+            ),
+            base AS (
+              SELECT d.doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len({tokens}) END::BIGINT AS n_tokens,
+                     round(COALESCE(s.ll, 0.0), 6) AS logloss_r
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+            ),
+            ord AS (
+              SELECT logloss_r,
+                     row_number() OVER (ORDER BY logloss_r) - 1 AS rk
+              FROM base
+            ),
+            nn AS (SELECT count(*)::BIGINT AS n FROM base),
+            thr AS (
+              SELECT
+                (SELECT logloss_r FROM ord, nn WHERE rk = (n - 1) // 3)
+                    AS t1,
+                (SELECT logloss_r FROM ord, nn WHERE rk = (2 * (n - 1)) // 3)
+                    AS t2
+            )
+            SELECT b.doc_id, b.n_tokens, b.logloss_r,
+                   CASE WHEN b.logloss_r <= thr.t1 THEN 'head'
+                        WHEN b.logloss_r <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM base b CROSS JOIN thr
         """,
         # Bloom semi join: the sketch is a prefilter only, so the oracle is
         # the plain semi join (pipelines/sketches.bloom_semi_join)
@@ -3724,6 +3786,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_kind, to_kind, count(*)::BIGINT AS n
             FROM t WHERE to_kind IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # adjacent-text-span merge: lag()/sum() islands per PHYSICAL row
+        # (doc_id can repeat across captures; the Ray side is per-row,
+        # and the driver's sorted multiset compare makes the two equal)
+        "span_coalesce": f"""
+            WITH b AS (
+                SELECT filename AS f, file_row_number AS r, doc_id, spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet',
+                                  file_row_number=true, filename=true)
+            ),
+            s AS (
+                SELECT f, r, doc_id, i,
+                       spans[i].kind AS kind,
+                       COALESCE(spans[i].text, '') AS text,
+                       COALESCE(spans[i].media_ref, '') AS media_ref
+                FROM b, unnest(generate_series(1, len(spans))) AS u(i)
+            ),
+            g AS (
+                SELECT *,
+                       CASE WHEN kind = 'text'
+                                 AND lag(kind) OVER (PARTITION BY f, r
+                                                     ORDER BY i) = 'text'
+                            THEN 0 ELSE 1 END AS brk
+                FROM s
+            ),
+            runs AS (
+                SELECT *,
+                       SUM(brk) OVER (PARTITION BY f, r ORDER BY i) - 1
+                           AS run
+                FROM g
+            )
+            SELECT any_value(doc_id) AS doc_id,
+                   run::INTEGER AS span_idx,
+                   arg_min(kind, i) AS kind,
+                   CASE WHEN arg_min(kind, i) = 'text'
+                        THEN string_agg(text, '' ORDER BY i) ELSE '' END
+                       AS text,
+                   CASE WHEN arg_min(kind, i) = 'text'
+                        THEN '' ELSE arg_min(media_ref, i) END AS media_ref,
+                   count(*)::BIGINT AS n_merged,
+                   len(CASE WHEN arg_min(kind, i) = 'text'
+                            THEN string_agg(text, '' ORDER BY i)
+                            ELSE '' END)::BIGINT AS text_chars
+            FROM runs GROUP BY f, r, run
         """,
         # consecutive-media run lengths: row_number-difference islands
         # per physical row over the spans base

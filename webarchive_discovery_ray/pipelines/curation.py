@@ -41,6 +41,7 @@ __all__ = [
     "quality_filter",
     "dsir_weights",
     "unigram_logloss",
+    "ccnet_buckets",
     "gopher_rules",
     "gopher_repetition",
     "c4_filters",
@@ -796,6 +797,57 @@ def gopher_rules(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its unigram-LM log-loss (:func:`unigram_logloss` — the
+    engine's KenLM stand-in) and split the corpus into the recipe's
+    head / middle / tail terciles (lower loss = head = cleanest third).
+
+    Thresholds are EXACT lower-value order statistics at index
+    ``floor(q*(n-1))``, q = 1/3 and 2/3, fetched like
+    ``aggregates.global_quantiles`` (ONE range-partitioned sort; the
+    driver maps 2 indices to (block, offset) and pulls 2 scalars, never
+    rows); buckets then assign in a streaming pass
+    (``ll <= t1 -> head``, ``<= t2 -> middle``, else tail — ties fall
+    to the cleaner bucket). Columns: doc_id, n_tokens, logloss_r,
+    bucket. SQL-oracle-checked."""
+    import math
+
+    import ray
+
+    ll = unigram_logloss(sf_dir)
+    sorted_ds = ll.sort("logloss_r").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    bounds = np.cumsum([0] + counts)
+
+    @ray.remote
+    def value_at(tbl: pa.Table, off: int) -> float:
+        return float(tbl["logloss_r"][off].as_py())
+
+    def fetch(gidx: int) -> float:
+        b = int(np.searchsorted(bounds, gidx, side="right") - 1)
+        return ray.get(value_at.remote(refs[b], gidx - int(bounds[b])))
+
+    t1 = fetch(math.floor((n - 1) / 3))
+    t2 = fetch(math.floor(2 * (n - 1) / 3))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ll_v = df["logloss_r"].to_numpy()
+        bucket = np.where(
+            ll_v <= t1, "head", np.where(ll_v <= t2, "middle", "tail")
+        )
+        return df.assign(bucket=bucket)
+
+    return sorted_ds.map_batches(assign, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

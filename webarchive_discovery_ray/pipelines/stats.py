@@ -50,6 +50,7 @@ __all__ = [
     "interleaved_pack",
     "span_quality_filter",
     "span_transitions",
+    "span_coalesce",
     "media_burst_lengths",
     "host_components",
 ]
@@ -1430,6 +1431,97 @@ def host_components(docs):
         mapping.map_batches(tag_host, batch_format="pandas")
     )
     return tagged.groupby("b").map_groups(attach, batch_format="pandas")
+
+
+def span_coalesce(docs):
+    """Normalise fragmented interleaving: merge every run of ADJACENT
+    text spans into one span (extraction and packing pipelines emit
+    text split around markup; training consumers want maximal text
+    bridges), media spans pass through one-to-one — the span-sequence
+    rewrite a multimodal curation pipeline runs before packing.
+
+    Fully batch-local (zero shuffle) and vectorized: one boundary mask
+    over the flat span arrays (new doc | non-text | after-non-text),
+    run text rebuilt zero-copy via ListArray offsets + binary_join —
+    no per-row Python. Columns: doc_id, span_idx (new 0-based index),
+    kind, text (run concatenation for text, '' for media), media_ref
+    ('' for text), n_merged, text_chars. SQL-oracle-checked over the
+    materialized spans base (islands via lag()/sum() windows)."""
+    import pyarrow.compute as pc
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        m = len(parents)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "span_idx": pa.array([], pa.int32()),
+                    "kind": pa.array([], pa.string()),
+                    "text": pa.array([], pa.string()),
+                    "media_ref": pa.array([], pa.string()),
+                    "n_merged": pa.array([], pa.int64()),
+                    "text_chars": pa.array([], pa.int64()),
+                }
+            )
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        texts = pc.coalesce(flat.field("text"), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        media = pc.coalesce(flat.field("media_ref"), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        is_text = kinds == "text"
+        boundary = np.ones(m, dtype=bool)
+        boundary[1:] = (
+            (parents[1:] != parents[:-1]) | ~is_text[1:] | ~is_text[:-1]
+        )
+        run_start = np.flatnonzero(boundary)
+        n_runs = len(run_start)
+        run_doc = parents[run_start]
+        run_len = np.diff(np.append(run_start, m)).astype("int64")
+        # runs partition the flat array contiguously from 0..m, so the
+        # list offsets are exactly the cumulative run lengths
+        tl = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate(([0], np.cumsum(run_len))).astype("int32"),
+                pa.int32(),
+            ),
+            pa.array(texts),
+        )
+        run_text = pc.binary_join(tl, "").to_numpy(zero_copy_only=False)
+        run_kind = kinds[run_start]
+        run_media = media[run_start]
+        text_out = np.where(run_kind == "text", run_text, "")
+        media_out = np.where(run_kind == "text", "", run_media)
+        doc_change = np.ones(n_runs, dtype=bool)
+        doc_change[1:] = run_doc[1:] != run_doc[:-1]
+        seg_start = np.flatnonzero(doc_change)
+        seg_len = np.diff(np.append(seg_start, n_runs))
+        span_idx = (np.arange(n_runs) - np.repeat(seg_start, seg_len)).astype(
+            "int32"
+        )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[run_doc]
+        text_chars = (
+            pc.utf8_length(pa.array(text_out, pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "span_idx": pa.array(span_idx),
+                "kind": pa.array(run_kind, pa.string()),
+                "text": pa.array(text_out, pa.string()),
+                "media_ref": pa.array(media_out, pa.string()),
+                "n_merged": pa.array(run_len),
+                "text_chars": pa.array(text_chars),
+            }
+        )
+
+    return docs.map_batches(coalesce, batch_format="pyarrow")
 
 
 def span_transitions(docs):
