@@ -1939,6 +1939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         grouped_topk_docs,
         mixture_weights,
         sessionize_events,
+        funnel_counts,
+        retention_cohorts,
         source_mix,
         stratified_sample_events,
         weighted_sample,
@@ -2065,6 +2067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_cosine_topk": lsh_cosine_topk,
         "language_id": language_id,
         "sessionize_events": sessionize_events,
+        "funnel_counts": funnel_counts,
+        "retention_cohorts": retention_cohorts,
         "stratified_sample_events": stratified_sample_events,
         "grouped_topk_docs": grouped_topk_docs,
         "dup_span_fraction": dup_span_fraction,
@@ -3538,6 +3542,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 30-minute-gap sessionization (gap strictly > 1800 s starts a new
         # session; ties ordered by (ts, event_id) in both engines)
+        # ordered 3-step conversion funnel: chained conditional-min joins
+        # (pipelines/sessions.funnel_counts)
+        "funnel_counts": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT 1::INTEGER AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM v)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2::INTEGER, 'click', (SELECT count(*) FROM c)::BIGINT
+            UNION ALL
+            SELECT 3::INTEGER, 'purchase', (SELECT count(*) FROM p)::BIGINT
+        """,
+        # weekly retention cohorts: integer epoch-week arithmetic
+        # (pipelines/sessions.retention_cohorts)
+        "retention_cohorts": """
+            WITH w AS (
+              SELECT DISTINCT user_id,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk
+              FROM events
+            ),
+            c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+            SELECT c.cohort AS cohort_week,
+                   (w.wk - c.cohort)::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM w JOIN c ON w.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
         "sessionize_events": """
             WITH o AS (
                 SELECT user_id, event_id, ts, value,

@@ -34,6 +34,8 @@ from ..sources.io import read_table
 
 __all__ = [
     "sessionize_events",
+    "funnel_counts",
+    "retention_cohorts",
     "stratified_sample_events",
     "grouped_topk_docs",
     "source_mix",
@@ -128,6 +130,137 @@ def _md5_rank(ids: pd.Series) -> pd.Series:
 
 
 STRATA_K = 20
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # the classic 3-step funnel
+
+
+def funnel_counts(sf_dir: str, steps: tuple = FUNNEL_STEPS):
+    """Ordered conversion funnel over the events stream: a user reaches
+    step k+1 when an event of that type occurs STRICTLY AFTER the
+    user's earliest qualifying step-k instant (t1 = min ts of step 1;
+    t_{k+1} = min ts of step k+1 with ts > t_k). One bucketed grouped
+    pass: users co-locate by hash bucket, each bucket computes its
+    users' step instants with vectorized filtered groupby-mins (never a
+    per-user Python loop) and emits per-step partial counts; the driver
+    folds <= buckets x steps rows. Columns: step_idx, step, n_users.
+    SQL-oracle-checked (chained conditional-min joins)."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(steps)]
+        return df.assign(bucket=bucket_of(df["user_id"], n_b))
+
+    def steps_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(step_idx="int32", step=str, n_users="int64")
+        prev: pd.Series | None = None
+        out_rows = []
+        for k, step in enumerate(steps):
+            ev = df[df["event_type"] == step]
+            if prev is None:
+                cur = ev.groupby("user_id")["ts"].min()
+            else:
+                ev = ev.merge(
+                    prev.rename("t_prev"), left_on="user_id", right_index=True
+                )
+                ev = ev[ev["ts"] > ev["t_prev"]]
+                cur = ev.groupby("user_id")["ts"].min()
+            # always emit every step (0 after the funnel dries) so the
+            # global fold's row set matches the SQL mirror's
+            out_rows.append((k + 1, step, len(cur)))
+            prev = cur
+        out = pd.DataFrame(out_rows, columns=["step_idx", "step", "n_users"])
+        out["step_idx"] = out["step_idx"].astype("int32")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(step_idx="int32", step=str, n_users="int64")
+        g = (
+            df.groupby(["step_idx", "step"], sort=False)["n_users"]
+            .sum()
+            .reset_index()
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    # two-level fold: per-bucket partials already collapse to <= len(steps)
+    # rows each, so the final fold groups a tiny frame on the driver side
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(steps_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return fold(parts)
+
+
+def retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: cohort = the epoch-week of a user's
+    FIRST event (any type); a (cohort, offset) cell counts the cohort's
+    users active in cohort+offset. Weeks are exact integer arithmetic
+    (``epoch_seconds // 86400 // 7``) so the SQL mirror cannot drift.
+    Shape: per-batch (user, week) dedup partials -> ONE bucketed grouped
+    pass by user (per-user min week + distinct weeks, vectorized) ->
+    per-bucket (cohort, offset) partial counts -> tiny driver fold.
+    Columns: cohort_week, week_offset, n_users. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def week_partials(df: pd.DataFrame) -> pd.DataFrame:
+        secs = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        secs //= 1_000_000
+        wk = (secs // 86400) // 7
+        out = pd.DataFrame({"user_id": df["user_id"], "wk": wk})
+        out = out.drop_duplicates()
+        out["bucket"] = bucket_of(out["user_id"], n_b)
+        return out
+
+    def cohorts_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                cohort_week="int64", week_offset="int64", n_users="int64"
+            )
+        d = df.drop_duplicates(["user_id", "wk"])
+        cohort = d.groupby("user_id")["wk"].transform("min")
+        g = (
+            pd.DataFrame(
+                {"cohort_week": cohort, "week_offset": d["wk"] - cohort}
+            )
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                cohort_week="int64", week_offset="int64", n_users="int64"
+            )
+        g = (
+            df.groupby(["cohort_week", "week_offset"], sort=False)["n_users"]
+            .sum()
+            .reset_index()
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    parts = (
+        ds.map_batches(week_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cohorts_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return fold(parts)
 
 
 def stratified_sample_events(sf_dir: str, k: int = STRATA_K):
