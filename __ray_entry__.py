@@ -656,6 +656,50 @@ def _unigram_encode_oracle_values_sql() -> str:
     )
 
 
+def _mmr_select_oracle_values_sql() -> str:
+    """Sequential numpy recompute of the pinned greedy MMR rule (same
+    rounding + tie-break; independent loop)."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from webarchive_discovery_ray.pipelines.similarity import MMR_K, MMR_LAMBDA
+
+    tbl = _pq.read_table(
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = _np.asarray(tbl["vec_id"].to_pylist(), dtype=_np.int64)
+    mat = _np.stack(
+        [_np.asarray(e, dtype=_np.float64) for e in tbl["embedding"].to_pylist()]
+    )
+    norms = _np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    nm = mat / norms[:, None]
+    q = nm[ids.tolist().index(0)]
+    rel = _np.round(nm @ q, 6)
+    chosen: list[int] = []
+    rows = []
+    for rank in range(1, MMR_K + 1):
+        if chosen:
+            ms = _np.round((nm @ nm[chosen].T).max(axis=1), 6)
+        else:
+            ms = _np.zeros(len(ids))
+        score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * ms
+        mask = _np.isin(_np.arange(len(ids)), chosen)
+        score = _np.where(mask, -_np.inf, score)
+        order = _np.lexsort((ids, -score))[0]
+        chosen.append(int(order))
+        rows.append(
+            "({}::INTEGER, {}::BIGINT, {!r}::DOUBLE)".format(
+                rank, int(ids[order]), round(float(score[order]), 6)
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(rank, vec_id, score_r)"
+    )
+
+
 def _gopher_repetition_oracle_sql() -> str:
     """Generated mirror of curation.gopher_repetition: per-n CTEs share
     the one split word list; verdicts are the same integer
@@ -1954,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_hard_negatives,
         ivf_cosine_topk,
         lsh_cosine_topk,
+        mmr_select,
         pq_cosine_topk,
         ivfpq_cosine_topk,
         sq8_cosine_topk,
@@ -2087,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_coalesce": _span_coalesce,
         "media_burst_lengths": _media_burst_lengths,
         "pq_cosine_topk": pq_cosine_topk,
+        "mmr_select": mmr_select,
         "ivfpq_cosine_topk": ivfpq_cosine_topk,
         "exact_substring_spans": exact_substring_spans,
         "host_link_graph": _host_link_graph,
@@ -4507,6 +4553,7 @@ def oracle_sql() -> dict[str, str]:
     out["gopher_repetition"] = _gopher_repetition_oracle_sql()
     out["unigram_train"] = _unigram_train_oracle_values_sql()
     out["unigram_encode"] = _unigram_encode_oracle_values_sql()
+    out["mmr_select"] = _mmr_select_oracle_values_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()

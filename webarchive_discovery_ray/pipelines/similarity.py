@@ -17,7 +17,7 @@ import pandas as pd
 
 from ..sources.io import read_table
 
-__all__ = ["ann_cosine_topk",
+__all__ = ["ann_cosine_topk", "mmr_select",
     "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
     "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk",
     "ivfpq_cosine_topk"]
@@ -804,3 +804,91 @@ def ivfpq_cosine_topk(
     return partials.groupby("query_vec_id").map_groups(
         final_topk, batch_format="pandas"
     )
+
+
+MMR_LAMBDA = 0.5  # relevance-vs-diversity trade-off
+MMR_K = 10
+
+
+def mmr_select(sf_dir: str, k: int = MMR_K, lam: float = MMR_LAMBDA):
+    """Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    '98 — the standard diversity-aware selection for RAG contexts and
+    curated eval sets): greedily pick the vector maximising
+    ``lam * cos(q, x) - (1 - lam) * max_{s in S} cos(x, s)`` against the
+    already-selected set S. Query = the corpus's vec_id 0 (normalised).
+
+    Shape: k rounds, each ONE streaming scan emitting a per-batch
+    partial argmax (score, vec_id, embedding) under a broadcast
+    (query, selected-matrix) pair — the driver folds #blocks rows per
+    round and never holds the corpus. Exact-by-construction (cosines
+    rounded to 6 dp before the MMR combination, ties -> smallest
+    vec_id), so the oracle is a sequential numpy recompute rendered as
+    VALUES. Columns: rank, vec_id, score_r.
+
+    Scale note: exact MMR is O(k) scans by definition; at corpus scale
+    the same loop runs over an IVF-pruned candidate pool (the
+    ivf_cosine_topk machinery) — the selection rule is unchanged."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    _, qmat = _query_matrix(sf_dir, 1)
+    q = qmat[0]
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    selected_ids: list[int] = []
+    sel_mat = np.zeros((0, q.shape[0]), dtype=np.float64)
+    out_rows = []
+    for rank in range(1, k + 1):
+        state_ref = ray.put((q, np.array(selected_ids, dtype=np.int64), sel_mat))
+
+        def partial_best(df: pd.DataFrame, _ref=state_ref) -> pd.DataFrame:
+            bq, bsel_ids, bsel = get_broadcast(_ref)
+            ids = df["vec_id"].to_numpy()
+            keep = ~np.isin(ids, bsel_ids)
+            if not keep.any():
+                return pd.DataFrame(
+                    {"score": pd.Series([], dtype="float64"),
+                     "vec_id": pd.Series([], dtype="int64"),
+                     "embedding": pd.Series([], dtype=object)}
+                )
+            ids = ids[keep]
+            mat = np.stack(df["embedding"].to_numpy()[keep]).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            nm = mat / norms[:, None]
+            rel = np.round(nm @ bq, 6)
+            if len(bsel):
+                ms = np.round((nm @ bsel.T).max(axis=1), 6)
+            else:
+                ms = np.zeros(len(ids))
+            score = lam * rel - (1.0 - lam) * ms
+            order = np.lexsort((ids, -score))[0]
+            return pd.DataFrame(
+                {
+                    "score": [float(score[order])],
+                    "vec_id": [int(ids[order])],
+                    "embedding": [nm[order].tolist()],
+                }
+            )
+
+        parts = ds.map_batches(partial_best, batch_format="pandas").to_pandas()
+        if not len(parts):
+            break
+        parts = parts.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        win = parts.iloc[0]
+        selected_ids.append(int(win["vec_id"]))
+        sel_mat = np.vstack([sel_mat, np.asarray(win["embedding"])])
+        out_rows.append(
+            {
+                "rank": rank,
+                "vec_id": int(win["vec_id"]),
+                "score_r": round(float(win["score"]), 6),
+            }
+        )
+    out = pd.DataFrame(out_rows, columns=["rank", "vec_id", "score_r"])
+    out["rank"] = out["rank"].astype("int32")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
