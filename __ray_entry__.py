@@ -1941,6 +1941,17 @@ def _anchor_text_index(sf_dir: str):
     return anchor_text_index(pairs=rd.read_parquet(out))
 
 
+def _host_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the SAME materialized link
+    base the graph/pagerank oracles read."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_hits
+
+    _host_link_graph_base()
+    return host_hits(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
 def _host_components(sf_dir: str):
     """Connected components of the host link graph over the SAME
     materialized link base the graph/pagerank oracles read."""
@@ -2139,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_index": _anchor_text_index,
         "host_components": _host_components,
         "host_pagerank": _host_pagerank,
+        "host_hits": _host_hits,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "capture_diff": _capture_diff,
@@ -4146,6 +4158,40 @@ def oracle_sql() -> dict[str, str]:
         # dangling redistribution (pipelines/stats.host_pagerank); the
         # zero-weight self-loops keep every node alive in the recursive
         # term (the CTE may reference r only once)
+        # integer HITS (3 unrolled iterations, no normalisation — exact
+        # int64 on both engines; pipelines/stats.host_hits)
+        "host_hits": f"""
+            WITH base AS (SELECT host AS src, l.dst AS dst,
+                                 count(*)::BIGINT AS w
+                          FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                               unnest(links_hosts) AS l(dst)
+                          GROUP BY 1, 2),
+            nodes AS (SELECT DISTINCT h AS host FROM (
+                SELECT src AS h FROM base UNION ALL SELECT dst FROM base)),
+            a1 AS (SELECT dst AS host, SUM(w)::BIGINT AS v
+                   FROM base GROUP BY 1),
+            h1 AS (SELECT src AS host,
+                          SUM(w * COALESCE(a1.v, 0))::BIGINT AS v
+                   FROM base LEFT JOIN a1 ON base.dst = a1.host GROUP BY 1),
+            a2 AS (SELECT dst AS host,
+                          SUM(w * COALESCE(h1.v, 0))::BIGINT AS v
+                   FROM base LEFT JOIN h1 ON base.src = h1.host GROUP BY 1),
+            h2 AS (SELECT src AS host,
+                          SUM(w * COALESCE(a2.v, 0))::BIGINT AS v
+                   FROM base LEFT JOIN a2 ON base.dst = a2.host GROUP BY 1),
+            a3 AS (SELECT dst AS host,
+                          SUM(w * COALESCE(h2.v, 0))::BIGINT AS v
+                   FROM base LEFT JOIN h2 ON base.src = h2.host GROUP BY 1),
+            h3 AS (SELECT src AS host,
+                          SUM(w * COALESCE(a3.v, 0))::BIGINT AS v
+                   FROM base LEFT JOIN a3 ON base.dst = a3.host GROUP BY 1)
+            SELECT n.host,
+                   COALESCE(h3.v, 0)::BIGINT AS hub3,
+                   COALESCE(a3.v, 0)::BIGINT AS auth3
+            FROM nodes n
+            LEFT JOIN h3 ON n.host = h3.host
+            LEFT JOIN a3 ON n.host = a3.host
+        """,
         "host_pagerank": f"""
             WITH RECURSIVE
             base AS (SELECT host AS src_host, l.dst AS dst_host,

@@ -38,6 +38,7 @@ __all__ = [
     "warc_file_hash",
     "host_link_graph",
     "host_pagerank",
+    "host_hits",
     "anchor_pairs_ds",
     "anchor_text_index",
     "span_stats",
@@ -1629,3 +1630,174 @@ def media_burst_lengths(docs):
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+_HITS_ITERS = 3  # fixed; integer vectors stay exact (no normalisation)
+
+
+def host_hits(
+    n_pages: int = 600,
+    scfg: SyntheticConfig | None = None,
+    docs=None,
+    n_iters: int = _HITS_ITERS,
+):
+    """HITS hubs/authorities over the host->host link graph — the
+    companion ranking to :func:`host_pagerank` (Kleinberg '99).
+
+    Pinned INTEGER variant: h0 = 1 for every node; each iteration runs
+    a_k(dst) = SUM_in w * h_{k-1}(src) then h_k(src) = SUM_out w * a_k(dst)
+    with NO normalisation — after the fixed 3 iterations every score is
+    an exact int64, so the distributed result is bit-identical to the
+    unrolled SQL mirror under any summation order (the float-drift
+    hazard a normalised HITS would carry is designed out).
+
+    Scale shape: like host_pagerank — vectors and edges both stay
+    distributed; each half-step is a tagged-union bucketed co-group
+    (vector ⋈ edges on the join side, grouped sum on the output side)
+    plus a materialize; the driver holds only the iteration counter.
+    Columns: host, hub3, auth3 (both int64, 0 for un-linked sides).
+    SQL-oracle-checked over the same materialized link base."""
+    import ray.data as rd
+
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets
+
+    n_b = default_buckets()
+    edges_raw = host_link_graph(n_pages, scfg, docs=docs)
+
+    def edge_cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["src_host"],
+                "dst": df["dst_host"],
+                "w": df["n_links"].astype("int64"),
+            }
+        )
+
+    edges = coalesce_blocks(edges_raw.map_batches(edge_cast, batch_format="pandas"))
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        return pd.DataFrame({"host": pd.Series(h, dtype=str)})
+
+    def dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("host")
+
+    def node_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["host"], n_b))
+
+    nodes = coalesce_blocks(
+        edges.map_batches(to_nodes, batch_format="pandas")
+        .map_batches(node_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_nodes, batch_format="pandas")
+    ).materialize()
+
+    def init_vec(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": df["host"], "v": np.ones(len(df), dtype="int64")}
+        )
+
+    def halfstep(vec, join_col: str, out_col: str):
+        """out(out_col) = SUM over edges of w * vec(join_col) — one
+        tagged-union bucketed co-group + one bucketed grouped sum."""
+
+        def tag_vec(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["host"],
+                    "out": pd.Series([""] * len(df), dtype=str, index=df.index),
+                    "val": df["v"].astype("int64"),
+                    "side": np.zeros(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["host"], n_b),
+                }
+            )
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df[join_col],
+                    "out": df[out_col],
+                    "val": df["w"].astype("int64"),
+                    "side": np.ones(len(df), dtype="int64"),
+                    "bucket": bucket_of(df[join_col], n_b),
+                }
+            )
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            r = df[df["side"] == 0][["key", "val"]].rename(columns={"val": "hv"})
+            e = df[df["side"] == 1][["key", "out", "val"]]
+            m = e.merge(r, on="key", how="inner")
+            return pd.DataFrame(
+                {
+                    "host": m["out"],
+                    "c": (m["val"].to_numpy() * m["hv"].to_numpy()).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+        def host_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(bucket=bucket_of(df["host"], n_b))
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("host", sort=False)["c"].sum().reset_index()
+            return pd.DataFrame(
+                {"host": g["host"], "v": g["c"].astype("int64")}
+            )
+
+        tagged = vec.map_batches(tag_vec, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas")
+        )
+        return coalesce_blocks(
+            tagged.groupby("bucket")
+            .map_groups(contrib, batch_format="pandas")
+            .map_batches(host_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+        ).materialize()
+
+    h = nodes.map_batches(init_vec, batch_format="pandas").materialize()
+    a = None
+    for _ in range(n_iters):
+        a = halfstep(h, "src", "dst")   # authorities from hubs
+        h = halfstep(a, "dst", "src")   # hubs from authorities
+
+    # final projection: every node, 0 where a side never received mass
+    def tag_final(name: str, side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "host": df["host"],
+                    "v": df["v"].astype("int64")
+                    if side
+                    else np.zeros(len(df), dtype="int64"),
+                    "side": np.full(len(df), side, dtype="int64"),
+                    "which": pd.Series([name] * len(df), dtype=str,
+                                       index=df.index),
+                    "bucket": bucket_of(df["host"], n_b),
+                }
+            )
+
+        return f
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.bucketing import typed_empty
+
+        if not len(df):
+            return typed_empty(host=str, hub3="int64", auth3="int64")
+        hosts = df[df["side"] == 0][["host"]].drop_duplicates()
+        hv = df[(df["side"] == 1) & (df["which"] == "h")][["host", "v"]]
+        av = df[(df["side"] == 1) & (df["which"] == "a")][["host", "v"]]
+        out = hosts.merge(
+            hv.rename(columns={"v": "hub3"}), on="host", how="left"
+        ).merge(av.rename(columns={"v": "auth3"}), on="host", how="left")
+        out["hub3"] = out["hub3"].fillna(0).astype("int64")
+        out["auth3"] = out["auth3"].fillna(0).astype("int64")
+        return out
+
+    tagged = (
+        nodes.map_batches(tag_final("n", 0), batch_format="pandas")
+        .union(h.map_batches(tag_final("h", 1), batch_format="pandas"))
+        .union(a.map_batches(tag_final("a", 1), batch_format="pandas"))
+    )
+    return tagged.groupby("bucket").map_groups(project, batch_format="pandas")
