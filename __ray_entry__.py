@@ -656,6 +656,64 @@ def _unigram_encode_oracle_values_sql() -> str:
     )
 
 
+def _esd_apply_oracle_values_sql() -> str:
+    """INDEPENDENT sequential recompute of the exact-substring dedup
+    APPLY: full windows -> duplicated digests -> islands (break when
+    pos gap > L, span = [min, max+L)) -> per-doc surgery, in plain
+    Python dicts."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from webarchive_discovery_ray.pipelines.dedup import _ESD_L
+
+    L = _ESD_L
+    tbl = _pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    cnt: Counter = Counter()
+    keys: dict = {}
+    for did, t in docs:
+        enc = t.encode("utf-8")
+        ks = [
+            hashlib.md5(enc[i : i + L]).hexdigest()
+            for i in range(max(0, len(t) - L + 1))
+        ]
+        keys[did] = ks
+        cnt.update(ks)
+    rows = []
+    for did, t in docs:
+        dup = [i for i, k in enumerate(keys[did]) if cnt[k] >= 2]
+        spans = []
+        for i in dup:
+            if spans and i - spans[-1][1] <= L:
+                spans[-1][1] = i
+            else:
+                spans.append([i, i])
+        cuts = [(a, b + L) for a, b in spans]
+        kept, pos, removed = [], 0, 0
+        for a, b in cuts:
+            kept.append(t[pos:a])
+            removed += b - a
+            pos = b
+        kept.append(t[pos:])
+        cleaned = "".join(kept)
+        rows.append(
+            "({}::BIGINT, {}::BIGINT, {}::BIGINT, {}::BIGINT, '{}')".format(
+                int(did), len(cuts), removed, len(cleaned),
+                hashlib.md5(cleaned.encode("utf-8")).hexdigest(),
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, n_removed, removed_chars, cleaned_len,"
+        + " cleaned_md5)"
+    )
+
+
 def _mmr_select_oracle_values_sql() -> str:
     """Sequential numpy recompute of the pinned greedy MMR rule (same
     rounding + tie-break; independent loop)."""
@@ -923,6 +981,62 @@ def _warc_anchor_oracle_values_sql() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(source_file, source_offset, url, target, text)"
+    )
+
+
+def _warc_host_graph(sf_dir: str):
+    """Host->host link graph over the real fixture (W)ARCs: binary read
+    -> extraction chain -> the SAME bucketed edge aggregation the
+    synthetic-base host_link_graph runs (stats.host_link_graph with a
+    real-archive docs Dataset)."""
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.pipelines.stats import host_link_graph
+    from webarchive_discovery_ray.sources.warc import read_archive_pages
+    from webarchive_discovery_ray.stages.extract import ExtractStage
+
+    docs = read_archive_pages(_warc_input_paths()).map_batches(
+        ExtractStage(IndexConfig()), batch_format="pyarrow", batch_size=64
+    )
+    return host_link_graph(docs=docs)
+
+
+def _warc_host_graph_oracle_values_sql() -> str:
+    """Sequential recompute: the INDEPENDENT parser + extraction oracle
+    yields each survivor's links_hosts; edges aggregate in plain Python
+    and render as VALUES(src_host, dst_host, n_links)."""
+    import os
+    from collections import Counter
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    cfg = IndexConfig()
+    edges: Counter = Counter()
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None:
+                continue
+            src = doc.get("host") or ""
+            for dst in doc.get("links_hosts") or []:
+                edges[(src, dst)] += 1
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = [
+        "({}, {}, {}::BIGINT)".format(lit(s), lit(d), n)
+        for (s, d), n in sorted(edges.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(src_host, dst_host, n_links)"
     )
 
 
@@ -1981,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         incremental_dedup,
         gram_novelty,
         exact_substring_spans,
+        exact_substring_dedup_apply,
         embedding_neardup_pairs,
         semdedup_keep,
         exact_dedup,
@@ -2146,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select": mmr_select,
         "ivfpq_cosine_topk": ivfpq_cosine_topk,
         "exact_substring_spans": exact_substring_spans,
+        "exact_substring_dedup_apply": exact_substring_dedup_apply,
         "host_link_graph": _host_link_graph,
         "anchor_text_index": _anchor_text_index,
         "host_components": _host_components,
@@ -2195,6 +2311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_wet": _warc_wet,
         "warc_wat": _warc_wat,
         "warc_anchor": _warc_anchor,
+        "warc_host_graph": _warc_host_graph,
         "warc_corpus": _warc_corpus,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
@@ -4596,10 +4713,12 @@ def oracle_sql() -> dict[str, str]:
     out["warc_wet"] = _warc_wet_oracle_values_sql()
     out["warc_wat"] = _warc_wat_oracle_values_sql()
     out["warc_anchor"] = _warc_anchor_oracle_values_sql()
+    out["warc_host_graph"] = _warc_host_graph_oracle_values_sql()
     out["gopher_repetition"] = _gopher_repetition_oracle_sql()
     out["unigram_train"] = _unigram_train_oracle_values_sql()
     out["unigram_encode"] = _unigram_encode_oracle_values_sql()
     out["mmr_select"] = _mmr_select_oracle_values_sql()
+    out["exact_substring_dedup_apply"] = _esd_apply_oracle_values_sql()
     out["warc_corpus"] = _warc_corpus_oracle_values_sql()
     out["file_digest"] = _file_digest_oracle_values_sql()
     out["warc_file_hash"] = _warc_file_hash_oracle_values_sql()

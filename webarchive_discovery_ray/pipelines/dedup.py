@@ -40,6 +40,7 @@ __all__ = [
     "gram_novelty",
     "simhash_neardup_pairs",
     "exact_substring_spans",
+    "exact_substring_dedup_apply",
 ]
 
 
@@ -1803,4 +1804,95 @@ def exact_substring_spans(sf_dir: str, min_len: int = _ESD_L):
         .map_groups(dup_positions, batch_format="pandas")
         .groupby("bucket")
         .map_groups(merge_islands, batch_format="pandas")
+    )
+
+
+def exact_substring_dedup_apply(sf_dir: str, min_len: int = _ESD_L):
+    """APPLY Lee-et-al exact-substring dedup: cut every duplicated span
+    (:func:`exact_substring_spans`) out of its document and emit the
+    cleaned result — the step the ACL'22 recipe actually trains on
+    (the spans job is the analysis half).
+
+    Shape: ONE tagged-union bucketed co-group by doc_id (document text
+    side 0, span rows side 1 — the spans stream is duplication-
+    proportional, so the exchange is small on real corpora); inside a
+    bucket the cuts are per-doc string surgery over the sorted disjoint
+    spans (inherently per-row, bounded by the bucket). Columns: doc_id,
+    n_removed, removed_chars, cleaned_len, cleaned_md5 (md5 of the
+    concatenated kept segments — the full cleaned text verifiable
+    without shipping it). VALUES-oracled vs an independent sequential
+    recompute of the whole lemma + surgery."""
+    import hashlib as _hl
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    spans = exact_substring_spans(sf_dir, min_len)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": df["text"],
+                "span_start": np.full(len(df), -1, dtype="int64"),
+                "span_end": np.full(len(df), -1, dtype="int64"),
+                "side": np.zeros(len(df), dtype="int64"),
+                "bucket": bucket_of(df["doc_id"], n_b),
+            }
+        )
+
+    def tag_span(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": pd.Series([""] * len(df), dtype=str, index=df.index),
+                "span_start": df["span_start"].astype("int64"),
+                "span_end": df["span_end"].astype("int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(df["doc_id"], n_b),
+            }
+        )
+
+    def apply_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", n_removed="int64", removed_chars="int64",
+                cleaned_len="int64", cleaned_md5=str,
+            )
+        d = df[df["side"] == 0]
+        s = df[df["side"] == 1].sort_values(
+            ["doc_id", "span_start"], kind="mergesort"
+        )
+        cuts = {k: list(zip(g["span_start"], g["span_end"]))
+                for k, g in s.groupby("doc_id", sort=False)}
+        out = {"doc_id": [], "n_removed": [], "removed_chars": [],
+               "cleaned_len": [], "cleaned_md5": []}
+        for did, text in zip(d["doc_id"], d["text"]):
+            sp = cuts.get(did, [])
+            kept, pos, removed = [], 0, 0
+            for a, b in sp:
+                kept.append(text[pos:a])
+                removed += b - a
+                pos = b
+            kept.append(text[pos:])
+            cleaned = "".join(kept)
+            out["doc_id"].append(did)
+            out["n_removed"].append(len(sp))
+            out["removed_chars"].append(removed)
+            out["cleaned_len"].append(len(cleaned))
+            out["cleaned_md5"].append(
+                _hl.md5(cleaned.encode("utf-8")).hexdigest()
+            )
+        r = pd.DataFrame(out)
+        r["doc_id"] = r["doc_id"].astype("int64")
+        for c in ("n_removed", "removed_chars", "cleaned_len"):
+            r[c] = r[c].astype("int64")
+        return r
+
+    tagged = docs.map_batches(tag_doc, batch_format="pandas").union(
+        spans.map_batches(tag_span, batch_format="pandas")
+    )
+    return tagged.groupby("bucket").map_groups(
+        apply_in_bucket, batch_format="pandas"
     )
