@@ -2159,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_score,
         tfidf_top_terms,
         token_stats,
+        readability_scores,
         bpe_train,
         unigram_train,
         unigram_encode,
@@ -2206,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_orders_split": union_orders_split,
         "exact_dedup": exact_dedup,
         "token_stats": token_stats,
+        "readability_scores": readability_scores,
         "quality_score": quality_score,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_hard_negatives": ann_hard_negatives,
@@ -2767,6 +2769,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len({tokens}) END::BIGINT AS n_tokens,
                    round(COALESCE(s.ll, 0.0), 6) AS logloss_r
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # Flesch reading-ease: integer counts + one exact double formula
+        # (pipelines/textops.readability_scores)
+        "readability_scores": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter({tokens}, w -> w <> '') AS w
+              FROM documents
+            ),
+            stat AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                         ::BIGINT AS n_sentences,
+                     CAST(COALESCE(list_sum(list_transform(w,
+                         x -> greatest(1, len(regexp_extract_all(x,
+                                  '[aeiouyAEIOUY]+'))))), 0) AS BIGINT)
+                         AS n_syllables
+              FROM base
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (n_words / n_sentences)
+                         - 84.6 * (n_syllables / greatest(1, n_words)),
+                         6) AS flesch_r
+            FROM stat
         """,
         # CCNet perplexity terciles over the unigram_logloss scores:
         # exact lower-value order statistics at floor(q*(n-1)), ties fall

@@ -38,6 +38,7 @@ __all__ = [
     "cdc_chunks",
     "bm25_topk",
     "doc_length_histogram",
+    "readability_scores",
     "bpe_train",
     "bpe_encode",
     "unigram_train",
@@ -1710,3 +1711,57 @@ def word_embeddings(
         vals = emb[:, j] if j < d_eff else np.zeros(V)
         cols[f"e{j}"] = pa.array(vals, pa.float64())
     return rd.from_arrow(pa.table(cols))
+
+
+_VOWEL_RUN = r"[aeiouyAEIOUY]+"  # ASCII class: Python re == RE2
+_SENT_RUN = r"[.!?]+"
+
+
+def readability_scores(sf_dir: str):
+    """Flesch reading-ease per document — the classic readability
+    quality feature (used by several published curation recipes as a
+    band filter). Pinned integer counts + ONE exact double formula:
+
+    - words: whitespace split, empties dropped;
+    - sentences: ``max(1, count of maximal [.!?]+ runs)``;
+    - syllables: per word ``max(1, count of [aeiouyAEIOUY]+ runs)``
+      (vowel runs never span whitespace, so the corpus-level total is
+      ``runs(text) + #zero-vowel words`` — computed vectorized);
+    - ``flesch_r = round(206.835 - 1.015*w/s - 84.6*syll/max(1,w), 6)``.
+
+    Zero shuffle, one pandas-vectorized pass (`str.count` + one explode
+    for the zero-vowel correction). Columns: doc_id, n_words,
+    n_sentences, n_syllables, flesch_r. SQL-oracle-checked (DuckDB list
+    lambdas mirror the per-word formula directly)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        toks = text.str.strip().str.split()
+        n_words = toks.str.len().fillna(0).astype("int64")
+        n_sent = text.str.count(_SENT_RUN).astype("int64").clip(lower=1)
+        runs = text.str.count(_VOWEL_RUN).astype("int64")
+        ex = toks.explode().dropna()
+        zerov = (
+            (~ex.str.contains(_VOWEL_RUN, regex=True))
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index, fill_value=0)
+            .astype("int64")
+        )
+        syll = runs + zerov
+        w = n_words.to_numpy().astype("float64")
+        s = n_sent.to_numpy().astype("float64")
+        sy = syll.to_numpy().astype("float64")
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (sy / np.maximum(w, 1.0))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": n_words,
+                "n_sentences": n_sent,
+                "n_syllables": syll,
+                "flesch_r": np.round(flesch, 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
