@@ -1040,6 +1040,63 @@ def _warc_host_graph_oracle_values_sql() -> str:
     )
 
 
+def _warc_media(sf_dir: str):
+    """Image-capture sidecar over the real fixture (W)ARCs."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_media
+
+    return warc_media(_warc_input_paths())
+
+
+def _warc_media_oracle_values_sql() -> str:
+    """Sequential recompute: the INDEPENDENT parser yields the raw
+    records; the same pinned mime gate + header-dimension kernel run on
+    its payloads (kernels shared, record set independent)."""
+    import os
+
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.functions.imagemeta import image_dimensions
+    from webarchive_discovery_ray.functions.mime import detect_mime
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            payload = rec["payload"] or b""
+            served = rec["mime_served"] or ""
+            mime = served if served.startswith("image/") else (
+                detect_mime(payload, rec["url"]) or ""
+            )
+            if not mime.startswith("image/") or rec["status"] != 200:
+                continue
+            dims = image_dimensions(payload)
+            w, h = dims if dims else (-1, -1)
+            rows.append(
+                "({}, {}::BIGINT, {}, {}, {}, {}::BIGINT, {}::BIGINT,"
+                " {}::BIGINT, {})".format(
+                    lit(rec["source_file"]),
+                    rec["source_offset"],
+                    lit(rec["url"]),
+                    lit(rec["timestamp14"] or ""),
+                    lit(mime),
+                    len(payload),
+                    int(w),
+                    int(h),
+                    lit(sha1_b32(payload)),
+                )
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(source_file, source_offset, url, ts14, mime, n_bytes,"
+        + " width, height, payload_sha1)"
+    )
+
+
 def _warc_file_hash(sf_dir: str):
     """HdfsFileHasher over the real fixture (W)ARCs (chunked SHA-512)."""
     from webarchive_discovery_ray.pipelines.stats import warc_file_hash
@@ -2314,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_wat": _warc_wat,
         "warc_anchor": _warc_anchor,
         "warc_host_graph": _warc_host_graph,
+        "warc_media": _warc_media,
         "warc_corpus": _warc_corpus,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
@@ -4742,6 +4800,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_wat"] = _warc_wat_oracle_values_sql()
     out["warc_anchor"] = _warc_anchor_oracle_values_sql()
     out["warc_host_graph"] = _warc_host_graph_oracle_values_sql()
+    out["warc_media"] = _warc_media_oracle_values_sql()
     out["gopher_repetition"] = _gopher_repetition_oracle_sql()
     out["unigram_train"] = _unigram_train_oracle_values_sql()
     out["unigram_encode"] = _unigram_encode_oracle_values_sql()

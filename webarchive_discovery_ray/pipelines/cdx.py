@@ -30,6 +30,7 @@ __all__ = [
     "warc_wat",
     "wat_envelope",
     "warc_anchor",
+    "warc_media",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -523,6 +524,63 @@ def warc_anchor(paths: list[str], icfg: IndexConfig | None = None):
         )
 
     return read_archive_pages(paths).map_batches(pairs, batch_format="pyarrow")
+
+
+def warc_media(paths: list[str]):
+    """Media sidecar over REAL (W)ARC files — one row per image capture
+    (served or sniffed image/*), with header-only parsed dimensions
+    (``functions/imagemeta`` — the reference runs ImageIO readers,
+    ``ImageAnalyser.java``): the table a multimodal corpus builder joins
+    against the interleaved spans' media_refs. No shuffle; binary read
+    (one file per task) → vectorized mime gate → per-record header
+    parse. Columns: source_file, source_offset, url, ts14, mime,
+    n_bytes, width, height (-1 when the header doesn't parse),
+    payload_sha1."""
+    from ..functions.hashing import sha1_b32
+    from ..functions.imagemeta import image_dimensions
+    from ..functions.mime import detect_mime
+    from ..sources.warc import read_archive_pages
+
+    def media(b: pa.Table) -> pa.Table:
+        cols = ["url", "status", "mime_served", "payload",
+                "source_file", "source_offset", "timestamp14"]
+        out = {k: [] for k in ("source_file", "source_offset", "url",
+                               "ts14", "mime", "n_bytes", "width",
+                               "height", "payload_sha1")}
+        for r in b.select(cols).to_pylist():
+            payload = r["payload"] or b""
+            served = r["mime_served"] or ""
+            mime = served if served.startswith("image/") else (
+                detect_mime(payload, r["url"]) or ""
+            )
+            if not mime.startswith("image/") or r["status"] != 200:
+                continue
+            dims = image_dimensions(payload)
+            w, h = dims if dims else (-1, -1)
+            out["source_file"].append(r["source_file"])
+            out["source_offset"].append(int(r["source_offset"]))
+            out["url"].append(r["url"])
+            out["ts14"].append(r["timestamp14"] or "")
+            out["mime"].append(mime)
+            out["n_bytes"].append(len(payload))
+            out["width"].append(int(w))
+            out["height"].append(int(h))
+            out["payload_sha1"].append(sha1_b32(payload))
+        return pa.table(
+            {
+                "source_file": pa.array(out["source_file"], pa.string()),
+                "source_offset": pa.array(out["source_offset"], pa.int64()),
+                "url": pa.array(out["url"], pa.string()),
+                "ts14": pa.array(out["ts14"], pa.string()),
+                "mime": pa.array(out["mime"], pa.string()),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "payload_sha1": pa.array(out["payload_sha1"], pa.string()),
+            }
+        )
+
+    return read_archive_pages(paths).map_batches(media, batch_format="pyarrow")
 
 
 def warc_corpus(
