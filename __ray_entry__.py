@@ -2168,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sessionize_events,
         funnel_counts,
         retention_cohorts,
+        rate_anomalies,
         source_mix,
         stratified_sample_events,
         weighted_sample,
@@ -2299,6 +2300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": sessionize_events,
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
+        "rate_anomalies": rate_anomalies,
         "stratified_sample_events": stratified_sample_events,
         "grouped_topk_docs": grouped_topk_docs,
         "dup_span_fraction": dup_span_fraction,
@@ -3803,6 +3805,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 30-minute-gap sessionization (gap strictly > 1800 s starts a new
         # session; ties ordered by (ts, event_id) in both engines)
+        # hourly error-rate z-scores: exact integer sums -> one double
+        # expression per engine (pipelines/sessions.rate_anomalies)
+        "rate_anomalies": """
+            WITH h AS (
+              SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS hour,
+                     SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                         ::BIGINT AS n_err,
+                     count(*)::BIGINT AS n_total
+              FROM events GROUP BY 1
+            ),
+            st AS (
+              SELECT count(*)::DOUBLE AS H,
+                     SUM(n_err)::DOUBLE AS s1,
+                     SUM(n_err * n_err)::DOUBLE AS s2
+              FROM h
+            )
+            SELECT hour, n_err, n_total,
+                   CASE WHEN (s2 / H - (s1 / H) * (s1 / H)) <= 0 THEN 0.0
+                        ELSE round((n_err - s1 / H)
+                                   / sqrt(s2 / H - (s1 / H) * (s1 / H)), 6)
+                   END AS z_r,
+                   CASE WHEN (s2 / H - (s1 / H) * (s1 / H)) <= 0 THEN FALSE
+                        ELSE abs((n_err - s1 / H)
+                                 / sqrt(s2 / H - (s1 / H) * (s1 / H))) >= 2.0
+                   END AS is_anomaly
+            FROM h CROSS JOIN st
+        """,
         # ordered 3-step conversion funnel: chained conditional-min joins
         # (pipelines/sessions.funnel_counts)
         "funnel_counts": """

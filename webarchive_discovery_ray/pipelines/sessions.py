@@ -36,6 +36,7 @@ __all__ = [
     "sessionize_events",
     "funnel_counts",
     "retention_cohorts",
+    "rate_anomalies",
     "stratified_sample_events",
     "grouped_topk_docs",
     "source_mix",
@@ -550,3 +551,74 @@ def weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
         .repartition(1)
         .map_batches(add_rank, batch_format="pandas")
     )
+
+
+ANOMALY_Z = 2.0  # |z| >= 2 flags an hour
+
+
+def rate_anomalies(sf_dir: str):
+    """Hourly error-rate spike detection over the events stream — the
+    operational-monitoring aggregate (which hours' error counts sit >= 2
+    population standard deviations from the corpus mean).
+
+    Exact cross-engine rule: hour = ``epoch_seconds // 3600`` (integer);
+    per-hour counts are integers; ``mean = S1/H``,
+    ``var = S2/H - mean*mean`` (population), ``z = (err - mean)/sqrt(var)``
+    — every float is the same expression over integer sums on both
+    engines (IEEE sqrt is correctly rounded, so the doubles match
+    bit-for-bit), rounded to 6 dp. Shape: per-batch partial hour counts
+    -> ONE bucketed grouped fold -> the driver folds #hours rows (a
+    month is ~720) and computes 3 scalars. Columns: hour, n_err,
+    n_total, z_r, is_anomaly."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        secs = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        secs //= 1_000_000
+        hour = secs // 3600
+        err = (df["event_type"].to_numpy() == "error").astype("int64")
+        g = (
+            pd.DataFrame({"hour": hour, "n_err": err})
+            .groupby("hour", sort=False)
+            .agg(n_err=("n_err", "sum"), n_total=("n_err", "size"))
+            .reset_index()
+        )
+        g["n_err"] = g["n_err"].astype("int64")
+        g["n_total"] = g["n_total"].astype("int64")
+        g["bucket"] = bucket_of(g["hour"], n_b)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(hour="int64", n_err="int64", n_total="int64")
+        g = (
+            df.groupby("hour", sort=False)[["n_err", "n_total"]]
+            .sum()
+            .reset_index()
+        )
+        for c in ("n_err", "n_total"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    hours = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    H = float(len(hours))
+    s1 = float(hours["n_err"].sum())
+    # EXACT integer sum of squares -> one double conversion (numpy's
+    # pairwise float summation would drift vs SQL's sequential sum)
+    s2 = float((hours["n_err"].astype("int64") ** 2).sum())
+    mean = s1 / H
+    var = s2 / H - mean * mean
+    err = hours["n_err"].to_numpy().astype("float64")
+    z = np.zeros(len(hours)) if var <= 0 else (err - mean) / np.sqrt(var)
+    out = hours.assign(
+        z_r=np.round(z, 6), is_anomaly=np.abs(z) >= ANOMALY_Z
+    ).sort_values("hour", ignore_index=True)
+    return out[["hour", "n_err", "n_total", "z_r", "is_anomaly"]]
