@@ -871,3 +871,34 @@ def test_gopher_repetition_crafted(ray_session, tmp_path):
     assert not out["d0"]["rule_top2"]
     assert out["d1"]["keep"]
     assert not out["d3"]["rule_dup_lines"]
+
+
+def test_boilerplate_lines_crafted(ray_session, tmp_path):
+    """Crafted corpus with a shared footer: the cross-doc repeated-line
+    detector finds exactly the lines in >= min_docs distinct docs, with
+    exact doc/occurrence counts. (The synthetic sf corpora are
+    single-line unique texts, so this op is pinned here rather than by
+    an always-empty driver oracle.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import boilerplate_lines
+
+    footer = "Copyright 2024 Example Corp."
+    nav = "Home | About | Contact"
+    texts = [
+        f"unique body {i}\n{nav}\n{footer}\n{footer}" if i % 2 else
+        f"unique body {i}\n{footer}"
+        for i in range(6)
+    ] + ["no shared lines here at all"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = boilerplate_lines(str(d)).to_pandas().set_index("line")
+    assert set(out.index) == {footer, nav}
+    assert out.loc[footer, "n_docs"] == 6
+    assert out.loc[footer, "n_occ"] == 3 * 2 + 3  # doubled in odd docs
+    assert out.loc[nav, "n_docs"] == 3 and out.loc[nav, "n_occ"] == 3
+    # threshold bites: min_docs above the max kills everything
+    assert len(boilerplate_lines(str(d), min_docs=7).to_pandas()) == 0

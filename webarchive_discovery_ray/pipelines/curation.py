@@ -46,6 +46,7 @@ __all__ = [
     "gopher_repetition",
     "c4_filters",
     "c4_score_batch",
+    "boilerplate_lines",
     "blocklist_filter",
     "compression_ratio",
     "softdedup_weights",
@@ -1455,3 +1456,65 @@ def dataset_split(
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+BOILERPLATE_MIN_DOCS = 3  # a line in >= 3 distinct docs is boilerplate
+
+
+def boilerplate_lines(sf_dir: str, min_docs: int = BOILERPLATE_MIN_DOCS):
+    """Cross-document repeated-line detection — the boilerplate signal
+    (nav bars, footers, cookie banners) CCNet/jusText-style cleaners
+    remove before dedup: every trimmed non-empty line that occurs in at
+    least ``min_docs`` DISTINCT documents, with its document and
+    occurrence counts.
+
+    Shape: per-batch (line, doc) partial counts (vectorized split +
+    explode — the combiner collapses within-doc repeats immediately) ->
+    ONE bucketed grouped fold by line (doc count = rows, occurrences =
+    summed partials). The exchange ships (line, doc, n) partials, never
+    documents. Columns: line, n_docs, n_occ. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].astype(str).str.split("\n")
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"], "line": lines}
+        ).explode("line")
+        ex["line"] = ex["line"].str.strip(_C4_TRIM)
+        ex = ex[ex["line"] != ""]
+        if not len(ex):
+            return typed_empty(
+                line=str, doc_id="int64", n="int64", bucket="int32"
+            )
+        g = (
+            ex.groupby(["line", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["line"], n_b)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(line=str, n_docs="int64", n_occ="int64")
+        # partials may split one (line, doc) across batches: re-collapse
+        d = (
+            df.groupby(["line", "doc_id"], sort=False)["n"].sum().reset_index()
+        )
+        g = d.groupby("line", sort=False).agg(
+            n_docs=("doc_id", "size"), n_occ=("n", "sum")
+        ).reset_index()
+        g = g[g["n_docs"] >= min_docs]
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_occ"] = g["n_occ"].astype("int64")
+        return g
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
