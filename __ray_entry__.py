@@ -1097,6 +1097,72 @@ def _warc_media_oracle_values_sql() -> str:
     )
 
 
+def _warc_robots(sf_dir: str):
+    """robots.txt rule census over the real fixture (W)ARCs."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_robots
+
+    return warc_robots(_warc_input_paths())
+
+
+def _warc_robots_oracle_values_sql() -> str:
+    """Sequential recompute: the INDEPENDENT parser yields the records;
+    the same pinned RFC 9309 rule engine parses its payloads."""
+    import hashlib
+    import os
+
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+    from webarchive_discovery_ray.state.robots import (
+        ALLOW_PREFIX,
+        SITEMAP_PREFIX,
+        crawl_delay_of,
+        parse_robots,
+    )
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            u = rec["url"] or ""
+            path_part = u.split("://", 1)[-1].partition("/")[2]
+            if path_part != "robots.txt" or rec["status"] != 200:
+                continue
+            rules = parse_robots(
+                (rec["payload"] or b"").decode("utf-8", "replace")
+            )
+            cd = crawl_delay_of(rules)
+            rows.append(
+                "({}, {}::BIGINT, {}, {}, {}::BIGINT, {}::BIGINT,"
+                " {}::BIGINT, {}::BIGINT, '{}')".format(
+                    lit(rec["source_file"]),
+                    rec["source_offset"],
+                    lit(u),
+                    lit(rec["timestamp14"] or ""),
+                    sum(1 for x in rules if x.startswith("/")),
+                    sum(1 for x in rules if x.startswith(ALLOW_PREFIX)),
+                    -1 if cd is None else int(cd),
+                    sum(1 for x in rules if x.startswith(SITEMAP_PREFIX)),
+                    hashlib.md5("\x1f".join(rules).encode("utf-8")).hexdigest(),
+                )
+            )
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES ('', 0::BIGINT, '', '', 0::BIGINT,"
+            " 0::BIGINT, 0::BIGINT, 0::BIGINT, '')) AS t(source_file,"
+            " source_offset, url, ts14, n_disallow, n_allow, crawl_delay,"
+            " n_sitemaps, rules_md5) WHERE 1 = 0"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(source_file, source_offset, url, ts14, n_disallow,"
+        + " n_allow, crawl_delay, n_sitemaps, rules_md5)"
+    )
+
+
 def _warc_file_hash(sf_dir: str):
     """HdfsFileHasher over the real fixture (W)ARCs (chunked SHA-512)."""
     from webarchive_discovery_ray.pipelines.stats import warc_file_hash
@@ -2374,6 +2440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_anchor": _warc_anchor,
         "warc_host_graph": _warc_host_graph,
         "warc_media": _warc_media,
+        "warc_robots": _warc_robots,
         "warc_corpus": _warc_corpus,
         # --- rows-only (non-SQL-expressible; pytest oracles cover them) --
         "hll_distinct_tokens": hll_distinct_tokens,
@@ -4830,6 +4897,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_anchor"] = _warc_anchor_oracle_values_sql()
     out["warc_host_graph"] = _warc_host_graph_oracle_values_sql()
     out["warc_media"] = _warc_media_oracle_values_sql()
+    out["warc_robots"] = _warc_robots_oracle_values_sql()
     out["gopher_repetition"] = _gopher_repetition_oracle_sql()
     out["unigram_train"] = _unigram_train_oracle_values_sql()
     out["unigram_encode"] = _unigram_encode_oracle_values_sql()

@@ -31,6 +31,7 @@ __all__ = [
     "wat_envelope",
     "warc_anchor",
     "warc_media",
+    "warc_robots",
     "revisit_captures",
     "capture_intervals",
     "capture_diff",
@@ -581,6 +582,74 @@ def warc_media(paths: list[str]):
         )
 
     return read_archive_pages(paths).map_batches(media, batch_format="pyarrow")
+
+
+def warc_robots(paths: list[str]):
+    """robots.txt captures over REAL (W)ARC files, parsed through the
+    crawl plane's RFC 9309 rule engine (``state/robots.parse_robots`` —
+    the same sentinel encoding the frontier's politeness drain consumes):
+    one row per 200 robots.txt capture with its rule census. No shuffle.
+    Columns: source_file, source_offset, url, ts14, n_disallow, n_allow,
+    crawl_delay (-1 when absent), n_sitemaps, rules_md5 (md5 over the
+    0x1F-joined rules list — the full parse verifiable without a nested
+    column)."""
+    import hashlib
+
+    from ..state.robots import (
+        ALLOW_PREFIX,
+        SITEMAP_PREFIX,
+        crawl_delay_of,
+        parse_robots,
+    )
+    from ..sources.warc import read_archive_pages
+
+    def robots(b: pa.Table) -> pa.Table:
+        cols = ["url", "status", "payload", "source_file", "source_offset",
+                "timestamp14"]
+        out = {k: [] for k in ("source_file", "source_offset", "url", "ts14",
+                               "n_disallow", "n_allow", "crawl_delay",
+                               "n_sitemaps", "rules_md5")}
+        for r in b.select(cols).to_pylist():
+            u = r["url"] or ""
+            path = u.split("://", 1)[-1].partition("/")[2]
+            if path != "robots.txt" or r["status"] != 200:
+                continue
+            rules = parse_robots(
+                (r["payload"] or b"").decode("utf-8", "replace")
+            )
+            out["source_file"].append(r["source_file"])
+            out["source_offset"].append(int(r["source_offset"]))
+            out["url"].append(u)
+            out["ts14"].append(r["timestamp14"] or "")
+            out["n_disallow"].append(
+                sum(1 for x in rules if x.startswith("/"))
+            )
+            out["n_allow"].append(
+                sum(1 for x in rules if x.startswith(ALLOW_PREFIX))
+            )
+            cd = crawl_delay_of(rules)
+            out["crawl_delay"].append(-1 if cd is None else int(cd))
+            out["n_sitemaps"].append(
+                sum(1 for x in rules if x.startswith(SITEMAP_PREFIX))
+            )
+            out["rules_md5"].append(
+                hashlib.md5("\x1f".join(rules).encode("utf-8")).hexdigest()
+            )
+        return pa.table(
+            {
+                "source_file": pa.array(out["source_file"], pa.string()),
+                "source_offset": pa.array(out["source_offset"], pa.int64()),
+                "url": pa.array(out["url"], pa.string()),
+                "ts14": pa.array(out["ts14"], pa.string()),
+                "n_disallow": pa.array(out["n_disallow"], pa.int64()),
+                "n_allow": pa.array(out["n_allow"], pa.int64()),
+                "crawl_delay": pa.array(out["crawl_delay"], pa.int64()),
+                "n_sitemaps": pa.array(out["n_sitemaps"], pa.int64()),
+                "rules_md5": pa.array(out["rules_md5"], pa.string()),
+            }
+        )
+
+    return read_archive_pages(paths).map_batches(robots, batch_format="pyarrow")
 
 
 def warc_corpus(
