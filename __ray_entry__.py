@@ -2189,6 +2189,26 @@ def _host_hits(sf_dir: str):
     return host_hits(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _degree_distribution(sf_dir: str):
+    """In/out degree histogram over the SAME materialized link base."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import degree_distribution
+
+    _host_link_graph_base()
+    return degree_distribution(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
+def _host_distances(sf_dir: str):
+    """BFS hop distances over the SAME materialized link base."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_distances
+
+    _host_link_graph_base()
+    return host_distances(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
 def _host_components(sf_dir: str):
     """Connected components of the host link graph over the SAME
     materialized link base the graph/pagerank oracles read."""
@@ -2284,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tfidf_top_terms,
         token_stats,
         readability_scores,
+        source_quality_report,
         bpe_train,
         unigram_train,
         unigram_encode,
@@ -2332,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": exact_dedup,
         "token_stats": token_stats,
         "readability_scores": readability_scores,
+        "source_quality_report": source_quality_report,
         "quality_score": quality_score,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_hard_negatives": ann_hard_negatives,
@@ -2394,6 +2416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": _host_components,
         "host_pagerank": _host_pagerank,
         "host_hits": _host_hits,
+        "degree_distribution": _degree_distribution,
+        "host_distances": _host_distances,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "capture_diff": _capture_diff,
@@ -2896,6 +2920,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len({tokens}) END::BIGINT AS n_tokens,
                    round(COALESCE(s.ll, 0.0), 6) AS logloss_r
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # per-source quality report: exact integer sums -> one rounded
+        # double division each (pipelines/textops.source_quality_report)
+        "source_quality_report": f"""
+            WITH base AS (
+              SELECT source, text,
+                     list_filter({tokens}, w -> w <> '') AS w
+              FROM documents
+            ),
+            per AS (
+              SELECT source,
+                     len(w)::BIGINT AS n_tok,
+                     len(text)::BIGINT AS n_chr,
+                     (CASE WHEN len(w) > 0
+                           THEN (1000000 * len(list_distinct(w))) // len(w)
+                           ELSE 0 END)::BIGINT AS ratio_ppm
+              FROM base
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   SUM(n_tok)::BIGINT AS n_tokens,
+                   SUM(n_chr)::BIGINT AS n_chars,
+                   round(SUM(n_tok)::DOUBLE / count(*), 6) AS mean_tokens_r,
+                   round(SUM(ratio_ppm)::DOUBLE / count(*) / 1000000.0, 6)
+                       AS mean_distinct_ratio_r
+            FROM per GROUP BY 1
         """,
         # Flesch reading-ease: integer counts + one exact double formula
         # (pipelines/textops.readability_scores)
@@ -4457,6 +4507,44 @@ def oracle_sql() -> dict[str, str]:
         # dangling redistribution (pipelines/stats.host_pagerank); the
         # zero-weight self-loops keep every node alive in the recursive
         # term (the CTE may reference r only once)
+        # in/out degree histogram of the host graph (distinct-neighbour
+        # degrees; pipelines/stats.degree_distribution)
+        "degree_distribution": f"""
+            WITH e AS (
+              SELECT DISTINCT host AS src, l.dst AS dst
+              FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                   unnest(links_hosts) AS l(dst)
+            ),
+            outd AS (SELECT src AS host, count(*)::BIGINT AS deg
+                     FROM e GROUP BY 1),
+            ind AS (SELECT dst AS host, count(*)::BIGINT AS deg
+                    FROM e GROUP BY 1)
+            SELECT 'out' AS direction, deg AS degree,
+                   count(*)::BIGINT AS n_hosts
+            FROM outd GROUP BY 2
+            UNION ALL
+            SELECT 'in', deg, count(*)::BIGINT FROM ind GROUP BY 2
+        """,
+        # BFS hop distances from the 2 lexicographically-first hosts
+        # (path-length-bounded recursive CTE; stats.host_distances)
+        "host_distances": f"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT host AS src, l.dst AS dst
+              FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                   unnest(links_hosts) AS l(dst)
+            ),
+            nodes AS (SELECT DISTINCT h AS host FROM (
+                SELECT src AS h FROM e UNION ALL SELECT dst FROM e)),
+            seeds AS (SELECT host FROM nodes ORDER BY host LIMIT 2),
+            r(host, d) AS (
+              SELECT host, 0 FROM seeds
+              UNION ALL
+              SELECT e.dst, r.d + 1
+              FROM r JOIN e ON e.src = r.host
+              WHERE r.d < 4
+            )
+            SELECT host, min(d)::BIGINT AS dist FROM r GROUP BY 1
+        """,
         # integer HITS (3 unrolled iterations, no normalisation — exact
         # int64 on both engines; pipelines/stats.host_hits)
         "host_hits": f"""

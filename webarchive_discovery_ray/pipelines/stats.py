@@ -39,6 +39,8 @@ __all__ = [
     "host_link_graph",
     "host_pagerank",
     "host_hits",
+    "degree_distribution",
+    "host_distances",
     "anchor_pairs_ds",
     "anchor_text_index",
     "span_stats",
@@ -1801,3 +1803,205 @@ def host_hits(
         .union(a.map_batches(tag_final("a", 1), batch_format="pandas"))
     )
     return tagged.groupby("bucket").map_groups(project, batch_format="pandas")
+
+
+def degree_distribution(
+    n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None
+):
+    """In/out degree histogram of the host link graph — the first
+    structural audit a crawl-frontier tuner reads (how heavy is the tail
+    the politeness budget must absorb). Degrees count DISTINCT
+    neighbours (the graph rows are already distinct (src,dst) pairs).
+
+    Two tiny bucketed folds over the edge list: per-host degree counts,
+    then the (direction, degree) histogram — the exchange never exceeds
+    the host count. Columns: direction ('in'/'out'), degree, n_hosts.
+    SQL-oracle-checked over the materialized link base."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    edges = host_link_graph(n_pages, scfg, docs=docs)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {"direction": "out", "host": df["src_host"]}
+                ),
+                pd.DataFrame({"direction": "in", "host": df["dst_host"]}),
+            ],
+            ignore_index=True,
+        )
+        g = (
+            out.groupby(["direction", "host"], sort=False)
+            .size()
+            .reset_index(name="deg")
+        )
+        g["deg"] = g["deg"].astype("int64")
+        g["bucket"] = bucket_of(g["direction"] + "\x00" + g["host"], n_b)
+        return g
+
+    def fold_deg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(direction=str, host=str, deg="int64")
+        g = (
+            df.groupby(["direction", "host"], sort=False)["deg"]
+            .sum()
+            .reset_index()
+        )
+        g["deg"] = g["deg"].astype("int64")
+        return g
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["direction", "deg"], sort=False)
+            .size()
+            .reset_index(name="n_hosts")
+        )
+        g["n_hosts"] = g["n_hosts"].astype("int64")
+        g["bucket"] = bucket_of(
+            g["direction"] + ":" + g["deg"].astype(str), n_b
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def hist_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(direction=str, degree="int64", n_hosts="int64")
+        g = (
+            df.groupby(["direction", "deg"], sort=False)["n_hosts"]
+            .sum()
+            .reset_index()
+            .rename(columns={"deg": "degree"})
+        )
+        g["degree"] = g["degree"].astype("int64")
+        g["n_hosts"] = g["n_hosts"].astype("int64")
+        return g
+
+    return (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_deg, batch_format="pandas")
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist_fold, batch_format="pandas")
+    )
+
+
+_BFS_MAX_D = 4
+_BFS_SEEDS = 2  # lexicographically-first hosts
+
+
+def host_distances(
+    n_pages: int = 600,
+    scfg: SyntheticConfig | None = None,
+    docs=None,
+    max_d: int = _BFS_MAX_D,
+):
+    """BFS hop distances over the host link graph from a pinned seed set
+    (the ``_BFS_SEEDS`` lexicographically-first hosts) — the reachability
+    audit a seed-list designer runs (how much of the web is within k
+    hops of the seeds). Distances are exact integers.
+
+    Scale shape: distances and edges both stay distributed; each of the
+    ``max_d`` rounds expands ONLY the last frontier through one
+    tagged-union bucketed co-group (frontier ⋈ edges by src) and merges
+    into the known set with a grouped min — the driver holds the round
+    counter. Columns: host, dist (0..max_d; unreached hosts omitted).
+    SQL-oracle-checked (recursive CTE with a path-length bound)."""
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    edges_raw = host_link_graph(n_pages, scfg, docs=docs)
+
+    def edge_cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["src_host"], "dst": df["dst_host"]})
+
+    edges = coalesce_blocks(
+        edges_raw.map_batches(edge_cast, batch_format="pandas")
+    ).materialize()
+
+    # seed selection: global min-k by host string — per-block partial
+    # top-k, driver folds #blocks × k rows
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        s = pd.Series(h, dtype=str).sort_values(kind="mergesort").head(_BFS_SEEDS)
+        return pd.DataFrame({"host": s})
+
+    cand = edges.map_batches(partial_min, batch_format="pandas").to_pandas()
+    seeds = sorted(cand["host"].unique())[:_BFS_SEEDS]
+
+    import ray.data as rd
+
+    dist = rd.from_pandas(
+        pd.DataFrame({"host": seeds, "dist": np.zeros(len(seeds), dtype="int64")})
+    ).materialize()
+    frontier = dist
+
+    for level in range(1, max_d + 1):
+        def tag_front(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["host"],
+                    "out": pd.Series([""] * len(df), dtype=str, index=df.index),
+                    "side": np.zeros(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["host"], n_b),
+                }
+            )
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["src"],
+                    "out": df["dst"],
+                    "side": np.ones(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["src"], n_b),
+                }
+            )
+
+        def expand(df: pd.DataFrame, _lv=level) -> pd.DataFrame:
+            f = df[df["side"] == 0][["key"]]
+            e = df[df["side"] == 1][["key", "out"]]
+            m = e.merge(f, on="key", how="inner")
+            out = m[["out"]].drop_duplicates().rename(columns={"out": "host"})
+            return pd.DataFrame(
+                {
+                    "host": out["host"],
+                    "dist": np.full(len(out), _lv, dtype="int64"),
+                }
+            )
+
+        cands = (
+            frontier.map_batches(tag_front, batch_format="pandas")
+            .union(edges.map_batches(tag_edge, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        # merge: known dist ∪ candidates, grouped min by host; the NEW
+        # frontier = hosts whose min dist equals this level
+        def host_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(bucket=bucket_of(df["host"], n_b))
+
+        def merge_min(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return typed_empty(host=str, dist="int64")
+            g = df.groupby("host", sort=False)["dist"].min().reset_index()
+            g["dist"] = g["dist"].astype("int64")
+            return g
+
+        dist = coalesce_blocks(
+            dist.union(cands)
+            .map_batches(host_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(merge_min, batch_format="pandas")
+        ).materialize()
+
+        def this_level(df: pd.DataFrame, _lv=level) -> pd.DataFrame:
+            return df[df["dist"] == _lv][["host", "dist"]]
+
+        frontier = dist.map_batches(this_level, batch_format="pandas").materialize()
+        if frontier.count() == 0:
+            break
+
+    return dist
