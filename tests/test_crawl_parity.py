@@ -950,3 +950,43 @@ def test_sitemap_checkpoint_resume_identical(ray_session, tmp_path_factory):
                     collect_log=True, collect_seen=True)
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
     assert got.seen_sorted == full.seen_sorted
+
+
+def test_all_politeness_features_combined_resume(ray_session, tmp_path_factory):
+    """Everything at once: forced seen-set spill + Crawl-delay + Allow
+    carve-outs + sitemap-index recursion + 5xx backoff, byte-parity vs
+    the oracle AND kill-and-resume identical across the combined state
+    (spill runs, pending sitemaps, backoff set, rules with all three
+    sentinel kinds)."""
+    syn = SyntheticConfig(
+        n_hosts=12, pages_per_host=100, max_fanout=7,
+        robots_disallow_ratio=0.6, robots_allow_ratio=0.6,
+        robots_crawl_delay_ratio=0.3, robots_sitemap_ratio=0.5,
+        sitemap_index_ratio=0.5,
+    )
+    sds = seed_urls(syn, n_seeds=8)
+    spill = str(tmp_path_factory.mktemp("combined_spill"))
+    cfg = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
+                      backoff_503=True, seen_spill_threshold=16,
+                      seen_spill_dir=spill)
+    exp = oracle_crawl(sds, cfg, syn)
+    full = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                     collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in full.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert full.seen_sorted == exp.seen_sorted
+    # kill after wave 2, resume to completion — byte-identical
+    ckdir = str(tmp_path_factory.mktemp("combined_ck"))
+    spill2 = str(tmp_path_factory.mktemp("combined_spill2"))
+    cfg1 = CrawlConfig(politeness_budget=4, max_waves=3, seen_shards=4,
+                       backoff_503=True, seen_spill_threshold=16,
+                       seen_spill_dir=spill2)
+    run_crawl(sds, cfg1, syn, fetch_concurrency=2, fetch_batch_size=16,
+              checkpoint_dir=ckdir)
+    cfg2 = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
+                       backoff_503=True, seen_spill_threshold=16,
+                       seen_spill_dir=spill2)
+    got = run_crawl(sds, cfg2, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    checkpoint_dir=ckdir, resume=True,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
+    assert got.seen_sorted == full.seen_sorted
