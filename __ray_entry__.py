@@ -2269,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ivf_cosine_topk,
         lsh_cosine_topk,
         mmr_select,
+        contrastive_triplets,
         pq_cosine_topk,
         ivfpq_cosine_topk,
         sq8_cosine_topk,
@@ -2408,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_burst_lengths": _media_burst_lengths,
         "pq_cosine_topk": pq_cosine_topk,
         "mmr_select": mmr_select,
+        "contrastive_triplets": contrastive_triplets,
         "ivfpq_cosine_topk": ivfpq_cosine_topk,
         "exact_substring_spans": exact_substring_spans,
         "exact_substring_dedup_apply": exact_substring_dedup_apply,
@@ -3332,6 +3334,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])) >= 0.25
+        """,
+        # contrastive triplets: near-dup positives + md5-rank cross-label
+        # negatives (pipelines/similarity.contrastive_triplets)
+        "contrastive_triplets": """
+            WITH p AS (
+              SELECT a.vec_id AS anchor, b.vec_id AS positive,
+                     a.label AS albl
+              FROM embeddings a
+              JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.25
+            ),
+            cand AS (
+              SELECT p.anchor, p.positive, v.vec_id AS negative,
+                     md5(CAST(p.anchor AS VARCHAR) || ':'
+                         || CAST(v.vec_id AS VARCHAR)) AS h
+              FROM p JOIN embeddings v ON v.label <> p.albl
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY anchor, positive ORDER BY h, negative
+              ) AS rn
+              FROM cand
+            )
+            SELECT anchor, positive, negative FROM r WHERE rn = 1
         """,
         # SemDeDup keep-list (min-id rule within the label bucket):
         # mirrors pipelines/dedup.semdedup_keep at threshold 0.35

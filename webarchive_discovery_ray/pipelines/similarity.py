@@ -17,7 +17,7 @@ import pandas as pd
 
 from ..sources.io import read_table
 
-__all__ = ["ann_cosine_topk", "mmr_select",
+__all__ = ["ann_cosine_topk", "mmr_select", "contrastive_triplets",
     "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
     "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk",
     "ivfpq_cosine_topk"]
@@ -892,3 +892,80 @@ def mmr_select(sf_dir: str, k: int = MMR_K, lam: float = MMR_LAMBDA):
     out["rank"] = out["rank"].astype("int32")
     out["vec_id"] = out["vec_id"].astype("int64")
     return out
+
+
+def contrastive_triplets(sf_dir: str):
+    """(anchor, positive, negative) triplet mining for contrastive
+    embedding training: positives are the near-duplicate pairs
+    (:func:`dedup.embedding_neardup_pairs` — same label bucket,
+    cos >= 0.25, anchor < positive); the negative for each pair is the
+    DETERMINISTIC md5-rank pick among vectors of a DIFFERENT label
+    (``min by (md5(anchor:cand), cand)`` — a seeded cross-cluster draw
+    the SQL mirror reproduces with a window over the same hash).
+
+    Shape: the pair list is the dedup output (duplication-proportional,
+    driver-bounded at audit scale; at corpus scale the same broadcast +
+    partial-argmin works over a hash-bucket-sampled candidate pool);
+    anchors' labels come from ONE filtered read; the negative pick is a
+    streaming partial argmin per pair under the broadcast pair list,
+    folded on the driver (#pairs x #blocks rows). Columns: anchor,
+    positive, negative. SQL-oracle-checked."""
+    import hashlib
+
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from .dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(sf_dir).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame(
+            {"anchor": pd.Series([], dtype="int64"),
+             "positive": pd.Series([], dtype="int64"),
+             "negative": pd.Series([], dtype="int64")}
+        )
+    anchors = set(pairs["vec_a"].astype(int))
+    lbl_rows = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+        .filter(lambda r: r["vec_id"] in anchors)
+        .take_all()
+    )
+    albl = {int(r["vec_id"]): int(r["label"]) for r in lbl_rows}
+    plist = [
+        (int(a), int(b), albl[int(a)])
+        for a, b in zip(pairs["vec_a"], pairs["vec_b"])
+    ]
+    ref = ray.put(tuple(plist))
+
+    def partial_neg(df: pd.DataFrame) -> pd.DataFrame:
+        pl = get_broadcast(ref)
+        ids = df["vec_id"].to_numpy().astype("int64")
+        lbl = df["label"].to_numpy().astype("int64")
+        out = {"anchor": [], "positive": [], "h": [], "negative": []}
+        md5 = hashlib.md5
+        for a, b, al in pl:
+            mask = lbl != al
+            if not mask.any():
+                continue
+            cand = ids[mask]
+            hs = [md5(f"{a}:{c}".encode()).hexdigest() for c in cand]
+            i = min(range(len(cand)), key=lambda j: (hs[j], cand[j]))
+            out["anchor"].append(a)
+            out["positive"].append(b)
+            out["h"].append(hs[i])
+            out["negative"].append(int(cand[i]))
+        r = pd.DataFrame(out)
+        for c in ("anchor", "positive", "negative"):
+            r[c] = r[c].astype("int64")
+        return r
+
+    parts = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+        .map_batches(partial_neg, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["anchor", "positive", "h", "negative"], kind="mergesort"
+    )
+    win = parts.groupby(["anchor", "positive"], sort=True).head(1)
+    return win[["anchor", "positive", "negative"]].reset_index(drop=True)
