@@ -2209,6 +2209,16 @@ def _host_distances(sf_dir: str):
     return host_distances(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _host_reciprocity(sf_dir: str):
+    """Edge reciprocity over the SAME materialized link base."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_reciprocity
+
+    _host_link_graph_base()
+    return host_reciprocity(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
 def _host_components(sf_dir: str):
     """Connected components of the host link graph over the SAME
     materialized link base the graph/pagerank oracles read."""
@@ -2420,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": _host_hits,
         "degree_distribution": _degree_distribution,
         "host_distances": _host_distances,
+        "host_reciprocity": _host_reciprocity,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "capture_diff": _capture_diff,
@@ -4552,6 +4563,26 @@ def oracle_sql() -> dict[str, str]:
             FROM outd GROUP BY 2
             UNION ALL
             SELECT 'in', deg, count(*)::BIGINT FROM ind GROUP BY 2
+        """,
+        # directed-edge reciprocity (self-loops excluded; the self-join
+        # counts each reciprocated edge from both sides, matching the
+        # pipeline's x2; stats.host_reciprocity)
+        "host_reciprocity": f"""
+            WITH e AS (
+              SELECT DISTINCT host AS src, l.dst AS dst
+              FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                   unnest(links_hosts) AS l(dst)
+              WHERE host <> l.dst
+            ),
+            rec AS (SELECT count(*)::BIGINT AS n_rec
+                    FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+            tot AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+            SELECT n_edges,
+                   n_rec AS n_reciprocal,
+                   (CASE WHEN n_edges > 0
+                         THEN (1000000 * n_rec) // n_edges
+                         ELSE 0 END)::BIGINT AS reciprocity_ppm
+            FROM tot, rec
         """,
         # BFS hop distances from the 2 lexicographically-first hosts
         # (path-length-bounded recursive CTE; stats.host_distances)

@@ -41,6 +41,7 @@ __all__ = [
     "host_hits",
     "degree_distribution",
     "host_distances",
+    "host_reciprocity",
     "anchor_pairs_ds",
     "anchor_text_index",
     "span_stats",
@@ -2005,3 +2006,72 @@ def host_distances(
             break
 
     return dist
+
+
+def host_reciprocity(
+    n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None
+):
+    """Edge reciprocity of the host link graph (how often does B link
+    back to A — the classic directed-web-graph statistic): distinct
+    directed edges, the subset with a reverse edge, and the exact ppm
+    ratio. Self-loops are excluded from both counts (pinned rule).
+
+    ONE bucketed co-group: every edge keys by its UNORDERED pair
+    ``min\x00max``, so both directions co-locate and reciprocity is a
+    per-group size test; the driver folds per-bucket integer partials.
+    Columns: n_edges, n_reciprocal, reciprocity_ppm (all exact
+    integers). SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    edges = host_link_graph(n_pages, scfg, docs=docs)
+
+    def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["src_host"] != df["dst_host"]]
+        lo = d[["src_host", "dst_host"]].min(axis=1)
+        hi = d[["src_host", "dst_host"]].max(axis=1)
+        fwd = (d["src_host"] == lo).astype("int64")
+        out = pd.DataFrame(
+            {
+                "pair": lo + "\x00" + hi,
+                "n_fwd": fwd,
+                "n_rev": 1 - fwd,
+            }
+        )
+        g = out.groupby("pair", sort=False).sum().reset_index()
+        for c in ("n_fwd", "n_rev"):
+            g[c] = g[c].astype("int64")
+        g["bucket"] = bucket_of(g["pair"], n_b)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(n_edges="int64", n_reciprocal="int64")
+        g = df.groupby("pair", sort=False)[["n_fwd", "n_rev"]].sum()
+        has_f = (g["n_fwd"] > 0).to_numpy()
+        has_r = (g["n_rev"] > 0).to_numpy()
+        n_edges = int(g["n_fwd"].clip(upper=1).sum() + g["n_rev"].clip(upper=1).sum())
+        n_rec = int((has_f & has_r).sum()) * 2
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([n_edges], dtype="int64"),
+                "n_reciprocal": pd.Series([n_rec], dtype="int64"),
+            }
+        )
+
+    parts = (
+        edges.map_batches(key_pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    n_edges = int(parts["n_edges"].sum()) if len(parts) else 0
+    n_rec = int(parts["n_reciprocal"].sum()) if len(parts) else 0
+    ppm = (1_000_000 * n_rec) // n_edges if n_edges else 0
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_reciprocal": pd.Series([n_rec], dtype="int64"),
+            "reciprocity_ppm": pd.Series([ppm], dtype="int64"),
+        }
+    )
