@@ -1848,6 +1848,19 @@ def _neardup_clusters(sf_dir: str):
     return neardup_clusters(rd.read_parquet(out), nodes)
 
 
+def _neardup_dedup_apply(sf_dir: str):
+    """Fuzzy-dedup APPLY: min-id representative per MinHash component,
+    with component size and the kept doc's md5 — uses the SAME
+    materialized pair set as neardup_clusters so the DuckDB oracle can
+    replay reachability and the content hash."""
+    from webarchive_discovery_ray.pipelines.dedup import neardup_dedup_apply
+    from webarchive_discovery_ray.sources.io import read_table
+
+    clusters = _neardup_clusters(sf_dir)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup_dedup_apply(clusters, docs)
+
+
 def _cluster_representatives(sf_dir: str):
     """Quality-argmax representative per near-dup cluster: composes the
     SAME materialized pair set as neardup_clusters with the
@@ -2393,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_batches": bucket_batches,
         "neardup_clusters": _neardup_clusters,
         "cluster_representatives": _cluster_representatives,
+        "neardup_dedup_apply": _neardup_dedup_apply,
         "ivf_cosine_topk": ivf_cosine_topk,
         "lsh_cosine_topk": lsh_cosine_topk,
         "language_id": language_id,
@@ -3823,6 +3837,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        # fuzzy-dedup APPLY: keep the min-id representative of every
+        # component, with component size and the kept doc's content md5
+        "neardup_dedup_apply": f"""
+            WITH RECURSIVE edges AS (
+                SELECT doc_a AS src, doc_b AS dst
+                FROM read_parquet('{_ORACLE_MAT}/neardup_pairs/*.parquet')
+                UNION ALL
+                SELECT doc_b, doc_a
+                FROM read_parquet('{_ORACLE_MAT}/neardup_pairs/*.parquet')
+            ),
+            reach(a, b) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ),
+            clusters AS (
+                SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+            ),
+            sizes AS (
+                SELECT cluster_id, count(*) AS n_merged
+                FROM clusters GROUP BY cluster_id
+            )
+            SELECT s.cluster_id AS doc_id, s.n_merged, md5(d.text) AS text_md5
+            FROM sizes s JOIN documents d ON d.doc_id = s.cluster_id
         """,
         # quality-argmax representative per near-dup cluster: composes the
         # neardup_clusters reachability with the quality_score ratio

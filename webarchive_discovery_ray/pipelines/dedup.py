@@ -33,6 +33,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "semdedup_keep",
     "cluster_representatives",
+    "neardup_dedup_apply",
     "reduplicate",
     "dup_span_fraction",
     "paragraph_dedup",
@@ -1266,6 +1267,103 @@ def cluster_representatives(clusters_ds, quality_ds):
     )
     return joined.groupby("bucket").map_groups(
         argmax_in_bucket, batch_format="pandas"
+    )
+
+
+def neardup_dedup_apply(clusters_ds, docs_ds):
+    """APPLY step of MinHash fuzzy dedup — produce the deduplicated
+    corpus, not just labels: for every connected component from
+    :func:`neardup_clusters`, keep the min-id representative (the
+    component's ``cluster_id`` by construction) and emit it with the
+    component size and the kept document's content hash, proving the
+    corpus surgery end to end (the analogue of
+    :func:`exact_substring_dedup_apply` for the fuzzy chain; exact
+    dedup's keep rule precedent:
+    ``MDXReduplicatingReducer.java:72-153`` exemplar-per-digest).
+
+    ``clusters_ds``: (doc_id, cluster_id); ``docs_ds``: (doc_id, text).
+    Shape: one per-batch partial count (cluster sizes combine inside
+    ``map_batches``, so the fold exchange carries one row per distinct
+    (batch, cluster) not per doc) + one bucketed fold, then one bucketed
+    co-group attaching the kept doc's text hash where doc_id co-locates
+    — no broadcast (the keep-list is corpus-sized at 100 TB), documents
+    shuffle only their md5, never their text. Columns: doc_id,
+    n_merged, text_md5. SQL-oracle-checked (recursive-CTE reachability
+    over the same materialized pair set + DuckDB ``md5``)."""
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+
+    def size_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cluster_id"].astype("int64")
+        g = cid.value_counts().sort_index()
+        out = pd.DataFrame(
+            {"cluster_id": g.index.to_numpy(), "n": g.to_numpy().astype("int64")}
+        )
+        out["bucket"] = bucket_of(out["cluster_id"], n_b)
+        return out
+
+    def fold_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64",
+                n_merged="int64",
+                side="int64",
+                text_md5=str,
+                bucket="int32",
+            )
+        g = df.groupby("cluster_id", sort=False)["n"].sum()
+        did = g.index.to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "n_merged": g.to_numpy().astype("int64"),
+                "side": np.zeros(len(g), dtype="int64"),
+                "text_md5": np.full(len(g), "", dtype=object),
+                "bucket": bucket_of(pd.Series(did), n_b).to_numpy(),
+            }
+        )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"].tolist()
+        ]
+        did = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did.to_numpy(),
+                "n_merged": np.full(len(df), -1, dtype="int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "text_md5": md5s,
+                "bucket": bucket_of(did, n_b).to_numpy(),
+            }
+        )
+
+    def join_kept(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(doc_id="int64", n_merged="int64", text_md5=str)
+        kept = df[df["side"] == 0][["doc_id", "n_merged"]]
+        docs = df[df["side"] == 1][["doc_id", "text_md5"]]
+        return kept.merge(docs, on="doc_id", how="inner")
+
+    sizes = coalesce_blocks(
+        clusters_ds.map_batches(size_partials, batch_format="pandas")
+    )
+    # fold buckets by cluster_id; fold_sizes re-buckets its output by the
+    # kept doc_id (== cluster_id, same hash — the exchange key is reused)
+    folded = sizes.groupby("bucket").map_groups(fold_sizes, batch_format="pandas")
+    tagged = coalesce_blocks(
+        folded.union(docs_ds.map_batches(tag_docs, batch_format="pandas"))
+    )
+    return (
+        tagged.groupby("bucket")
+        .map_groups(join_kept, batch_format="pandas")
+        .select_columns(["doc_id", "n_merged", "text_md5"])
     )
 
 
