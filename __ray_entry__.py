@@ -2265,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_neardup_pairs,
         semdedup_keep,
         exact_dedup,
+        cross_minhash_dedup,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_neardup_pairs,
@@ -2472,6 +2473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "doc_length_histogram": doc_length_histogram,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "cross_minhash_dedup": cross_minhash_dedup,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "simhash_signatures": simhash_signatures,
         "simhash_neardup_pairs": simhash_neardup_pairs,
@@ -3192,6 +3194,61 @@ def oracle_sql() -> dict[str, str]:
                     JOIN cnt na ON na.doc_id = i.doc_a
                     JOIN cnt nb ON nb.doc_id = i.doc_b)
             SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
+        """,
+        # cross-corpus fuzzy dedup (pipelines/dedup.cross_minhash_dedup):
+        # the SAME minhash chain, candidate join restricted to
+        # snapshot(even)×delta(odd) pairs, verified matches collapsed
+        # per delta doc (count + min matching snapshot id)
+        "cross_minhash_dedup": f"""
+            WITH seeds(perm, seed) AS (VALUES {mh_seeds}),
+            tk AS (
+              SELECT doc_id, text, {tokens} AS t FROM documents
+            ),
+            gr AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [text] END AS gs
+              FROM tk
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS x
+              FROM gr, unnest(gs) AS u(g)
+            ),
+            z0 AS (SELECT doc_id, perm, xor(x, seed) AS z FROM sh CROSS JOIN seeds),
+            z1 AS (SELECT doc_id, perm,
+              ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+               % {u64_mod})::UBIGINT AS z FROM z0),
+            z2 AS (SELECT doc_id, perm,
+              ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+               % {u64_mod})::UBIGINT AS z FROM z1),
+            mh AS (SELECT doc_id, perm, min(xor(z, z >> 31)) AS v
+                   FROM z2 GROUP BY 1, 2),
+            bk AS (SELECT doc_id, perm // 4 AS band,
+                     substr(md5(string_agg(v::VARCHAR, '-' ORDER BY perm)), 1, 16) AS bh
+                   FROM mh GROUP BY doc_id, perm // 4),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bk a JOIN bk b
+                       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                          AND (a.doc_id % 2) <> (b.doc_id % 2)),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.doc_a
+                      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+                      GROUP BY 1, 2),
+            jac AS (SELECT i.doc_a, i.doc_b, i.i::DOUBLE / (na.n + nb.n - i.i) AS j
+                    FROM inter i
+                    JOIN cnt na ON na.doc_id = i.doc_a
+                    JOIN cnt nb ON nb.doc_id = i.doc_b),
+            v AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.3)
+            SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS delta_id,
+                   count(*) AS n_matches,
+                   min(CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END)
+                       AS best_match
+            FROM v
+            GROUP BY 1
         """,
         # exact n-gram Jaccard pairs (pipelines/dedup.ngram_jaccard_pairs):
         # distinct md5-hex16 3-gram shingles -> candidates from ANY shared

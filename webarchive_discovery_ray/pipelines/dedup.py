@@ -34,6 +34,7 @@ __all__ = [
     "semdedup_keep",
     "cluster_representatives",
     "neardup_dedup_apply",
+    "cross_minhash_dedup",
     "reduplicate",
     "dup_span_fraction",
     "paragraph_dedup",
@@ -648,7 +649,22 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     2. pass B keys both halves by bucket(pair) and computes the exact
        3-gram Jaccard — candidate-bounded data only."""
 
+    from ..functions.bucketing import default_buckets
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_b = default_buckets()
+    distinct_pairs = _lsh_candidate_pairs(ds, n_b)
+    return _attach_verify_jaccard(ds, distinct_pairs, threshold, n_b)
+
+
+def _lsh_candidate_pairs(ds, n_b: int, cross_parity: bool = False):
+    """Shingle → minhash → LSH band buckets → in-bucket candidate pairs
+    (the shared candidate stage of :func:`minhash_lsh_pairs` and
+    :func:`cross_minhash_dedup`). With ``cross_parity`` the in-bucket
+    self-merge keeps only pairs whose doc ids differ in parity — the
+    snapshot(even)/delta(odd) split rule of :func:`incremental_dedup` —
+    so a snapshot never pairs with itself (cross-corpus dedup never
+    drops a delta doc for matching another delta doc)."""
     seeds = _perm_seeds()
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -702,9 +718,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     # drops). No per-group Python calls, no join-aggregator actor pools
     # (functions/bucketing.py -- every exchange below is the same bucketed
     # grouped pass).
-    from ..functions.bucketing import bucket_of, default_buckets
-
-    n_b = default_buckets()
+    from ..functions.bucketing import bucket_of
 
     def band_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(b=bucket_of(df["bucket"], n_b))
@@ -712,6 +726,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         m = df[["bucket", "doc_id"]].merge(df[["bucket", "doc_id"]], on="bucket")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if cross_parity:
+            m = m[(m["doc_id_x"] % 2) != (m["doc_id_y"] % 2)]
         return pd.DataFrame(
             {"doc_a": m["doc_id_x"].to_numpy(), "doc_b": m["doc_id_y"].to_numpy()}
         )
@@ -738,9 +754,90 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     # one fewer all-to-all, and the duplicate factor is bounded by the
     # band count (8). Materialized (size-pinned) because both
     # side-taggers consume it.
-    distinct_pairs = coalesce_blocks(raw_pairs)
+    return coalesce_blocks(raw_pairs)
 
-    return _attach_verify_jaccard(ds, distinct_pairs, threshold, n_b)
+
+def cross_minhash_dedup(sf_dir: str, threshold: float = 0.3):
+    """Fuzzy cross-corpus dedup — drop crawl-increment documents that
+    NEAR-duplicate anything already in the snapshot (the MinHash
+    analogue of :func:`incremental_dedup`'s exact-fingerprint rule;
+    reference precedent for deduping an increment against the prior
+    index: ``MDXReduplicatingReducer.java:72-153``). Snapshot = even
+    doc_ids, delta = odd (the same split rule as incremental_dedup, so
+    side is a pure function of doc_id and never needs carrying through
+    an exchange).
+
+    Chain: the shared candidate stage (:func:`_lsh_candidate_pairs`
+    with ``cross_parity``, so only snapshot×delta pairs survive the
+    in-bucket merge — within-side duplicates are a different op's job)
+    → the shared exact-Jaccard tag-join verify → one per-batch partial
+    + one bucketed fold collapsing verified matches per delta doc.
+    Every exchange is candidate-bounded; the corpus text streams
+    through the verify's pass A once.
+
+    Columns: delta_id (the increment doc to drop), n_matches (verified
+    snapshot near-dups), best_match (min matching snapshot doc_id).
+    SQL-oracle-checked (the full splitmix64/UHUGEINT minhash mirror
+    with the parity join filter)."""
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_b = default_buckets()
+    pairs = _lsh_candidate_pairs(ds, n_b, cross_parity=True)
+    verified = _attach_verify_jaccard(ds, pairs, threshold, n_b)
+
+    def match_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                delta_id="int64", n="int64", snap_min="int64", bucket="int32"
+            )
+        a = df["doc_a"].to_numpy(dtype="int64")
+        b = df["doc_b"].to_numpy(dtype="int64")
+        a_odd = (a % 2) == 1
+        delta = np.where(a_odd, a, b)
+        snap = np.where(a_odd, b, a)
+        part = (
+            pd.DataFrame({"delta_id": delta, "snap": snap})
+            .groupby("delta_id", sort=False)["snap"]
+            .agg(["count", "min"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "delta_id": part["delta_id"].astype("int64"),
+                "n": part["count"].astype("int64"),
+                "snap_min": part["min"].astype("int64"),
+                "bucket": bucket_of(part["delta_id"].astype("int64"), n_b),
+            }
+        )
+
+    def fold_matches(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                delta_id="int64", n_matches="int64", best_match="int64"
+            )
+        g = df.groupby("delta_id", sort=False).agg(
+            n_matches=("n", "sum"), best_match=("snap_min", "min")
+        )
+        return pd.DataFrame(
+            {
+                "delta_id": g.index.to_numpy().astype("int64"),
+                "n_matches": g["n_matches"].to_numpy().astype("int64"),
+                "best_match": g["best_match"].to_numpy().astype("int64"),
+            }
+        )
+
+    partials = coalesce_blocks(
+        verified.map_batches(match_partials, batch_format="pandas")
+    )
+    return partials.groupby("bucket").map_groups(
+        fold_matches, batch_format="pandas"
+    )
 
 
 def _attach_verify_jaccard(ds, distinct_pairs, threshold: float, n_b: int):
