@@ -2222,6 +2222,17 @@ def _host_distances(sf_dir: str):
     return host_distances(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _host_triangles(sf_dir: str):
+    """Triangle census over the SAME materialized link base the other
+    graph oracles replay."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_triangles
+
+    _host_link_graph_base()
+    return host_triangles(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
 def _host_reciprocity(sf_dir: str):
     """Edge reciprocity over the SAME materialized link base."""
     import ray.data as rd
@@ -2446,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": _degree_distribution,
         "host_distances": _host_distances,
         "host_reciprocity": _host_reciprocity,
+        "host_triangles": _host_triangles,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "capture_diff": _capture_diff,
@@ -4679,6 +4691,34 @@ def oracle_sql() -> dict[str, str]:
                          THEN (1000000 * n_rec) // n_edges
                          ELSE 0 END)::BIGINT AS reciprocity_ppm
             FROM tot, rec
+        """,
+        # exact triangle census of the undirected simple host graph
+        # (3-way ordered self-join; stats.host_triangles)
+        "host_triangles": f"""
+            WITH e0 AS (
+              SELECT DISTINCT host AS src, l.dst AS dst
+              FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                   unnest(links_hosts) AS l(dst)
+              WHERE host <> l.dst
+            ),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b FROM e0),
+            deg AS (SELECT n, count(*)::BIGINT AS d
+                    FROM (SELECT a AS n FROM und
+                          UNION ALL SELECT b AS n FROM und)
+                    GROUP BY n),
+            tri AS (SELECT count(*)::BIGINT AS n_tri
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            agg AS (SELECT count(*)::BIGINT AS n_edges FROM und),
+            wdg AS (SELECT coalesce(sum(d * (d - 1) // 2), 0)::BIGINT
+                        AS n_wedges FROM deg)
+            SELECT n_edges, n_wedges, n_tri AS n_triangles,
+                   (CASE WHEN n_wedges > 0
+                         THEN (1000000 * 3 * n_tri) // n_wedges
+                         ELSE 0 END)::BIGINT AS clustering_ppm
+            FROM agg, wdg, tri
         """,
         # BFS hop distances from the 2 lexicographically-first hosts
         # (path-length-bounded recursive CTE; stats.host_distances)

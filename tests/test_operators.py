@@ -1718,3 +1718,47 @@ def test_winnow_neardup_pairs_matches_sequential(ray_session):
     got = winnow_neardup_pairs(sf).to_pandas()
     assert {(r.a, r.b): r.n_shared for r in got.itertuples()} == want
     assert want, "fixture has no winnow near-dup pairs"
+
+
+def test_host_triangles_crafted_graph(ray_session):
+    """K4 on {a,b,c,d} (4 triangles) + a pendant edge d->e (wedges but no
+    new triangle) + self-loop and reverse-direction noise. n_edges counts
+    the undirected simple graph; wedges = sum C(deg,2)."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_triangles
+
+    rows = [
+        {"host": "a.ex", "links_hosts": ["b.ex", "c.ex", "d.ex", "a.ex"]},
+        {"host": "b.ex", "links_hosts": ["c.ex", "d.ex", "a.ex"]},  # b->a reverse dup
+        {"host": "c.ex", "links_hosts": ["d.ex"]},
+        {"host": "d.ex", "links_hosts": ["e.ex"]},
+    ]
+    got = host_triangles(docs=rd.from_items(rows))
+    rec = got.to_dict("records")[0]
+    # K4: 6 edges + pendant = 7; degrees a=3 b=3 c=3 d=4 e=1
+    # wedges = 3+3+3+6+0 = 15; triangles = C(4,3) = 4
+    assert rec == {
+        "n_edges": 7,
+        "n_wedges": 15,
+        "n_triangles": 4,
+        "clustering_ppm": (1_000_000 * 12) // 15,
+    }
+
+
+def test_unordered_pair_key_separator_no_collision(ray_session):
+    """Regression: pandas Series `+` strips embedded NULs (numpy
+    fixed-width unicode), so a \\x00-joined pair key degrades to plain
+    concatenation and the distinct pairs (ab,c)/(a,bc) would collide into
+    one reciprocity group. The \\x1f joiner keeps them distinct: two
+    disjoint one-way edges => zero reciprocal."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_reciprocity
+
+    rows = [
+        {"host": "ab", "links_hosts": ["c"]},
+        {"host": "bc", "links_hosts": ["a"]},  # unordered pair (a, bc)
+    ]
+    rec = host_reciprocity(docs=rd.from_items(rows)).to_dict("records")[0]
+    assert rec == {"n_edges": 2, "n_reciprocal": 0, "reciprocity_ppm": 0}
