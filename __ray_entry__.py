@@ -1427,6 +1427,65 @@ def _ivfpq_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
     )
 
 
+def _knn_graph_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential recompute of knn_graph's deterministic output
+    (pipelines/similarity.knn_graph): medoid reps = min-vec_id member
+    per label cell; per-vector probe of the n_probe nearest cells under
+    (-cos6, label asc); exact rounded cosines over probed-cell members
+    excluding self; top-k under (-cos6, dst id). Rendered as
+    VALUES(src_vec_id, dst_vec_id, rank, cos_sim)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    k, n_probe = 3, 2
+    sf_dir = sf_dir or _oracle_sf_dir()
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(tbl["label"].to_pylist(), dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    cells = np.unique(labels)
+    rep_idx = np.array(
+        [int(np.flatnonzero(labels == c)[np.argmin(ids[labels == c])]) for c in cells]
+    )
+    rep_mat = mat[rep_idx]
+    n_cells = len(cells)
+    probe_n = min(n_probe, n_cells)
+    sims_rep = np.round(mat @ rep_mat.T, 6)
+    key = np.rint(-sims_rep * 1_000_000).astype(np.int64) * n_cells + np.arange(
+        n_cells, dtype=np.int64
+    )
+    probed = np.argsort(key, axis=1, kind="stable")[:, :probe_n]
+    rows = []
+    for i in range(len(ids)):
+        cand = np.zeros(len(ids), dtype=bool)
+        for p in probed[i]:
+            cand |= labels == cells[p]
+        cand[i] = False
+        cand &= ids != ids[i]
+        cidx = np.flatnonzero(cand)
+        if not len(cidx):
+            continue
+        cos6 = np.round(mat[cidx] @ mat[i], 6)
+        order = np.lexsort((ids[cidx], -cos6))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append(
+                f"({ids[i]}, {ids[cidx[j]]}, {rank}::BIGINT, "
+                f"{cos6[j]:.6f}::DOUBLE)"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(src_vec_id, dst_vec_id, rank, cos_sim)"
+    )
+
+
 def _lsh_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
     """Sequential recompute of lsh_cosine_topk's deterministic output at
     the driver's correctness scale, rendered as VALUES(query_vec_id,
@@ -2302,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann_cosine_topk,
         ann_hard_negatives,
         ivf_cosine_topk,
+        knn_graph,
         lsh_cosine_topk,
         mmr_select,
         contrastive_triplets,
@@ -2421,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_dedup_apply": _neardup_dedup_apply,
         "ivf_cosine_topk": ivf_cosine_topk,
         "lsh_cosine_topk": lsh_cosine_topk,
+        "knn_graph": knn_graph,
         "language_id": language_id,
         "sessionize_events": sessionize_events,
         "funnel_counts": funnel_counts,
@@ -5219,6 +5280,12 @@ def oracle_sql() -> dict[str, str]:
     # VALUES — the oracle verifies the distributed bucketing/multiprobe/
     # partial-top-k plumbing end to end (same mechanism as fuzzy_hashes).
     out["lsh_cosine_topk"] = _lsh_cosine_oracle_values_sql()
+
+    # knn_graph is approximate (IVF probes) but deterministic by design
+    # (medoid reps — no float mean folds; 6-dp rounded cosines with
+    # (cos desc, id asc) total order), so its exact output is recomputed
+    # sequentially and rendered as VALUES
+    out["knn_graph"] = _knn_graph_oracle_values_sql()
 
     # bpe_train is deterministic (exact integer counts + lexicographic
     # tie-break); the sequential whole-corpus Counter recompute renders

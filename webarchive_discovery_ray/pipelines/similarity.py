@@ -20,7 +20,7 @@ from ..sources.io import read_table
 __all__ = ["ann_cosine_topk", "mmr_select", "contrastive_triplets",
     "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
     "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk",
-    "ivfpq_cosine_topk"]
+    "ivfpq_cosine_topk", "knn_graph"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -969,3 +969,183 @@ def contrastive_triplets(sf_dir: str):
     )
     win = parts.groupby(["anchor", "positive"], sort=True).head(1)
     return win[["anchor", "positive", "negative"]].reset_index(drop=True)
+
+
+def knn_graph(sf_dir: str, k: int = 3, n_probe: int = 2):
+    """Approximate k-nearest-neighbour GRAPH over the embedding column —
+    every vector gets its top-k cosine neighbours, not just a fixed
+    query set: the ANN *self-join* that feeds graph-based curation
+    (SemDeDup-style cluster surgery, diversity sampling, label
+    propagation). The all-pairs exact version is O(N^2) at 100 TB; this
+    is the IVF-bucketed scale path.
+
+    Determinism design: IVF cells are the ``label`` column, and each
+    cell is represented by its MEDOID-stand-in — the cell's min-vec_id
+    member — instead of a float mean (mean centroids fold partial sums
+    whose addition order varies with batching; the medoid rule is
+    order-free, so the probe choice and hence the whole output is
+    bit-stable across any block layout). Every vector probes its
+    ``n_probe`` nearest cells under the total order
+    (-cos rounded 6dp, label asc); a vector searches its own cell only
+    if that cell wins a probe slot (standard IVF semantics).
+
+    Shape: one tiny min-fold + one bounded rep fetch (broadcast via
+    ``ray.put``); ONE routing exchange ships each vector 1 + n_probe
+    times (member copy to its home cell, query copies to probed
+    cells); per-cell Q x M matmul emits per-(query, cell) partial
+    top-k; one bucketed fold merges partials per query under
+    (-cos6, dst_vec_id). Self-pairs excluded. Every stage is
+    cell-tile-bounded — the corpus never broadcasts, no N^2 exchange.
+
+    Columns: src_vec_id, dst_vec_id, rank (1-based), cos_sim (rounded
+    6). Approximate-by-construction but deterministic — VALUES-oracled
+    via a sequential recompute (the lsh_cosine_topk mechanism)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    # -- cell representatives: min vec_id per label (exact integer fold) --
+    def min_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", sort=False)["vec_id"].min()
+        return pd.DataFrame(
+            {
+                "label": g.index.to_numpy().astype("int64"),
+                "m": g.to_numpy().astype("int64"),
+            }
+        )
+
+    mins: dict[int, int] = {}
+    for r in ds.map_batches(min_partials, batch_format="pandas").take_all():
+        lab = int(r["label"])
+        mins[lab] = min(mins.get(lab, 1 << 62), int(r["m"]))
+    rep_ids = sorted(mins.values())
+    rep_rows = ds.filter(
+        expr=" or ".join(f"vec_id == {i}" for i in rep_ids)
+    ).take_all()
+    rep_rows.sort(key=lambda r: int(r["label"]))
+    rep_labels = np.array([int(r["label"]) for r in rep_rows], dtype=np.int64)
+    rep_mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rep_rows]
+    )
+    nrm = np.linalg.norm(rep_mat, axis=1)
+    nrm[nrm == 0] = 1.0
+    rep_mat = rep_mat / nrm[:, None]
+    reps_ref = ray.put((rep_labels, rep_mat))
+    n_cells = len(rep_labels)
+    probe_n = min(n_probe, n_cells)
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        labels, reps = get_broadcast(reps_ref)
+        ids = df["vec_id"].to_numpy(dtype="int64")
+        home = df["label"].to_numpy(dtype="int64")
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = np.round(mat @ reps.T, 6)  # (n, C)
+        # total order (-cos6, label-rank): composite int64 key, argsort
+        key = np.rint(-sims * 1_000_000).astype(np.int64) * n_cells + np.arange(
+            n_cells, dtype=np.int64
+        )
+        probed = np.argsort(key, axis=1, kind="stable")[:, :probe_n]  # (n, p)
+        emb_list = list(mat)  # normalized rows, shipped once per copy
+        member = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": home,
+                "role": np.zeros(len(df), dtype="int64"),
+                "emb": emb_list,
+            }
+        )
+        q_ids = np.repeat(ids, probe_n)
+        q_cells = labels[probed.ravel()]
+        query = pd.DataFrame(
+            {
+                "vec_id": q_ids,
+                "cell": q_cells,
+                "role": np.ones(len(q_ids), dtype="int64"),
+                "emb": [emb_list[i] for i in np.repeat(np.arange(len(df)), probe_n)],
+            }
+        )
+        out = pd.concat([member, query], ignore_index=True)
+        out["bucket"] = bucket_of(out["cell"], n_b)
+        return out
+
+    def cell_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                src="int64", dst="int64", cos6="float64", bucket="int32"
+            )
+        out_parts = []
+        for _, cell_df in df.groupby("cell", sort=False):
+            mem = cell_df[cell_df["role"] == 0]
+            qry = cell_df[cell_df["role"] == 1]
+            if not len(mem) or not len(qry):
+                continue
+            m_ids = mem["vec_id"].to_numpy(dtype="int64")
+            q_ids = qry["vec_id"].to_numpy(dtype="int64")
+            m_mat = np.stack(mem["emb"].to_numpy())
+            q_mat = np.stack(qry["emb"].to_numpy())
+            sims = np.round(q_mat @ m_mat.T, 6)  # (Q, M)
+            src = np.repeat(q_ids, len(m_ids))
+            dst = np.tile(m_ids, len(q_ids))
+            keep = src != dst
+            part = pd.DataFrame(
+                {"src": src[keep], "dst": dst[keep], "cos6": sims.ravel()[keep]}
+            )
+            part = part.sort_values(
+                ["src", "cos6", "dst"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            out_parts.append(part.groupby("src", sort=False).head(k))
+        if not out_parts:
+            return typed_empty(
+                src="int64", dst="int64", cos6="float64", bucket="int32"
+            )
+        out = pd.concat(out_parts, ignore_index=True)
+        out["bucket"] = bucket_of(out["src"], n_b)
+        return out
+
+    def fold_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                src_vec_id="int64",
+                dst_vec_id="int64",
+                rank="int64",
+                cos_sim="float64",
+            )
+        # a (src, dst) pair can arrive from several probed cells with the
+        # SAME cos6 (the pair's cosine doesn't depend on the cell) — dedup
+        d = df.drop_duplicates(["src", "dst"]).sort_values(
+            ["src", "cos6", "dst"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = d.groupby("src", sort=False).head(k)
+        rank = top.groupby("src", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                "src_vec_id": top["src"].to_numpy(dtype="int64"),
+                "dst_vec_id": top["dst"].to_numpy(dtype="int64"),
+                "rank": rank.to_numpy().astype("int64"),
+                "cos_sim": top["cos6"].to_numpy(dtype="float64"),
+            }
+        )
+
+    routed = coalesce_blocks(ds.map_batches(route, batch_format="pandas"))
+    partials = coalesce_blocks(
+        routed.groupby("bucket").map_groups(cell_topk, batch_format="pandas")
+    )
+    return partials.groupby("bucket").map_groups(
+        fold_topk, batch_format="pandas"
+    )
