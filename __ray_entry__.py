@@ -2391,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         inverted_index,
         language_id,
         ngram_topk,
+        token_spectrum,
         vocab_coverage,
         winnow_positions,
         winnow_neardup_pairs,
@@ -2470,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_scrub,
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
+        "token_spectrum": token_spectrum,
         "vocab_coverage": vocab_coverage,
         "winnow_positions": winnow_positions,
         "winnow_neardup_pairs": winnow_neardup_pairs,
@@ -4039,6 +4041,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)
         """,
         # corpus top-50 2-grams, ties broken by gram asc
+        # Zipf frequency-of-frequencies census (pipelines/textops.
+        # token_spectrum): token -> exact corpus frequency -> per-
+        # frequency distinct-token counts
+        "token_spectrum": rf"""
+            WITH tk AS (
+                SELECT unnest({tokens}) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ),
+            cnt AS (
+                SELECT tok, count(*)::BIGINT AS f
+                FROM tk WHERE tok <> '' GROUP BY tok
+            )
+            SELECT f AS freq, count(*)::BIGINT AS n_tokens
+            FROM cnt GROUP BY f
+        """,
         "ngram_topk": rf"""
             WITH toks AS (
                 SELECT {tokens} AS w FROM documents WHERE trim(text) <> ''

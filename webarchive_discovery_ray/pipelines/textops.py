@@ -30,6 +30,7 @@ __all__ = [
     "winnow_positions",
     "winnow_neardup_pairs",
     "ngram_topk",
+    "token_spectrum",
     "vocab_coverage",
     "inverted_index",
     "pack_sequences",
@@ -481,6 +482,74 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 50):
         .map_groups(sum_topk_in_bucket, batch_format="pandas")
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
+    )
+
+
+def token_spectrum(sf_dir: str):
+    """Frequency-of-frequencies census over whitespace tokens — the
+    Zipf/Heaps spectrum (for each corpus frequency f, how many DISTINCT
+    tokens occur exactly f times): the corpus-statistics primitive
+    behind Good-Turing smoothing, vocabulary-growth estimation and
+    tokenizer budget planning.
+
+    TWO-LEVEL aggregation, both levels pre-combined: per-batch token
+    counts (combiner) → one bucketed fold keyed by token resolves every
+    token's exact corpus frequency AND collapses to a per-bucket
+    spectrum partial (freq → n_tokens) INSIDE the same group fn, so the
+    second exchange carries at most |distinct frequencies| rows per
+    bucket, never per-token rows → one tiny bucketed fold keyed by
+    freq. Columns: freq, n_tokens (exact integers). SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split().explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {
+                    "tok": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        vc = ex.value_counts()
+        out = pd.DataFrame({"tok": vc.index, "n": vc.to_numpy().astype("int64")})
+        out["bucket"] = bucket_of(out["tok"], n_b)
+        return out
+
+    def spectrum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(freq="int64", n_tokens="int64", bucket="int32")
+        f = df.groupby("tok", sort=False)["n"].sum()
+        sp = f.value_counts()
+        out = pd.DataFrame(
+            {
+                "freq": sp.index.to_numpy().astype("int64"),
+                "n_tokens": sp.to_numpy().astype("int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["freq"], n_b)
+        return out
+
+    def fold_spectrum(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(freq="int64", n_tokens="int64")
+        g = df.groupby("freq", sort=False)["n_tokens"].sum()
+        return pd.DataFrame(
+            {
+                "freq": g.index.to_numpy().astype("int64"),
+                "n_tokens": g.to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(spectrum_in_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_spectrum, batch_format="pandas")
     )
 
 
