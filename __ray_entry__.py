@@ -1920,6 +1920,42 @@ def _neardup_dedup_apply(sf_dir: str):
     return neardup_dedup_apply(clusters, docs)
 
 
+def _label_propagation(sf_dir: str):
+    """kNN majority-vote label transfer: the knn_graph edge set
+    materializes to parquet so the DuckDB oracle can replay the vote
+    over the SAME edges (the neardup_pairs mechanism)."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.similarity import (
+        knn_graph,
+        label_propagation,
+    )
+    from webarchive_discovery_ray.sources.io import read_table
+
+    out = f"{_ORACLE_MAT}/knn_edges"
+    shutil.rmtree(out, ignore_errors=True)
+    knn_graph(sf_dir).map_batches(
+        lambda b: b.select(["src_vec_id", "dst_vec_id"]), batch_format="pyarrow"
+    ).write_parquet(out)
+    if not glob.glob(f"{out}/*.parquet"):
+        import pyarrow.parquet as pq
+
+        os.makedirs(out, exist_ok=True)
+        empty = pa.table(
+            {
+                "src_vec_id": pa.array([], pa.int64()),
+                "dst_vec_id": pa.array([], pa.int64()),
+            }
+        )
+        pq.write_table(empty, f"{out}/empty.parquet")
+    labels = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    return label_propagation(rd.read_parquet(out), labels)
+
+
 def _cluster_representatives(sf_dir: str):
     """Quality-argmax representative per near-dup cluster: composes the
     SAME materialized pair set as neardup_clusters with the
@@ -2484,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_cosine_topk": ivf_cosine_topk,
         "lsh_cosine_topk": lsh_cosine_topk,
         "knn_graph": knn_graph,
+        "label_propagation": _label_propagation,
         "language_id": language_id,
         "sessionize_events": sessionize_events,
         "funnel_counts": funnel_counts,
@@ -2634,6 +2671,8 @@ def _ensure_oracle_materializations() -> None:
         # the pair graph depends on the corpus: default to the driver's
         # correctness scale; the query itself re-materializes at its own sf
         _neardup_clusters("/root/testdata/sf0.01")
+    if not os.path.isdir(f"{_ORACLE_MAT}/knn_edges"):
+        _label_propagation("/root/testdata/sf0.01")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3994,6 +4033,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.cluster_id AS doc_id, s.n_merged, md5(d.text) AS text_md5
             FROM sizes s JOIN documents d ON d.doc_id = s.cluster_id
+        """,
+        # kNN majority-vote label transfer over the materialized knn_graph
+        # edge set (pipelines/similarity.label_propagation): odd vec_ids
+        # vote from even-labelled neighbours, tie -> smallest label
+        "label_propagation": f"""
+            WITH e AS (
+              SELECT src_vec_id AS s, dst_vec_id AS d
+              FROM read_parquet('{_ORACLE_MAT}/knn_edges/*.parquet')
+              WHERE src_vec_id % 2 = 1
+            ),
+            v AS (
+              SELECT e.s, emb.label
+              FROM e JOIN embeddings emb
+                ON emb.vec_id = e.d AND emb.vec_id % 2 = 0
+            ),
+            c AS (SELECT s, label, count(*)::BIGINT AS n
+                  FROM v GROUP BY s, label)
+            SELECT s AS vec_id, label::BIGINT AS pred_label, n AS n_votes
+            FROM (
+              SELECT s, label, n,
+                     row_number() OVER (
+                         PARTITION BY s ORDER BY n DESC, label) AS rn
+              FROM c
+            ) WHERE rn = 1
         """,
         # quality-argmax representative per near-dup cluster: composes the
         # neardup_clusters reachability with the quality_score ratio

@@ -20,7 +20,7 @@ from ..sources.io import read_table
 __all__ = ["ann_cosine_topk", "mmr_select", "contrastive_triplets",
     "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
     "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk",
-    "ivfpq_cosine_topk", "knn_graph"]
+    "ivfpq_cosine_topk", "knn_graph", "label_propagation"]
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -1148,4 +1148,112 @@ def knn_graph(sf_dir: str, k: int = 3, n_probe: int = 2):
     )
     return partials.groupby("bucket").map_groups(
         fold_topk, batch_format="pandas"
+    )
+
+
+def label_propagation(edges_ds, labels_ds):
+    """One majority-vote label-propagation round over a kNN graph — the
+    semi-supervised labeling step a curation pipeline runs to extend a
+    small set of trusted labels (quality/domain/topic) across the
+    corpus: every UNLABELED vector (odd vec_id — the same split
+    convention as incremental_dedup/cross_minhash_dedup) takes the
+    majority label of its LABELED (even vec_id) graph neighbours, ties
+    to the smallest label.
+
+    ``edges_ds``: (src_vec_id, dst_vec_id, ...) from :func:`knn_graph`;
+    ``labels_ds``: (vec_id, label). TWO bucketed co-groups: edges key by
+    dst to attach the neighbour's label (the label table streams that
+    one exchange; unlabeled dsts drop there), votes key by src for the
+    exact per-label count + argmax fold. No broadcast — at 100 TB the
+    label table is corpus-sized. Columns: vec_id, pred_label, n_votes
+    (vectors with no labeled neighbour emit nothing).
+    SQL-oracle-checked over the materialized edge set."""
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src_vec_id"].to_numpy(dtype="int64")
+        keep = (src % 2) == 1  # unlabeled side only
+        d = df[keep]
+        out = pd.DataFrame(
+            {
+                "key": d["dst_vec_id"].astype("int64"),
+                "src": d["src_vec_id"].astype("int64"),
+                "label": np.full(keep.sum(), -1, dtype="int64"),
+                "side": np.zeros(keep.sum(), dtype="int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype="int64")
+        keep = (ids % 2) == 0  # trusted/labeled side only
+        d = df[keep]
+        out = pd.DataFrame(
+            {
+                "key": d["vec_id"].astype("int64"),
+                "src": np.full(keep.sum(), -1, dtype="int64"),
+                "label": d["label"].astype("int64"),
+                "side": np.ones(keep.sum(), dtype="int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out
+
+    def attach_votes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                src="int64", label="int64", n="int64", bucket="int32"
+            )
+        e = df[df["side"] == 0][["key", "src"]]
+        l = df[df["side"] == 1][["key", "label"]]
+        m = e.merge(l, on="key", how="inner")
+        if not len(m):
+            return typed_empty(
+                src="int64", label="int64", n="int64", bucket="int32"
+            )
+        g = (
+            m.groupby(["src", "label"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["src"], n_b)
+        return g
+
+    def majority_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                vec_id="int64", pred_label="int64", n_votes="int64"
+            )
+        g = df.groupby(["src", "label"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(
+            ["src", "n", "label"], ascending=[True, False, True], kind="mergesort"
+        )
+        win = g[~g["src"].duplicated()]
+        return pd.DataFrame(
+            {
+                "vec_id": win["src"].to_numpy(dtype="int64"),
+                "pred_label": win["label"].to_numpy(dtype="int64"),
+                "n_votes": win["n"].to_numpy(dtype="int64"),
+            }
+        )
+
+    tagged = coalesce_blocks(
+        edges_ds.map_batches(tag_edges, batch_format="pandas").union(
+            labels_ds.map_batches(tag_labels, batch_format="pandas")
+        )
+    )
+    votes = coalesce_blocks(
+        tagged.groupby("bucket").map_groups(attach_votes, batch_format="pandas")
+    )
+    return votes.groupby("bucket").map_groups(
+        majority_fold, batch_format="pandas"
     )
