@@ -1845,6 +1845,20 @@ def _recrawl_seed_list(sf_dir: str):
     return recrawl_seed_list(rd.read_parquet(f"{_ORACLE_MAT}/captures"), ranks)
 
 
+def _url_templates(sf_dir: str):
+    """Top-k URL path templates over the SAME materialized captures
+    table the cdx oracle reads."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import url_templates
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+    return url_templates(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
+
+
 def _capture_intervals(sf_dir: str):
     """Per-SURT capture-history stats over the SAME materialized captures
     table the cdx oracle reads."""
@@ -2560,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": _host_triangles,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
+        "url_templates": _url_templates,
         "capture_diff": _capture_diff,
         "recrawl_schedule": _recrawl_schedule,
         "recrawl_seed_list": _recrawl_seed_list,
@@ -4967,6 +4982,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         # per-SURT capture-history stats (revisit-scheduling signal)
+        # top-k URL path templates (digit runs -> N, query dropped) over
+        # the materialized captures base (pipelines/cdx.url_templates)
+        "url_templates": f"""
+            WITH t AS (
+              SELECT regexp_extract(url, '^[a-z0-9+.-]+://([^/?#]+)', 1)
+                         AS host,
+                     regexp_replace(
+                         coalesce(
+                             nullif(regexp_extract(
+                                 url,
+                                 '^[a-z0-9+.-]+://[^/?#]+(/[^?#]*)', 1), ''),
+                             '/'),
+                         '[0-9]+', 'N', 'g') AS template
+              FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+            )
+            SELECT host, template, count(*)::BIGINT AS n
+            FROM t WHERE host <> ''
+            GROUP BY host, template
+            ORDER BY n DESC, host, template
+            LIMIT 50
+        """,
         "capture_intervals": f"""
             SELECT surt_key, count(*) AS n_captures,
                    min(timestamp14) AS first_ts14,

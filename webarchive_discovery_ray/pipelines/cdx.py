@@ -34,6 +34,7 @@ __all__ = [
     "warc_robots",
     "revisit_captures",
     "capture_intervals",
+    "url_templates",
     "capture_diff",
     "recrawl_schedule",
     "recrawl_seed_list",
@@ -742,6 +743,71 @@ def capture_intervals(captures):
         .map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(stats_in_bucket, batch_format="pandas")
+    )
+
+
+def url_templates(captures, k: int = 50):
+    """Top-k URL path TEMPLATES per crawl — the frontier-analytics pass a
+    crawl operator runs to spot crawler traps, pagination families and
+    parameter explosions before they eat the politeness budget (the CDX
+    query-side equivalent of the reference's per-host URL reports):
+    host = the authority of the capture URL, template = its path with
+    every digit run collapsed to ``N`` and the query/fragment dropped,
+    counted over all captures.
+
+    Same exchange shape as ``ngram_topk``: per-batch vectorized
+    regex + partial counts (combiner), ONE bucketed grouped sum fused
+    with per-bucket top-k truncation (all rows of a (host, template)
+    co-locate, so in-bucket sums are exact and a global-top-k row is in
+    its bucket's top-k), then a bounded global sort+limit. Columns:
+    host, template, n; order (n desc, host asc, template asc).
+    SQL-oracle-checked over the materialized captures base."""
+    import pandas as pd
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].astype(str)
+        host = urls.str.extract(r"^[a-z0-9+.-]+://([^/?#]+)", expand=False)
+        path = urls.str.extract(r"^[a-z0-9+.-]+://[^/?#]+(/[^?#]*)", expand=False)
+        ok = host.notna()
+        host = host[ok]
+        path = path[ok].fillna("/")
+        template = path.str.replace(r"[0-9]+", "N", regex=True)
+        g = (
+            pd.DataFrame({"host": host, "template": template})
+            .groupby(["host", "template"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["host"] + "\x1f" + g["template"], n_b)
+        return g
+
+    def sum_topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(host=str, template=str, n="int64")
+        g = (
+            df.groupby(["host", "template"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        return g.sort_values(
+            ["n", "host", "template"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    return (
+        captures.select_columns(["url"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sum_topk_in_bucket, batch_format="pandas")
+        .sort(["n", "host", "template"], descending=[True, False, False])
+        .limit(k)
     )
 
 
