@@ -2441,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         inverted_index,
         language_id,
         ngram_topk,
+        rank_blend,
         token_spectrum,
         vocab_coverage,
         winnow_positions,
@@ -2522,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
         "token_spectrum": token_spectrum,
+        "rank_blend": rank_blend,
         "vocab_coverage": vocab_coverage,
         "winnow_positions": winnow_positions,
         "winnow_neardup_pairs": winnow_neardup_pairs,
@@ -4119,6 +4121,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT)
         """,
         # corpus top-50 2-grams, ties broken by gram asc
+        # rank-normalized two-signal quality ensemble (pipelines/textops.
+        # rank_blend): row_number windows over the SAME oracle-proven
+        # distinct_ratio / flesch_r doubles, blend = rank sum, re-ranked
+        "rank_blend": rf"""
+            WITH q AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0.0
+                          ELSE len(list_distinct({tokens})) * 1.0
+                               / len({tokens}) END AS dr
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     list_filter({tokens}, w -> w <> '') AS w, text
+              FROM documents
+            ),
+            stat AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                         ::BIGINT AS n_sentences,
+                     CAST(COALESCE(list_sum(list_transform(w,
+                         x -> greatest(1, len(regexp_extract_all(x,
+                                  '[aeiouyAEIOUY]+'))))), 0) AS BIGINT)
+                         AS n_syllables
+              FROM base
+            ),
+            f AS (
+              SELECT doc_id,
+                     round(206.835
+                           - 1.015 * (n_words / n_sentences)
+                           - 84.6 * (n_syllables / greatest(1, n_words)),
+                           6) AS flesch_r
+              FROM stat
+            ),
+            r1 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY dr DESC, doc_id)
+                              ::BIGINT AS r_quality
+                   FROM q),
+            r2 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY flesch_r DESC, doc_id)
+                              ::BIGINT AS r_read
+                   FROM f),
+            b AS (SELECT r1.doc_id, r_quality, r_read,
+                         r_quality + r_read AS blend
+                  FROM r1 JOIN r2 USING (doc_id))
+            SELECT doc_id, r_quality, r_read,
+                   row_number() OVER (ORDER BY blend, doc_id)::BIGINT
+                       AS blend_rank
+            FROM b
+        """,
         # Zipf frequency-of-frequencies census (pipelines/textops.
         # token_spectrum): token -> exact corpus frequency -> per-
         # frequency distinct-token counts

@@ -40,6 +40,7 @@ __all__ = [
     "bm25_topk",
     "doc_length_histogram",
     "readability_scores",
+    "rank_blend",
     "source_quality_report",
     "bpe_train",
     "bpe_encode",
@@ -1920,4 +1921,93 @@ def source_quality_report(sf_dir: str):
         ds.map_batches(partials, batch_format="pandas")
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
+    )
+
+
+def rank_blend(sf_dir: str):
+    """Rank-normalized multi-signal quality ensemble — the standard way
+    to combine incommensurable curation signals (a ratio in [0,1], a
+    Flesch score in [-300, 120]) without tuning scale factors: convert
+    each signal to its global rank, add the ranks, re-rank the sum.
+    All three rank assignments are integers over deterministic total
+    orders, so the output is bit-identical to the SQL mirror's
+    ``row_number()`` windows (the underlying doubles are themselves
+    oracle-proven identical by the quality_score / readability_scores
+    queries).
+
+    Signals: ``distinct_ratio`` (:func:`quality_score`) and ``flesch_r``
+    (:func:`readability_scores`), each ranked DESC with doc_id
+    tie-break; ``blend = r_quality + r_read``; ``blend_rank`` =
+    row_number over (blend asc, doc_id asc) — rank 1 is the best
+    document under the ensemble.
+
+    Shape: three global row_number passes
+    (``functions/ranking.global_row_number`` — range-partitioned sort +
+    block-offset arange, driver folds only block COUNTS) + one bucketed
+    co-group joining the two rank columns by doc_id. Columns: doc_id,
+    r_quality, r_read, blend_rank. SQL-oracle-checked."""
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+    from ..functions.ranking import global_row_number
+
+    n_b = default_buckets()
+
+    q = quality_score(sf_dir).select_columns(["doc_id", "distinct_ratio"])
+    f = readability_scores(sf_dir).select_columns(["doc_id", "flesch_r"])
+    r1 = global_row_number(
+        q, ["distinct_ratio", "doc_id"], [True, False], "r_quality", ["doc_id"]
+    )
+    r2 = global_row_number(
+        f, ["flesch_r", "doc_id"], [True, False], "r_read", ["doc_id"]
+    )
+
+    def tag1(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "r_quality": df["r_quality"].astype("int64"),
+                "r_read": np.full(len(df), -1, dtype="int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["doc_id"], n_b)
+        return out
+
+    def tag2(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "r_quality": np.full(len(df), -1, dtype="int64"),
+                "r_read": df["r_read"].astype("int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["doc_id"], n_b)
+        return out
+
+    def join_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_id="int64", r_quality="int64", r_read="int64", blend="int64"
+            )
+        a = df[df["r_read"] == -1][["doc_id", "r_quality"]]
+        b = df[df["r_quality"] == -1][["doc_id", "r_read"]]
+        m = a.merge(b, on="doc_id", how="inner")
+        m["blend"] = (m["r_quality"] + m["r_read"]).astype("int64")
+        return m
+
+    joined = coalesce_blocks(
+        r1.map_batches(tag1, batch_format="pandas")
+        .union(r2.map_batches(tag2, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(join_ranks, batch_format="pandas")
+    )
+    return global_row_number(
+        joined,
+        ["blend", "doc_id"],
+        [False, False],
+        "blend_rank",
+        ["doc_id", "r_quality", "r_read"],
     )
