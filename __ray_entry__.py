@@ -2371,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lineitem_agg,
         reservoir_sample_events,
         revenue_by_nation,
+        rollup_revenue,
         semi_join_lineitem,
         topk_orders,
         union_orders_split,
@@ -2398,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sessionize_events,
         funnel_counts,
         retention_cohorts,
+        event_transitions,
         rate_anomalies,
         source_mix,
         stratified_sample_events,
@@ -2491,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-oracle-checked -----------------------------------------
         "lineitem_agg": lineitem_agg,
         "revenue_by_nation": revenue_by_nation,
+        "rollup_revenue": rollup_revenue,
         "events_hourly": events_hourly,
         "freq_count_docs": freq_count_docs,
         "topk_orders": topk_orders,
@@ -2541,6 +2544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": sessionize_events,
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
+        "event_transitions": event_transitions,
         "rate_anomalies": rate_anomalies,
         "stratified_sample_events": stratified_sample_events,
         "grouped_topk_docs": grouped_topk_docs,
@@ -2831,6 +2835,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        # three-level ROLLUP subtotals derived from exact int64 cents
+        # (pipelines/aggregates.rollup_revenue): rolled positions carry
+        # the 'ALL' sentinel on both sides
+        "rollup_revenue": """
+            SELECT coalesce(r.r_name, 'ALL') AS r_name,
+                   coalesce(n.n_name, 'ALL') AS n_name,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -4328,6 +4346,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2::INTEGER, 'click', (SELECT count(*) FROM c)::BIGINT
             UNION ALL
             SELECT 3::INTEGER, 'purchase', (SELECT count(*) FROM p)::BIGINT
+        """,
+        # per-user event-type Markov transition counts: lag() window
+        # mirror of the bucketed shift-compare pass
+        # (pipelines/sessions.event_transitions)
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   count(*)::BIGINT AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         # weekly retention cohorts: integer epoch-week arithmetic
         # (pipelines/sessions.retention_cohorts)

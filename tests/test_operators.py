@@ -603,6 +603,77 @@ def test_sessionize_events_invariants(ray_session):
         assert (gaps > 1800 * 1_000_000).all()
 
 
+def test_event_transitions_crafted(ray_session, tmp_path):
+    """Pins the transition rules: per-user (ts, event_id) order, ties on
+    ts broken by event_id, no pairs across user boundaries, single-event
+    users contribute nothing."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.sessions import event_transitions
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",  # u1: a
+                    "2024-01-01 00:01:00",  # u1: b
+                    "2024-01-01 00:01:00",  # u1: c (ts tie with id 2 -> after b)
+                    "2024-01-01 00:00:00",  # u2: b
+                    "2024-01-01 00:02:00",  # u2: a
+                    "2024-01-01 00:03:00",  # u2: a
+                    "2024-01-01 00:00:00",  # u3: singleton
+                ]
+            ),
+            "user_id": [1, 1, 1, 2, 2, 2, 3],
+            "event_type": ["a", "b", "c", "b", "a", "a", "z"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   tmp_path / "events.parquet")
+    got = event_transitions(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    exp = pd.DataFrame(
+        {
+            "prev_type": ["a", "a", "b", "b"],
+            "next_type": ["a", "b", "a", "c"],
+            "n": pd.Series([1, 1, 1, 1], dtype="int64"),
+        }
+    )
+    assert got.equals(exp)
+
+
+def test_rollup_revenue_levels_consistent(ray_session):
+    """Subtotal invariants: region rows sum their nations, ALL/ALL sums
+    the regions, and the finest level matches revenue_by_nation."""
+    import pandas as pd
+
+    from webarchive_discovery_ray.pipelines.aggregates import (
+        revenue_by_nation,
+        rollup_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = rollup_revenue(sf)
+    df = df if isinstance(df, pd.DataFrame) else df.to_pandas()
+    finest = df[(df["r_name"] != "ALL") & (df["n_name"] != "ALL")]
+    regions = df[(df["r_name"] != "ALL") & (df["n_name"] == "ALL")]
+    total = df[(df["r_name"] == "ALL") & (df["n_name"] == "ALL")]
+    assert len(total) == 1
+    assert total["n_orders"].iloc[0] == finest["n_orders"].sum()
+    assert abs(total["revenue"].iloc[0] - finest["revenue"].sum()) < 1e-6
+    by_r = finest.groupby("r_name")["n_orders"].sum()
+    for _, row in regions.iterrows():
+        assert row["n_orders"] == by_r[row["r_name"]]
+    rbn = revenue_by_nation(sf).to_pandas().set_index("n_name")
+    for _, row in finest.iterrows():
+        assert row["n_orders"] == rbn.loc[row["n_name"], "n_orders"]
+        assert row["revenue"] == rbn.loc[row["n_name"], "revenue"]
+
+
 def test_stratified_sample_deterministic_and_bounded(ray_session):
     from webarchive_discovery_ray.pipelines.sessions import stratified_sample_events
 

@@ -30,6 +30,7 @@ from ..sources.io import read_table
 __all__ = [
     "lineitem_agg",
     "revenue_by_nation",
+    "rollup_revenue",
     "events_hourly",
     "freq_count_docs",
     "topk_orders",
@@ -191,6 +192,108 @@ def revenue_by_nation(sf_dir: str):
         )
 
     return agg.map_batches(finalise, batch_format="pandas")
+
+
+def rollup_revenue(sf_dir: str):
+    """Hierarchical ROLLUP aggregate — revenue at three levels at once:
+    (region, nation), (region, ALL) and (ALL, ALL) — the OLAP
+    subtotal/grand-total shape (``GROUP BY ROLLUP``) re-expressed for a
+    streaming engine: ONE exchange computes the FINEST level (per-batch
+    (region, nation) integer-cent combiner partials → one grouped sum);
+    every coarser level is then derived from the ≤ |nation| finest rows
+    on the driver — rolling up EXACT int64 cents is associative, so the
+    subtotals are bit-identical to SQL's direct per-level scans (the
+    reason a double-sum rollup would NOT be safe). Rolled positions
+    carry the ``'ALL'`` sentinel (the synthetic names never collide).
+
+    Columns: r_name, n_name, revenue (cents/100), n_orders.
+    SQL-oracle-checked (``GROUP BY ROLLUP`` + coalesce mirror)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import get_broadcast
+
+    nation = read_table(
+        sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = read_table(
+        sf_dir, "region", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    n2r = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put(
+        {
+            int(k): (rn, n2r[rk])
+            for k, rn, rk in zip(
+                nation["n_nationkey"], nation["n_name"], nation["n_regionkey"]
+            )
+        }
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    n_parts = int(min(64, max(4, ray.cluster_resources().get("CPU", 8))))
+    joined = orders.join(
+        cust,
+        "inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def attach_names(df: pd.DataFrame) -> pd.DataFrame:
+        # in-batch combiner: ≤ |nation| partials per block
+        lookup = get_broadcast(lookup_ref)
+        pairs = df["c_nationkey"].map(lookup)
+        g = (
+            pd.DataFrame(
+                {
+                    "n_name": pairs.str[0],
+                    "r_name": pairs.str[1],
+                    "c": cents(df["o_totalprice"].to_numpy()),
+                }
+            )
+            .groupby(["r_name", "n_name"], sort=False)
+            .agg(revenue_c=("c", "sum"), n=("c", "size"))
+            .reset_index()
+        )
+        return g
+
+    finest = (
+        joined.map_batches(attach_names, batch_format="pandas")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n", alias_name="n_orders"),
+        )
+        .to_pandas()  # bounded: ≤ |nation| rows
+    )
+    levels = [finest]
+    by_region = (
+        finest.groupby("r_name", sort=False)[["revenue_c", "n_orders"]]
+        .sum()
+        .reset_index()
+        .assign(n_name="ALL")
+    )
+    levels.append(by_region)
+    levels.append(
+        pd.DataFrame(
+            {
+                "r_name": ["ALL"],
+                "n_name": ["ALL"],
+                "revenue_c": [int(finest["revenue_c"].sum())],
+                "n_orders": [int(finest["n_orders"].sum())],
+            }
+        )
+    )
+    out = pd.concat(levels, ignore_index=True)
+    return pd.DataFrame(
+        {
+            "r_name": out["r_name"],
+            "n_name": out["n_name"],
+            "revenue": out["revenue_c"].astype("int64") / 100.0,
+            "n_orders": out["n_orders"].astype("int64"),
+        }
+    )
 
 
 def events_hourly(sf_dir: str):

@@ -36,6 +36,7 @@ __all__ = [
     "sessionize_events",
     "funnel_counts",
     "retention_cohorts",
+    "event_transitions",
     "rate_anomalies",
     "stratified_sample_events",
     "grouped_topk_docs",
@@ -259,6 +260,69 @@ def retention_cohorts(sf_dir: str):
         ds.map_batches(week_partials, batch_format="pandas")
         .groupby("bucket")
         .map_groups(cohorts_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return fold(parts)
+
+
+def event_transitions(sf_dir: str):
+    """Per-user event-type Markov transition counts: for each user's
+    (ts, event_id)-ordered stream, count every adjacent ``prev -> next``
+    event-type pair globally — the behavioural-sequence census behind
+    next-event models and anomaly baselines (complements
+    :func:`~..pipelines.stats.span_transitions`, which is the SAME
+    statistic over a document's intra-record span sequence).
+
+    ONE user-bucketed grouped pass: users co-locate by hash bucket; the
+    bucket sorts (user, ts, event_id) once, a vectorized shift compare
+    masks user boundaries, and the pair counts collapse to per-bucket
+    partials INSIDE the same group fn (≤ n_types² rows per bucket ride
+    the driver fold — the token_spectrum discipline, so the exchange
+    never carries per-event rows twice). Columns: prev_type, next_type,
+    n. SQL-oracle-checked (lag() window mirror)."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["user_id"], n_b))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(prev_type=str, next_type=str, n="int64")
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        g = (
+            pd.DataFrame(
+                {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+            )
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(prev_type=str, next_type=str, n="int64")
+        g = (
+            df.groupby(["prev_type", "next_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
     )
     return fold(parts)
