@@ -2352,6 +2352,69 @@ def _host_reciprocity(sf_dir: str):
     return host_reciprocity(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _cocitation_hosts(sf_dir: str):
+    """Co-citation pair similarity over the SAME materialized link
+    base (capped, min-support-thresholded; see stats.cocitation_hosts)."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import cocitation_hosts
+
+    _host_link_graph_base()
+    return cocitation_hosts(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
+def _kcore_hosts(sf_dir: str):
+    """k-core decomposition over the SAME materialized link base."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import kcore_hosts
+
+    _host_link_graph_base()
+    return kcore_hosts(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
+def _kcore_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential Matula–Beck peeling over the materialized link base,
+    rendered as VALUES(host, core) — the exact core numbers the
+    distributed H-operator fixpoint must converge to (same graph rules:
+    distinct undirected pairs, self-loops excluded, isolated hosts
+    absent)."""
+    import duckdb
+
+    _host_link_graph_base()
+    und = duckdb.sql(
+        f"""
+        SELECT DISTINCT least(host, l.dst) AS a, greatest(host, l.dst) AS b
+        FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+             unnest(links_hosts) AS l(dst)
+        WHERE host <> l.dst
+        """
+    ).fetchall()
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    alive = set(adj)
+    core: dict[str, int] = {}
+    k = 0
+    while alive:
+        v = min(alive, key=lambda n: (deg[n], n))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+        alive.remove(v)
+    rows = [
+        "('" + h.replace("'", "''") + f"', {c}::BIGINT)"
+        for h, c in sorted(core.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(host, core)"
+    )
+
+
 def _host_components(sf_dir: str):
     """Connected components of the host link graph over the SAME
     materialized link base the graph/pagerank oracles read."""
@@ -2578,6 +2641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_distances": _host_distances,
         "host_reciprocity": _host_reciprocity,
         "host_triangles": _host_triangles,
+        "cocitation_hosts": _cocitation_hosts,
+        "kcore_hosts": _kcore_hosts,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "url_templates": _url_templates,
@@ -4935,6 +5000,33 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END)::BIGINT AS reciprocity_ppm
             FROM tot, rec
         """,
+        # co-citation pairs + in-neighbour Jaccard over capped edges
+        # (out-degree cap 64, min support 2; stats.cocitation_hosts)
+        "cocitation_hosts": f"""
+            WITH e AS (
+              SELECT DISTINCT host AS src, l.dst AS dst
+              FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                   unnest(links_hosts) AS l(dst)
+              WHERE host <> l.dst
+            ),
+            deg AS (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY 1),
+            ek AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)
+                   WHERE deg.c <= 64),
+            pairs AS (
+              SELECT a.dst AS dst_a, b.dst AS dst_b,
+                     count(*)::BIGINT AS n_co
+              FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ),
+            ind AS (SELECT dst, count(*)::BIGINT AS ind FROM ek GROUP BY 1)
+            SELECT p.dst_a, p.dst_b, p.n_co,
+                   ((1000000 * p.n_co)
+                    // (ia.ind + ib.ind - p.n_co))::BIGINT AS jaccard_ppm
+            FROM pairs p
+            JOIN ind ia ON ia.dst = p.dst_a
+            JOIN ind ib ON ib.dst = p.dst_b
+        """,
         # exact triangle census of the undirected simple host graph
         # (3-way ordered self-join; stats.host_triangles)
         "host_triangles": f"""
@@ -5489,6 +5581,12 @@ def oracle_sql() -> dict[str, str]:
     # (cos desc, id asc) total order), so its exact output is recomputed
     # sequentially and rendered as VALUES
     out["knn_graph"] = _knn_graph_oracle_values_sql()
+
+    # kcore_hosts' H-operator fixpoint is exact (integer estimates,
+    # monotone convergence to coreness), so sequential Matula–Beck
+    # peeling over the same materialized link base renders the expected
+    # (host, core) set as VALUES
+    out["kcore_hosts"] = _kcore_oracle_values_sql()
 
     # bpe_train is deterministic (exact integer counts + lexicographic
     # tie-break); the sequential whole-corpus Counter recompute renders

@@ -1817,6 +1817,47 @@ def test_host_triangles_crafted_graph(ray_session):
     }
 
 
+def test_kcore_crafted_graph(ray_session):
+    """K4 {a,b,c,d} (core 3) + pendant chain d-e-f (cores 1) + self-loop
+    and reverse-direction noise; the H-operator fixpoint must equal the
+    peeling core numbers."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import kcore_hosts
+
+    rows = [
+        {"host": "a.ex", "links_hosts": ["b.ex", "c.ex", "d.ex", "a.ex"]},
+        {"host": "b.ex", "links_hosts": ["c.ex", "d.ex", "a.ex"]},
+        {"host": "c.ex", "links_hosts": ["d.ex"]},
+        {"host": "d.ex", "links_hosts": ["e.ex"]},
+        {"host": "e.ex", "links_hosts": ["f.ex"]},
+    ]
+    got = kcore_hosts(docs=rd.from_items(rows)).to_pandas()
+    want = {"a.ex": 3, "b.ex": 3, "c.ex": 3, "d.ex": 3, "e.ex": 1, "f.ex": 1}
+    assert dict(zip(got["host"], got["core"])) == want
+
+
+def test_cocitation_crafted_cap_and_support(ray_session):
+    """Pins the stop-band + support rules: a src over the out-degree cap
+    generates no pairs AND counts toward no in-degree; pairs below
+    min_co drop; self-loops excluded; jaccard over capped in-degrees."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import cocitation_hosts
+
+    rows = [
+        {"host": "s1.ex", "links_hosts": ["x.ex", "y.ex", "s1.ex"]},
+        {"host": "s2.ex", "links_hosts": ["x.ex", "y.ex"]},
+        {"host": "s3.ex", "links_hosts": ["x.ex", "y.ex", "z.ex"]},  # deg 3 > cap
+    ]
+    got = cocitation_hosts(docs=rd.from_items(rows), cap=2, min_co=2).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["dst_a"], r["dst_b"], r["n_co"]) == ("x.ex", "y.ex", 2)
+    # capped in-degrees: x=2, y=2; union = 2+2-2
+    assert r["jaccard_ppm"] == (1_000_000 * 2) // 2
+
+
 def test_unordered_pair_key_separator_no_collision(ray_session):
     """Regression: pandas Series `+` strips embedded NULs (numpy
     fixed-width unicode), so a \\x00-joined pair key degrades to plain

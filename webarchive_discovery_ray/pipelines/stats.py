@@ -43,6 +43,8 @@ __all__ = [
     "host_distances",
     "host_reciprocity",
     "host_triangles",
+    "cocitation_hosts",
+    "kcore_hosts",
     "anchor_pairs_ds",
     "anchor_text_index",
     "span_stats",
@@ -2287,3 +2289,400 @@ def host_triangles(
             "clustering_ppm": pd.Series([ppm], dtype="int64"),
         }
     )
+
+
+_COCITE_CAP = 64  # out-degree stop-band: srcs above it generate no pairs
+_COCITE_MIN = 2  # support threshold: pairs co-cited once don't ship
+
+
+def cocitation_hosts(
+    n_pages: int = 600,
+    scfg: SyntheticConfig | None = None,
+    docs=None,
+    cap: int = _COCITE_CAP,
+    min_co: int = _COCITE_MIN,
+):
+    """Co-citation host similarity — pairs of hosts frequently linked
+    FROM the same source host, with the exact Jaccard of their (capped)
+    in-neighbour sets: the classic "related sites" / link-spam-family
+    signal (Small 1973; the host-level analogue of the reference's
+    links_hosts facet co-occurrence).
+
+    Pinned rules: self-loops excluded; srcs with out-degree > ``cap``
+    generate NO pairs and do not count toward in-degrees (the stop-band
+    that bounds pair growth at cap²·srcs — the co-citation analogue of
+    LSH stop-bands; mirrored by the SQL oracle); pairs below ``min_co``
+    co-citations drop; jaccard_ppm = 10⁶·n_co // (ind_a + ind_b − n_co)
+    over capped-edge in-degrees (exact integers).
+
+    FOUR bucketed exchanges, each edge/pair-bounded: (1) edges co-locate
+    by src (host_link_graph rows are globally distinct, so a src's whole
+    out-neighbourhood sits in one group — degree cap and the pair
+    self-merge are group-local), emitting pair partials + in-degree
+    partials as tagged rows; (2) disjoint-namespace fold (pairs by pair
+    key, in-degrees by dst); (3) attach ind_a (pair rows keyed dst_a ⋈
+    ind rows keyed dst, ind rows pass through); (4) attach ind_b + the
+    jaccard arithmetic. No broadcast — the per-host in-degree table is
+    corpus-sized at 100 TB. Columns: dst_a, dst_b, n_co, jaccard_ppm.
+    SQL-oracle-checked over the materialized link base."""
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+    edges = host_link_graph(n_pages, scfg, docs=docs)
+
+    def src_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["src_host"] != df["dst_host"]]
+        return pd.DataFrame(
+            {
+                "src": d["src_host"],
+                "dst": d["dst_host"],
+                "bucket": bucket_of(d["src_host"], n_b),
+            }
+        )
+
+    def pairs_and_indeg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                side="int64", a=str, b=str, n="int64", bucket="int32"
+            )
+        sizes = df.groupby("src", sort=False)["dst"].transform("size")
+        d = df[sizes <= cap]
+        out = []
+        if len(d):
+            m = d.merge(d, on="src")
+            m = m[m["dst_x"] < m["dst_y"]]
+            p = (
+                m.groupby(["dst_x", "dst_y"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "side": np.zeros(len(p), dtype="int64"),
+                        "a": p["dst_x"],
+                        "b": p["dst_y"],
+                        "n": p["n"].astype("int64"),
+                        "bucket": bucket_of(p["dst_x"] + "\x1f" + p["dst_y"], n_b),
+                    }
+                )
+            )
+            i = d.groupby("dst", sort=False).size().reset_index(name="n")
+            out.append(
+                pd.DataFrame(
+                    {
+                        "side": np.ones(len(i), dtype="int64"),
+                        "a": i["dst"],
+                        "b": pd.Series([""] * len(i), dtype=str),
+                        "n": i["n"].astype("int64"),
+                        "bucket": bucket_of("d\x1f" + i["dst"], n_b),
+                    }
+                )
+            )
+        if not out:
+            return typed_empty(
+                side="int64", a=str, b=str, n="int64", bucket="int32"
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                side="int64", a=str, b=str, n="int64", bucket="int32"
+            )
+        g = (
+            df.groupby(["side", "a", "b"], sort=False)["n"].sum().reset_index()
+        )
+        p = g[g["side"] == 0]
+        p = p[p["n"] >= min_co]
+        i = g[g["side"] == 1]
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "side": p["side"],
+                        "a": p["a"],
+                        "b": p["b"],
+                        "n": p["n"],
+                        "bucket": bucket_of(p["a"], n_b),  # next: key dst_a
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "side": i["side"],
+                        "a": i["a"],
+                        "b": i["b"],
+                        "n": i["n"],
+                        "bucket": bucket_of(i["a"], n_b),  # ind keyed by dst
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                side="int64", a=str, b=str, n="int64", ind_a="int64",
+                bucket="int32",
+            )
+        p = df[df["side"] == 0]
+        i = df[df["side"] == 1][["a", "n"]].rename(
+            columns={"a": "_d", "n": "ind_a"}
+        )
+        m = p.merge(i, left_on="a", right_on="_d", how="inner").drop(
+            columns=["_d"]
+        )
+        ipass = df[df["side"] == 1].assign(ind_a=np.int64(0))
+        out = pd.concat([m, ipass], ignore_index=True)
+        # next exchange keys pairs by dst_b, ind rows stay keyed by dst
+        out["bucket"] = bucket_of(
+            pd.Series(np.where(out["side"].to_numpy() == 0, out["b"], out["a"])),
+            n_b,
+        )
+        out["ind_a"] = out["ind_a"].astype("int64")
+        return out[["side", "a", "b", "n", "ind_a", "bucket"]]
+
+    def attach_b(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                dst_a=str, dst_b=str, n_co="int64", jaccard_ppm="int64"
+            )
+        p = df[df["side"] == 0]
+        i = df[df["side"] == 1][["a", "n"]].rename(
+            columns={"a": "_d", "n": "ind_b"}
+        )
+        m = p.merge(i, left_on="b", right_on="_d", how="inner")
+        if not len(m):
+            return typed_empty(
+                dst_a=str, dst_b=str, n_co="int64", jaccard_ppm="int64"
+            )
+        n_co = m["n"].to_numpy(dtype="int64")
+        union = (
+            m["ind_a"].to_numpy(dtype="int64")
+            + m["ind_b"].to_numpy(dtype="int64")
+            - n_co
+        )
+        return pd.DataFrame(
+            {
+                "dst_a": m["a"],
+                "dst_b": m["b"],
+                "n_co": n_co,
+                "jaccard_ppm": (1_000_000 * n_co) // union,
+            }
+        )
+
+    tagged = coalesce_blocks(
+        edges.map_batches(src_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_and_indeg, batch_format="pandas")
+    )
+    folded = coalesce_blocks(
+        tagged.groupby("bucket").map_groups(fold, batch_format="pandas")
+    )
+    with_a = coalesce_blocks(
+        folded.groupby("bucket").map_groups(attach_a, batch_format="pandas")
+    )
+    return with_a.groupby("bucket").map_groups(
+        attach_b, batch_format="pandas"
+    )
+
+
+def kcore_hosts(
+    n_pages: int = 600,
+    scfg: SyntheticConfig | None = None,
+    docs=None,
+    max_rounds: int = 64,
+):
+    """Exact k-core decomposition (coreness of every host) of the
+    undirected simple host graph — the standard graph-curation density
+    measure (which hosts sit in tightly-linked cores vs the periphery).
+
+    Algorithm: the distributed H-operator fixpoint (Montresor, De
+    Pellegrini & Miorandi 2011; Lü et al. 2016): every node's estimate
+    starts at its distinct-neighbour degree and each round becomes
+    ``min(own, H-index of neighbour estimates)`` — estimates decrease
+    monotonically and the fixpoint IS the core number, so the result is
+    exact, not approximate. All integers ⇒ bit-stable under any
+    batching/summation order.
+
+    Scale shape: adjacency and estimates both stay distributed; each
+    round is TWO bucketed co-groups (attach est by neighbour key, fold
+    by node with the vectorized sorted-rank H-index ``max_i min(v_i,
+    i)``), with per-round block re-pinning; the driver holds only the
+    round counter and a changed-row count (one bounded ``sum``).
+    Pinned graph: distinct unordered host pairs from the directed link
+    base, self-loops excluded; isolated hosts are absent. Columns:
+    host, core. VALUES-oracle-checked vs sequential Matula–Beck
+    peeling."""
+    import ray.data as rd
+
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+    edges = host_link_graph(n_pages, scfg, docs=docs)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["src_host"] != df["dst_host"]]
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([d["src_host"], d["dst_host"]], ignore_index=True),
+                "nbr": pd.concat([d["dst_host"], d["src_host"]], ignore_index=True),
+            }
+        )
+        out["bucket"] = bucket_of(out["node"], n_b)
+        return out
+
+    def dedup_and_degree(df: pd.DataFrame) -> pd.DataFrame:
+        # a node's whole neighbourhood co-locates: dedup reciprocal
+        # directed edges and emit adjacency (side 0) + initial estimate
+        # rows (side 1, est = distinct-neighbour degree) together
+        if not len(df):
+            return typed_empty(side="int64", node=str, nbr=str, est="int64")
+        d = df.drop_duplicates(["node", "nbr"])
+        deg = d.groupby("node", sort=False).size().reset_index(name="est")
+        adj = pd.DataFrame(
+            {
+                "side": np.zeros(len(d), dtype="int64"),
+                "node": d["node"],
+                "nbr": d["nbr"],
+                "est": np.zeros(len(d), dtype="int64"),
+            }
+        )
+        est = pd.DataFrame(
+            {
+                "side": np.ones(len(deg), dtype="int64"),
+                "node": deg["node"],
+                "nbr": pd.Series([""] * len(deg), dtype=str),
+                "est": deg["est"].astype("int64"),
+            }
+        )
+        return pd.concat([adj, est], ignore_index=True)
+
+    base = coalesce_blocks(
+        edges.map_batches(both_dirs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_and_degree, batch_format="pandas")
+    ).materialize()
+    def adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["side"] == 0][["node", "nbr"]]
+
+    def est_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["side"] == 1][["node", "est"]]
+
+    adj = base.map_batches(adj_rows, batch_format="pandas").materialize()
+    est = base.map_batches(est_rows, batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["nbr"],
+                    "node": df["node"],
+                    "est": np.zeros(len(df), dtype="int64"),
+                    "side": np.zeros(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["nbr"], n_b),
+                }
+            )
+
+        def tag_est(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["node"],
+                    "node": df["node"],
+                    "est": df["est"].astype("int64"),
+                    "side": np.ones(len(df), dtype="int64"),
+                    "bucket": bucket_of(df["node"], n_b),
+                }
+            )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return typed_empty(
+                    node=str, v="int64", own="int64", bucket="int32"
+                )
+            a = df[df["side"] == 0][["key", "node"]]
+            e = df[df["side"] == 1][["key", "est"]]
+            m = a.merge(e, on="key", how="inner")
+            nbr_rows = pd.DataFrame(
+                {
+                    "node": m["node"],
+                    "v": m["est"].astype("int64"),
+                    "own": np.full(len(m), -1, dtype="int64"),
+                }
+            )
+            # the node's own estimate rides the same exchange (own >= 0)
+            own_rows = pd.DataFrame(
+                {
+                    "node": e["key"],
+                    "v": np.zeros(len(e), dtype="int64"),
+                    "own": e["est"].astype("int64"),
+                }
+            )
+            out = pd.concat([nbr_rows, own_rows], ignore_index=True)
+            out["bucket"] = bucket_of(out["node"], n_b)
+            return out
+
+        def h_fold(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return typed_empty(node=str, est="int64", chg="int64")
+            own = (
+                df[df["own"] >= 0]
+                .groupby("node", sort=False)["own"]
+                .max()
+            )
+            nb = df[df["own"] < 0].sort_values(
+                ["node", "v"], ascending=[True, False], kind="mergesort"
+            )
+            rank = nb.groupby("node", sort=False).cumcount().to_numpy() + 1
+            cap = np.minimum(nb["v"].to_numpy(dtype="int64"), rank)
+            h = (
+                pd.DataFrame({"node": nb["node"], "h": cap})
+                .groupby("node", sort=False)["h"]
+                .max()
+            )
+            new = pd.concat([own.rename("own"), h.rename("h")], axis=1)
+            new["h"] = new["h"].fillna(0).astype("int64")
+            est_new = np.minimum(
+                new["own"].to_numpy(dtype="int64"),
+                new["h"].to_numpy(dtype="int64"),
+            )
+            return pd.DataFrame(
+                {
+                    "node": new.index,
+                    "est": est_new,
+                    "chg": (est_new != new["own"].to_numpy()).astype("int64"),
+                }
+            )
+
+        nxt = coalesce_blocks(
+            adj.map_batches(tag_adj, batch_format="pandas")
+            .union(est.map_batches(tag_est, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(attach, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(h_fold, batch_format="pandas")
+        ).materialize()
+        changed = nxt.sum("chg") or 0
+        est = nxt.drop_columns(["chg"]).materialize()
+        if changed == 0:
+            break
+
+    def finalise(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": df["node"], "core": df["est"].astype("int64")}
+        )
+
+    return est.map_batches(finalise, batch_format="pandas")
