@@ -2545,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gopher_repetition,
         gopher_rules,
         kmeans_embeddings,
+        quality_classifier,
         unigram_logloss,
         ccnet_buckets,
         pii_scrub,
@@ -2719,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_preflight": _pdf_preflight,
         "kmeans_embeddings": kmeans_embeddings,
         "pca_embeddings": pca_embeddings,
+        "quality_classifier": quality_classifier,
     }
 
 

@@ -553,6 +553,63 @@ def test_softdedup_weights_matches_sequential(ray_session):
     assert saw_downweight, "fixture has no duplicated paragraphs"
 
 
+def test_quality_classifier_matches_numpy_and_learns(ray_session):
+    """Distributed full-batch logistic regression == a sequential numpy
+    recompute over the whole design matrix (same features, same step
+    rule) up to float-fold tolerance; and the trained filter must beat
+    the majority-class baseline on its training labels."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import (
+        _dsir_bucket_counts,
+        DSIR_BUCKETS,
+        quality_classifier,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = quality_classifier(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    counts, n_grams = _dsir_bucket_counts(docs["text"].to_numpy())
+    toks = docs["text"].str.split()
+    n_tok = toks.map(len).to_numpy(dtype=np.float64)
+    n_dist = toks.map(lambda t: len(set(t))).to_numpy(dtype=np.float64)
+    n_chars = docs["text"].str.len().to_numpy(dtype=np.float64)
+    safe = np.maximum(n_tok, 1)
+    Xr = np.hstack(
+        [
+            counts.astype(np.float64) / np.maximum(n_grams, 1)[:, None],
+            np.log1p(n_tok)[:, None],
+            (n_chars / safe)[:, None],
+        ]
+    )
+    y = (n_dist / safe >= 0.5).astype(np.float64)
+    mu = Xr.mean(axis=0)
+    sd = Xr.std(axis=0)
+    sd[sd == 0] = 1.0
+    X = np.hstack([(Xr - mu) / sd, np.ones((len(y), 1))])
+    w = np.zeros(X.shape[1])
+    for _ in range(40):
+        z = np.clip(X @ w, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        w = w - 2.0 * (X.T @ (p - y)) / len(y)
+    p_ref = 1.0 / (1.0 + np.exp(-np.clip(X @ w, -30.0, 30.0)))
+
+    assert list(got["doc_id"]) == list(docs["doc_id"])
+    assert (got["label"].to_numpy() == y.astype("int64")).all()
+    assert np.allclose(got["p"].to_numpy(), p_ref, atol=1e-5)
+    # learning: beats the majority-class baseline on the training set
+    acc = (got["pred"] == got["label"]).mean()
+    baseline = max(y.mean(), 1 - y.mean())
+    assert acc > baseline + 0.05, (acc, baseline)
+    # determinism: a second run reproduces the rounded scores exactly
+    again = quality_classifier(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (again["p"].to_numpy() == got["p"].to_numpy()).all()
+
+
 def test_pca_embeddings_matches_numpy_reference(ray_session):
     """Distributed moment-fold PCA == sequential numpy PCA with the same
     sign convention; projections orthogonal in expectation."""

@@ -37,6 +37,7 @@ __all__ = [
     "repetition_score",
     "pii_scrub",
     "kmeans_embeddings",
+    "quality_classifier",
     "kmeans_reference",
     "quality_filter",
     "dsir_weights",
@@ -1518,3 +1519,137 @@ def boilerplate_lines(sf_dir: str, min_docs: int = BOILERPLATE_MIN_DOCS):
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+_QC_ITERS = 40
+_QC_LR = 2.0
+_QC_DR_THRESHOLD = 0.5  # pinned distilled-rule label threshold
+
+
+def quality_classifier(
+    sf_dir: str,
+    n_iter: int = _QC_ITERS,
+    lr: float = _QC_LR,
+):
+    """Distributed TRAINED document quality classifier — the
+    learned-filter step of the GPT-3/LLaMA/FineWeb curation recipe
+    (distil a quality rule into a linear model, then score the corpus
+    with it): full-batch logistic regression over hashed unigram+bigram
+    bucket shares (the SAME ``_dsir_bucket_counts`` features DSIR uses)
+    plus log-token-count and mean-token-length, all standardized by a
+    distributed moment pre-pass. Labels distil the corpus quality rule
+    ``distinct_ratio >= 0.5`` (the synthetic corpus's ``lang``/"source"
+    columns are text-INDEPENDENT by construction — verified: identical
+    vocab across langs — so a metadata label would be unlearnable; a
+    real deployment swaps in its reference-corpus labels here).
+
+    Scale shape (the kmeans/pca discipline): the moment pass and each
+    GD iteration emit per-batch partials (two (F)-vectors / one
+    (F+1)-gradient + count — corpus-size-independent); the driver folds
+    them in CONTENT order (sorted by each batch's min doc_id ⇒ the
+    float fold is reproducible across runs regardless of task
+    completion order), steps ``w ← w − lr·∇/n`` and re-broadcasts. A
+    final pass scores every doc. The corpus never leaves the object
+    store; driver traffic is O(iters × batches × F) floats.
+
+    Columns: doc_id, label, p (sigmoid score rounded 6dp), pred.
+    Rows-only query (iterative float training is not SQL-expressible);
+    pinned by a sequential-numpy parity test + learning assertions."""
+    import ray
+
+    B = DSIR_BUCKETS
+
+    def raw_feats(df: pd.DataFrame):
+        texts = df["text"].to_numpy()
+        counts, n_grams = _dsir_bucket_counts(texts)
+        toks = df["text"].str.split()
+        n_tok = toks.map(len).to_numpy(dtype=np.float64)
+        n_dist = toks.map(lambda t: len(set(t))).to_numpy(dtype=np.float64)
+        n_chars = df["text"].str.len().to_numpy(dtype=np.float64)
+        safe = np.maximum(n_tok, 1)
+        Xr = np.hstack(
+            [
+                counts.astype(np.float64) / np.maximum(n_grams, 1)[:, None],
+                np.log1p(n_tok)[:, None],
+                (n_chars / safe)[:, None],
+            ]
+        )
+        y = (n_dist / safe >= _QC_DR_THRESHOLD).astype(np.float64)
+        return Xr, y, df["doc_id"].to_numpy(dtype=np.int64)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # pass A: feature moments (content-ordered fold, pca discipline)
+    def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        Xr, _, ids = raw_feats(df)
+        return pd.DataFrame(
+            {
+                "key": [int(ids.min()) if len(ids) else -1],
+                "s": [Xr.sum(axis=0).tobytes()],
+                "s2": [(Xr * Xr).sum(axis=0).tobytes()],
+                "n": np.array([len(ids)], dtype="int64"),
+            }
+        )
+
+    mom = ds.map_batches(moment_partial, batch_format="pandas").to_pandas()
+    mom = mom.sort_values("key")
+    n_total = int(mom["n"].sum())
+    F = B + 2
+    s = np.zeros(F)
+    s2 = np.zeros(F)
+    for b1, b2 in zip(mom["s"], mom["s2"]):
+        s += np.frombuffer(b1, dtype=np.float64)
+        s2 += np.frombuffer(b2, dtype=np.float64)
+    mu = s / max(n_total, 1)
+    var = np.maximum(s2 / max(n_total, 1) - mu * mu, 0.0)
+    sd = np.sqrt(var)
+    sd[sd == 0] = 1.0
+
+    def design(Xr: np.ndarray) -> np.ndarray:
+        return np.hstack([(Xr - mu) / sd, np.ones((len(Xr), 1))])
+
+    w = np.zeros(F + 1, dtype=np.float64)
+
+    for _ in range(n_iter):
+        wref = ray.put(w)
+
+        def grad_partial(df: pd.DataFrame) -> pd.DataFrame:
+            Xr, y, ids = raw_feats(df)
+            X = design(Xr)
+            z = np.clip(X @ ray.get(wref), -30.0, 30.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = X.T @ (p - y)
+            return pd.DataFrame(
+                {
+                    "key": [int(ids.min()) if len(ids) else -1],
+                    "g": [g.tobytes()],
+                    "n": np.array([len(ids)], dtype="int64"),
+                }
+            )
+
+        parts = ds.map_batches(grad_partial, batch_format="pandas").to_pandas()
+        parts = parts.sort_values("key")  # content-ordered float fold
+        n = int(parts["n"].sum())
+        if n == 0:
+            break
+        g = np.zeros(F + 1, dtype=np.float64)
+        for buf in parts["g"]:
+            g += np.frombuffer(buf, dtype=np.float64)
+        w = w - lr * g / n
+
+    wref = ray.put(w)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        Xr, y, ids = raw_feats(df)
+        z = np.clip(design(Xr) @ ray.get(wref), -30.0, 30.0)
+        p6 = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "label": y.astype("int64"),
+                "p": p6,
+                "pred": (p6 >= 0.5).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
