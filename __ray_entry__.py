@@ -2471,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.aggregates import (
         anti_join_orders,
         grouped_quantiles,
+        winsorize_events,
     )
     from webarchive_discovery_ray.pipelines.similarity import (
         ann_cosine_topk,
@@ -2609,6 +2610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
         "event_transitions": event_transitions,
+        "winsorize_events": winsorize_events,
         "rate_anomalies": rate_anomalies,
         "stratified_sample_events": stratified_sample_events,
         "grouped_topk_docs": grouped_topk_docs,
@@ -4413,6 +4415,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2::INTEGER, 'click', (SELECT count(*) FROM c)::BIGINT
             UNION ALL
             SELECT 3::INTEGER, 'purchase', (SELECT count(*) FROM p)::BIGINT
+        """,
+        # winsorized robust aggregate: exact order-statistic clamps at
+        # floor(q*(n-1)) + integer-cent clamped sum
+        # (pipelines/aggregates.winsorize_events)
+        "winsorize_events": """
+            WITH r AS (
+              SELECT value,
+                     row_number() OVER (ORDER BY value) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM events
+            ),
+            t AS (
+              SELECT
+                max(CASE WHEN rk = CAST(floor(0.01 * (n - 1)) AS BIGINT)
+                         THEN value END) AS t_lo,
+                max(CASE WHEN rk = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                         THEN value END) AS t_hi
+              FROM r
+            )
+            SELECT count(*)::BIGINT AS n, t.t_lo, t.t_hi,
+                   sum(CAST(floor(least(greatest(e.value, t.t_lo), t.t_hi)
+                                  * 100 + 0.5) AS BIGINT)) / 100.0
+                       AS sum_winsorized,
+                   sum(CASE WHEN e.value < t.t_lo THEN 1 ELSE 0 END)::BIGINT
+                       AS n_clipped_low,
+                   sum(CASE WHEN e.value > t.t_hi THEN 1 ELSE 0 END)::BIGINT
+                       AS n_clipped_high
+            FROM events e, t
+            GROUP BY t.t_lo, t.t_hi
         """,
         # per-user event-type Markov transition counts: lag() window
         # mirror of the bucketed shift-compare pass

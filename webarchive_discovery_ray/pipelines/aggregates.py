@@ -39,6 +39,7 @@ __all__ = [
     "semi_join_lineitem",
     "anti_join_orders",
     "grouped_quantiles",
+    "winsorize_events",
 ]
 
 _Q1_CUTOFF = "1998-09-02"
@@ -657,3 +658,77 @@ def global_quantiles(sf_dir: str, qs=GLOBAL_QUANTILES):
         for (qi, _), v in zip(pairs, ray.get(got[b])):
             vals[qi] = v
     return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64), "value": vals})
+
+
+_WINSOR_QS = (0.01, 0.99)  # pinned clamp quantiles
+
+
+def winsorize_events(sf_dir: str, qs: tuple = _WINSOR_QS):
+    """Winsorized robust aggregate of ``events.value`` — the standard
+    outlier-resistant statistic (clamp at exact P01/P99, then sum): the
+    pre-processing step behind robust reward/metric aggregation.
+
+    Thresholds are EXACT lower-value order statistics at index
+    ``floor(q*(n-1))`` of the sorted column (one range-partitioned
+    ``ds.sort``, driver fetches 2 scalars via (block, offset) — the
+    global_quantiles/ccnet_buckets machinery); the clamped sum then
+    folds as exact integer cents in one streaming pass (order-free), so
+    the result is bit-identical to the SQL mirror's. Clip counts use
+    strict inequalities. Columns: n, t_lo, t_hi, sum_winsorized,
+    n_clipped_low, n_clipped_high. SQL-oracle-checked (row_number
+    order-statistic mirror)."""
+    import math
+
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    sorted_ds = ds.sort("value").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    bounds = np.cumsum([0] + counts)
+
+    @ray.remote
+    def value_at(tbl: pa.Table, off: int) -> float:
+        return float(tbl["value"][off].as_py())
+
+    def fetch(gidx: int) -> float:
+        b = int(np.searchsorted(bounds, gidx, side="right") - 1)
+        return ray.get(value_at.remote(refs[b], gidx - int(bounds[b])))
+
+    t_lo = fetch(math.floor(qs[0] * (n - 1))) if n else 0.0
+    t_hi = fetch(math.floor(qs[1] * (n - 1))) if n else 0.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        clamped = np.minimum(np.maximum(v, t_lo), t_hi)
+        return pd.DataFrame(
+            {
+                "sum_c": np.array([cents(clamped).sum()], dtype="int64"),
+                "n_lo": np.array([(v < t_lo).sum()], dtype="int64"),
+                "n_hi": np.array([(v > t_hi).sum()], dtype="int64"),
+            }
+        )
+
+    parts = sorted_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "t_lo": pd.Series([t_lo], dtype="float64"),
+            "t_hi": pd.Series([t_hi], dtype="float64"),
+            "sum_winsorized": pd.Series(
+                [int(parts["sum_c"].sum()) / 100.0 if len(parts) else 0.0]
+            ),
+            "n_clipped_low": pd.Series(
+                [int(parts["n_lo"].sum()) if len(parts) else 0], dtype="int64"
+            ),
+            "n_clipped_high": pd.Series(
+                [int(parts["n_hi"].sum()) if len(parts) else 0], dtype="int64"
+            ),
+        }
+    )
