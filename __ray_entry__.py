@@ -2446,6 +2446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gram_novelty,
         exact_substring_spans,
         exact_substring_dedup_apply,
+        containment_pairs,
         embedding_neardup_pairs,
         semdedup_keep,
         exact_dedup,
@@ -2676,6 +2677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "cross_minhash_dedup": cross_minhash_dedup,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "containment_pairs": containment_pairs,
         "simhash_signatures": simhash_signatures,
         "simhash_neardup_pairs": simhash_neardup_pairs,
         "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -3501,6 +3503,42 @@ def oracle_sql() -> dict[str, str]:
                     JOIN cnt na ON na.doc_id = i.doc_a
                     JOIN cnt nb ON nb.doc_id = i.doc_b)
             SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
+        """,
+        # asymmetric containment pairs over the df-capped shingle
+        # universe (max_df 50, threshold 0.5 of the smaller set;
+        # pipelines/dedup.containment_pairs)
+        "containment_pairs": f"""
+            WITH tk AS (
+              SELECT doc_id, text, {tokens} AS t FROM documents
+            ),
+            gr AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [text] END AS gs
+              FROM tk
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g
+              FROM gr, unnest(gs) AS u(g)
+            ),
+            dfreq AS (SELECT g, count(*) AS c FROM sh GROUP BY 1),
+            shc AS (SELECT s.doc_id, s.g FROM sh s JOIN dfreq USING (g)
+                    WHERE c <= 50),
+            cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM shc GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*)::BIGINT AS i
+                      FROM shc a JOIN shc b
+                        ON b.g = a.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT i.doc_a, i.doc_b, i.i AS n_shared,
+                   ((1000000 * i.i) // least(na.n, nb.n))::BIGINT
+                       AS containment_ppm
+            FROM inter i
+            JOIN cnt na ON na.doc_id = i.doc_a
+            JOIN cnt nb ON nb.doc_id = i.doc_b
+            WHERE (1000000 * i.i) // least(na.n, nb.n) >= 500000
         """,
         # SimHash Hamming-radius-3 near-dup pairs: 4x16-bit band join over
         # the simhash CTE, bit_count(xor) verify

@@ -29,6 +29,7 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "simhash_signatures",
     "embedding_neardup_pairs",
     "semdedup_keep",
@@ -2091,3 +2092,154 @@ def exact_substring_dedup_apply(sf_dir: str, min_len: int = _ESD_L):
     return tagged.groupby("bucket").map_groups(
         apply_in_bucket, batch_format="pandas"
     )
+
+
+_CONTAIN_MAX_DF = 50  # stop-band: grams held by more docs ship no pairs
+_CONTAIN_PPM = 500_000  # containment threshold (of the smaller set)
+
+
+def containment_pairs(
+    sf_dir: str,
+    threshold_ppm: int = _CONTAIN_PPM,
+    max_df: int = _CONTAIN_MAX_DF,
+):
+    """Asymmetric containment pairs — quote / excerpt / subset detection
+    (Broder's containment, the statistic Jaccard misses when a small doc
+    is wholly quoted inside a big one): every doc pair whose shared
+    3-gram shingles cover >= threshold of the SMALLER doc's shingle set.
+
+    Pinned universe rule (the winnowing-family stop-band, mirrored by
+    the SQL oracle): grams with global document frequency > ``max_df``
+    are excluded from the universe entirely — from intersections AND
+    from each doc's set size — which bounds per-gram pair fan-out at
+    C(max_df, 2) and keeps the statistic exact *within the declared
+    universe*. containment_ppm = 10⁶·|A∩B| // min(|A|,|B|), exact ints.
+
+    FOUR bucketed exchanges, each gram/pair-bounded: (1) distinct
+    shingles keyed by gram — the bucket holds every row of a gram, so
+    the in-bucket size IS the global df (the ngram_jaccard df pass) and
+    over-df grams drop here; (2) keyed by doc — per-doc capped set size
+    attaches to every row; (3) keyed by gram again — per-gram self-merge
+    emits pair partials carrying both sizes; (4) pair fold + the
+    containment arithmetic + threshold. Columns: doc_a, doc_b, n_shared,
+    containment_ppm. SQL-oracle-checked (df-capped self-join mirror)."""
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_grams(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for j, text in enumerate(texts):
+            gl = _gram_list(text)
+            grams.extend(gl)
+            counts[j] = len(gl)
+        uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
+        hexes = np.asarray(
+            [hashlib.md5(g.encode()).hexdigest()[:16] for g in uniq], dtype=object
+        )
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        key = np.unique(doc_idx * np.int64(len(uniq)) + inv)
+        out = pd.DataFrame(
+            {
+                "doc_id": ids[key // len(uniq)],
+                "g": hexes[key % len(uniq)],
+            }
+        )
+        out["bucket"] = bucket_of(out["g"], n_b)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def df_cap(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(doc_id="int64", g=str, bucket="int32")
+        keep = df.groupby("g", sort=False)["g"].transform("size") <= max_df
+        out = df.loc[keep, ["doc_id", "g"]].copy()
+        out["bucket"] = bucket_of(out["doc_id"], n_b)
+        return out
+
+    def attach_size(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(doc_id="int64", g=str, sz="int64", bucket="int32")
+        out = df[["doc_id", "g"]].copy()
+        out["sz"] = (
+            df.groupby("doc_id", sort=False)["g"].transform("size").astype("int64")
+        )
+        out["bucket"] = bucket_of(out["g"], n_b)
+        return out
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                a="int64", b="int64", sa="int64", sb="int64", n="int64",
+                bucket="int32",
+            )
+        m = df.merge(df, on="g")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return typed_empty(
+                a="int64", b="int64", sa="int64", sb="int64", n="int64",
+                bucket="int32",
+            )
+        g = (
+            m.groupby(["doc_id_x", "doc_id_y", "sz_x", "sz_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out = pd.DataFrame(
+            {
+                "a": g["doc_id_x"].astype("int64"),
+                "b": g["doc_id_y"].astype("int64"),
+                "sa": g["sz_x"].astype("int64"),
+                "sb": g["sz_y"].astype("int64"),
+                "n": g["n"].astype("int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["a"] * np.int64(2654435761) + out["b"], n_b)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                doc_a="int64", doc_b="int64", n_shared="int64",
+                containment_ppm="int64",
+            )
+        g = (
+            df.groupby(["a", "b", "sa", "sb"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        n = g["n"].to_numpy(dtype="int64")
+        mn = np.minimum(
+            g["sa"].to_numpy(dtype="int64"), g["sb"].to_numpy(dtype="int64")
+        )
+        ppm = (1_000_000 * n) // mn
+        keep = ppm >= threshold_ppm
+        return pd.DataFrame(
+            {
+                "doc_a": g["a"].to_numpy(dtype="int64")[keep],
+                "doc_b": g["b"].to_numpy(dtype="int64")[keep],
+                "n_shared": n[keep],
+                "containment_ppm": ppm[keep],
+            }
+        )
+
+    chain = coalesce_blocks(
+        ds.map_batches(to_grams, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(df_cap, batch_format="pandas")
+    )
+    sized = coalesce_blocks(
+        chain.groupby("bucket").map_groups(attach_size, batch_format="pandas")
+    )
+    pairs = coalesce_blocks(
+        sized.groupby("bucket").map_groups(pair_partials, batch_format="pandas")
+    )
+    return pairs.groupby("bucket").map_groups(fold, batch_format="pandas")
