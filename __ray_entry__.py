@@ -2549,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kmeans_embeddings,
         quality_classifier,
         unigram_logloss,
+        bigram_logloss,
         ccnet_buckets,
         pii_scrub,
         quality_filter,
@@ -2667,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": global_shuffle,
         "quality_filter": quality_filter,
         "unigram_logloss": unigram_logloss,
+        "bigram_logloss": bigram_logloss,
         "ccnet_buckets": ccnet_buckets,
         "curation_pipeline": curation_pipeline,
         "bloom_semi_join": bloom_semi_join,
@@ -3167,6 +3169,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len({tokens}) END::BIGINT AS n_tokens,
+                   round(COALESCE(s.ll, 0.0), 6) AS logloss_r
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # bigram stupid-backoff log-loss: position mirror via
+        # generate_series; top-V vocab + top-B bigram table with the
+        # identical (count desc, key asc) tie-breaks
+        # (pipelines/curation.bigram_logloss)
+        "bigram_logloss": f"""
+            WITH tk AS (
+              SELECT doc_id, text,
+                     list_filter({tokens}, w -> w <> '') AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT tk.doc_id, g.i, tk.t[g.i] AS cur,
+                     CASE WHEN g.i = 1 THEN '' ELSE tk.t[g.i - 1] END AS prev
+              FROM tk, unnest(generate_series(1, len(tk.t))) AS g(i)
+            ),
+            cnt AS (SELECT cur AS tok, count(*)::BIGINT AS n
+                    FROM pos GROUP BY 1),
+            vocab AS (SELECT tok, n FROM cnt
+                      ORDER BY n DESC, tok ASC LIMIT 128),
+            tot AS (SELECT (SELECT count(*) FROM pos)::DOUBLE AS N,
+                           (SELECT count(*) FROM vocab)::DOUBLE AS V),
+            big AS (
+              SELECT p.prev, p.cur, count(*)::BIGINT AS n2
+              FROM pos p JOIN vocab va ON va.tok = p.prev
+              WHERE p.i > 1
+              GROUP BY 1, 2
+              ORDER BY n2 DESC, p.prev ASC, p.cur ASC LIMIT 1024
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     avg(CASE
+                       WHEN p.i = 1 THEN
+                         -ln((COALESCE(vc.n, 0) + 1) / (s.N + s.V + 1))
+                       WHEN b.n2 IS NOT NULL THEN
+                         -ln(b.n2::DOUBLE / vp.n::DOUBLE)
+                       ELSE
+                         -(ln(0.4)
+                           + ln((COALESCE(vc.n, 0) + 1) / (s.N + s.V + 1)))
+                     END) AS ll
+              FROM pos p
+              LEFT JOIN vocab vc ON vc.tok = p.cur
+              LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+              LEFT JOIN vocab vp ON vp.tok = p.prev
+              CROSS JOIN tot s
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_filter({tokens}, w -> w <> ''))
+                   END::BIGINT AS n_tokens,
                    round(COALESCE(s.ll, 0.0), 6) AS logloss_r
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,

@@ -553,6 +553,66 @@ def test_softdedup_weights_matches_sequential(ray_session):
     assert saw_downweight, "fixture has no duplicated paragraphs"
 
 
+def test_bigram_logloss_matches_sequential(ray_session, tmp_path):
+    """Crafted corpus driven through the distributed stupid-backoff
+    scorer vs a plain-Python sequential recompute of the pinned rules
+    (top-V vocab, top-B prev∈vocab bigrams, position-1 unigram,
+    ln(0.4) backoff)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.curation import bigram_logloss
+
+    texts = [
+        "a b a b a b c",   # strong "a b" bigram
+        "c c c a b",       # mixed
+        "z q a",           # rare tokens -> OOV/backoff
+        "",                # empty doc
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        bigram_logloss(str(tmp_path), vocab_size=3, n_bigrams=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # sequential recompute of the pinned model
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    cnt = Counter(w for t in toks for w in t)
+    vocab = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    c_uni = dict(vocab)
+    n_total = sum(cnt.values())
+    denom = n_total + len(vocab) + 1
+    lp = lambda w: np.log((c_uni.get(w, -1) + 1) / denom) if w in c_uni else np.log(1 / denom)
+    bc = Counter(
+        (a, b) for t in toks for a, b in zip(t, t[1:]) if a in c_uni
+    )
+    big = dict(sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+    exp = []
+    for t in toks:
+        if not t:
+            exp.append(0.0)
+            continue
+        acc = -lp(t[0])
+        for a, b in zip(t, t[1:]):
+            if (a, b) in big:
+                acc += -np.log(big[(a, b)] / c_uni[a])
+            else:
+                acc += -(np.log(0.4) + lp(b))
+        exp.append(round(acc / len(t), 6))
+    assert list(got["logloss_r"]) == exp
+    assert list(got["n_tokens"]) == [len(t) for t in toks]
+
+
 def test_quality_classifier_matches_numpy_and_learns(ray_session):
     """Distributed full-batch logistic regression == a sequential numpy
     recompute over the whole design matrix (same features, same step

@@ -38,6 +38,7 @@ __all__ = [
     "pii_scrub",
     "kmeans_embeddings",
     "quality_classifier",
+    "bigram_logloss",
     "kmeans_reference",
     "quality_filter",
     "dsir_weights",
@@ -576,6 +577,150 @@ def unigram_logloss(sf_dir: str, vocab_size: int = _LM_VOCAB):
         for i, lst in enumerate(toks):
             if lst:
                 ll[i] = -np.mean([blogp.get(t, boov) for t in lst])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": n_tok,
+                "logloss_r": np.round(ll, 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+_LM_BIGRAMS = 1024  # bounded bigram table (top-B by count, pair tiebreak)
+_SB_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def bigram_logloss(
+    sf_dir: str,
+    vocab_size: int = _LM_VOCAB,
+    n_bigrams: int = _LM_BIGRAMS,
+):
+    """Bigram-LM log-loss with stupid backoff (Brants et al., "Large
+    Language Models in Machine Translation", 2007) — the context-aware
+    upgrade of :func:`unigram_logloss`'s perplexity-proxy: position 1
+    scores under the add-one unigram rule; position i>1 scores
+    ``-ln(c(prev,cur)/c(prev))`` when the bigram is in the bounded
+    model, else backs off to ``-(ln 0.4 + ln p_uni(cur))``.
+
+    Bounded model (the unigram_logloss mechanism, twice): top-V
+    unigrams (count desc, token asc), then top-B bigrams restricted to
+    ``prev ∈ vocab`` (count desc, pair asc) — a pair lives wholly in one
+    hash bucket, so per-bucket exact sums + local top-B + a driver merge
+    of ≤ buckets×B rows give the EXACT global top-B; driver state stays
+    bounded regardless of corpus size, and both tables broadcast.
+    Columns: doc_id, n_tokens, logloss_r (round 6). SQL-oracle-checked
+    (generate_series position mirror)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # ---- pass 1: vocab (identical rule to unigram_logloss) ----
+    def uni_partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode().dropna()
+        vc = toks.value_counts()
+        out = pd.DataFrame(
+            {"tok": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+        out = pd.concat(
+            [out, pd.DataFrame({"tok": [""], "n": [len(toks)]})],
+            ignore_index=True,
+        )
+        out["bucket"] = bucket_of(out["tok"], n_b)
+        return out
+
+    def uni_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", sort=False)["n"].sum().reset_index()
+        marker = g[g["tok"] == ""]
+        real = g[g["tok"] != ""].sort_values(
+            ["n", "tok"], ascending=[False, True]
+        ).head(vocab_size)
+        return pd.concat([real, marker], ignore_index=True)
+
+    tops = (
+        ds.map_batches(uni_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(uni_top, batch_format="pandas")
+        .to_pandas()
+    )
+    n_total = int(tops.loc[tops["tok"] == "", "n"].sum())
+    merged = sorted(
+        ((t, int(n)) for t, n in zip(tops["tok"], tops["n"]) if t != ""),
+        key=lambda t: (-t[1], t[0]),
+    )[:vocab_size]
+    v = len(merged)
+    denom = float(n_total + v + 1)
+    logp_uni = {t: float(np.log((n + 1) / denom)) for t, n in merged}
+    oov = float(np.log(1.0 / denom))
+    c_uni = dict(merged)
+    vocab_ref = ray.put(frozenset(c_uni))
+
+    # ---- pass 2: top-B bigram table over prev ∈ vocab ----
+    def bi_partials(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = get_broadcast(vocab_ref)
+        prevs: list[str] = []
+        curs: list[str] = []
+        for t in df["text"].str.split():
+            for a, b in zip(t, t[1:]):
+                if a in vocab:
+                    prevs.append(a)
+                    curs.append(b)
+        if not prevs:
+            return typed_empty(prev=str, cur=str, n="int64", bucket="int32")
+        g = (
+            pd.DataFrame({"prev": prevs, "cur": curs})
+            .groupby(["prev", "cur"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["prev"] + "\x1f" + g["cur"], n_b)
+        return g
+
+    def bi_top(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(prev=str, cur=str, n="int64")
+        g = df.groupby(["prev", "cur"], sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g.sort_values(
+            ["n", "prev", "cur"], ascending=[False, True, True]
+        ).head(n_bigrams)
+
+    bi = (
+        ds.map_batches(bi_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bi_top, batch_format="pandas")
+        .to_pandas()
+    )
+    bi_merged = sorted(
+        ((a, b, int(n)) for a, b, n in zip(bi["prev"], bi["cur"], bi["n"])),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:n_bigrams]
+    c_bi = {(a, b): n for a, b, n in bi_merged}
+    lm_ref = ray.put((logp_uni, oov, c_uni, c_bi))
+    ln_alpha = float(np.log(_SB_ALPHA))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        blogp, boov, bcu, bcb = get_broadcast(lm_ref)
+        toks = df["text"].str.split()
+        n_tok = toks.str.len().astype("int64")
+        ll = np.zeros(len(df))
+        for i, lst in enumerate(toks):
+            if not lst:
+                continue
+            acc = -blogp.get(lst[0], boov)
+            for a, b in zip(lst, lst[1:]):
+                n2 = bcb.get((a, b))
+                if n2 is not None:
+                    acc += -float(np.log(n2 / bcu[a]))
+                else:
+                    acc += -(ln_alpha + blogp.get(b, boov))
+            ll[i] = acc / len(lst)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
