@@ -222,6 +222,20 @@ def _span_stats(sf_dir: str):
     return span_stats(rd.read_parquet(out))
 
 
+def _media_captions(sf_dir: str):
+    """Adjacent-text caption pairing over the SAME materialized
+    interleaved spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import media_captions
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return media_captions(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _interleaved_pack(sf_dir: str):
     """Token-budget packing over the SAME materialized interleaved spans
     base (text tokens + fixed vision-token cost per media span)."""
@@ -2631,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_transitions": _span_transitions,
         "span_coalesce": _span_coalesce,
         "media_burst_lengths": _media_burst_lengths,
+        "media_captions": _media_captions,
         "pq_cosine_topk": pq_cosine_topk,
         "mmr_select": mmr_select,
         "contrastive_triplets": contrastive_triplets,
@@ -4864,6 +4879,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # consecutive-media run lengths: row_number-difference islands
         # per physical row over the spans base
+        # adjacent-text caption pairing: after-wins-else-before lead/lag
+        # mirror of the shifted-array pass (stats.media_captions)
+        "media_captions": f"""
+            WITH b AS (
+                SELECT filename AS f, file_row_number AS r, doc_id, spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet',
+                                  file_row_number=true, filename=true)
+            ),
+            s AS (
+                SELECT f, r, doc_id, i,
+                       spans[i].kind AS kind,
+                       COALESCE(spans[i].text, '') AS text,
+                       COALESCE(spans[i].media_ref, '') AS media_ref
+                FROM b, unnest(generate_series(1, len(spans))) AS u(i)
+            ),
+            w AS (
+                SELECT *,
+                       lead(kind) OVER win AS nk,
+                       lead(text) OVER win AS nt,
+                       lag(kind) OVER win AS pk,
+                       lag(text) OVER win AS pt
+                FROM s WINDOW win AS (PARTITION BY f, r ORDER BY i)
+            ),
+            sel AS (
+                SELECT doc_id,
+                       (row_number() OVER (PARTITION BY f, r ORDER BY i)
+                        - 1)::BIGINT AS media_idx,
+                       media_ref,
+                       CASE WHEN nk = 'text' THEN nt
+                            WHEN pk = 'text' THEN pt
+                            ELSE '' END AS caption,
+                       CASE WHEN nk = 'text' THEN 'after'
+                            WHEN pk = 'text' THEN 'before'
+                            ELSE 'none' END AS caption_src
+                FROM w WHERE kind IN ('media', 'image')
+            )
+            SELECT doc_id, media_idx, media_ref, caption, caption_src,
+                   len(caption)::BIGINT AS caption_chars
+            FROM sel
+        """,
         "media_burst_lengths": f"""
             WITH b AS (
                 SELECT filename AS f, file_row_number AS r, spans

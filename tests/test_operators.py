@@ -1817,6 +1817,60 @@ def test_host_triangles_crafted_graph(ray_session):
     }
 
 
+def test_media_captions_crafted(ray_session):
+    """Pins the adjacency rules: after wins, before is the fallback, a
+    media run's inner members fall back to the preceding text, solo
+    media ships uncaptioned, per-doc 0-based media ordinals."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import media_captions
+
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int64()),
+        ]
+    )
+
+    def sp(kind, text=None, ref=None):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    rows = [
+        [sp("text", "intro"), sp("media", None, "img1"), sp("text", "cap1"),
+         sp("image", None, "img2"), sp("media", None, "img3"), sp("text", "cap3")],
+        [sp("media", None, "solo")],
+        [sp("text", "t"), sp("image", None, "endimg")],
+        [sp("title", "only")],
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "spans": pa.array(rows, pa.list_(span_t)),
+        }
+    )
+    got = (
+        media_captions(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["doc_id", "media_idx"])
+        .reset_index(drop=True)
+    )
+    want = [
+        (1, 0, "img1", "cap1", "after"),
+        (1, 1, "img2", "cap1", "before"),
+        (1, 2, "img3", "cap3", "after"),
+        (2, 0, "solo", "", "none"),
+        (3, 0, "endimg", "t", "before"),
+    ]
+    assert [
+        (r.doc_id, r.media_idx, r.media_ref, r.caption, r.caption_src)
+        for r in got.itertuples()
+    ] == want
+    assert list(got["caption_chars"]) == [4, 4, 4, 0, 1]
+
+
 def test_kcore_crafted_graph(ray_session):
     """K4 {a,b,c,d} (core 3) + pendant chain d-e-f (cores 1) + self-loop
     and reverse-direction noise; the H-operator fixpoint must equal the

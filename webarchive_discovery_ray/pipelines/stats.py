@@ -59,6 +59,7 @@ __all__ = [
     "span_transitions",
     "span_coalesce",
     "media_burst_lengths",
+    "media_captions",
     "host_components",
 ]
 
@@ -2686,3 +2687,92 @@ def kcore_hosts(
         )
 
     return est.map_batches(finalise, batch_format="pandas")
+
+
+def media_captions(docs):
+    """Caption-candidate pairing over the interleaved spans base — for
+    every media span, the adjacent text span most likely to caption it
+    (the alt-text/figure-caption heuristic a multimodal training
+    pipeline runs before building image-text pairs): the text span
+    immediately AFTER the media wins (captions follow figures); if the
+    next span is not text, the text span immediately BEFORE is the
+    fallback; otherwise the media ships uncaptioned. Adjacency only,
+    media kinds are ``media`` and ``image``, caption donors are ``text``
+    spans only (not title/link) — pinned rules, mirrored by the SQL
+    lead/lag oracle.
+
+    Fully batch-local (zero shuffle): one vectorized pyarrow pass —
+    list_flatten + parent indices, shifted-array adjacency masks, no
+    per-row Python. Columns: doc_id, media_idx (0-based among the doc's
+    media spans, span order), media_ref, caption, caption_src
+    (after|before|none), caption_chars. SQL-oracle-checked over the
+    materialized spans base."""
+    import pyarrow.compute as pc
+
+    def pair(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        doc_ids = batch["doc_id"].combine_chunks()  # type pass-through
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        texts = pc.coalesce(flat.field("text"), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        media = pc.coalesce(flat.field("media_ref"), pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        m = len(kinds)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], doc_ids.type),
+                    "media_idx": pa.array([], pa.int64()),
+                    "media_ref": pa.array([], pa.string()),
+                    "caption": pa.array([], pa.string()),
+                    "caption_src": pa.array([], pa.string()),
+                    "caption_chars": pa.array([], pa.int64()),
+                }
+            )
+        is_media = (kinds == "media") | (kinds == "image")
+        is_text = kinds == "text"
+        nxt_ok = np.zeros(m, dtype=bool)
+        nxt_ok[:-1] = (parents[1:] == parents[:-1]) & is_text[1:]
+        prv_ok = np.zeros(m, dtype=bool)
+        prv_ok[1:] = (parents[:-1] == parents[1:]) & is_text[:-1]
+        cap = np.full(m, "", dtype=object)
+        src = np.full(m, "none", dtype=object)
+        take_next = is_media & nxt_ok
+        idx = np.nonzero(take_next)[0]
+        cap[idx] = texts[idx + 1]
+        src[idx] = "after"
+        take_prev = is_media & ~nxt_ok & prv_ok
+        idx = np.nonzero(take_prev)[0]
+        cap[idx] = texts[idx - 1]
+        src[idx] = "before"
+        sel = is_media
+        # 0-based media ordinal within each doc (span order)
+        ord_all = np.cumsum(is_media) - 1
+        first_of_parent = np.zeros(m, dtype="int64")
+        # index of first flat row per parent: positions where parent changes
+        change = np.ones(m, dtype=bool)
+        change[1:] = parents[1:] != parents[:-1]
+        # media count before each parent's first row
+        media_before = np.concatenate([[0], np.cumsum(is_media)[:-1]])
+        base = np.where(change, media_before, 0)
+        base = np.maximum.accumulate(base)
+        media_idx = (np.cumsum(is_media) - 1) - base
+        caps = cap[sel]
+        return pa.table(
+            {
+                "doc_id": pc.take(doc_ids, pa.array(parents[sel], pa.int64())),
+                "media_idx": pa.array(media_idx[sel], pa.int64()),
+                "media_ref": pa.array(media[sel], pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "caption_src": pa.array(src[sel], pa.string()),
+                "caption_chars": pa.array(
+                    np.asarray([len(c) for c in caps], dtype="int64"), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(pair, batch_format="pyarrow")
