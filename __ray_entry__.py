@@ -2387,6 +2387,32 @@ def _kcore_hosts(sf_dir: str):
     return kcore_hosts(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _pivot_oracle_sql(sf_dir: str | None = None) -> str:
+    """CASE-sum mirror of pivot_user_event_values with the column set
+    discovered from the SAME data (scale-aware via WDR_ORACLE_SF_DIR,
+    like the VALUES oracles) — the pivot's pinned column rule is
+    type-asc over the distinct types present."""
+    import duckdb
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    types = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT event_type FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )
+    cols = ",\n                   ".join(
+        "sum(CASE WHEN event_type = '{t}' THEN "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) / 100.0 "
+        'AS "v_{t}"'.format(t=t.replace("'", "''"))
+        for t in types
+    )
+    return f"""
+        SELECT user_id, {cols}
+        FROM events GROUP BY user_id
+    """
+
+
 def _kcore_oracle_values_sql(sf_dir: str | None = None) -> str:
     """Sequential Matula–Beck peeling over the materialized link base,
     rendered as VALUES(host, core) — the exact core numbers the
@@ -2478,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         funnel_counts,
         retention_cohorts,
         event_transitions,
+        pivot_user_event_values,
         rate_anomalies,
         source_mix,
         stratified_sample_events,
@@ -2626,6 +2653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
         "event_transitions": event_transitions,
+        "pivot_user_event_values": pivot_user_event_values,
         "winsorize_events": winsorize_events,
         "rate_anomalies": rate_anomalies,
         "stratified_sample_events": stratified_sample_events,
@@ -5768,6 +5796,10 @@ def oracle_sql() -> dict[str, str]:
     # peeling over the same materialized link base renders the expected
     # (host, core) set as VALUES
     out["kcore_hosts"] = _kcore_oracle_values_sql()
+
+    # pivot column set is data-discovered (type asc), so the CASE-sum
+    # mirror is generated against the same scale's distinct types
+    out["pivot_user_event_values"] = _pivot_oracle_sql()
 
     # bpe_train is deterministic (exact integer counts + lexicographic
     # tie-break); the sequential whole-corpus Counter recompute renders

@@ -37,6 +37,7 @@ __all__ = [
     "funnel_counts",
     "retention_cohorts",
     "event_transitions",
+    "pivot_user_event_values",
     "rate_anomalies",
     "stratified_sample_events",
     "grouped_topk_docs",
@@ -686,3 +687,76 @@ def rate_anomalies(sf_dir: str):
         z_r=np.round(z, 6), is_anomaly=np.abs(z) >= ANOMALY_Z
     ).sort_values("hour", ignore_index=True)
     return out[["hour", "n_err", "n_total", "z_r", "is_anomaly"]]
+
+
+def pivot_user_event_values(sf_dir: str):
+    """Long→wide pivot — per user, one column per event type holding the
+    exact integer-cent sum of that type's values (the reshape step
+    feature stores / user-feature pipelines run before model training).
+
+    Column set discovery is itself distributed (per-batch distinct-type
+    partials, driver folds a type-count-bounded list, columns ordered
+    type asc — pinned); the pivot is then ONE user-bucketed grouped pass
+    whose in-group unstack is vectorized (users × types integer frame,
+    absent cells 0). Column names are ``v_<type>``. Columns: user_id,
+    v_<type>... SQL-oracle-checked (CASE-sum mirror over the same
+    discovered type set)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def type_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"].unique()})
+
+    types = sorted(
+        ds.map_batches(type_partial, batch_format="pandas")
+        .to_pandas()["event_type"]
+        .unique()
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # in-batch combiner: (user, type) partial cent sums per block
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "event_type": df["event_type"],
+                    "c": np.floor(
+                        df["value"].to_numpy(dtype=np.float64) * 100 + 0.5
+                    ).astype(np.int64),
+                }
+            )
+            .groupby(["user_id", "event_type"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        g["bucket"] = bucket_of(g["user_id"], n_b)
+        return g
+
+    def unstack(df: pd.DataFrame, _types=tuple(types)) -> pd.DataFrame:
+        if not len(df):
+            cols = {"user_id": pd.Series([], dtype="int64")}
+            for t in _types:
+                cols[f"v_{t}"] = pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)["c"]
+            .sum()
+            .unstack(fill_value=0)
+        )
+        out = {"user_id": g.index.to_numpy(dtype="int64")}
+        for t in _types:
+            col = (
+                g[t].to_numpy(dtype="int64")
+                if t in g.columns
+                else np.zeros(len(g), dtype="int64")
+            )
+            out[f"v_{t}"] = col / 100.0
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(unstack, batch_format="pandas")
+    )
