@@ -2366,6 +2366,16 @@ def _host_reciprocity(sf_dir: str):
     return host_reciprocity(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _host_assortativity(sf_dir: str):
+    """Degree assortativity over the SAME materialized link base."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_assortativity
+
+    _host_link_graph_base()
+    return host_assortativity(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
+
+
 def _cocitation_hosts(sf_dir: str):
     """Co-citation pair similarity over the SAME materialized link
     base (capped, min-support-thresholded; see stats.cocitation_hosts)."""
@@ -2691,6 +2701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": _host_triangles,
         "cocitation_hosts": _cocitation_hosts,
         "kcore_hosts": _kcore_hosts,
+        "host_assortativity": _host_assortativity,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
         "url_templates": _url_templates,
@@ -5208,6 +5219,35 @@ def oracle_sql() -> dict[str, str]:
                          THEN (1000000 * n_rec) // n_edges
                          ELSE 0 END)::BIGINT AS reciprocity_ppm
             FROM tot, rec
+        """,
+        # degree assortativity: exact integer moment sums over both
+        # edge orientations, one IEEE-identical double expression
+        # (stats.host_assortativity)
+        "host_assortativity": f"""
+            WITH e0 AS (
+              SELECT DISTINCT host AS src, l.dst AS dst
+              FROM read_parquet('{_ORACLE_MAT}/link_base/*.parquet'),
+                   unnest(links_hosts) AS l(dst)
+              WHERE host <> l.dst
+            ),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b FROM e0),
+            bi AS (SELECT a AS u, b AS v FROM und
+                   UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT u AS n, count(*)::BIGINT AS d FROM bi GROUP BY 1),
+            j AS (SELECT da.d AS x, db.d AS y
+                  FROM bi JOIN deg da ON da.n = bi.u
+                  JOIN deg db ON db.n = bi.v),
+            s AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+                         sum(x * y)::BIGINT AS sxy,
+                         sum(x * x)::BIGINT AS sx2 FROM j)
+            SELECT m AS m_samples, sx AS sum_x, sxy AS sum_xy,
+                   sx2 AS sum_x2,
+                   CASE WHEN m * sx2 - sx * sx <> 0
+                        THEN round((m * sxy - sx * sx)::DOUBLE
+                                   / (m * sx2 - sx * sx)::DOUBLE, 6)
+                        ELSE 0.0 END AS assortativity_r
+            FROM s
         """,
         # co-citation pairs + in-neighbour Jaccard over capped edges
         # (out-degree cap 64, min support 2; stats.cocitation_hosts)

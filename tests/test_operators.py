@@ -1891,6 +1891,27 @@ def test_kcore_crafted_graph(ray_session):
     assert dict(zip(got["host"], got["core"])) == want
 
 
+def test_host_assortativity_star_is_minus_one(ray_session):
+    """A star K1,3 is perfectly disassortative: r = -1 exactly (integer
+    moments: m=6, sx=12, sxy=18, sx2=30). Self-loop + reverse noise."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import host_assortativity
+
+    rows = [
+        {"host": "c.ex", "links_hosts": ["l1.ex", "l2.ex", "l3.ex", "c.ex"]},
+        {"host": "l1.ex", "links_hosts": ["c.ex"]},  # reverse dup
+    ]
+    rec = host_assortativity(docs=rd.from_items(rows)).to_dict("records")[0]
+    assert rec == {
+        "m_samples": 6,
+        "sum_x": 12,
+        "sum_xy": 18,
+        "sum_x2": 30,
+        "assortativity_r": -1.0,
+    }
+
+
 def test_cocitation_crafted_cap_and_support(ray_session):
     """Pins the stop-band + support rules: a src over the out-degree cap
     generates no pairs AND counts toward no in-degree; pairs below

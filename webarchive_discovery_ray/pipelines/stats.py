@@ -45,6 +45,7 @@ __all__ = [
     "host_triangles",
     "cocitation_hosts",
     "kcore_hosts",
+    "host_assortativity",
     "anchor_pairs_ds",
     "anchor_text_index",
     "span_stats",
@@ -2776,3 +2777,120 @@ def media_captions(docs):
         )
 
     return docs.map_batches(pair, batch_format="pyarrow")
+
+
+def host_assortativity(
+    n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None
+):
+    """Degree assortativity (Newman 2002) of the undirected simple host
+    graph — do well-linked hosts link to other well-linked hosts (the
+    web is famously DISassortative): the Pearson correlation of
+    (deg(u), deg(v)) over edge endpoints, each undirected edge counted
+    in both orientations (so the two marginals coincide and
+    r = (M·Σxy − Σx·Σy) / (M·Σx² − Σx²-of-sums)).
+
+    All sums are EXACT int64 (per-bucket integer partials, driver folds
+    #buckets rows; safe while deg²·2m < 2^63 — beyond that switch the
+    fold to Python ints); the final r is ONE double expression computed
+    from the same integers in both engines (the rate_anomalies
+    IEEE-identical-expression rule). Graph rules pinned as in
+    kcore/triangles: distinct unordered pairs, self-loops excluded.
+
+    TWO bucketed co-groups after the edge pass: node-keyed dedup+degree
+    (a node's whole neighbourhood co-locates ⇒ in-group size IS the
+    degree), then nbr-keyed degree attach + per-bucket moment partials.
+    Columns: m_samples, sum_x, sum_xy, sum_x2, assortativity_r
+    (round 6). SQL-oracle-checked."""
+    from ..functions.bucketing import (
+        bucket_of,
+        coalesce_blocks,
+        default_buckets,
+        typed_empty,
+    )
+
+    n_b = default_buckets()
+    edges = host_link_graph(n_pages, scfg, docs=docs)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["src_host"] != df["dst_host"]]
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([d["src_host"], d["dst_host"]], ignore_index=True),
+                "nbr": pd.concat([d["dst_host"], d["src_host"]], ignore_index=True),
+            }
+        )
+        out["bucket"] = bucket_of(out["node"], n_b)
+        return out
+
+    def dedup_degree(df: pd.DataFrame) -> pd.DataFrame:
+        # every row of node h co-locates here, so the in-group size IS
+        # deg(h); emit tagged rows — side 0: adjacency (routed by nbr,
+        # carrying deg(node)); side 1: one (h, deg) row routed by h, so
+        # the attach bucket is guaranteed to hold its nbrs' degrees
+        if not len(df):
+            return typed_empty(
+                side="int64", node=str, nbr=str, deg="int64", bucket="int32"
+            )
+        d = df.drop_duplicates(["node", "nbr"])
+        adj = d[["node", "nbr"]].copy()
+        adj["deg"] = (
+            d.groupby("node", sort=False)["nbr"].transform("size").astype("int64")
+        )
+        adj.insert(0, "side", np.zeros(len(adj), dtype="int64"))
+        adj["bucket"] = bucket_of(adj["nbr"], n_b)
+        degs = adj.drop_duplicates("node")[["node", "deg"]].copy()
+        degs.insert(0, "side", np.ones(len(degs), dtype="int64"))
+        degs["nbr"] = pd.Series([""] * len(degs), dtype=str, index=degs.index)
+        degs["bucket"] = bucket_of(degs["node"], n_b)
+        return pd.concat(
+            [adj[["side", "node", "nbr", "deg", "bucket"]],
+             degs[["side", "node", "nbr", "deg", "bucket"]]],
+            ignore_index=True,
+        )
+
+    def moment_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(m="int64", sx="int64", sxy="int64", sx2="int64")
+        a = df[df["side"] == 0]
+        degs = df[df["side"] == 1][["node", "deg"]].rename(
+            columns={"node": "nbr", "deg": "deg_nbr"}
+        )
+        m = a.merge(degs, on="nbr", how="inner")
+        x = m["deg"].to_numpy(dtype="int64")
+        y = m["deg_nbr"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "m": np.array([len(m)], dtype="int64"),
+                "sx": np.array([x.sum()], dtype="int64"),
+                "sxy": np.array([(x * y).sum()], dtype="int64"),
+                "sx2": np.array([(x * x).sum()], dtype="int64"),
+            }
+        )
+
+    adj = coalesce_blocks(
+        edges.map_batches(both_dirs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_degree, batch_format="pandas")
+    )
+    parts = (
+        adj.groupby("bucket")
+        .map_groups(moment_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    m = int(parts["m"].sum()) if len(parts) else 0
+    sx = int(parts["sx"].sum()) if len(parts) else 0
+    sxy = int(parts["sxy"].sum()) if len(parts) else 0
+    sx2 = int(parts["sx2"].sum()) if len(parts) else 0
+    denom = m * sx2 - sx * sx
+    # float() each exact integer FIRST (the SQL mirror casts each side
+    # to DOUBLE before dividing — keep the IEEE ops identical)
+    r = round(float(m * sxy - sx * sx) / float(denom), 6) if denom else 0.0
+    return pd.DataFrame(
+        {
+            "m_samples": pd.Series([m], dtype="int64"),
+            "sum_x": pd.Series([sx], dtype="int64"),
+            "sum_xy": pd.Series([sxy], dtype="int64"),
+            "sum_x2": pd.Series([sx2], dtype="int64"),
+            "assortativity_r": pd.Series([r], dtype="float64"),
+        }
+    )
