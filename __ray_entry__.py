@@ -2397,6 +2397,45 @@ def _kcore_hosts(sf_dir: str):
     return kcore_hosts(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _countmin_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential Count-Min recompute (identical hash rows, one pass
+    over the parquet) rendered as VALUES — the estimates are a
+    deterministic function of the data, same mechanism as fuzzy_hashes."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.sketches import (
+        _CM_D,
+        _CM_PROBES,
+        _CM_W,
+        cm_positions,
+    )
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    ids = (
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])["user_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    cm = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+    pos = cm_positions(ids.astype(np.uint64))
+    for d in range(_CM_D):
+        np.add.at(cm[d], pos[d], 1)
+    probe = np.asarray(_CM_PROBES, dtype=np.int64)
+    ppos = cm_positions(probe.astype(np.uint64))
+    est = cm[np.arange(_CM_D)[:, None], ppos].min(axis=0)
+    exact = (ids[None, :] == probe[:, None]).sum(axis=1)
+    rows = [
+        f"({int(u)}, {int(e)}::BIGINT, {int(x)}::BIGINT)"
+        for u, e, x in zip(probe, est, exact)
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(user_id, cm_est, exact_n)"
+    )
+
+
 def _pivot_oracle_sql(sf_dir: str | None = None) -> str:
     """CASE-sum mirror of pivot_user_event_values with the column set
     discovered from the SAME data (scale-aware via WDR_ORACLE_SF_DIR,
@@ -2580,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.sketches import (
         bloom_semi_join,
         heavy_hitters,
+        countmin_event_counts,
         hll_distinct_tokens,
         hll_users_per_event_type,
         kll_quantiles,
@@ -2727,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": curation_pipeline,
         "bloom_semi_join": bloom_semi_join,
         "heavy_hitters": heavy_hitters,
+        "countmin_event_counts": countmin_event_counts,
         "cdc_chunks": cdc_chunks,
         "bm25_topk": bm25_topk,
         "doc_length_histogram": doc_length_histogram,
@@ -5840,6 +5881,9 @@ def oracle_sql() -> dict[str, str]:
     # pivot column set is data-discovered (type asc), so the CASE-sum
     # mirror is generated against the same scale's distinct types
     out["pivot_user_event_values"] = _pivot_oracle_sql()
+
+    # count-min estimates are a deterministic function of the data
+    out["countmin_event_counts"] = _countmin_oracle_values_sql()
 
     # bpe_train is deterministic (exact integer counts + lexicographic
     # tie-break); the sequential whole-corpus Counter recompute renders

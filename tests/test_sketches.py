@@ -637,3 +637,46 @@ def test_media_dedup_first_occurrence_rule(ray_session):
         ("a", 4): False,  # same-doc repeat of "logo"
         ("b", 2): False,  # cross-doc repeat of "logo"
     }
+
+
+def test_countmin_guarantees_and_merge(ray_session):
+    """CM guarantees: est >= exact always; est <= exact + (e/w)*N (the
+    Cormode-Muthukrishnan bound holds per-row, so the min over d rows
+    satisfies it deterministically for the pinned hash rows); and the
+    distributed fold equals a single sequential pass."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.sketches import (
+        _CM_D,
+        _CM_W,
+        cm_positions,
+        countmin_event_counts,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = countmin_event_counts(SF)
+    assert (got["cm_est"] >= got["exact_n"]).all()
+    ids = (
+        pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n_stream = len(ids)
+    # overestimate bound: for any single row, est_row - exact <= sum of
+    # colliding keys <= N; the standard w-column bound
+    assert (
+        got["cm_est"] - got["exact_n"] <= np.ceil(np.e / _CM_W * n_stream)
+    ).all()
+    # sequential single-pass recompute == distributed fold
+    cm = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+    pos = cm_positions(ids.astype(np.uint64))
+    for d in range(_CM_D):
+        np.add.at(cm[d], pos[d], 1)
+    probe = got["user_id"].to_numpy().astype(np.uint64)
+    ppos = cm_positions(probe)
+    est = cm[np.arange(_CM_D)[:, None], ppos].min(axis=0)
+    assert (got["cm_est"].to_numpy() == est).all()
+    # exact_n really is exact
+    exact = (ids[None, :] == got["user_id"].to_numpy()[:, None]).sum(axis=1)
+    assert (got["exact_n"].to_numpy() == exact).all()

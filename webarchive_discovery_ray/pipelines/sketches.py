@@ -28,7 +28,8 @@ import pandas as pd
 from ..sources.io import read_table
 
 __all__ = ["bloom_semi_join", "heavy_hitters", "hll_distinct_tokens",
-           "hll_users_per_event_type", "kll_quantiles", "KLLSketch"]
+           "hll_users_per_event_type", "kll_quantiles", "KLLSketch",
+           "countmin_event_counts"]
 
 
 # ---------------------------------------------------------------------------
@@ -555,5 +556,77 @@ def hll_users_per_event_type(sf_dir: str):
                 [int(round(hll_estimate(folded[t]))) for t in types],
                 dtype=np.int64,
             ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): the point-frequency
+# estimator of the family (HLL = cardinality, KLL = quantiles, MG = top-k).
+
+_CM_D = 4  # rows (hash functions)
+_CM_W = 256  # columns per row
+_CM_SEEDS = np.array(
+    [
+        int.from_bytes(hashlib.sha1(f"countmin-{j}".encode()).digest()[:8], "big")
+        for j in range(_CM_D)
+    ],
+    dtype=np.uint64,
+)
+_CM_PROBES = tuple(range(10))  # pinned probe keys (user ids)
+
+
+def cm_positions(keys64: np.ndarray) -> np.ndarray:
+    """(d, n) column indices — multiply-xor-shift per seed row, the
+    same vectorized style as the Bloom positions; pinned (the VALUES
+    oracle recomputes with this exact function)."""
+    k = keys64.astype(np.uint64)[None, :]
+    mixed = (k ^ _CM_SEEDS[:, None]) * np.uint64(0x9E3779B97F4A7C15)
+    return ((mixed >> np.uint64(33)) % np.uint64(_CM_W)).astype(np.int64)
+
+
+def countmin_event_counts(sf_dir: str, probes: tuple = _CM_PROBES):
+    """Count-Min point-frequency estimates of per-user event counts,
+    checked against the exact counts for a pinned probe set — the
+    fixed-size "how often did key k appear" sketch a 100-TB stream
+    census uses when the key space (users/URLs) is unbounded.
+
+    Sketch shape (module discipline): each batch contributes one d×w
+    int64 partial (4×256 = 8 KiB, corpus-size independent); partials
+    ADD — the fold is order-free and exact, so the final sketch and
+    every estimate (row-wise min) are deterministic. The exact probe
+    counts ride the same pass as a |probes|-vector partial. Columns:
+    user_id, cm_est, exact_n (cm_est >= exact_n always; the pytest
+    pins the epsilon bound too). VALUES-oracle-checked (sequential
+    recompute with the identical hash rows)."""
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    probe_arr = np.asarray(probes, dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["user_id"].to_numpy(dtype=np.int64)
+        cm = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+        pos = cm_positions(ids.astype(np.uint64))
+        for d in range(_CM_D):
+            np.add.at(cm[d], pos[d], 1)
+        exact = (ids[None, :] == probe_arr[:, None]).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {"cm": [cm.tobytes()], "exact": [exact.tobytes()]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cm = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+    exact = np.zeros(len(probe_arr), dtype=np.int64)
+    for b1, b2 in zip(parts["cm"], parts["exact"]):
+        cm += np.frombuffer(b1, dtype=np.int64).reshape(_CM_D, _CM_W)
+        exact += np.frombuffer(b2, dtype=np.int64)
+    pos = cm_positions(probe_arr.astype(np.uint64))
+    est = cm[np.arange(_CM_D)[:, None], pos].min(axis=0)
+    return pd.DataFrame(
+        {
+            "user_id": probe_arr,
+            "cm_est": est.astype("int64"),
+            "exact_n": exact,
         }
     )
