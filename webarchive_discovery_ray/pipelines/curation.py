@@ -1682,20 +1682,23 @@ def quality_classifier(
     with it): full-batch logistic regression over hashed unigram+bigram
     bucket shares (the SAME ``_dsir_bucket_counts`` features DSIR uses)
     plus log-token-count and mean-token-length, all standardized by a
-    distributed moment pre-pass. Labels distil the corpus quality rule
+    distributed moment pass. Labels distil the corpus quality rule
     ``distinct_ratio >= 0.5`` (the synthetic corpus's ``lang``/"source"
     columns are text-INDEPENDENT by construction — verified: identical
     vocab across langs — so a metadata label would be unlearnable; a
     real deployment swaps in its reference-corpus labels here).
 
-    Scale shape (the kmeans/pca discipline): the moment pass and each
-    GD iteration emit per-batch partials (two (F)-vectors / one
-    (F+1)-gradient + count — corpus-size-independent); the driver folds
-    them in CONTENT order (sorted by each batch's min doc_id ⇒ the
-    float fold is reproducible across runs regardless of task
-    completion order), steps ``w ← w − lr·∇/n`` and re-broadcasts. A
-    final pass scores every doc. The corpus never leaves the object
-    store; driver traffic is O(iters × batches × F) floats.
+    Scale shape (the kmeans/pca discipline, plus feature caching): the
+    text is scanned ONCE — the F-dim feature rows materialize into the
+    object store (~8·F bytes/doc vs the full text) and every subsequent
+    pass (moments, each GD iteration, scoring) streams the feature
+    dataset, so 100-TB text is not re-read n_iter times. Each pass
+    emits per-batch partials (two F-vectors / one (F+1)-gradient +
+    count — corpus-size-independent); the driver folds them in CONTENT
+    order (sorted by each batch's min doc_id ⇒ the float fold is
+    reproducible across runs regardless of task completion order),
+    steps ``w ← w − lr·∇/n`` and re-broadcasts. Driver traffic is
+    O(iters × batches × F) floats.
 
     Columns: doc_id, label, p (sigmoid score rounded 6dp), pred.
     Rows-only query (iterative float training is not SQL-expressible);
@@ -1703,8 +1706,9 @@ def quality_classifier(
     import ray
 
     B = DSIR_BUCKETS
+    F = B + 2
 
-    def raw_feats(df: pd.DataFrame):
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].to_numpy()
         counts, n_grams = _dsir_bucket_counts(texts)
         toks = df["text"].str.split()
@@ -1720,13 +1724,33 @@ def quality_classifier(
             ]
         )
         y = (n_dist / safe >= _QC_DR_THRESHOLD).astype(np.float64)
-        return Xr, y, df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "x": [r.tobytes() for r in Xr],
+                "y": y,
+            }
+        )
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # ONE text scan; every later pass streams this compact dataset
+    feats = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(featurize, batch_format="pandas")
+        .materialize()
+    )
 
-    # pass A: feature moments (content-ordered fold, pca discipline)
+    def unpack(df: pd.DataFrame):
+        Xr = (
+            np.frombuffer(b"".join(df["x"]), dtype=np.float64).reshape(-1, F)
+            if len(df)
+            else np.zeros((0, F))
+        )
+        return Xr, df["y"].to_numpy(dtype=np.float64), df["doc_id"].to_numpy(
+            dtype=np.int64
+        )
+
     def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
-        Xr, _, ids = raw_feats(df)
+        Xr, _, ids = unpack(df)
         return pd.DataFrame(
             {
                 "key": [int(ids.min()) if len(ids) else -1],
@@ -1736,10 +1760,9 @@ def quality_classifier(
             }
         )
 
-    mom = ds.map_batches(moment_partial, batch_format="pandas").to_pandas()
+    mom = feats.map_batches(moment_partial, batch_format="pandas").to_pandas()
     mom = mom.sort_values("key")
     n_total = int(mom["n"].sum())
-    F = B + 2
     s = np.zeros(F)
     s2 = np.zeros(F)
     for b1, b2 in zip(mom["s"], mom["s2"]):
@@ -1759,7 +1782,7 @@ def quality_classifier(
         wref = ray.put(w)
 
         def grad_partial(df: pd.DataFrame) -> pd.DataFrame:
-            Xr, y, ids = raw_feats(df)
+            Xr, y, ids = unpack(df)
             X = design(Xr)
             z = np.clip(X @ ray.get(wref), -30.0, 30.0)
             p = 1.0 / (1.0 + np.exp(-z))
@@ -1772,7 +1795,7 @@ def quality_classifier(
                 }
             )
 
-        parts = ds.map_batches(grad_partial, batch_format="pandas").to_pandas()
+        parts = feats.map_batches(grad_partial, batch_format="pandas").to_pandas()
         parts = parts.sort_values("key")  # content-ordered float fold
         n = int(parts["n"].sum())
         if n == 0:
@@ -1785,7 +1808,7 @@ def quality_classifier(
     wref = ray.put(w)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        Xr, y, ids = raw_feats(df)
+        Xr, y, ids = unpack(df)
         z = np.clip(design(Xr) @ ray.get(wref), -30.0, 30.0)
         p6 = np.round(1.0 / (1.0 + np.exp(-z)), 6)
         return pd.DataFrame(
@@ -1797,4 +1820,4 @@ def quality_classifier(
             }
         )
 
-    return ds.map_batches(score, batch_format="pandas")
+    return feats.map_batches(score, batch_format="pandas")
