@@ -2366,6 +2366,54 @@ def _host_reciprocity(sf_dir: str):
     return host_reciprocity(docs=rd.read_parquet(f"{_ORACLE_MAT}/link_base"))
 
 
+def _cdx_merge(sf_dir: str):
+    """Merge-of-sorted-runs over two disjoint pre-sorted halves of the
+    synthetic captures base (functions/merging.merge_sorted_runs — each
+    row moves ONCE to its output range task; no sort shuffle). The SQL
+    oracle unions the same two materialized runs; sortedness itself is
+    pinned by the pytest (the driver compare is order-insensitive)."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.config import IndexConfig, SyntheticConfig
+    from webarchive_discovery_ray.functions.merging import merge_sorted_runs
+    from webarchive_discovery_ray.pipelines.cdx import (
+        captures_from_pages_batch,
+    )
+    from webarchive_discovery_ray.sources.synthetic import fixture_pages_ds
+
+    base = f"{_ORACLE_MAT}/cdx_runs"
+    if not (os.path.isdir(f"{base}/0") and os.path.isdir(f"{base}/1")):
+        icfg = IndexConfig(response_include=())
+        caps = fixture_pages_ds(400, SyntheticConfig(), 16).map_batches(
+            lambda b: captures_from_pages_batch(b, icfg),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        import pyarrow.compute as pc
+
+        for half in (0, 1):
+            tmp = f"{base}/{half}.tmp"
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            caps.map_batches(
+                lambda b, _h=half: b.filter(
+                    pc.equal(
+                        pc.bit_wise_and(
+                            pc.utf8_length(b["surt_key"]), pa.scalar(1)
+                        ),
+                        pa.scalar(_h),
+                    )
+                ),
+                batch_format="pyarrow",
+            ).sort(["surt_key", "timestamp14"]).write_parquet(tmp)
+            os.replace(tmp, f"{base}/{half}")
+    runs = [rd.read_parquet(f"{base}/{h}").materialize() for h in (0, 1)]
+    return merge_sorted_runs(runs, ["surt_key", "timestamp14"])
+
+
 def _host_assortativity(sf_dir: str):
     """Degree assortativity over the SAME materialized link base."""
     import ray.data as rd
@@ -2816,6 +2864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_crawl": _recrawl_crawl,
         "extract_documents": _extract_documents,
         "cdx_sorted": _cdx,
+        "cdx_merge": _cdx_merge,
         "reduplicate_revisits": _reduplicate,
         "media_features": _media_features,
         "pdf_preflight": _pdf_preflight,
@@ -3866,6 +3915,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(p.n, 0) AS BIGINT) AS n_prior_dups,
                    COALESCE(p.n, 0) = 0 AS keep
             FROM embeddings e LEFT JOIN prior p USING (vec_id)
+        """,
+        # merge-of-sorted-runs content mirror: the union of the two
+        # materialized runs (sortedness is pytest-pinned; the driver
+        # compare is order-insensitive by design)
+        "cdx_merge": f"""
+            SELECT * FROM read_parquet('{_ORACLE_MAT}/cdx_runs/0/*.parquet')
+            UNION ALL
+            SELECT * FROM read_parquet('{_ORACLE_MAT}/cdx_runs/1/*.parquet')
         """,
         "cdx_sorted": f"""
             SELECT * FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')

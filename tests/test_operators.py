@@ -1949,3 +1949,48 @@ def test_unordered_pair_key_separator_no_collision(ray_session):
     ]
     rec = host_reciprocity(docs=rd.from_items(rows)).to_dict("records")[0]
     assert rec == {"n_edges": 2, "n_reciprocal": 0, "reciprocity_ppm": 0}
+
+
+def test_merge_sorted_runs_crafted(ray_session):
+    """Three pre-sorted runs with interleaved + duplicate keys merge into
+    one globally sorted dataset; ties order by (run index, row position)
+    — the pinned rule; content is exactly the input multiset."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from webarchive_discovery_ray.functions.merging import merge_sorted_runs
+
+    runs_rows = [
+        [("a", "1", 0), ("c", "1", 1), ("c", "2", 2), ("z", "9", 3)],
+        [("b", "5", 10), ("c", "1", 11), ("d", "0", 12)],
+        [("a", "0", 20), ("c", "1", 21)],
+    ]
+    runs = [
+        rd.from_pandas(
+            pd.DataFrame(r, columns=["k1", "k2", "payload"])
+        ).materialize()
+        for r in runs_rows
+    ]
+    out = merge_sorted_runs(runs, ["k1", "k2"], num_output_blocks=2).to_pandas()
+    keys = list(zip(out["k1"], out["k2"]))
+    assert keys == sorted(keys)
+    # tie rule: the three ("c","1") rows appear in run order 0, 1, 2
+    ties = out[(out["k1"] == "c") & (out["k2"] == "1")]["payload"].tolist()
+    assert ties == [1, 11, 21]
+    # multiset equality
+    assert sorted(out["payload"]) == sorted(
+        p for r in runs_rows for (_, _, p) in r
+    )
+
+
+def test_merge_sorted_runs_matches_full_sort(ray_session):
+    """Merging two sorted halves of the captures base equals the full
+    range-partitioned sort, key-sequence-identical."""
+    import ray.data as rd
+
+    import __ray_entry__ as em
+
+    merged = em.queries()["cdx_merge"]("/root/testdata/sf0.001").to_pandas()
+    ck = (merged["surt_key"] + "\x1f" + merged["timestamp14"]).tolist()
+    assert ck == sorted(ck)
