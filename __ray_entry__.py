@@ -2648,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ngram_topk,
         rank_blend,
         token_spectrum,
+        entropy_by_source,
         vocab_coverage,
         winnow_positions,
         winnow_neardup_pairs,
@@ -2732,6 +2733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
         "token_spectrum": token_spectrum,
+        "entropy_by_source": entropy_by_source,
         "rank_blend": rank_blend,
         "vocab_coverage": vocab_coverage,
         "winnow_positions": winnow_positions,
@@ -4507,6 +4509,31 @@ def oracle_sql() -> dict[str, str]:
         # Zipf frequency-of-frequencies census (pipelines/textops.
         # token_spectrum): token -> exact corpus frequency -> per-
         # frequency distinct-token counts
+        # per-source token entropy: per-token micro-nat quantisation
+        # (identical IEEE term both engines) -> exact integer sums ->
+        # one double expression (pipelines/textops.entropy_by_source)
+        "entropy_by_source": f"""
+            WITH toks AS (
+              SELECT source, t.tok
+              FROM documents, unnest({tokens}) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            cnt AS (SELECT source, tok, count(*)::BIGINT AS c
+                    FROM toks GROUP BY 1, 2),
+            terms AS (SELECT source, c,
+                             CAST(floor(c::DOUBLE * ln(c::DOUBLE) * 1000000
+                                        + 0.5) AS BIGINT) AS q
+                      FROM cnt),
+            agg AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+                           count(*)::BIGINT AS n_distinct,
+                           sum(q)::BIGINT AS q
+                    FROM terms GROUP BY 1)
+            SELECT source, n_tokens, n_distinct,
+                   round(ln(n_tokens::DOUBLE)
+                         - (q::DOUBLE / 1000000.0) / n_tokens::DOUBLE, 6)
+                       AS entropy_r
+            FROM agg
+        """,
         "token_spectrum": rf"""
             WITH tk AS (
                 SELECT unnest({tokens}) AS tok

@@ -23,6 +23,7 @@ import pyarrow as pa
 from ..sources.io import read_table
 
 __all__ = [
+    "entropy_by_source",
     "token_stats",
     "quality_score",
     "language_id",
@@ -2010,4 +2011,87 @@ def rank_blend(sf_dir: str):
         [False, False],
         "blend_rank",
         ["doc_id", "r_quality", "r_read"],
+    )
+
+
+def entropy_by_source(sf_dir: str):
+    """Token-distribution Shannon entropy per source — the
+    vocabulary-diversity census (low entropy = templated/boilerplate
+    source, high = diverse prose) a mixture designer reads next to
+    ``mixture_weights``.
+
+    Exactness rule: H = ln(N) − (Σ_t c_t·ln c_t)/N needs a float sum
+    over per-token terms, which is summation-order-dependent — so each
+    term is quantised ONCE to integer micro-nats (``floor(c·ln(c)·10⁶
+    + 0.5)``, identical IEEE ops in both engines) and the sums fold as
+    exact int64; one final double expression per source. Two-level
+    aggregation (the token_spectrum discipline): per-batch (source,
+    token) partials → one bucketed fold keyed by (source, token)
+    resolves exact corpus counts AND collapses to per-bucket per-source
+    partials in the same group fn → bounded driver fold. Columns:
+    source, n_tokens, n_distinct, entropy_r (round 6).
+    SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(tok=df["text"].str.split())[["source", "tok"]].explode(
+            "tok"
+        ).dropna(subset=["tok"])
+        if not len(ex):
+            return typed_empty(source=str, tok=str, n="int64", bucket="int32")
+        g = ex.groupby(["source", "tok"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["source"] + "\x1f" + g["tok"], n_b)
+        return g
+
+    def fold_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                source=str, n_tok="int64", n_dist="int64", q="int64"
+            )
+        g = df.groupby(["source", "tok"], sort=False)["n"].sum().reset_index()
+        c = g["n"].to_numpy(dtype=np.float64)
+        q = np.floor(c * np.log(c) * 1_000_000 + 0.5).astype(np.int64)
+        per = (
+            pd.DataFrame({"source": g["source"], "n": g["n"], "q": q})
+            .groupby("source", sort=False)
+            .agg(n_tok=("n", "sum"), n_dist=("n", "size"), q=("q", "sum"))
+            .reset_index()
+        )
+        for col in ("n_tok", "n_dist", "q"):
+            per[col] = per[col].astype("int64")
+        return per
+
+    parts = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_tokens, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=str),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64"),
+                "entropy_r": pd.Series([], dtype="float64"),
+            }
+        )
+    agg = (
+        parts.groupby("source", sort=False)
+        .agg(n_tokens=("n_tok", "sum"), n_distinct=("n_dist", "sum"), q=("q", "sum"))
+        .reset_index()
+    )
+    n = agg["n_tokens"].to_numpy(dtype=np.float64)
+    h = np.round(np.log(n) - (agg["q"].to_numpy(dtype=np.float64) / 1e6) / n, 6)
+    return pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "n_distinct": agg["n_distinct"].astype("int64"),
+            "entropy_r": h,
+        }
     )
