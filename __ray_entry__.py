@@ -1336,6 +1336,63 @@ def _bpe_encode_oracle_values_sql(sf_dir: str | None = None) -> str:
     )
 
 
+def _tokenizer_efficiency_oracle_values_sql(sf_dir: str | None = None) -> str:
+    """Sequential recompute of tokenizer_efficiency: same sequential
+    merges + word encode as the bpe_encode oracle, aggregated per
+    source, rendered as VALUES(source, n_bytes, n_tokens,
+    bytes_per_token_r)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    merges = [(l, r) for _, l, r, _ in _bpe_merges_sequential(sf_dir)]
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    memo: dict = {}
+
+    def enc_len(word: str) -> int:
+        st = memo.get(word)
+        if st is None:
+            parts = list(word) + ["</w>"]
+            for left, right in merges:
+                res, i = [], 0
+                while i < len(parts):
+                    if (
+                        i + 1 < len(parts)
+                        and parts[i] == left
+                        and parts[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(parts[i])
+                        i += 1
+                parts = res
+            st = len(parts)
+            memo[word] = st
+        return st
+
+    agg: dict[str, list[int]] = {}
+    for src, text in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        a = agg.setdefault(src, [0, 0])
+        a[0] += len(text.encode("utf-8"))
+        a[1] += sum(enc_len(w) for w in text.split())
+    rows = []
+    for src in sorted(agg):
+        nb, nt = agg[src]
+        r = round(float(np.float64(nb) / np.float64(max(nt, 1))), 6) if nt > 0 else 0.0
+        rows.append(
+            "('" + src.replace("'", "''") + f"', {nb}::BIGINT, {nt}::BIGINT, "
+            f"{r!r}::DOUBLE)"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(source, n_bytes, n_tokens, bytes_per_token_r)"
+    )
+
+
 def _pq_cosine_oracle_values_sql(sf_dir: str | None = None) -> str:
     """Sequential recompute of pq_cosine_topk's deterministic output
     (same codebook-training rule on the bounded slice, whole-corpus
@@ -2663,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         unigram_train,
         unigram_encode,
         bpe_encode,
+        tokenizer_efficiency,
         word_embeddings,
     )
     from webarchive_discovery_ray.pipelines.sketches import (
@@ -2769,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_train": unigram_train,
         "unigram_encode": unigram_encode,
         "bpe_encode": bpe_encode,
+        "tokenizer_efficiency": tokenizer_efficiency,
         "word_embeddings": word_embeddings,
         "span_transitions": _span_transitions,
         "span_coalesce": _span_coalesce,
@@ -5977,6 +6036,7 @@ def oracle_sql() -> dict[str, str]:
     # bpe_encode composes the same deterministic merges with in-order
     # word tokenization -> sequential per-doc recompute as VALUES
     out["bpe_encode"] = _bpe_encode_oracle_values_sql()
+    out["tokenizer_efficiency"] = _tokenizer_efficiency_oracle_values_sql()
 
     # pq_cosine_topk: deterministic (fixed codebook init, 6-dp rounding,
     # total-order tie-break) -> sequential ADC recompute as VALUES

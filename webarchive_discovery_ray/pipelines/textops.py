@@ -24,6 +24,7 @@ from ..sources.io import read_table
 
 __all__ = [
     "entropy_by_source",
+    "tokenizer_efficiency",
     "token_stats",
     "quality_score",
     "language_id",
@@ -2093,5 +2094,86 @@ def entropy_by_source(sf_dir: str):
             "n_tokens": agg["n_tokens"].astype("int64"),
             "n_distinct": agg["n_distinct"].astype("int64"),
             "entropy_r": h,
+        }
+    )
+
+
+def tokenizer_efficiency(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Bytes-per-BPE-token by source — the tokenizer-budget census an
+    LLM data team runs per corpus slice (a source whose bytes/token is
+    high is expensive to train on; templated sources compress well):
+    UTF-8 text bytes vs token count under the corpus-trained BPE rules
+    (:func:`bpe_train`), aggregated per source.
+
+    Shape: the merge table broadcasts (driver-held by construction);
+    ONE streaming pass encodes with the same per-worker word memo
+    ``bpe_encode`` uses and collapses to per-source integer partials
+    in-batch; one bounded fold. bytes_per_token_r is one double
+    division of two exact int64 sums. Columns: source, n_bytes,
+    n_tokens, bytes_per_token_r (round 6). Deterministic →
+    sequential-recompute VALUES oracle."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast_derived
+
+    merges_df = bpe_train(sf_dir, n_merges).to_pandas()
+    merges = [
+        (str(l), str(r)) for l, r in zip(merges_df["left"], merges_df["right"])
+    ]
+    ref = ray.put(tuple(merges))
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = get_broadcast_derived(ref, "bpe_memo", lambda _m: {})
+        bmerges = list(get_broadcast_derived(ref, "bpe_merges", list))
+        n_tok = np.zeros(len(df), dtype=np.int64)
+        for ix, toks in enumerate(df["text"].str.split()):
+            nt = 0
+            for w in toks:
+                stats = memo.get(w)
+                if stats is None:
+                    parts = _bpe_encode_word(w, bmerges)
+                    stats = (
+                        len(parts),
+                        sum(1 for p in parts if len(p) > 1 and p != "</w>"),
+                    )
+                    memo[w] = stats
+                nt += stats[0]
+            n_tok[ix] = nt
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "n_bytes": df["text"].str.encode("utf-8").str.len().astype("int64"),
+                    "n_tokens": n_tok,
+                }
+            )
+            .groupby("source", sort=False)
+            .agg(n_bytes=("n_bytes", "sum"), n_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+        for c in ("n_bytes", "n_tokens"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = (
+        parts.groupby("source", sort=False)[["n_bytes", "n_tokens"]]
+        .sum()
+        .reset_index()
+    )
+    nb = agg["n_bytes"].to_numpy(dtype="int64")
+    nt = agg["n_tokens"].to_numpy(dtype="int64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.round(
+            np.where(nt > 0, nb.astype(np.float64) / np.maximum(nt, 1), 0.0), 6
+        )
+    return pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_bytes": nb,
+            "n_tokens": nt,
+            "bytes_per_token_r": ratio,
         }
     )
