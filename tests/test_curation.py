@@ -1019,3 +1019,24 @@ def test_boilerplate_lines_crafted(ray_session, tmp_path):
     assert out.loc[nav, "n_docs"] == 3 and out.loc[nav, "n_occ"] == 3
     # threshold bites: min_docs above the max kills everything
     assert len(boilerplate_lines(str(d), min_docs=7).to_pandas()) == 0
+
+
+def test_new_ops_empty_input(ray_session, tmp_path):
+    """Round-4 continuation ops must survive a schema-correct empty
+    corpus (zero-column empty-block guards): entropy_by_source,
+    containment_pairs, quality_classifier, bigram_logloss."""
+    import pandas as pd
+
+    from webarchive_discovery_ray.pipelines.curation import (
+        bigram_logloss,
+        quality_classifier,
+    )
+    from webarchive_discovery_ray.pipelines.dedup import containment_pairs
+    from webarchive_discovery_ray.pipelines.textops import entropy_by_source
+
+    sf = _empty_sf(tmp_path)
+    for fn in (entropy_by_source, containment_pairs, quality_classifier,
+               bigram_logloss):
+        got = fn(sf)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        assert len(got) == 0, fn.__name__

@@ -648,6 +648,14 @@ def bigram_logloss(
         .map_groups(uni_top, batch_format="pandas")
         .to_pandas()
     )
+    if not len(tops):  # empty corpus
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "logloss_r": pd.Series([], dtype="float64"),
+            }
+        )
     n_total = int(tops.loc[tops["tok"] == "", "n"].sum())
     merged = sorted(
         ((t, int(n)) for t, n in zip(tops["tok"], tops["n"]) if t != ""),
@@ -697,10 +705,14 @@ def bigram_logloss(
         .map_groups(bi_top, batch_format="pandas")
         .to_pandas()
     )
-    bi_merged = sorted(
-        ((a, b, int(n)) for a, b, n in zip(bi["prev"], bi["cur"], bi["n"])),
-        key=lambda t: (-t[2], t[0], t[1]),
-    )[:n_bigrams]
+    bi_merged = (
+        sorted(
+            ((a, b, int(n)) for a, b, n in zip(bi["prev"], bi["cur"], bi["n"])),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[:n_bigrams]
+        if len(bi)
+        else []  # no in-vocab bigrams anywhere (e.g. all-empty texts)
+    )
     c_bi = {(a, b): n for a, b, n in bi_merged}
     lm_ref = ray.put((logp_uni, oov, c_uni, c_bi))
     ln_alpha = float(np.log(_SB_ALPHA))
@@ -1761,6 +1773,15 @@ def quality_classifier(
         )
 
     mom = feats.map_batches(moment_partial, batch_format="pandas").to_pandas()
+    if not len(mom):  # empty corpus: no feature blocks at all
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+                "p": pd.Series([], dtype="float64"),
+                "pred": pd.Series([], dtype="int64"),
+            }
+        )
     mom = mom.sort_values("key")
     n_total = int(mom["n"].sum())
     s = np.zeros(F)
