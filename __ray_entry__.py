@@ -2666,7 +2666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from webarchive_discovery_ray.pipelines.aggregates import (
         anti_join_orders,
+        custdist,
         grouped_quantiles,
+        important_parts,
         winsorize_events,
     )
     from webarchive_discovery_ray.pipelines.similarity import (
@@ -2688,6 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sentiment_score,
     )
     from webarchive_discovery_ray.pipelines.relational import (
+        min_cost_supplier,
         outer_join_customer_orders,
         asof_join_events,
         range_join_events,
@@ -2777,6 +2780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": range_join_events,
         "window_running_sum": window_running_sum,
         "outer_join_customer_orders": outer_join_customer_orders,
+        "min_cost_supplier": min_cost_supplier,
+        "custdist": custdist,
+        "important_parts": important_parts,
         "sliding_window_events": sliding_window_events,
         "regex_scan": regex_scan,
         "sentiment_score": sentiment_score,
@@ -5827,6 +5833,53 @@ def oracle_sql() -> dict[str, str]:
                              // ((n_captures - 1) * 1000)
                         ELSE 2592000 END AS next_fetch_s
             FROM g
+        """,
+        # Q13-shape customer order-count distribution (aggregates.custdist):
+        # outer join resolved in one bucketed co-group, spectrum collapsed
+        # in-group (token_spectrum discipline)
+        "custdist": """
+            WITH co AS (
+                SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS n_orders
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT n_orders, count(*)::BIGINT AS n_customers
+            FROM co GROUP BY n_orders
+        """,
+        # Q11-shape global-threshold filter (aggregates.important_parts):
+        # exact int64-cent per-part revenue vs HUGEINT grand-total // D
+        # (val*D > total ⟺ val > total // D for positive ints)
+        "important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT))::BIGINT AS c,
+                       count(*)::BIGINT AS n
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT sum(c)::HUGEINT AS tot FROM v)
+            SELECT l_partkey AS p_partkey, c / 100.0 AS value, n AS n_items
+            FROM v, t WHERE c::HUGEINT > tot // 2000
+        """,
+        # Q2-shape groupwise argmin + name attach (relational.
+        # min_cost_supplier): min (price_cents, suppkey) lexicographic
+        "min_cost_supplier": """
+            WITH c AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS pc
+                FROM lineitem
+            ),
+            m AS (SELECT l_partkey, min(pc) AS mc FROM c GROUP BY 1),
+            w AS (
+                SELECT c.l_partkey, m.mc, min(c.l_suppkey) AS sk
+                FROM c JOIN m
+                  ON c.l_partkey = m.l_partkey AND c.pc = m.mc
+                GROUP BY 1, 2
+            )
+            SELECT w.l_partkey AS p_partkey, w.sk AS s_suppkey,
+                   s.s_name AS s_name, w.mc / 100.0 AS min_price
+            FROM w JOIN supplier s ON s.s_suppkey = w.sk
         """,
         # anti join: orders with no lineitem above the quantity threshold
         "anti_join_orders": """

@@ -40,6 +40,8 @@ __all__ = [
     "anti_join_orders",
     "grouped_quantiles",
     "winsorize_events",
+    "custdist",
+    "important_parts",
 ]
 
 _Q1_CUTOFF = "1998-09-02"
@@ -732,3 +734,138 @@ def winsorize_events(sf_dir: str, qs: tuple = _WINSOR_QS):
             ),
         }
     )
+
+
+def custdist(sf_dir: str):
+    """Customer order-count distribution (the TPC-H Q13 shape): how many
+    customers placed exactly k orders, zero-order customers included —
+    the classic outer-join + two-level aggregation the reference's
+    frequency counting family (A1, ``FrequencyCountingReducer.java``)
+    lacks only because its inputs are single-table.
+
+    Shape: per-batch partial order counts by custkey + tagged customer
+    keys → ONE bucketed co-group on bucket(custkey) resolves exact
+    per-customer counts (zeros from the customer side) AND collapses to
+    per-bucket (n_orders → n_customers) spectrum partials in the same
+    group fn (the token_spectrum discipline — the exchange after the
+    fold carries ≤ buckets × distinct-count rows, never per-customer
+    rows); bounded driver fold. Columns: n_orders, n_customers.
+    SQL-oracle-checked (LEFT JOIN + GROUP BY mirror)."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def order_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("o_custkey", sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"o_custkey": "key"})
+        )
+        g["n"] = g["n"].astype("int64")
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g[["key", "n", "side", "bucket"]]
+
+    def tag_customers(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "n": np.zeros(len(df), dtype="int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def spectrum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(n_orders="int64", n_customers="int64")
+        cust_keys = df.loc[df["side"] == 1, "key"]
+        agg = df[df["side"] == 0].groupby("key", sort=False)["n"].sum()
+        per_cust = cust_keys.map(agg).fillna(0).astype("int64")
+        spec = per_cust.value_counts().reset_index()
+        spec.columns = ["n_orders", "n_customers"]
+        return spec.astype({"n_orders": "int64", "n_customers": "int64"})
+
+    tagged = orders.map_batches(order_partials, batch_format="pandas").union(
+        cust.map_batches(tag_customers, batch_format="pandas")
+    )
+    parts = tagged.groupby("bucket").map_groups(
+        spectrum_in_bucket, batch_format="pandas"
+    ).to_pandas()
+    if not len(parts):
+        return typed_empty(n_orders="int64", n_customers="int64")
+    out = (
+        parts.groupby("n_orders", sort=False)["n_customers"]
+        .sum()
+        .reset_index()
+        .astype({"n_orders": "int64", "n_customers": "int64"})
+    )
+    return out
+
+
+def important_parts(sf_dir: str, frac_denom: int = 2000):
+    """Important-part identification (the TPC-H Q11 shape): parts whose
+    lineitem revenue exceeds ``1/frac_denom`` of the corpus-wide total —
+    a per-group aggregate gated by a GLOBAL scalar, the pattern where a
+    naive engine re-scans the corpus for the total.
+
+    Shape: ONE exchange builds exact per-part int64-cent revenue
+    (per-batch combiner partials → bucketed fold), materialized once
+    (≤ |part| rows, corpus-text-size independent); the grand total is a
+    Sum aggregate over THAT table (never a second corpus scan) and the
+    threshold comparison is exact integer arithmetic
+    (``val*D > total ⟺ val > total // D`` for positive ints — no float
+    threshold, no overflow). Columns: p_partkey, value, n_items.
+    SQL-oracle-checked (HAVING vs HUGEINT-total mirror)."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.assign(c=cents(df["l_extendedprice"].to_numpy()))
+            .groupby("l_partkey", sort=False)
+            .agg(c=("c", "sum"), n=("c", "size"))
+            .reset_index()
+        )
+        g["c"] = g["c"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["l_partkey"], n_b)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(l_partkey="int64", c="int64", n="int64")
+        out = (
+            df.groupby("l_partkey", sort=False)[["c", "n"]].sum().reset_index()
+        )
+        return out.astype({"l_partkey": "int64", "c": "int64", "n": "int64"})
+
+    per_part = (
+        li.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+    total = per_part.sum("c", ignore_nulls=True) or 0
+    thr = int(total) // int(frac_denom)  # val*D > total ⟺ val > total//D
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch["c"], pa.scalar(thr, pa.int64()))
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "p_partkey": kept["l_partkey"],
+                "value": pc.divide(
+                    pc.cast(kept["c"], pa.float64()), pa.scalar(100.0)
+                ),
+                "n_items": kept["n"],
+            }
+        )
+
+    return per_part.map_batches(keep, batch_format="pyarrow")

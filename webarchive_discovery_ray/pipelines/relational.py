@@ -35,6 +35,7 @@ __all__ = [
     "window_running_sum",
     "sliding_window_events",
     "outer_join_customer_orders",
+    "min_cost_supplier",
 ]
 
 
@@ -352,3 +353,118 @@ def outer_join_customer_orders(sf_dir: str):
     return tagged.groupby("bucket").map_groups(
         join_in_bucket, batch_format="pandas"
     )
+
+
+def min_cost_supplier(sf_dir: str):
+    """Cheapest supplier per part (the TPC-H Q2 correlated-subquery
+    shape): for every part appearing in lineitem, the supplier offering
+    the minimum extended price, ties broken to the smallest suppkey —
+    the distributed groupwise-argmin + enrichment-join pattern.
+
+    Shape: per-batch partial argmin per partkey (lexicographic
+    (price_cents, suppkey) — a sort + drop_duplicates, no Python loop)
+    → bucketed fold on bucket(partkey) resolves the exact global winner
+    per part; a SECOND tagged co-group on bucket(suppkey) attaches the
+    supplier name without broadcasting the supplier table (supplier
+    count scales with the corpus, so a ray.put lookup would not hold at
+    10^10-URL scale — the winners ship their suppkey instead). Columns:
+    p_partkey, s_suppkey, s_name, min_price. Inner-join semantics on
+    the name attach (mirrored by the SQL oracle's JOIN).
+    SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def argmin_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "c": cents(df["l_extendedprice"].to_numpy()),
+                "sk": df["l_suppkey"].astype("int64"),
+            }
+        )
+        w = d.sort_values(["l_partkey", "c", "sk"], kind="mergesort").drop_duplicates(
+            "l_partkey"
+        )
+        w["bucket"] = bucket_of(w["l_partkey"], n_b)
+        return w
+
+    def fold_winner(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(l_partkey="int64", c="int64", sk="int64")
+        w = df.sort_values(
+            ["l_partkey", "c", "sk"], kind="mergesort"
+        ).drop_duplicates("l_partkey")
+        return w[["l_partkey", "c", "sk"]].reset_index(drop=True)
+
+    winners = (
+        li.map_batches(argmin_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_winner, batch_format="pandas")
+    )
+
+    def tag_winners(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                key="int64", l_partkey="int64", c="int64",
+                s_name=str, side="int64", bucket="int32",
+            )
+        out = pd.DataFrame(
+            {
+                "key": df["sk"].astype("int64"),
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "c": df["c"].astype("int64"),
+                "s_name": np.full(len(df), "", dtype=object),
+                "side": np.zeros(len(df), dtype="int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out
+
+    def tag_suppliers(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["s_suppkey"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "key": key,
+                "l_partkey": np.zeros(len(df), dtype="int64"),
+                "c": np.zeros(len(df), dtype="int64"),
+                "s_name": df["s_name"].astype(object),
+                "side": np.ones(len(df), dtype="int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out
+
+    def attach_name(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                p_partkey="int64", s_suppkey="int64",
+                s_name=str, min_price="float64",
+            )
+        names = (
+            df[df["side"] == 1]
+            .drop_duplicates("key")
+            .set_index("key")["s_name"]
+        )
+        w = df[df["side"] == 0]
+        nm = w["key"].map(names)
+        ok = nm.notna()
+        return pd.DataFrame(
+            {
+                "p_partkey": w.loc[ok, "l_partkey"].to_numpy(),
+                "s_suppkey": w.loc[ok, "key"].to_numpy(),
+                "s_name": nm[ok].to_numpy(),
+                "min_price": w.loc[ok, "c"].to_numpy() / 100.0,
+            }
+        )
+
+    tagged = winners.map_batches(tag_winners, batch_format="pandas").union(
+        sup.map_batches(tag_suppliers, batch_format="pandas")
+    )
+    return tagged.groupby("bucket").map_groups(attach_name, batch_format="pandas")
