@@ -236,6 +236,20 @@ def _media_captions(sf_dir: str):
     return media_captions(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _media_position_profile(sf_dir: str):
+    """Media-placement decile census over the SAME materialized
+    interleaved spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import media_position_profile
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return media_position_profile(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _interleaved_pack(sf_dir: str):
     """Token-budget packing over the SAME materialized interleaved spans
     base (text tokens + fixed vision-token cost per media span)."""
@@ -2706,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         inverted_index,
         language_id,
         ngram_topk,
+        pmi_collocations,
         rank_blend,
         token_spectrum,
         entropy_by_source,
@@ -2796,6 +2811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_scrub,
         "global_quantiles": global_quantiles,
         "ngram_topk": ngram_topk,
+        "pmi_collocations": pmi_collocations,
         "token_spectrum": token_spectrum,
         "entropy_by_source": entropy_by_source,
         "rank_blend": rank_blend,
@@ -2839,6 +2855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_coalesce": _span_coalesce,
         "media_burst_lengths": _media_burst_lengths,
         "media_captions": _media_captions,
+        "media_position_profile": _media_position_profile,
         "pq_cosine_topk": pq_cosine_topk,
         "mmr_select": mmr_select,
         "contrastive_triplets": contrastive_triplets,
@@ -4623,6 +4640,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*) AS n FROM g
             GROUP BY gram ORDER BY n DESC, gram LIMIT 50
         """,
+        # top-k PMI collocations (textops.pmi_collocations): exact int64
+        # counts everywhere, ONE order-pinned double expression per bigram
+        # (ln c12 + 2 ln N - ln B - ln c1 - ln c2, left-associative in
+        # both engines), support filter c12 >= 5 AFTER B is summed
+        "pmi_collocations": rf"""
+            WITH tk AS (
+                SELECT {tokens} AS w FROM documents WHERE trim(text) <> ''
+            ),
+            uni AS (
+                SELECT u.tok, count(*)::BIGINT AS c
+                FROM (SELECT unnest({tokens}) AS tok
+                      FROM documents WHERE trim(text) <> '') u
+                GROUP BY 1
+            ),
+            tot AS (SELECT sum(c)::BIGINT AS n FROM uni),
+            big AS (
+                SELECT w[CAST(i AS BIGINT)] AS w1,
+                       w[CAST(i + 1 AS BIGINT)] AS w2,
+                       count(*)::BIGINT AS c12
+                FROM tk, unnest(range(1, len(w))) AS t(i)
+                WHERE len(w) >= 2
+                GROUP BY 1, 2
+            ),
+            btot AS (SELECT sum(c12)::BIGINT AS b FROM big),
+            f AS (SELECT * FROM big WHERE c12 >= 5),
+            j AS (
+                SELECT f.w1, f.w2, f.c12, u1.c AS c1, u2.c AS c2
+                FROM f JOIN uni u1 ON u1.tok = f.w1
+                       JOIN uni u2 ON u2.tok = f.w2
+            )
+            SELECT w1 || ' ' || w2 AS gram, c12, c1, c2,
+                   round(ln(c12::DOUBLE) + 2 * ln(n::DOUBLE) - ln(b::DOUBLE)
+                         - ln(c1::DOUBLE) - ln(c2::DOUBLE), 6) AS pmi_r
+            FROM j, tot, btot
+            ORDER BY pmi_r DESC, gram LIMIT 50
+        """,
         # inverted index: token -> (df, total_tf, first-8 posting doc_ids)
         "inverted_index": rf"""
             WITH toks AS (
@@ -5147,6 +5200,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, media_idx, media_ref, caption, caption_src,
                    len(caption)::BIGINT AS caption_chars
             FROM sel
+        """,
+        # media-placement decile census (stats.media_position_profile):
+        # exact integer decile (10*idx0) // n_spans, media kinds only
+        "media_position_profile": f"""
+            WITH b AS (
+                SELECT spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet')
+            ),
+            s AS (
+                SELECT spans[i].kind AS kind, i, len(spans) AS n
+                FROM b, unnest(generate_series(1, len(spans))) AS u(i)
+            )
+            SELECT kind, ((10 * (i - 1)) // n)::BIGINT AS decile,
+                   count(*)::BIGINT AS n_spans
+            FROM s WHERE kind IN ('media', 'image')
+            GROUP BY 1, 2
         """,
         "media_burst_lengths": f"""
             WITH b AS (

@@ -2894,3 +2894,69 @@ def host_assortativity(
             "assortativity_r": pd.Series([r], dtype="float64"),
         }
     )
+
+
+def media_position_profile(docs):
+    """Media-placement profile over the interleaved spans base — where
+    in a document the media lands (lead image vs inline figure vs
+    trailing gallery): for every media span, its position DECILE within
+    the doc's span sequence (``(10·idx0) // n_spans``, exact integers),
+    counted per (kind, decile). The layout census a multimodal-mix
+    designer reads next to ``span_stats`` / ``media_burst_lengths``.
+
+    Fully batch-local (zero shuffle): one vectorized pyarrow pass
+    (list offsets → per-span parent + within-doc position, integer
+    decile, in-batch combiner); the driver folds ≤ kinds × 10 rows per
+    block. Media kinds are ``media`` and ``image`` (the media_captions
+    gate). Columns: kind, decile, n_spans. SQL-oracle-checked over the
+    materialized spans base."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "decile": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                }
+            )
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lengths = np.asarray(lengths, dtype="int64")
+        starts = np.zeros(len(lengths) + 1, dtype="int64")
+        np.cumsum(lengths, out=starts[1:])
+        pos = np.arange(len(parents), dtype="int64") - starts[parents]
+        n = lengths[parents]
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        is_media = (kinds == "media") | (kinds == "image")
+        dec = (10 * pos[is_media]) // n[is_media]
+        km = kinds[is_media]
+        g = (
+            pd.DataFrame({"kind": km, "decile": dec})
+            .groupby(["kind", "decile"], sort=False)
+            .size()
+            .reset_index(name="n_spans")
+        )
+        return pa.Table.from_pandas(
+            g.astype({"decile": "int64", "n_spans": "int64"}),
+            preserve_index=False,
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype=str),
+                "decile": pd.Series([], dtype="int64"),
+                "n_spans": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        parts.groupby(["kind", "decile"], sort=False)["n_spans"]
+        .sum()
+        .reset_index()
+        .astype({"decile": "int64", "n_spans": "int64"})
+    )

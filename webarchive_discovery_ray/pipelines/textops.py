@@ -2177,3 +2177,193 @@ def tokenizer_efficiency(sf_dir: str, n_merges: int = BPE_N_MERGES):
             "bytes_per_token_r": ratio,
         }
     )
+
+
+def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50):
+    """Top-k PMI collocations — pointwise mutual information over
+    adjacent whitespace-token bigrams (``ln p(w1,w2) − ln p(w1) − ln
+    p(w2)``), the classic collocation / multi-word-expression detector
+    (Church & Hanks 1990) a tokenizer or phrase-mining pass runs over a
+    corpus slice.
+
+    Exactness rule: every count is an exact int64 (unigram counts c1/c2,
+    bigram counts c12, total tokens N, total bigrams B — all resolved by
+    bucketed folds); PMI is ONE order-pinned double expression per
+    surviving bigram, ``round(ln c12 + 2·ln N − ln B − ln c1 − ln c2,
+    6)`` evaluated left-associative in both engines — no float ever
+    folds across partials.
+
+    Shape: unigram exchange → materialized per-token table U (N = one
+    Sum over U, never a second text scan); bigram exchange → per-bigram
+    table (B = one Sum, THEN the ``c12 ≥ min_count`` support filter —
+    B counts all bigrams); c1/c2 attach via TWO tagged bucketed
+    co-groups against U (the label_propagation attach — U is
+    vocabulary-sized, so no broadcast); final per-batch top-k partials →
+    bounded global sort+limit (the ngram_topk tail, ties → gram asc).
+    Columns: gram, c12, c1, c2, pmi_r. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def uni_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split().explode().dropna()
+        if ex.empty:
+            return typed_empty(tok=str, c="int64", bucket="int32")
+        vc = ex.value_counts()
+        out = pd.DataFrame({"tok": vc.index, "c": vc.to_numpy().astype("int64")})
+        out["bucket"] = bucket_of(out["tok"], n_b)
+        return out
+
+    def uni_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(tok=str, c="int64")
+        g = df.groupby("tok", sort=False)["c"].sum().reset_index()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    uni = (
+        ds.map_batches(uni_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(uni_fold, batch_format="pandas")
+        .materialize()
+    )
+    n_total = int(uni.sum("c", ignore_nulls=True) or 0)
+
+    def big_partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        grams = toks.map(
+            lambda t: [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        )
+        ex = grams.explode().dropna()
+        if ex.empty:
+            return typed_empty(w1=str, w2=str, c12="int64", bucket="int32")
+        vc = ex.value_counts()
+        idx = vc.index.to_list()
+        out = pd.DataFrame(
+            {
+                "w1": [p[0] for p in idx],
+                "w2": [p[1] for p in idx],
+                "c12": vc.to_numpy().astype("int64"),
+            }
+        )
+        out["bucket"] = bucket_of(out["w1"] + "\x1f" + out["w2"], n_b)
+        return out
+
+    def big_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(w1=str, w2=str, c12="int64")
+        g = df.groupby(["w1", "w2"], sort=False)["c12"].sum().reset_index()
+        g["c12"] = g["c12"].astype("int64")
+        return g
+
+    big = (
+        ds.map_batches(big_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(big_fold, batch_format="pandas")
+        .materialize()
+    )
+    b_total = int(big.sum("c12", ignore_nulls=True) or 0)
+    if not n_total or not b_total:
+        return pd.DataFrame(
+            {
+                "gram": pd.Series([], dtype=str),
+                "c12": pd.Series([], dtype="int64"),
+                "c1": pd.Series([], dtype="int64"),
+                "c2": pd.Series([], dtype="int64"),
+                "pmi_r": pd.Series([], dtype="float64"),
+            }
+        )
+    survivors = big.filter(expr=f"c12 >= {int(min_count)}")
+
+    def _attach(pairs_ds, key_col: str, out_col: str):
+        def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return typed_empty(
+                    key=str, w1=str, w2=str, c12="int64",
+                    c1="int64", c2="int64", c="int64",
+                    side="int64", bucket="int32",
+                )
+            out = df.copy()
+            for col in ("c1", "c2"):
+                if col not in out.columns:
+                    out[col] = np.zeros(len(out), dtype="int64")
+            out["key"] = out[key_col].astype(object)
+            out["c"] = np.zeros(len(out), dtype="int64")
+            out["side"] = np.zeros(len(out), dtype="int64")
+            out["bucket"] = bucket_of(out["key"], n_b)
+            return out[
+                ["key", "w1", "w2", "c12", "c1", "c2", "c", "side", "bucket"]
+            ]
+
+        def tag_uni(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            out = pd.DataFrame(
+                {
+                    "key": df["tok"].astype(object),
+                    "w1": np.full(n, "", dtype=object),
+                    "w2": np.full(n, "", dtype=object),
+                    "c12": np.zeros(n, dtype="int64"),
+                    "c1": np.zeros(n, dtype="int64"),
+                    "c2": np.zeros(n, dtype="int64"),
+                    "c": df["c"].astype("int64"),
+                    "side": np.ones(n, dtype="int64"),
+                }
+            )
+            out["bucket"] = bucket_of(out["key"], n_b)
+            return out
+
+        def join_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return typed_empty(
+                    w1=str, w2=str, c12="int64", c1="int64", c2="int64"
+                )
+            counts = (
+                df[df["side"] == 1].drop_duplicates("key").set_index("key")["c"]
+            )
+            w = df[df["side"] == 0].copy()
+            w[out_col] = w["key"].map(counts).fillna(0).astype("int64")
+            return w[["w1", "w2", "c12", "c1", "c2"]].reset_index(drop=True)
+
+        tagged = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
+            uni.map_batches(tag_uni, batch_format="pandas")
+        )
+        return tagged.groupby("bucket").map_groups(
+            join_in_bucket, batch_format="pandas"
+        )
+
+    attached = _attach(_attach(survivors, "w1", "c1"), "w2", "c2")
+    k1 = 2.0 * np.log(np.float64(n_total))
+    k2 = np.log(np.float64(b_total))
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                gram=str, c12="int64", c1="int64", c2="int64", pmi_r="float64"
+            )
+        c12 = df["c12"].to_numpy(dtype=np.float64)
+        c1 = df["c1"].to_numpy(dtype=np.float64)
+        c2 = df["c2"].to_numpy(dtype=np.float64)
+        # order-pinned left-associative expression — mirrors the SQL
+        pmi = np.round(
+            np.log(c12) + k1 - k2 - np.log(c1) - np.log(c2), 6
+        )
+        out = pd.DataFrame(
+            {
+                "gram": df["w1"].astype(str) + " " + df["w2"].astype(str),
+                "c12": df["c12"].astype("int64"),
+                "c1": df["c1"].astype("int64"),
+                "c2": df["c2"].astype("int64"),
+                "pmi_r": pmi,
+            }
+        )
+        out = out.sort_values(
+            ["pmi_r", "gram"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return out.reset_index(drop=True)
+
+    return (
+        attached.map_batches(score_topk, batch_format="pandas")
+        .sort(["pmi_r", "gram"], descending=[True, False])
+        .limit(k)
+    )
