@@ -2659,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         semdedup_keep,
         exact_dedup,
         cross_minhash_dedup,
+        edit_distance_pairs,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_neardup_pairs,
@@ -2745,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bloom_semi_join,
         heavy_hitters,
         countmin_event_counts,
+        kmv_source_similarity,
         hll_distinct_tokens,
         hll_users_per_event_type,
         kll_quantiles,
@@ -2900,10 +2902,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": bloom_semi_join,
         "heavy_hitters": heavy_hitters,
         "countmin_event_counts": countmin_event_counts,
+        "kmv_source_similarity": kmv_source_similarity,
         "cdc_chunks": cdc_chunks,
         "bm25_topk": bm25_topk,
         "doc_length_histogram": doc_length_histogram,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "edit_distance_pairs": edit_distance_pairs,
         "cross_minhash_dedup": cross_minhash_dedup,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "containment_pairs": containment_pairs,
@@ -3045,6 +3049,45 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(_perm_seeds())
     )
     u64_mod = "18446744073709551616::UHUGEINT"
+
+    # shared MinHash+LSH candidate-chain mirror (md5 3-gram shingles ->
+    # splitmix64(x ^ seed) minhash -> per-band decimal-join md5 bucket
+    # keys -> distinct within-bucket pairs); consumed by
+    # edit_distance_pairs (minhash_lsh_pairs / cross_minhash_dedup
+    # predate it and inline the same chain)
+    lsh_cand = f"""
+            WITH seeds(perm, seed) AS (VALUES {{mh_seeds}}),
+            tk AS (
+              SELECT doc_id, text, {{tokens}} AS t FROM documents
+            ),
+            gr AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [text] END AS gs
+              FROM tk
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS x
+              FROM gr, unnest(gs) AS u(g)
+            ),
+            z0 AS (SELECT doc_id, perm, xor(x, seed) AS z FROM sh CROSS JOIN seeds),
+            z1 AS (SELECT doc_id, perm,
+              ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+               % {{u64_mod}})::UBIGINT AS z FROM z0),
+            z2 AS (SELECT doc_id, perm,
+              ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+               % {{u64_mod}})::UBIGINT AS z FROM z1),
+            mh AS (SELECT doc_id, perm, min(xor(z, z >> 31)) AS v
+                   FROM z2 GROUP BY 1, 2),
+            bk AS (SELECT doc_id, perm // 4 AS band,
+                     substr(md5(string_agg(v::VARCHAR, '-' ORDER BY perm)), 1, 16) AS bh
+                   FROM mh GROUP BY doc_id, perm // 4),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bk a JOIN bk b
+                       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    """.format(mh_seeds=mh_seeds, tokens=tokens, u64_mod=u64_mod)
 
     from webarchive_discovery_ray.pipelines.curation import (
         BLOCKLIST_HARD as _BL_HARD,
@@ -3560,6 +3603,58 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE o_totalprice > {_BLOOM_THR!r})
             GROUP BY 1
         """,
+        # KMV k-minimum-values source-pair Jaccard sketch
+        # (pipelines/sketches.kmv_source_similarity): k=64 smallest
+        # distinct md5[:8] token hashes per source, U = k smallest of the
+        # pair union, estimate = |U ∩ A ∩ B| / |U| as exact integer ppm
+        "kmv_source_similarity": f"""
+            WITH tok AS (
+                SELECT source, unnest({tokens}) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ),
+            h AS (
+                SELECT DISTINCT source,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS x
+                FROM tok
+            ),
+            sk AS (
+                SELECT source, x FROM (
+                    SELECT source, x,
+                           row_number() OVER (PARTITION BY source ORDER BY x) AS r
+                    FROM h
+                ) WHERE r <= 64
+            ),
+            srcs AS (SELECT DISTINCT source FROM sk),
+            prs AS (
+                SELECT a.source AS sa, b.source AS sb
+                FROM srcs a JOIN srcs b ON a.source < b.source
+            ),
+            uni AS (
+                SELECT DISTINCT p.sa, p.sb, s.x
+                FROM prs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+            ),
+            topu AS (
+                SELECT sa, sb, x FROM (
+                    SELECT sa, sb, x,
+                           row_number() OVER (PARTITION BY sa, sb ORDER BY x) AS r
+                    FROM uni
+                ) WHERE r <= 64
+            ),
+            nu AS (SELECT sa, sb, count(*)::BIGINT AS n_union
+                   FROM topu GROUP BY 1, 2),
+            nc AS (
+                SELECT t.sa, t.sb, count(*)::BIGINT AS n_common
+                FROM topu t
+                JOIN sk s1 ON s1.source = t.sa AND s1.x = t.x
+                JOIN sk s2 ON s2.source = t.sb AND s2.x = t.x
+                GROUP BY 1, 2
+            )
+            SELECT nu.sa AS source_a, nu.sb AS source_b, nu.n_union,
+                   coalesce(nc.n_common, 0)::BIGINT AS n_common,
+                   (coalesce(nc.n_common, 0) * 1000000) // nu.n_union
+                       AS kmv_jaccard_ppm
+            FROM nu LEFT JOIN nc ON nc.sa = nu.sa AND nc.sb = nu.sb
+        """,
         # two-pass Misra-Gries heavy hitters are EXACT, so the oracle is
         # the plain top-k count (pipelines/sketches.heavy_hitters)
         "heavy_hitters": f"""
@@ -3697,6 +3792,23 @@ def oracle_sql() -> dict[str, str]:
                     JOIN cnt na ON na.doc_id = i.doc_a
                     JOIN cnt nb ON nb.doc_id = i.doc_b)
             SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
+        """,
+        # Levenshtein verify over the SAME LSH candidate chain
+        # (pipelines/dedup.edit_distance_pairs): byte-based levenshtein
+        # (DuckDB native), exact integer ppm similarity — no float rounds
+        "edit_distance_pairs": lsh_cand
+        + """
+            SELECT c.doc_a, c.doc_b,
+                   levenshtein(ta.text, tb.text)::BIGINT AS dist,
+                   CASE WHEN greatest(strlen(ta.text), strlen(tb.text)) = 0
+                        THEN 1000000::BIGINT
+                        ELSE ((greatest(strlen(ta.text), strlen(tb.text))
+                               - levenshtein(ta.text, tb.text)) * 1000000)
+                             // greatest(strlen(ta.text), strlen(tb.text))
+                   END AS sim_ppm
+            FROM cand c
+            JOIN documents ta ON ta.doc_id = c.doc_a
+            JOIN documents tb ON tb.doc_id = c.doc_b
         """,
         # cross-corpus fuzzy dedup (pipelines/dedup.cross_minhash_dedup):
         # the SAME minhash chain, candidate join restricted to

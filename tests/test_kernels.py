@@ -474,3 +474,41 @@ def test_anchor_pairs_consistent_with_extraction_links(ray_session):
     hits = got["target"].isin(all_links)
     # every anchor target the link rule also keeps is in some page's links
     assert hits.mean() > 0.9, f"only {hits.mean():.0%} targets in links"
+
+
+def test_levenshtein_bytes_exact():
+    """Byte-level Levenshtein kernel vs a brute-force DP reference and
+    DuckDB's native (byte-based) levenshtein, including the multi-byte
+    UTF-8 case and the power-of-two-denominator ppm tie class that
+    motivated integer sim_ppm over a rounded float."""
+    import random
+
+    import duckdb
+
+    from webarchive_discovery_ray.functions.fuzzy import levenshtein_bytes
+
+    def ref(a: bytes, b: bytes) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            ndp = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                ndp[j] = min(dp[j] + 1, ndp[j - 1] + 1, dp[j - 1] + (ca != cb))
+            dp = ndp
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = bytes(rng.choices(b"abcde\xc3\xa9 ", k=rng.randrange(0, 24)))
+        b = bytes(rng.choices(b"abcde\xc3\xa9 ", k=rng.randrange(0, 24)))
+        assert levenshtein_bytes(a, b) == ref(a, b), (a, b)
+    assert levenshtein_bytes(b"", b"") == 0
+    assert levenshtein_bytes(b"", b"abc") == 3
+    # DuckDB parity: byte (not codepoint) edits — 2-byte é counts twice
+    con = duckdb.connect()
+    assert con.sql("select levenshtein('héllo','hallo')").fetchone()[0] == 2
+    assert levenshtein_bytes("héllo".encode(), b"hallo") == 2
+    # ppm tie class: denom=128, dist=1 -> 1 - 1/128 = 0.9921875 (exact
+    # ...5 at 7 dp; numpy banker's and DuckDB half-away would disagree)
+    denom, dist = 128, 1
+    ppm = ((denom - dist) * 1_000_000) // denom
+    assert ppm == 992187  # floor, engine-exact in both

@@ -680,3 +680,38 @@ def test_countmin_guarantees_and_merge(ray_session):
     # exact_n really is exact
     exact = (ids[None, :] == got["user_id"].to_numpy()[:, None]).sum(axis=1)
     assert (got["exact_n"].to_numpy() == exact).all()
+
+
+def test_kmv_source_similarity_exact_when_k_covers_union(ray_session, tmp_path):
+    """With k >= |union| the KMV estimate IS the exact Jaccard: identical
+    sources -> 1_000_000 ppm, disjoint -> 0, half-overlap -> exact ratio."""
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.pipelines.sketches import kmv_source_similarity
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d",      # s0
+                    "a b c d",      # s1 identical to s0
+                    "x y z w",      # s2 disjoint from s0/s1
+                    "a b x y",      # s3: J(s3,s0)=2/6, J(s3,s2)=2/6
+                ]
+            ),
+            "source": pa.array(["s0", "s1", "s2", "s3"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = kmv_source_similarity(str(tmp_path), k=64)
+    got = got.set_index(["source_a", "source_b"])
+    assert got.loc[("s0", "s1"), "kmv_jaccard_ppm"] == 1_000_000
+    assert got.loc[("s0", "s2"), "kmv_jaccard_ppm"] == 0
+    assert got.loc[("s0", "s3"), "kmv_jaccard_ppm"] == (2 * 1_000_000) // 6
+    assert got.loc[("s2", "s3"), "kmv_jaccard_ppm"] == (2 * 1_000_000) // 6
+    assert (got["n_union"] > 0).all()
+    # sketch bound respected even at tiny k: n_common <= n_union <= k
+    small = kmv_source_similarity(str(tmp_path), k=3)
+    assert (small["n_union"] <= 3).all()
+    assert (small["n_common"] <= small["n_union"]).all()

@@ -12,7 +12,7 @@ dedup-join keys.
 
 from __future__ import annotations
 
-__all__ = ["canonical_text", "spamsum", "fuzzy_fields"]
+__all__ = ["canonical_text", "spamsum", "fuzzy_fields", "levenshtein_bytes"]
 
 _B64 = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
 _SPAMSUM_LENGTH = 64
@@ -95,3 +95,41 @@ def fuzzy_fields(text: str) -> dict[str, str]:
     """The reference's dynamic-field form: ssdeep_hash_bs_<bs> keys."""
     bs, s1, s2 = spamsum(text)
     return {f"ssdeep_hash_bs_{bs}": s1, f"ssdeep_hash_bs_{bs * 2}": s2}
+
+
+def levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Exact Levenshtein distance over raw BYTES (unit insert / delete /
+    substitute), matching DuckDB's byte-based ``levenshtein`` (probe:
+    ``levenshtein('héllo','hallo') = 2`` — the 2-byte UTF-8 ``é`` counts
+    as two edits).
+
+    One DP row at a time, vectorized with numpy: the deletion and
+    substitution candidates are elementwise, and the sequential
+    insertion recurrence ``cur[j] = min(m[j], cur[j-1] + 1)`` collapses
+    to a prefix scan via ``cur[j] = j + min(i, min_{k<=j}(m[k] - k))``
+    (``np.minimum.accumulate``). O(len(a)·len(b)/word) vector work,
+    O(min_len) memory."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    import numpy as np
+
+    A = np.frombuffer(a, dtype=np.uint8)
+    B = np.frombuffer(b, dtype=np.uint8)
+    if len(B) > len(A):  # iterate the longer string, keep rows short
+        A, B = B, A
+    n = len(B)
+    js = np.arange(1, n + 1, dtype=np.int64)
+    prev = np.arange(n + 1, dtype=np.int64)
+    cur = np.empty(n + 1, dtype=np.int64)
+    for i in range(1, len(A) + 1):
+        # candidates without the insertion term
+        m = np.minimum(prev[1:] + 1, prev[:-1] + (B != A[i - 1]))
+        # fold in cur[0] = i and the left-to-right insertion chain
+        cur[0] = i
+        cur[1:] = js + np.minimum(np.minimum.accumulate(m - js), i)
+        prev, cur = cur, prev
+    return int(prev[n])

@@ -841,23 +841,23 @@ def cross_minhash_dedup(sf_dir: str, threshold: float = 0.3):
     )
 
 
-def _attach_verify_jaccard(ds, distinct_pairs, threshold: float, n_b: int):
-    """Tag-join exact-Jaccard verify (no driver/corpus materialization)
-    — consumed by ``minhash_lsh_pairs``; ``ngram_jaccard_pairs`` uses the
-    same two-pass tag-join SHAPE but attaches precomputed gram-hash
-    signatures instead of text (its candidate count makes per-pair
-    re-shingling the hot loop).
+def _attach_pair_texts(ds, distinct_pairs, n_b: int):
+    """Shared tag-join text-attach stage (no driver/corpus
+    materialization) — the first half of every candidate-pair verify
+    (:func:`_attach_verify_jaccard`'s Jaccard,
+    :func:`edit_distance_pairs`' Levenshtein).
 
     Two bucketed co-group passes replace three hash joins with the SAME
     shuffle discipline: pass A keys corpus texts by bucket(doc_id) and
     each pair SIDE by bucket(its doc) -- the in-bucket merge attaches
     the text to every side referencing a co-located doc (texts of
-    unreferenced docs drop there, the semi-join's effect); pass B keys
-    both halves by bucket(pair) and computes the exact 3-gram Jaccard.
-    The corpus text streams through pass A once; pass B ships only
-    candidate-bounded data. Exact (pair, side) dedup happens inside the
-    attach bucket — all copies of a rediscovered pair land there, so
-    ``distinct_pairs`` may carry duplicates.
+    unreferenced docs drop there, the semi-join's effect); the returned
+    dataset is keyed by bucket(pair) so one more ``groupby("bucket")``
+    co-locates a pair's two sides (side==1 carries doc_a's text, side==2
+    doc_b's). The corpus text streams through pass A once; the output
+    ships only candidate-bounded data. Exact (pair, side) dedup happens
+    inside the attach bucket — all copies of a rediscovered pair land
+    there, so ``distinct_pairs`` may carry duplicates.
     """
     from ..functions.bucketing import bucket_of, coalesce_blocks
 
@@ -902,6 +902,23 @@ def _attach_verify_jaccard(ds, distinct_pairs, threshold: float, n_b: int):
         out["bucket"] = bucket_of(out["doc_a"] * 1_000_003 + out["doc_b"], n_b)
         return out
 
+    tagged = (
+        coalesce_blocks(ds.map_batches(tag_texts, batch_format="pandas"))
+        .union(distinct_pairs.map_batches(tag_side("doc_a", 1), batch_format="pandas"))
+        .union(distinct_pairs.map_batches(tag_side("doc_b", 2), batch_format="pandas"))
+    )
+    return coalesce_blocks(
+        tagged.groupby("bucket").map_groups(attach_in_bucket, batch_format="pandas")
+    )
+
+
+def _attach_verify_jaccard(ds, distinct_pairs, threshold: float, n_b: int):
+    """Tag-join exact-Jaccard verify over :func:`_attach_pair_texts` —
+    consumed by ``minhash_lsh_pairs``; ``ngram_jaccard_pairs`` uses the
+    same two-pass tag-join SHAPE but attaches precomputed gram-hash
+    signatures instead of text (its candidate count makes per-pair
+    re-shingling the hot loop)."""
+
     def verify_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         a = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(
             columns={"text": "text_a"}
@@ -919,15 +936,74 @@ def _attach_verify_jaccard(ds, distinct_pairs, threshold: float, n_b: int):
                 out.append({"doc_a": int(da), "doc_b": int(db), "jaccard": round(j, 6)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
-    tagged = (
-        coalesce_blocks(ds.map_batches(tag_texts, batch_format="pandas"))
-        .union(distinct_pairs.map_batches(tag_side("doc_a", 1), batch_format="pandas"))
-        .union(distinct_pairs.map_batches(tag_side("doc_b", 2), batch_format="pandas"))
+    return _attach_pair_texts(ds, distinct_pairs, n_b).groupby("bucket").map_groups(
+        verify_in_bucket, batch_format="pandas"
     )
-    attached = coalesce_blocks(
-        tagged.groupby("bucket").map_groups(attach_in_bucket, batch_format="pandas")
-    )
-    return attached.groupby("bucket").map_groups(
+
+
+def edit_distance_pairs(sf_dir: str):
+    """Exact edit-distance verification of LSH candidate pairs — the
+    Levenshtein analogue of :func:`minhash_lsh_pairs`' Jaccard verify
+    (the fuzzy-match census a dedup triage runs when token-set overlap
+    is too coarse: near-identical boilerplate with small in-place edits
+    scores high here even when reordering kills Jaccard).
+
+    Candidates come from the SAME shared MinHash+LSH stage
+    (:func:`_lsh_candidate_pairs`); texts attach through the shared
+    two-pass tag-join (:func:`_attach_pair_texts` — the corpus shuffles
+    once, pair data is candidate-bounded); the per-pair kernel is the
+    byte-level Levenshtein DP (``functions.fuzzy.levenshtein_bytes``,
+    vectorized one DP row at a time over uint8 arrays — UTF-8 BYTE
+    edits, matching DuckDB's byte-based ``levenshtein``). Per-pair cost
+    is O(|a|·|b|/w) vector ops on candidate-bounded pairs only — the
+    corpus itself is never pairwise-compared.
+
+    Columns: doc_a, doc_b, dist (int64 byte edits), sim_ppm (exact
+    integer parts-per-million similarity ``(denom − dist)·10⁶ //
+    denom`` with ``denom = max(octet_len_a, octet_len_b)``; the
+    both-empty pair pins to 1_000_000). A float ``1 − dist/denom``
+    would hit REAL decimal ties (denom a power of two ⇒ exact
+    ...5×10⁻⁷ values) where numpy banker's and DuckDB half-away-from-
+    zero rounding disagree — the integer floor division is engine-exact
+    by construction. SQL-oracle-checked: the DuckDB mirror replays the
+    full candidate chain and verifies with its native ``levenshtein``."""
+    from ..functions.bucketing import default_buckets
+    from ..functions.fuzzy import levenshtein_bytes
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_b = default_buckets()
+    pairs = _lsh_candidate_pairs(ds, n_b)
+
+    def verify_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 1][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b = df[df["side"] == 2][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = a.merge(b, on=["doc_a", "doc_b"])
+        out = []
+        for da, db, ta, tb in zip(m["doc_a"], m["doc_b"], m["text_a"], m["text_b"]):
+            ba, bb = ta.encode("utf-8"), tb.encode("utf-8")
+            dist = levenshtein_bytes(ba, bb)
+            denom = max(len(ba), len(bb))
+            sim_ppm = (
+                1_000_000 if denom == 0 else ((denom - dist) * 1_000_000) // denom
+            )
+            out.append(
+                {
+                    "doc_a": int(da),
+                    "doc_b": int(db),
+                    "dist": dist,
+                    "sim_ppm": sim_ppm,
+                }
+            )
+        res = pd.DataFrame(out, columns=["doc_a", "doc_b", "dist", "sim_ppm"])
+        return res.astype(
+            {"doc_a": "int64", "doc_b": "int64", "dist": "int64", "sim_ppm": "int64"}
+        )
+
+    return _attach_pair_texts(ds, pairs, n_b).groupby("bucket").map_groups(
         verify_in_bucket, batch_format="pandas"
     )
 

@@ -29,7 +29,7 @@ from ..sources.io import read_table
 
 __all__ = ["bloom_semi_join", "heavy_hitters", "hll_distinct_tokens",
            "hll_users_per_event_type", "kll_quantiles", "KLLSketch",
-           "countmin_event_counts"]
+           "countmin_event_counts", "kmv_source_similarity"]
 
 
 # ---------------------------------------------------------------------------
@@ -629,4 +629,119 @@ def countmin_event_counts(sf_dir: str, probes: tuple = _CM_PROBES):
             "cm_est": est.astype("int64"),
             "exact_n": exact,
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) set-similarity sketch between sources.
+
+_KMV_K = 64
+
+
+def kmv_source_similarity(sf_dir: str, k: int = _KMV_K):
+    """Per-source-pair token-set Jaccard estimated with K-Minimum-Values
+    sketches (Bar-Yossef et al. 2002 / Beyer et al. 2007) — the
+    "how much does corpus slice A overlap slice B" census a source-mix
+    designer runs when the exact distinct-token join is too wide.
+
+    Sketch rule: a source's sketch is the ``k`` SMALLEST distinct
+    ``md5[:8]`` uint64 token hashes (the shingle-hash rule of the
+    Jaccard family, so the DuckDB mirror is the usual
+    ``('0x' || substr(md5(tok),1,16))::UBIGINT``). Min-k sets are
+    exactly mergeable: per-batch per-source partials (unique-hash
+    ``O(batch)`` work, ≤ k rows out per source) fold through one
+    bucketed exchange into the exact global sketch; the driver pulls
+    only ``n_sources × k`` rows, and the pairwise estimator
+    ``|U ∩ A ∩ B| / |U|`` with ``U = k smallest of A ∪ B`` runs over
+    sketches alone (sources are few; the corpus never leaves the
+    partial pass).
+
+    Determinism/exactness: everything is integers — the estimate ships
+    as ``kmv_jaccard_ppm = (n_common · 10⁶) // n_union`` (exact int64,
+    no float folds). Columns: source_a, source_b, n_union, n_common,
+    kmv_jaccard_ppm. SQL-oracle-checked (row_number window mirror)."""
+    from ..functions.bucketing import bucket_of, coalesce_blocks, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[np.ndarray] = []
+        hss: list[np.ndarray] = []
+        for src, grp in df.groupby("source", sort=False):
+            ex = grp["text"].str.split().explode().dropna()
+            if ex.empty:
+                continue
+            uniq = pd.unique(ex)
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                    for t in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            hs = np.unique(hs)[:k]
+            srcs.append(np.full(len(hs), src, dtype=object))
+            hss.append(hs)
+        if not hss:
+            return typed_empty(source=str, x="uint64", bucket="int32")
+        out = pd.DataFrame(
+            {
+                "source": pd.Series(np.concatenate(srcs), dtype=str),
+                "x": np.concatenate(hss),
+            }
+        )
+        out["bucket"] = bucket_of(out["source"], n_b)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(source=str, x="uint64")
+        outs = []
+        for src, grp in df.groupby("source", sort=False):
+            hs = np.unique(grp["x"].to_numpy(dtype=np.uint64))[:k]
+            outs.append(pd.DataFrame({"source": pd.Series([src] * len(hs), dtype=str), "x": hs}))
+        return pd.concat(outs, ignore_index=True)
+
+    sketch = (
+        coalesce_blocks(ds.map_batches(partials, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # bounded: n_sources x k rows
+    )
+    cols = ["source_a", "source_b", "n_union", "n_common", "kmv_jaccard_ppm"]
+    if not len(sketch):
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=str),
+                "source_b": pd.Series([], dtype=str),
+                "n_union": pd.Series([], dtype="int64"),
+                "n_common": pd.Series([], dtype="int64"),
+                "kmv_jaccard_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    by_src = {
+        s: np.sort(g["x"].to_numpy(dtype=np.uint64))
+        for s, g in sketch.groupby("source", sort=False)
+    }
+    names = sorted(by_src)
+    rows = []
+    for i, sa in enumerate(names):
+        for sb in names[i + 1 :]:
+            a, b = by_src[sa], by_src[sb]
+            u = np.union1d(a, b)[:k]
+            n_union = len(u)
+            n_common = int((np.isin(u, a) & np.isin(u, b)).sum())
+            rows.append(
+                {
+                    "source_a": sa,
+                    "source_b": sb,
+                    "n_union": n_union,
+                    "n_common": n_common,
+                    "kmv_jaccard_ppm": (n_common * 1_000_000) // n_union,
+                }
+            )
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"n_union": "int64", "n_common": "int64", "kmv_jaccard_ppm": "int64"}
     )
