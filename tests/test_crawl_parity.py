@@ -990,3 +990,62 @@ def test_all_politeness_features_combined_resume(ray_session, tmp_path_factory):
                     collect_log=True, collect_seen=True)
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
     assert got.seen_sorted == full.seen_sorted
+
+
+def test_nofollow_byte_parity(ray_session):
+    """rel=nofollow / meta-robots-nofollow gating (round 4): anchors
+    carrying a rel nofollow token don't enqueue their target; a page with
+    <meta name="robots" content="... nofollow ..."> contributes no
+    extraction links at all — Ray frontier == sequential oracle
+    byte-for-byte, and both rules demonstrably bite."""
+    from webarchive_discovery_ray.sources.synthetic import page_for_url
+    from webarchive_discovery_ray.state.robots import nofollow_scan
+
+    syn = SyntheticConfig(
+        n_hosts=10, pages_per_host=60, max_fanout=6,
+        link_nofollow_ratio=0.3, meta_nofollow_ratio=0.15,
+    )
+    cfg = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4)
+    sds = seed_urls(syn, n_seeds=6)
+    exp = oracle_crawl(sds, cfg, syn)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # fixture sensitivity: both directive kinds appear among fetched pages
+    metas, rels = 0, 0
+    for e in exp.fetch_log:
+        rec = page_for_url(e["url"], syn)
+        if b"nofollow" not in rec["payload"]:
+            continue
+        meta_nf, drop = nofollow_scan(
+            rec["payload"].decode("utf-8", "replace"), e["url"]
+        )
+        metas += meta_nf
+        rels += bool(drop)
+    assert metas > 0, "fixture must exercise meta robots nofollow"
+    assert rels > 0, "fixture must exercise rel=nofollow anchors"
+    # the gate must actually shrink discovery vs the same crawl with the
+    # directives ignored
+    off = oracle_crawl(
+        sds,
+        CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                    respect_nofollow=False),
+        syn,
+    )
+    assert len(exp.seen_sorted) < len(off.seen_sorted), (
+        "nofollow gating must reduce the discovered URL set"
+    )
+    # knob-off generator output unchanged: default fixtures byte-identical
+    syn_off = SyntheticConfig(n_hosts=10, pages_per_host=60, max_fanout=6)
+    base_on_gate = oracle_crawl(seed_urls(syn_off, n_seeds=6), cfg, syn_off)
+    base_no_gate = oracle_crawl(
+        seed_urls(syn_off, n_seeds=6),
+        CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                    respect_nofollow=False),
+        syn_off,
+    )
+    assert [_log_key(e) for e in base_on_gate.fetch_log] == [
+        _log_key(e) for e in base_no_gate.fetch_log
+    ]
+    assert base_on_gate.seen_sorted == base_no_gate.seen_sorted

@@ -512,3 +512,37 @@ def test_levenshtein_bytes_exact():
     denom, dist = 128, 1
     ppm = ((denom - dist) * 1_000_000) // denom
     assert ppm == 992187  # floor, engine-exact in both
+
+
+def test_nofollow_scan_rules():
+    """Token rules of the nofollow scanner: rel is a whitespace token
+    list (case-insensitive), meta robots content is a comma token list,
+    relative hrefs resolve with the extraction chain's resolve rule."""
+    from webarchive_discovery_ray.state.robots import nofollow_scan
+
+    html = (
+        '<html><head><meta name="keywords" content="nofollowish"></head><body>'
+        '<a href="http://a.com/keep">k</a>'
+        '<a rel="nofollow" href="http://a.com/drop1">d</a>'
+        '<a rel="ugc NOFOLLOW sponsored" href="/drop2">d</a>'
+        '<a rel="nofollowme" href="http://a.com/keep2">not a token</a>'
+        '<a rel="nofollow">no href</a>'
+        "</body></html>"
+    )
+    meta, drop = nofollow_scan(html, "http://base.com/dir/page")
+    assert meta is False
+    assert drop == {"http://a.com/drop1", "http://base.com/drop2"}
+    meta2, _ = nofollow_scan(
+        '<meta name="ROBOTS" content="noindex , NoFollow">', "http://b.com/"
+    )
+    assert meta2 is True
+    # content token must be exact after comma-split+strip
+    meta3, _ = nofollow_scan(
+        '<meta name="robots" content="nofollowish">', "http://b.com/"
+    )
+    assert meta3 is False
+    # name must be robots
+    meta4, _ = nofollow_scan(
+        '<meta name="googlebot" content="nofollow">', "http://b.com/"
+    )
+    assert meta4 is False

@@ -98,6 +98,16 @@ class CrawlConfig:
     # after one clean wave); applied after the Crawl-delay shrink.
     # Default OFF so pre-existing fixtures stay byte-identical.
     backoff_503: bool = False
+    # rel=nofollow / meta-robots-nofollow link gating
+    # (state/robots.nofollow_scan): a fetched page's candidate set drops
+    # every extraction link whose anchor carries a rel "nofollow" token
+    # (resolved with the extraction chain's own resolve rule); a page
+    # with <meta name="robots" content="... nofollow ..."> contributes
+    # NO extraction links at all. HTTP-level targets (redirect Location)
+    # and sitemap <loc> entries are NOT anchors and are unaffected.
+    # Default ON is byte-safe: the scan is gated on the literal
+    # "nofollow" appearing in the payload, which no default fixture emits.
+    respect_nofollow: bool = True
     max_urls: int | None = None  # overall stop condition (None = unbounded)
     # hot-host skew (SURVEY §7.1-7): a frontier partition whose assembled
     # block exceeds salt_threshold rows is split into salt_factor salted
@@ -152,5 +162,11 @@ class SyntheticConfig:
     # Allow carve-out under the first Disallow prefix (RFC 9309
     # longest-match; default 0.0: pre-existing fixtures byte-identical)
     robots_allow_ratio: float = 0.0
+    # fraction of outlink anchors emitted with rel="nofollow", and
+    # fraction of HTML pages carrying <meta name="robots"
+    # content="noindex, nofollow"> (defaults 0.0: pre-existing fixtures
+    # byte-identical — the hash draws only happen when a ratio is set)
+    link_nofollow_ratio: float = 0.0
+    meta_nofollow_ratio: float = 0.0
     pages_per_host: int = 400  # URL id space per host
     uk_host_ratio: float = 0.3

@@ -42,6 +42,7 @@ from ..state.robots import (
     effective_budget,
     is_disallowed,
     is_sitemap_index,
+    nofollow_scan,
     parse_robots,
     parse_sitemap_locs,
     robots_url_for_host,
@@ -205,6 +206,15 @@ def oracle_crawl(
             if e.url.endswith("/robots.txt") and rec["status"] == 200:
                 new_robots[host] = parse_robots(rec["payload"].decode("utf-8", "replace"))
             cands: set[str] = set(doc["links"]) if doc else set()
+            if ccfg.respect_nofollow and cands and b"nofollow" in rec["payload"]:
+                # rel=nofollow / meta-robots gate — same shared scan +
+                # substring pre-gate as pipelines/crawl.FetchExtractStage
+                meta_nf, nf_drop = nofollow_scan(
+                    rec["payload"].decode("utf-8", "replace"),
+                    e.url,
+                    icfg.normalise_links,
+                )
+                cands = set() if meta_nf else cands - nf_drop
             if doc and doc["redirect_to_norm"]:
                 cands.add(doc["redirect_to_norm"])
             cand_pri = max(e.priority, 0)

@@ -78,6 +78,7 @@ from ..state.checkpoint import (
 from ..state.robots import (
     effective_budget,
     is_disallowed,
+    nofollow_scan,
     parse_robots,
     is_sitemap_index,
     parse_sitemap_locs,
@@ -193,6 +194,20 @@ class FetchExtractStage:
             assert doc is not None, f"crawl extraction must not filter {r['url']}"
             is_robots = r["url"].endswith("/robots.txt")
             cset = set(doc["links"])
+            if (
+                self.ccfg.respect_nofollow
+                and cset
+                and b"nofollow" in rec["payload"]
+            ):
+                # rel=nofollow / meta-robots gate (state/robots.
+                # nofollow_scan); substring pre-gate keeps the extra
+                # token scan off every default page
+                meta_nf, nf_drop = nofollow_scan(
+                    rec["payload"].decode("utf-8", "replace"),
+                    r["url"],
+                    self.icfg.normalise_links,
+                )
+                cset = set() if meta_nf else cset - nf_drop
             if doc["redirect_to_norm"]:
                 cset.add(doc["redirect_to_norm"])
             cand_pri = max(r["priority"], 0)

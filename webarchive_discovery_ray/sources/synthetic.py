@@ -253,6 +253,11 @@ def _html_payload(url: str, cfg: SyntheticConfig) -> bytes:
     ]
     if h % 11 == 0:
         parts.append('<meta name="OriginalPublicationDate" content="2005-03-02">')
+    if cfg.meta_nofollow_ratio and (
+        stable_hash64(f"metanofollow:{url}", cfg.seed) % 1000
+        < int(cfg.meta_nofollow_ratio * 1000)
+    ):
+        parts.append('<meta name="robots" content="noindex, nofollow">')
     parts.append('<link rel="stylesheet" href="/css/main.css">')
     parts.append("</head>\n<body>")
     if h % 13 == 0:
@@ -262,7 +267,13 @@ def _html_payload(url: str, cfg: SyntheticConfig) -> bytes:
         f"words number {(h >> 8) % 1000}.</p>"
     )
     for i, link in enumerate(outlinks(url, cfg)):
-        parts.append(f'<a href="{link}">anchor text {i}</a>')
+        rel = ""
+        if cfg.link_nofollow_ratio and (
+            stable_hash64(f"nofollow:{url}:{i}", cfg.seed) % 1000
+            < int(cfg.link_nofollow_ratio * 1000)
+        ):
+            rel = ' rel="nofollow"'
+        parts.append(f'<a{rel} href="{link}">anchor text {i}</a>')
     srcs, srcset = _image_links(url, cfg)
     for src in srcs:
         parts.append(f'<img src="{src}">')

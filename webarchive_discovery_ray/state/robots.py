@@ -25,6 +25,7 @@ __all__ = [
     "CRAWL_DELAY_PREFIX",
     "SITEMAP_PREFIX",
     "ALLOW_PREFIX",
+    "nofollow_scan",
 ]
 
 # Crawl-delay rides the same rules list as the Disallow prefixes (one
@@ -172,3 +173,46 @@ def parse_sitemap_locs(text: str) -> list[str]:
         if u:
             out.append(u)
     return out
+
+
+def nofollow_scan(html: str, base_url: str, normalise: bool = True):
+    """Scan an HTML page for link-level crawl directives: returns
+    ``(meta_nofollow, dropped)`` where ``meta_nofollow`` is True when a
+    ``<meta name="robots">`` content token list contains ``nofollow``
+    (whole page's links must not be followed), and ``dropped`` is the
+    set of RESOLVED link targets of anchors carrying a ``rel`` token
+    ``nofollow`` (RFC-less but universal microformat; Google 2005).
+
+    Resolution matches the extraction chain's link rule exactly
+    (``resolve_relative(base, href, normalise)`` — the same helper
+    ``stages/extract.py:107`` uses), so subtracting ``dropped`` from a
+    fetched page's candidate links is string-exact. Pinned conservative
+    rule: a URL is dropped if ANY anchor to it on the page is
+    rel=nofollow (set subtraction, not per-anchor). Shared verbatim by
+    ``pipelines/crawl.py`` and ``oracle/crawl_oracle.py`` (the
+    crawl-plane-shared-helper convention of parse_robots /
+    is_disallowed)."""
+    from ..functions.htmlscan import tokenize_html
+    from ..functions.normalisation import resolve_relative
+
+    meta_nofollow = False
+    dropped: set[str] = set()
+    for tok in tokenize_html(html):
+        if tok.kind != "start":
+            continue
+        if tok.name == "meta":
+            if tok.attrs.get("name", "").lower() == "robots" and "nofollow" in [
+                t.strip() for t in tok.attrs.get("content", "").lower().split(",")
+            ]:
+                meta_nofollow = True
+        elif tok.name == "a":
+            rel = tok.attrs.get("rel", "").lower().split()
+            href = tok.attrs.get("href")
+            if "nofollow" in rel and href is not None:
+                try:
+                    resolved = resolve_relative(base_url, href, normalise)
+                except Exception:
+                    continue
+                if resolved:
+                    dropped.add(resolved)
+    return meta_nofollow, dropped
