@@ -2689,6 +2689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.similarity import (
         ann_cosine_topk,
         ann_hard_negatives,
+        ann_range_search,
         ivf_cosine_topk,
         knn_graph,
         lsh_cosine_topk,
@@ -2793,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": quality_score,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_hard_negatives": ann_hard_negatives,
+        "ann_range_search": ann_range_search,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         "window_running_sum": window_running_sum,
@@ -3743,6 +3745,18 @@ def oracle_sql() -> dict[str, str]:
                                   DESC, r.vec_id) AS rank
               FROM q CROSS JOIN recon r
             ) WHERE rank <= 5
+        """,
+        # exact cosine range search (pipelines/similarity.ann_range_search):
+        # 6-dp rounded cosine >= 0.3 vs the first-8 query matrix
+        "ann_range_search": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv
+                  FROM embeddings)
+            SELECT q.qid AS query_vec_id, v.vec_id,
+                   round(list_cosine_similarity(q.qv, v.rv), 6) AS cos_r
+            FROM q CROSS JOIN v
+            WHERE round(list_cosine_similarity(q.qv, v.rv), 6) >= 0.3
         """,
         # full MinHash+LSH chain mirror (pipelines/dedup.minhash_lsh_pairs):
         # md5 3-gram shingles -> splitmix64(x ^ seed) per permutation (the

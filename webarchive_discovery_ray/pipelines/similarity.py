@@ -17,7 +17,7 @@ import pandas as pd
 
 from ..sources.io import read_table
 
-__all__ = ["ann_cosine_topk", "mmr_select", "contrastive_triplets",
+__all__ = ["ann_cosine_topk", "ann_range_search", "mmr_select", "contrastive_triplets",
     "ann_hard_negatives", "ivf_cosine_topk", "lsh_cosine_topk",
     "sq8_quantize", "sq8_cosine_topk", "pq_cosine_topk",
     "ivfpq_cosine_topk", "knn_graph", "label_propagation"]
@@ -1256,4 +1256,46 @@ def label_propagation(edges_ds, labels_ds):
     )
     return votes.groupby("bucket").map_groups(
         majority_fold, batch_format="pandas"
+    )
+
+
+def ann_range_search(sf_dir: str, tau: float = 0.3, n_queries: int = 8):
+    """Exact cosine RANGE search — every corpus vector with similarity
+    ``>= tau`` to any of the first ``n_queries`` query vectors (the
+    radius companion of :func:`ann_cosine_topk`: retrieval-augmented
+    filtering wants "everything this close", not a fixed k).
+
+    Fully streaming, zero shuffle: the normalized query matrix
+    broadcasts once (``ray.put`` + per-worker cache), each batch does
+    one tiled matmul and emits ONLY its matches — output is
+    match-bounded, compute is O(N·Q), nothing reduces globally. The
+    match-or-not verdict compares the 6-dp ROUNDED cosine in both
+    engines (the sq8/ann family's proven float discipline). Columns:
+    query_vec_id, vec_id, cos_r. SQL-oracle-checked via
+    ``list_cosine_similarity``."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((qids, qmat))
+
+    def matches(df: pd.DataFrame) -> pd.DataFrame:
+        bqids, bqmat = get_broadcast(q_ref)
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ bqmat.T, 6)  # (n, q)
+        vi, qi = np.nonzero(sims >= tau)
+        return pd.DataFrame(
+            {
+                "query_vec_id": bqids[qi].astype("int64"),
+                "vec_id": ids[vi].astype("int64"),
+                "cos_r": sims[vi, qi],
+            }
+        )
+
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        matches, batch_format="pandas"
     )
