@@ -2684,6 +2684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         custdist,
         grouped_quantiles,
         important_parts,
+        promo_revenue,
         winsorize_events,
     )
     from webarchive_discovery_ray.pipelines.similarity import (
@@ -2802,6 +2803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": min_cost_supplier,
         "custdist": custdist,
         "important_parts": important_parts,
+        "promo_revenue": promo_revenue,
         "sliding_window_events": sliding_window_events,
         "regex_scan": regex_scan,
         "sentiment_score": sentiment_score,
@@ -6044,6 +6046,24 @@ def oracle_sql() -> dict[str, str]:
         # Q11-shape global-threshold filter (aggregates.important_parts):
         # exact int64-cent per-part revenue vs HUGEINT grand-total // D
         # (val*D > total ⟺ val > total // D for positive ints)
+        # promo-revenue share per ship-month (pipelines/aggregates.
+        # promo_revenue, the Q14 CASE-sum-ratio shape): exact int64 cents
+        # of price*(1-discount), share as exact integer ppm
+        "promo_revenue": """
+            WITH j AS (
+                SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ship_month,
+                       CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + 0.5) AS BIGINT) AS c,
+                       (p_type = 'PROMO') AS promo
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            )
+            SELECT ship_month::BIGINT AS ship_month,
+                   sum(CASE WHEN promo THEN c ELSE 0 END)::BIGINT AS promo_cents,
+                   sum(c)::BIGINT AS total_cents,
+                   (sum(CASE WHEN promo THEN c ELSE 0 END) * 1000000)
+                       // sum(c) AS promo_ppm
+            FROM j GROUP BY 1
+        """,
         "important_parts": """
             WITH v AS (
                 SELECT l_partkey,

@@ -29,6 +29,7 @@ from ..sources.io import read_table
 
 __all__ = [
     "lineitem_agg",
+    "promo_revenue",
     "revenue_by_nation",
     "rollup_revenue",
     "events_hourly",
@@ -869,3 +870,105 @@ def important_parts(sf_dir: str, frac_denom: int = 2000):
         )
 
     return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def promo_revenue(sf_dir: str):
+    """Promo-revenue share per ship-month (the TPC-H Q14 shape): the
+    CASE-conditional aggregate RATIO — what fraction of each month's
+    revenue came from promo parts. The missing relational shape next to
+    Q1 (lineitem_agg), Q2 (min_cost_supplier), Q11 (important_parts),
+    Q13 (custdist).
+
+    Shape: lineitem pass → exact int64-cent partials per (l_partkey,
+    ship_month) combined in-batch; part pass tags (p_partkey,
+    is_promo); ONE bucketed co-group by bucket(partkey) attaches the
+    flag (the min_cost_supplier attach — part is corpus-scaled at the
+    design point, so no broadcast) and collapses to per-(bucket, month)
+    promo/total sums in-group; the driver folds ≤ months × buckets tiny
+    rows. Money discipline: ``cents(price · (1 − discount))`` exact
+    int64 everywhere; the share ships as exact integer
+    ``promo_ppm = promo_cents · 10⁶ // total_cents`` — no float folds.
+    Columns: ship_month, promo_cents, total_cents, promo_ppm.
+    SQL-oracle-checked (CASE-sum mirror)."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        month = (
+            df["l_shipdate"].dt.year.to_numpy() * 100 + df["l_shipdate"].dt.month.to_numpy()
+        ).astype("int64")
+        g = (
+            pd.DataFrame({"key": df["l_partkey"].to_numpy(), "month": month, "c": cents(rev)})
+            .groupby(["key", "month"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["promo"] = np.zeros(len(g), dtype=bool)
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "month": "int64", "c": "int64"})
+
+    def part_tags(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "key": df["p_partkey"].astype("int64"),
+                "month": np.zeros(len(df), dtype="int64"),
+                "c": np.zeros(len(df), dtype="int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "promo": (df["p_type"] == "PROMO").to_numpy(),
+            }
+        )
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out
+
+    def attach_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(month="int64", promo_c="int64", total_c="int64")
+        tags = df[df["side"] == 1][["key", "promo"]]
+        li_rows = df[df["side"] == 0][["key", "month", "c"]]
+        m = li_rows.merge(tags, on="key", how="inner")
+        if not len(m):
+            return typed_empty(month="int64", promo_c="int64", total_c="int64")
+        m["promo_c"] = np.where(m["promo"].to_numpy(), m["c"].to_numpy(), 0)
+        g = (
+            m.groupby("month", sort=False)
+            .agg(promo_c=("promo_c", "sum"), total_c=("c", "sum"))
+            .reset_index()
+        )
+        return g.astype({"month": "int64", "promo_c": "int64", "total_c": "int64"})
+
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(parts.map_batches(part_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(attach_fold, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x months tiny rows
+    )
+    if not len(folded):
+        return pd.DataFrame(
+            {
+                "ship_month": pd.Series([], dtype="int64"),
+                "promo_cents": pd.Series([], dtype="int64"),
+                "total_cents": pd.Series([], dtype="int64"),
+                "promo_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        folded.groupby("month", sort=False)[["promo_c", "total_c"]].sum().reset_index()
+    )
+    return pd.DataFrame(
+        {
+            "ship_month": out["month"].astype("int64"),
+            "promo_cents": out["promo_c"].astype("int64"),
+            "total_cents": out["total_c"].astype("int64"),
+            "promo_ppm": (
+                out["promo_c"].to_numpy() * 1_000_000 // out["total_c"].to_numpy()
+            ).astype("int64"),
+        }
+    )
