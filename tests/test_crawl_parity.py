@@ -954,7 +954,8 @@ def test_sitemap_checkpoint_resume_identical(ray_session, tmp_path_factory):
 
 def test_all_politeness_features_combined_resume(ray_session, tmp_path_factory):
     """Everything at once: forced seen-set spill + Crawl-delay + Allow
-    carve-outs + sitemap-index recursion + 5xx backoff, byte-parity vs
+    carve-outs + sitemap-index recursion + 5xx backoff + rel/meta
+    nofollow + the duplicate-content gate, byte-parity vs
     the oracle AND kill-and-resume identical across the combined state
     (spill runs, pending sitemaps, backoff set, rules with all three
     sentinel kinds)."""
@@ -962,12 +963,14 @@ def test_all_politeness_features_combined_resume(ray_session, tmp_path_factory):
         n_hosts=12, pages_per_host=100, max_fanout=7,
         robots_disallow_ratio=0.6, robots_allow_ratio=0.6,
         robots_crawl_delay_ratio=0.3, robots_sitemap_ratio=0.5,
-        sitemap_index_ratio=0.5,
+        sitemap_index_ratio=0.5, link_nofollow_ratio=0.2,
+        meta_nofollow_ratio=0.1, duplicate_content_ratio=0.2,
     )
     sds = seed_urls(syn, n_seeds=8)
     spill = str(tmp_path_factory.mktemp("combined_spill"))
     cfg = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
-                      backoff_503=True, seen_spill_threshold=16,
+                      backoff_503=True, dedup_content=True,
+                      seen_spill_threshold=16,
                       seen_spill_dir=spill)
     exp = oracle_crawl(sds, cfg, syn)
     full = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
@@ -978,12 +981,14 @@ def test_all_politeness_features_combined_resume(ray_session, tmp_path_factory):
     ckdir = str(tmp_path_factory.mktemp("combined_ck"))
     spill2 = str(tmp_path_factory.mktemp("combined_spill2"))
     cfg1 = CrawlConfig(politeness_budget=4, max_waves=3, seen_shards=4,
-                       backoff_503=True, seen_spill_threshold=16,
+                       backoff_503=True, dedup_content=True,
+                       seen_spill_threshold=16,
                        seen_spill_dir=spill2)
     run_crawl(sds, cfg1, syn, fetch_concurrency=2, fetch_batch_size=16,
               checkpoint_dir=ckdir)
     cfg2 = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
-                       backoff_503=True, seen_spill_threshold=16,
+                       backoff_503=True, dedup_content=True,
+                       seen_spill_threshold=16,
                        seen_spill_dir=spill2)
     got = run_crawl(sds, cfg2, syn, fetch_concurrency=2, fetch_batch_size=16,
                     checkpoint_dir=ckdir, resume=True,
@@ -1049,3 +1054,94 @@ def test_nofollow_byte_parity(ray_session):
         _log_key(e) for e in base_no_gate.fetch_log
     ]
     assert base_on_gate.seen_sorted == base_no_gate.seen_sorted
+
+
+def test_dedup_content_byte_parity(ray_session):
+    """Duplicate-content gate (round 4): a status-200 fetch whose payload
+    hash was already fetched (global (wave, host, slot) order) contributes
+    NO candidates — Ray frontier (sharded content pool + wave-barrier
+    first-wins gate) == sequential oracle byte-for-byte, and the rule
+    demonstrably bites."""
+    from webarchive_discovery_ray.sources.synthetic import page_for_url
+
+    syn = SyntheticConfig(
+        n_hosts=10, pages_per_host=60, max_fanout=6,
+        duplicate_content_ratio=0.35,
+    )
+    cfg = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                      dedup_content=True)
+    sds = seed_urls(syn, n_seeds=6)
+    exp = oracle_crawl(sds, cfg, syn)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # fixture sensitivity: some fetched 200 pages shared payload bytes
+    hashes: dict[str, int] = {}
+    for e in exp.fetch_log:
+        rec = page_for_url(e["url"], syn)
+        if rec["status"] == 200:
+            hashes[rec["payload_sha1"]] = hashes.get(rec["payload_sha1"], 0) + 1
+    assert any(v > 1 for v in hashes.values()), (
+        "fixture must contain duplicate-content fetches"
+    )
+    # the gate must actually shrink discovery vs the same crawl without it
+    off = oracle_crawl(
+        sds,
+        CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                    dedup_content=False),
+        syn,
+    )
+    assert len(exp.seen_sorted) < len(off.seen_sorted), (
+        "content gate must reduce the discovered URL set"
+    )
+    # knob-off: gate enabled over the default generator changes nothing
+    # (all payloads distinct except protocol-level error/redirect bodies,
+    # which never participate — only status 200 registers)
+    syn_off = SyntheticConfig(n_hosts=10, pages_per_host=60, max_fanout=6)
+    base = oracle_crawl(seed_urls(syn_off, n_seeds=6),
+                        CrawlConfig(politeness_budget=3, max_waves=4,
+                                    seen_shards=4), syn_off)
+    gate = oracle_crawl(seed_urls(syn_off, n_seeds=6),
+                        CrawlConfig(politeness_budget=3, max_waves=4,
+                                    seen_shards=4, dedup_content=True),
+                        syn_off)
+    # identical UNLESS the default corpus happens to serve duplicate 200
+    # bodies; assert equality only when it provably has none
+    h2: dict[str, int] = {}
+    for e in base.fetch_log:
+        rec = page_for_url(e["url"], syn_off)
+        if rec["status"] == 200:
+            h2[rec["payload_sha1"]] = h2.get(rec["payload_sha1"], 0) + 1
+    if not any(v > 1 for v in h2.values()):
+        assert [_log_key(e) for e in gate.fetch_log] == [
+            _log_key(e) for e in base.fetch_log
+        ]
+        assert gate.seen_sorted == base.seen_sorted
+
+
+def test_dedup_content_checkpoint_resume_identical(ray_session, tmp_path_factory):
+    """Kill-and-resume with the content gate on: the content-seen pool
+    checkpoints as per-wave deltas (content_delta.parquet) and restores
+    shard-side — the resumed crawl equals the uninterrupted one
+    byte-for-byte (a lost content set would re-admit duplicate pages'
+    candidates and diverge)."""
+    syn = SyntheticConfig(
+        n_hosts=10, pages_per_host=60, max_fanout=6,
+        duplicate_content_ratio=0.35,
+    )
+    sds = seed_urls(syn, n_seeds=6)
+    cfg = CrawlConfig(politeness_budget=3, max_waves=5, seen_shards=4,
+                      dedup_content=True)
+    full = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                     collect_log=True, collect_seen=True)
+    ckdir = str(tmp_path_factory.mktemp("dedup_ck"))
+    cfg1 = CrawlConfig(politeness_budget=3, max_waves=2, seen_shards=4,
+                       dedup_content=True)
+    run_crawl(sds, cfg1, syn, fetch_concurrency=2, fetch_batch_size=16,
+              checkpoint_dir=ckdir)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    checkpoint_dir=ckdir, resume=True,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
+    assert got.seen_sorted == full.seen_sorted

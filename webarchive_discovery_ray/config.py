@@ -82,7 +82,14 @@ class CrawlConfig:
       discovered by ANY fetch enqueue at ``max(parent priority, 0)`` so
       injected (-1) fetches discover at the default priority; within a
       host queue the drain order is (priority, seq, surt) — the surt
-      tie-break only ever distinguishes same-wave injected rows.
+      tie-break only ever distinguishes same-wave injected rows;
+    * rel=nofollow / meta-robots-nofollow (respect_nofollow): anchors
+      with a ``rel`` nofollow token don't enqueue their target; a page
+      with a meta robots nofollow contributes no extraction links
+      (redirect Location and sitemap locs are unaffected);
+    * duplicate-content gate (dedup_content): a status-200 fetch whose
+      extraction payload hash was seen by an earlier fetch (global
+      (wave, host, slot) order) contributes NO candidates at all.
     """
 
     politeness_budget: int = 4  # fetch tokens per host per wave
@@ -108,6 +115,16 @@ class CrawlConfig:
     # Default ON is byte-safe: the scan is gated on the literal
     # "nofollow" appearing in the payload, which no default fixture emits.
     respect_nofollow: bool = True
+    # duplicate-content gate (Heritrix-style content digest dedup, the
+    # crawl-side sibling of the reference's revisit/reduplication plane
+    # M13/J3): when ON, a fetched status-200 response whose extraction
+    # payload hash was already seen by an EARLIER fetch (global pinned
+    # order: wave, then host, slot) contributes NO candidates — links,
+    # sitemap locs, everything; robots RULES still parse and the doc is
+    # still logged/written. State lives in a second SeenShardPool keyed
+    # by content hash (same spill tier + checkpoint-delta machinery as
+    # the URL-seen set). Default OFF: fixtures byte-identical.
+    dedup_content: bool = False
     max_urls: int | None = None  # overall stop condition (None = unbounded)
     # hot-host skew (SURVEY §7.1-7): a frontier partition whose assembled
     # block exceeds salt_threshold rows is split into salt_factor salted
@@ -168,5 +185,10 @@ class SyntheticConfig:
     # byte-identical — the hash draws only happen when a ratio is set)
     link_nofollow_ratio: float = 0.0
     meta_nofollow_ratio: float = 0.0
+    # fraction of HTML pages that serve one GLOBAL mirror body verbatim
+    # (duplicate-content-gate fixture; its relative links resolve against
+    # each mirroring host; default 0.0: pre-existing fixtures
+    # byte-identical)
+    duplicate_content_ratio: float = 0.0
     pages_per_host: int = 400  # URL id space per host
     uk_host_ratio: float = 0.3

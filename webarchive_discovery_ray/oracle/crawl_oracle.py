@@ -26,6 +26,11 @@ Pinned rules (shared with ``pipelines/crawl.py``; Heritrix-convention BFS):
    hop+1, and is queued for the next wave under the CANDIDATE's host.
 7. Stop at max_waves, empty frontier, or >= max_urls total fetches
    (checked at wave end).
+8. Link-level gates (both knob-controlled, applied between rules 5 and
+   6): rel=nofollow / meta-robots-nofollow drops anchor targets
+   (``state/robots.nofollow_scan``); the duplicate-content gate
+   (``dedup_content``) empties the candidate set of any status-200
+   fetch whose payload hash an earlier fetch already served.
 """
 
 from __future__ import annotations
@@ -107,6 +112,7 @@ def oracle_crawl(
     icfg = crawl_index_config(icfg)
     res = OracleCrawlResult()
     seen: set[str] = set()
+    content_seen: set[str] = set()  # dedup_content gate (payload hashes)
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
     backoff_prev: set[str] = set()  # hosts that served >=500 LAST wave
@@ -205,6 +211,15 @@ def oracle_crawl(
                 res.docs.append(doc)
             if e.url.endswith("/robots.txt") and rec["status"] == 200:
                 new_robots[host] = parse_robots(rec["payload"].decode("utf-8", "replace"))
+            # duplicate-content gate: a status-200 response whose payload
+            # hash was already fetched (global (wave, host, slot) order —
+            # exactly this loop's order) contributes NO candidates; the
+            # fetch is still logged and the doc still emitted
+            content_dup = False
+            if ccfg.dedup_content and rec["status"] == 200 and doc is not None:
+                h_key = doc["hash"]
+                content_dup = h_key in content_seen
+                content_seen.add(h_key)
             cands: set[str] = set(doc["links"]) if doc else set()
             if ccfg.respect_nofollow and cands and b"nofollow" in rec["payload"]:
                 # rel=nofollow / meta-robots gate — same shared scan +
@@ -233,6 +248,8 @@ def oracle_crawl(
                     # <sitemapindex>: locs are CHILD SITEMAPS — they keep
                     # priority -1 and recurse through the normal frontier
                     cand_pri = -1
+            if content_dup:
+                cands = set()
             page_candidates.append((host, slot, sorted(cands), e.hop, cand_pri))
         # rule 6: discovery (copy: carryover count must stay the drain's)
         next_frontier = list(carryover)

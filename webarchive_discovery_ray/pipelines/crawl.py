@@ -113,6 +113,9 @@ OUT_SCHEMA = pa.schema(
         # a fetched <sitemapindex> (children are sitemaps and recurse),
         # else max(parent priority, 0) — the pinned discovery rule
         pa.field("cand_pri", pa.int32()),
+        # extraction payload hash of status-200 responses ("" otherwise):
+        # the duplicate-content gate key (ccfg.dedup_content)
+        pa.field("content_hash", pa.string()),
     ]
 )
 
@@ -250,6 +253,7 @@ class FetchExtractStage:
                 "cand_surts": [surt_key(u) for u in cand_urls],
                 "cand_hosts": [extract_host(u) for u in cand_urls],
                 "cand_pri": cand_pri,
+                "content_hash": doc["hash"] if rec["status"] == 200 else "",
             }
             out.append(crawl_cols)
             if docs is not None:
@@ -693,13 +697,54 @@ def _drain_fetch(
     return stage(pa.Table.from_pandas(drained, preserve_index=False))
 
 
+@_ray.remote
+def _gate_rows(n_shards: int, tbl: pa.Table) -> pa.Table:
+    """Per-block duplicate-content gate rows: (key, host, slot, shard)
+    of every SELECTED status-200 fetch — ``shard = shard_of(hash)`` so
+    each content shard self-filters its rows from the shared block
+    (the cand-routing delivery shape)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "slot": pa.array([], pa.int32()),
+            "shard": pa.array([], pa.int32()),
+        }
+    )
+    if tbl.num_rows == 0 or "selected" not in tbl.column_names:
+        return empty
+    f = tbl.filter(
+        pc.and_(tbl["selected"], pc.equal(tbl["fetch_status"], 200))
+    )
+    if f.num_rows == 0:
+        return empty
+    keys = f["content_hash"].to_pylist()
+    shards_arr = np.fromiter(
+        (shard_of(k, n_shards) for k in keys), dtype=np.int32, count=len(keys)
+    )
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "host": f["fetch_host"],
+            "slot": f["slot"],
+            "shard": pa.array(shards_arr),
+        }
+    )
+
+
 @_ray.remote(num_returns=4)
-def _split_block(n_shards: int, tbl: pa.Table):
+def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
     """(meta, carry_table, fetched_table, candidate_table).
 
     Carry and candidates stay remote; candidates are flattened from the
     fetch stage's list columns (vectorized) and shard-keyed so each seen
-    shard can self-filter its rows from the shared block."""
+    shard can self-filter its rows from the shared block.
+    ``loser_tbls`` (dedup_content crawls only) are the content gate's
+    per-shard (host, slot) verdicts: those rows' candidate lists are
+    suppressed before flattening — the fetched/log/doc surface is
+    untouched, duplicates just discover nothing."""
     import pyarrow.compute as pc
 
     empty = (
@@ -735,7 +780,28 @@ def _split_block(n_shards: int, tbl: pa.Table):
     # any status >= 500 this wave in this part)
     errs = fetched.filter(pc.greater_equal(fetched["fetch_status"], 500))
     backoff_hosts = sorted(set(errs["fetch_host"].to_pylist()))
-    cand_col = fetched["cand_urls"].combine_chunks()
+    # duplicate-content suppression: candidates flatten from cand_src,
+    # which drops the gate's loser rows (fetched itself is unchanged)
+    cand_src = fetched
+    if loser_tbls:
+        lt = pa.concat_tables([t for t in loser_tbls if t.num_rows])\
+            if any(t.num_rows for t in loser_tbls) else None
+        if lt is not None and lt.num_rows and fetched.num_rows:
+            lk = set(zip(lt["host"].to_pylist(), lt["slot"].to_pylist()))
+            keep = np.fromiter(
+                (
+                    (h, sl) not in lk
+                    for h, sl in zip(
+                        fetched["fetch_host"].to_pylist(),
+                        fetched["slot"].to_pylist(),
+                    )
+                ),
+                dtype=bool,
+                count=fetched.num_rows,
+            )
+            if not keep.all():
+                cand_src = fetched.filter(pa.array(keep))
+    cand_col = cand_src["cand_urls"].combine_chunks()
     lengths = pc.list_value_length(cand_col).to_numpy().astype(np.int64)
     total = int(lengths.sum())
     if total == 0:
@@ -753,7 +819,7 @@ def _split_block(n_shards: int, tbl: pa.Table):
         )
     parents = pc.list_parent_indices(cand_col)
     starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
-    surts = pc.list_flatten(fetched["cand_surts"].combine_chunks())
+    surts = pc.list_flatten(cand_src["cand_surts"].combine_chunks())
     shards_arr = np.fromiter(
         (shard_of(k, n_shards) for k in surts.to_pylist()),
         dtype=np.int32,
@@ -763,14 +829,14 @@ def _split_block(n_shards: int, tbl: pa.Table):
         {
             "url": pc.list_flatten(cand_col),
             "surt": surts,
-            "host": pc.list_flatten(fetched["cand_hosts"].combine_chunks()),
+            "host": pc.list_flatten(cand_src["cand_hosts"].combine_chunks()),
             # per-row enqueue priority from the fetch stage: -1 for
             # <sitemapindex> children (recurse as sitemaps), else
             # max(parent priority, 0) (pinned rule, mirrored in the oracle)
-            "priority": pc.take(fetched["cand_pri"], parents),
-            "hop": pc.take(fetched["hop"], parents),
-            "order_host": pc.take(fetched["fetch_host"], parents),
-            "order_slot": pc.take(fetched["slot"], parents),
+            "priority": pc.take(cand_src["cand_pri"], parents),
+            "hop": pc.take(cand_src["hop"], parents),
+            "order_host": pc.take(cand_src["fetch_host"], parents),
+            "order_slot": pc.take(cand_src["slot"], parents),
             "order_rank": pa.array(
                 (np.arange(total) - starts).astype(np.int32)
             ),
@@ -895,6 +961,20 @@ def run_crawl(
         spill_dir=ccfg.seen_spill_dir,
         spill_threshold=ccfg.seen_spill_threshold,
     )
+    # duplicate-content gate state: a SECOND shard pool keyed by content
+    # hash (same spill tier + checkpoint machinery; separate namespace)
+    content_pool = (
+        SeenShardPool(
+            ccfg.seen_shards,
+            spill_dir=None
+            if ccfg.seen_spill_dir is None
+            else os.path.join(ccfg.seen_spill_dir, "content"),
+            spill_threshold=ccfg.seen_spill_threshold,
+        )
+        if ccfg.dedup_content
+        else None
+    )
+    pending_content_delta: list[str] = []
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
     # Sitemap URLs advertised by rules not yet offered to the seen set.
@@ -922,6 +1002,8 @@ def run_crawl(
         # shard-side absorb: driver ships delta PATHS, each shard reads
         # its own slice (no driver-side key materialization)
         pool.restore_from_parquet(ck["seen_delta_paths"])
+        if content_pool is not None:
+            content_pool.restore_from_parquet(ck["content_delta_paths"])
         robots_scheduled = ck["robots_scheduled"]
         robots_rules = {k: list(v) for k, v in ck["robots_rules"].items()}
         if ccfg.follow_sitemaps:
@@ -1083,7 +1165,29 @@ def run_crawl(
             for ref in input_refs
         ]
         _mark(f"w{wave}:exec")
-        splits = [_split_block.remote(n_shards, ref) for ref in block_refs]
+        # --- duplicate-content gate (wave barrier, dedup_content only):
+        # per-block (hash, host, slot) rows route BY REFERENCE to the
+        # content shards (hash-sharded); each shard resolves first-wins
+        # in the pinned (host, slot) order against its persistent
+        # content-seen set and returns its loser table — the split tasks
+        # consume those refs and suppress the losers' candidate lists.
+        # Gate data is fetched-bounded (politeness budget x hosts), far
+        # below the candidate volume the seen shards already route.
+        loser_refs: list = []
+        gate_small_refs: list = []
+        if content_pool is not None:
+            gate_refs = [_gate_rows.remote(n_shards, ref) for ref in block_refs]
+            gate_outs = [
+                content_pool.shards[s]
+                .gate_first_seen.options(num_returns=2)
+                .remote(gate_refs, s, track_delta)
+                for s in range(n_shards)
+            ]
+            loser_refs = [o[0] for o in gate_outs]
+            gate_small_refs = [o[1] for o in gate_outs]
+        splits = [
+            _split_block.remote(n_shards, ref, *loser_refs) for ref in block_refs
+        ]
         # fetch-log finalization runs REMOTE (concat + rule-4 sort + log
         # build + robots scrape of ~budget×hosts rows): the driver gets
         # back only a count and the tiny robots map; the log table itself
@@ -1235,6 +1339,9 @@ def run_crawl(
         res.total_fetched += n_fetched
         _mark(f"w{wave}:discovery")
         # --- checkpoint (sync point: frontier pulled once to persist) ---
+        if content_pool is not None and track_delta and gate_small_refs:
+            for sm in ray.get(gate_small_refs):
+                pending_content_delta.extend(sm["keys"])
         if checkpoint_dir is not None:
             if wave_log is None:
                 wave_log = ray.get(wave_log_ref)
@@ -1261,8 +1368,12 @@ def run_crawl(
                 seq,
                 stats,
                 backoff_hosts=backoff_hosts,
+                content_delta=(
+                    pending_content_delta if content_pool is not None else None
+                ),
             )
             pending_delta = []
+            pending_content_delta = []
         if ccfg.max_urls is not None and order_base >= ccfg.max_urls:
             break
 

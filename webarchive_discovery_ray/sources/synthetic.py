@@ -243,6 +243,24 @@ def sitemap_locs(url: str, cfg: SyntheticConfig) -> list[str]:
 
 
 def _html_payload(url: str, cfg: SyntheticConfig) -> bytes:
+    if cfg.duplicate_content_ratio:
+        # mirror/alias content: some pages serve ONE GLOBAL mirror body
+        # verbatim (identical bytes on every such URL — the
+        # duplicate-content-gate fixture). Its links are RELATIVE, so
+        # they resolve against each mirroring page's OWN host: without
+        # the gate every duplicate discovers /mirror/* URLs on its host,
+        # with the gate only the first fetch of the bytes does.
+        if (
+            stable_hash64(f"dupcontent:{url}", cfg.seed) % 1000
+            < int(cfg.duplicate_content_ratio * 1000)
+        ):
+            return (
+                "<!DOCTYPE html>\n<html>\n<head><title>Mirrored body</title>"
+                "</head>\n<body>\n<p>Canonical mirror content.</p>\n"
+                '<a href="/mirror/about.html">about</a>\n'
+                '<a href="/mirror/faq.html">faq</a>\n'
+                "</body></html>"
+            ).encode("utf-8")
     h = stable_hash64(f"page:{url}", cfg.seed)
     host = _host_of(url)
     title = f"Title {h % 10000} of {host}"

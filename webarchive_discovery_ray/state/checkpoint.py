@@ -21,6 +21,7 @@ Layout (one directory per wave)::
         frontier_next.parquet  # frontier entering wave 4
         fetchlog.parquet       # fetches performed in wave 3
         seen_delta.parquet     # SURT keys first seen during wave 3
+        content_delta.parquet  # content hashes first seen (dedup_content)
         robots.json            # scheduled hosts + effective rules
 """
 
@@ -74,6 +75,7 @@ def write_wave_checkpoint(
     seq: int,
     stats: dict,
     backoff_hosts: set[str] | None = None,
+    content_delta: list[str] | None = None,
 ) -> None:
     os.makedirs(base, exist_ok=True)
     final = _wave_dir(base, wave)
@@ -108,6 +110,24 @@ def write_wave_checkpoint(
         ),
         os.path.join(tmp, "seen_delta.parquet"),
     )
+    if content_delta is not None:
+        # content-seen deltas (dedup_content crawls): same layout as the
+        # SURT deltas — the key column is NAMED "surt" so the shard-side
+        # restore_from_parquet path (vectorized h64 routing) is reused
+        # verbatim for both pools
+        cd_sorted = sorted(content_delta)
+        pq.write_table(
+            pa.table(
+                {
+                    "surt": pa.array(cd_sorted, type=pa.string()),
+                    "h64": pa.array(
+                        [stable_hash64(k, _SHARD_SEED) for k in cd_sorted],
+                        type=pa.uint64(),
+                    ),
+                }
+            ),
+            os.path.join(tmp, "content_delta.parquet"),
+        )
     with open(os.path.join(tmp, "robots.json"), "w") as f:
         json.dump(
             {
@@ -158,6 +178,7 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
     # reads and absorbs only its own slice — resume cost on the driver is
     # O(#waves) paths, independent of crawl history size
     seen_delta_paths: list[str] = []
+    content_delta_paths: list[str] = []
     log_parts = []
     for w in range(wave + 1):
         wd = _wave_dir(base, w)
@@ -167,6 +188,9 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         sd = os.path.join(wd, "seen_delta.parquet")
         if os.path.exists(sd):
             seen_delta_paths.append(sd)
+        cd = os.path.join(wd, "content_delta.parquet")
+        if os.path.exists(cd):
+            content_delta_paths.append(cd)
     fetch_log = (
         pa.concat_tables(log_parts) if log_parts else FETCHLOG_SCHEMA.empty_table()
     )
@@ -174,6 +198,7 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         "manifest": manifest,
         "frontier": frontier,
         "seen_delta_paths": seen_delta_paths,  # per-wave delta files
+        "content_delta_paths": content_delta_paths,  # dedup_content crawls
         "robots_scheduled": set(robots["scheduled"]),
         "robots_rules": robots["rules"],
         "backoff_hosts": set(robots.get("backoff", [])),

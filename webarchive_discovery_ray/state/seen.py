@@ -600,6 +600,57 @@ class SeenSet:
             "samples": samples,
         }
 
+    def gate_first_seen(
+        self, refs: list, shard_id: int, want_keys: bool = False
+    ):
+        """Content-seen gate (wave barrier of the duplicate-content
+        rule): ``refs`` are the wave's per-block gate tables — columns
+        ``key`` (content hash), ``host``, ``slot``, ``shard`` — shared
+        by reference with every shard (same delivery shape as
+        ``accept_routed_many``). This shard takes its ``shard`` rows,
+        sorts them by the pinned global fetch order (host, slot), keeps
+        the FIRST occurrence of each key not already in the seen set
+        (adding it — exact set + accelerator + spill tier, the normal
+        add path), and returns ``(losers, small)``: ``losers`` is the
+        (host, slot) table of suppressed rows (duplicate content ⇒ the
+        row contributes no candidates), ``small`` carries the newly
+        seen keys when ``want_keys`` (checkpoint delta) plus the add
+        count. Correctness needs only per-shard order: all occurrences
+        of one key share its shard, and first-wins is per-key."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+
+        mine = []
+        for tbl in ray.get(list(refs)):
+            if tbl.num_rows:
+                part = tbl.filter(pc.equal(tbl["shard"], shard_id))
+                if part.num_rows:
+                    mine.append(part)
+        empty_losers = pa.table(
+            {"host": pa.array([], pa.string()), "slot": pa.array([], pa.int32())}
+        )
+        if not mine:
+            return empty_losers, {"n_new": 0, "keys": []}
+        t = pa.concat_tables(mine)
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("host", "ascending"), ("slot", "ascending")]
+            )
+        )
+        keys = pd.Series(t["key"].to_pylist(), dtype=object)
+        first_new = ~keys.duplicated().to_numpy() & ~self._seen_mask(keys)
+        new = [k for k, m in zip(keys, first_new) if m]
+        self._exact.update(new)
+        self._acc_add_many(new)
+        self._maybe_spill()
+        # a row loses when its key was seen before it in the pinned
+        # order: everything except the first-new rows of unseen keys
+        losers_mask = ~first_new
+        losers = t.filter(pa.array(losers_mask)).select(["host", "slot"])
+        return losers, {"n_new": len(new), "keys": new if want_keys else []}
+
     def snapshot(self) -> list[str]:
         """Sorted authoritative key list (hot ∪ spilled) — the
         byte-comparable representation; streams spilled runs back."""
