@@ -236,6 +236,20 @@ def _media_captions(sf_dir: str):
     return media_captions(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
 
 
+def _span_windows(sf_dir: str):
+    """Grounding-context window census over the SAME materialized
+    interleaved spans base."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_windows
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/spans_base"):
+        _span_stats(sf_dir)
+    return span_windows(rd.read_parquet(f"{_ORACLE_MAT}/spans_base"))
+
+
 def _media_position_profile(sf_dir: str):
     """Media-placement decile census over the SAME materialized
     interleaved spans base."""
@@ -2862,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_burst_lengths": _media_burst_lengths,
         "media_captions": _media_captions,
         "media_position_profile": _media_position_profile,
+        "span_windows": _span_windows,
         "pq_cosine_topk": pq_cosine_topk,
         "mmr_select": mmr_select,
         "contrastive_triplets": contrastive_triplets,
@@ -5328,6 +5343,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, media_idx, media_ref, caption, caption_src,
                    len(caption)::BIGINT AS caption_chars
             FROM sel
+        """,
+        # grounding-context window census (stats.span_windows, w=2):
+        # per media span, text spans within +-2 positions and their
+        # exact character mass; media_idx = per-doc media ordinal
+        "span_windows": f"""
+            WITH b AS (
+                SELECT filename AS f, file_row_number AS r, doc_id, spans
+                FROM read_parquet('{_ORACLE_MAT}/spans_base/*.parquet',
+                                  file_row_number=true, filename=true)
+            ),
+            s AS (
+                SELECT f, r, doc_id, i, spans[i].kind AS kind,
+                       coalesce(spans[i].text, '') AS text
+                FROM b, unnest(generate_series(1, len(spans))) AS u(i)
+            ),
+            w AS (
+                SELECT f, r, doc_id, i, kind,
+                       coalesce(lag(kind, 1) OVER win = 'text', false) AS b1,
+                       coalesce(lag(kind, 2) OVER win = 'text', false) AS b2,
+                       coalesce(lead(kind, 1) OVER win = 'text', false) AS a1,
+                       coalesce(lead(kind, 2) OVER win = 'text', false) AS a2,
+                       CASE WHEN lag(kind, 1) OVER win = 'text'
+                            THEN len(lag(text, 1) OVER win) ELSE 0 END
+                       + CASE WHEN lag(kind, 2) OVER win = 'text'
+                              THEN len(lag(text, 2) OVER win) ELSE 0 END
+                       + CASE WHEN lead(kind, 1) OVER win = 'text'
+                              THEN len(lead(text, 1) OVER win) ELSE 0 END
+                       + CASE WHEN lead(kind, 2) OVER win = 'text'
+                              THEN len(lead(text, 2) OVER win) ELSE 0 END
+                           AS wchars
+                FROM s WINDOW win AS (PARTITION BY f, r ORDER BY i)
+            ),
+            med AS (SELECT * FROM w WHERE kind IN ('media', 'image'))
+            SELECT doc_id,
+                   (row_number() OVER (PARTITION BY f, r ORDER BY i) - 1)::BIGINT
+                       AS media_idx,
+                   (b1::INT + b2::INT)::BIGINT AS n_text_before,
+                   (a1::INT + a2::INT)::BIGINT AS n_text_after,
+                   wchars::BIGINT AS window_chars
+            FROM med
         """,
         # media-placement decile census (stats.media_position_profile):
         # exact integer decile (10*idx0) // n_spans, media kinds only

@@ -1994,3 +1994,64 @@ def test_merge_sorted_runs_matches_full_sort(ray_session):
     merged = em.queries()["cdx_merge"]("/root/testdata/sf0.001").to_pandas()
     ck = (merged["surt_key"] + "\x1f" + merged["timestamp14"]).tolist()
     assert ck == sorted(ck)
+
+
+def test_span_windows_crafted(ray_session):
+    """Pins the +-2 window rules: two text spans on one side count 2
+    (the sf fixture never produces n=2 — this covers the k=2 shift),
+    character mass sums over qualifying text spans only, windows clip at
+    doc boundaries, non-text non-media neighbours (title/link) count 0,
+    per-doc 0-based media ordinals."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import span_windows
+
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int64()),
+        ]
+    )
+
+    def sp(kind, text=None, ref=None):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    rows = [
+        # doc 1: [text(3), text(5), media, text(2), text(7)] -> 2/2, 17
+        [sp("text", "abc"), sp("text", "defgh"), sp("media", None, "m"),
+         sp("text", "ij"), sp("text", "klmnopq")],
+        # doc 2: media at start, [media, title, text(4)] -> title blocks
+        # nothing (positions count, kinds filter): after = text at +2
+        [sp("media", None, "m"), sp("title", "T"), sp("text", "wxyz")],
+        # doc 3: solo media -> all zeros; boundary must not leak doc 2/4
+        [sp("image", None, "solo")],
+        # doc 4: [text(1), image, image] -> first image 1 before; second
+        # image: before = text at -2 (1 char), media at -1 not text
+        [sp("text", "x"), sp("image", None, "a"), sp("image", None, "b")],
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "spans": pa.array(rows, pa.list_(span_t)),
+        }
+    )
+    got = (
+        span_windows(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["doc_id", "media_idx"])
+        .reset_index(drop=True)
+    )
+    want = [
+        (1, 0, 2, 2, 3 + 5 + 2 + 7),
+        (2, 0, 0, 1, 4),
+        (3, 0, 0, 0, 0),
+        (4, 0, 1, 0, 1),
+        (4, 1, 1, 0, 1),
+    ]
+    assert list(
+        got[["doc_id", "media_idx", "n_text_before", "n_text_after",
+             "window_chars"]].itertuples(index=False, name=None)
+    ) == want

@@ -2960,3 +2960,83 @@ def media_position_profile(docs):
         .reset_index()
         .astype({"decile": "int64", "n_spans": "int64"})
     )
+
+
+def span_windows(docs, w: int = 2):
+    """Grounding-context census around each media span of the
+    interleaved spans base: how much TEXT sits within the ``w`` spans on
+    either side (the signal a multimodal-pairing stage reads before
+    pairing images with context — ``media_captions`` is the adjacency-1
+    special case; this measures the whole local window).
+
+    Pinned rule (w=2): for a media span (kinds ``media``/``image``) at
+    span position i, ``n_text_before`` counts kind=='text' among
+    positions i-1, i-2 (same doc), ``n_text_after`` among i+1, i+2, and
+    ``window_chars`` sums those text spans' character lengths (exact
+    integers — ``utf8_length`` here, ``len()`` in the mirror).
+
+    Fully batch-local (zero shuffle): one vectorized pyarrow/numpy pass
+    — list offsets → parent indices, four shifted same-parent masks, one
+    scatter per shift; output rows = media spans only. Columns: doc_id,
+    media_idx, n_text_before, n_text_after, window_chars.
+    SQL-oracle-checked (lag/lead window mirror over the same
+    materialized base)."""
+    import pyarrow.compute as pc
+
+    assert w == 2, "pinned window (the SQL mirror unrolls w=2)"
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        doc_ids = batch["doc_id"].combine_chunks()
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], doc_ids.type),
+                "media_idx": pa.array([], pa.int64()),
+                "n_text_before": pa.array([], pa.int64()),
+                "n_text_after": pa.array([], pa.int64()),
+                "window_chars": pa.array([], pa.int64()),
+            }
+        )
+        m = len(flat)
+        if m == 0:
+            return empty
+        parents = pc.list_parent_indices(spans).to_numpy().astype("int64")
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(
+            pc.coalesce(flat.field("text"), pa.scalar(""))
+        ).to_numpy(zero_copy_only=False).astype("int64")
+        is_media = (kinds == "media") | (kinds == "image")
+        is_text = kinds == "text"
+        n_before = np.zeros(m, dtype="int64")
+        n_after = np.zeros(m, dtype="int64")
+        chars = np.zeros(m, dtype="int64")
+        for k in (1, 2):
+            bmask = np.zeros(m, dtype=bool)
+            bmask[k:] = (parents[k:] == parents[:-k]) & is_text[:-k]
+            n_before += bmask
+            chars[k:] += np.where(bmask[k:], lens[:-k], 0)
+            amask = np.zeros(m, dtype=bool)
+            amask[:-k] = (parents[:-k] == parents[k:]) & is_text[k:]
+            n_after += amask
+            chars[:-k] += np.where(amask[:-k], lens[k:], 0)
+        if not is_media.any():
+            return empty
+        # 0-based media ordinal within each doc (the media_captions rule)
+        change = np.ones(m, dtype=bool)
+        change[1:] = parents[1:] != parents[:-1]
+        media_before = np.concatenate([[0], np.cumsum(is_media)[:-1]])
+        base = np.maximum.accumulate(np.where(change, media_before, 0))
+        media_idx = (np.cumsum(is_media) - 1) - base
+        sel = is_media
+        return pa.table(
+            {
+                "doc_id": pc.take(doc_ids, pa.array(parents[sel], pa.int64())),
+                "media_idx": pa.array(media_idx[sel], pa.int64()),
+                "n_text_before": pa.array(n_before[sel], pa.int64()),
+                "n_text_after": pa.array(n_after[sel], pa.int64()),
+                "window_chars": pa.array(chars[sel], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
