@@ -2684,6 +2684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         grouped_topk_docs,
         mixture_weights,
         sessionize_events,
+        user_lifetime,
         funnel_counts,
         retention_cohorts,
         event_transitions,
@@ -2850,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _label_propagation,
         "language_id": language_id,
         "sessionize_events": sessionize_events,
+        "user_lifetime": user_lifetime,
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
         "event_transitions": event_transitions,
@@ -5008,6 +5010,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM w JOIN c ON w.user_id = c.user_id
             GROUP BY 1, 2
+        """,
+        # per-user lifetime profile (pipelines/sessions.user_lifetime):
+        # exact distinct counts, integer cents, integer-second lifespan
+        "user_lifetime": """
+            SELECT user_id,
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT event_type)::BIGINT AS n_types,
+                   count(DISTINCT CAST(ts AS DATE))::BIGINT AS active_days,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS total_cents,
+                   date_diff('second', min(ts), max(ts))::BIGINT AS lifespan_s
+            FROM events GROUP BY 1
         """,
         "sessionize_events": """
             WITH o AS (

@@ -34,6 +34,7 @@ from ..sources.io import read_table
 
 __all__ = [
     "sessionize_events",
+    "user_lifetime",
     "funnel_counts",
     "retention_cohorts",
     "event_transitions",
@@ -759,4 +760,84 @@ def pivot_user_event_values(sf_dir: str):
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(unstack, batch_format="pandas")
+    )
+
+
+def user_lifetime(sf_dir: str):
+    """Per-user lifetime profile over the event stream — the audience /
+    retention base table (first & last activity, volume, breadth, spend):
+    the per-entity rollup every activity pipeline materializes before
+    cohorting (``retention_cohorts``) or anomaly work.
+
+    One exchange: per-batch combiner partials collapse each user's rows
+    to (min ts, max ts, count, cents sum) plus the per-(user, type) and
+    per-(user, day) DISTINCT carriers (bounded: types and days are
+    small), then a bucketed user fold resolves exact distinct counts
+    in-group. Money is integer cents (the ``cents`` rule); lifespan is
+    exact integer seconds. Columns: user_id, first_ts, last_ts,
+    n_events, n_types, active_days, total_cents, lifespan_s.
+    SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+
+    n_b = default_buckets()
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type", "value"]
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        d = df.assign(c=cents, day=df["ts"].dt.normalize())
+        g = (
+            d.groupby(["user_id", "event_type", "day"], sort=False)
+            .agg(
+                first_ts=("ts", "min"),
+                last_ts=("ts", "max"),
+                n=("c", "size"),
+                c=("c", "sum"),
+            )
+            .reset_index()
+        )
+        g["bucket"] = bucket_of(g["user_id"], n_b)
+        return g.astype({"n": "int64", "c": "int64"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                user_id="int64",
+                first_ts="datetime64[us]",
+                last_ts="datetime64[us]",
+                n_events="int64",
+                n_types="int64",
+                active_days="int64",
+                total_cents="int64",
+                lifespan_s="int64",
+            )
+        g = (
+            df.groupby("user_id", sort=False)
+            .agg(
+                first_ts=("first_ts", "min"),
+                last_ts=("last_ts", "max"),
+                n_events=("n", "sum"),
+                n_types=("event_type", "nunique"),
+                active_days=("day", "nunique"),
+                total_cents=("c", "sum"),
+            )
+            .reset_index()
+        )
+        # second-BOUNDARY difference (DuckDB date_diff('second') counts
+        # boundary crossings, not elapsed time): truncate each endpoint
+        # to whole seconds first, then subtract
+        g["lifespan_s"] = (
+            g["last_ts"].to_numpy().astype("datetime64[s]").astype("int64")
+            - g["first_ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        )
+        return g.astype(
+            {"user_id": "int64", "n_events": "int64", "n_types": "int64",
+             "active_days": "int64", "total_cents": "int64"}
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
