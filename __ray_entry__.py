@@ -1891,6 +1891,45 @@ def _warc_cdx_oracle_values_sql() -> str:
     )
 
 
+def _warc_digest_dups(sf_dir: str):
+    """Duplicate-content census over the real fixture (W)ARCs."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_digest_dups
+
+    return warc_digest_dups(_warc_input_paths())
+
+
+def _warc_digest_dups_oracle_values_sql() -> str:
+    """Independent sequential parser+extractor (hash, url) emissions as
+    VALUES; SQL plays the grouped fold (HAVING count(*) > 1)."""
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: object) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    cfg = IndexConfig()
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None or not doc["hash"]:
+                continue
+            rows.append(f"({lit(doc['hash'])}, {lit(doc['url'])})")
+    return (
+        "SELECT hash, count(*)::BIGINT AS n,"
+        " count(DISTINCT url)::BIGINT AS n_urls, min(url) AS first_url"
+        " FROM (VALUES " + ", ".join(rows) + ") AS t(hash, url)"
+        " GROUP BY hash HAVING count(*) > 1"
+    )
+
+
 def _warc_stats_oracle_values_sql() -> str:
     """Sequential-oracle WARCStatsMapper emissions as VALUES; the SQL
     GROUP BY plays the FrequencyCountingReducer."""
@@ -2942,6 +2981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _warc_extract,
         "warc_cdx": _warc_cdx,
         "warc_stats": _warc_stats,
+        "warc_digest_dups": _warc_digest_dups,
         "warc_file_hash": _warc_file_hash,
         "warc_datasets": _warc_datasets,
         "warc_regex": _warc_regex,
@@ -6300,6 +6340,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_extract"] = _warc_oracle_values_sql()
     out["warc_cdx"] = _warc_cdx_oracle_values_sql()
     out["warc_stats"] = _warc_stats_oracle_values_sql()
+    out["warc_digest_dups"] = _warc_digest_dups_oracle_values_sql()
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
     out["warc_regex"] = _warc_regex_oracle_values_sql()
     out["warc_wet"] = _warc_wet_oracle_values_sql()

@@ -176,6 +176,10 @@ def _cmd_crawl(args: argparse.Namespace) -> dict:
         max_waves=args.waves,
         seen_shards=args.seen_shards,
         respect_robots=not args.no_robots,
+        respect_nofollow=not args.no_nofollow,
+        dedup_content=args.dedup_content,
+        seen_spill_threshold=args.seen_spill_threshold,
+        seen_spill_dir=args.seen_spill_dir,
     )
     res = run_crawl(
         seeds,
@@ -305,6 +309,15 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--seen-shards", type=int, default=8)
     cr.add_argument("--fetch-concurrency", type=int, default=8)
     cr.add_argument("--no-robots", action="store_true")
+    cr.add_argument("--no-nofollow", action="store_true",
+                    help="ignore rel=nofollow / meta robots nofollow")
+    cr.add_argument("--dedup-content", action="store_true",
+                    help="duplicate-content gate: a 200 whose payload "
+                         "hash was already fetched discovers nothing")
+    cr.add_argument("--seen-spill-threshold", type=int,
+                    help="per-shard hot-set cap before spilling to "
+                         "sorted parquet runs")
+    cr.add_argument("--seen-spill-dir")
     cr.add_argument("--docs-dir")
     cr.add_argument("--checkpoint-dir")
     cr.add_argument("--resume", action="store_true")
