@@ -2712,6 +2712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         semdedup_keep,
         exact_dedup,
         cross_minhash_dedup,
+        lsh_recall_audit,
         edit_distance_pairs,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
@@ -2967,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "doc_length_histogram": doc_length_histogram,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "lsh_recall_audit": lsh_recall_audit,
         "edit_distance_pairs": edit_distance_pairs,
         "cross_minhash_dedup": cross_minhash_dedup,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -6337,6 +6339,18 @@ def oracle_sql() -> dict[str, str]:
     # real WARC/ARC binary fixtures: the independent sequential parser +
     # extraction oracle, rendered as a VALUES table (DuckDB cannot read
     # WARC, so the independent implementation IS the SQL)
+    # sketch-quality audit (pipelines/dedup.lsh_recall_audit): both
+    # chains' mirrors composed verbatim; recall as exact integer ppm
+    # (LSH-verified pairs are a subset of the exact ground truth because
+    # both verify with the same hashed-shingle Jaccard at the same tau)
+    out["lsh_recall_audit"] = f"""
+        WITH e AS (SELECT count(*) AS n FROM ({out['ngram_jaccard_pairs']})),
+             l AS (SELECT count(*) AS n FROM ({out['minhash_lsh_pairs']}))
+        SELECT e.n::BIGINT AS n_exact, l.n::BIGINT AS n_lsh,
+               CASE WHEN e.n = 0 THEN 1000000::BIGINT
+                    ELSE (l.n * 1000000) // e.n END AS recall_ppm
+        FROM e, l
+    """
     out["warc_extract"] = _warc_oracle_values_sql()
     out["warc_cdx"] = _warc_cdx_oracle_values_sql()
     out["warc_stats"] = _warc_stats_oracle_values_sql()

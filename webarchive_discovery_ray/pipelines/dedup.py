@@ -2319,3 +2319,33 @@ def containment_pairs(
         sized.groupby("bucket").map_groups(pair_partials, batch_format="pandas")
     )
     return pairs.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+def lsh_recall_audit(sf_dir: str, threshold: float = 0.3):
+    """Sketch-quality audit: MinHash-LSH's recall/precision against the
+    EXACT n-gram Jaccard ground truth on the same corpus — the
+    measurement a dedup pipeline owner runs before trusting the LSH
+    path at scale (the banding theory predicts recall; this measures
+    it). Composes the two existing verified chains:
+    :func:`minhash_lsh_pairs` (candidates → exact verify, so its output
+    is TRUE POSITIVES of the candidate stage) and
+    :func:`ngram_jaccard_pairs` (ALL true pairs).
+
+    Because both chains verify with the same exact hashed-shingle
+    Jaccard at the same threshold, LSH pairs ⊆ exact pairs and the
+    audit reduces to exact integer counts: ``n_exact``, ``n_lsh``
+    (= n_both), and ``recall_ppm = n_lsh·10⁶ // n_exact`` (1_000_000 on
+    an empty ground truth — vacuous recall). Everything downstream of
+    the two chains is two tiny count folds; no new exchange touches
+    corpus text. Columns: n_exact, n_lsh, recall_ppm (one row).
+    SQL-oracle-checked by composing both chains' mirrors."""
+    lsh_n = minhash_lsh_pairs(sf_dir, threshold).count()
+    exact_n = ngram_jaccard_pairs(sf_dir, threshold).count()
+    recall = 1_000_000 if exact_n == 0 else (lsh_n * 1_000_000) // exact_n
+    return pd.DataFrame(
+        {
+            "n_exact": pd.Series([exact_n], dtype="int64"),
+            "n_lsh": pd.Series([lsh_n], dtype="int64"),
+            "recall_ppm": pd.Series([recall], dtype="int64"),
+        }
+    )
