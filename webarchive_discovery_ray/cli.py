@@ -180,6 +180,7 @@ def _cmd_crawl(args: argparse.Namespace) -> dict:
         dedup_content=args.dedup_content,
         seen_spill_threshold=args.seen_spill_threshold,
         seen_spill_dir=args.seen_spill_dir,
+        warc_dir=args.warc_dir,
     )
     res = run_crawl(
         seeds,
@@ -319,6 +320,10 @@ def main(argv: list[str] | None = None) -> int:
                          "sorted parquet runs")
     cr.add_argument("--seen-spill-dir")
     cr.add_argument("--docs-dir")
+    cr.add_argument("--warc-dir",
+                    help="write wave_*/part_*.warc.gz response/revisit "
+                         "fragments (revisits minted for content-gate "
+                         "losers when --dedup-content is on)")
     cr.add_argument("--checkpoint-dir")
     cr.add_argument("--resume", action="store_true")
     cr.set_defaults(fn=_cmd_crawl)

@@ -149,6 +149,19 @@ class CrawlConfig:
     # delete the sources once the round completes. None disables.
     compact_fragments_threshold: int | None = None
     compact_target_bytes: int = 128 << 20
+    # WARC sink (the write-side close of the reader loop, S1 family):
+    # when set, every SELECTED fetch of a wave is serialised into
+    # warc_dir/wave_{W}/part_{P}.warc.gz fragments — multi-member gzip of
+    # ISO-28500 `response` records, one member per fetch in the pinned
+    # block order, deterministic bytes (retried tasks rewrite identical
+    # files). With dedup_content ON, the content gate's losers are minted
+    # as `revisit` records (WARC-Profile identical-payload-digest,
+    # payload dropped, linked to the stored copy by WARC-Payload-Digest)
+    # — exactly the storage dedup whose read side the reference's
+    # reduplication plane consumes (WARCIndexer revisit path M13/J3).
+    # Payload bytes ride the fetch blocks through the object store to a
+    # per-block writer task; traffic is fetched-bounded per wave.
+    warc_dir: str | None = None
 
 
 @dataclass(frozen=True)

@@ -116,6 +116,16 @@ OUT_SCHEMA = pa.schema(
         # extraction payload hash of status-200 responses ("" otherwise):
         # the duplicate-content gate key (ccfg.dedup_content)
         pa.field("content_hash", pa.string()),
+        # WARC-sink carriers (populated only when ccfg.warc_dir is set —
+        # empty strings / b"" otherwise, so the schema stays stable and
+        # non-WARC crawls ship four constant columns): the raw capture
+        # fields the per-block writer task serialises into response /
+        # revisit members. Payload bytes move fetcher -> writer through
+        # the object store exactly once (zero-copy Arrow binary).
+        pa.field("w_ts14", pa.string()),
+        pa.field("w_mime", pa.string()),
+        pa.field("w_loc", pa.string()),
+        pa.field("w_payload", pa.binary()),
     ]
 )
 
@@ -177,6 +187,7 @@ class FetchExtractStage:
         self.wave = wave
         self.ccfg = ccfg
         self.docs_dir = docs_dir
+        self.warc = ccfg.warc_dir is not None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[dict] = []
@@ -254,6 +265,10 @@ class FetchExtractStage:
                 "cand_hosts": [extract_host(u) for u in cand_urls],
                 "cand_pri": cand_pri,
                 "content_hash": doc["hash"] if rec["status"] == 200 else "",
+                "w_ts14": rec["timestamp14"] if self.warc else "",
+                "w_mime": (rec["mime_served"] or "") if self.warc else "",
+                "w_loc": (rec["location"] or "") if self.warc else "",
+                "w_payload": rec["payload"] if self.warc else b"",
             }
             out.append(crawl_cols)
             if docs is not None:
@@ -734,6 +749,64 @@ def _gate_rows(n_shards: int, tbl: pa.Table) -> pa.Table:
     )
 
 
+@_ray.remote
+def _write_warc_block(
+    warc_dir: str, wave: int, tbl: pa.Table, *loser_tbls: pa.Table
+) -> int:
+    """Serialise ONE fetch block as ONE ``wave_{W}/part_{P}.warc.gz``
+    fragment (multi-member gzip, one ISO-28500 record per SELECTED fetch
+    in the block's pinned drain order). Content-gate losers — (host,
+    slot) pairs in ``loser_tbls``, status-200 by construction — become
+    ``revisit`` members (identical-payload-digest, payload dropped);
+    everything else a ``response`` member. Deterministic bytes (pinned
+    order, urn:sha1 ids, gzip mtime=0) + tmp/os.replace publish: a
+    retried or re-run task rewrites the identical file. Returns the
+    member count; runs fully off the wave critical path (joined at the
+    checkpoint barrier / crawl end)."""
+    import uuid
+
+    from ..functions.hashing import sha1_b32
+    from ..sources.warc import build_response_member, build_revisit_member
+
+    if tbl.num_rows == 0 or "selected" not in tbl.column_names:
+        return 0
+    fetched = tbl.filter(tbl["selected"])
+    if fetched.num_rows == 0:
+        return 0
+    part = int(tbl["part"][0].as_py())
+    losers: set[tuple[str, int]] = set()
+    for lt in loser_tbls:
+        if lt.num_rows:
+            losers.update(zip(lt["host"].to_pylist(), lt["slot"].to_pylist()))
+    members = []
+    cols = ["url", "fetch_host", "slot", "fetch_status",
+            "w_ts14", "w_mime", "w_loc", "w_payload"]
+    for r in fetched.select(cols).to_pylist():
+        payload = r["w_payload"] or b""
+        if (r["fetch_host"], r["slot"]) in losers and r["fetch_status"] == 200:
+            members.append(
+                build_revisit_member(
+                    r["url"], r["w_ts14"], r["fetch_status"], r["w_mime"],
+                    sha1_b32(payload), len(payload), r["w_loc"] or None,
+                )
+            )
+        else:
+            members.append(
+                build_response_member(
+                    r["url"], r["w_ts14"], r["fetch_status"], r["w_mime"],
+                    payload, r["w_loc"] or None,
+                )
+            )
+    d = os.path.join(warc_dir, f"wave_{wave:04d}")
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"part_{part:05d}.warc.gz")
+    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as fh:
+        fh.write(b"".join(members))
+    os.replace(tmp, final)
+    return len(members)
+
+
 @_ray.remote(num_returns=4)
 def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
     """(meta, carry_table, fetched_table, candidate_table).
@@ -986,6 +1059,7 @@ def run_crawl(
     backoff_hosts: set[str] = set()
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
     log_flush_refs: list = []  # streamed-log chains joined at crawl end
+    warc_flush_refs: list = []  # WARC fragment writers, same join points
     # SURTs first seen since the last checkpoint; tracked ONLY when
     # checkpointing (building the per-wave Python string list costs
     # O(new URLs) driver time every wave otherwise)
@@ -1149,6 +1223,12 @@ def run_crawl(
                 import shutil
 
                 shutil.rmtree(wdir)
+        if ccfg.warc_dir is not None:
+            wwdir = os.path.join(ccfg.warc_dir, f"wave_{wave:04d}")
+            if os.path.isdir(wwdir):
+                import shutil
+
+                shutil.rmtree(wwdir)
         # --- ONE execution per wave: fused drain -> fetch/extract -------
         # ONE plain Ray task per block: the politeness drain and the
         # fetch/extract chain run fused in the same task (whole block =
@@ -1188,6 +1268,16 @@ def run_crawl(
         splits = [
             _split_block.remote(n_shards, ref, *loser_refs) for ref in block_refs
         ]
+        # WARC sink: one writer task per block, fed the SAME block +
+        # loser refs the split consumes (losers -> revisit members);
+        # off the critical path, joined at the checkpoint barrier below
+        # (so a checkpointed wave's fragments exist before the wave is
+        # marked complete) or at the crawl-end durability barrier
+        if ccfg.warc_dir is not None:
+            warc_flush_refs.extend(
+                _write_warc_block.remote(ccfg.warc_dir, wave, ref, *loser_refs)
+                for ref in block_refs
+            )
         # fetch-log finalization runs REMOTE (concat + rule-4 sort + log
         # build + robots scrape of ~budget×hosts rows): the driver gets
         # back only a count and the tiny robots map; the log table itself
@@ -1343,6 +1433,16 @@ def run_crawl(
             for sm in ray.get(gate_small_refs):
                 pending_content_delta.extend(sm["keys"])
         if checkpoint_dir is not None:
+            if warc_flush_refs:
+                # fragment-durability barrier: a checkpoint marks this
+                # wave complete, so its WARC fragments must exist first
+                # (a resumed run never re-enters a completed wave)
+                ray.wait(
+                    warc_flush_refs,
+                    num_returns=len(warc_flush_refs),
+                    fetch_local=False,
+                )
+                warc_flush_refs = []
             if wave_log is None:
                 wave_log = ray.get(wave_log_ref)
             carry_tbls = ray.get([r for refs in carry_refs.values() for r in refs])
@@ -1385,6 +1485,8 @@ def run_crawl(
     # the files exist when run_crawl returns
     if log_flush_refs:
         ray.wait(log_flush_refs, num_returns=len(log_flush_refs), fetch_local=False)
+    if warc_flush_refs:
+        ray.wait(warc_flush_refs, num_returns=len(warc_flush_refs), fetch_local=False)
     # driver-side materializations are OPT-IN (test/analysis hooks): the
     # production outputs are the streamed per-wave parquet artifacts
     if collect_log:

@@ -54,6 +54,7 @@ __all__ = [
     "record_stats_items",
     "read_archive_pages",
     "build_response_member",
+    "build_revisit_member",
     "write_warc",
 ]
 
@@ -602,6 +603,58 @@ def build_response_member(
         f"WARC-Record-ID: <urn:sha1:{rid}>\r\n"
         f"WARC-Payload-Digest: {sha1_b32(payload)}\r\n"
         f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    raw = headers + body + b"\r\n\r\n"
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def build_revisit_member(
+    url: str,
+    ts14: str | None,
+    status: int,
+    mime: str | None,
+    payload_sha1: str,
+    payload_len: int,
+    location: str | None = None,
+) -> bytes:
+    """ONE deterministic gzip member holding ONE WARC/1.0 ``revisit``
+    record (ISO-28500 §6.7.2, identical-payload-digest profile): the
+    HTTP response HEADERS are retained, the payload is NOT — the record
+    links to the stored copy solely by ``WARC-Payload-Digest``, which is
+    exactly the join key the reference's reduplication plane resolves
+    revisits with (WARCIndexer.java revisit path / MDX reduplicate,
+    M13/J3). Same determinism contract as
+    :func:`build_response_member` (urn:sha1 record id, gzip mtime=0)."""
+    import gzip
+    import hashlib
+    import io
+
+    if ts14 and len(ts14) >= 8 and ts14.isdigit():
+        ts14 = ts14[:14].ljust(14, "0")
+    iso = _ts14_to_iso(ts14)
+    rid = hashlib.sha1(f"revisit:{url} {iso}".encode("utf-8")).hexdigest()
+    reason = _REASONS.get(int(status), "")
+    body = (
+        f"HTTP/1.1 {int(status)} {reason}\r\n"
+        + (f"Content-Type: {mime}\r\n" if mime else "")
+        + (f"Location: {location}\r\n" if location else "")
+        + f"Content-Length: {int(payload_len)}\r\n\r\n"
+    ).encode("utf-8")
+    headers = (
+        "WARC/1.0\r\n"
+        "WARC-Type: revisit\r\n"
+        "WARC-Profile: http://netpreservation.org/warc/1.0/revisit/"
+        "identical-payload-digest\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {iso}\r\n"
+        f"WARC-Record-ID: <urn:sha1:{rid}>\r\n"
+        f"WARC-Payload-Digest: {payload_sha1}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(body)}\r\n"
         "\r\n"
     ).encode("utf-8")
