@@ -2764,6 +2764,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.relational import (
         min_cost_supplier,
         outer_join_customer_orders,
+        shipping_priority,
+        returned_items,
+        top_supplier,
+        large_orders,
+        global_balance_filter,
         asof_join_events,
         range_join_events,
         sliding_window_events,
@@ -2855,6 +2860,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": range_join_events,
         "window_running_sum": window_running_sum,
         "outer_join_customer_orders": outer_join_customer_orders,
+        "shipping_priority": shipping_priority,
+        "returned_items": returned_items,
+        "top_supplier": top_supplier,
+        "large_orders": large_orders,
+        "global_balance_filter": global_balance_filter,
         "min_cost_supplier": min_cost_supplier,
         "custdist": custdist,
         "important_parts": important_parts,
@@ -6339,6 +6349,102 @@ def oracle_sql() -> dict[str, str]:
     # real WARC/ARC binary fixtures: the independent sequential parser +
     # extraction oracle, rendered as a VALUES table (DuckDB cannot read
     # WARC, so the independent implementation IS the SQL)
+    # Q3-shape unshipped-order revenue top-k (relational.shipping_priority)
+    out["shipping_priority"] = """
+        WITH r AS (
+          SELECT l_orderkey AS o_orderkey,
+                 sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT))::BIGINT AS revenue_cents
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < DATE '1998-06-01'
+            AND l_shipdate > DATE '1998-06-01'
+          GROUP BY 1
+        )
+        SELECT r.o_orderkey, r.revenue_cents,
+               (year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                + day(o_orderdate))::BIGINT AS o_date
+        FROM r JOIN orders USING (o_orderkey)
+        ORDER BY revenue_cents DESC, o_date ASC, o_orderkey ASC
+        LIMIT 10
+    """
+    # Q10-shape returned-item revenue ranking (relational.returned_items)
+    out["returned_items"] = """
+        WITH r AS (
+          SELECT o_custkey,
+                 sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT))::BIGINT AS revenue_cents
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= DATE '1997-01-01'
+            AND o_orderdate < DATE '1997-07-01'
+          GROUP BY 1
+        )
+        SELECT c_custkey, c_name, n_name, revenue_cents
+        FROM r
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        ORDER BY revenue_cents DESC, c_custkey ASC
+        LIMIT 20
+    """
+    # Q15-shape top supplier by window revenue, exact-integer max equality
+    out["top_supplier"] = """
+        WITH r AS (
+          SELECT l_suppkey AS s_suppkey,
+                 sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT))::BIGINT
+                     AS total_revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1997-04-01'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue_cents
+        FROM r JOIN supplier USING (s_suppkey)
+        WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM r)
+        ORDER BY s_suppkey
+    """
+    # Q18-shape large-volume orders (relational.large_orders)
+    out["large_orders"] = """
+        WITH q AS (
+          SELECT l_orderkey,
+                 sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               (year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                + day(o_orderdate))::BIGINT AS o_date,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS total_price_cents,
+               sum_qty
+        FROM q
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY total_price_cents DESC, o_date ASC, o_orderkey ASC
+        LIMIT 100
+    """
+    # Q22-shape dormant high-balance customers per nation
+    # (relational.global_balance_filter): exact integer cross-multiply
+    out["global_balance_filter"] = """
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+          FROM customer
+        ),
+        t AS (SELECT count(*) AS n, sum(bal)::BIGINT AS tot
+              FROM c WHERE bal > 0)
+        SELECT c_nationkey::BIGINT AS cntrycode,
+               count(*)::BIGINT AS n_cust,
+               sum(bal)::BIGINT AS total_bal_cents
+        FROM c, t
+        WHERE bal > 0 AND bal * n > tot
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >= DATE '2000-01-01')
+        GROUP BY 1
+    """
     # sketch-quality audit (pipelines/dedup.lsh_recall_audit): both
     # chains' mirrors composed verbatim; recall as exact integer ppm
     # (LSH-verified pairs are a subset of the exact ground truth because

@@ -31,6 +31,11 @@ from ..sources.io import read_table
 
 __all__ = [
     "asof_join_events",
+    "shipping_priority",
+    "returned_items",
+    "top_supplier",
+    "large_orders",
+    "global_balance_filter",
     "range_join_events",
     "window_running_sum",
     "sliding_window_events",
@@ -468,3 +473,636 @@ def min_cost_supplier(sf_dir: str):
         sup.map_batches(tag_suppliers, batch_format="pandas")
     )
     return tagged.groupby("bucket").map_groups(attach_name, batch_format="pandas")
+
+
+def _date_i64(s: pd.Series) -> np.ndarray:
+    """Timestamp column -> exact int64 yyyymmdd (engine-neutral date key)."""
+    return (
+        s.dt.year.to_numpy() * 10_000
+        + s.dt.month.to_numpy() * 100
+        + s.dt.day.to_numpy()
+    ).astype("int64")
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cut: str = "1998-06-01",
+    k: int = 10,
+):
+    """Unshipped-order revenue ranking (the TPC-H Q3 shape): the top-k
+    revenue of orders from one market segment placed before ``cut`` with
+    lineitems still shipping after it — the canonical 3-table join +
+    group + top-k the reference's single-table aggregation family (A1)
+    never needs but any analytics user of this engine will write.
+
+    Shape: two bucketed co-groups, both sides pre-filtered at the read:
+    (1) bucket(custkey) gates the date-filtered orders by the segment's
+    customers (no customer broadcast — corpus-scaled at the design
+    point); (2) bucket(orderkey) joins per-order revenue partials
+    (``cents(price·(1−discount))`` combined in-batch) against the gated
+    orders and truncates to the bucket's top-k under the FINAL total
+    order (revenue desc, o_date asc, o_orderkey asc — a global top-k row
+    is necessarily in its bucket's top-k), so the driver folds ≤ buckets
+    × k rows. Columns: o_orderkey, revenue_cents, o_date.
+    SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    cut_ts = pd.Timestamp(cut)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def tag_seg_customers(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["c_mktsegment"] == segment]
+        key = keep["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "okey": np.zeros(len(keep), dtype="int64"),
+                "o_date": np.zeros(len(keep), dtype="int64"),
+                "side": np.ones(len(keep), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"] < cut_ts]
+        key = keep["o_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "okey": keep["o_orderkey"].to_numpy().astype("int64"),
+                "o_date": _date_i64(keep["o_orderdate"]),
+                "side": np.zeros(len(keep), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def gate_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(key="int64", o_date="int64", c="int64",
+                               side="int64", bucket="int32")
+        seg = set(df.loc[df["side"] == 1, "key"].to_numpy())
+        o = df[df["side"] == 0]
+        o = o[o["key"].isin(seg)]
+        key = o["okey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "o_date": o["o_date"].to_numpy().astype("int64"),
+                "c": np.zeros(len(o), dtype="int64"),
+                "side": np.ones(len(o), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["l_shipdate"] > cut_ts]
+        rev = keep["l_extendedprice"].to_numpy() * (1.0 - keep["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame({"key": keep["l_orderkey"].to_numpy(), "c": cents(rev)})
+            .groupby("key", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        g["o_date"] = np.zeros(len(g), dtype="int64")
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "c": "int64"})[
+            ["key", "o_date", "c", "side", "bucket"]
+        ]
+
+    def topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(o_orderkey="int64", revenue_cents="int64",
+                               o_date="int64")
+        o = df[df["side"] == 1][["key", "o_date"]]
+        rev = df[df["side"] == 0].groupby("key", sort=False)["c"].sum()
+        m = o.assign(revenue_cents=o["key"].map(rev))
+        m = m.dropna(subset=["revenue_cents"])
+        m = m.sort_values(
+            ["revenue_cents", "o_date", "key"], ascending=[False, True, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["key"].to_numpy().astype("int64"),
+                "revenue_cents": m["revenue_cents"].to_numpy().astype("int64"),
+                "o_date": m["o_date"].to_numpy().astype("int64"),
+            }
+        )
+
+    gated = (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(cust.map_batches(tag_seg_customers, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(gate_in_bucket, batch_format="pandas")
+    )
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(gated)
+        .groupby("bucket")
+        .map_groups(topk_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x k rows
+    )
+    if not len(folded):
+        return typed_empty(o_orderkey="int64", revenue_cents="int64", o_date="int64")
+    return (
+        folded.sort_values(
+            ["revenue_cents", "o_date", "o_orderkey"], ascending=[False, True, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def returned_items(
+    sf_dir: str,
+    lo: str = "1997-01-01",
+    hi: str = "1997-07-01",
+    k: int = 20,
+):
+    """Returned-item revenue ranking (the TPC-H Q10 shape): the top-k
+    customers by revenue lost to returned lineitems (``l_returnflag =
+    'R'``) on orders placed in the window — 4-table join with a
+    fixed-size dimension attach.
+
+    Shape: bucket(orderkey) co-group joins in-batch-combined R-revenue
+    partials to window-filtered orders and collapses to per-custkey
+    partials IN-GROUP (the exchange after it carries customers, not
+    lineitems); bucket(custkey) co-group folds them and attaches c_name
+    / c_nationkey, truncating to the bucket top-k under the final order
+    (revenue desc, custkey asc). The 25-row nation dimension attaches
+    driver-side (a fixed-size dimension is the one join input that is
+    NOT corpus-scaled). Columns: c_custkey, c_name, n_name,
+    revenue_cents. SQL-oracle-checked."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["l_returnflag"] == "R"]
+        rev = keep["l_extendedprice"].to_numpy() * (1.0 - keep["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame({"key": keep["l_orderkey"].to_numpy(), "c": cents(rev)})
+            .groupby("key", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        g["cust"] = np.zeros(len(g), dtype="int64")
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "c": "int64"})[
+            ["key", "c", "cust", "side", "bucket"]
+        ]
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["o_orderdate"] >= lo_ts) & (df["o_orderdate"] < hi_ts)]
+        key = keep["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "c": np.zeros(len(keep), dtype="int64"),
+                "cust": keep["o_custkey"].to_numpy().astype("int64"),
+                "side": np.ones(len(keep), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def cust_partials_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(key="int64", c="int64", name=str,
+                               nat="int64", side="int64", bucket="int32")
+        o = df[df["side"] == 1][["key", "cust"]]
+        rev = df[df["side"] == 0].groupby("key", sort=False)["c"].sum()
+        m = o.assign(c=o["key"].map(rev)).dropna(subset=["c"])
+        g = m.groupby("cust", sort=False)["c"].sum().reset_index()
+        key = g["cust"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "c": g["c"].to_numpy().astype("int64"),
+                "name": np.full(len(g), "", dtype=object),
+                "nat": np.zeros(len(g), dtype="int64"),
+                "side": np.zeros(len(g), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def tag_customers(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "c": np.zeros(len(df), dtype="int64"),
+                "name": df["c_name"].to_numpy(dtype=object),
+                "nat": df["c_nationkey"].to_numpy().astype("int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(c_custkey="int64", name=str, nat="int64",
+                               revenue_cents="int64")
+        names = df[df["side"] == 1].set_index("key")[["name", "nat"]]
+        rev = df[df["side"] == 0].groupby("key", sort=False)["c"].sum().reset_index()
+        if not len(rev):
+            return typed_empty(c_custkey="int64", name=str, nat="int64",
+                               revenue_cents="int64")
+        rev = rev.sort_values(["c", "key"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "c_custkey": rev["key"].to_numpy().astype("int64"),
+                "name": rev["key"].map(names["name"]).to_numpy(dtype=object),
+                "nat": rev["key"].map(names["nat"]).to_numpy().astype("int64"),
+                "revenue_cents": rev["c"].to_numpy().astype("int64"),
+            }
+        )
+
+    per_cust = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(cust_partials_in_bucket, batch_format="pandas")
+    )
+    folded = (
+        per_cust.union(cust.map_batches(tag_customers, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(topk_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x k rows
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    if not len(folded):
+        return typed_empty(c_custkey="int64", c_name=str, n_name=str,
+                           revenue_cents="int64")
+    out = folded.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].to_numpy(),
+            "c_name": out["name"].to_numpy(dtype=object),
+            "n_name": out["nat"].map(nmap).to_numpy(dtype=object),
+            "revenue_cents": out["revenue_cents"].to_numpy(),
+        }
+    )
+
+
+def top_supplier(sf_dir: str, lo: str = "1997-01-01", hi: str = "1997-04-01"):
+    """Top supplier(s) by window revenue (the TPC-H Q15 shape, famous
+    for its float-equality trap: winners are suppliers whose revenue
+    EQUALS the global max). Exact int64 cents make the equality
+    well-defined across engines — the float version is
+    engine-dependent; this one is bit-stable.
+
+    Shape: ONE bucket(suppkey) co-group folds in-batch-combined revenue
+    partials and attaches s_name, keeping only rows TIED AT THE BUCKET
+    MAX (a global winner is necessarily a bucket winner); the driver
+    folds ≤ a few rows per bucket and applies the global max. Columns:
+    s_suppkey, s_name, total_revenue_cents. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["l_shipdate"] >= lo_ts) & (df["l_shipdate"] < hi_ts)]
+        rev = keep["l_extendedprice"].to_numpy() * (1.0 - keep["l_discount"].to_numpy())
+        g = (
+            pd.DataFrame({"key": keep["l_suppkey"].to_numpy(), "c": cents(rev)})
+            .groupby("key", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        g["name"] = np.full(len(g), "", dtype=object)
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "c": "int64"})[
+            ["key", "c", "name", "side", "bucket"]
+        ]
+
+    def tag_suppliers(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["s_suppkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "c": np.zeros(len(df), dtype="int64"),
+                "name": df["s_name"].to_numpy(dtype=object),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def bucket_winners(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(s_suppkey="int64", s_name=str,
+                               total_revenue_cents="int64")
+        names = df[df["side"] == 1].set_index("key")["name"]
+        rev = df[df["side"] == 0].groupby("key", sort=False)["c"].sum()
+        if not len(rev):
+            return typed_empty(s_suppkey="int64", s_name=str,
+                               total_revenue_cents="int64")
+        mx = rev.max()
+        w = rev[rev == mx].reset_index()
+        return pd.DataFrame(
+            {
+                "s_suppkey": w["key"].to_numpy().astype("int64"),
+                "s_name": w["key"].map(names).to_numpy(dtype=object),
+                "total_revenue_cents": w["c"].to_numpy().astype("int64"),
+            }
+        )
+
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(sup.map_batches(tag_suppliers, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(bucket_winners, batch_format="pandas")
+        .to_pandas()  # bounded: <= ties-at-max per bucket
+    )
+    if not len(folded):
+        return typed_empty(s_suppkey="int64", s_name=str,
+                           total_revenue_cents="int64")
+    mx = folded["total_revenue_cents"].max()
+    out = folded[folded["total_revenue_cents"] == mx]
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def large_orders(sf_dir: str, qty_threshold: int = 300, k: int = 100):
+    """Large-volume orders (the TPC-H Q18 shape): the top-k orders whose
+    total lineitem quantity exceeds the threshold, with the buyer
+    attached — the HAVING-over-join + ranked-report composite.
+
+    Shape: bucket(orderkey) co-group folds in-batch-combined quantity
+    partials (quantities are integral; summed as exact int64), applies
+    the HAVING gate IN-GROUP, and joins order fields — the second
+    exchange ships only gate survivors; bucket(custkey) co-group
+    attaches c_name and truncates to the bucket top-k under the final
+    order (total_price_cents desc, o_date asc, o_orderkey asc).
+    Columns: c_name, c_custkey, o_orderkey, o_date, total_price_cents,
+    sum_qty. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def qty_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "key": df["l_orderkey"].to_numpy(),
+                    "q": np.rint(df["l_quantity"].to_numpy()).astype("int64"),
+                }
+            )
+            .groupby("key", sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        g["cust"] = np.zeros(len(g), dtype="int64")
+        g["pc"] = np.zeros(len(g), dtype="int64")
+        g["o_date"] = np.zeros(len(g), dtype="int64")
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "q": "int64"})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "q": np.zeros(len(df), dtype="int64"),
+                "cust": df["o_custkey"].to_numpy().astype("int64"),
+                "pc": cents(df["o_totalprice"].to_numpy()),
+                "o_date": _date_i64(df["o_orderdate"]),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def gate_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(key="int64", okey="int64", pc="int64",
+                               o_date="int64", q="int64", name=str,
+                               side="int64", bucket="int32")
+        qty = df[df["side"] == 0].groupby("key", sort=False)["q"].sum()
+        qty = qty[qty > qty_threshold]
+        o = df[df["side"] == 1]
+        o = o[o["key"].isin(qty.index)]
+        key = o["cust"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "okey": o["key"].to_numpy().astype("int64"),
+                "pc": o["pc"].to_numpy().astype("int64"),
+                "o_date": o["o_date"].to_numpy().astype("int64"),
+                "q": o["key"].map(qty).to_numpy().astype("int64"),
+                "name": np.full(len(o), "", dtype=object),
+                "side": np.zeros(len(o), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def tag_customers(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "okey": np.zeros(len(df), dtype="int64"),
+                "pc": np.zeros(len(df), dtype="int64"),
+                "o_date": np.zeros(len(df), dtype="int64"),
+                "q": np.zeros(len(df), dtype="int64"),
+                "name": df["c_name"].to_numpy(dtype=object),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def topk_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(c_name=str, c_custkey="int64",
+                               o_orderkey="int64", o_date="int64",
+                               total_price_cents="int64", sum_qty="int64")
+        names = df[df["side"] == 1].set_index("key")["name"]
+        o = df[df["side"] == 0]
+        if not len(o):
+            return typed_empty(c_name=str, c_custkey="int64",
+                               o_orderkey="int64", o_date="int64",
+                               total_price_cents="int64", sum_qty="int64")
+        o = o.sort_values(
+            ["pc", "o_date", "okey"], ascending=[False, True, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "c_name": o["key"].map(names).to_numpy(dtype=object),
+                "c_custkey": o["key"].to_numpy().astype("int64"),
+                "o_orderkey": o["okey"].to_numpy().astype("int64"),
+                "o_date": o["o_date"].to_numpy().astype("int64"),
+                "total_price_cents": o["pc"].to_numpy().astype("int64"),
+                "sum_qty": o["q"].to_numpy().astype("int64"),
+            }
+        )
+
+    gated = (
+        li.map_batches(qty_partials, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(gate_in_bucket, batch_format="pandas")
+    )
+    folded = (
+        gated.union(cust.map_batches(tag_customers, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(topk_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x k rows
+    )
+    if not len(folded):
+        return typed_empty(c_name=str, c_custkey="int64", o_orderkey="int64",
+                           o_date="int64", total_price_cents="int64",
+                           sum_qty="int64")
+    return (
+        folded.sort_values(
+            ["total_price_cents", "o_date", "o_orderkey"],
+            ascending=[False, True, True],
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def global_balance_filter(sf_dir: str, cut: str = "2000-01-01"):
+    """Dormant high-balance customers per nation (the TPC-H Q22 shape,
+    phone-prefix country code adapted to the nationkey this corpus
+    carries): positive-balance customers ABOVE the global positive-
+    balance average with NO orders since ``cut``, counted per nation.
+    The global-scalar gate is exact integer cross-multiplication
+    (``bal_cents · n > total_cents ⟺ bal > avg``) — no float threshold.
+
+    Shape: pass 1 streams (count, sum) partials of positive balances
+    (tiny driver fold); pass 2 is ONE bucket(custkey) co-group — gated
+    customers vs DISTINCT recent-order custkeys (combined in-batch) —
+    applying the NOT-EXISTS anti-join and collapsing to per-nation
+    (n_cust, total_bal_cents) partials in-group; the driver folds ≤
+    buckets × nations tiny rows. Columns: cntrycode, n_cust,
+    total_bal_cents. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    cut_ts = pd.Timestamp(cut)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def bal_partials(df: pd.DataFrame) -> pd.DataFrame:
+        pos = cents(df["c_acctbal"].to_numpy())
+        pos = pos[pos > 0]
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(pos)], dtype="int64"),
+                "tot": pd.Series([int(pos.sum())], dtype="int64"),
+            }
+        )
+
+    parts = cust.map_batches(bal_partials, batch_format="pandas").to_pandas()
+    n_pos = int(parts["n"].sum())
+    tot_pos = int(parts["tot"].sum())
+
+    def tag_customers(df: pd.DataFrame) -> pd.DataFrame:
+        bal = cents(df["c_acctbal"].to_numpy())
+        keep = (bal > 0) & (bal * n_pos > tot_pos)
+        sub = df[keep]
+        key = sub["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "nat": sub["c_nationkey"].to_numpy().astype("int64"),
+                "bal": bal[keep],
+                "side": np.ones(len(sub), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def order_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"] >= cut_ts]
+        key = pd.Series(keep["o_custkey"].unique()).astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "nat": np.zeros(len(key), dtype="int64"),
+                "bal": np.zeros(len(key), dtype="int64"),
+                "side": np.zeros(len(key), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def anti_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(cntrycode="int64", n_cust="int64",
+                               total_bal_cents="int64")
+        active = set(df.loc[df["side"] == 0, "key"].to_numpy())
+        c = df[df["side"] == 1]
+        c = c[~c["key"].isin(active)]
+        if not len(c):
+            return typed_empty(cntrycode="int64", n_cust="int64",
+                               total_bal_cents="int64")
+        g = (
+            c.groupby("nat", sort=False)
+            .agg(n_cust=("key", "size"), total_bal_cents=("bal", "sum"))
+            .reset_index()
+            .rename(columns={"nat": "cntrycode"})
+        )
+        return g.astype({"cntrycode": "int64", "n_cust": "int64",
+                         "total_bal_cents": "int64"})
+
+    folded = (
+        cust.map_batches(tag_customers, batch_format="pandas")
+        .union(orders.map_batches(order_keys, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(anti_fold, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x nations tiny rows
+    )
+    if not len(folded):
+        return typed_empty(cntrycode="int64", n_cust="int64",
+                           total_bal_cents="int64")
+    return (
+        folded.groupby("cntrycode", sort=False)[["n_cust", "total_bal_cents"]]
+        .sum()
+        .reset_index()
+        .astype({"cntrycode": "int64", "n_cust": "int64",
+                 "total_bal_cents": "int64"})
+    )
