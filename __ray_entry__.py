@@ -2737,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webarchive_discovery_ray.pipelines.aggregates import (
         anti_join_orders,
         custdist,
+        forecast_revenue,
         grouped_quantiles,
         important_parts,
         promo_revenue,
@@ -2814,6 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kll_quantiles,
     )
     from webarchive_discovery_ray.pipelines.curation import (
+        source_quota_sample,
         blocklist_filter,
         compression_ratio,
         dataset_split,
@@ -2960,6 +2962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _media_dedup,
         "span_quality_filter": _span_quality_filter,
         "anti_join_orders": anti_join_orders,
+        "forecast_revenue": forecast_revenue,
+        "source_quota_sample": source_quota_sample,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
         "mixture_weights": mixture_weights,
@@ -6349,6 +6353,29 @@ def oracle_sql() -> dict[str, str]:
     # real WARC/ARC binary fixtures: the independent sequential parser +
     # extraction oracle, rendered as a VALUES table (DuckDB cannot read
     # WARC, so the independent implementation IS the SQL)
+    # Q6-shape filter+aggregate forecast (aggregates.forecast_revenue):
+    # discount band on ROUNDED integer percent, exact int64 cents
+    out["forecast_revenue"] = """
+        SELECT sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                        AS BIGINT))::BIGINT AS revenue_cents,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+          AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """
+    # per-source quota cap by deterministic md5 rank
+    # (curation.source_quota_sample)
+    out["source_quota_sample"] = """
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+               )::BIGINT AS rk
+        FROM documents
+        QUALIFY rk <= 10
+    """
     # Q3-shape unshipped-order revenue top-k (relational.shipping_priority)
     out["shipping_priority"] = """
         WITH r AS (

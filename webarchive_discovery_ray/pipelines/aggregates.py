@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from ..sources.io import read_table
 
 __all__ = [
+    "forecast_revenue",
     "lineitem_agg",
     "promo_revenue",
     "revenue_by_nation",
@@ -970,5 +971,60 @@ def promo_revenue(sf_dir: str):
             "promo_ppm": (
                 out["promo_c"].to_numpy() * 1_000_000 // out["total_c"].to_numpy()
             ).astype("int64"),
+        }
+    )
+
+
+def forecast_revenue(
+    sf_dir: str,
+    lo: str = "1997-01-01",
+    hi: str = "1998-01-01",
+    disc_lo: int = 5,
+    disc_hi: int = 7,
+    qty_lt: float = 24.0,
+):
+    """Revenue-change forecast (the TPC-H Q6 shape): the corpus-wide
+    ``sum(extendedprice * discount)`` over a ship-year band of discounts
+    and small quantities — the pure filter+aggregate member of the
+    relational family (A1's single-table aggregation with a predicate
+    stack, ``FrequencyCountingReducer.java`` lineage).
+
+    Exactness: the discount band compares ROUNDED integer percent
+    (``floor(d*100+0.5) BETWEEN lo AND hi``) on BOTH engines — a raw
+    float BETWEEN is engine-consistent only by accident at band edges;
+    the revenue folds as exact int64 cents of ``price * discount`` per
+    line. One streaming pass, per-batch scalar partials, no exchange.
+    Columns: revenue_cents, n_lines (one row). SQL-oracle-checked."""
+    from ..sources.io import read_table
+
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        disc_pct = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype("int64")
+        keep = (
+            (df["l_shipdate"] >= lo_ts).to_numpy()
+            & (df["l_shipdate"] < hi_ts).to_numpy()
+            & (disc_pct >= disc_lo)
+            & (disc_pct <= disc_hi)
+            & (df["l_quantity"].to_numpy() < qty_lt)
+        )
+        sub = df[keep]
+        rev = sub["l_extendedprice"].to_numpy() * sub["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "c": pd.Series([int(cents(rev).sum())], dtype="int64"),
+                "n": pd.Series([len(sub)], dtype="int64"),
+            }
+        )
+
+    parts = li.map_batches(partials, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_cents": pd.Series([int(parts["c"].sum())], dtype="int64"),
+            "n_lines": pd.Series([int(parts["n"].sum())], dtype="int64"),
         }
     )

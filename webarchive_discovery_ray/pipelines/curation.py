@@ -33,6 +33,7 @@ import pyarrow as pa
 from ..sources.io import read_table
 
 __all__ = [
+    "source_quota_sample",
     "decontaminate",
     "repetition_score",
     "pii_scrub",
@@ -1842,3 +1843,62 @@ def quality_classifier(
         )
 
     return feats.map_batches(score, batch_format="pandas")
+
+
+def source_quota_sample(sf_dir: str, quota: int = 10):
+    """Per-source document quota (hot-domain cap): keep at most ``quota``
+    docs per source, chosen by a DETERMINISTIC md5 rank — the standard
+    curation gate against a handful of mega-domains dominating a
+    training mix (the crawl plane's politeness budget is the fetch-time
+    sibling; this is the dataset-side one). The md5-rank determinism
+    rule is the repo's global_shuffle / A-ES convention: rank =
+    ``md5('quota:' || doc_id)`` with doc_id ascending as tie-break, so
+    any engine reproduces the same kept set bit-for-bit.
+
+    Shape: one pass computes (doc_id, source, rank-key) — text never
+    ships; ONE bucket(source) exchange sorts each source's keys and
+    keeps the first ``quota`` (all rows of a source co-locate, so the
+    per-source rank is exact). Output is kept docs only. Columns:
+    doc_id, source, rk (1-based). SQL-oracle-checked (row_number
+    QUALIFY mirror)."""
+    import hashlib
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        key = [
+            hashlib.md5(f"quota:{d}".encode("ascii")).hexdigest()
+            for d in df["doc_id"].to_numpy()
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "source": df["source"].to_numpy(dtype=object),
+                "key": np.asarray(key, dtype=object),
+                "bucket": bucket_of(df["source"], n_b),
+            }
+        )
+
+    def quota_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(doc_id="int64", source=str, rk="int64")
+        df = df.sort_values(["source", "key", "doc_id"], kind="mergesort")
+        rk = df.groupby("source", sort=False).cumcount().to_numpy() + 1
+        keep = rk <= quota
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "source": df["source"].to_numpy(dtype=object)[keep],
+                "rk": rk[keep].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(quota_in_bucket, batch_format="pandas")
+    )
