@@ -1145,3 +1145,57 @@ def test_dedup_content_checkpoint_resume_identical(ray_session, tmp_path_factory
                     collect_log=True, collect_seen=True)
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
     assert got.seen_sorted == full.seen_sorted
+
+
+def test_max_pages_per_host_quota(ray_session, seeds, oracle_result, tmp_path_factory):
+    """Heritrix queue-total-budget rule: per-host total fetch quota,
+    retired hosts drop their queues. Byte-parity vs the sequential
+    oracle, the cap provably bites, knob-off is byte-identical, and
+    kill-resume restores the quota counters."""
+    quota_cfg = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                            max_pages_per_host=5)
+    exp = oracle_crawl(seeds, quota_cfg, SYN)
+    got = run_crawl(seeds, quota_cfg, SYN, fetch_concurrency=2,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # sensitivity: every host stops at the quota, and the unquota'd crawl
+    # provably fetched more from at least one host
+    per: dict[str, int] = {}
+    for e in exp.fetch_log:
+        per[e["host"]] = per.get(e["host"], 0) + 1
+    assert per and max(per.values()) <= 5
+    base_per: dict[str, int] = {}
+    for e in oracle_result.fetch_log:
+        base_per[e["host"]] = base_per.get(e["host"], 0) + 1
+    assert max(base_per.values()) > 5, "fixture must exceed the quota"
+    assert len(exp.fetch_log) < len(oracle_result.fetch_log)
+    # knob-off: None leaves the default crawl byte-identical
+    off = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2, collect_log=True,
+                    collect_seen=True)
+    assert [_log_key(e) for e in off.fetch_log] == [
+        _log_key(e) for e in oracle_result.fetch_log
+    ]
+    # salted pre-drain path agrees (any split factor is parity-safe,
+    # including retired-host drops)
+    salted_cfg = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                             max_pages_per_host=5, salt_threshold=1,
+                             salt_factor=3)
+    salted = run_crawl(seeds, salted_cfg, SYN, fetch_concurrency=2,
+                       collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in salted.fetch_log] == [
+        _log_key(e) for e in exp.fetch_log
+    ]
+    assert salted.seen_sorted == exp.seen_sorted
+    # kill-and-resume: counters checkpoint and restore
+    ckpt = str(tmp_path_factory.mktemp("quota_ckpt"))
+    partial = CrawlConfig(politeness_budget=3, max_waves=2, seen_shards=4,
+                          max_pages_per_host=5)
+    run_crawl(seeds, partial, SYN, checkpoint_dir=ckpt, fetch_concurrency=2)
+    resumed = run_crawl(seeds, quota_cfg, SYN, checkpoint_dir=ckpt,
+                        resume=True, fetch_concurrency=2, collect_log=True,
+                        collect_seen=True)
+    assert [_log_key(e) for e in resumed.fetch_log] == [
+        _log_key(e) for e in exp.fetch_log
+    ]
+    assert resumed.seen_sorted == exp.seen_sorted

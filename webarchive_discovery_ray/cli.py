@@ -181,6 +181,7 @@ def _cmd_crawl(args: argparse.Namespace) -> dict:
         seen_spill_threshold=args.seen_spill_threshold,
         seen_spill_dir=args.seen_spill_dir,
         warc_dir=args.warc_dir,
+        max_pages_per_host=args.max_pages_per_host,
     )
     res = run_crawl(
         seeds,
@@ -320,6 +321,9 @@ def main(argv: list[str] | None = None) -> int:
                          "sorted parquet runs")
     cr.add_argument("--seen-spill-dir")
     cr.add_argument("--docs-dir")
+    cr.add_argument("--max-pages-per-host", type=int,
+                    help="total crawl quota per host (Heritrix "
+                         "queue-total-budget): host retires once reached")
     cr.add_argument("--warc-dir",
                     help="write wave_*/part_*.warc.gz response/revisit "
                          "fragments (revisits minted for content-gate "

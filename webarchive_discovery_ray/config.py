@@ -143,6 +143,16 @@ class CrawlConfig:
     # 10^10-URL design point set this to the per-shard RAM budget.
     seen_spill_threshold: int | None = None
     seen_spill_dir: str | None = None
+    # per-host total crawl quota (the Heritrix queue-total-budget rule):
+    # once a host has been FETCHED max_pages_per_host times across the
+    # whole crawl (robots/sitemap fetches count — a fetch is a fetch),
+    # the host retires — its queued rows are DROPPED at the next drain
+    # (not carried), and a wave's effective budget is capped at the
+    # host's remaining quota. Quota state is a per-host counter folded
+    # from split metas (the robots-rules driver-dict discipline, bounded
+    # by |hosts|), broadcast per wave, checkpointed and restored.
+    # Default None: fixtures byte-identical.
+    max_pages_per_host: int | None = None
     # crawl-end fragment compaction (sources/sinks.maybe_compact_fragments):
     # when docs_dir holds more than this many parquet fragments at crawl
     # end, fold them into few large files via the resumable compactor and

@@ -116,6 +116,7 @@ def oracle_crawl(
     robots_scheduled: set[str] = set()
     robots_rules: dict[str, list[str]] = {}
     backoff_prev: set[str] = set()  # hosts that served >=500 LAST wave
+    host_fetched: dict[str, int] = {}  # max_pages_per_host quota state
     seq = 0
     frontier: list[_Entry] = []
     for url, pri in seeds:
@@ -177,6 +178,15 @@ def oracle_crawl(
             if ccfg.backoff_503 and host in backoff_prev:
                 # one-wave 5xx backoff: half budget after an error wave
                 host_budget = max(1, host_budget // 2)
+            if ccfg.max_pages_per_host is not None:
+                # queue-total-budget quota: cap at the host's remaining
+                # allowance; a RETIRED host (nothing left) drops its
+                # whole queue — rows vanish, they never carry again
+                remaining = ccfg.max_pages_per_host - host_fetched.get(host, 0)
+                if remaining <= 0:
+                    dropped += len(queue)
+                    continue
+                host_budget = min(host_budget, remaining)
             slot = 0
             for e in queue:
                 if e.priority != -1 and rules and is_disallowed(url_path(e.url), rules):
@@ -187,6 +197,9 @@ def oracle_crawl(
                     slot += 1
                 else:
                     carryover.append(e)
+        if ccfg.max_pages_per_host is not None:
+            for host, _slot, _e in selected:
+                host_fetched[host] = host_fetched.get(host, 0) + 1
         # rule 4: fetch in (host, slot) order
         new_robots: dict[str, list[str]] = {}
         wave_backoff: set[str] = set()

@@ -333,7 +333,8 @@ def _robots_drop(df: pd.DataFrame, robots_rules: dict[str, list[str]]) -> pd.Dat
     return df.drop(index=drop_idx) if len(drop_idx) else df
 
 
-def _make_drain_fn(budget: int, rules_ref, backoff_ref=None):
+def _make_drain_fn(budget: int, rules_ref, backoff_ref=None, quota_ref=None,
+                   max_pages: int | None = None):
     """Vectorized politeness drain over a host-hash-partitioned block.
 
     The block holds every (surviving) row of each host it contains, so
@@ -352,12 +353,22 @@ def _make_drain_fn(budget: int, rules_ref, backoff_ref=None):
         backoff = (
             get_broadcast(backoff_ref) if backoff_ref is not None else None
         )
+        fetched = get_broadcast(quota_ref) if quota_ref is not None else None
         df = df.sort_values(
             ["host", "priority", "seq", "surt"], kind="mergesort"
         )
         df = _robots_drop(df, robots_rules)
+        budgets = _host_budgets(
+            df["host"], budget, robots_rules, backoff, fetched, max_pages
+        )
+        if max_pages is not None:
+            # retired hosts (no quota left): their rows leave the
+            # frontier entirely — not fetched, not carried
+            keep = budgets > 0
+            if not keep.all():
+                df = df[keep]
+                budgets = budgets[keep]
         slots = df.groupby("host", sort=False).cumcount().to_numpy()
-        budgets = _host_budgets(df["host"], budget, robots_rules, backoff)
         return df.assign(
             slot=np.where(slots < budgets, slots, -1).astype("int32"),
             selected=slots < budgets,
@@ -371,12 +382,15 @@ def _host_budgets(
     budget: int,
     robots_rules: dict,
     backoff=None,
+    fetched: dict | None = None,
+    max_pages: int | None = None,
 ) -> np.ndarray:
     """Per-row effective politeness budget (Crawl-delay rule, pinned in
     state/robots.effective_budget, then the one-wave 5xx backoff halving
-    ``max(1, eff // 2)``) — computed once per UNIQUE host in the block,
-    then broadcast to rows."""
-    if not robots_rules and not backoff:
+    ``max(1, eff // 2)``, then the max_pages_per_host quota cap — a
+    value <= 0 marks the host RETIRED) — computed once per UNIQUE host
+    in the block, then broadcast to rows."""
+    if not robots_rules and not backoff and max_pages is None:
         return np.full(len(hosts), budget, dtype=np.int64)
     uniq = hosts.unique()
     m = {}
@@ -384,6 +398,8 @@ def _host_budgets(
         eff = effective_budget(budget, robots_rules.get(h)) if robots_rules else budget
         if backoff and h in backoff:
             eff = max(1, eff // 2)
+        if max_pages is not None:
+            eff = min(eff, max_pages - (fetched or {}).get(h, 0))
         m[h] = eff
     return hosts.map(m).to_numpy(dtype=np.int64)
 
@@ -662,7 +678,8 @@ def _salt_split(tbl: pa.Table, n_sub: int) -> list[pa.Table]:
 
 
 @_ray.remote(num_returns=2)
-def _pre_drain(tbl: pa.Table, budget: int, rules_boxed, backoff_boxed=None):
+def _pre_drain(tbl: pa.Table, budget: int, rules_boxed, backoff_boxed=None,
+               quota_boxed=None, max_pages: int | None = None):
     """Salted phase-1 drain over ONE sub-block of a hot partition: apply
     the robots drop (same rule as the main drain — dropped rows leave the
     frontier), then keep each host's top ``budget`` rows by the global
@@ -679,14 +696,21 @@ def _pre_drain(tbl: pa.Table, budget: int, rules_boxed, backoff_boxed=None):
         return tbl, tbl
     robots_rules = get_broadcast(rules_boxed[0]) if rules_boxed else {}
     backoff = get_broadcast(backoff_boxed[0]) if backoff_boxed else None
+    fetched = get_broadcast(quota_boxed[0]) if quota_boxed else None
     df = tbl.to_pandas()
     df = df.sort_values(["host", "priority", "seq", "surt"], kind="mergesort")
     df = _robots_drop(df, robots_rules)
     ranks = df.groupby("host", sort=False).cumcount().to_numpy()
-    survive = ranks < _host_budgets(df["host"], budget, robots_rules, backoff)
+    budgets = _host_budgets(
+        df["host"], budget, robots_rules, backoff, fetched, max_pages
+    )
+    survive = ranks < budgets
+    # quota parity: the final drain DROPS retired-host rows, so the
+    # salted pre-drain must not carry them either
+    carry_mask = ~survive if max_pages is None else (~survive) & (budgets > 0)
     cols = ["url", "surt", "host", "priority", "hop", "seq", "part"]
     sv = pa.Table.from_pandas(df.loc[survive, cols], preserve_index=False)
-    cr = pa.Table.from_pandas(df.loc[~survive, cols], preserve_index=False)
+    cr = pa.Table.from_pandas(df.loc[carry_mask, cols], preserve_index=False)
     return sv.cast(PART_SCHEMA), cr.cast(PART_SCHEMA)
 
 
@@ -701,13 +725,17 @@ def _drain_fetch(
     ccfg: CrawlConfig,
     docs_dir: str | None,
     backoff_boxed=None,
+    quota_boxed=None,
 ) -> pa.Table:
     """Fused politeness drain + fetch/extract for ONE frontier block (the
     block holds complete host groups, so the drain's per-host queues are
     whole). Robots rules arrive boxed (once-per-worker broadcast)."""
     rules_ref = rules_boxed[0] if rules_boxed else None
     backoff_ref = backoff_boxed[0] if backoff_boxed else None
-    drained = _make_drain_fn(budget, rules_ref, backoff_ref)(tbl.to_pandas())
+    quota_ref = quota_boxed[0] if quota_boxed else None
+    drained = _make_drain_fn(
+        budget, rules_ref, backoff_ref, quota_ref, ccfg.max_pages_per_host
+    )(tbl.to_pandas())
     stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
     return stage(pa.Table.from_pandas(drained, preserve_index=False))
 
@@ -827,6 +855,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
             "fetched_rows": 0,
             "robots": [],
             "backoff": [],
+            "host_counts": [],
         },
         FRONTIER_SCHEMA.empty_table(),
         OUT_SCHEMA.empty_table().select(_PULL_COLS),
@@ -853,6 +882,10 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
     # any status >= 500 this wave in this part)
     errs = fetched.filter(pc.greater_equal(fetched["fetch_status"], 500))
     backoff_hosts = sorted(set(errs["fetch_host"].to_pylist()))
+    # per-host fetched counts (max_pages_per_host quota fold): tiny —
+    # bounded by hosts-in-block, the robots_pairs meta discipline
+    _hc = pd.Series(fetched["fetch_host"].to_pylist()).value_counts()
+    host_counts = list(zip(_hc.index.tolist(), _hc.to_numpy().astype(int).tolist()))
     # duplicate-content suppression: candidates flatten from cand_src,
     # which drops the gate's loser rows (fetched itself is unchanged)
     cand_src = fetched
@@ -885,6 +918,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
                 "fetched_rows": fetched.num_rows,
                 "robots": robots_pairs,
                 "backoff": backoff_hosts,
+                "host_counts": host_counts,
             },
             carry,
             fetched.select(_PULL_COLS),
@@ -932,6 +966,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
             "shard_bounds": bounds,
             "robots": robots_pairs,
             "backoff": backoff_hosts,
+            "host_counts": host_counts,
         },
         carry,
         fetched.select(_PULL_COLS),
@@ -1057,6 +1092,7 @@ def run_crawl(
     # hosts that served >=1 status>=500 response LAST wave (one-wave 5xx
     # backoff state; checkpointed at wave boundaries)
     backoff_hosts: set[str] = set()
+    host_fetched: dict[str, int] = {}  # max_pages_per_host quota state
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
     log_flush_refs: list = []  # streamed-log chains joined at crawl end
     warc_flush_refs: list = []  # WARC fragment writers, same join points
@@ -1085,6 +1121,7 @@ def run_crawl(
                 {u for r in robots_rules.values() for u in sitemap_urls_of(r)}
             )
         backoff_hosts = set(ck.get("backoff_hosts", set()))
+        host_fetched = dict(ck.get("host_fetched") or {})
         order_base = ck["fetch_log"].num_rows
         if collect_log and order_base:
             log_tables.append(ck["fetch_log"])
@@ -1172,6 +1209,14 @@ def run_crawl(
             if ccfg.backoff_503 and backoff_hosts
             else None
         )
+        # max_pages_per_host quota counters: own small broadcast (the
+        # backoff discipline); None until a fetch happened, the drain
+        # still caps at max_pages via the ccfg scalar
+        quota_boxed = (
+            [ray.put(dict(host_fetched))]
+            if ccfg.max_pages_per_host is not None and host_fetched
+            else None
+        )
         # per-part winner rows from the range tasks (tiny lists, needed
         # for the salt decision; the tables themselves stay remote)
         winners_rows_per_part = [0] * n_parts
@@ -1203,7 +1248,8 @@ def run_crawl(
                     subs = [subs]
                 outs = [
                     _pre_drain.remote(
-                        sub, ccfg.politeness_budget, rules_boxed, backoff_boxed
+                        sub, ccfg.politeness_budget, rules_boxed, backoff_boxed,
+                        quota_boxed, ccfg.max_pages_per_host,
                     )
                     for sub in subs
                 ]
@@ -1240,7 +1286,7 @@ def run_crawl(
         block_refs = [
             _drain_fetch.remote(
                 ref, ccfg.politeness_budget, rules_boxed, scfg, icfg, wave,
-                ccfg, docs_dir, backoff_boxed,
+                ccfg, docs_dir, backoff_boxed, quota_boxed,
             )
             for ref in input_refs
         ]
@@ -1408,6 +1454,12 @@ def run_crawl(
         if ccfg.backoff_503:
             # one-wave state: REPLACED each wave (a clean wave recovers)
             backoff_hosts = {h for m in metas for h in m["backoff"]}
+        if ccfg.max_pages_per_host is not None:
+            # quota counters: CUMULATIVE fold (effective from next wave,
+            # matching the oracle's post-drain increment timing)
+            for m in metas:
+                for h, n in m["host_counts"]:
+                    host_fetched[h] = host_fetched.get(h, 0) + int(n)
         stats = {
             "wave": wave,
             "frontier": frontier_rows,
@@ -1470,6 +1522,9 @@ def run_crawl(
                 backoff_hosts=backoff_hosts,
                 content_delta=(
                     pending_content_delta if content_pool is not None else None
+                ),
+                host_fetched=(
+                    host_fetched if ccfg.max_pages_per_host is not None else None
                 ),
             )
             pending_delta = []

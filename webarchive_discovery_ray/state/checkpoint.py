@@ -76,6 +76,7 @@ def write_wave_checkpoint(
     stats: dict,
     backoff_hosts: set[str] | None = None,
     content_delta: list[str] | None = None,
+    host_fetched: dict[str, int] | None = None,
 ) -> None:
     os.makedirs(base, exist_ok=True)
     final = _wave_dir(base, wave)
@@ -136,6 +137,9 @@ def write_wave_checkpoint(
                 # one-wave 5xx-backoff state (absent in pre-backoff
                 # checkpoints; load_wave_checkpoint defaults to empty)
                 "backoff": sorted(backoff_hosts or ()),
+                # max_pages_per_host quota counters (None when the quota
+                # is off; loader defaults to {})
+                "host_fetched": host_fetched,
             },
             f,
         )
@@ -202,6 +206,7 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         "robots_scheduled": set(robots["scheduled"]),
         "robots_rules": robots["rules"],
         "backoff_hosts": set(robots.get("backoff", [])),
+        "host_fetched": robots.get("host_fetched") or {},
         "fetch_log": fetch_log,
         "seq": manifest["seq"],
     }
