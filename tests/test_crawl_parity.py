@@ -1199,3 +1199,44 @@ def test_max_pages_per_host_quota(ray_session, seeds, oracle_result, tmp_path_fa
         _log_key(e) for e in exp.fetch_log
     ]
     assert resumed.seen_sorted == exp.seen_sorted
+
+
+def test_scope_surt_prefixes(ray_session, seeds, oracle_result):
+    """Heritrix SurtPrefixedDecideRule: candidates outside the SURT scope
+    never enqueue. Byte-parity vs the oracle through the shared
+    candidate_ok gate, the scope provably bites, seeds/robots stay in
+    scope by construction, and knob-off is byte-identical."""
+    from webarchive_discovery_ray.oracle.crawl_oracle import scope_from_seeds
+    from webarchive_discovery_ray.functions.surt import surt_key
+
+    scope = scope_from_seeds(seeds[:2])  # stay on the first two seed hosts
+    cfg = CrawlConfig(politeness_budget=3, max_waves=4, seen_shards=4,
+                      scope_surt_prefixes=scope)
+    exp = oracle_crawl(seeds, cfg, SYN)
+    got = run_crawl(seeds, cfg, SYN, fetch_concurrency=2,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # sensitivity: discovery shrank vs the unscoped crawl, and every
+    # DISCOVERED (non-seed, non-robots) fetch is inside the scope
+    assert len(exp.seen_sorted) < len(oracle_result.seen_sorted)
+    seed_surts = {surt_key(u) for u, _ in seeds}
+    for e in exp.fetch_log:
+        if e["surt"] in seed_surts or e["url"].endswith("/robots.txt"):
+            continue
+        assert any(e["surt"].startswith(p) for p in scope), e["url"]
+    # the scope kept hosts beyond the first two OUT (seeds themselves and
+    # their robots are the only out-of-scope fetches)
+    in_scope_hosts = {e["host"] for e in exp.fetch_log
+                      if any(surt_key("http://" + e["host"] + "/").startswith(p)
+                             for p in scope)}
+    all_hosts = {e["host"] for e in exp.fetch_log}
+    assert in_scope_hosts < all_hosts  # some seed hosts are out of scope
+    base_hosts = {e["host"] for e in oracle_result.fetch_log}
+    assert all_hosts < base_hosts  # scope pruned discovered hosts
+    # knob-off: None reproduces the base crawl byte-for-byte
+    off = run_crawl(seeds, CRAWL, SYN, fetch_concurrency=2,
+                    collect_log=True)
+    assert [_log_key(e) for e in off.fetch_log] == [
+        _log_key(e) for e in oracle_result.fetch_log
+    ]

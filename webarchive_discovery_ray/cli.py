@@ -182,6 +182,9 @@ def _cmd_crawl(args: argparse.Namespace) -> dict:
         seen_spill_dir=args.seen_spill_dir,
         warc_dir=args.warc_dir,
         max_pages_per_host=args.max_pages_per_host,
+        scope_surt_prefixes=(
+            tuple(args.scope_surt) if args.scope_surt else None
+        ),
     )
     res = run_crawl(
         seeds,
@@ -321,6 +324,9 @@ def main(argv: list[str] | None = None) -> int:
                          "sorted parquet runs")
     cr.add_argument("--seen-spill-dir")
     cr.add_argument("--docs-dir")
+    cr.add_argument("--scope-surt", action="append",
+                    help="SURT scope prefix (repeatable): candidates "
+                         "outside every prefix never enqueue")
     cr.add_argument("--max-pages-per-host", type=int,
                     help="total crawl quota per host (Heritrix "
                          "queue-total-budget): host retires once reached")

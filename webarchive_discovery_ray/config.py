@@ -143,6 +143,14 @@ class CrawlConfig:
     # 10^10-URL design point set this to the per-shard RAM budget.
     seen_spill_threshold: int | None = None
     seen_spill_dir: str | None = None
+    # crawl scope (the Heritrix SurtPrefixedDecideRule): when set, a
+    # CANDIDATE enqueues only if its SURT starts with one of these
+    # prefixes (e.g. "com,example)" keeps the crawl on that host;
+    # "com,example)/docs" pins a subtree). Seeds and infrastructure
+    # fetches (robots, advertised sitemaps) are in scope by definition —
+    # the gate sits in candidate_ok, the single discovery choke point
+    # shared verbatim by pipeline and oracle. None = unscoped.
+    scope_surt_prefixes: tuple[str, ...] | None = None
     # per-host total crawl quota (the Heritrix queue-total-budget rule):
     # once a host has been FETCHED max_pages_per_host times across the
     # whole crawl (robots/sitemap fetches count — a fetch is a fetch),

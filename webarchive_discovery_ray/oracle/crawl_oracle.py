@@ -100,7 +100,25 @@ def candidate_ok(url: str, hop: int, ccfg: CrawlConfig, max_url_length: int = 20
         return False
     if len(url) > max_url_length:
         return False
-    return extract_host(url) != MALFORMED_HOST
+    if extract_host(url) == MALFORMED_HOST:
+        return False
+    if ccfg.scope_surt_prefixes is not None:
+        # SURT-prefix scope (Heritrix SurtPrefixedDecideRule): candidates
+        # outside every prefix never enqueue. Seeds/robots/sitemap
+        # injections bypass this gate by construction (they are not
+        # candidates).
+        sk = surt_key(url)
+        if not any(sk.startswith(p) for p in ccfg.scope_surt_prefixes):
+            return False
+    return True
+
+
+def scope_from_seeds(seeds: list[tuple[str, int]]) -> tuple[str, ...]:
+    """The common stay-on-seed-hosts scope: each seed's host-SURT prefix
+    (``com,example)``) — pass as ``CrawlConfig.scope_surt_prefixes``."""
+    return tuple(
+        sorted({surt_key(canonicalise_url(u)).split(")")[0] + ")" for u, _ in seeds})
+    )
 
 
 def oracle_crawl(
