@@ -1220,6 +1220,66 @@ def _warc_cdx(sf_dir: str):
     return warc_cdx(_warc_input_paths())
 
 
+def _warc_cdxj(sf_dir: str):
+    """Globally sorted CDXJ lines (OutbackCDX/pywb JSON-block format)
+    over the real fixture (W)ARCs."""
+    from webarchive_discovery_ray.pipelines.cdx import warc_cdxj
+
+    return warc_cdxj(_warc_input_paths())
+
+
+def _warc_cdxj_oracle_values_sql() -> str:
+    """Sequential-oracle captures rendered as CDXJ VALUES (independent
+    parse/extract chain; same pinned pywb key order + '-' placeholders
+    as pipelines/cdx.warc_cdxj)."""
+    import json
+    import os
+
+    from webarchive_discovery_ray.config import IndexConfig
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    def lit(v: object) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    cfg = IndexConfig(response_include=())
+    rows: list[str] = []
+    for path in _warc_input_paths():
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for rec in oracle_parse_archive(data, os.path.basename(path)):
+            doc = oracle_extract_record(rec, cfg)
+            if doc is None:
+                continue
+            line = json.dumps(
+                {
+                    "url": doc["url"],
+                    "mime": doc["content_type"] or "-",
+                    "status": "-" if doc["status"] is None else str(doc["status"]),
+                    "digest": doc["hash"] or "-",
+                    "length": (
+                        "-" if doc["content_length"] is None
+                        else str(doc["content_length"])
+                    ),
+                    "offset": str(doc["source_offset"]),
+                    "filename": doc["source_file"],
+                },
+                separators=(", ", ": "),
+            )
+            rows.append(
+                "({}, {}, {})".format(
+                    lit(doc["surt"]), lit(doc["wayback_date"] or ""), lit(line)
+                )
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(surt_key, timestamp14, cdxj)"
+    )
+
+
 def _warc_stats(sf_dir: str):
     """WARCStatsTool raw-record census over the real fixture (W)ARCs."""
     from webarchive_discovery_ray.pipelines.cdx import warc_stats
@@ -2996,6 +3056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_cosine_topk": sq8_cosine_topk,
         "warc_extract": _warc_extract,
         "warc_cdx": _warc_cdx,
+        "warc_cdxj": _warc_cdxj,
         "warc_stats": _warc_stats,
         "warc_digest_dups": _warc_digest_dups,
         "warc_file_hash": _warc_file_hash,
@@ -6486,6 +6547,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["warc_extract"] = _warc_oracle_values_sql()
     out["warc_cdx"] = _warc_cdx_oracle_values_sql()
+    out["warc_cdxj"] = _warc_cdxj_oracle_values_sql()
     out["warc_stats"] = _warc_stats_oracle_values_sql()
     out["warc_digest_dups"] = _warc_digest_dups_oracle_values_sql()
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()

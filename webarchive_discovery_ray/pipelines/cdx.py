@@ -19,6 +19,7 @@ from ..schema import CAPTURES_SCHEMA
 from ..stages.extract import extract_batch
 
 __all__ = [
+    "warc_cdxj",
     "captures_from_pages_batch",
     "cdx_sorted",
     "warc_cdx",
@@ -108,6 +109,63 @@ def warc_cdx(paths: list[str], icfg: IndexConfig | None = None):
             batch_format="pyarrow",
             batch_size=None,
         )
+        .sort(["surt_key", "timestamp14"])
+    )
+
+
+def warc_cdxj(paths: list[str], icfg: IndexConfig | None = None):
+    """Globally sorted CDXJ over REAL (W)ARC files — the OutbackCDX /
+    pywb line format the reference's TinyCDXSender posts into
+    (``TinyCDXSender.java:71-135`` ships CDX-11; OutbackCDX's native
+    store is CDXJ): ``<surt> <ts14> {json}`` with the pinned pywb key
+    order (url, mime, status, digest, length, offset, filename; numbers
+    as strings per the format). Same distributed shape as
+    :func:`warc_cdx` — one file per task, capture projection, one
+    range-sampled sort. Columns: surt_key, timestamp14, cdxj."""
+    import json
+
+    from ..sources.warc import read_archive_pages
+
+    icfg = icfg or IndexConfig(response_include=())  # CDX keeps all statuses
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        caps = captures_from_pages_batch(batch, icfg)
+        if caps.num_rows == 0:
+            return pa.table(
+                {
+                    "surt_key": pa.array([], pa.string()),
+                    "timestamp14": pa.array([], pa.string()),
+                    "cdxj": pa.array([], pa.string()),
+                }
+            )
+        lines = [
+            json.dumps(
+                {
+                    "url": r["url"],
+                    "mime": r["mime"],
+                    # CDX '-' placeholder for absent numerics (warcinfo /
+                    # metadata records under the all-statuses CDX config)
+                    "status": "-" if r["status"] is None else str(r["status"]),
+                    "digest": r["digest"],
+                    "length": "-" if r["length"] is None else str(r["length"]),
+                    "offset": str(r["offset"]),
+                    "filename": r["filename"],
+                },
+                separators=(", ", ": "),
+            )
+            for r in caps.to_pylist()
+        ]
+        return pa.table(
+            {
+                "surt_key": caps["surt_key"],
+                "timestamp14": caps["timestamp14"],
+                "cdxj": pa.array(lines, pa.string()),
+            }
+        )
+
+    return (
+        read_archive_pages(paths)
+        .map_batches(to_lines, batch_format="pyarrow", batch_size=None)
         .sort(["surt_key", "timestamp14"])
     )
 
