@@ -2784,6 +2784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         grouped_topk_docs,
         mixture_weights,
         sessionize_events,
+        event_rate_limit,
         user_lifetime,
         funnel_counts,
         retention_cohorts,
@@ -2798,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         anti_join_orders,
         custdist,
         forecast_revenue,
+        order_priority_census,
         grouped_quantiles,
         important_parts,
         promo_revenue,
@@ -3023,6 +3025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_quality_filter": _span_quality_filter,
         "anti_join_orders": anti_join_orders,
         "forecast_revenue": forecast_revenue,
+        "order_priority_census": order_priority_census,
+        "event_rate_limit": event_rate_limit,
         "source_quota_sample": source_quota_sample,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -6436,6 +6440,28 @@ def oracle_sql() -> dict[str, str]:
                )::BIGINT AS rk
         FROM documents
         QUALIFY rk <= 10
+    """
+    # Q4-shape EXISTS census (aggregates.order_priority_census)
+    out["order_priority_census"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate < DATE '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1
+    """
+    # per-(user, day) event throttle (sessions.event_rate_limit)
+    out["event_rate_limit"] = """
+        SELECT event_id, user_id,
+               (year(ts) * 10000 + month(ts) * 100 + day(ts))::BIGINT AS day,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts, event_id
+               )::BIGINT AS rk
+        FROM events
+        QUALIFY rk <= 2
     """
     # Q3-shape unshipped-order revenue top-k (relational.shipping_priority)
     out["shipping_priority"] = """

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 from ..sources.io import read_table
 
 __all__ = [
+    "order_priority_census",
     "forecast_revenue",
     "lineitem_agg",
     "promo_revenue",
@@ -1027,4 +1028,99 @@ def forecast_revenue(
             "revenue_cents": pd.Series([int(parts["c"].sum())], dtype="int64"),
             "n_lines": pd.Series([int(parts["n"].sum())], dtype="int64"),
         }
+    )
+
+
+def order_priority_census(
+    sf_dir: str,
+    lo: str = "1997-01-01",
+    hi: str = "1997-04-01",
+    late_days: int = 60,
+):
+    """Order-priority checking (the TPC-H Q4 shape): orders placed in
+    the window that had at least one LATE lineitem (shipped more than
+    ``late_days`` after the order date), counted per priority — the
+    EXISTS-semi-join + census composite.
+
+    Shape: ONE bucket(orderkey) co-group joins window-filtered orders
+    against per-order MAX-shipdate partials (max is the combiner — a
+    batch ships one row per orderkey) and resolves EXISTS as an exact
+    integer day comparison (both columns are midnight timestamps;
+    ``day(max_ship) > day(order) + late_days``), collapsing to
+    per-priority counts IN-GROUP; the driver folds ≤ buckets × 5 rows.
+    Columns: o_orderpriority, n_orders. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+
+    n_b = default_buckets()
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def day_i64(v: np.ndarray) -> np.ndarray:
+        return v.astype("datetime64[D]").astype("int64")
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "key": df["l_orderkey"].to_numpy(),
+                    "d": day_i64(df["l_shipdate"].to_numpy()),
+                }
+            )
+            .groupby("key", sort=False)["d"]
+            .max()
+            .reset_index()
+        )
+        g["pri"] = np.full(len(g), "", dtype=object)
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "d": "int64"})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["o_orderdate"] >= lo_ts) & (df["o_orderdate"] < hi_ts)]
+        key = keep["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "d": day_i64(keep["o_orderdate"].to_numpy()),
+                "pri": keep["o_orderpriority"].to_numpy(dtype=object),
+                "side": np.ones(len(keep), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def census_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(o_orderpriority=str, n_orders="int64")
+        mx = df[df["side"] == 0].groupby("key", sort=False)["d"].max()
+        o = df[df["side"] == 1]
+        late = o["key"].map(mx).to_numpy() > o["d"].to_numpy() + late_days
+        o = o[np.nan_to_num(late, nan=False).astype(bool)]
+        if not len(o):
+            return typed_empty(o_orderpriority=str, n_orders="int64")
+        g = (
+            o.groupby("pri", sort=False)
+            .size()
+            .reset_index(name="n_orders")
+            .rename(columns={"pri": "o_orderpriority"})
+        )
+        return g.astype({"n_orders": "int64"})
+
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(census_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x priorities tiny rows
+    )
+    if not len(folded):
+        return typed_empty(o_orderpriority=str, n_orders="int64")
+    return (
+        folded.groupby("o_orderpriority", sort=False)["n_orders"]
+        .sum()
+        .reset_index()
+        .astype({"n_orders": "int64"})
     )

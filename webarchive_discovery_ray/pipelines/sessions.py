@@ -33,6 +33,7 @@ import pyarrow as pa
 from ..sources.io import read_table
 
 __all__ = [
+    "event_rate_limit",
     "sessionize_events",
     "user_lifetime",
     "funnel_counts",
@@ -840,4 +841,62 @@ def user_lifetime(sf_dir: str):
         ds.map_batches(partials, batch_format="pandas")
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
+    )
+
+
+def event_rate_limit(sf_dir: str, per_day: int = 2):
+    """Deterministic event throttling: keep the first ``per_day`` events
+    of each (user, calendar-day) by (ts, event_id) order — the
+    rate-limiter / anti-spam gate of an event-ingest pipeline (the
+    time-windowed sibling of curation.source_quota_sample; the crawl
+    plane's politeness budget is the fetch-time analogue).
+
+    Shape: one pass projects (event_id, user_id, day, ts) — props never
+    ship; ONE bucket(user_id) exchange sorts each user's events and
+    cumcounts within (user, day) (all rows of a user co-locate, so the
+    per-window rank is exact). Columns: event_id, user_id, day, rk
+    (1-based). SQL-oracle-checked (row_number QUALIFY mirror)."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].dt.year.to_numpy() * 10_000
+            + df["ts"].dt.month.to_numpy() * 100
+            + df["ts"].dt.day.to_numpy()
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").to_numpy(),
+                "user_id": df["user_id"].astype("int64").to_numpy(),
+                "day": day,
+                "ts": df["ts"].to_numpy(),
+                "bucket": bucket_of(df["user_id"], n_b),
+            }
+        )
+
+    def limit_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(event_id="int64", user_id="int64",
+                               day="int64", rk="int64")
+        df = df.sort_values(["user_id", "day", "ts", "event_id"],
+                            kind="mergesort")
+        rk = df.groupby(["user_id", "day"], sort=False).cumcount().to_numpy() + 1
+        keep = rk <= per_day
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[keep],
+                "user_id": df["user_id"].to_numpy()[keep],
+                "day": df["day"].to_numpy()[keep],
+                "rk": rk[keep].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(limit_in_bucket, batch_format="pandas")
     )
