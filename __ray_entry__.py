@@ -77,6 +77,99 @@ def _crawl_frontier(sf_dir: str):
     return pa.Table.from_pylist(res.fetch_log)
 
 
+def _crawl_warc_census(sf_dir: str):
+    """The full storage loop behind the driver gate: a dedup_content
+    crawl WRITES byte-deterministic WARC fragments (response members +
+    identical-payload-digest revisit members for content-gate losers),
+    the repo's own binary reader parses them back, and the census counts
+    per (wave, record_type) plus the digest-resolution tally. The VALUES
+    oracle recomputes the same census from the SEQUENTIAL crawl oracle +
+    the first-wins hash rule — fully independent of the Ray plane.
+    Columns: wave, record_type, n, n_resolved."""
+    import glob
+    import os
+
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.crawl import run_crawl
+    from webarchive_discovery_ray.sources.synthetic import seed_urls
+    from webarchive_discovery_ray.sources.warc import parse_archive_bytes
+
+    syn = SyntheticConfig(n_hosts=10, pages_per_host=60, max_fanout=6,
+                          duplicate_content_ratio=0.35)
+    wdir = f"{_ORACLE_MAT}/crawl_warc_census"
+    run_crawl(
+        seed_urls(syn, 6),
+        CrawlConfig(politeness_budget=3, max_waves=3, seen_shards=4,
+                    dedup_content=True, warc_dir=wdir),
+        syn,
+        fetch_concurrency=2,
+    )
+    rows = []
+    for f in sorted(glob.glob(os.path.join(wdir, "wave_*", "part_*.warc.gz"))):
+        wave = int(os.path.basename(os.path.dirname(f)).split("_")[1])
+        with open(f, "rb") as fh:
+            for r in parse_archive_bytes(fh.read(), os.path.relpath(f, wdir)):
+                rows.append((wave, r["record_type"], r["payload_sha1"]))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["wave", "record_type", "digest"])
+    resp = set(df.loc[df["record_type"] == "response", "digest"])
+    df["resolved"] = (df["record_type"] == "revisit") & df["digest"].isin(resp)
+    g = (
+        df.groupby(["wave", "record_type"], sort=False)
+        .agg(n=("digest", "size"), n_resolved=("resolved", "sum"))
+        .reset_index()
+    )
+    return g.astype({"wave": "int64", "n": "int64", "n_resolved": "int64"})
+
+
+def _crawl_warc_census_oracle_values_sql() -> str:
+    """Independent sequential mirror: oracle_crawl's pinned fetch log +
+    the first-wins extraction-hash rule decide which fetch is a revisit;
+    every revisit resolves by construction (its digest was stored by the
+    winner). Rendered as VALUES."""
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.oracle.crawl_oracle import (
+        crawl_index_config,
+        oracle_crawl,
+    )
+    from webarchive_discovery_ray.oracle.extract_oracle import (
+        oracle_extract_record,
+    )
+    from webarchive_discovery_ray.sources.synthetic import page_for_url, seed_urls
+
+    syn = SyntheticConfig(n_hosts=10, pages_per_host=60, max_fanout=6,
+                          duplicate_content_ratio=0.35)
+    ccfg = CrawlConfig(politeness_budget=3, max_waves=3, seen_shards=4,
+                       dedup_content=True)
+    exp = oracle_crawl(seed_urls(syn, 6), ccfg, syn)
+    icfg = crawl_index_config(None)
+    seen_hashes: set[str] = set()
+    counts: dict[tuple[int, str], list[int]] = {}
+    for e in exp.fetch_log:
+        rec = page_for_url(e["url"], syn)
+        rtype = "response"
+        resolved = 0
+        if rec["status"] == 200:
+            h = oracle_extract_record(rec, icfg)["hash"]
+            if h in seen_hashes:
+                rtype, resolved = "revisit", 1
+            else:
+                seen_hashes.add(h)
+        c = counts.setdefault((e["wave"], rtype), [0, 0])
+        c[0] += 1
+        c[1] += resolved
+    rows = [
+        f"({w}::BIGINT, '{t}', {n}::BIGINT, {r}::BIGINT)"
+        for (w, t), (n, r) in sorted(counts.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(wave, record_type, n, n_resolved)"
+    )
+
+
 def _recrawl_crawl(sf_dir: str):
     """Closed crawl loop END-TO-END: the follow-up crawl's FETCH LOG,
     seeded by the round-2 signals (recrawl intervals x host PageRank via
@@ -3061,6 +3154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _warc_extract,
         "warc_cdx": _warc_cdx,
         "warc_cdxj": _warc_cdxj,
+        "crawl_warc_census": _crawl_warc_census,
         "warc_stats": _warc_stats,
         "warc_digest_dups": _warc_digest_dups,
         "warc_file_hash": _warc_file_hash,
@@ -6574,6 +6668,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_extract"] = _warc_oracle_values_sql()
     out["warc_cdx"] = _warc_cdx_oracle_values_sql()
     out["warc_cdxj"] = _warc_cdxj_oracle_values_sql()
+    out["crawl_warc_census"] = _crawl_warc_census_oracle_values_sql()
     out["warc_stats"] = _warc_stats_oracle_values_sql()
     out["warc_digest_dups"] = _warc_digest_dups_oracle_values_sql()
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
