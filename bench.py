@@ -163,6 +163,51 @@ def bench_crawl(sf_dir: str, num_cpus: int, wide: bool = False) -> dict:
     return {"sec": dt, "rows": res.total_fetched, "urls_per_s": res.total_fetched / dt}
 
 
+def bench_warc_sink(sf_dir: str, num_cpus: int) -> dict:
+    """Crawl WITH the WARC sink (response members, deterministic gzip):
+    measures the storage loop's write cost — payload bytes ride the
+    fetch blocks to per-block writer tasks off the wave critical path.
+    Reported as records/s over the same mid-width crawl regime."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from webarchive_discovery_ray.config import CrawlConfig, SyntheticConfig
+    from webarchive_discovery_ray.pipelines.crawl import run_crawl
+    from webarchive_discovery_ray.sources.synthetic import seed_urls
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = max(400, n_docs)
+    syn = SyntheticConfig(n_hosts=n_hosts, pages_per_host=50)
+    wdir = tempfile.mkdtemp(prefix="bench_warc_")
+    try:
+        t0 = time.time()
+        res = run_crawl(
+            seed_urls(syn, n_hosts),
+            CrawlConfig(politeness_budget=24, max_waves=4, warc_dir=wdir),
+            syn,
+            fetch_concurrency=max(2, num_cpus * 3 // 4),
+        )
+        dt = time.time() - t0
+        n_frag = len(glob.glob(os.path.join(wdir, "wave_*", "part_*.warc.gz")))
+        n_bytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(wdir, "wave_*", "part_*.warc.gz"))
+        )
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+    assert res.total_fetched > 0 and n_frag > 0
+    return {
+        "sec": dt,
+        "rows": res.total_fetched,
+        "records_per_s": res.total_fetched / dt,
+        "fragments": n_frag,
+        "mb_written": round(n_bytes / 1e6, 1),
+    }
+
+
 def bench_crawl_wide(sf_dir: str, num_cpus: int) -> dict:
     return bench_crawl(sf_dir, num_cpus, wide=True)
 
@@ -301,6 +346,7 @@ def bench_pq_ann(sf_dir: str, num_cpus: int) -> dict:
 BENCHES = {
     "extract": bench_extract,
     "crawl": bench_crawl,
+    "warc_sink": bench_warc_sink,
     "crawl_wide": bench_crawl_wide,
     "cdx_sort": bench_cdx_sort,
     "dedup_minhash": bench_dedup_minhash,
