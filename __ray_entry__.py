@@ -2878,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mixture_weights,
         sessionize_events,
         event_rate_limit,
+        props_json_stats,
         user_lifetime,
         funnel_counts,
         retention_cohorts,
@@ -3120,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": forecast_revenue,
         "order_priority_census": order_priority_census,
         "event_rate_limit": event_rate_limit,
+        "props_json_stats": props_json_stats,
         "source_quota_sample": source_quota_sample,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -6534,6 +6536,18 @@ def oracle_sql() -> dict[str, str]:
                )::BIGINT AS rk
         FROM documents
         QUALIFY rk <= 10
+    """
+    # semi-structured JSON column census (sessions.props_json_stats)
+    out["props_json_stats"] = """
+        WITH j AS (
+          SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+               min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+               count(DISTINCT k)::BIGINT AS n_distinct_k
+        FROM j GROUP BY 1
     """
     # Q4-shape EXISTS census (aggregates.order_priority_census)
     out["order_priority_census"] = """

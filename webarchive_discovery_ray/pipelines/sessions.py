@@ -33,6 +33,7 @@ import pyarrow as pa
 from ..sources.io import read_table
 
 __all__ = [
+    "props_json_stats",
     "event_rate_limit",
     "sessionize_events",
     "user_lifetime",
@@ -899,4 +900,63 @@ def event_rate_limit(sf_dir: str, per_day: int = 2):
         ds.map_batches(keyed, batch_format="pandas")
         .groupby("bucket")
         .map_groups(limit_in_bucket, batch_format="pandas")
+    )
+
+
+def props_json_stats(sf_dir: str):
+    """Semi-structured column processing: parse the ``props`` JSON blob
+    and census its ``k`` field per event type — the schema-on-read step
+    every event pipeline needs before a typed column exists (DuckDB
+    mirrors it with json_extract; the Ray side parses real JSON, not a
+    regex). Exact integers throughout.
+
+    Shape: per-batch combiner collapses to (event_type, k, n) partial
+    counts — the exchange carries at most types × distinct-k rows, never
+    events; ONE bucket(event_type) fold computes n, sum_k (as Σ k·n),
+    min/max and the exact distinct-k count per type. Columns:
+    event_type, n, sum_k, min_k, max_k, n_distinct_k.
+    SQL-oracle-checked."""
+    import json
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].map(lambda s: int(json.loads(s)["k"])).astype("int64")
+        g = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(dtype=object), "k": k})
+            .groupby(["event_type", "k"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(g["event_type"], n_b)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(event_type=str, n="int64", sum_k="int64",
+                               min_k="int64", max_k="int64",
+                               n_distinct_k="int64")
+        per_k = (
+            df.groupby(["event_type", "k"], sort=False)["n"].sum().reset_index()
+        )
+        per_k["kn"] = per_k["k"].to_numpy() * per_k["n"].to_numpy()
+        g = per_k.groupby("event_type", sort=False).agg(
+            n=("n", "sum"),
+            sum_k=("kn", "sum"),
+            min_k=("k", "min"),
+            max_k=("k", "max"),
+            n_distinct_k=("k", "size"),
+        ).reset_index()
+        return g.astype({"n": "int64", "sum_k": "int64", "min_k": "int64",
+                         "max_k": "int64", "n_distinct_k": "int64"})
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
