@@ -2893,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         anti_join_orders,
         custdist,
         forecast_revenue,
+        open_orders_by_month,
         order_priority_census,
         grouped_quantiles,
         important_parts,
@@ -2926,6 +2927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top_supplier,
         large_orders,
         global_balance_filter,
+        nation_trade_volume,
         asof_join_events,
         range_join_events,
         sliding_window_events,
@@ -3023,6 +3025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": top_supplier,
         "large_orders": large_orders,
         "global_balance_filter": global_balance_filter,
+        "nation_trade_volume": nation_trade_volume,
+        "open_orders_by_month": open_orders_by_month,
         "min_cost_supplier": min_cost_supplier,
         "custdist": custdist,
         "important_parts": important_parts,
@@ -6548,6 +6552,42 @@ def oracle_sql() -> dict[str, str]:
                min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
                count(DISTINCT k)::BIGINT AS n_distinct_k
         FROM j GROUP BY 1
+    """
+    # Q7-shape bi-nation trade volume (relational.nation_trade_volume)
+    out["nation_trade_volume"] = """
+        WITH j AS (
+          SELECT s.s_nationkey AS s_nat, c.c_nationkey AS c_nat,
+                 year(l_shipdate) AS yr,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT) AS cts
+          FROM lineitem l
+          JOIN supplier s ON s_suppkey = l_suppkey
+          JOIN orders o ON o_orderkey = l_orderkey
+          JOIN customer c ON c_custkey = o_custkey
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1999-01-01'
+        )
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               yr::BIGINT AS l_year, sum(cts)::BIGINT AS revenue_cents
+        FROM j
+        JOIN nation sn ON sn.n_nationkey = s_nat
+        JOIN nation cn ON cn.n_nationkey = c_nat
+        GROUP BY 1, 2, 3
+    """
+    # order-backlog stabbing census (aggregates.open_orders_by_month)
+    out["open_orders_by_month"] = """
+        WITH b AS (
+          SELECT o_orderkey, min(o_orderdate) AS od, max(l_shipdate) AS ms
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1
+        ),
+        m AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                            TIMESTAMP '2002-01-01',
+                                            INTERVAL 1 MONTH)) AS g)
+        SELECT (year(g) * 100 + month(g))::BIGINT AS month,
+               (SELECT count(*) FROM b WHERE od <= g AND ms > g)::BIGINT
+                   AS n_open
+        FROM m
     """
     # Q4-shape EXISTS census (aggregates.order_priority_census)
     out["order_priority_census"] = """

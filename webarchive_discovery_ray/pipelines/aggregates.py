@@ -1124,3 +1124,104 @@ def order_priority_census(
         .reset_index()
         .astype({"n_orders": "int64"})
     )
+
+
+def open_orders_by_month(
+    sf_dir: str, grid_lo: str = "1995-01-01", grid_hi: str = "2002-01-01"
+):
+    """Order-backlog census (temporal stabbing query): how many orders
+    were OPEN — placed but not yet fully shipped — at the first day of
+    each month. The interval-overlap count a naive engine computes with
+    an inequality join of every order against every month; here each
+    order touches the fixed month grid exactly twice.
+
+    Shape: ONE bucket(orderkey) co-group builds each order's
+    (order_day, last_ship_day) span from per-order MAX-shipdate combiner
+    partials; the span batch collapses to a DIFFERENCE ARRAY over the
+    broadcast month grid (two ``searchsorted`` per batch — +1 at the
+    first month ≥ order date, −1 at the first month ≥ last ship), and
+    the driver folds the tiny per-batch vectors with one cumulative sum.
+    Orders with no lineitems have no span (inner semantics, matching the
+    JOIN mirror). Columns: month (yyyymm), n_open. SQL-oracle-checked
+    (generate_series inequality-join mirror)."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+
+    n_b = default_buckets()
+    months = pd.date_range(grid_lo, grid_hi, freq="MS")
+    grid_days = months.to_numpy().astype("datetime64[D]").astype("int64")
+    month_keys = (months.year * 100 + months.month).to_numpy().astype("int64")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def day_i64(v: np.ndarray) -> np.ndarray:
+        return v.astype("datetime64[D]").astype("int64")
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "key": df["l_orderkey"].to_numpy(),
+                    "d": day_i64(df["l_shipdate"].to_numpy()),
+                }
+            )
+            .groupby("key", sort=False)["d"]
+            .max()
+            .reset_index()
+        )
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "d": "int64"})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "d": day_i64(df["o_orderdate"].to_numpy()),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def diff_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(idx="int64", delta="int64")
+        ms = df[df["side"] == 0].groupby("key", sort=False)["d"].max()
+        o = df[df["side"] == 1]
+        end = o["key"].map(ms)
+        o = o.assign(end=end).dropna(subset=["end"])
+        if not len(o):
+            return typed_empty(idx="int64", delta="int64")
+        # open at month start m ⟺ order_day <= m < last_ship_day
+        lo = np.searchsorted(grid_days, o["d"].to_numpy(), side="left")
+        hi = np.searchsorted(grid_days, o["end"].to_numpy().astype("int64"),
+                             side="left")
+        # inverted spans (last ship BEFORE the order date — the synthetic
+        # generator allows them) must contribute NOTHING: an unclamped
+        # -1 at hi < lo drives the difference array negative over
+        # [hi, lo) and corrupts every month in between
+        hi = np.maximum(hi, lo)
+        n = len(grid_days)
+        diff = np.zeros(n + 1, dtype="int64")
+        np.add.at(diff, np.clip(lo, 0, n), 1)
+        np.add.at(diff, np.clip(hi, 0, n), -1)
+        nz = np.nonzero(diff[:n])[0]
+        return pd.DataFrame(
+            {"idx": nz.astype("int64"), "delta": diff[nz].astype("int64")}
+        )
+
+    parts = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(diff_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x months tiny rows
+    )
+    total = np.zeros(len(grid_days), dtype="int64")
+    if len(parts):
+        np.add.at(total, parts["idx"].to_numpy(), parts["delta"].to_numpy())
+    n_open = np.cumsum(total)
+    return pd.DataFrame(
+        {"month": month_keys, "n_open": n_open.astype("int64")}
+    )
