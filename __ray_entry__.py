@@ -2879,6 +2879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sessionize_events,
         event_rate_limit,
         props_json_stats,
+        weekday_profile,
         user_lifetime,
         funnel_counts,
         retention_cohorts,
@@ -3126,6 +3127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_census": order_priority_census,
         "event_rate_limit": event_rate_limit,
         "props_json_stats": props_json_stats,
+        "weekday_profile": weekday_profile,
         "source_quota_sample": source_quota_sample,
         "grouped_quantiles": grouped_quantiles,
         "source_mix": source_mix,
@@ -6540,6 +6542,15 @@ def oracle_sql() -> dict[str, str]:
                )::BIGINT AS rk
         FROM documents
         QUALIFY rk <= 10
+    """
+    # calendar-profile census (sessions.weekday_profile): ISO weekday on
+    # both engines (pandas dayofweek+1 == DuckDB isodow)
+    out["weekday_profile"] = """
+        SELECT isodow(ts)::BIGINT AS iso_dow, event_type,
+               count(*)::BIGINT AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS spend_cents
+        FROM events GROUP BY 1, 2
     """
     # semi-structured JSON column census (sessions.props_json_stats)
     out["props_json_stats"] = """

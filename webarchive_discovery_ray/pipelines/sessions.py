@@ -34,6 +34,7 @@ from ..sources.io import read_table
 
 __all__ = [
     "props_json_stats",
+    "weekday_profile",
     "event_rate_limit",
     "sessionize_events",
     "user_lifetime",
@@ -954,6 +955,59 @@ def props_json_stats(sf_dir: str):
         ).reset_index()
         return g.astype({"n": "int64", "sum_k": "int64", "min_k": "int64",
                          "max_k": "int64", "n_distinct_k": "int64"})
+
+    return (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def weekday_profile(sf_dir: str):
+    """Calendar-profile census: events per (ISO weekday, event type) with
+    exact integer-cent spend — the seasonality/staffing profile every
+    event pipeline reports. Weekday is ISO (Mon=1..Sun=7) on BOTH
+    engines (pandas ``dayofweek+1`` vs DuckDB ``isodow`` — the default
+    ``dayofweek`` conventions differ between engines and would
+    hash-mismatch). One combiner pass (≤ 7 × types rows per batch), one
+    bucketed fold. Columns: iso_dow, event_type, n, spend_cents.
+    SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+
+    n_b = default_buckets()
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        dow = (df["ts"].dt.dayofweek.to_numpy() + 1).astype("int64")
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "iso_dow": dow,
+                    "event_type": df["event_type"].to_numpy(dtype=object),
+                    "c": cents,
+                }
+            )
+            .groupby(["iso_dow", "event_type"], sort=False)
+            .agg(n=("c", "size"), spend=("c", "sum"))
+            .reset_index()
+        )
+        g["bucket"] = bucket_of(g["event_type"], n_b)
+        return g.astype({"iso_dow": "int64", "n": "int64", "spend": "int64"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(iso_dow="int64", event_type=str, n="int64",
+                               spend_cents="int64")
+        g = (
+            df.groupby(["iso_dow", "event_type"], sort=False)[["n", "spend"]]
+            .sum()
+            .reset_index()
+            .rename(columns={"spend": "spend_cents"})
+        )
+        return g.astype({"iso_dow": "int64", "n": "int64",
+                         "spend_cents": "int64"})
 
     return (
         ds.map_batches(partials, batch_format="pandas")
