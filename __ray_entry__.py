@@ -2936,6 +2936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from webarchive_discovery_ray.pipelines.aggregates import global_quantiles
     from webarchive_discovery_ray.pipelines.textops import (
+        language_confusion,
         bm25_topk,
         cdc_chunks,
         doc_fingerprint,
@@ -3063,6 +3064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": knn_graph,
         "label_propagation": _label_propagation,
         "language_id": language_id,
+        "language_confusion": language_confusion,
         "sessionize_events": sessionize_events,
         "user_lifetime": user_lifetime,
         "funnel_counts": funnel_counts,
@@ -6717,6 +6719,13 @@ def oracle_sql() -> dict[str, str]:
           AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_orderdate >= DATE '2000-01-01')
         GROUP BY 1
+    """
+    # classifier confusion matrix (textops.language_confusion):
+    # composes the language_id mirror verbatim
+    out["language_confusion"] = f"""
+        SELECT lang, lang_pred, count(*)::BIGINT AS n
+        FROM ({out['language_id']})
+        GROUP BY 1, 2
     """
     # sketch-quality audit (pipelines/dedup.lsh_recall_audit): both
     # chains' mirrors composed verbatim; recall as exact integer ppm

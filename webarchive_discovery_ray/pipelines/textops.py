@@ -23,6 +23,7 @@ import pyarrow as pa
 from ..sources.io import read_table
 
 __all__ = [
+    "language_confusion",
     "entropy_by_source",
     "tokenizer_efficiency",
     "token_stats",
@@ -2366,4 +2367,42 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50):
         attached.map_batches(score_topk, batch_format="pandas")
         .sort(["pmi_r", "gram"], descending=[True, False])
         .limit(k)
+    )
+
+
+def language_confusion(sf_dir: str):
+    """Classifier-evaluation census: the confusion matrix of
+    :func:`language_id` (true ``lang`` × predicted ``lang_pred`` exact
+    counts) — the model-eval step a pipeline owner runs before trusting
+    a trained gate at scale (the classifier sibling of
+    ``lsh_recall_audit``). Composes the verified language_id chain;
+    per-batch (lang, pred, n) combiner partials bound the extra traffic
+    to langs² rows per batch, one tiny driver fold. Columns: lang,
+    lang_pred, n. SQL-oracle-checked (composes the language_id
+    mirror)."""
+    ds = language_id(sf_dir)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["lang", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=str),
+                "lang_pred": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        parts.groupby(["lang", "lang_pred"], sort=False)["n"]
+        .sum()
+        .reset_index()
+        .astype({"n": "int64"})
     )
