@@ -2929,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         large_orders,
         global_balance_filter,
         nation_trade_volume,
+        parts_supplier_census,
         asof_join_events,
         range_join_events,
         sliding_window_events,
@@ -3028,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": large_orders,
         "global_balance_filter": global_balance_filter,
         "nation_trade_volume": nation_trade_volume,
+        "parts_supplier_census": parts_supplier_census,
         "open_orders_by_month": open_orders_by_month,
         "min_cost_supplier": min_cost_supplier,
         "custdist": custdist,
@@ -6565,6 +6567,13 @@ def oracle_sql() -> dict[str, str]:
                min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
                count(DISTINCT k)::BIGINT AS n_distinct_k
         FROM j GROUP BY 1
+    """
+    # Q16-shape exact distinct-supplier census (relational.parts_supplier_census)
+    out["parts_supplier_census"] = """
+        SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2, 3
     """
     # Q7-shape bi-nation trade volume (relational.nation_trade_volume)
     out["nation_trade_volume"] = """

@@ -37,6 +37,7 @@ __all__ = [
     "large_orders",
     "global_balance_filter",
     "nation_trade_volume",
+    "parts_supplier_census",
     "range_join_events",
     "window_running_sum",
     "sliding_window_events",
@@ -1284,4 +1285,100 @@ def nation_trade_volume(sf_dir: str, lo: str = "1997-01-01", hi: str = "1999-01-
             "l_year": g["yr"].astype("int64").to_numpy(),
             "revenue_cents": g["c"].astype("int64").to_numpy(),
         }
+    )
+
+
+def parts_supplier_census(sf_dir: str):
+    """Parts/supplier relationship census (the TPC-H Q16 shape): for
+    every (brand, type, size) part family, the EXACT number of distinct
+    suppliers that shipped it — the exact count-distinct-over-a-join
+    shape (the sketch family's HLL/KMV are its approximate siblings;
+    this is the exact path).
+
+    Shape: per-batch combiner reduces lineitem to distinct (partkey,
+    suppkey) pairs; bucket(partkey) co-group attaches (brand, type,
+    size) from part tags and collapses to DISTINCT (family, suppkey)
+    carrier rows in-group (carriers are bounded by distinct
+    part-supplier pairs, never lineitems); one bucket(family) exchange
+    counts distinct suppliers exactly. Columns: p_brand, p_type,
+    p_size, supplier_cnt. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+
+    n_b = default_buckets()
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def li_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["l_partkey", "l_suppkey"])
+        key = g["l_partkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "supp": g["l_suppkey"].to_numpy().astype("int64"),
+                "brand": np.full(len(g), "", dtype=object),
+                "ptype": np.full(len(g), "", dtype=object),
+                "psize": np.zeros(len(g), dtype="int64"),
+                "side": np.zeros(len(g), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def part_tags(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["p_partkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "supp": np.zeros(len(df), dtype="int64"),
+                "brand": df["p_brand"].to_numpy(dtype=object),
+                "ptype": df["p_type"].to_numpy(dtype=object),
+                "psize": df["p_size"].to_numpy().astype("int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def carriers_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(brand=str, ptype=str, psize="int64",
+                               supp="int64", bucket="int32")
+        tags = df[df["side"] == 1].set_index("key")[["brand", "ptype", "psize"]]
+        rows = df[df["side"] == 0][["key", "supp"]].drop_duplicates()
+        m = rows.merge(tags, left_on="key", right_index=True, how="inner")
+        out = m[["brand", "ptype", "psize", "supp"]].drop_duplicates()
+        fam = (
+            out["brand"].astype(str) + "\x1f" + out["ptype"].astype(str)
+            + "\x1f" + out["psize"].astype(str)
+        )
+        return pd.DataFrame(
+            {
+                "brand": out["brand"].to_numpy(dtype=object),
+                "ptype": out["ptype"].to_numpy(dtype=object),
+                "psize": out["psize"].to_numpy().astype("int64"),
+                "supp": out["supp"].to_numpy().astype("int64"),
+                "bucket": bucket_of(fam, n_b),
+            }
+        )
+
+    def count_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(p_brand=str, p_type=str, p_size="int64",
+                               supplier_cnt="int64")
+        g = (
+            df.drop_duplicates(["brand", "ptype", "psize", "supp"])
+            .groupby(["brand", "ptype", "psize"], sort=False)
+            .size()
+            .reset_index(name="supplier_cnt")
+            .rename(columns={"brand": "p_brand", "ptype": "p_type",
+                             "psize": "p_size"})
+        )
+        return g.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+    return (
+        li.map_batches(li_pairs, batch_format="pandas")
+        .union(part.map_batches(part_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(carriers_in_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_in_bucket, batch_format="pandas")
     )
