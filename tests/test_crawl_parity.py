@@ -955,10 +955,17 @@ def test_sitemap_checkpoint_resume_identical(ray_session, tmp_path_factory):
 def test_all_politeness_features_combined_resume(ray_session, tmp_path_factory):
     """Everything at once: forced seen-set spill + Crawl-delay + Allow
     carve-outs + sitemap-index recursion + 5xx backoff + rel/meta
-    nofollow + the duplicate-content gate, byte-parity vs
-    the oracle AND kill-and-resume identical across the combined state
-    (spill runs, pending sitemaps, backoff set, rules with all three
-    sentinel kinds)."""
+    nofollow + the duplicate-content gate + SURT scope + per-host total
+    quota + the WARC sink, byte-parity vs the oracle AND kill-and-resume
+    identical across the combined state (spill runs, pending sitemaps,
+    backoff set, quota counters, rules with all three sentinel kinds),
+    with the resumed run's WARC fragments byte-identical to the
+    uninterrupted run's."""
+    import glob
+    import os
+
+    from webarchive_discovery_ray.oracle.crawl_oracle import scope_from_seeds
+
     syn = SyntheticConfig(
         n_hosts=12, pages_per_host=100, max_fanout=7,
         robots_disallow_ratio=0.6, robots_allow_ratio=0.6,
@@ -967,34 +974,49 @@ def test_all_politeness_features_combined_resume(ray_session, tmp_path_factory):
         meta_nofollow_ratio=0.1, duplicate_content_ratio=0.2,
     )
     sds = seed_urls(syn, n_seeds=8)
+    scope = scope_from_seeds(sds[:7])  # bites: one seed host out of scope
     spill = str(tmp_path_factory.mktemp("combined_spill"))
-    cfg = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
-                      backoff_503=True, dedup_content=True,
-                      seen_spill_threshold=16,
-                      seen_spill_dir=spill)
+    warc_full = str(tmp_path_factory.mktemp("combined_warc_full"))
+
+    def mk(waves, spill_dir, warc_dir):
+        return CrawlConfig(politeness_budget=4, max_waves=waves,
+                           seen_shards=4, backoff_503=True,
+                           dedup_content=True, seen_spill_threshold=16,
+                           seen_spill_dir=spill_dir,
+                           scope_surt_prefixes=scope,
+                           max_pages_per_host=12, warc_dir=warc_dir)
+
+    cfg = mk(6, spill, warc_full)
     exp = oracle_crawl(sds, cfg, syn)
     full = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
                      collect_log=True, collect_seen=True)
     assert [_log_key(e) for e in full.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert full.seen_sorted == exp.seen_sorted
-    # kill after wave 2, resume to completion — byte-identical
+    # quota + scope bite under the combination
+    per: dict[str, int] = {}
+    for e in exp.fetch_log:
+        per[e["host"]] = per.get(e["host"], 0) + 1
+    assert per and max(per.values()) <= 12
+    # kill after wave 2, resume to completion — byte-identical, and the
+    # WARC fragment set matches the uninterrupted run byte-for-byte
     ckdir = str(tmp_path_factory.mktemp("combined_ck"))
     spill2 = str(tmp_path_factory.mktemp("combined_spill2"))
-    cfg1 = CrawlConfig(politeness_budget=4, max_waves=3, seen_shards=4,
-                       backoff_503=True, dedup_content=True,
-                       seen_spill_threshold=16,
-                       seen_spill_dir=spill2)
-    run_crawl(sds, cfg1, syn, fetch_concurrency=2, fetch_batch_size=16,
-              checkpoint_dir=ckdir)
-    cfg2 = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
-                       backoff_503=True, dedup_content=True,
-                       seen_spill_threshold=16,
-                       seen_spill_dir=spill2)
-    got = run_crawl(sds, cfg2, syn, fetch_concurrency=2, fetch_batch_size=16,
-                    checkpoint_dir=ckdir, resume=True,
+    warc_res = str(tmp_path_factory.mktemp("combined_warc_res"))
+    run_crawl(sds, mk(3, spill2, warc_res), syn, fetch_concurrency=2,
+              fetch_batch_size=16, checkpoint_dir=ckdir)
+    got = run_crawl(sds, mk(6, spill2, warc_res), syn, fetch_concurrency=2,
+                    fetch_batch_size=16, checkpoint_dir=ckdir, resume=True,
                     collect_log=True, collect_seen=True)
     assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in full.fetch_log]
     assert got.seen_sorted == full.seen_sorted
+
+    def frags(d):
+        return {
+            os.path.relpath(f, d): open(f, "rb").read()
+            for f in sorted(glob.glob(os.path.join(d, "wave_*", "part_*.warc.gz")))
+        }
+
+    assert frags(warc_full) == frags(warc_res)
 
 
 def test_nofollow_byte_parity(ray_session):
