@@ -2930,6 +2930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         global_balance_filter,
         nation_trade_volume,
         parts_supplier_census,
+        market_share,
         asof_join_events,
         range_join_events,
         sliding_window_events,
@@ -3030,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_balance_filter": global_balance_filter,
         "nation_trade_volume": nation_trade_volume,
         "parts_supplier_census": parts_supplier_census,
+        "market_share": market_share,
         "open_orders_by_month": open_orders_by_month,
         "min_cost_supplier": min_cost_supplier,
         "custdist": custdist,
@@ -6735,6 +6737,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, lang_pred, count(*)::BIGINT AS n
         FROM ({out['language_id']})
         GROUP BY 1, 2
+    """
+    # Q8-shape national market share (relational.market_share):
+    # composes the nation_trade_volume mirror verbatim
+    out["market_share"] = f"""
+        WITH v AS ({out['nation_trade_volume']}),
+        eu AS (SELECT n_name FROM nation
+               JOIN region ON r_regionkey = n_regionkey
+               WHERE r_name = 'EUROPE')
+        SELECT l_year,
+               sum(CASE WHEN supp_nation = 'NATION_3'
+                        THEN revenue_cents ELSE 0 END)::BIGINT
+                   AS target_cents,
+               sum(revenue_cents)::BIGINT AS total_cents,
+               (sum(CASE WHEN supp_nation = 'NATION_3'
+                         THEN revenue_cents ELSE 0 END) * 1000000)
+                   // sum(revenue_cents) AS share_ppm
+        FROM v JOIN eu ON eu.n_name = v.cust_nation
+        GROUP BY 1
     """
     # sketch-quality audit (pipelines/dedup.lsh_recall_audit): both
     # chains' mirrors composed verbatim; recall as exact integer ppm

@@ -38,6 +38,7 @@ __all__ = [
     "global_balance_filter",
     "nation_trade_volume",
     "parts_supplier_census",
+    "market_share",
     "range_join_events",
     "window_running_sum",
     "sliding_window_events",
@@ -1381,4 +1382,65 @@ def parts_supplier_census(sf_dir: str):
         .map_groups(carriers_in_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(count_in_bucket, batch_format="pandas")
+    )
+
+
+def market_share(
+    sf_dir: str, supp_nation: str = "NATION_3", region: str = "EUROPE"
+):
+    """National market share (the TPC-H Q8 shape): the fraction of a
+    customer region's shipped revenue supplied by one target nation,
+    per order year — composed ON TOP of :func:`nation_trade_volume`
+    (whose output is bounded at nations² × years rows, so the
+    composition is driver-side arithmetic over a tiny verified table,
+    not a fourth exchange). The 25-row nation → 5-row region dimension
+    resolves driver-side. Share ships as exact integer ppm of exact
+    int64 cents. Columns: l_year, target_cents, total_cents, share_ppm.
+    SQL-oracle-checked (composes the nation_trade_volume mirror)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = nation_trade_volume(sf_dir)
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    rkey = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    region_nations = set(nat.loc[nat["n_regionkey"].isin(rkey), "n_name"])
+    df = base[base["cust_nation"].isin(region_nations)]
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "l_year": pd.Series([], dtype="int64"),
+                "target_cents": pd.Series([], dtype="int64"),
+                "total_cents": pd.Series([], dtype="int64"),
+                "share_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    tgt = np.where(
+        df["supp_nation"].to_numpy() == supp_nation,
+        df["revenue_cents"].to_numpy(),
+        0,
+    )
+    g = (
+        df.assign(target=tgt)
+        .groupby("l_year", sort=False)[["target", "revenue_cents"]]
+        .sum()
+        .reset_index()
+    )
+    return pd.DataFrame(
+        {
+            "l_year": g["l_year"].astype("int64").to_numpy(),
+            "target_cents": g["target"].astype("int64").to_numpy(),
+            "total_cents": g["revenue_cents"].astype("int64").to_numpy(),
+            "share_ppm": (
+                g["target"].to_numpy() * 1_000_000
+                // g["revenue_cents"].to_numpy()
+            ).astype("int64"),
+        }
     )
