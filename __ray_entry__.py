@@ -2931,6 +2931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nation_trade_volume,
         parts_supplier_census,
         market_share,
+        small_quantity_revenue,
         asof_join_events,
         range_join_events,
         sliding_window_events,
@@ -3032,6 +3033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": nation_trade_volume,
         "parts_supplier_census": parts_supplier_census,
         "market_share": market_share,
+        "small_quantity_revenue": small_quantity_revenue,
         "open_orders_by_month": open_orders_by_month,
         "min_cost_supplier": min_cost_supplier,
         "custdist": custdist,
@@ -6737,6 +6739,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, lang_pred, count(*)::BIGINT AS n
         FROM ({out['language_id']})
         GROUP BY 1, 2
+    """
+    # Q17-shape correlated-average gate (relational.small_quantity_revenue)
+    out["small_quantity_revenue"] = """
+        WITH st AS (
+          SELECT l_partkey,
+                 sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sq,
+                 count(*)::BIGINT AS cnt
+          FROM lineitem GROUP BY 1
+        )
+        SELECT p_brand, count(*)::BIGINT AS n_lines,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                        AS BIGINT))::BIGINT AS revenue_cents
+        FROM lineitem l
+        JOIN st ON st.l_partkey = l.l_partkey
+        JOIN part ON p_partkey = l.l_partkey
+        WHERE 5 * CAST(round(l_quantity) AS BIGINT) * cnt < sq
+        GROUP BY 1
     """
     # Q8-shape national market share (relational.market_share):
     # composes the nation_trade_volume mirror verbatim

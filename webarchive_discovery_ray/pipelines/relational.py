@@ -39,6 +39,7 @@ __all__ = [
     "nation_trade_volume",
     "parts_supplier_census",
     "market_share",
+    "small_quantity_revenue",
     "range_join_events",
     "window_running_sum",
     "sliding_window_events",
@@ -1443,4 +1444,144 @@ def market_share(
                 // g["revenue_cents"].to_numpy()
             ).astype("int64"),
         }
+    )
+
+
+def small_quantity_revenue(sf_dir: str):
+    """Small-quantity-order revenue (the TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below 20% of their part's average
+    quantity — the correlated-aggregate gate, per brand. The gate is
+    EXACT integer cross-multiplication (``5·qty·cnt < sum_qty`` ⟺
+    ``qty < 0.2·avg``) — no float threshold.
+
+    Shape: pass 1 folds per-part (sum_qty, cnt, brand) via combiner
+    partials + ONE bucket(partkey) co-group with part tags (bounded at
+    |part| rows); pass 2 re-reads lineitem and co-groups lines against
+    that stats table on bucket(partkey) — lines shuffle once (the Q14
+    attach cost class), the gate and the per-brand collapse run
+    in-group. Columns: p_brand, n_lines, revenue_cents.
+    SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..sources.io import read_table
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def qty_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "key": df["l_partkey"].to_numpy(),
+                    "q": np.rint(df["l_quantity"].to_numpy()).astype("int64"),
+                }
+            )
+            .groupby("key", sort=False)["q"]
+            .agg(["sum", "size"])
+            .reset_index()
+            .rename(columns={"sum": "sq", "size": "cnt"})
+        )
+        g["brand"] = np.full(len(g), "", dtype=object)
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "sq": "int64", "cnt": "int64"})
+
+    def part_tags(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["p_partkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "sq": np.zeros(len(df), dtype="int64"),
+                "cnt": np.zeros(len(df), dtype="int64"),
+                "brand": df["p_brand"].to_numpy(dtype=object),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def stats_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(key="int64", sq="int64", cnt="int64",
+                               brand=str, side="int64", bucket="int32")
+        tags = df[df["side"] == 1].set_index("key")["brand"]
+        st = (
+            df[df["side"] == 0]
+            .groupby("key", sort=False)[["sq", "cnt"]]
+            .sum()
+            .reset_index()
+        )
+        st["brand"] = st["key"].map(tags).fillna("").astype(object)
+        st["side"] = np.ones(len(st), dtype="int64")
+        st["bucket"] = df["bucket"].iloc[0]
+        return st.astype({"key": "int64", "sq": "int64", "cnt": "int64"})[
+            ["key", "sq", "cnt", "brand", "side", "bucket"]
+        ]
+
+    def line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["l_partkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "sq": np.rint(df["l_quantity"].to_numpy()).astype("int64"),
+                "cnt": cents(df["l_extendedprice"].to_numpy()),
+                "brand": np.full(len(df), "", dtype=object),
+                "side": np.zeros(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def gate_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # side 1 = per-part stats (sq=sum_qty, cnt=count, brand); side 0
+        # = raw lines (sq=qty, cnt=price_cents)
+        if not len(df):
+            return typed_empty(p_brand=str, n_lines="int64",
+                               revenue_cents="int64")
+        st = df[df["side"] == 1].set_index("key")[["sq", "cnt", "brand"]]
+        lines = df[df["side"] == 0]
+        if not len(lines) or not len(st):
+            return typed_empty(p_brand=str, n_lines="int64",
+                               revenue_cents="int64")
+        sq = lines["key"].map(st["sq"])
+        cnt = lines["key"].map(st["cnt"])
+        brand = lines["key"].map(st["brand"])
+        ok = (
+            sq.notna().to_numpy()
+            & (5 * lines["sq"].to_numpy() * cnt.fillna(0).to_numpy()
+               < sq.fillna(0).to_numpy())
+        )
+        kept = lines[ok].assign(brand=brand[ok])
+        if not len(kept):
+            return typed_empty(p_brand=str, n_lines="int64",
+                               revenue_cents="int64")
+        g = (
+            kept.groupby("brand", sort=False)
+            .agg(n_lines=("cnt", "size"), revenue_cents=("cnt", "sum"))
+            .reset_index()
+            .rename(columns={"brand": "p_brand"})
+        )
+        return g.astype({"n_lines": "int64", "revenue_cents": "int64"})
+
+    li1 = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    stats = (
+        li1.map_batches(qty_partials, batch_format="pandas")
+        .union(part.map_batches(part_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(stats_in_bucket, batch_format="pandas")
+    )
+    li2 = read_table(sf_dir, "lineitem", columns=li_cols)
+    folded = (
+        li2.map_batches(line_rows, batch_format="pandas")
+        .union(stats)
+        .groupby("bucket")
+        .map_groups(gate_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= buckets x brands tiny rows
+    )
+    if not len(folded):
+        return typed_empty(p_brand=str, n_lines="int64", revenue_cents="int64")
+    return (
+        folded.groupby("p_brand", sort=False)[["n_lines", "revenue_cents"]]
+        .sum()
+        .reset_index()
+        .astype({"n_lines": "int64", "revenue_cents": "int64"})
     )
