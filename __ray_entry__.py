@@ -6361,8 +6361,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT ship_month::BIGINT AS ship_month,
                    sum(CASE WHEN promo THEN c ELSE 0 END)::BIGINT AS promo_cents,
                    sum(c)::BIGINT AS total_cents,
-                   (sum(CASE WHEN promo THEN c ELSE 0 END) * 1000000)
-                       // sum(c) AS promo_ppm
+                   ((sum(CASE WHEN promo THEN c ELSE 0 END) * 1000000)
+                       // sum(c))::BIGINT AS promo_ppm
             FROM j GROUP BY 1
         """,
         "important_parts": """
@@ -6769,9 +6769,9 @@ def oracle_sql() -> dict[str, str]:
                         THEN revenue_cents ELSE 0 END)::BIGINT
                    AS target_cents,
                sum(revenue_cents)::BIGINT AS total_cents,
-               (sum(CASE WHEN supp_nation = 'NATION_3'
+               ((sum(CASE WHEN supp_nation = 'NATION_3'
                          THEN revenue_cents ELSE 0 END) * 1000000)
-                   // sum(revenue_cents) AS share_ppm
+                   // sum(revenue_cents))::BIGINT AS share_ppm
         FROM v JOIN eu ON eu.n_name = v.cust_nation
         GROUP BY 1
     """
@@ -6952,4 +6952,45 @@ def oracle_sql() -> dict[str, str]:
                  AS seed_rank
         FROM j
     """
+    return _pin_oracle_int_columns(out)
+
+
+# Dtype pin for the oracle surface (round-5 fix, VERDICT r4 item 1):
+# DuckDB types bare VALUES integer literals as INTEGER (int32) and widens
+# sum(BIGINT) to HUGEINT (which pandas materialises as float64). Either
+# way the driver's value-hash sees a different dtype than the repo's
+# int64 output even when the values are exactly equal. Every integer
+# column the oracles emit is pinned to BIGINT here with a mechanical
+# `SELECT * REPLACE (col::BIGINT AS col)` wrapper so no VALUES builder
+# can regress the dtype contract. tests/test_driver_contract.py enforces
+# numeric-KIND agreement, which keeps this map honest.
+_ORACLE_BIGINT_PIN: dict[str, tuple[str, ...]] = {
+    "cdx_merge": ("status",),
+    "cdx_sorted": ("status",),
+    "countmin_event_counts": ("user_id",),
+    "funnel_counts": ("step_idx",),
+    "fuzzy_hashes": ("doc_id",),
+    "ivfpq_cosine_topk": ("query_vec_id", "vec_id"),
+    "knn_graph": ("src_vec_id", "dst_vec_id"),
+    "lsh_cosine_topk": ("query_vec_id", "vec_id"),
+    "mdx_stats": ("status",),
+    "mmr_select": ("rank",),
+    "persist_log": ("status",),
+    "pq_cosine_topk": ("query_vec_id", "vec_id"),
+    "recrawl_seed_list": ("priority",),
+    "reduplicate_revisits": ("status",),
+    "semdedup_keep": ("label",),
+    "span_coalesce": ("span_idx",),
+    "warc_cdx": ("status",),
+    "warc_extract": ("status",),
+    "warc_wat": ("status",),
+}
+
+
+def _pin_oracle_int_columns(out: dict[str, str]) -> dict[str, str]:
+    for name, cols in _ORACLE_BIGINT_PIN.items():
+        if name not in out:
+            continue
+        repl = ", ".join(f'"{c}"::BIGINT AS "{c}"' for c in cols)
+        out[name] = f"SELECT * REPLACE ({repl}) FROM ({out[name]})"
     return out

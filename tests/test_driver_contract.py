@@ -63,9 +63,36 @@ def _normalise(df: pd.DataFrame) -> pd.DataFrame:
     return tmp[list(df.columns)]
 
 
+def _kind(dtype) -> str:
+    """Collapse a dtype to its comparison KIND: int widths are
+    interchangeable to the driver's hash, but int-vs-float is not (a
+    HUGEINT oracle column materialises as float64 and hash-mismatches an
+    int64 repo column even when values are equal — the round-4 red rows).
+    """
+    k = getattr(dtype, "kind", None)
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def _compare(got: pd.DataFrame, exp: pd.DataFrame, name: str):
     assert sorted(got.columns) == sorted(exp.columns), f"{name}: column names differ"
     assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    # dtype-kind gate (round-5): the driver hashes typed values, so an
+    # int-kind repo column vs a float-kind oracle column is a failure
+    # even when every value compares equal in Python.
+    for col in got.columns:
+        gk, ek = _kind(got[col].dtype), _kind(exp[col].dtype)
+        assert gk == ek, (
+            f"{name}.{col}: dtype kind mismatch repo={got[col].dtype} "
+            f"oracle={exp[col].dtype}"
+        )
     g, e = _normalise(got), _normalise(exp)
     for col in g.columns:
         gv, ev = g[col].tolist(), e[col].tolist()
