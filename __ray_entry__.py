@@ -6698,9 +6698,9 @@ def oracle_sql() -> dict[str, str]:
     out["large_orders"] = """
         WITH q AS (
           SELECT l_orderkey,
-                 sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+                 sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS sum_qty
           FROM lineitem GROUP BY 1
-          HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+          HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 300
         )
         SELECT c_name, c_custkey, o_orderkey,
                (year(o_orderdate) * 10000 + month(o_orderdate) * 100
@@ -6744,7 +6744,7 @@ def oracle_sql() -> dict[str, str]:
     out["small_quantity_revenue"] = """
         WITH st AS (
           SELECT l_partkey,
-                 sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sq,
+                 sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS sq,
                  count(*)::BIGINT AS cnt
           FROM lineitem GROUP BY 1
         )
@@ -6754,7 +6754,7 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem l
         JOIN st ON st.l_partkey = l.l_partkey
         JOIN part ON p_partkey = l.l_partkey
-        WHERE 5 * CAST(round(l_quantity) AS BIGINT) * cnt < sq
+        WHERE 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * cnt < sq
         GROUP BY 1
     """
     # Q8-shape national market share (relational.market_share):

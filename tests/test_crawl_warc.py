@@ -180,3 +180,24 @@ def test_warc_sink_off_schema_unchanged(ray_session):
                                 seen_shards=4),
                     SYN, fetch_concurrency=2, collect_log=True)
     assert res.total_fetched > 0
+
+
+def test_warc_writer_failure_fails_crawl(ray_session, tmp_path_factory):
+    """Fragment-durability barrier propagates writer failures (ADVICE r4):
+    if a _write_warc_block task cannot write (warc_dir's parent is a
+    FILE, so makedirs raises), the crawl must RAISE — not checkpoint the
+    wave as complete over silently-missing fragments."""
+    base = tmp_path_factory.mktemp("warc_fail")
+    blocker = base / "blocker"
+    blocker.write_text("not a directory")
+    wdir = str(blocker / "warc")  # any mkdir/open under a file -> OSError
+    ckpt = str(base / "ckpt")
+    import ray as _r
+
+    with pytest.raises((OSError, _r.exceptions.RayTaskError)):
+        run_crawl(
+            seed_urls(SYN, n_seeds=4),
+            CrawlConfig(politeness_budget=3, max_waves=2, seen_shards=4,
+                        warc_dir=wdir),
+            SYN, checkpoint_dir=ckpt, fetch_concurrency=2,
+        )

@@ -974,6 +974,17 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
     )
 
 
+@_ray.remote(num_cpus=0)
+def _probe_ok(_x) -> int:
+    """Zero-payload durability probe: scheduling this task forces its
+    argument's producer to have SUCCEEDED (a failed producer fails the
+    probe with RayTaskError), so ray.get on the probe propagates writer
+    exceptions without pulling the producer's (large) result to the
+    driver — the error-surfacing replacement for ray.wait(fetch_local=
+    False), which silently ignores task failures."""
+    return 0
+
+
 @_ray.remote
 def _finalize_fetch(wave: int, order_base: int, log_path: str | None, *parts):
     """Remote end-of-wave fetch finalization: concat the per-part fetched
@@ -1488,12 +1499,13 @@ def run_crawl(
             if warc_flush_refs:
                 # fragment-durability barrier: a checkpoint marks this
                 # wave complete, so its WARC fragments must exist first
-                # (a resumed run never re-enters a completed wave)
-                ray.wait(
-                    warc_flush_refs,
-                    num_returns=len(warc_flush_refs),
-                    fetch_local=False,
-                )
+                # (a resumed run never re-enters a completed wave).
+                # ray.get, not ray.wait(fetch_local=False): the barrier
+                # must PROPAGATE a writer failure (ENOSPC, permissions)
+                # and fail the wave before the checkpoint is written —
+                # wait() would mark a wave complete over missing
+                # fragments. Results are tiny ints, so get() is cheap.
+                ray.get(warc_flush_refs)
                 warc_flush_refs = []
             if wave_log is None:
                 wave_log = ray.get(wave_log_ref)
@@ -1538,10 +1550,17 @@ def run_crawl(
     # durability barrier: streamed per-wave fetch-log writes happen in
     # remote tasks off the wave critical path — join them once here so
     # the files exist when run_crawl returns
+    # error-propagating barriers, not ray.wait(fetch_local=False): a
+    # failed writer task must raise here, not leave files silently
+    # missing behind a successful-looking return. warc refs hold tiny
+    # ints so ray.get is free; log refs hold full wave-log tables, so
+    # join them through a zero-payload probe task (a failed parent makes
+    # the probe fail, propagating the exception without shipping the
+    # table to the driver).
     if log_flush_refs:
-        ray.wait(log_flush_refs, num_returns=len(log_flush_refs), fetch_local=False)
+        ray.get([_probe_ok.remote(r) for r in log_flush_refs])
     if warc_flush_refs:
-        ray.wait(warc_flush_refs, num_returns=len(warc_flush_refs), fetch_local=False)
+        ray.get(warc_flush_refs)
     # driver-side materializations are OPT-IN (test/analysis hooks): the
     # production outputs are the streamed per-wave parquet artifacts
     if collect_log:

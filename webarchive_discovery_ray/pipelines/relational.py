@@ -891,7 +891,7 @@ def large_orders(sf_dir: str, qty_threshold: int = 300, k: int = 100):
             pd.DataFrame(
                 {
                     "key": df["l_orderkey"].to_numpy(),
-                    "q": np.rint(df["l_quantity"].to_numpy()).astype("int64"),
+                    "q": np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64"),
                 }
             )
             .groupby("key", sort=False)["q"]
@@ -1391,7 +1391,9 @@ def market_share(
 ):
     """National market share (the TPC-H Q8 shape): the fraction of a
     customer region's shipped revenue supplied by one target nation,
-    per order year — composed ON TOP of :func:`nation_trade_volume`
+    per SHIP year (inherited from nation_trade_volume's l_shipdate
+    grouping; TPC-H Q8 proper keys on order year, which the composed
+    base does not carry) — composed ON TOP of :func:`nation_trade_volume`
     (whose output is bounded at nations² × years rows, so the
     composition is driver-side arithmetic over a tiny verified table,
     not a fourth exchange). The 25-row nation → 5-row region dimension
@@ -1434,15 +1436,21 @@ def market_share(
         .sum()
         .reset_index()
     )
+    # share_ppm in PYTHON ints over the tiny (years-bounded) table:
+    # target*1_000_000 in int64 numpy would silently wrap above ~9.2e12
+    # cents of yearly regional revenue (the design-point scale) while
+    # the DuckDB mirror widens to HUGEINT — arbitrary-precision Python
+    # ints keep both engines exact at any scale
+    share_ppm = [
+        int(t) * 1_000_000 // int(r)
+        for t, r in zip(g["target"].to_numpy(), g["revenue_cents"].to_numpy())
+    ]
     return pd.DataFrame(
         {
             "l_year": g["l_year"].astype("int64").to_numpy(),
             "target_cents": g["target"].astype("int64").to_numpy(),
             "total_cents": g["revenue_cents"].astype("int64").to_numpy(),
-            "share_ppm": (
-                g["target"].to_numpy() * 1_000_000
-                // g["revenue_cents"].to_numpy()
-            ).astype("int64"),
+            "share_ppm": pd.Series(share_ppm, dtype="int64").to_numpy(),
         }
     )
 
@@ -1474,7 +1482,7 @@ def small_quantity_revenue(sf_dir: str):
             pd.DataFrame(
                 {
                     "key": df["l_partkey"].to_numpy(),
-                    "q": np.rint(df["l_quantity"].to_numpy()).astype("int64"),
+                    "q": np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64"),
                 }
             )
             .groupby("key", sort=False)["q"]
@@ -1523,7 +1531,7 @@ def small_quantity_revenue(sf_dir: str):
         return pd.DataFrame(
             {
                 "key": key.to_numpy(),
-                "sq": np.rint(df["l_quantity"].to_numpy()).astype("int64"),
+                "sq": np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64"),
                 "cnt": cents(df["l_extendedprice"].to_numpy()),
                 "brand": np.full(len(df), "", dtype=object),
                 "side": np.zeros(len(df), dtype="int64"),
