@@ -2495,6 +2495,15 @@ def _year_host_outlinks(sf_dir: str):
     return year_host_outlinks(docs=_materialized_docs_base(500))
 
 
+def _year_suffix_links(sf_dir: str):
+    """Year-keyed public-suffix link pairing (EntityMapper.java:60-118 +
+    FrequencyCountingReducer.java:46-68) over the materialized docs base —
+    the suffix-level sibling of year_host_outlinks."""
+    from webarchive_discovery_ray.pipelines.stats import year_suffix_links
+
+    return year_suffix_links(docs=_materialized_docs_base(500))
+
+
 def _hosts_report(sf_dir: str):
     """Per-host crawl-log rollup (HostsReportMapper/Reducer) over a
     deterministic Heritrix-style crawl.log text fixture; the lines
@@ -3196,6 +3205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arcname_fields": _arcname,
         "mdx_stats": _mdx_stats,
         "year_host_outlinks": _year_host_outlinks,
+        "year_suffix_links": _year_suffix_links,
         "hosts_report": _hosts_report,
         "persist_log": _persist_log,
         "dataset_summaries": _dataset_summaries,
@@ -3254,6 +3264,11 @@ def _ensure_oracle_materializations() -> None:
 
 
 def oracle_sql() -> dict[str, str]:
+    from webarchive_discovery_ray.functions.suffix import _SUFFIXES
+
+    # PSL-subset DATA shared with the Ray-side kernel (the suffix RULE is
+    # re-derived independently in SQL below)
+    _psl_values = ", ".join(f"('{s}')" for s in sorted(_SUFFIXES))
     ws = r"\s+"
     tokens = f"regexp_split_to_array(trim(text), '{ws}')"
     winnow_core = f"""
@@ -5754,6 +5769,85 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_MAT}/docs_base/*.parquet'),
                  unnest(links_hosts) AS l(dst)
             WHERE record_type = 'response' AND url LIKE 'http%'
+            GROUP BY 1, 2, 3
+        """,
+        # year-keyed public-suffix link pairing (EntityMapper.java:60-118
+        # + FrequencyCountingReducer.java:46-68): EVERY record (no
+        # response/http gate in EntityMapper), source suffix with
+        # null -> 'null', DISTINCT dest suffixes per record (Java Set),
+        # null dest suffixes skipped. The public-suffix rule
+        # (LinkExtractor.java:110-142 semantics: Guava validity, longest
+        # PSL suffix incl. private entries, hard .uk 2-level override on
+        # the ORIGINAL-case host) is re-derived here in SQL from the same
+        # embedded PSL subset (functions/suffix.py shares only the DATA).
+        # The ASCII label regex is exact on this domain: link hosts pass
+        # through extract_host's ASCII-only _HOST_PATTERN upstream.
+        "year_suffix_links": f"""
+            WITH sfx(s) AS (VALUES {_psl_values}),
+            recs AS (
+              -- rid: per-RECORD identity (each mapper call is one
+              -- record; (source_file, source_offset) is NOT unique --
+              -- revisit+response pairs and byte-identical duplicates
+              -- share offsets). Only uniqueness matters, not order.
+              SELECT row_number() OVER () AS rid, crawl_year, host,
+                     links_hosts
+              FROM read_parquet('{_ORACLE_MAT}/docs_base/*.parquet')
+            ),
+            hosts AS (
+              SELECT DISTINCT h FROM (
+                SELECT host AS h FROM recs
+                UNION ALL
+                SELECT unnest(links_hosts) FROM recs
+              ) WHERE h IS NOT NULL
+            ),
+            parts AS (
+              SELECT h, string_split(rtrim(lower(h), '.'), '.') AS p
+              FROM hosts
+            ),
+            valid AS (
+              SELECT h, p,
+                (length(rtrim(lower(h), '.')) <= 253
+                 AND length(rtrim(lower(h), '.')) > 0
+                 AND len(list_filter(p, x -> x = '' OR length(x) > 63
+                     OR NOT regexp_matches(x,
+                        '^[A-Za-z0-9_]([A-Za-z0-9_-]{{0,61}}[A-Za-z0-9_])?$')
+                     )) = 0
+                 AND NOT regexp_matches(p[-1], '^[0-9]+$')) AS ok
+              FROM parts
+            ),
+            best AS (
+              SELECT v.h, min(r.i) AS besti
+              FROM valid v, unnest(range(1, len(v.p) + 1)) AS r(i)
+              WHERE v.ok
+                AND array_to_string(v.p[r.i:], '.') IN (SELECT s FROM sfx)
+              GROUP BY v.h
+            ),
+            sfx_of AS (
+              SELECT v.h,
+                CASE WHEN NOT v.ok THEN NULL
+                     WHEN v.h LIKE '%.uk' THEN
+                       CASE WHEN len(v.p) >= 2
+                            THEN array_to_string(v.p[-2:], '.') END
+                     WHEN b.besti IS NOT NULL
+                       THEN array_to_string(v.p[b.besti:], '.')
+                END AS suffix
+              FROM valid v LEFT JOIN best b ON b.h = v.h
+            ),
+            src AS (
+              SELECT r.rid, r.crawl_year,
+                     COALESCE(s.suffix, 'null') AS src_suffix
+              FROM recs r LEFT JOIN sfx_of s ON s.h = r.host
+            ),
+            dst AS (
+              SELECT DISTINCT r.rid, s2.suffix AS dst_suffix
+              FROM recs r, unnest(r.links_hosts) AS l(dh)
+              JOIN sfx_of s2 ON s2.h = l.dh
+              WHERE s2.suffix IS NOT NULL
+            )
+            SELECT r.crawl_year, d.dst_suffix, r.src_suffix,
+                   count(*)::BIGINT AS n
+            FROM src r
+            JOIN dst d USING (rid)
             GROUP BY 1, 2, 3
         """,
         # per-host crawl-log rollup over the SAME Heritrix-style text

@@ -2055,3 +2055,46 @@ def test_span_windows_crafted(ray_session):
         got[["doc_id", "media_idx", "n_text_before", "n_text_after",
              "window_chars"]].itertuples(index=False, name=None)
     ) == want
+
+
+def test_year_suffix_links_entity_mapper_semantics(ray_session):
+    """EntityMapper.java:60-118: EVERY record contributes (no
+    response/http gate); source suffix null -> "null"; dest suffixes are
+    a per-record DISTINCT set with nulls skipped; the .uk override
+    yields 2-level suffixes; a parse-failed record (no extracted links)
+    emits nothing — the charset-failure drop rule's observable."""
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.stats import year_suffix_links
+
+    rows = [
+        # two links to the same suffix -> ONE pair (the Java Set)
+        {"crawl_year": "2014", "host": "a.site.com",
+         "links_hosts": ["x.other.com", "y.other.com", "b.news.co.uk"]},
+        # .uk override: source suffix is co.uk, not uk
+        {"crawl_year": "2014", "host": "b.news.co.uk",
+         "links_hosts": ["a.site.com"]},
+        # unrecognised source suffix -> "null" (EntityMapper.java:98-99)
+        {"crawl_year": "2014", "host": "weird.internal",
+         "links_hosts": ["a.site.com"]},
+        # null DEST suffixes are skipped, record still contributes others
+        {"crawl_year": "2015", "host": "a.site.com",
+         "links_hosts": ["weird.internal", "b.news.co.uk"]},
+        # parse failure upstream = no links -> dropped entirely
+        {"crawl_year": "2015", "host": "a.site.com", "links_hosts": []},
+        # non-response records contribute too (no gate in EntityMapper)
+        {"crawl_year": "2015", "host": "a.site.com",
+         "links_hosts": ["x.other.com"]},
+    ]
+    got = {
+        (r["crawl_year"], r["dst_suffix"], r["src_suffix"]): r["n"]
+        for r in year_suffix_links(docs=rd.from_items(rows)).take_all()
+    }
+    assert got == {
+        ("2014", "com", "com"): 1,
+        ("2014", "co.uk", "com"): 1,
+        ("2014", "com", "co.uk"): 1,
+        ("2014", "com", "null"): 1,
+        ("2015", "co.uk", "com"): 1,
+        ("2015", "com", "com"): 1,
+    }

@@ -53,6 +53,7 @@ __all__ = [
     "span_dedup",
     "media_dedup",
     "year_host_outlinks",
+    "year_suffix_links",
     "heritrix_log_lines",
     "hosts_report",
     "interleaved_pack",
@@ -1002,6 +1003,94 @@ def year_host_outlinks(
     base = docs if docs is not None else _docs_ds(n_pages, scfg)
     return (
         base.map_batches(partial_edges, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sum_in_bucket, batch_format="pandas")
+    )
+
+
+def year_suffix_links(
+    n_pages: int = 600, scfg: SyntheticConfig | None = None, docs=None
+):
+    """Year-keyed public-suffix link pairing — the EntityExtractor job.
+
+    Reference: ``warc-hadoop-indexer/.../entities/EntityMapper.java:60-118``
+    — EVERY record (the Tika HTML-type gate is commented out in the
+    reference, and unlike OutlinkExtractorMapper there is no
+    response/http(s) filter), keyed by crawl year (``WARCIndexer
+    .extractYear``; "0000" when the header is empty — never hit here
+    because the extraction chain always stamps ``crawl_year``). The
+    source value is ``LinkExtractor.extractPublicSuffix(base_url)`` with
+    null → ``"null"`` (EntityMapper.java:98-99); the emitted keys are the
+    DISTINCT public suffixes of the record's extracted links (a Java
+    ``Set`` — EntityMapper.java:100-103 — so a record contributes at most
+    ONE pair per dest suffix), nulls skipped (LinkExtractor.java:95-98).
+    Charset/parse failures drop the whole record (EntityMapper.java:
+    104-113) — upstream here: a page the extraction chain cannot parse
+    yields no link hosts, hence no output, the same observable.
+    ``FrequencyCountingReducer.java:46-68`` then counts per distinct
+    value under each (year, dest) key.
+
+    Shape: per-batch suffix-mapping + per-record dedup + partial count
+    (combiner), ONE bucketed grouped sum — link-suffix cardinality is
+    years × suffixes², tiny, so only pre-aggregated rows shuffle.
+    Columns: crawl_year, dst_suffix, src_suffix, n. SQL-oracle-checked
+    (the oracle re-derives the suffix rule in SQL from the same embedded
+    PSL subset over the materialized docs base)."""
+    from ..functions.bucketing import bucket_of, default_buckets
+    from ..functions.suffix import extract_public_suffix_from_host
+
+    n_b = default_buckets()
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["crawl_year", "host", "links_hosts"]
+        ).to_pandas()
+        src = df["host"].map(
+            lambda h: extract_public_suffix_from_host(h) or "null"
+        )
+        # record identity = the batch row (each map() call in the
+        # reference is one record — byte-identical records each emit
+        # their own pairs, and a (source_file, source_offset) key would
+        # merge them: revisit+response pairs and duplicate media records
+        # share offsets in the docs base)
+        ex = pd.DataFrame(
+            {
+                "rid": np.arange(len(df), dtype=np.int64),
+                "crawl_year": df["crawl_year"].to_numpy(),
+                "src_suffix": src.to_numpy(),
+                "dst_host": df["links_hosts"].to_numpy(),
+            }
+        ).explode("dst_host")
+        ex = ex.dropna(subset=["dst_host"])
+        ex["dst_suffix"] = ex["dst_host"].map(extract_public_suffix_from_host)
+        ex = ex.dropna(subset=["dst_suffix"])
+        # the Java Set: one pair per record per DISTINCT dest suffix
+        ex = ex.drop_duplicates(subset=["rid", "dst_suffix"])
+        g = (
+            ex.groupby(["crawl_year", "dst_suffix", "src_suffix"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = bucket_of(
+            g["crawl_year"].astype(str)
+            + "\x00" + g["dst_suffix"] + "\x00" + g["src_suffix"],
+            n_b,
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["crawl_year", "dst_suffix", "src_suffix"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    base = docs if docs is not None else _docs_ds(n_pages, scfg)
+    return (
+        base.map_batches(partial_pairs, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sum_in_bucket, batch_format="pandas")
     )
