@@ -125,6 +125,24 @@ class CrawlConfig:
     # by content hash (same spill tier + checkpoint-delta machinery as
     # the URL-seen set). Default OFF: fixtures byte-identical.
     dedup_content: bool = False
+    # adaptive politeness (Heritrix DispositionProcessor delayFactor /
+    # minDelayMs / maxDelayMs mapped onto the wave model): a host whose
+    # LAST fetch of wave W took d ms has earned a per-fetch delay of
+    # clamp(d x delay_factor, min, max); with the wave as a fixed
+    # adaptive_wave_window_ms time window the host's wave-W+1 budget is
+    # additionally capped at max(1, window // delay). Applied AFTER the
+    # Crawl-delay shrink and the 5xx halving, BEFORE the quota cap
+    # (pinned order, mirrored in the oracle). Fetch durations come from
+    # state/robots.fetch_duration_ms (the synthetic world's
+    # deterministic clock). Last-duration state is a per-host dict
+    # folded from split metas (robots-rules discipline, bounded by
+    # |hosts|), broadcast per wave, checkpointed and restored. Default
+    # OFF: fixtures byte-identical.
+    adaptive_politeness: bool = False
+    adaptive_delay_factor_permil: int = 5000  # Heritrix delayFactor 5.0
+    adaptive_min_delay_ms: int = 3000  # Heritrix minDelayMs
+    adaptive_max_delay_ms: int = 30000  # Heritrix maxDelayMs
+    adaptive_wave_window_ms: int = 240_000
     max_urls: int | None = None  # overall stop condition (None = unbounded)
     # hot-host skew (SURVEY §7.1-7): a frontier partition whose assembled
     # block exceeds salt_threshold rows is split into salt_factor salted

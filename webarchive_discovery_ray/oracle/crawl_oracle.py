@@ -44,7 +44,9 @@ from ..functions.surt import surt_key
 from ..functions.urls import url_path
 from ..sources.synthetic import page_for_url
 from ..state.robots import (
+    adaptive_budget_cap,
     effective_budget,
+    fetch_duration_ms,
     is_disallowed,
     is_sitemap_index,
     nofollow_scan,
@@ -135,6 +137,7 @@ def oracle_crawl(
     robots_rules: dict[str, list[str]] = {}
     backoff_prev: set[str] = set()  # hosts that served >=500 LAST wave
     host_fetched: dict[str, int] = {}  # max_pages_per_host quota state
+    last_dur: dict[str, int] = {}  # adaptive politeness: last fetch ms
     seq = 0
     frontier: list[_Entry] = []
     for url, pri in seeds:
@@ -196,6 +199,19 @@ def oracle_crawl(
             if ccfg.backoff_503 and host in backoff_prev:
                 # one-wave 5xx backoff: half budget after an error wave
                 host_budget = max(1, host_budget // 2)
+            if ccfg.adaptive_politeness and host in last_dur:
+                # Heritrix adaptive delay mapped onto the wave window
+                # (pinned order: after Crawl-delay + 5xx, before quota)
+                host_budget = min(
+                    host_budget,
+                    adaptive_budget_cap(
+                        last_dur[host],
+                        ccfg.adaptive_delay_factor_permil,
+                        ccfg.adaptive_min_delay_ms,
+                        ccfg.adaptive_max_delay_ms,
+                        ccfg.adaptive_wave_window_ms,
+                    ),
+                )
             if ccfg.max_pages_per_host is not None:
                 # queue-total-budget quota: cap at the host's remaining
                 # allowance; a RETIRED host (nothing left) drops its
@@ -226,6 +242,12 @@ def oracle_crawl(
             rec = page_for_url(e.url, scfg)
             if rec["status"] >= 500:
                 wave_backoff.add(host)
+            if ccfg.adaptive_politeness:
+                # (host, slot) order => the last assignment per host is
+                # the host's LAST fetch of the wave, Heritrix's input
+                last_dur[host] = fetch_duration_ms(
+                    rec["status"], len(rec["payload"] or b"")
+                )
             doc = oracle_extract_record(rec, icfg)
             res.fetch_log.append(
                 {

@@ -76,7 +76,9 @@ from ..state.checkpoint import (
     write_wave_checkpoint,
 )
 from ..state.robots import (
+    adaptive_budget_cap,
     effective_budget,
+    fetch_duration_ms,
     is_disallowed,
     nofollow_scan,
     parse_robots,
@@ -116,6 +118,9 @@ OUT_SCHEMA = pa.schema(
         # extraction payload hash of status-200 responses ("" otherwise):
         # the duplicate-content gate key (ccfg.dedup_content)
         pa.field("content_hash", pa.string()),
+        # modeled fetch duration (state/robots.fetch_duration_ms): the
+        # adaptive-politeness input, folded per host in the split meta
+        pa.field("fetch_ms", pa.int32()),
         # WARC-sink carriers (populated only when ccfg.warc_dir is set —
         # empty strings / b"" otherwise, so the schema stays stable and
         # non-WARC crawls ship four constant columns): the raw capture
@@ -265,6 +270,9 @@ class FetchExtractStage:
                 "cand_hosts": [extract_host(u) for u in cand_urls],
                 "cand_pri": cand_pri,
                 "content_hash": doc["hash"] if rec["status"] == 200 else "",
+                "fetch_ms": fetch_duration_ms(
+                    rec["status"], len(rec["payload"] or b"")
+                ),
                 "w_ts14": rec["timestamp14"] if self.warc else "",
                 "w_mime": (rec["mime_served"] or "") if self.warc else "",
                 "w_loc": (rec["location"] or "") if self.warc else "",
@@ -333,8 +341,20 @@ def _robots_drop(df: pd.DataFrame, robots_rules: dict[str, list[str]]) -> pd.Dat
     return df.drop(index=drop_idx) if len(drop_idx) else df
 
 
+def _acfg_of(ccfg: CrawlConfig) -> tuple:
+    """The four adaptive-politeness integers as a positional tuple for
+    adaptive_budget_cap (ships in task args beside the boxed dict)."""
+    return (
+        ccfg.adaptive_delay_factor_permil,
+        ccfg.adaptive_min_delay_ms,
+        ccfg.adaptive_max_delay_ms,
+        ccfg.adaptive_wave_window_ms,
+    )
+
+
 def _make_drain_fn(budget: int, rules_ref, backoff_ref=None, quota_ref=None,
-                   max_pages: int | None = None):
+                   max_pages: int | None = None, adaptive_ref=None,
+                   acfg: tuple | None = None):
     """Vectorized politeness drain over a host-hash-partitioned block.
 
     The block holds every (surviving) row of each host it contains, so
@@ -354,12 +374,16 @@ def _make_drain_fn(budget: int, rules_ref, backoff_ref=None, quota_ref=None,
             get_broadcast(backoff_ref) if backoff_ref is not None else None
         )
         fetched = get_broadcast(quota_ref) if quota_ref is not None else None
+        last_dur = (
+            get_broadcast(adaptive_ref) if adaptive_ref is not None else None
+        )
         df = df.sort_values(
             ["host", "priority", "seq", "surt"], kind="mergesort"
         )
         df = _robots_drop(df, robots_rules)
         budgets = _host_budgets(
-            df["host"], budget, robots_rules, backoff, fetched, max_pages
+            df["host"], budget, robots_rules, backoff, fetched, max_pages,
+            last_dur, acfg,
         )
         if max_pages is not None:
             # retired hosts (no quota left): their rows leave the
@@ -384,13 +408,20 @@ def _host_budgets(
     backoff=None,
     fetched: dict | None = None,
     max_pages: int | None = None,
+    last_dur: dict | None = None,
+    acfg: tuple | None = None,
 ) -> np.ndarray:
     """Per-row effective politeness budget (Crawl-delay rule, pinned in
     state/robots.effective_budget, then the one-wave 5xx backoff halving
     ``max(1, eff // 2)``, then the max_pages_per_host quota cap — a
     value <= 0 marks the host RETIRED) — computed once per UNIQUE host
     in the block, then broadcast to rows."""
-    if not robots_rules and not backoff and max_pages is None:
+    if (
+        not robots_rules
+        and not backoff
+        and max_pages is None
+        and not last_dur
+    ):
         return np.full(len(hosts), budget, dtype=np.int64)
     uniq = hosts.unique()
     m = {}
@@ -398,6 +429,10 @@ def _host_budgets(
         eff = effective_budget(budget, robots_rules.get(h)) if robots_rules else budget
         if backoff and h in backoff:
             eff = max(1, eff // 2)
+        if last_dur and h in last_dur:
+            # adaptive politeness cap (pinned order: after Crawl-delay
+            # + 5xx, before quota — mirrored in the oracle)
+            eff = min(eff, adaptive_budget_cap(last_dur[h], *acfg))
         if max_pages is not None:
             eff = min(eff, max_pages - (fetched or {}).get(h, 0))
         m[h] = eff
@@ -679,7 +714,8 @@ def _salt_split(tbl: pa.Table, n_sub: int) -> list[pa.Table]:
 
 @_ray.remote(num_returns=2)
 def _pre_drain(tbl: pa.Table, budget: int, rules_boxed, backoff_boxed=None,
-               quota_boxed=None, max_pages: int | None = None):
+               quota_boxed=None, max_pages: int | None = None,
+               adaptive_boxed=None, acfg: tuple | None = None):
     """Salted phase-1 drain over ONE sub-block of a hot partition: apply
     the robots drop (same rule as the main drain — dropped rows leave the
     frontier), then keep each host's top ``budget`` rows by the global
@@ -697,12 +733,14 @@ def _pre_drain(tbl: pa.Table, budget: int, rules_boxed, backoff_boxed=None,
     robots_rules = get_broadcast(rules_boxed[0]) if rules_boxed else {}
     backoff = get_broadcast(backoff_boxed[0]) if backoff_boxed else None
     fetched = get_broadcast(quota_boxed[0]) if quota_boxed else None
+    last_dur = get_broadcast(adaptive_boxed[0]) if adaptive_boxed else None
     df = tbl.to_pandas()
     df = df.sort_values(["host", "priority", "seq", "surt"], kind="mergesort")
     df = _robots_drop(df, robots_rules)
     ranks = df.groupby("host", sort=False).cumcount().to_numpy()
     budgets = _host_budgets(
-        df["host"], budget, robots_rules, backoff, fetched, max_pages
+        df["host"], budget, robots_rules, backoff, fetched, max_pages,
+        last_dur, acfg,
     )
     survive = ranks < budgets
     # quota parity: the final drain DROPS retired-host rows, so the
@@ -726,6 +764,7 @@ def _drain_fetch(
     docs_dir: str | None,
     backoff_boxed=None,
     quota_boxed=None,
+    adaptive_boxed=None,
 ) -> pa.Table:
     """Fused politeness drain + fetch/extract for ONE frontier block (the
     block holds complete host groups, so the drain's per-host queues are
@@ -733,8 +772,10 @@ def _drain_fetch(
     rules_ref = rules_boxed[0] if rules_boxed else None
     backoff_ref = backoff_boxed[0] if backoff_boxed else None
     quota_ref = quota_boxed[0] if quota_boxed else None
+    adaptive_ref = adaptive_boxed[0] if adaptive_boxed else None
     drained = _make_drain_fn(
-        budget, rules_ref, backoff_ref, quota_ref, ccfg.max_pages_per_host
+        budget, rules_ref, backoff_ref, quota_ref, ccfg.max_pages_per_host,
+        adaptive_ref, _acfg_of(ccfg),
     )(tbl.to_pandas())
     stage = FetchExtractStage(scfg, icfg, wave, ccfg, docs_dir=docs_dir)
     return stage(pa.Table.from_pandas(drained, preserve_index=False))
@@ -856,6 +897,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
             "robots": [],
             "backoff": [],
             "host_counts": [],
+            "last_dur": [],
         },
         FRONTIER_SCHEMA.empty_table(),
         OUT_SCHEMA.empty_table().select(_PULL_COLS),
@@ -886,6 +928,19 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
     # bounded by hosts-in-block, the robots_pairs meta discipline
     _hc = pd.Series(fetched["fetch_host"].to_pylist()).value_counts()
     host_counts = list(zip(_hc.index.tolist(), _hc.to_numpy().astype(int).tolist()))
+    # adaptive-politeness fold: each host's LAST-slot fetch duration
+    # (tiny — bounded by hosts-in-block, the robots_pairs discipline)
+    _fd = pd.DataFrame(
+        {
+            "h": fetched["fetch_host"].to_pylist(),
+            "sl": fetched["slot"].to_pylist(),
+            "d": fetched["fetch_ms"].to_pylist(),
+        }
+    )
+    _li = _fd.groupby("h")["sl"].idxmax()
+    last_dur_pairs = list(
+        zip(_fd.loc[_li, "h"].tolist(), _fd.loc[_li, "d"].astype(int).tolist())
+    )
     # duplicate-content suppression: candidates flatten from cand_src,
     # which drops the gate's loser rows (fetched itself is unchanged)
     cand_src = fetched
@@ -919,6 +974,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
                 "robots": robots_pairs,
                 "backoff": backoff_hosts,
                 "host_counts": host_counts,
+                "last_dur": last_dur_pairs,
             },
             carry,
             fetched.select(_PULL_COLS),
@@ -967,6 +1023,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
             "robots": robots_pairs,
             "backoff": backoff_hosts,
             "host_counts": host_counts,
+            "last_dur": last_dur_pairs,
         },
         carry,
         fetched.select(_PULL_COLS),
@@ -1104,6 +1161,7 @@ def run_crawl(
     # backoff state; checkpointed at wave boundaries)
     backoff_hosts: set[str] = set()
     host_fetched: dict[str, int] = {}  # max_pages_per_host quota state
+    adaptive_last_dur: dict[str, int] = {}  # adaptive politeness state
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
     log_flush_refs: list = []  # streamed-log chains joined at crawl end
     warc_flush_refs: list = []  # WARC fragment writers, same join points
@@ -1133,6 +1191,7 @@ def run_crawl(
             )
         backoff_hosts = set(ck.get("backoff_hosts", set()))
         host_fetched = dict(ck.get("host_fetched") or {})
+        adaptive_last_dur = dict(ck.get("adaptive_last_dur") or {})
         order_base = ck["fetch_log"].num_rows
         if collect_log and order_base:
             log_tables.append(ck["fetch_log"])
@@ -1228,6 +1287,12 @@ def run_crawl(
             if ccfg.max_pages_per_host is not None and host_fetched
             else None
         )
+        # adaptive-politeness last-duration dict: own small broadcast
+        adaptive_boxed = (
+            [ray.put(dict(adaptive_last_dur))]
+            if ccfg.adaptive_politeness and adaptive_last_dur
+            else None
+        )
         # per-part winner rows from the range tasks (tiny lists, needed
         # for the salt decision; the tables themselves stay remote)
         winners_rows_per_part = [0] * n_parts
@@ -1261,6 +1326,7 @@ def run_crawl(
                     _pre_drain.remote(
                         sub, ccfg.politeness_budget, rules_boxed, backoff_boxed,
                         quota_boxed, ccfg.max_pages_per_host,
+                        adaptive_boxed, _acfg_of(ccfg),
                     )
                     for sub in subs
                 ]
@@ -1297,7 +1363,7 @@ def run_crawl(
         block_refs = [
             _drain_fetch.remote(
                 ref, ccfg.politeness_budget, rules_boxed, scfg, icfg, wave,
-                ccfg, docs_dir, backoff_boxed, quota_boxed,
+                ccfg, docs_dir, backoff_boxed, quota_boxed, adaptive_boxed,
             )
             for ref in input_refs
         ]
@@ -1471,6 +1537,14 @@ def run_crawl(
             for m in metas:
                 for h, n in m["host_counts"]:
                     host_fetched[h] = host_fetched.get(h, 0) + int(n)
+        if ccfg.adaptive_politeness:
+            # last-duration fold: this wave's value REPLACES the host's
+            # entry (hosts that did not fetch keep their previous one —
+            # the oracle's persistent-dict timing); a host lives in one
+            # partition, so exactly one meta carries it per wave
+            for m in metas:
+                for h, d in m.get("last_dur", []):
+                    adaptive_last_dur[h] = int(d)
         stats = {
             "wave": wave,
             "frontier": frontier_rows,
@@ -1537,6 +1611,9 @@ def run_crawl(
                 ),
                 host_fetched=(
                     host_fetched if ccfg.max_pages_per_host is not None else None
+                ),
+                adaptive_last_dur=(
+                    adaptive_last_dur if ccfg.adaptive_politeness else None
                 ),
             )
             pending_delta = []

@@ -77,6 +77,7 @@ def write_wave_checkpoint(
     backoff_hosts: set[str] | None = None,
     content_delta: list[str] | None = None,
     host_fetched: dict[str, int] | None = None,
+    adaptive_last_dur: dict[str, int] | None = None,
 ) -> None:
     os.makedirs(base, exist_ok=True)
     final = _wave_dir(base, wave)
@@ -140,6 +141,9 @@ def write_wave_checkpoint(
                 # max_pages_per_host quota counters (None when the quota
                 # is off; loader defaults to {})
                 "host_fetched": host_fetched,
+                # adaptive-politeness per-host last-fetch durations
+                # (None when the knob is off; loader defaults to {})
+                "adaptive_last_dur": adaptive_last_dur,
             },
             f,
         )
@@ -207,6 +211,7 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         "robots_rules": robots["rules"],
         "backoff_hosts": set(robots.get("backoff", [])),
         "host_fetched": robots.get("host_fetched") or {},
+        "adaptive_last_dur": robots.get("adaptive_last_dur") or {},
         "fetch_log": fetch_log,
         "seq": manifest["seq"],
     }

@@ -26,6 +26,8 @@ __all__ = [
     "SITEMAP_PREFIX",
     "ALLOW_PREFIX",
     "nofollow_scan",
+    "fetch_duration_ms",
+    "adaptive_budget_cap",
 ]
 
 # Crawl-delay rides the same rules list as the Disallow prefixes (one
@@ -114,6 +116,36 @@ def effective_budget(budget: int, rules: list[str] | None) -> int:
     if d is None or d <= 1:
         return budget
     return max(1, budget // d)
+
+
+def fetch_duration_ms(status: int, payload_len: int) -> int:
+    """Deterministic modeled fetch duration — the synthetic world's
+    clock, shared by the Ray fetch stage and the sequential oracle:
+    80 ms connection/header base + 1 ms per 50 payload bytes. Real
+    deployments replace this with the fetcher's measured wall time; the
+    adaptive rule below is agnostic to where the number comes from."""
+    return 80 + int(payload_len) // 50
+
+
+def adaptive_budget_cap(
+    last_dur_ms: int,
+    delay_factor_permil: int,
+    min_delay_ms: int,
+    max_delay_ms: int,
+    wave_window_ms: int,
+) -> int:
+    """Heritrix adaptive politeness (the ``delayFactor`` /
+    ``minDelayMs`` / ``maxDelayMs`` knobs of Heritrix's
+    DispositionProcessor) mapped onto the wave model: the delay a host
+    has earned is ``clamp(delay_factor x last_fetch_duration, min,
+    max)`` and the wave is a fixed ``wave_window_ms`` time window, so
+    the host can sustain at most ``window // delay`` fetches next wave
+    (floor, but never below 1 — the queue must drain). Exact integer
+    arithmetic throughout: the factor ships as permil (5000 = Heritrix's
+    default delayFactor 5.0)."""
+    delay = last_dur_ms * delay_factor_permil // 1000
+    delay = min(max(delay, min_delay_ms), max_delay_ms)
+    return max(1, wave_window_ms // max(delay, 1))
 
 
 def is_disallowed(url_path: str, rules: list[str]) -> bool:
