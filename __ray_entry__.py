@@ -2941,6 +2941,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts_supplier_census,
         market_share,
         small_quantity_revenue,
+        partsupp_synth,
+        shipmode_priority_census,
+        bracketed_revenue,
+        product_type_profit,
+        promo_part_suppliers,
+        waiting_supplier_census,
         asof_join_events,
         range_join_events,
         sliding_window_events,
@@ -3043,6 +3049,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_supplier_census": parts_supplier_census,
         "market_share": market_share,
         "small_quantity_revenue": small_quantity_revenue,
+        "partsupp_synth": partsupp_synth,
+        "shipmode_priority_census": shipmode_priority_census,
+        "bracketed_revenue": bracketed_revenue,
+        "product_type_profit": product_type_profit,
+        "promo_part_suppliers": promo_part_suppliers,
+        "waiting_supplier_census": waiting_supplier_census,
         "open_orders_by_month": open_orders_by_month,
         "min_cost_supplier": min_cost_supplier,
         "custdist": custdist,
@@ -6849,6 +6861,120 @@ def oracle_sql() -> dict[str, str]:
         JOIN st ON st.l_partkey = l.l_partkey
         JOIN part ON p_partkey = l.l_partkey
         WHERE 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * cnt < sq
+        GROUP BY 1
+    """
+    # ------------------------------------------------------------------
+    # Round-5 synthesized-column family (Q9/Q12/Q19/Q20/Q21): the
+    # fixture-blocked shapes, unlocked by the deterministic hash rule in
+    # functions/tpch_synth.py. The CTE bodies below are RENDERED by that
+    # module so both engines share the synthesized INPUT DATA by
+    # construction while all joins / gates / aggregations stay
+    # independently verified. partsupp_synth verifies the derivation
+    # rule itself, once.
+    from webarchive_discovery_ray.functions.tpch_synth import (
+        sql_lineitem_synth,
+        sql_part_synth,
+        sql_partsupp_synth,
+    )
+
+    _l_synth = sql_lineitem_synth()
+    _ps_synth = sql_partsupp_synth()
+    _p_synth = sql_part_synth()
+    out["partsupp_synth"] = f"""
+        SELECT ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents
+        FROM ({_ps_synth})
+    """
+    # Q12: shipmode priority census over the late-commit gate
+    out["shipmode_priority_census"] = f"""
+        WITH l AS ({_l_synth})
+        SELECT l_shipmode,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM l JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipmode IN ('MAIL', 'SHIP')
+          AND l_commit_days < l_receipt_days
+          AND l_ship_days < l_commit_days
+          AND l_receipt_days >= datediff('day', DATE '1970-01-01',
+                                         DATE '1997-01-01')
+          AND l_receipt_days <  datediff('day', DATE '1970-01-01',
+                                         DATE '1998-01-01')
+        GROUP BY 1
+    """
+    # Q19: OR-of-ANDs brackets (mutually exclusive by container class)
+    out["bracketed_revenue"] = f"""
+        WITH l AS ({_l_synth}), p AS ({_p_synth}),
+        b(bracket, pref, qlo, qhi, smax) AS (VALUES
+            (1, 'SM', 1, 20, 25), (2, 'MED', 10, 30, 30),
+            (3, 'LG', 20, 40, 35))
+        SELECT b.bracket::BIGINT AS bracket, count(*)::BIGINT AS n_lines,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT))::BIGINT AS revenue_cents
+        FROM l JOIN p ON p_partkey = l_partkey
+        JOIN b ON split_part(p_container, ' ', 1) = b.pref
+              AND CAST(floor(l_quantity + 0.5) AS BIGINT)
+                  BETWEEN b.qlo AND b.qhi
+              AND p_size BETWEEN 1 AND b.smax
+        WHERE l_shipmode IN ('AIR', 'REG AIR')
+          AND l_shipinstruct = 'DELIVER IN PERSON'
+        GROUP BY 1
+    """
+    # Q9: product-type profit (nation x order year, exact int64 cents)
+    out["product_type_profit"] = f"""
+        WITH l AS ({_l_synth}), ps AS ({_ps_synth})
+        SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT)
+                   - ps_supplycost_cents
+                     * CAST(floor(l_quantity + 0.5) AS BIGINT)
+               )::BIGINT AS profit_cents
+        FROM l
+        JOIN part ON p_partkey = l_partkey
+        JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """
+    # Q20: excess-stock suppliers of promoted parts (NULL-on-empty
+    # subquery semantics = inner join on window shipments)
+    out["promo_part_suppliers"] = f"""
+        WITH w AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sq
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1998-01-01'
+          GROUP BY 1, 2
+        ), ps AS ({_ps_synth})
+        SELECT DISTINCT s_suppkey::BIGINT AS s_suppkey, s_name
+        FROM w
+        JOIN part ON p_partkey = l_partkey
+        JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_name LIKE 'small%' AND 2 * ps_availqty > sq
+    """
+    # Q21: lone-late-supplier census over finalized multi-supplier orders
+    out["waiting_supplier_census"] = f"""
+        WITH l AS ({_l_synth}),
+        pairs AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_receipt_days > l_commit_days
+                          THEN 1 ELSE 0 END) AS late
+          FROM l JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ),
+        census AS (
+          SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+          FROM pairs GROUP BY 1
+        )
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM pairs p JOIN census c USING (l_orderkey)
+        JOIN supplier ON s_suppkey = p.l_suppkey
+        WHERE p.late = 1 AND c.n_supp >= 2 AND c.n_late = 1
         GROUP BY 1
     """
     # Q8-shape national market share (relational.market_share):

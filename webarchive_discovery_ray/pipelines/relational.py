@@ -40,6 +40,12 @@ __all__ = [
     "parts_supplier_census",
     "market_share",
     "small_quantity_revenue",
+    "partsupp_synth",
+    "shipmode_priority_census",
+    "bracketed_revenue",
+    "product_type_profit",
+    "promo_part_suppliers",
+    "waiting_supplier_census",
     "range_join_events",
     "window_running_sum",
     "sliding_window_events",
@@ -1592,4 +1598,722 @@ def small_quantity_revenue(sf_dir: str):
         .sum()
         .reset_index()
         .astype({"n_lines": "int64", "revenue_cents": "int64"})
+    )
+
+
+# ----------------------------------------------------------------------
+# Round-5 synthesized-column family: the five TPC-H shapes the driver
+# fixture's schema blocked (Q9/Q12/Q19/Q20/Q21 — VERDICT r4 item 2).
+# The missing columns are deterministic hash-derived INPUT DATA shared
+# with the oracles (functions/tpch_synth.py); the pipelines below are
+# the verified surface.
+# ----------------------------------------------------------------------
+
+
+def partsupp_synth(sf_dir: str):
+    """The synthesized ``partsupp`` table itself, as a verified query:
+    DISTINCT lineitem (partkey, suppkey) pairs (TPC-H's referential
+    rule) with hash-derived ps_availqty / ps_supplycost_cents
+    (functions/tpch_synth.py — the ONE shared rule Q9/Q20 build on, so
+    its derivation is independently oracle-checked exactly once).
+
+    Shape: per-batch distinct pairs (combiner), ONE bucket(pair) grouped
+    distinct, values attached vectorized in-group. Columns: ps_partkey,
+    ps_suppkey, ps_availqty, ps_supplycost_cents. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..functions.tpch_synth import (
+        availqty_of,
+        pair_key,
+        supplycost_cents_of,
+    )
+
+    n_b = default_buckets()
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def batch_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().rename(
+            columns={"l_partkey": "pk", "l_suppkey": "sk"}
+        )
+        g = g.astype({"pk": "int64", "sk": "int64"})
+        g["bucket"] = bucket_of(
+            pd.Series(pair_key(g["pk"], g["sk"]), index=g.index), n_b
+        )
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(
+                ps_partkey="int64", ps_suppkey="int64",
+                ps_availqty="int64", ps_supplycost_cents="int64",
+            )
+        u = df[["pk", "sk"]].drop_duplicates()
+        pk, sk = u["pk"].to_numpy(), u["sk"].to_numpy()
+        return pd.DataFrame(
+            {
+                "ps_partkey": pk,
+                "ps_suppkey": sk,
+                "ps_availqty": availqty_of(pk, sk),
+                "ps_supplycost_cents": supplycost_cents_of(pk, sk),
+            }
+        )
+
+    return (
+        li.map_batches(batch_pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def shipmode_priority_census(
+    sf_dir: str, lo: str = "1997-01-01", hi: str = "1998-01-01"
+):
+    """Shipmode priority census (the TPC-H Q12 shape): for the MAIL and
+    SHIP modes, count lines received in the window that were committed
+    after shipping yet received after committing (the late-commit gate
+    ``l_ship < l_commit < l_receipt``), split by order priority
+    (1-URGENT / 2-HIGH vs the rest). Dates compare in the exact
+    integer-days domain (epoch days + synthesized offsets).
+
+    Shape: per-batch synth + gate + partial count keyed by orderkey,
+    ONE bucket(orderkey) co-group with order priority tags, in-group
+    collapse to the 2-row output. Columns: l_shipmode, high_line_count,
+    low_line_count. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..functions.tpch_synth import (
+        commit_off_days,
+        epoch_days,
+        receipt_off_days,
+        ship_mode,
+    )
+
+    n_b = default_buckets()
+    lo_d = int(np.datetime64(lo, "D").astype("int64"))
+    hi_d = int(np.datetime64(hi, "D").astype("int64"))
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy().astype("int64")
+        ln = df["l_linenumber"].to_numpy().astype("int64")
+        ship = epoch_days(df["l_shipdate"])
+        commit = ship + commit_off_days(ok, ln)
+        receipt = ship + receipt_off_days(ok, ln)
+        mode = ship_mode(ok, ln)
+        keep = (
+            ((mode == "MAIL") | (mode == "SHIP"))
+            & (commit < receipt)
+            & (ship < commit)
+            & (receipt >= lo_d)
+            & (receipt < hi_d)
+        )
+        g = (
+            pd.DataFrame({"key": ok[keep], "mode": mode[keep]})
+            .groupby(["key", "mode"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["pri"] = np.full(len(g), "", dtype=object)
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "n": "int64"})
+
+    def order_tags(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "mode": np.full(len(df), "", dtype=object),
+                "n": np.zeros(len(df), dtype="int64"),
+                "pri": df["o_orderpriority"].to_numpy(dtype=object),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def census_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(mode=str, high="int64", low="int64")
+        tags = df[df["side"] == 1].set_index("key")["pri"]
+        rows = df[df["side"] == 0]
+        pri = rows["key"].map(tags)
+        rows = rows.assign(pri=pri).dropna(subset=["pri"])
+        hi_mask = rows["pri"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+        n = rows["n"].to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "mode": rows["mode"].to_numpy(dtype=object),
+                    "high": np.where(hi_mask, n, 0),
+                    "low": np.where(hi_mask, 0, n),
+                }
+            )
+            .groupby("mode", sort=False)[["high", "low"]]
+            .sum()
+            .reset_index()
+        )
+        return g.astype({"high": "int64", "low": "int64"})
+
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(orders.map_batches(order_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(census_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= 2 rows per bucket
+    )
+    from ..functions.bucketing import typed_empty
+
+    if not len(folded):
+        return typed_empty(
+            l_shipmode=str, high_line_count="int64", low_line_count="int64"
+        )
+    g = folded.groupby("mode", sort=False)[["high", "low"]].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "l_shipmode": g["mode"].to_numpy(dtype=object),
+            "high_line_count": g["high"].astype("int64").to_numpy(),
+            "low_line_count": g["low"].astype("int64").to_numpy(),
+        }
+    )
+
+
+# Q19 brackets: (container prefix, qty lo, qty hi, size hi) — each also
+# requires l_shipmode in (AIR, REG AIR) and l_shipinstruct = 'DELIVER IN
+# PERSON' (the TPC-H OR-of-ANDs gate, widened to the fixture's scale)
+_Q19_BRACKETS = (
+    ("SM", 1, 20, 25),
+    ("MED", 10, 30, 30),
+    ("LG", 20, 40, 35),
+)
+
+
+def bracketed_revenue(sf_dir: str):
+    """Bracketed brand/quantity revenue (the TPC-H Q19 shape): revenue
+    from lines matching ANY of three (container-class, quantity-range,
+    size-range) brackets, gated on air shipment and in-person delivery —
+    the OR-of-ANDs predicate pushed into ONE part attach. Quantities
+    quantize by the house floor(q+0.5) rule; revenue is exact int64
+    cents.
+
+    Shape: per-batch synth + line-side gate (mode/instruct/qty) keyed by
+    partkey, ONE bucket(partkey) co-group with part (container, size)
+    tags, the bracket OR evaluated in-group; per-bracket collapse.
+    Columns: bracket, n_lines, revenue_cents. SQL-oracle-checked."""
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..functions.tpch_synth import container_of, ship_instruct, ship_mode
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy().astype("int64")
+        ln = df["l_linenumber"].to_numpy().astype("int64")
+        mode = ship_mode(ok, ln)
+        instr = ship_instruct(ok, ln)
+        keep = ((mode == "AIR") | (mode == "REG AIR")) & (
+            instr == "DELIVER IN PERSON"
+        )
+        sub = df[keep]
+        qty = np.floor(sub["l_quantity"].to_numpy() + 0.5).astype("int64")
+        rev = cents(
+            sub["l_extendedprice"].to_numpy() * (1.0 - sub["l_discount"].to_numpy())
+        )
+        g = pd.DataFrame(
+            {
+                "key": sub["l_partkey"].to_numpy().astype("int64"),
+                "qty": qty,
+                "c": rev,
+            }
+        )
+        g["size"] = np.zeros(len(g), dtype="int64")
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g
+
+    def part_tags(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["p_partkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "qty": np.zeros(len(df), dtype="int64"),
+                "c": np.zeros(len(df), dtype="int64"),
+                "size": df["p_size"].to_numpy().astype("int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def brackets_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(bracket="int64", n_lines="int64", c="int64")
+        tags = df[df["side"] == 1].set_index("key")["size"]
+        rows = df[df["side"] == 0]
+        size = rows["key"].map(tags)
+        rows = rows.assign(psize=size).dropna(subset=["psize"])
+        if not len(rows):
+            return typed_empty(bracket="int64", n_lines="int64", c="int64")
+        cont = container_of(rows["key"].to_numpy())
+        cls = np.array([c.split(" ", 1)[0] for c in cont], dtype=object)
+        qty = rows["qty"].to_numpy()
+        psize = rows["psize"].to_numpy().astype("int64")
+        out = []
+        for b, (pref, qlo, qhi, smax) in enumerate(_Q19_BRACKETS, 1):
+            m = (cls == pref) & (qty >= qlo) & (qty <= qhi) & (psize >= 1) & (psize <= smax)
+            if m.any():
+                out.append(
+                    {
+                        "bracket": b,
+                        "n_lines": int(m.sum()),
+                        "c": int(rows["c"].to_numpy()[m].sum()),
+                    }
+                )
+        if not out:
+            return typed_empty(bracket="int64", n_lines="int64", c="int64")
+        return pd.DataFrame(out).astype(
+            {"bracket": "int64", "n_lines": "int64", "c": "int64"}
+        )
+
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(part.map_batches(part_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(brackets_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= 3 rows per bucket
+    )
+    from ..functions.bucketing import typed_empty
+
+    if not len(folded):
+        return typed_empty(bracket="int64", n_lines="int64", revenue_cents="int64")
+    g = folded.groupby("bracket", sort=False)[["n_lines", "c"]].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "bracket": g["bracket"].astype("int64").to_numpy(),
+            "n_lines": g["n_lines"].astype("int64").to_numpy(),
+            "revenue_cents": g["c"].astype("int64").to_numpy(),
+        }
+    )
+
+
+def product_type_profit(sf_dir: str, name_token: str = "widget"):
+    """Product-type profit (the TPC-H Q9 shape): per (supplier nation,
+    order year) profit over parts whose name carries a token — profit =
+    revenue cents minus supply cost (``ps_supplycost_cents × qty``,
+    supply cost from the partsupp_synth rule, which q:partsupp_synth
+    verifies independently). All arithmetic exact int64 cents; qty by
+    the house floor(q+0.5) rule.
+
+    Shape: the Q7 chain re-keyed — (1) bucket(partkey) gate against
+    name-token part tags, profit computed in-group (cost hashes straight
+    from the (partkey, suppkey) pair — partsupp never ships), collapse
+    per (orderkey, suppkey); (2) bucket(orderkey) attach order year;
+    (3) bucket(suppkey) attach s_nationkey, collapse to (nat, year)
+    partials; driver folds <= nations × years rows and maps names.
+    Columns: nation, o_year, profit_cents. SQL-oracle-checked."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..functions.tpch_synth import supplycost_cents_of
+    from .aggregates import cents
+
+    n_b = default_buckets()
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64")
+        pk = df["l_partkey"].to_numpy().astype("int64")
+        sk = df["l_suppkey"].to_numpy().astype("int64")
+        rev = cents(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        )
+        profit = rev - supplycost_cents_of(pk, sk) * qty
+        g = (
+            pd.DataFrame(
+                {
+                    "key": pk,
+                    "okey": df["l_orderkey"].to_numpy().astype("int64"),
+                    "sk": sk,
+                    "c": profit,
+                }
+            )
+            .groupby(["key", "okey", "sk"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        g["tag"] = np.zeros(len(g), dtype="int64")
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "okey": "int64", "sk": "int64", "c": "int64"})
+
+    def part_tags(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["p_name"].str.contains(name_token, regex=False)]
+        key = sub["p_partkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "okey": np.zeros(len(sub), dtype="int64"),
+                "sk": np.zeros(len(sub), dtype="int64"),
+                "c": np.zeros(len(sub), dtype="int64"),
+                "tag": np.ones(len(sub), dtype="int64"),
+                "side": np.ones(len(sub), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def gate_parts(df: pd.DataFrame) -> pd.DataFrame:
+        # exchange 1: keep only token-named parts, re-key by orderkey,
+        # collapse per (orderkey, suppkey)
+        if not len(df):
+            return typed_empty(key="int64", okey="int64", sk="int64",
+                               c="int64", tag="int64", side="int64",
+                               bucket="int32")
+        keep_keys = set(df.loc[df["side"] == 1, "key"].tolist())
+        rows = df[(df["side"] == 0) & df["key"].isin(keep_keys)]
+        out = (
+            rows.groupby(["okey", "sk"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .rename(columns={"okey": "key"})
+        )
+        out["okey"] = np.zeros(len(out), dtype="int64")
+        out["tag"] = np.zeros(len(out), dtype="int64")
+        out["side"] = np.zeros(len(out), dtype="int64")
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out.astype({"key": "int64", "okey": "int64", "sk": "int64",
+                           "c": "int64"})
+
+    def order_tags(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "okey": np.zeros(len(df), dtype="int64"),
+                "sk": np.zeros(len(df), dtype="int64"),
+                "c": np.zeros(len(df), dtype="int64"),
+                "tag": df["o_orderdate"].dt.year.to_numpy().astype("int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def attach_year(df: pd.DataFrame) -> pd.DataFrame:
+        # exchange 2: orderkey -> order year; re-key by suppkey,
+        # collapse per (suppkey, year)
+        if not len(df):
+            return typed_empty(key="int64", okey="int64", sk="int64",
+                               c="int64", tag="int64", side="int64",
+                               bucket="int32")
+        tags = df[df["side"] == 1].set_index("key")["tag"]
+        rows = df[df["side"] == 0]
+        yr = rows["key"].map(tags)
+        rows = rows.assign(yr=yr).dropna(subset=["yr"])
+        out = (
+            rows.groupby(["sk", "yr"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .rename(columns={"sk": "key", "yr": "tag"})
+        )
+        out["okey"] = np.zeros(len(out), dtype="int64")
+        out["sk"] = np.zeros(len(out), dtype="int64")
+        out["side"] = np.zeros(len(out), dtype="int64")
+        out["bucket"] = bucket_of(out["key"], n_b)
+        return out.astype({"key": "int64", "okey": "int64", "sk": "int64",
+                           "c": "int64", "tag": "int64"})
+
+    def supp_tags(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["s_suppkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "okey": np.zeros(len(df), dtype="int64"),
+                "sk": np.zeros(len(df), dtype="int64"),
+                "c": np.zeros(len(df), dtype="int64"),
+                "tag": df["s_nationkey"].to_numpy().astype("int64"),
+                "side": np.ones(len(df), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def final_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # exchange 3: suppkey -> nation; collapse to (nation, year)
+        if not len(df):
+            return typed_empty(nat="int64", yr="int64", c="int64")
+        tags = df[df["side"] == 1].set_index("key")["tag"]
+        rows = df[df["side"] == 0]
+        nat = rows["key"].map(tags)
+        rows = rows.assign(nat=nat).dropna(subset=["nat"])
+        g = (
+            rows.groupby(["nat", "tag"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .rename(columns={"tag": "yr"})
+        )
+        return g.astype({"nat": "int64", "yr": "int64", "c": "int64"})
+
+    step1 = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(part.map_batches(part_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(gate_parts, batch_format="pandas")
+    )
+    step2 = (
+        step1.union(orders.map_batches(order_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(attach_year, batch_format="pandas")
+    )
+    folded = (
+        step2.union(sup.map_batches(supp_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(final_fold, batch_format="pandas")
+        .to_pandas()  # bounded: <= nations x years rows
+    )
+    from ..functions.bucketing import typed_empty
+
+    if not len(folded):
+        return typed_empty(nation=str, o_year="int64", profit_cents="int64")
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    g = folded.groupby(["nat", "yr"], sort=False)["c"].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "nation": g["nat"].map(nmap).to_numpy(dtype=object),
+            "o_year": g["yr"].astype("int64").to_numpy(),
+            "profit_cents": g["c"].astype("int64").to_numpy(),
+        }
+    )
+
+
+def promo_part_suppliers(
+    sf_dir: str,
+    name_prefix: str = "small",
+    lo: str = "1997-01-01",
+    hi: str = "1998-01-01",
+):
+    """Promotion-candidate suppliers (the TPC-H Q20 shape): suppliers
+    holding excess stock of promoted parts — pairs whose synthesized
+    ``ps_availqty`` exceeds half the quantity they shipped of that part
+    in the window (exact integer cross-multiply ``2·availqty >
+    sum_qty``; TPC-H's NULL-on-empty subquery semantics mean pairs with
+    NO window shipments never qualify). Part promotion = name prefix.
+
+    Shape: window lines collapse per (partkey, suppkey) in-batch, ONE
+    bucket(partkey) co-group with prefix-part tags applies the gate
+    in-group (availqty hashes from the pair — partsupp never ships);
+    qualifying suppkeys are a bounded set folded driver-side against the
+    dimension-class supplier table. Columns: s_suppkey, s_name.
+    SQL-oracle-checked."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..functions.tpch_synth import availqty_of
+
+    n_b = default_buckets()
+    lo_ts, hi_ts = pd.Timestamp(lo), pd.Timestamp(hi)
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["l_shipdate"] >= lo_ts) & (df["l_shipdate"] < hi_ts)]
+        qty = np.floor(keep["l_quantity"].to_numpy() + 0.5).astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "key": keep["l_partkey"].to_numpy().astype("int64"),
+                    "sk": keep["l_suppkey"].to_numpy().astype("int64"),
+                    "q": qty,
+                }
+            )
+            .groupby(["key", "sk"], sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "sk": "int64", "q": "int64"})
+
+    def part_tags(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["p_name"].str.startswith(name_prefix)]
+        key = sub["p_partkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "sk": np.zeros(len(sub), dtype="int64"),
+                "q": np.zeros(len(sub), dtype="int64"),
+                "side": np.ones(len(sub), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def gate_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(sk="int64")
+        keep_keys = set(df.loc[df["side"] == 1, "key"].tolist())
+        rows = df[(df["side"] == 0) & df["key"].isin(keep_keys)]
+        if not len(rows):
+            return typed_empty(sk="int64")
+        # per-batch partials for the same pair re-fold before the gate
+        pairs = rows.groupby(["key", "sk"], sort=False)["q"].sum().reset_index()
+        pk = pairs["key"].to_numpy()
+        sk = pairs["sk"].to_numpy()
+        q = pairs["q"].to_numpy()
+        ok = 2 * availqty_of(pk, sk) > q
+        return pd.DataFrame({"sk": np.unique(sk[ok])}).astype({"sk": "int64"})
+
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(part.map_batches(part_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(gate_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= |suppliers| rows
+    )
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    from ..functions.bucketing import typed_empty
+
+    if not len(folded):
+        return typed_empty(s_suppkey="int64", s_name=str)
+    qual = np.unique(folded["sk"].to_numpy())
+    out = sup[sup["s_suppkey"].astype("int64").isin(qual)].sort_values("s_name")
+    return pd.DataFrame(
+        {
+            "s_suppkey": out["s_suppkey"].astype("int64").to_numpy(),
+            "s_name": out["s_name"].to_numpy(dtype=object),
+        }
+    )
+
+
+def waiting_supplier_census(sf_dir: str):
+    """Waiting-supplier census (the TPC-H Q21 shape): for finalized
+    orders (status F) with at least two distinct suppliers, count per
+    supplier the orders where THEY alone were late (their receipt after
+    their commit, every other supplier on time) — the
+    EXISTS/NOT-EXISTS pair resolved in-group. Lateness compares the
+    synthesized integer-day dates.
+
+    Shape: per-batch partials per (orderkey, suppkey): any-late flag
+    (max-fold); ONE bucket(orderkey) co-group with status-F order tags
+    resolves the per-order supplier census in-group and emits (suppkey,
+    1) partial counts; the bounded (<= |suppliers|) result folds
+    driver-side against the dimension-class supplier table. Columns:
+    s_name, numwait. SQL-oracle-checked."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..functions.tpch_synth import (
+        commit_off_days,
+        receipt_off_days,
+    )
+
+    n_b = default_buckets()
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy().astype("int64")
+        ln = df["l_linenumber"].to_numpy().astype("int64")
+        # late iff receipt > commit: ship + (1 + h%30) > ship + (h'%61-30)
+        late = receipt_off_days(ok, ln) > commit_off_days(ok, ln)
+        g = (
+            pd.DataFrame(
+                {
+                    "key": ok,
+                    "sk": df["l_suppkey"].to_numpy().astype("int64"),
+                    "late": late.astype("int64"),
+                }
+            )
+            .groupby(["key", "sk"], sort=False)["late"]
+            .max()
+            .reset_index()
+        )
+        g["side"] = np.zeros(len(g), dtype="int64")
+        g["bucket"] = bucket_of(g["key"], n_b)
+        return g.astype({"key": "int64", "sk": "int64", "late": "int64"})
+
+    def order_tags(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["o_orderstatus"] == "F"]
+        key = sub["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key.to_numpy(),
+                "sk": np.zeros(len(sub), dtype="int64"),
+                "late": np.zeros(len(sub), dtype="int64"),
+                "side": np.ones(len(sub), dtype="int64"),
+                "bucket": bucket_of(key, n_b),
+            }
+        )
+
+    def census_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(sk="int64", n="int64")
+        f_orders = set(df.loc[df["side"] == 1, "key"].tolist())
+        rows = df[(df["side"] == 0) & df["key"].isin(f_orders)]
+        if not len(rows):
+            return typed_empty(sk="int64", n="int64")
+        # per-(order, supplier) rows were max-folded per batch but may
+        # arrive from several batches: re-fold, then per-order census
+        pairs = (
+            rows.groupby(["key", "sk"], sort=False)["late"]
+            .max()
+            .reset_index()
+        )
+        per = pairs.groupby("key", sort=False)["late"]
+        n_supp = per.size()
+        n_late = per.sum()
+        # qualifying orders: >= 2 suppliers, EXACTLY one late supplier
+        ok_orders = n_supp[(n_supp >= 2) & (n_late == 1)].index
+        qual = pairs[pairs["key"].isin(ok_orders) & (pairs["late"] == 1)]
+        g = qual.groupby("sk", sort=False).size().reset_index(name="n")
+        return g.astype({"sk": "int64", "n": "int64"})
+
+    folded = (
+        li.map_batches(li_partials, batch_format="pandas")
+        .union(orders.map_batches(order_tags, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(census_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: <= |suppliers| rows per bucket
+    )
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    from ..functions.bucketing import typed_empty
+
+    if not len(folded):
+        return typed_empty(s_name=str, numwait="int64")
+    g = folded.groupby("sk", sort=False)["n"].sum().reset_index()
+    smap = dict(zip(sup["s_suppkey"].astype("int64"), sup["s_name"]))
+    g = g.sort_values("sk")
+    return pd.DataFrame(
+        {
+            "s_name": g["sk"].map(smap).to_numpy(dtype=object),
+            "numwait": g["n"].astype("int64").to_numpy(),
+        }
     )
