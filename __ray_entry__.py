@@ -2504,6 +2504,14 @@ def _year_suffix_links(sf_dir: str):
     return year_suffix_links(docs=_materialized_docs_base(500))
 
 
+def _url_quality_filter(sf_dir: str):
+    """RefinedWeb-style URL filtering (blocklist / length / digit /
+    param gates, first-match reason) over the materialized docs base."""
+    from webarchive_discovery_ray.pipelines.curation import url_quality_filter
+
+    return url_quality_filter(_materialized_docs_base(500))
+
+
 def _hosts_report(sf_dir: str):
     """Per-host crawl-log rollup (HostsReportMapper/Reducer) over a
     deterministic Heritrix-style crawl.log text fixture; the lines
@@ -3218,6 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdx_stats": _mdx_stats,
         "year_host_outlinks": _year_host_outlinks,
         "year_suffix_links": _year_suffix_links,
+        "url_quality_filter": _url_quality_filter,
         "hosts_report": _hosts_report,
         "persist_log": _persist_log,
         "dataset_summaries": _dataset_summaries,
@@ -5861,6 +5870,36 @@ def oracle_sql() -> dict[str, str]:
             FROM src r
             JOIN dst d USING (rid)
             GROUP BY 1, 2, 3
+        """,
+        # RefinedWeb-style URL filtering over the docs base (pinned
+        # first-match rule order: blocklist -> too_long -> digit_heavy ->
+        # param_heavy -> ok; digit gate as integer cross-multiply)
+        "url_quality_filter": f"""
+            WITH u AS (
+              SELECT DISTINCT url
+              FROM read_parquet('{_ORACLE_MAT}/docs_base/*.parquet')
+            ),
+            v AS (
+              SELECT url, length(url) AS L,
+                     length(regexp_replace(url, '[^0-9]', '', 'g')) AS D,
+                     CASE WHEN strpos(url, '?') = 0
+                               OR split_part(url, '?', 2) = '' THEN 0
+                          ELSE length(split_part(url, '?', 2))
+                               - length(replace(split_part(url, '?', 2),
+                                                '&', '')) + 1
+                     END AS np
+              FROM u
+            ),
+            r AS (
+              SELECT url,
+                     CASE WHEN lower(url) LIKE '%media%' THEN 'blocklist'
+                          WHEN L > 256 THEN 'too_long'
+                          WHEN 100 * D > 14 * L THEN 'digit_heavy'
+                          WHEN np >= 2 THEN 'param_heavy'
+                          ELSE 'ok' END AS reason
+              FROM v
+            )
+            SELECT url, (reason = 'ok') AS keep, reason FROM r
         """,
         # per-host crawl-log rollup over the SAME Heritrix-style text
         # lines the Ray op parses (HostsReportMapper.java:41-91 field

@@ -51,6 +51,7 @@ __all__ = [
     "c4_score_batch",
     "boilerplate_lines",
     "blocklist_filter",
+    "url_quality_filter",
     "compression_ratio",
     "softdedup_weights",
     "pca_embeddings",
@@ -1901,4 +1902,87 @@ def source_quota_sample(sf_dir: str, quota: int = 10):
         ds.map_batches(keyed, batch_format="pandas")
         .groupby("bucket")
         .map_groups(quota_in_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality filtering (the RefinedWeb/C4 pre-content gate: drop
+# documents by URL signals BEFORE fetching/parsing the body — the
+# cheapest filter in the stack, run first at 100 TB because it needs no
+# payload bytes at all)
+
+URL_BAN_TOKENS = ("media",)  # stand-in for the UT1-style URL blocklist
+URL_MAX_LEN = 256
+URL_DIGIT_PCT = 14  # block when 100*digits > pct*len
+URL_MAX_PARAMS = 2  # block when '?' query carries >= this many params
+
+
+def url_quality_filter(
+    docs,
+    ban: tuple[str, ...] = URL_BAN_TOKENS,
+    max_len: int = URL_MAX_LEN,
+    digit_pct: int = URL_DIGIT_PCT,
+    max_params: int = URL_MAX_PARAMS,
+):
+    """Per-URL quality verdict over the crawl docs base (RefinedWeb's
+    URL filtering stage, Penedo et al. 2023 §3.1: blocklist substrings,
+    excessive length, digit-heavy paths, parameter spam). First matching
+    rule wins (pinned order: blocklist → too_long → digit_heavy →
+    param_heavy → ok); the digit gate is integer cross-multiplication
+    (``100·digits > pct·len``) so verdicts are bit-identical across
+    engines. URLs repeat across records (revisits), so the output is
+    the DISTINCT url set — the verdict is a pure function of the url.
+
+    100-TB shape: stateless vectorized map + one DISTINCT on the url
+    (bounded by the frontier's URL-seen cardinality, the same key the
+    crawl already shards on). Columns: url, keep, reason.
+    SQL-oracle-checked."""
+    import pyarrow as pa
+
+    def verdicts(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["url"].drop_duplicates()
+        low = u.str.lower()
+        L = u.str.len().to_numpy().astype("int64")
+        digits = u.str.count(r"[0-9]").to_numpy().astype("int64")
+        banned = np.zeros(len(u), dtype=bool)
+        for tok in ban:
+            banned |= low.str.contains(tok, regex=False).to_numpy()
+        too_long = L > max_len
+        digit_heavy = 100 * digits > digit_pct * L
+        q = u.str.split("?", n=1).str[1].fillna("")
+        n_params = np.where(
+            q.to_numpy() == "", 0, q.str.count("&").to_numpy() + 1
+        ).astype("int64")
+        param_heavy = n_params >= max_params
+        reason = np.select(
+            [banned, too_long, digit_heavy, param_heavy],
+            ["blocklist", "too_long", "digit_heavy", "param_heavy"],
+            default="ok",
+        )
+        return pd.DataFrame(
+            {
+                "url": u.to_numpy(dtype=object),
+                "keep": reason == "ok",
+                "reason": reason.astype(object),
+            }
+        )
+
+    # per-batch distinct + ONE bucketed distinct fold (urls repeat only
+    # via revisits, so the exchange is near-|urls|-bounded)
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = verdicts(df)
+        out["bucket"] = bucket_of(out["url"], n_b)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["url"]).drop(columns=["bucket"])
+
+    return (
+        docs.map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
