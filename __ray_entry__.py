@@ -2164,6 +2164,20 @@ def _capture_intervals(sf_dir: str):
     return capture_intervals(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
 
 
+def _cdx_collapse(sf_dir: str):
+    """pywb/OutbackCDX collapse=digest over the SAME materialized
+    captures table the cdx oracle reads."""
+    import os
+
+    import ray.data as rd
+
+    from webarchive_discovery_ray.pipelines.cdx import cdx_collapse
+
+    if not os.path.isdir(f"{_ORACLE_MAT}/captures"):
+        _cdx(sf_dir)
+    return cdx_collapse(rd.read_parquet(f"{_ORACLE_MAT}/captures"))
+
+
 def _capture_diff(sf_dir: str):
     """Consecutive-capture change detection over the SAME materialized
     captures table the cdx oracle reads."""
@@ -3149,6 +3163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": _host_assortativity,
         "tfidf_top_terms": tfidf_top_terms,
         "capture_intervals": _capture_intervals,
+        "cdx_collapse": _cdx_collapse,
         "url_templates": _url_templates,
         "capture_diff": _capture_diff,
         "recrawl_schedule": _recrawl_schedule,
@@ -6271,6 +6286,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT digest) AS BIGINT) AS n_versions
             FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
             GROUP BY surt_key
+        """,
+        # pywb/OutbackCDX collapse=digest: first capture of every
+        # identical-digest run per SURT (pipelines/cdx.cdx_collapse)
+        "cdx_collapse": f"""
+            WITH o AS (
+                SELECT surt_key, timestamp14, digest,
+                       lag(digest) OVER (
+                           PARTITION BY surt_key
+                           ORDER BY timestamp14, digest
+                       ) AS prev
+                FROM read_parquet('{_ORACLE_MAT}/captures/*.parquet')
+            )
+            SELECT surt_key, timestamp14, digest
+            FROM o WHERE prev IS NULL OR digest <> prev
         """,
         # consecutive-capture change detection per SURT
         # (pipelines/cdx.capture_diff — lag() window mirror)

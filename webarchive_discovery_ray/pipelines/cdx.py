@@ -38,6 +38,7 @@ __all__ = [
     "capture_intervals",
     "url_templates",
     "capture_diff",
+    "cdx_collapse",
     "recrawl_schedule",
     "recrawl_seed_list",
 ]
@@ -1255,4 +1256,48 @@ def warc_digest_dups(paths: list[str]):
         coalesce_blocks(docs.map_batches(partials, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
+    )
+
+
+def cdx_collapse(captures):
+    """Digest-collapse of the capture timeline — pywb / OutbackCDX's
+    ``collapse=digest`` playback option: within each SURT's
+    (timestamp14, digest)-ordered history, keep only the FIRST capture
+    of every run of identical digests (an unchanged page re-crawled N
+    times stores one index row; any content change starts a new run,
+    including a revert to an earlier digest). The storage-side sibling
+    of :func:`capture_diff` — that op counts the changes, this one
+    emits the surviving rows.
+
+    ONE bucketed grouped pass, vectorized in-bucket (sort + shifted
+    equality over every SURT at once, no per-URL Python). Columns:
+    surt_key, timestamp14, digest. SQL-oracle-checked via a lag()
+    window mirror."""
+    import pandas as pd
+
+    from ..functions.bucketing import bucket_of, default_buckets
+
+    n_b = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=bucket_of(df["surt_key"], n_b))
+
+    def collapse_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["surt_key", "timestamp14", "digest"], kind="mergesort",
+            ignore_index=True,
+        )
+        surt = df["surt_key"].to_numpy()
+        dig = df["digest"].to_numpy()
+        keep = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            keep[1:] = (surt[1:] != surt[:-1]) | (dig[1:] != dig[:-1])
+        out = df.loc[keep, ["surt_key", "timestamp14", "digest"]]
+        return out.reset_index(drop=True)
+
+    return (
+        captures.select_columns(["surt_key", "timestamp14", "digest"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(collapse_in_bucket, batch_format="pandas")
     )
