@@ -142,8 +142,10 @@ def parse_html_features(html: str, base_url: str, cfg: IndexConfig) -> _HtmlFeat
             continue
         name = tok.name
         if tok.kind == "start":
-            if re.fullmatch(r"[a-zA-Z0-9]+", name):
-                f.elements.add(name[:100])
+            # tokenize_html's _TAG guarantees name matches
+            # [a-zA-Z][a-zA-Z0-9]* (the fullmatch this used to re-check
+            # was provably always true on this token stream)
+            f.elements.add(name[:100])
             if name == "body":
                 body_seen_at = tok.offset
             elif name == "title" and f.title is None and in_title_at < 0:
