@@ -546,3 +546,41 @@ def test_nofollow_scan_rules():
         '<meta name="googlebot" content="nofollow">', "http://b.com/"
     )
     assert meta4 is False
+
+
+def test_tpch_synth_numpy_sql_bit_parity():
+    """The round-5 synthesized-column rule (functions/tpch_synth.py) must
+    be BIT-IDENTICAL between its numpy kernels and its SQL rendering on
+    the real fixture — the foundation the Q9/Q12/Q19/Q20/Q21 oracles
+    stand on (numpy: uint64 product mod 2^64 then mod 2^32; DuckDB:
+    exact HUGEINT product mod 2^32 — equal because 2^32 | 2^64)."""
+    import duckdb
+
+    from webarchive_discovery_ray.functions import tpch_synth as T
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    con.sql(f"CREATE VIEW part AS SELECT * FROM read_parquet('{sf}/part.parquet')")
+    df = con.sql(
+        f"SELECT l_orderkey, l_linenumber, l_shipmode, l_shipinstruct,"
+        f" l_ship_days, l_commit_days, l_receipt_days"
+        f" FROM ({T.sql_lineitem_synth()})"
+    ).df()
+    ok, ln = df["l_orderkey"].to_numpy(), df["l_linenumber"].to_numpy()
+    assert (T.ship_mode(ok, ln) == df["l_shipmode"].to_numpy()).all()
+    assert (T.ship_instruct(ok, ln) == df["l_shipinstruct"].to_numpy()).all()
+    ship = df["l_ship_days"].to_numpy()
+    assert (ship + T.commit_off_days(ok, ln) == df["l_commit_days"].to_numpy()).all()
+    assert (ship + T.receipt_off_days(ok, ln) == df["l_receipt_days"].to_numpy()).all()
+    ps = con.sql(f"SELECT * FROM ({T.sql_partsupp_synth()})").df()
+    pk, sk = ps["ps_partkey"].to_numpy(), ps["ps_suppkey"].to_numpy()
+    assert (T.availqty_of(pk, sk) == ps["ps_availqty"].to_numpy()).all()
+    assert (
+        T.supplycost_cents_of(pk, sk) == ps["ps_supplycost_cents"].to_numpy()
+    ).all()
+    pt = con.sql(f"SELECT p_partkey, p_container FROM ({T.sql_part_synth()})").df()
+    assert (T.container_of(pt["p_partkey"].to_numpy()) == pt["p_container"].to_numpy()).all()
+    # domain sanity: every synthesized value set is exercised
+    assert set(df["l_shipmode"]) == set(T.SHIP_MODES)
+    assert set(df["l_shipinstruct"]) == set(T.SHIP_INSTRUCTS)
