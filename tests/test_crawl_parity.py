@@ -1332,3 +1332,30 @@ def test_adaptive_politeness_resume(ray_session, seeds, tmp_path_factory):
     exp = oracle_crawl(seeds, ccfg, SYN)
     assert [_log_key(e) for e in resumed.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert resumed.seen_sorted == exp.seen_sorted
+
+
+def test_adaptive_composes_with_salt_quota_backoff(ray_session):
+    """Feature composition: adaptive politeness + hot-host salting +
+    per-host quota + 5xx backoff active at once must stay byte-identical
+    to the sequential oracle (the adaptive cap sits inside the pinned
+    shrink chain, and the salted pre-drain applies the SAME budget
+    vector, so the survivor-union containment argument still holds)."""
+    syn = SyntheticConfig(n_hosts=8, pages_per_host=80, max_fanout=8,
+                          hot_host_share=0.5)
+    sds = seed_urls(syn, n_seeds=5)
+    ccfg = _adaptive_cfg(
+        salt_threshold=1, salt_factor=4,
+        max_pages_per_host=9, backoff_503=True,
+    )
+    exp = oracle_crawl(sds, ccfg, syn)
+    got = run_crawl(sds, ccfg, syn, fetch_concurrency=2,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    # the adaptive cap actually bit in this configuration
+    first_wave, per = {}, {}
+    for e in exp.fetch_log:
+        first_wave.setdefault(e["host"], e["wave"])
+        per[(e["wave"], e["host"])] = per.get((e["wave"], e["host"]), 0) + 1
+    capped = [n for (w, h), n in per.items() if w > first_wave[h]]
+    assert capped and max(capped) <= 2
