@@ -2044,6 +2044,136 @@ def _warc_cdx_oracle_values_sql() -> str:
     )
 
 
+def _warc_dedup_paths() -> list[str]:
+    """Input fixture for the offline dedup pass: the shared (W)ARC
+    fixture plus three appended deterministic captures, two sharing a
+    payload — a collection with REAL duplicates regardless of which
+    fixture (reference or synthetic) is present."""
+    import os
+
+    from webarchive_discovery_ray.sources.warc import build_response_member
+
+    out = f"{_ORACLE_MAT}/dedup_input.warc.gz"
+    if not os.path.exists(out):
+        from webarchive_discovery_ray.oracle.warc_oracle import (
+            build_synthetic_warc_gz,
+        )
+
+        # synthetic base only: the reference fixture set mixes gzip and
+        # plain ARC files, which cannot concatenate into one member
+        # stream — and the dedup input must be ONE deterministic file
+        base = build_synthetic_warc_gz()
+        extra = (
+            build_response_member("http://dup.example/a", "20200101000000",
+                                  200, "text/html", b"<html>same body</html>")
+            + build_response_member("http://dup.example/b", "20200102000000",
+                                    200, "text/html", b"<html>same body</html>")
+            + build_response_member("http://uniq.example/c", "20200103000000",
+                                    200, "text/html", b"<html>other</html>")
+        )
+        os.makedirs(_ORACLE_MAT, exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(base + extra)
+        os.replace(tmp, out)
+    return [out]
+
+
+def _warc_dedup_census(sf_dir: str):
+    """Offline storage dedup END-TO-END (pipelines/cdx.warc_deduplicate):
+    run the revisit-minting rewrite over the duplicate-bearing fixture,
+    parse the OUTPUT back with the repo's own reader, and report the
+    per-record-type census + how many revisits resolve by digest join
+    against the stored responses."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.pipelines.cdx import warc_deduplicate
+    from webarchive_discovery_ray.sources.warc import parse_archive_bytes
+
+    out_dir = f"{_ORACLE_MAT}/dedup_output"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    written = warc_deduplicate(_warc_dedup_paths(), out_dir)
+    rows = []
+    for p in written:
+        with open(p, "rb") as fh:
+            rows.extend(parse_archive_bytes(fh.read(), os.path.basename(p)))
+    stored = {
+        sha1_b32(r["payload"] or b"").split(":", 1)[-1]
+        for r in rows
+        if r["record_type"] == "response" and r["status"] == 200
+    }
+    counts: dict[str, list[int]] = {}
+    for r in rows:
+        c = counts.setdefault(r["record_type"], [0, 0])
+        c[0] += 1
+        if r["record_type"] == "revisit" and r["payload_sha1"] in stored:
+            c[1] += 1
+    return pd.DataFrame(
+        {
+            "record_type": sorted(counts),
+            "n": pd.Series([counts[k][0] for k in sorted(counts)], dtype="int64"),
+            "n_resolved": pd.Series(
+                [counts[k][1] for k in sorted(counts)], dtype="int64"
+            ),
+        }
+    )
+
+
+def _warc_dedup_census_oracle_values_sql() -> str:
+    """Independent sequential mirror: oracle parser over the SAME input
+    bytes + the pinned first-wins rule decide the expected output
+    stream; the census renders as VALUES."""
+    import os
+
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.oracle.warc_oracle import oracle_parse_archive
+
+    recs = []
+    for p in _warc_dedup_paths():
+        with open(p, "rb") as fh:
+            recs.extend(oracle_parse_archive(fh.read(), os.path.basename(p)))
+    recs.sort(key=lambda r: (r["source_file"], r["source_offset"]))
+    seen: set[str] = set()
+    counts: dict[str, list[int]] = {}
+    stored: set[str] = set()
+    out_stream = []
+    for r in recs:
+        if not r["url"] or r["status"] is None:
+            continue  # aux streams dropped by the rewrite
+        if r["record_type"] == "revisit":
+            out_stream.append(("revisit", r["payload_sha1"]))
+            continue
+        h = sha1_b32(r["payload"] or b"").split(":", 1)[-1]
+        if r["record_type"] == "response" and r["status"] == 200:
+            if h in seen:
+                out_stream.append(("revisit", h))
+                continue
+            seen.add(h)
+            stored.add(h)
+        # non-http(s) captures re-serialise as `resource` records —
+        # mirror the writer's record-type rule
+        rt = "response" if r["url"].startswith("http") else "resource"
+        out_stream.append((rt, None))
+    for rt, h in out_stream:
+        c = counts.setdefault(rt, [0, 0])
+        c[0] += 1
+        if rt == "revisit" and h in stored:
+            c[1] += 1
+    rows = [
+        f"('{k}', {counts[k][0]}::BIGINT, {counts[k][1]}::BIGINT)"
+        for k in sorted(counts)
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(record_type, n, n_resolved)"
+    )
+
+
 def _warc_digest_dups(sf_dir: str):
     """Duplicate-content census over the real fixture (W)ARCs."""
     from webarchive_discovery_ray.pipelines.cdx import warc_digest_dups
@@ -3217,6 +3347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_warc_census": _crawl_warc_census,
         "warc_stats": _warc_stats,
         "warc_digest_dups": _warc_digest_dups,
+        "warc_dedup_census": _warc_dedup_census,
         "warc_file_hash": _warc_file_hash,
         "warc_datasets": _warc_datasets,
         "warc_regex": _warc_regex,
@@ -7081,6 +7212,7 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_warc_census"] = _crawl_warc_census_oracle_values_sql()
     out["warc_stats"] = _warc_stats_oracle_values_sql()
     out["warc_digest_dups"] = _warc_digest_dups_oracle_values_sql()
+    out["warc_dedup_census"] = _warc_dedup_census_oracle_values_sql()
     out["warc_datasets"] = _warc_datasets_oracle_values_sql()
     out["warc_regex"] = _warc_regex_oracle_values_sql()
     out["warc_wet"] = _warc_wet_oracle_values_sql()

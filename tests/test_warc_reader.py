@@ -677,3 +677,82 @@ def test_write_warc_roundtrip_through_own_reader(ray_session, tmp_path):
     )
     if a == b:
         assert cat(out) == cat(out2)
+
+
+def test_warc_deduplicate_roundtrip(ray_session, tmp_path):
+    """Offline storage dedup (warc_deduplicate): duplicate status-200
+    responses become identical-payload-digest revisits that resolve by
+    digest join against the pinned first-wins winner; output is
+    byte-deterministic and our own reader round-trips it."""
+    import hashlib
+
+    from webarchive_discovery_ray.functions.hashing import sha1_b32
+    from webarchive_discovery_ray.oracle.warc_oracle import (
+        build_synthetic_warc_gz,
+        oracle_parse_archive,
+    )
+    from webarchive_discovery_ray.pipelines.cdx import warc_deduplicate
+    from webarchive_discovery_ray.sources.warc import parse_archive_bytes
+
+    from webarchive_discovery_ray.sources.warc import build_response_member
+
+    src = tmp_path / "in" / "synthetic.warc.gz"
+    src.parent.mkdir()
+    # base fixture + three appended captures: two share a payload (the
+    # dup pair), one unique — a collection with real duplicates
+    extra = (
+        build_response_member("http://dup.example/a", "20200101000000",
+                              200, "text/html", b"<html>same body</html>")
+        + build_response_member("http://dup.example/b", "20200102000000",
+                                200, "text/html", b"<html>same body</html>")
+        + build_response_member("http://uniq.example/c", "20200103000000",
+                                200, "text/html", b"<html>other</html>")
+    )
+    src.write_bytes(build_synthetic_warc_gz() + extra)
+
+    # independent sequential expectation: first-wins by (file, offset)
+    recs = oracle_parse_archive(src.read_bytes(), "synthetic.warc.gz")
+    seen, exp_loser_urls = set(), []
+    for r in sorted(recs, key=lambda r: r["source_offset"]):
+        if r["record_type"] == "response" and r["status"] == 200:
+            h = sha1_b32(r["payload"] or b"")
+            if h in seen:
+                exp_loser_urls.append(r["url"])
+            else:
+                seen.add(h)
+    exp_losers = len(exp_loser_urls)
+    assert exp_losers > 0, "fixture must contain duplicate payloads"
+
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    (p1,) = warc_deduplicate([str(src)], out1)
+    (p2,) = warc_deduplicate([str(src)], out2)
+    b1 = open(p1, "rb").read()
+    assert b1 == open(p2, "rb").read()  # byte-deterministic
+
+    rows = parse_archive_bytes(b1, "dedup.warc.gz")
+    # every CAPTURE record re-serialised (warcinfo/request aux dropped)
+    assert len(rows) == sum(
+        1 for r in recs if r["url"] and r["status"] is not None
+    )
+    revisits = [r for r in rows if r["record_type"] == "revisit"]
+    responses = [r for r in rows if r["record_type"] == "response"]
+    # minted revisits (the dup losers) + the fixture's pre-existing
+    # revisit captures, which pass through with their carried digest
+    n_input_revisits = sum(1 for r in recs if r["record_type"] == "revisit")
+    assert len(revisits) == exp_losers + n_input_revisits
+    # every revisit resolves to EXACTLY ONE stored response by digest
+    by_digest = {}
+    for r in responses:
+        if r["status"] == 200:
+            # reader-normalised digest (the parser strips the sha1: prefix)
+            k = sha1_b32(r["payload"] or b"").split(":", 1)[-1]
+            by_digest.setdefault(k, []).append(r)
+    minted = [r for r in revisits if r["url"] in set(exp_loser_urls)]
+    assert len(minted) == exp_losers
+    for rv in minted:
+        # every MINTED revisit resolves to EXACTLY ONE stored response
+        # (the fixture's pre-existing revisit carries a placeholder
+        # digest by design and passes through unresolved)
+        assert rv["payload_sha1"] in by_digest
+        assert len(by_digest[rv["payload_sha1"]]) == 1
+        assert not rv["payload"]  # payload dropped, headers retained

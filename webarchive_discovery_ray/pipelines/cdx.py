@@ -34,6 +34,7 @@ __all__ = [
     "warc_media",
     "warc_robots",
     "warc_digest_dups",
+    "warc_deduplicate",
     "revisit_captures",
     "capture_intervals",
     "url_templates",
@@ -1301,3 +1302,148 @@ def cdx_collapse(captures):
         .groupby("bucket")
         .map_groups(collapse_in_bucket, batch_format="pandas")
     )
+
+
+def warc_deduplicate(paths: list[str], out_dir: str) -> list[str]:
+    """Offline storage-deduplication pass over a (W)ARC collection — the
+    batch sibling of the crawl plane's live ``dedup_content`` gate and
+    the write side of the reference's reduplication plane (J3,
+    ``MDXReduplicatingReducer.java:72-153``): re-serialise every record,
+    replacing each DUPLICATE status-200 response (same payload sha1 as
+    an earlier record in the pinned global (source_file, source_offset)
+    order) with an ISO-28500 identical-payload-digest ``revisit`` record
+    that resolves to the winner by digest join. Output:
+    ``out_dir/<input-basename>`` deterministic multi-member gzip, one
+    file per input (resumable layout; byte-identical on re-run —
+    tmp + os.replace publish).
+
+    Shape: phase 1 ships only (file, offset, digest) meta rows (never
+    payloads) through ONE bucket(digest) grouped min-fold that emits the
+    LOSER rows; the per-file loser offset lists (bounded by the
+    collection's duplicate count) route to per-file rewrite tasks that
+    re-read their own file — payload bytes never leave the task that
+    owns the file. At the 100-TB design point the loser lists ship as
+    per-file object refs; the winner map itself is never materialised
+    anywhere."""
+    import os
+
+    import ray as _ray
+
+    from ..functions.bucketing import bucket_of, default_buckets, typed_empty
+    from ..functions.hashing import sha1_b32
+    from ..sources.warc import read_archive_pages
+
+    n_b = default_buckets()
+    base_of = {os.path.basename(p): p for p in paths}
+    if len(base_of) != len(paths):
+        raise ValueError("input basenames must be unique (resumable layout)")
+
+    def meta_rows(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "file": batch["source_file"].to_pandas(),
+                "offset": batch["source_offset"].to_pandas(),
+                "rt": batch["record_type"].to_pandas(),
+                "status": batch["status"].to_pandas(),
+            }
+        )
+        # the hash rule is the extraction chain's M16 (sha1-base32 of the
+        # raw payload) — computed here without shipping the payload on
+        digest = [
+            sha1_b32(v.as_py() or b"") for v in batch["payload"]
+        ]
+        df["digest"] = digest
+        df = df[(df["rt"] == "response") & (df["status"] == 200)]
+        out = df[["file", "offset", "digest"]].copy()
+        out["bucket"] = bucket_of(out["digest"], n_b)
+        return out
+
+    def losers_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return typed_empty(file=str, offset="int64")
+        df = df.sort_values(["digest", "file", "offset"], kind="mergesort")
+        first = ~df["digest"].duplicated(keep="first")
+        out = df.loc[~first, ["file", "offset"]]
+        return out.astype({"offset": "int64"}).reset_index(drop=True)
+
+    losers = (
+        read_archive_pages(paths)
+        .map_batches(meta_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(losers_in_bucket, batch_format="pandas")
+        .to_pandas()  # bounded by the collection's DUPLICATE count
+    )
+    by_file: dict[str, set[int]] = {
+        f: set(g["offset"].tolist()) for f, g in losers.groupby("file")
+    }
+
+    @_ray.remote
+    def rewrite(path: str, out_path: str, loser_offsets: frozenset) -> int:
+        import uuid
+
+        from pyarrow import fs as pafs
+
+        from ..sources.warc import (
+            build_response_member,
+            build_revisit_member,
+            parse_archive_bytes,
+        )
+
+        filesystem, fs_path = pafs.FileSystem.from_uri(os.path.abspath(path))
+        with filesystem.open_input_stream(fs_path, compression=None) as fh:
+            blob = fh.read()
+        members = []
+        for rec in parse_archive_bytes(blob, os.path.basename(path)):
+            if not rec["url"] or rec["status"] is None:
+                # auxiliary streams (warcinfo, request, metadata) carry
+                # per-file/per-capture context the rewritten CAPTURE
+                # stream does not inherit — dropped, like every
+                # capture-stream transform in the reference's
+                # reduplication plane
+                continue
+            payload = rec["payload"] or b""
+            if rec["record_type"] == "revisit":
+                # already-deduplicated input capture: pass through with
+                # its carried digest
+                members.append(
+                    build_revisit_member(
+                        rec["url"], rec["timestamp14"], rec["status"],
+                        rec["mime_served"] or None,
+                        rec["payload_sha1"] or sha1_b32(payload),
+                        len(payload), rec["location"] or None,
+                    )
+                )
+                continue
+            if rec["source_offset"] in loser_offsets:
+                members.append(
+                    build_revisit_member(
+                        rec["url"], rec["timestamp14"], rec["status"],
+                        rec["mime_served"] or None, sha1_b32(payload),
+                        len(payload), rec["location"] or None,
+                    )
+                )
+            else:
+                members.append(
+                    build_response_member(
+                        rec["url"], rec["timestamp14"], rec["status"],
+                        rec["mime_served"] or None, payload,
+                        rec["location"] or None,
+                    )
+                )
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = f"{out_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(b"".join(members))
+        os.replace(tmp, out_path)
+        return len(members)
+
+    outs = []
+    refs = []
+    for base, path in sorted(base_of.items()):
+        out_path = os.path.join(out_dir, base if base.endswith(".gz") else base + ".gz")
+        outs.append(out_path)
+        refs.append(
+            rewrite.remote(path, out_path, frozenset(by_file.get(base, ())))
+        )
+    _ray.get(refs)  # error-propagating barrier (tiny int results)
+    return outs
