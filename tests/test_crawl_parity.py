@@ -1359,3 +1359,65 @@ def test_adaptive_composes_with_salt_quota_backoff(ray_session):
         per[(e["wave"], e["host"])] = per.get((e["wave"], e["host"]), 0) + 1
     capped = [n for (w, h), n in per.items() if w > first_wave[h]]
     assert capped and max(capped) <= 2
+
+
+def test_retry_5xx_byte_parity_and_sensitivity(ray_session):
+    """5xx fetch retries (round 5, the Heritrix fetch-retry schedule):
+    a failed SELECTED fetch re-enters the next wave with its original
+    (priority, hop, seq), up to retry_5xx additional attempts per surt.
+    Ray == sequential oracle byte-for-byte; the synthetic world is
+    deterministic so every retry fails again — the fetch log must carry
+    exactly 1 + retry_5xx attempts for early-failing URLs."""
+    from collections import Counter
+
+    syn = SyntheticConfig(n_hosts=10, pages_per_host=120, max_fanout=8)
+    sds = seed_urls(syn, n_seeds=6)
+    cfg = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
+                      retry_5xx=2)
+    exp = oracle_crawl(sds, cfg, syn)
+    got = run_crawl(sds, cfg, syn, fetch_concurrency=2, fetch_batch_size=16,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    by_url = Counter(e["url"] for e in got.fetch_log)
+    first_wave = {}
+    statuses = {}
+    for e in got.fetch_log:
+        first_wave.setdefault(e["url"], e["wave"])
+        statuses[e["url"]] = e["status"]
+    # retries preserve the row's ORIGINAL priority, so a retry can be
+    # legitimately starved by newer higher-priority discoveries (the
+    # Heritrix same-precedence re-enqueue); the schedule bounds are:
+    # at least one failure runs the FULL schedule, none exceeds it,
+    # and successes fetch exactly once
+    fails = [u for u, st in statuses.items() if st >= 500]
+    assert fails, "fixture must contain 5xx URLs"
+    assert any(by_url[u] == 1 + cfg.retry_5xx for u in fails)
+    assert all(by_url[u] <= 1 + cfg.retry_5xx for u in fails)
+    assert any(by_url[u] > 1 for u in fails)  # the knob demonstrably bites
+    for u, st in statuses.items():
+        if st < 500:
+            assert by_url[u] == 1, (u, by_url[u])
+    # knob-off: unchanged behaviour (single attempt per URL)
+    off = oracle_crawl(sds, CrawlConfig(politeness_budget=4, max_waves=6,
+                                        seen_shards=4), syn)
+    assert max(Counter(e["url"] for e in off.fetch_log).values()) == 1
+
+
+def test_retry_5xx_checkpoint_resume_identical(ray_session, tmp_path_factory):
+    """Retry state (pending rows + attempt counts) is checkpointed:
+    kill-and-resume mid-schedule equals the uninterrupted run."""
+    syn = SyntheticConfig(n_hosts=10, pages_per_host=120, max_fanout=8)
+    sds = seed_urls(syn, n_seeds=6)
+    cfg = CrawlConfig(politeness_budget=4, max_waves=6, seen_shards=4,
+                      retry_5xx=2)
+    ckpt = str(tmp_path_factory.mktemp("retry_ckpt"))
+    run_crawl(sds, CrawlConfig(politeness_budget=4, max_waves=3, seen_shards=4,
+                               retry_5xx=2), syn,
+              checkpoint_dir=ckpt, fetch_concurrency=2)
+    resumed = run_crawl(sds, cfg, syn, checkpoint_dir=ckpt, resume=True,
+                        fetch_concurrency=2, collect_log=True,
+                        collect_seen=True)
+    exp = oracle_crawl(sds, cfg, syn)
+    assert [_log_key(e) for e in resumed.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert resumed.seen_sorted == exp.seen_sorted

@@ -138,6 +138,16 @@ class CrawlConfig:
     # folded from split metas (robots-rules discipline, bounded by
     # |hosts|), broadcast per wave, checkpointed and restored. Default
     # OFF: fixtures byte-identical.
+    # 5xx fetch retries (the Heritrix fetch-retry schedule mapped onto
+    # waves): a SELECTED fetch that returns status >= 500 re-enters the
+    # NEXT wave's frontier with its original (priority, hop, seq) — the
+    # only path that ever re-fetches a seen URL — up to retry_5xx
+    # additional attempts per surt. Retries drain under the normal
+    # politeness chain (incl. the 5xx backoff halving, if on), consume
+    # per-host quota (a fetch is a fetch) and log one fetch-log row per
+    # attempt. Pending retry rows + per-surt attempt counts are
+    # checkpointed. Default None: fixtures byte-identical.
+    retry_5xx: int | None = None
     adaptive_politeness: bool = False
     adaptive_delay_factor_permil: int = 5000  # Heritrix delayFactor 5.0
     adaptive_min_delay_ms: int = 3000  # Heritrix minDelayMs

@@ -138,6 +138,7 @@ def oracle_crawl(
     backoff_prev: set[str] = set()  # hosts that served >=500 LAST wave
     host_fetched: dict[str, int] = {}  # max_pages_per_host quota state
     last_dur: dict[str, int] = {}  # adaptive politeness: last fetch ms
+    retry_attempts: dict[str, int] = {}  # retry_5xx: attempts per surt
     seq = 0
     frontier: list[_Entry] = []
     for url, pri in seeds:
@@ -237,11 +238,14 @@ def oracle_crawl(
         # rule 4: fetch in (host, slot) order
         new_robots: dict[str, list[str]] = {}
         wave_backoff: set[str] = set()
+        wave_failed: list[_Entry] = []
         page_candidates: list[tuple[str, int, list[str], int, int]] = []
         for host, slot, e in selected:  # already (host, slot) sorted
             rec = page_for_url(e.url, scfg)
             if rec["status"] >= 500:
                 wave_backoff.add(host)
+                if ccfg.retry_5xx:
+                    wave_failed.append(e)
             if ccfg.adaptive_politeness:
                 # (host, slot) order => the last assignment per host is
                 # the host's LAST fetch of the wave, Heritrix's input
@@ -322,6 +326,17 @@ def oracle_crawl(
                 next_frontier.append(_Entry(u, k, chost, cand_pri, hop + 1, seq))
                 seq += 1
                 new_count += 1
+        # rule 6b: 5xx retry re-injection (Heritrix fetch retries): a
+        # failed SELECTED fetch re-enters the next wave's frontier with
+        # its ORIGINAL (priority, hop, seq) — it is already in the seen
+        # set, so this is the only path that re-fetches a URL — up to
+        # retry_5xx additional attempts per surt
+        if ccfg.retry_5xx:
+            for e in wave_failed:
+                a = retry_attempts.get(e.surt, 0)
+                if a < ccfg.retry_5xx:
+                    retry_attempts[e.surt] = a + 1
+                    next_frontier.append(e)
         robots_rules.update(new_robots)
         backoff_prev = wave_backoff if ccfg.backoff_503 else set()
         res.wave_stats.append(

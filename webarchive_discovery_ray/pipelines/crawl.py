@@ -898,6 +898,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
             "backoff": [],
             "host_counts": [],
             "last_dur": [],
+            "retry": [],
         },
         FRONTIER_SCHEMA.empty_table(),
         OUT_SCHEMA.empty_table().select(_PULL_COLS),
@@ -924,6 +925,15 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
     # any status >= 500 this wave in this part)
     errs = fetched.filter(pc.greater_equal(fetched["fetch_status"], 500))
     backoff_hosts = sorted(set(errs["fetch_host"].to_pylist()))
+    # 5xx retry carriers (ccfg.retry_5xx): the failed rows' frontier
+    # identity — bounded by failures-in-block, the backoff meta class
+    retry_rows = list(
+        zip(
+            errs["url"].to_pylist(), errs["surt"].to_pylist(),
+            errs["host"].to_pylist(), errs["priority"].to_pylist(),
+            errs["hop"].to_pylist(), errs["seq"].to_pylist(),
+        )
+    )
     # per-host fetched counts (max_pages_per_host quota fold): tiny —
     # bounded by hosts-in-block, the robots_pairs meta discipline
     _hc = pd.Series(fetched["fetch_host"].to_pylist()).value_counts()
@@ -975,6 +985,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
                 "backoff": backoff_hosts,
                 "host_counts": host_counts,
                 "last_dur": last_dur_pairs,
+                "retry": retry_rows,
             },
             carry,
             fetched.select(_PULL_COLS),
@@ -1024,6 +1035,7 @@ def _split_block(n_shards: int, tbl: pa.Table, *loser_tbls: pa.Table):
             "backoff": backoff_hosts,
             "host_counts": host_counts,
             "last_dur": last_dur_pairs,
+            "retry": retry_rows,
         },
         carry,
         fetched.select(_PULL_COLS),
@@ -1162,6 +1174,8 @@ def run_crawl(
     backoff_hosts: set[str] = set()
     host_fetched: dict[str, int] = {}  # max_pages_per_host quota state
     adaptive_last_dur: dict[str, int] = {}  # adaptive politeness state
+    retry_attempts: dict[str, int] = {}  # retry_5xx attempts per surt
+    retry_pending: list[tuple] = []  # failed rows awaiting re-injection
     log_tables: list[pa.Table] = []  # retained ONLY under collect_log
     log_flush_refs: list = []  # streamed-log chains joined at crawl end
     warc_flush_refs: list = []  # WARC fragment writers, same join points
@@ -1192,6 +1206,8 @@ def run_crawl(
         backoff_hosts = set(ck.get("backoff_hosts", set()))
         host_fetched = dict(ck.get("host_fetched") or {})
         adaptive_last_dur = dict(ck.get("adaptive_last_dur") or {})
+        retry_attempts = dict(ck.get("retry_attempts") or {})
+        retry_pending = [tuple(r) for r in ck.get("retry_pending") or []]
         order_base = ck["fetch_log"].num_rows
         if collect_log and order_base:
             log_tables.append(ck["fetch_log"])
@@ -1255,6 +1271,21 @@ def run_crawl(
             if ccfg.respect_robots and ru
             else FRONTIER_SCHEMA.empty_table()
         )
+        if retry_pending:
+            # rule 6b (retry_5xx): failed fetches re-enter with their
+            # ORIGINAL (priority, hop, seq) — already-seen rows riding
+            # the injection path (the only path that re-fetches a URL)
+            rt = _frontier_table(
+                [r[0] for r in retry_pending], [r[1] for r in retry_pending],
+                [r[2] for r in retry_pending], [r[3] for r in retry_pending],
+                [r[4] for r in retry_pending], [r[5] for r in retry_pending],
+            )
+            robots_tbl = (
+                pa.concat_tables([robots_tbl, rt])
+                if robots_tbl.num_rows
+                else rt
+            )
+            retry_pending = []
         frontier_rows = (
             sum(extras_rows_per_part)
             + pending_winner_rows
@@ -1537,6 +1568,16 @@ def run_crawl(
             for m in metas:
                 for h, n in m["host_counts"]:
                     host_fetched[h] = host_fetched.get(h, 0) + int(n)
+        if ccfg.retry_5xx:
+            # 5xx retry fold: re-inject next wave, up to retry_5xx
+            # additional attempts per surt (order irrelevant — the drain
+            # re-sorts by (priority, seq, surt) per host)
+            for m in metas:
+                for row in m.get("retry", []):
+                    a = retry_attempts.get(row[1], 0)
+                    if a < ccfg.retry_5xx:
+                        retry_attempts[row[1]] = a + 1
+                        retry_pending.append(tuple(row))
         if ccfg.adaptive_politeness:
             # last-duration fold: this wave's value REPLACES the host's
             # entry (hosts that did not fetch keep their previous one —
@@ -1615,6 +1656,8 @@ def run_crawl(
                 adaptive_last_dur=(
                     adaptive_last_dur if ccfg.adaptive_politeness else None
                 ),
+                retry_attempts=(retry_attempts if ccfg.retry_5xx else None),
+                retry_pending=(retry_pending if ccfg.retry_5xx else None),
             )
             pending_delta = []
             pending_content_delta = []

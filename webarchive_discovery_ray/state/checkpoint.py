@@ -78,6 +78,8 @@ def write_wave_checkpoint(
     content_delta: list[str] | None = None,
     host_fetched: dict[str, int] | None = None,
     adaptive_last_dur: dict[str, int] | None = None,
+    retry_attempts: dict[str, int] | None = None,
+    retry_pending: list[tuple] | None = None,
 ) -> None:
     os.makedirs(base, exist_ok=True)
     final = _wave_dir(base, wave)
@@ -144,6 +146,14 @@ def write_wave_checkpoint(
                 # adaptive-politeness per-host last-fetch durations
                 # (None when the knob is off; loader defaults to {})
                 "adaptive_last_dur": adaptive_last_dur,
+                # retry_5xx state: per-surt attempt counts + the rows
+                # pending re-injection into the NEXT wave
+                "retry_attempts": retry_attempts,
+                "retry_pending": (
+                    [list(r) for r in retry_pending]
+                    if retry_pending is not None
+                    else None
+                ),
             },
             f,
         )
@@ -212,6 +222,8 @@ def load_wave_checkpoint(base: str, wave: int) -> dict:
         "backoff_hosts": set(robots.get("backoff", [])),
         "host_fetched": robots.get("host_fetched") or {},
         "adaptive_last_dur": robots.get("adaptive_last_dur") or {},
+        "retry_attempts": robots.get("retry_attempts") or {},
+        "retry_pending": robots.get("retry_pending") or [],
         "fetch_log": fetch_log,
         "seq": manifest["seq"],
     }
