@@ -1421,3 +1421,20 @@ def test_retry_5xx_checkpoint_resume_identical(ray_session, tmp_path_factory):
     exp = oracle_crawl(sds, cfg, syn)
     assert [_log_key(e) for e in resumed.fetch_log] == [_log_key(e) for e in exp.fetch_log]
     assert resumed.seen_sorted == exp.seen_sorted
+
+
+def test_retry_composes_with_adaptive_and_backoff(ray_session):
+    """Round-5 scheduler features compose: 5xx retries under adaptive
+    politeness + 5xx backoff stay byte-identical to the oracle (retries
+    drain beneath the full shrink chain and re-fail deterministically)."""
+    from collections import Counter
+
+    syn = SyntheticConfig(n_hosts=10, pages_per_host=120, max_fanout=8)
+    sds = seed_urls(syn, n_seeds=6)
+    ccfg = _adaptive_cfg(max_waves=6, retry_5xx=2, backoff_503=True)
+    exp = oracle_crawl(sds, ccfg, syn)
+    got = run_crawl(sds, ccfg, syn, fetch_concurrency=2,
+                    collect_log=True, collect_seen=True)
+    assert [_log_key(e) for e in got.fetch_log] == [_log_key(e) for e in exp.fetch_log]
+    assert got.seen_sorted == exp.seen_sorted
+    assert max(Counter(e["url"] for e in got.fetch_log).values()) <= 3
